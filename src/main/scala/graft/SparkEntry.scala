@@ -1,13 +1,297 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Methods
+import graft.engine.Forecaster
+import graft.ops.{Dedup, Relational, TextAnalysis}
+import graft.sources.SeriesStore
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every deterministic operator registers here twice: a Spark builder in
+  * `queries` and matching ANSI SQL in `oracleSql` (DuckDB). Column names
+  * are aliased identically on both sides (the driver sorts columns by
+  * name before hashing). Doubles that pass through any aggregation are
+  * rounded to 6 decimals on BOTH sides so accumulation-order ulps cannot
+  * flip the hash.
+  */
 object SparkEntry {
+
+  /** Forecast horizon / seasonal frequency used by the registered
+    * forecast queries (horizon = the reference's warm-cache length,
+    * R:10; frequency 7 = the reference's hard-coded weekly frequency,
+    * R:369). */
+  val H = 14
+  val Freq = 7
+
+  private def r6(c: String): Column = round(col(c), 6).as(c)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    fcQuery(Methods.NAIVE)(spark, "/root/testdata/sf0.001")
+
+  /** Closed-form forecast of every series in the events store — exercises
+    * the full scan→materialize→fit→expand pipeline (SURVEY.md §7 slice). */
+  private def fcQuery(method: String): (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Forecaster.forecastStore(s, dir, method, Freq, H)
+        .select(col("element"), col("method"), col("step").cast("long").as("step"),
+          r6("lower1"), r6("lower2"), r6("mean"), r6("upper1"), r6("upper2"))
+        .orderBy("element", "step")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- engine API surface ------------------------------------------------
+    "methods_catalog" -> ((s, _) => {
+      import s.implicits._
+      Methods.reference.zipWithIndex
+        .map { case (m, i) => ((i + 1).toLong, m) }
+        .toDF("pos", "method").orderBy("pos")
+    }),
+    "sanitize_names" -> ((s, dir) => {
+      graft.sources.Tables.events(s, dir)
+        .select(col("event_type").as("element")).distinct()
+        .withColumn("clean", regexp_replace(col("element"), "[^a-zA-Z0-9 ]", ""))
+        .orderBy("element")
+    }),
+    // -- data access (searchElement analogue, R:23-40) ---------------------
+    "series_obs" -> ((s, dir) =>
+      SeriesStore.seriesDF(s, dir)
+        .select(col("element"), col("step").cast("long").as("step"), col("value"))
+        .orderBy("element", "step")),
+    "series_prophet_df" -> ((s, dir) =>
+      SeriesStore.prophetDF(s, dir).orderBy("element", "ds", "y")),
+    // -- closed-form forecasts (oracle-checkable model pipeline) -----------
+    "fc_naive" -> fcQuery(Methods.NAIVE),
+    "fc_drift" -> fcQuery(Methods.DRIFT),
+    "fc_meanf" -> fcQuery(Methods.MEANF),
+    "fc_snaive" -> fcQuery(Methods.SNAIVE),
+    // -- relational surface (SURVEY.md §2.2 B-G) ---------------------------
+    "q1_pricing" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
+    "star_join_revenue" -> ((s, dir) => Relational.starJoinRevenue(s, dir)),
+    "top_orders" -> ((s, dir) => Relational.topOrders(s, dir)),
+    "running_daily_revenue" -> ((s, dir) => Relational.runningDailyRevenue(s, dir)),
+    "customer_order_coverage" -> ((s, dir) => Relational.customerOrderCoverage(s, dir)),
+    "user_set_ops" -> ((s, dir) => Relational.userSetOps(s, dir)),
+    "props_extract" -> ((s, dir) => Relational.propsExtract(s, dir)),
+    // -- dedup / text analysis (north-star extensions, SURVEY.md §2.3) -----
+    "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "dedup_fingerprint" -> ((s, dir) => Dedup.exactByFingerprint(s, dir)),
+    "dup_groups" -> ((s, dir) => Dedup.duplicateGroups(s, dir)),
+    "text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
+    "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
+    "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL. Shared fragments:
+  // ---------------------------------------------------------------------
+
+  /** The searchElement scan: per-element step numbering, 10k cap (R:28). */
+  private val obsCte =
+    """obs AS (
+      |  SELECT * FROM (
+      |    SELECT event_type AS element, value,
+      |           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS step
+      |    FROM events)
+      |  WHERE step <= 10000)""".stripMargin
+
+  /** Per-element closed-form stats shared by the naive forecast oracles
+    * (semantics documented in graft.models.NaiveFamilies). */
+  private val statsCte =
+    s"""$obsCte,
+       |base AS (
+       |  SELECT element, value, step,
+       |         value - lag(value) OVER (PARTITION BY element ORDER BY step) AS d
+       |  FROM obs),
+       |st AS (
+       |  SELECT element, count(*) AS n,
+       |         arg_max(value, step) AS last_v,
+       |         arg_min(value, step) AS first_v,
+       |         avg(value) AS mu,
+       |         coalesce(stddev_samp(value), 0.0) AS sdy,
+       |         coalesce(stddev_samp(d), 0.0) AS sdd
+       |  FROM base GROUP BY element)""".stripMargin
+
+  private val Z80 = "1.2815515655446004"
+  private val Z95 = "1.959963984540054"
+
+  /** 5-band select given point expression `m` and se expression `se`. */
+  private def bands(method: String, m: String, se: String): String =
+    s"""SELECT element, '$method' AS method, h.step,
+       |  round(($m) - $Z80 * ($se), 6) AS lower1,
+       |  round(($m) - $Z95 * ($se), 6) AS lower2,
+       |  round(($m), 6) AS mean,
+       |  round(($m) + $Z80 * ($se), 6) AS upper1,
+       |  round(($m) + $Z95 * ($se), 6) AS upper2
+       |FROM st CROSS JOIN range(1, ${H + 1}) h(step)
+       |ORDER BY element, step""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "methods_catalog" ->
+      ("SELECT * FROM (VALUES " +
+        Methods.reference.zipWithIndex
+          .map { case (m, i) => s"(CAST(${i + 1} AS BIGINT), '$m')" }.mkString(", ") +
+        ") AS t(pos, method) ORDER BY pos"),
+    "sanitize_names" ->
+      """SELECT DISTINCT event_type AS element,
+        |  regexp_replace(event_type, '[^a-zA-Z0-9 ]', '', 'g') AS clean
+        |FROM events ORDER BY element""".stripMargin,
+    "series_obs" ->
+      s"WITH $obsCte SELECT element, step, value FROM obs ORDER BY element, step",
+    "series_prophet_df" ->
+      """SELECT element, ds, y FROM (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS ds, value AS y,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS step
+        |  FROM events)
+        |WHERE step <= 10000 ORDER BY element, ds, y""".stripMargin,
+    "fc_naive" ->
+      s"WITH $statsCte\n${bands("NAIVE", "last_v", "sdd * sqrt(h.step)")}",
+    "fc_drift" ->
+      s"""WITH $statsCte
+         |${bands("DRIFT",
+           "last_v + (last_v - first_v) / (n - 1.0) * h.step",
+           "sdd * sqrt(h.step * (1.0 + h.step / (n - 1.0)))")}""".stripMargin,
+    "fc_meanf" ->
+      s"WITH $statsCte\n${bands("MEANF", "mu", "sdy * sqrt(1.0 + 1.0 / n)")}",
+    "fc_snaive" ->
+      s"""WITH $statsCte,
+         |m AS (SELECT element, n, least($Freq, n) AS mp FROM st),
+         |sdm AS (
+         |  SELECT a.element, coalesce(stddev_samp(a.value - b.value), 0.0) AS s
+         |  FROM obs a JOIN m USING (element)
+         |  JOIN obs b ON b.element = a.element AND b.step = a.step - m.mp
+         |  GROUP BY a.element),
+         |st2 AS (
+         |  SELECT m.element, m.n, m.mp, coalesce(sdm.s, 0.0) AS s
+         |  FROM m LEFT JOIN sdm USING (element))
+         |SELECT st2.element, 'SNAIVE' AS method, h.step,
+         |  round(c.value - $Z80 * st2.s * sqrt((h.step - 1) // st2.mp + 1), 6) AS lower1,
+         |  round(c.value - $Z95 * st2.s * sqrt((h.step - 1) // st2.mp + 1), 6) AS lower2,
+         |  round(c.value, 6) AS mean,
+         |  round(c.value + $Z80 * st2.s * sqrt((h.step - 1) // st2.mp + 1), 6) AS upper1,
+         |  round(c.value + $Z95 * st2.s * sqrt((h.step - 1) // st2.mp + 1), 6) AS upper2
+         |FROM st2
+         |CROSS JOIN range(1, ${H + 1}) h(step)
+         |JOIN obs c ON c.element = st2.element
+         |          AND c.step = st2.n - st2.mp + ((h.step - 1) % st2.mp) + 1
+         |ORDER BY st2.element, h.step""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "star_join_revenue" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "running_daily_revenue" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+        |SELECT event_type, day, n, round(v, 6) AS v,
+        |  round(sum(v) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_v,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS day_rank
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+    "customer_order_coverage" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  count(o.o_custkey) AS with_orders,
+        |  count(*) - count(o.o_custkey) AS without_orders
+        |FROM customer c
+        |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "user_set_ops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT 'purchase_not_error' AS tag, user_id
+        |  FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+        |UNION ALL
+        |SELECT 'purchase_and_error' AS tag, user_id
+        |  FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+        |ORDER BY tag, user_id""".stripMargin,
+    "props_extract" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |WHERE k IS NOT NULL GROUP BY k ORDER BY k""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dup_groups" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY text HAVING count(*) > 1
+        |ORDER BY keeper_id""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, n_chars,
+        |  length(text) AS len,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+        |  round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |    / length(text), 6) AS upper_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], x))) AS DOUBLE)
+        |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stop_ratio,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_density
+        |  FROM documents)
+        |SELECT doc_id, lang, source,
+        |  round(len_score, 6) AS len_score,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(punct_density, 6) AS punct_density,
+        |  round((len_score + stop_ratio + (1.0 - punct_density)) / 3.0, 6) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS lang_given,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang_given,
+        |    CAST(len(list_filter(w, x -> list_contains(['the','and','of'], x))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(w, x -> list_contains(['der','und','die'], x))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(w, x -> list_contains(['el','que','los'], x))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(w, x -> list_contains(['le','et','les'], x))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(w, x -> list_contains(['de','shi','le'], x))) AS BIGINT) AS s_zh
+        |  FROM s)
+        |SELECT doc_id, lang_given,
+        |  list_sort([
+        |    {'negscore': -s_en, 'lang': 'en'},
+        |    {'negscore': -s_de, 'lang': 'de'},
+        |    {'negscore': -s_es, 'lang': 'es'},
+        |    {'negscore': -s_fr, 'lang': 'fr'},
+        |    {'negscore': -s_zh, 'lang': 'zh'}])[1].lang AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // dedup_fingerprint / doc_fingerprints: xxhash64 is not reproducible in
+    // DuckDB — intentionally omitted (driver records rows-only check).
+  )
 }

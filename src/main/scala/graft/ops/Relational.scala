@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface over the driver's star schema — the engine's
+  * scan/filter/project/join/agg/window/sort/limit/set-op coverage
+  * (SURVEY.md §2.2 B-G). Everything is declarative DataFrame code so
+  * Catalyst pushes filters/projections into the parquet scans and picks
+  * broadcast joins for the dimension tables.
+  *
+  * Float determinism posture (for the DuckDB oracle and for exactness at
+  * scale): money/quantity sums go through DECIMAL(18,4) so partial
+  * aggregation order cannot perturb results, then cast back to DOUBLE.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Exact-sum helper: decimal accumulate, double result. */
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,4)")).cast("double")
+
+  /** TPC-H Q1-shaped pricing summary — groupBy/agg with map-side partial
+    * aggregation; one shuffle on the (returnflag, linestatus) keys. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Star join: orders → customer → nation → region, revenue per nation.
+    * Dimension tables are explicitly broadcast — at 100 TB the fact side
+    * never shuffles for these joins. */
+  def starJoinRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .join(broadcast(t(spark, sfDir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("total_price"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Top-k: orderBy + limit ⇒ Spark plans TakeOrderedAndProject (no full
+    * sort of the fact table). Deterministic tie-break on the key. */
+  def topOrders(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** Window functions: daily per-type revenue with an ordered running sum
+    * (the rolling-window shape behind the reference's CV windows,
+    * SURVEY.md §2.2-E). Daily sums are decimal-exact; the running sum
+    * accumulates in day order so it is order-deterministic too. */
+  def runningDailyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), graft.sources.Tables.tsDay("ts").as("day"))
+      .agg(count(lit(1)).as("n"), dsum("value").as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("running_v", round(sum(col("v")).over(w), 6))
+      .withColumn("day_rank", row_number().over(Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .select(col("event_type"), col("day"), col("n"), round(col("v"), 6).as("v"),
+        col("running_v"), col("day_rank"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Semi/anti joins: customers with vs without orders, per market
+    * segment. The distinct key set is broadcast back against customer. */
+  def customerOrderCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer")
+    val okeys = t(spark, sfDir, "orders").select(col("o_custkey")).distinct()
+    val withO = cust.join(okeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("with_orders"))
+    val withoutO = cust.join(okeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("without_orders"))
+    cust.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_cust"))
+      .join(withO, Seq("c_mktsegment"), "left")
+      .join(withoutO, Seq("c_mktsegment"), "left")
+      .select(col("c_mktsegment"), col("n_cust"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Set operations: EXCEPT and INTERSECT over per-type user-id sets,
+    * tagged and unioned (SURVEY.md §2.2-G). */
+  def userSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    def users(typ: String) = ev.filter(col("event_type") === typ).select(col("user_id")).distinct()
+    val pNotE = users("purchase").except(users("error"))
+      .select(lit("purchase_not_error").as("tag"), col("user_id"))
+    val pAndE = users("purchase").intersect(users("error"))
+      .select(lit("purchase_and_error").as("tag"), col("user_id"))
+    pNotE.union(pAndE).orderBy(col("tag"), col("user_id"))
+  }
+
+  /** JSON scalar extraction from the events `props` column (SURVEY.md
+    * §2.2-I: the ES `_source` parsing analogue). */
+  def propsExtract(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (north-star
+  * extension surface — BASELINE.json; not in the reference). All pure
+  * built-in expressions: codegen'd, no UDFs, fully pushdown-friendly.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Whitespace token count (BPE-ish regex variant in `tokenCounts`). */
+  private def wsTokens(c: Column): Column =
+    size(split(trim(c), "\\s+")).cast("bigint")
+
+  /** Per-document surface statistics: lengths, token counts, punctuation
+    * and uppercase ratios — the quality-scoring raw features. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        length(col("text")).cast("bigint").as("len"),
+        wsTokens(col("text")).as("n_tokens"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("bigint").as("n_punct"),
+        round(length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double")
+          / length(col("text")), 6).as("upper_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenization
+    * (letter runs / digit runs / single punctuation marks). */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"),
+        wsTokens(col("text")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("bigint").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality score: a deterministic 0..1 composite of length, mean word
+    * length, punctuation density and stopword ratio — the "quality
+    * scoring" operator of a training-data pipeline, as one declarative
+    * expression tree. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val nWords = size(words).cast("double")
+    val nStop = size(filter(words, w => w.isin(stop.map(lit(_)): _*))).cast("double")
+    val lenScore = least(length(col("text")).cast("double") / 500.0, lit(1.0))
+    val stopRatio = nStop / nWords
+    val punctDensity = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+      length(col("text")).cast("double")
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        round(lenScore, 6).as("len_score"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(punctDensity, 6).as("punct_density"),
+        round((lenScore + stopRatio + (lit(1.0) - punctDensity)) / 3.0, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language identification by stopword-marker voting: counts occurrences
+    * of a few high-frequency marker words per language and takes the
+    * argmax (deterministic tie-break by language code). N-gram-heuristic
+    * class; pure expressions. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of"),
+      "de" -> Seq("der", "und", "die"),
+      "es" -> Seq("el", "que", "los"),
+      "fr" -> Seq("le", "et", "les"),
+      "zh" -> Seq("de", "shi", "le"))
+    val words = split(lower(trim(col("text"))), "\\s+")
+    def score(ws: Seq[String]): Column =
+      size(filter(words, w => w.isin(ws.map(lit(_)): _*))).cast("bigint")
+    val scored = docs(spark, sfDir).select(
+      (col("doc_id") +: col("lang").as("lang_given") +:
+        markers.map { case (l, ws) => score(ws).as(s"score_$l") }): _*)
+    // argmax over the marker scores; struct sort on (-score, lang) makes
+    // ties resolve to the lexicographically first language code
+    val candidates = markers.map { case (l, _) =>
+      s"named_struct('negscore', -score_$l, 'lang', '$l')" }.mkString("array(", ",", ")")
+    scored
+      .withColumn("pred_lang", expr(s"array_sort($candidates)[0].lang"))
+      .select(col("doc_id"), col("lang_given"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: 64-bit polynomial rolling hash of the
+    * lowercased, whitespace-normalized text (deterministic, collision-
+    * resistant enough for dedup keys). Computed with xxhash64 over the
+    * normalized form — a single codegen'd expression. */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"),
+        xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One named time series, materialized in an executor task. Values are in
+  * evaluation-time order; calendar dates are discarded (positional `ts`
+  * semantics, TimeSeriesFunctions_GPL_0.5.1.R:32) — ordering comes solely
+  * from the source sort, gaps are NOT filled.
+  */
+final case class Series(element: String, values: Array[Double])
+
+/** The engine's `searchElement` (R:23-40): scan the observation store with
+  * server-side filter + project + sort + limit, returning either the
+  * positional series shape (`returnDF = FALSE`, R:31-33) or the
+  * calendar-aware (ds, y) shape used by Prophet (R:35-38).
+  *
+  * The store is the driver's `events` parquet (TESTDATA.md): `event_type`
+  * plays the reference's element name, `ts` plays `evaluationDate`, `value`
+  * is `value`. Filter/projection push down to the parquet scan (Catalyst
+  * `PushDownPredicates` / `ColumnPruning` replace what Elasticsearch did
+  * server-side in R:27-28).
+  *
+  * Scale posture: only one *series* (≤ `MaxSeriesLength` points, the
+  * reference's `size = 10000` cap R:28) must ever fit in a single task;
+  * the store itself is never collected.
+  */
+object SeriesStore {
+
+  /** The reference's ES query cap `size = 10000` (R:28). */
+  val MaxSeriesLength = 10000
+
+  /** `ts` comes back as epoch-nanos LONG (exact) — see [[Tables.events]]. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+
+  /** Oldest-`MaxSeriesLength` rows per element, in evaluation order — the
+    * per-element analogue of ES `sort=evaluationDate:asc, size=10000`
+    * (R:28). Ties broken by event_id for determinism. Emits
+    * (element, step, ts, value) with step = 1-based position.
+    */
+  def observations(spark: SparkSession, sfDir: String, elements: Seq[String] = Nil): DataFrame = {
+    val base = events(spark, sfDir)
+      .select(col("event_type").as("element"), col("ts"), col("event_id"), col("value").cast("double"))
+    val filtered =
+      if (elements.isEmpty) base
+      else if (elements.size == 1) base.filter(col("element") === elements.head)
+      else base.filter(col("element").isin(elements: _*))
+    val w = Window.partitionBy(col("element")).orderBy(col("ts").asc, col("event_id").asc)
+    filtered
+      .withColumn("step", row_number().over(w))
+      .filter(col("step") <= MaxSeriesLength)
+      .select(col("element"), col("step"), col("ts"), col("value"))
+  }
+
+  /** `searchElement(..., returnDF = FALSE)` (R:31-33): positional series,
+    * dates discarded. One row per (element, step). */
+  def seriesDF(spark: SparkSession, sfDir: String, elements: Seq[String] = Nil): DataFrame =
+    observations(spark, sfDir, elements).select("element", "step", "value")
+
+  /** `searchElement(..., returnDF = TRUE)` (R:35-38): calendar-aware
+    * two-column (ds DATE, y DOUBLE) frame per element — Prophet's input. */
+  def prophetDF(spark: SparkSession, sfDir: String, elements: Seq[String] = Nil): DataFrame =
+    observations(spark, sfDir, elements)
+      .select(col("element"), Tables.tsDay("ts").as("ds"), col("value").as("y"))
+
+  /** Materialize one dense series per element — the `ts(values, ...)`
+    * construction (R:32) — as a distributed Dataset. The ordered collect
+    * happens inside one task per element via sort_array(collect_list);
+    * the 10k cap guarantees it fits. This is the engine's one genuine
+    * shuffle on the fit path (SURVEY.md §4).
+    */
+  def series(spark: SparkSession, sfDir: String, elements: Seq[String] = Nil): Dataset[Series] = {
+    import spark.implicits._
+    observations(spark, sfDir, elements)
+      .groupBy(col("element"))
+      .agg(sort_array(collect_list(struct(col("step"), col("value")))).as("pts"))
+      .select(col("element"), col("pts.value").as("values"))
+      .as[Series]
+  }
+
+  /** Calendar-aware per-element series for Prophet: (element, epoch days
+    * asc, values) — the only path that keeps dates (R:35-38, R:369). */
+  def datedSeries(spark: SparkSession, sfDir: String, elements: Seq[String] = Nil): Dataset[(String, Array[Int], Array[Double])] = {
+    import spark.implicits._
+    observations(spark, sfDir, elements)
+      .select(col("element"), col("step"),
+        expr(s"CAST(ts DIV ${Tables.NanosPerDay} AS INT)").as("d"), col("value"))
+      .groupBy(col("element"))
+      .agg(sort_array(collect_list(struct(col("step"), col("d"), col("value")))).as("pts"))
+      .select(col("element"), col("pts.d").as("days"), col("pts.value").as("values"))
+      .as[(String, Array[Int], Array[Double])]
+  }
+}
