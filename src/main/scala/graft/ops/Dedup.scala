@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table (north-star
@@ -14,28 +13,28 @@ object Dedup {
     spark.read.parquet(s"$sfDir/documents.parquet")
 
   /** Exact dedup with deterministic survivor choice: keep the lowest
-    * doc_id per identical text. One hash-partitioned shuffle on the text
-    * key (at 100 TB: hash first, shuffle 8-byte keys, not full texts —
-    * see `exactByFingerprint`). */
-  def exact(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    * doc_id per identical text. `groupBy` + `min_by` instead of a
+    * row_number window: partial aggregation collapses duplicate groups
+    * map-side, so the shuffle carries one survivor candidate per
+    * (partition, text) rather than every row — the window form would
+    * shuffle and sort the full table. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .groupBy(col("text"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        col("doc_id")).as("keep"))
+      .select(col("keep.doc_id"), col("keep.lang"), col("keep.source"), col("keep.n_chars"))
       .orderBy(col("doc_id"))
-  }
 
-  /** Scale path for exact dedup: shuffle on a 64-bit fingerprint of the
+  /** Scale path for exact dedup: aggregate on a 64-bit fingerprint of the
     * normalized text instead of the full text bytes — the shuffle moves
-    * (id, hash) pairs only. Same survivor rule. */
+    * (hash, id) pairs only, never document bodies. Same survivor rule. */
   def exactByFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val fp = xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     docs(spark, sfDir)
-      .withColumn("fp", fp)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .select(col("doc_id"), fp.as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
   }

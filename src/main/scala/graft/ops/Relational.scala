@@ -106,10 +106,12 @@ object Relational {
   }
 
   /** JSON scalar extraction from the events `props` column (SURVEY.md
-    * §2.2-I: the ES `_source` parsing analogue). */
+    * §2.2-I: the ES `_source` parsing analogue). Schema'd `from_json`
+    * rather than a per-row JSON-path probe: one Jackson parse per row
+    * into a typed struct that Catalyst prunes. */
   def propsExtract(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.Tables.events(spark, sfDir)
-      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .select(from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
       .filter(col("k").isNotNull)
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
       .orderBy(col("k"))
