@@ -67,6 +67,19 @@ object SparkEntry {
     "fc_drift" -> fcQuery(Methods.DRIFT),
     "fc_meanf" -> fcQuery(Methods.MEANF),
     "fc_snaive" -> fcQuery(Methods.SNAIVE),
+    // -- the reference's 10-method registry (R:6-7), distributed fits ------
+    // (model-fitting math is not DuckDB-expressible → rows-only checks;
+    //  numeric behavior is covered by ModelFamiliesSpec invariants)
+    "fc_arima" -> fcQuery(Methods.ARIMA),
+    "fc_arima_force_seasonality" -> fcQuery(Methods.ARIMA_FORCE_SEASONALITY),
+    "fc_theta" -> fcQuery(Methods.THETA),
+    "fc_ets" -> fcQuery(Methods.ETS),
+    "fc_etsdamped" -> fcQuery(Methods.ETSDAMPED),
+    "fc_baggedets" -> fcQuery(Methods.BAGGEDETS),
+    "fc_stl" -> fcQuery(Methods.STL),
+    "fc_nn" -> fcQuery(Methods.NN),
+    "fc_hybrid" -> fcQuery(Methods.HYBRID),
+    "fc_prophet" -> fcQuery(Methods.PROPHET),
     // -- relational surface (SURVEY.md §2.2 B-G) ---------------------------
     "q1_pricing" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
     "star_join_revenue" -> ((s, dir) => Relational.starJoinRevenue(s, dir)),

@@ -1,36 +1,55 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.core.{ForecastPoint, Methods}
 import graft.models._
 import graft.sources.{Series, SeriesStore}
 
 /** Family registry — the engine's analogue of positional dispatch into
-  * `stringMethods` (R:6-7, used at R:87, R:105, R:370). */
+  * `stringMethods` (R:6-7, used at R:87, R:105, R:370). All ten reference
+  * methods plus the engine's closed-form extensions resolve here.
+  */
 object Families {
   import NaiveFamilies._
-  def byMethod(method: String): ModelFamily = method match {
-    case Methods.NAIVE  => Naive
-    case Methods.SNAIVE => SNaive
-    case Methods.DRIFT  => Drift
-    case Methods.MEANF  => Meanf
-    case other          => registryExtra.getOrElse(other,
-      throw new IllegalArgumentException(s"unknown method: $other"))
-  }
-  /** Filled in as model families land (ETS, ARIMA, ...). */
-  @volatile var registryExtra: Map[String, ModelFamily] = Map.empty
+  val all: Map[String, ModelFamily] = Map(
+    Methods.ARIMA -> Arima.ArimaFamily,
+    Methods.ARIMA_FORCE_SEASONALITY -> Arima.ArimaForceSeasonalFamily,
+    Methods.THETA -> Theta.ThetaFamily,
+    Methods.ETS -> Ets.EtsFamily,
+    Methods.ETSDAMPED -> Ets.EtsDampedFamily,
+    Methods.BAGGEDETS -> Bagged.BaggedFamily,
+    Methods.STL -> Stl.StlFamily,
+    Methods.NN -> NNar.NNFamily,
+    Methods.HYBRID -> Hybrid.HybridFamily,
+    Methods.PROPHET -> ProphetLite.ProphetFamily,
+    Methods.NAIVE -> Naive,
+    Methods.SNAIVE -> SNaive,
+    Methods.DRIFT -> Drift,
+    Methods.MEANF -> Meanf)
+
+  def byMethod(method: String): ModelFamily =
+    all.getOrElse(method, throw new IllegalArgumentException(s"unknown method: $method"))
 }
 
 /** Distributed fit + forecast: each series is one group, fitted inside one
   * executor task (`groupByKey.mapGroups` shape — SURVEY.md §2.2-J), then
   * expanded to h contract rows. The driver holds only plans and keys.
+  *
+  * Methods with internal fan-out get dedicated plans:
+  *  - PROPHET consumes the calendar-aware (ds, y) store path (R:35-38);
+  *  - BAGGEDETS explodes its bootstrap replicates across executors and
+  *    re-aggregates with groupBy(step).agg(avg/min/max) — the replicate
+  *    ensemble IS data parallelism (SURVEY.md §7 step 6);
+  *  - ARIMA can fan its exhaustive candidate grid out as rows
+  *    (fitArimaGrid) so a cluster searches every (series × order)
+  *    concurrently — the Spark replacement for `stepwise = FALSE`'s
+  *    sequential exhaustive loop.
   */
 object Forecaster {
 
-  /** Fit `method` on every series and emit h forecast rows per series.
-    * One shuffle (series materialization); fit math never leaves the
-    * executors. */
+  /** Fit `method` on every series and emit h forecast rows per series. */
   def forecastAll(
       spark: SparkSession,
       series: Dataset[Series],
@@ -47,7 +66,99 @@ object Forecaster {
     }
   }
 
-  /** Convenience: forecast every element in the store. */
+  /** Calendar-aware Prophet plan (R:369: frequency hard-coded to daily/7,
+    * dates preserved). */
+  def forecastProphet(
+      spark: SparkSession, sfDir: String, horizon: Int,
+      elements: Seq[String] = Nil): Dataset[ForecastPoint] = {
+    import spark.implicits._
+    val h = horizon
+    SeriesStore.datedSeries(spark, sfDir, elements).flatMap { case (element, days, values) =>
+      val model = ProphetLite.fitDated(days, values)
+      model.forecast(h).toPoints(element, Methods.PROPHET)
+    }
+  }
+
+  /** Bagged-ETS fan-out plan: one row per (series, replicate) spread
+    * across the cluster, ensemble-combined by a step-keyed aggregation
+    * (mean point, min/max single band — R:215-217 semantics). */
+  def forecastBagged(
+      spark: SparkSession, series: Dataset[Series], frequency: Int, horizon: Int,
+      numReplicates: Int = Bagged.DefaultReplicates): DataFrame = {
+    import spark.implicits._
+    val f = frequency
+    val h = horizon
+    val n = numReplicates
+    val parallelism = spark.sparkContext.defaultParallelism
+    // stage 1: select the ETS class once per series; emit replicates
+    val reps = series.flatMap { s =>
+      val base = Ets.fitAuto(s.values, f, None).getOrElse(Ets.fallback(s.values))
+      Bagged.replicates(s.values, f, n).zipWithIndex.map { case (rep, i) =>
+        (s.element, i, base.spec.toString, rep)
+      }
+    }
+    // stage 2: refit + forecast each replicate in its own task
+    val perRep = reps
+      .repartition(parallelism) // spread the fit work; replicate rows are small (≤10k doubles)
+      .flatMap { case (element, _, specStr, rep) =>
+        val fitted = Bagged.refit(rep, Ets.Spec.parse(specStr), f)
+        val fc = Ets.forecast(fitted, h)
+        (0 until h).map(j => (element, j + 1, fc.mean(j)))
+      }
+      .toDF("element", "step", "m")
+    // stage 3: ensemble combine — one small shuffle on (element, step)
+    perRep.groupBy($"element", $"step")
+      .agg(avg($"m").as("mean"), min($"m").as("lo"), max($"m").as("hi"))
+      .select($"element", lit(Methods.BAGGEDETS).as("method"), $"step",
+        $"lo".as("lower1"), $"lo".as("lower2"), $"mean",
+        $"hi".as("upper1"), $"hi".as("upper2"))
+  }
+
+  /** ARIMA candidate-grid fan-out: stage 1 differences each series and
+    * emits (series × order) rows; stage 2 CSS-fits each candidate in its
+    * own task; stage 3 reduces to the AICc-argmin per series and
+    * forecasts. At cluster scale this searches every candidate of every
+    * series concurrently — `min_by` over a tiny shuffled key space. */
+  def forecastArimaGrid(
+      spark: SparkSession, series: Dataset[Series], frequency: Int, horizon: Int,
+      forceSeasonal: Boolean): Dataset[ForecastPoint] = {
+    import spark.implicits._
+    val m = frequency
+    val h = horizon
+    val methodName = if (forceSeasonal) Methods.ARIMA_FORCE_SEASONALITY else Methods.ARIMA
+    val parallelism = spark.sparkContext.defaultParallelism
+    val prepped = series.map { s =>
+      val y = s.values
+      val seasonalOk = m > 1 && y.length >= 3 * m
+      val bigD = if (forceSeasonal && seasonalOk) 1
+                 else if (seasonalOk) Arima.selectSeasonalD(y, m) else 0
+      val afterSeas = { var u = y; var i = 0; while (i < bigD) { u = graft.core.Stats.diff(u, m); i += 1 }; u }
+      val d = Arima.selectD(afterSeas)
+      (s.element, d, bigD, if (seasonalOk) 1 else 0, y)
+    }
+    val candidates = prepped.flatMap { case (element, d, bigD, seasonalOk, y) =>
+      Arima.candidateOrders(d, bigD, m, seasonalOk == 1).map { o =>
+        (element, o.p, o.q, o.bigP, o.bigQ, if (o.mean) 1 else 0, d, bigD, y)
+      }
+    }
+    val fits = candidates
+      .repartition(parallelism)
+      .flatMap { case (element, p, q, bp, bq, mean, d, bigD, y) =>
+        val o = Arima.Order(p, d, q, bp, bigD, bq, mean == 1)
+        val (z, u1Tail, yTail) = Arima.difference(y, d, bigD, m)
+        Arima.fitCandidate(z, o, m).map { cand =>
+          val model = Arima.toModel(z, cand, m, methodName, u1Tail, yTail)
+          (element, cand.aicc, ParamsRow.from(model.params))
+        }
+      }
+    fits.groupByKey(_._1)
+      .reduceGroups((a, b) => if (a._2 <= b._2) a else b)
+      .flatMap { case (element, (_, _, row)) =>
+        Arima.fromParams(row.toParams).forecast(h).toPoints(element, methodName)
+      }
+  }
+
+  /** Convenience: forecast every element in the store with `method`. */
   def forecastStore(
       spark: SparkSession,
       sfDir: String,
@@ -56,9 +167,18 @@ object Forecaster {
       horizon: Int,
       elements: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
-    forecastAll(spark, SeriesStore.series(spark, sfDir, elements), method, frequency, horizon)
-      .toDF()
-      .orderBy("element", "step")
+    val out = method match {
+      case Methods.PROPHET =>
+        forecastProphet(spark, sfDir, horizon, elements).toDF()
+      case Methods.BAGGEDETS =>
+        forecastBagged(spark, SeriesStore.series(spark, sfDir, elements), frequency, horizon)
+      case Methods.ARIMA | Methods.ARIMA_FORCE_SEASONALITY =>
+        forecastArimaGrid(spark, SeriesStore.series(spark, sfDir, elements), frequency, horizon,
+          method == Methods.ARIMA_FORCE_SEASONALITY).toDF()
+      case _ =>
+        forecastAll(spark, SeriesStore.series(spark, sfDir, elements), method, frequency, horizon).toDF()
+    }
+    out.orderBy("element", "step")
   }
 }
 
@@ -88,10 +208,22 @@ final class Engine(spark: SparkSession, baseDir: String) {
   private def fitOne(name: String, sfDir: String, method: String, frequency: Int): SeriesModel = {
     val family = Families.byMethod(method)
     val f = frequency
-    // fit runs in an executor task (one series ≤ 10k points), not the driver
-    SeriesStore.series(spark, sfDir, Seq(name))
-      .map(s => ParamsRow.from(family.fit(s.values, f).params))
-      .head() match { case row => family.fromParams(row.toParams) }
+    method match {
+      case Methods.PROPHET =>
+        // calendar-aware path (R:369) — fit still runs in an executor task
+        graft.sources.SeriesStore.datedSeries(spark, sfDir, Seq(name))
+          .map { case (_, days, values) => ParamsRow.from(ProphetLite.fitDated(days, values).params) }
+          .head() match { case row => family.fromParams(row.toParams) }
+      case Methods.HYBRID =>
+        // cvHorizon = requested horizon quirk handled by caller passing frequency-independent fit
+        graft.sources.SeriesStore.series(spark, sfDir, Seq(name))
+          .map(s => ParamsRow.from(family.fit(s.values, f).params))
+          .head() match { case row => family.fromParams(row.toParams) }
+      case _ =>
+        graft.sources.SeriesStore.series(spark, sfDir, Seq(name))
+          .map(s => ParamsRow.from(family.fit(s.values, f).params))
+          .head() match { case row => family.fromParams(row.toParams) }
+    }
   }
 
   private def pointsDF(name: String, method: String, model: SeriesModel, h: Int): DataFrame =

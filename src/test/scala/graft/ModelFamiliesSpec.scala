@@ -1,0 +1,298 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Forecasts, Methods}
+import graft.engine.Families
+import graft.models._
+
+/** Per-family unit tests against hand-computable fixtures plus the flist
+  * contract invariants (SURVEY.md §5.2/§5.3). Pure JVM — each fit runs
+  * exactly as it would inside one executor task.
+  */
+class ModelFamiliesSpec extends AnyFunSuite {
+
+  private val H = 14
+
+  private def linear(n: Int, a: Double, b: Double, noise: Double = 0.0, seed: Long = 7): Array[Double] = {
+    val rng = new java.util.Random(seed)
+    Array.tabulate(n)(i => a + b * i + noise * rng.nextGaussian())
+  }
+
+  private def seasonal(n: Int, m: Int, amp: Double, base: Double): Array[Double] =
+    Array.tabulate(n)(i => base + amp * math.sin(2 * math.Pi * (i % m) / m))
+
+  private def checkContract(f: Forecasts, h: Int): Unit = {
+    assert(f.length == h)
+    (0 until h).foreach { j =>
+      assert(f.lower2(j) <= f.lower1(j) + 1e-9, s"95 lower above 80 lower at $j")
+      assert(f.lower1(j) <= f.mean(j) + 1e-9)
+      assert(f.mean(j) <= f.upper1(j) + 1e-9)
+      assert(f.upper1(j) <= f.upper2(j) + 1e-9)
+      assert(java.lang.Double.isFinite(f.mean(j)))
+    }
+  }
+
+  // ------------------------------------------------------------ ETS
+
+  test("ETS on a constant series forecasts the constant") {
+    val y = Array.fill(60)(5.0)
+    val f = Ets.EtsFamily.fit(y, 1).forecast(H)
+    checkContract(f, H)
+    f.mean.foreach(v => assert(math.abs(v - 5.0) < 1e-6))
+  }
+
+  test("ETS recovers a linear trend (AAN-type forecast continues the slope)") {
+    val y = linear(80, 10.0, 2.0, noise = 0.1)
+    val f = Ets.EtsFamily.fit(y, 1).forecast(H)
+    checkContract(f, H)
+    val expected1 = 10.0 + 2.0 * 80
+    val expectedH = 10.0 + 2.0 * (80 + H - 1)
+    assert(math.abs(f.mean(0) - expected1) < 2.0, s"step1 ${f.mean(0)} vs $expected1")
+    assert(math.abs(f.mean(H - 1) - expectedH) < 4.0, s"stepH ${f.mean(H - 1)} vs $expectedH")
+  }
+
+  test("ETS picks a seasonal class on strongly seasonal data and tracks the cycle") {
+    val m = 7
+    val y = seasonal(70, m, amp = 3.0, base = 20.0)
+    val fit = Ets.fitAuto(y, m, Some(false)).get
+    val f = Ets.forecast(fit, H)
+    checkContract(f, H)
+    // forecast at step j should be close to the seasonal pattern value
+    (0 until H).foreach { j =>
+      val expected = 20.0 + 3.0 * math.sin(2 * math.Pi * ((70 + j) % m) / m)
+      assert(math.abs(f.mean(j) - expected) < 1.5, s"step ${j + 1}: ${f.mean(j)} vs $expected")
+    }
+  }
+
+  test("ETSDAMPED uses a damped-trend class") {
+    val y = linear(80, 5.0, 1.0, noise = 0.2)
+    val model = Ets.EtsDampedFamily.fit(y, 1).asInstanceOf[Ets.EtsModel]
+    assert(model.fitted.spec.damped)
+    checkContract(model.forecast(H), H)
+  }
+
+  test("ETS params round-trip through the model store format") {
+    val y = seasonal(70, 7, 2.0, 15.0)
+    val model = Ets.EtsFamily.fit(y, 7)
+    val restored = Ets.EtsFamily.fromParams(model.params)
+    val a = model.forecast(H); val b = restored.forecast(H)
+    (0 until H).foreach(j => assert(math.abs(a.mean(j) - b.mean(j)) < 1e-12))
+  }
+
+  // ------------------------------------------------------------ Theta
+
+  test("Theta on a clean linear series drifts at about half the slope") {
+    val y = linear(100, 0.0, 1.0)
+    val f = Theta.ThetaFamily.fit(y, 1).forecast(H)
+    checkContract(f, H)
+    // successive increments ≈ slope/2 = 0.5
+    val incr = (1 until H).map(j => f.mean(j) - f.mean(j - 1))
+    incr.foreach(d => assert(math.abs(d - 0.5) < 0.1, s"drift increment $d"))
+  }
+
+  test("Theta seasonality test fires on periodic data and reseasonalizes") {
+    val m = 7
+    val y = Array.tabulate(84)(i => 100.0 * (1.0 + 0.3 * math.sin(2 * math.Pi * (i % m) / m)))
+    assert(Theta.isSeasonal(y, m))
+    val f = Theta.ThetaFamily.fit(y, m).forecast(H)
+    checkContract(f, H)
+    (0 until H).foreach { j =>
+      val expected = 100.0 * (1.0 + 0.3 * math.sin(2 * math.Pi * ((84 + j) % m) / m))
+      assert(math.abs(f.mean(j) - expected) / expected < 0.05)
+    }
+  }
+
+  // ------------------------------------------------------------ STL
+
+  test("STL decomposition separates trend and seasonal on a synthetic series") {
+    val m = 7
+    val n = 140
+    val y = Array.tabulate(n)(i => 0.5 * i + 10.0 * math.sin(2 * math.Pi * (i % m) / m))
+    val dec = Stl.decompose(y, m)
+    // remainder should be small relative to the signal
+    val remRms = math.sqrt(dec.remainder.map(r => r * r).sum / n)
+    assert(remRms < 1.0, s"remainder RMS $remRms")
+    // interior trend slope ≈ 0.5/step
+    val mid = dec.trend.slice(30, n - 30)
+    val slope = (mid.last - mid.head) / (mid.length - 1)
+    assert(math.abs(slope - 0.5) < 0.1, s"trend slope $slope")
+  }
+
+  test("STL forecast re-adds the last seasonal cycle") {
+    val m = 7
+    val y = Array.tabulate(140)(i => 50.0 + 10.0 * math.sin(2 * math.Pi * (i % m) / m))
+    val f = Stl.StlFamily.fit(y, m).forecast(H)
+    checkContract(f, H)
+    (0 until H).foreach { j =>
+      val expected = 50.0 + 10.0 * math.sin(2 * math.Pi * ((140 + j) % m) / m)
+      assert(math.abs(f.mean(j) - expected) < 2.0, s"step ${j + 1}: ${f.mean(j)} vs $expected")
+    }
+  }
+
+  // ------------------------------------------------------------ ARIMA
+
+  test("KPSS-based d selection: white noise → 0, random walk → ≥1") {
+    val rng = new java.util.Random(11)
+    val wn = Array.fill(300)(rng.nextGaussian())
+    assert(Arima.selectD(wn) == 0)
+    val rw = new Array[Double](300)
+    var acc = 0.0
+    (0 until 300).foreach { i => acc += rng.nextGaussian(); rw(i) = acc }
+    assert(Arima.selectD(rw) >= 1)
+  }
+
+  test("ARIMA recovers an AR(1) coefficient") {
+    val rng = new java.util.Random(23)
+    val phi = 0.7
+    val y = new Array[Double](400)
+    (1 until 400).foreach(i => y(i) = phi * y(i - 1) + rng.nextGaussian())
+    val (z, _, _) = Arima.difference(y, 0, 0, 1)
+    val fit = Arima.fitCandidate(z, Arima.Order(1, 0, 0, 0, 0, 0, mean = true), 1).get
+    assert(math.abs(fit.arReg(0) - phi) < 0.1, s"phi ${fit.arReg(0)}")
+  }
+
+  test("ARIMA auto fit on a drifting random walk produces finite, widening bands") {
+    val rng = new java.util.Random(5)
+    val y = new Array[Double](250)
+    var acc = 100.0
+    (0 until 250).foreach { i => acc += 0.5 + rng.nextGaussian() * 0.5; y(i) = acc }
+    val model = Arima.ArimaFamily.fit(y, 1)
+    val f = model.forecast(H)
+    checkContract(f, H)
+    val w1 = f.upper2(0) - f.lower2(0)
+    val wH = f.upper2(H - 1) - f.lower2(H - 1)
+    assert(wH > w1, "interval width must grow with horizon for integrated models")
+  }
+
+  test("ARIMA params round-trip") {
+    val rng = new java.util.Random(31)
+    val y = Array.tabulate(200)(i => 10.0 + 0.3 * i + rng.nextGaussian())
+    val model = Arima.ArimaFamily.fit(y, 1).asInstanceOf[Arima.ArimaModel]
+    val restored = Arima.fromParams(model.params)
+    val a = model.forecast(H); val b = restored.forecast(H)
+    (0 until H).foreach(j => assert(math.abs(a.mean(j) - b.mean(j)) < 1e-12))
+  }
+
+  test("ARIMA_FORCE_SEASONALITY forces the seasonal difference") {
+    val m = 7
+    val y = Array.tabulate(100)(i => 10.0 + (i % m) + 0.01 * i)
+    val model = Arima.ArimaForceSeasonalFamily.fit(y, m).asInstanceOf[Arima.ArimaModel]
+    assert(model.fit.order.bigD == 1)
+    checkContract(model.forecast(H), H)
+  }
+
+  // ------------------------------------------------------------ Prophet
+
+  test("ProphetLite recovers a weekly pattern over a linear trend") {
+    val n = 200
+    val days = Array.tabulate(n)(identity)
+    val y = Array.tabulate(n)(d => 100.0 + 0.5 * d + 10.0 * math.sin(2 * math.Pi * (d % 7) / 7.0))
+    val model = ProphetLite.fitDated(days, y)
+    val f = model.forecast(H)
+    checkContract(f, H)
+    assert(f.lower1(0) == f.lower2(0) && f.upper1(0) == f.upper2(0),
+      "Prophet duplicates its single band (R:381-382)")
+    (0 until H).foreach { j =>
+      val d = n + j
+      val expected = 100.0 + 0.5 * d + 10.0 * math.sin(2 * math.Pi * (d % 7) / 7.0)
+      assert(math.abs(f.mean(j) - expected) < 5.0, s"day $d: ${f.mean(j)} vs $expected")
+    }
+  }
+
+  test("ProphetLite piecewise trend bends at a changepoint") {
+    val n = 300
+    val days = Array.tabulate(n)(identity)
+    val y = Array.tabulate(n)(d => if (d < 150) 1.0 * d else 150.0 + 3.0 * (d - 150))
+    val model = ProphetLite.fitDated(days, y)
+    // forecast continues the POST-break slope (~3/day)
+    val f = model.forecast(H)
+    val slope = (f.mean(H - 1) - f.mean(0)) / (H - 1)
+    assert(math.abs(slope - 3.0) < 0.5, s"extrapolated slope $slope")
+  }
+
+  test("ProphetLite params round-trip") {
+    val days = Array.tabulate(120)(identity)
+    val y = Array.tabulate(120)(d => 10.0 + d * 0.2 + math.sin(d / 3.0))
+    val model = ProphetLite.fitDated(days, y)
+    val restored = ProphetLite.fromParams(model.params)
+    val a = model.forecast(H); val b = restored.forecast(H)
+    (0 until H).foreach(j => assert(math.abs(a.mean(j) - b.mean(j)) < 1e-12))
+  }
+
+  // ------------------------------------------------------------ NN
+
+  test("NN fit is deterministic and respects the contract") {
+    val rng = new java.util.Random(99)
+    val y = new Array[Double](150)
+    (1 until 150).foreach(i => y(i) = 0.8 * y(i - 1) + rng.nextGaussian() * 0.3)
+    val f1 = NNar.NNFamily.fit(y, 1).forecast(H)
+    val f2 = NNar.NNFamily.fit(y, 1).forecast(H)
+    checkContract(f1, H)
+    (0 until H).foreach { j =>
+      assert(f1.mean(j) == f2.mean(j), "seeded NN must be bit-reproducible")
+      assert(f1.lower1(j) == f2.lower1(j))
+    }
+  }
+
+  test("NN tracks a strong AR(1) signal one step ahead") {
+    val rng = new java.util.Random(42)
+    val y = new Array[Double](300)
+    y(0) = 5.0
+    (1 until 300).foreach(i => y(i) = 0.95 * y(i - 1) + rng.nextGaussian() * 0.1)
+    val f = NNar.NNFamily.fit(y, 1).forecast(1)
+    assert(math.abs(f.mean(0) - 0.95 * y(299)) < 1.0, s"${f.mean(0)} vs ${0.95 * y(299)}")
+  }
+
+  // ------------------------------------------------------------ Bagged
+
+  test("BaggedETS: replicate 0 is the original; ensemble band is min/max; deterministic") {
+    val m = 7
+    val y = Array.tabulate(84)(i => 30.0 + 5.0 * math.sin(2 * math.Pi * (i % m) / m) + 0.1 * i)
+    val reps = Bagged.replicates(y, m, 10)
+    assert(reps(0).sameElements(y))
+    assert(Bagged.replicates(y, m, 10)(3).sameElements(reps(3)), "seeded bootstrap must repeat")
+    val model = Bagged.BaggedFamily.fitN(y, m, 10)
+    val f = model.forecast(H)
+    checkContract(f, H)
+    (0 until H).foreach { j =>
+      assert(f.lower1(j) == f.lower2(j) && f.upper1(j) == f.upper2(j),
+        "bagged duplicates its single band (R:216-217)")
+    }
+  }
+
+  // ------------------------------------------------------------ Hybrid
+
+  test("Hybrid weights are a convex combination and forecast honors the contract") {
+    val m = 7
+    val rng = new java.util.Random(3)
+    val y = Array.tabulate(120)(i =>
+      50.0 + 0.2 * i + 4.0 * math.sin(2 * math.Pi * (i % m) / m) + rng.nextGaussian() * 0.5)
+    val model = Hybrid.HybridFamily.fitCv(y, m, cvHorizon = 10)
+    val wSum = model.weights.values.sum
+    assert(math.abs(wSum - 1.0) < 1e-9, s"weights sum $wSum")
+    model.weights.values.foreach(w => assert(w >= 0))
+    assert(model.weights.keySet == Hybrid.Components.toSet)
+    checkContract(model.forecast(H), H)
+  }
+
+  // ------------------------------------------------------------ registry
+
+  test("every reference method resolves in the family registry (R:6-7 parity)") {
+    Methods.reference.foreach { m =>
+      assert(Families.byMethod(m).method == m)
+    }
+    assert(Families.all.size == Methods.all.size)
+  }
+
+  test("slice(h) of a longer forecast equals the prefix (cache semantics R:110)") {
+    val y = linear(60, 1.0, 0.5, noise = 0.05)
+    Methods.reference.filterNot(_ == Methods.HYBRID).foreach { m =>
+      val model = Families.byMethod(m).fit(y, 7)
+      val long = model.forecast(28)
+      val short = long.slice(14)
+      assert(short.length == 14)
+      (0 until 14).foreach(j => assert(short.mean(j) == long.mean(j), s"$m prefix mismatch"))
+    }
+  }
+}
