@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Methods
 import graft.engine.Forecaster
-import graft.ops.{Dedup, Relational, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, NearDup, Relational, Similarity, TextAnalysis}
 import graft.sources.SeriesStore
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -97,6 +97,16 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+    // -- near-dup / similarity / multimodal / as-of (north-star §2.3) ------
+    "ngram_jaccard" -> ((s, dir) => NearDup.blockedJaccard(s, dir)),
+    "minhash_candidates" -> ((s, dir) => NearDup.minhashCandidates(s, dir)),
+    "simhash_signatures" -> ((s, dir) => NearDup.simhash(s, dir)),
+    "embedding_near_dup" -> ((s, dir) => NearDup.embeddingNearDup(s, dir)),
+    "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    "embedding_stats" -> ((s, dir) => Similarity.embeddingStats(s, dir)),
+    "media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
+    "asof_daily_value" -> ((s, dir) => Relational.asofDailySpine(s, dir)),
   )
 
   // ---------------------------------------------------------------------
@@ -304,7 +314,96 @@ object SparkEntry {
         |    {'negscore': -s_fr, 'lang': 'fr'},
         |    {'negscore': -s_zh, 'lang': 'zh'}])[1].lang AS pred_lang
         |FROM sc ORDER BY doc_id""".stripMargin,
-    // dedup_fingerprint / doc_fingerprints: xxhash64 is not reproducible in
-    // DuckDB — intentionally omitted (driver records rows-only check).
+    "ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, lang, source, len(toks) AS n, unnest(toks) AS w FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |         count(*) AS inter
+        |  FROM x a JOIN x b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.95
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "embedding_near_dup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm), 4) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm), 4) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS other_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm) AS sim_raw
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+        |SELECT vec_id, CAST(rank AS BIGINT) AS rank, other_id, round(sim_raw, 4) AS sim
+        |FROM (
+        |  SELECT vec_id, other_id, sim_raw,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim_raw DESC, other_id ASC) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    "embedding_stats" ->
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding), 4) AS mean_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT doc_id, kind, n_bytes,
+        |  CASE kind WHEN 'image' THEN 16 + n_bytes % 640
+        |            WHEN 'video' THEN 16 + n_bytes % 640 ELSE 1 END AS width,
+        |  CASE kind WHEN 'image' THEN 16 + (n_bytes * 7) % 480
+        |            WHEN 'video' THEN 16 + (n_bytes * 7) % 480 ELSE 1 END AS height,
+        |  CASE kind WHEN 'image' THEN 1
+        |            WHEN 'audio' THEN n_bytes % 48000
+        |            ELSE 1 + n_bytes % 24 END AS frames
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "asof_daily_value" ->
+      """WITH daily AS (
+        |  SELECT event_type, day, value AS day_value FROM (
+        |    SELECT event_type, CAST(ts AS DATE) AS day, value,
+        |      row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)),
+        |joined AS (
+        |  SELECT s.event_type, s.day, d.day_value FROM spine s
+        |  LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day)
+        |SELECT event_type, day,
+        |  round(last_value(day_value IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS asof_value,
+        |  day_value IS NOT NULL AS observed
+        |FROM joined ORDER BY event_type, day""".stripMargin,
+    // dedup_fingerprint / doc_fingerprints / simhash_signatures: xxhash64
+    // is not reproducible in DuckDB; minhash_candidates / ann_lsh_topk:
+    // LSH bucketing is seed-dependent — intentionally omitted (driver
+    // records rows-only checks).
   )
 }

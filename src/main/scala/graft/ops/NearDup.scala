@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH, RegexTokenizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over the `documents` table — the LLM-data-
+  * pipeline dedup suite (north-star extensions; not in the reference).
+  *
+  * Three tiers, by scale posture:
+  *  - `blockedJaccard`: EXACT token-set Jaccard, but only within
+  *    (lang, source) blocks — the classic blocking trick that keeps the
+  *    shingle self-join from exploding (an unblocked join on a common
+  *    token is O(docs²) at 100 TB). Fully oracle-checkable SQL.
+  *  - `minhashCandidates`: MinHash + banded LSH via MLlib
+  *    (`ml.feature.MinHashLSH.approxSimilarityJoin`) — the 100 TB path:
+  *    candidate generation is hash-bucket equi-join, never all-pairs.
+  *    Seeded, deterministic.
+  *  - `simhash`: 64-bit SimHash signatures from xxhash64 token hashes,
+  *    computed entirely with codegen'd built-in expressions (64 parallel
+  *    conditional sums — no UDF), plus banded 16-bit keys for bucketing.
+  */
+object NearDup {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Distinct lowercase whitespace tokens per doc. */
+  private def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(lower(trim(col("text"))), "\\s+")).as("toks"))
+
+  /** Exact token-set Jaccard within (lang, source) blocks: explode →
+    * equi-join on (block, token) → per-pair intersection count →
+    * |A∪B| = |A| + |B| − |A∩B|. One shuffle on the block+token key; the
+    * block bound keeps each join group small regardless of corpus size. */
+  def blockedJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
+    val t = tokens(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).as("n"), explode(col("toks")).as("w"))
+    val a = t.select(col("lang"), col("source"), col("w"),
+      col("doc_id").as("doc_a"), col("n").as("na"))
+    val b = t.select(col("lang"), col("source"), col("w"),
+      col("doc_id").as("doc_b"), col("n").as("nb"))
+    a.join(b, Seq("lang", "source", "w"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash-LSH candidate pairs at Jaccard distance ≤ 1 − threshold.
+    * MLlib pipeline: regex tokenize → binary CountVectorizer (token-set
+    * vectors) → MinHashLSH(numHashTables = 8, fixed seed) →
+    * approxSimilarityJoin. The reported distance is the EXACT Jaccard
+    * distance of each candidate pair (MinHashLSH.keyDistance), so the
+    * output is deterministic; only candidate RECALL depends on the
+    * banding. */
+  def minhashCandidates(spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), lower(trim(col("text"))).as("text"))
+    val tok = new RegexTokenizer().setInputCol("text").setOutputCol("toks")
+      .setPattern("\\s+")
+    val withToks = tok.transform(d)
+    val cv = new CountVectorizer().setInputCol("toks").setOutputCol("features")
+      .setBinary(true)
+      .fit(withToks)
+    val vecs = cv.transform(withToks).select(col("doc_id"), col("features"))
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, "jdist")
+      .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),
+        round(lit(1.0) - col("jdist"), 4).as("jaccard"))
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash per document from xxhash64 token hashes: for each bit
+    * position, sum ±1 over the token set; the sign becomes the signature
+    * bit. Pure built-in expressions (explode + 64 conditional sums →
+    * whole-stage codegen); the shuffle carries (doc_id, 64 ints), never
+    * text. Also emits a 16-bit band key — equal high-band docs are
+    * hamming-near candidates (bucketing for the 100 TB path). */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(spark, sfDir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    t.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", sig)
+      .select(col("doc_id"), col("simhash"),
+        shiftrightunsigned(col("simhash"), 48).as("band_hi16"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs (brute force, double math). The
+    * dot/norm fold is `aggregate(zip_with(...))` — sequential, codegen'd,
+    * no UDF. Blocked by `label` (the embeddings table's natural cluster
+    * key) for the same O(pairs) reason as `blockedJaccard`; the unblocked
+    * scale path is `Similarity.lshCandidates`. */
+  def embeddingNearDup(spark: SparkSession, sfDir: String, threshold: Double = 0.45): DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(
+        zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", aggregate(
+        zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

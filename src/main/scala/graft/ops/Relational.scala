@@ -105,6 +105,31 @@ object Relational {
     pNotE.union(pAndE).orderBy(col("tag"), col("user_id"))
   }
 
+  /** As-of join (SURVEY.md §2.2-C): align each series to a dense daily
+    * calendar spine, carrying the most recent observation forward. The
+    * spine comes from `sequence(min_day, max_day)` per key; the as-of
+    * semantics are `last(value, ignoreNulls)` over an ordered window —
+    * no point-in-time self-join, one shuffle on the key. The last daily
+    * value is picked deterministically by (ts, event_id) via max_by. */
+  def asofDailySpine(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val daily = ev
+      .groupBy(col("event_type"), graft.sources.Tables.tsDay("ts").as("day"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("day_value"))
+    val spine = daily
+      .groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("asof_value", round(last(col("day_value"), ignoreNulls = true).over(w), 6))
+      .withColumn("observed", col("day_value").isNotNull)
+      .select(col("event_type"), col("day"), col("asof_value"), col("observed"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** JSON scalar extraction from the events `props` column (SURVEY.md
     * §2.2-I: the ES `_source` parsing analogue). Schema'd `from_json`
     * rather than a per-row JSON-path probe: one Jackson parse per row

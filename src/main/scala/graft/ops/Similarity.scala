@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.{Vectors, VectorUDT}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (north-star extension: similarity search at 100 TB).
+  *
+  *  - `cosineTopK`: brute-force exact cosine top-k — the correctness
+  *    baseline. All-pairs join + per-query window; O(n²·d) but fully
+  *    distributed (each pair is one codegen'd row op, no driver state).
+  *  - `lshTopK`: the scale path — L2-normalize, bucket with
+  *    BucketedRandomProjectionLSH (random-hyperplane buckets; on unit
+  *    vectors euclidean distance is monotone in cosine:
+  *    cos = 1 − d²/2), approxSimilarityJoin within a distance radius,
+  *    exact-rerank the candidates, top-k per query. Candidate generation
+  *    is a bucket equi-join — at 1000 executors nothing is all-pairs.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", sqrt(aggregate(
+      zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)))
+
+  /** Exact cosine top-k neighbors per vector. Ties broken by neighbor id
+    * for determinism. `sim` is rounded for the oracle compare; the RANK
+    * is computed on the unrounded value. */
+  def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val e = withNorm(emb(spark, sfDir))
+    val a = e.select(col("vec_id"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("other_id"), col("v").as("vb"), col("norm").as("nb"))
+    val pairs = a.join(b, col("vec_id") =!= col("other_id"))
+      .withColumn("sim", aggregate(
+        zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+        / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("other_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("other_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN top-k: normalize → BRP-LSH buckets (seeded) →
+    * candidate join within euclidean radius → exact cosine rerank →
+    * top-k. Recall depends on (numHashTables, radius); the rerank makes
+    * reported similarities exact. */
+  def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, radius: Double = 1.2): DataFrame = {
+    val toVec = udf((arr: Seq[Double]) => {
+      val n = math.sqrt(arr.map(x => x * x).sum)
+      Vectors.dense(arr.map(x => if (n > 0) x / n else x).toArray)
+    })
+    val e = emb(spark, sfDir).withColumn("features", toVec(col("v")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
+    val model = lsh.fit(e)
+    // d² = 2(1 − cos) on unit vectors ⇒ radius 1.2 covers cos ≥ 0.28
+    val cand = model.approxSimilarityJoin(e, e, radius, "dist")
+      .select(col("datasetA.vec_id").as("vec_id"), col("datasetB.vec_id").as("other_id"),
+        col("dist"))
+      .filter(col("vec_id") =!= col("other_id"))
+      .withColumn("sim", lit(1.0) - col("dist") * col("dist") / 2.0) // exact rerank on unit vectors
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("other_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("other_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** Per-vector norm/mean stats — embedding hygiene screening (zero or
+    * exploding norms break ANN); oracle-checkable in plain SQL. */
+  def embeddingStats(spark: SparkSession, sfDir: String): DataFrame =
+    withNorm(emb(spark, sfDir))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        size(col("v")).cast("long").as("dim"),
+        round(col("norm"), 4).as("norm"),
+        round(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x) / size(col("v")), 4).as("mean_val"))
+      .orderBy(col("vec_id"))
+}

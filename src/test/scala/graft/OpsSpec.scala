@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Multimodal, NearDup, Relational, Similarity}
+import graft.streaming.EventIngest
+
+/** Operator-level Spark tests over the sf0.001 testdata (small, fast) —
+  * near-dup, similarity, multimodal plumbing, as-of join, and the
+  * streaming ingest path.
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("blockedJaccard pairs are symmetric-free, thresholded, and block-local") {
+    val rows = NearDup.blockedJaccard(spark, sfDir, 0.9).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "doc_a < doc_b canonical order")
+      assert(r.getDouble(2) >= 0.9)
+    }
+  }
+
+  test("minhash LSH candidates cover the exact blocked-jaccard pairs (recall)") {
+    val exact = NearDup.blockedJaccard(spark, sfDir, 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = NearDup.minhashCandidates(spark, sfDir, 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
+  test("simhash signatures are deterministic and 64-bit") {
+    val a = NearDup.simhash(spark, sfDir).collect()
+    val b = NearDup.simhash(spark, sfDir).collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(1) == y.getLong(1), "signature must be stable")
+      assert(x.getLong(2) == (x.getLong(1) >>> 48), "band key = high 16 bits")
+    }
+  }
+
+  test("cosineTopK is exact: each neighbor list is sorted and self-free") {
+    val rows = Similarity.cosineTopK(spark, sfDir, k = 3).collect()
+    val byVec = rows.groupBy(_.getLong(0))
+    byVec.foreach { case (vid, ns) =>
+      val sims = ns.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.length <= 3)
+      assert(sims.sameElements(sims.sortBy(-(_: Double))), s"vec $vid not sorted")
+      ns.foreach(r => assert(r.getLong(2) != vid, "no self-neighbor"))
+    }
+  }
+
+  test("LSH top-k similarities match the exact ranking where candidates overlap") {
+    val exact = Similarity.cosineTopK(spark, sfDir, k = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val approx = Similarity.lshTopK(spark, sfDir, k = 1, radius = 2.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // radius 2.0 on unit vectors covers cos ≥ -1: candidates = all pairs ⇒ must agree
+    val agree = exact.keys.count(k => approx.get(k).exists(_._1 == exact(k)._1))
+    assert(agree >= (exact.size * 0.95).toInt, s"$agree/${exact.size} top-1 agreement")
+  }
+
+  test("multimodal batched decode emits stub features consistent with payload bytes") {
+    val feats = Multimodal.mediaFeatures(spark, sfDir).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val kind = r.getString(1); val n = r.getLong(2)
+      val (w, h, f) = Multimodal.decodeStub(kind, new Array[Byte](n.toInt))
+      assert(r.getLong(3) == w && r.getLong(4) == h && r.getLong(5) == f,
+        s"doc ${r.getLong(0)} features must equal the stub on $n bytes")
+    }
+  }
+
+  test("as-of daily spine is dense per key and forward-fills gaps") {
+    val rows = Relational.asofDailySpine(spark, sfDir).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val days = rs.map(_.getDate(1).toLocalDate.toEpochDay)
+      assert(days.max - days.min + 1 == days.length, "spine must be dense")
+      rs.foreach(r => assert(!r.isNullAt(2), "asof value must be forward-filled"))
+    }
+  }
+
+  test("streaming daily aggregate matches the batch plan on the same data") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val day0 = 86400000L * 19000
+    mem.addData(
+      (new java.sql.Timestamp(day0 + 1000), "a", 1.0),
+      (new java.sql.Timestamp(day0 + 2000), "a", 3.0),
+      (new java.sql.Timestamp(day0 + 86400000L + 1000), "a", 5.0),
+      (new java.sql.Timestamp(day0 + 3000), "b", 7.0))
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventIngest.dailyAggregate(stream)
+      .writeStream.format("memory").queryName("daily_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; advance the clock
+      mem.addData((new java.sql.Timestamp(day0 + 86400000L * 5), "a", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("daily_out").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+      assert(out.contains(("a", day0, 2L, 4.0)), s"day-0 'a' aggregate; got ${out.mkString(",")}")
+      assert(out.contains(("b", day0, 1L, 7.0)))
+      assert(out.contains(("a", day0 + 86400000L, 1L, 5.0)))
+    } finally q.stop()
+  }
+}
