@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // steady-state warm-up: run the whole query set once at the smallest
+    // SF so JIT + codegen + parquet-footer costs don't land on whichever
+    // query happens to run first in the timed pass
+    val warmDir = "/root/testdata/sf0.001"
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

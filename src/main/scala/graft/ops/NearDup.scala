@@ -1,8 +1,6 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH, RegexTokenizer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over the `documents` table — the LLM-data-
@@ -55,29 +53,56 @@ object NearDup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash-LSH candidate pairs at Jaccard distance ≤ 1 − threshold.
-    * MLlib pipeline: regex tokenize → binary CountVectorizer (token-set
-    * vectors) → MinHashLSH(numHashTables = 8, fixed seed) →
-    * approxSimilarityJoin. The reported distance is the EXACT Jaccard
-    * distance of each candidate pair (MinHashLSH.keyDistance), so the
-    * output is deterministic; only candidate RECALL depends on the
-    * banding. */
+  val MinhashHashes = 32
+  val MinhashBands = 4 // 4 bands × 8 rows: AND-8 then OR-4
+
+  /** MinHash signatures + banded LSH candidate pairs, entirely in
+    * codegen'd built-in expressions (no UDF, no vector objects):
+    *
+    *  1. signature: 32 per-document mins of `xxhash64(i, xxhash64(token))`
+    *     — one aggregation pass, shuffle carries (doc_id, 32 longs);
+    *  2. bands: 4 keys of 8 signature rows each (AND-amplification —
+    *     r = 8 rows per band suppresses the bucket blow-up that a
+    *     1-row-per-table scheme (e.g. MLlib MinHashLSH) suffers on a
+    *     self-similar corpus, where OR-only banding degenerates to the
+    *     all-pairs join);
+    *  3. candidates: equi-join on the band key shuffling ONLY
+    *     (band, doc_id) — never tokens or text — then distinct;
+    *  4. similarity: the MinHash ESTIMATE (matching signature fraction),
+    *     computed by joining the (tiny, broadcast) signature table back
+    *     on both sides — 32 integer compares per candidate, codegen'd.
+    *
+    * Estimated-similarity semantics (the standard MinHash operator);
+    * recall at j ≥ 0.95 is 1−(1−0.95⁸)⁴ ≈ 0.96. Seeded and
+    * deterministic. */
   def minhashCandidates(spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
-    val d = docs(spark, sfDir).select(col("doc_id"), lower(trim(col("text"))).as("text"))
-    val tok = new RegexTokenizer().setInputCol("text").setOutputCol("toks")
-      .setPattern("\\s+")
-    val withToks = tok.transform(d)
-    val cv = new CountVectorizer().setInputCol("toks").setOutputCol("features")
-      .setBinary(true)
-      .fit(withToks)
-    val vecs = cv.transform(withToks).select(col("doc_id"), col("features"))
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
-    val model = lsh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, "jdist")
-      .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),
-        round(lit(1.0) - col("jdist"), 4).as("jaccard"))
-      .filter(col("doc_a") < col("doc_b"))
+    val rowsPerBand = MinhashHashes / MinhashBands
+    val t = tokens(spark, sfDir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val sigCols = (0 until MinhashHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val sigs = t.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandRows = (0 until MinhashBands).map { b =>
+      val key = xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+      sigs.select(col("doc_id"), key.as("band"))
+    }.reduce(_ union _)
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until MinhashHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until MinhashHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches = (0 until MinhashHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(broadcast(sa), "doc_a")
+      .join(broadcast(sb), "doc_b")
+      .withColumn("jaccard_est", round(matches.cast("double") / MinhashHashes, 4))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_est"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

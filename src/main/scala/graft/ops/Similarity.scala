@@ -30,23 +30,47 @@ object Similarity {
     df.withColumn("norm", sqrt(aggregate(
       zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)))
 
-  /** Exact cosine top-k neighbors per vector. Ties broken by neighbor id
-    * for determinism. `sim` is rounded for the oracle compare; the RANK
-    * is computed on the unrounded value. */
+  /** Exact cosine top-k neighbors per vector: broadcast the normalized
+    * matrix (one copy per executor) and scan it with a primitive-array
+    * kernel per query row — the classic distributed brute-force KNN
+    * shape. No pair materialization, no shuffle until the (tiny) top-k
+    * output. Dot products accumulate in index order, matching the
+    * oracle's double fold exactly. Ties broken by neighbor id.
+    *
+    * Scale: O(n²d) compute spread across all cores with an O(nd)
+    * broadcast. When n·d outgrows a broadcast, switch to [[lshTopK]] —
+    * the bucketed path. */
   def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
     val e = withNorm(emb(spark, sfDir))
-    val a = e.select(col("vec_id"), col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("vec_id").as("other_id"), col("v").as("vb"), col("norm").as("nb"))
-    val pairs = a.join(b, col("vec_id") =!= col("other_id"))
-      .withColumn("sim", aggregate(
-        zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-        / (col("na") * col("nb")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("other_id").asc)
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank").cast("long").as("rank"),
-        col("other_id"), round(col("sim"), 4).as("sim"))
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+    val all = e.collect().sortBy(_._1) // small reference matrix (id, vec, norm)
+    val bc = spark.sparkContext.broadcast(all)
+    val kk = k
+    e.flatMap { case (vid, va, na) =>
+      val ref = bc.value
+      val sims = new Array[(Double, Long)](ref.length - 1)
+      var o = 0
+      var w = 0
+      while (o < ref.length) {
+        val (oid, vb, nb) = ref(o)
+        if (oid != vid) {
+          var dot = 0.0
+          var i = 0
+          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+          sims(w) = (dot / (na * nb), oid)
+          w += 1
+        }
+        o += 1
+      }
+      java.util.Arrays.sort(sims, Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long))
+      (0 until math.min(kk, sims.length)).map { r =>
+        // HALF_UP to match Spark/DuckDB round() semantics exactly
+        val rounded = BigDecimal(sims(r)._1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (vid, (r + 1).toLong, sims(r)._2, rounded)
+      }
+    }.toDF("vec_id", "rank", "other_id", "sim")
       .orderBy(col("vec_id"), col("rank"))
   }
 
@@ -54,7 +78,7 @@ object Similarity {
     * candidate join within euclidean radius → exact cosine rerank →
     * top-k. Recall depends on (numHashTables, radius); the rerank makes
     * reported similarities exact. */
-  def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, radius: Double = 1.2): DataFrame = {
+  def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, radius: Double = 1.1): DataFrame = {
     val toVec = udf((arr: Seq[Double]) => {
       val n = math.sqrt(arr.map(x => x * x).sum)
       Vectors.dense(arr.map(x => if (n > 0) x / n else x).toArray)
@@ -62,7 +86,7 @@ object Similarity {
     val e = emb(spark, sfDir).withColumn("features", toVec(col("v")))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
+      .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(e)
     // d² = 2(1 − cos) on unit vectors ⇒ radius 1.2 covers cos ≥ 0.28
     val cand = model.approxSimilarityJoin(e, e, radius, "dist")
