@@ -158,6 +158,143 @@ object Forecaster {
       }
   }
 
+  /** ETS model-selection fan-out: one row per (series, candidate class),
+    * fitted concurrently, reduced to the AICc argmin per series. The
+    * sequential path evaluates ~12 classes in one task; this spreads
+    * them so a contended or heterogeneous cluster isn't gated on the
+    * slowest fat task. */
+  def forecastEtsGrid(
+      spark: SparkSession, series: Dataset[Series], frequency: Int, horizon: Int,
+      damped: Option[Boolean], methodName: String): Dataset[ForecastPoint] = {
+    import spark.implicits._
+    val m = frequency
+    val h = horizon
+    val dampedFlag = damped match { case Some(true) => 1; case Some(false) => 0; case None => 2 }
+    val parallelism = spark.sparkContext.defaultParallelism
+    val cands = series.flatMap { s =>
+      val d = dampedFlag match { case 1 => Some(true); case 0 => Some(false); case _ => None }
+      // the degenerate-series fallback rides along as its own candidate
+      // (MaxValue score: only wins when every real class fails to fit)
+      Ets.candidateSpecs(s.values, m, d).map(spec => (s.element, spec.toString, s.values)) :+
+        ((s.element, "__fallback__", s.values))
+    }
+    val fits = cands
+      .repartition(parallelism)
+      .flatMap { case (element, specStr, y) =>
+        if (specStr == "__fallback__")
+          Some((element, Double.MaxValue, ParamsRow.from(Ets.EtsModel(Ets.fallback(y), methodName).params)))
+        else Ets.fitSpec(y, Ets.Spec.parse(specStr), m).map { f =>
+          (element, f.aicc, ParamsRow.from(Ets.EtsModel(f, methodName).params))
+        }
+      }
+    val mm = methodName
+    fits.groupByKey(_._1)
+      .reduceGroups((a, b) => if (a._2 <= b._2) a else b)
+      .flatMap { case (element, (_, _, row)) =>
+        Families.byMethod(mm).fromParams(row.toParams).forecast(h).toPoints(element, mm)
+      }
+  }
+
+  /** NN restart fan-out: each of the 20 independently-seeded networks
+    * trains in its own task; the per-series ensemble is reassembled from
+    * the (tiny) weight vectors for forecasting. Training dominates ~20×
+    * over the ensemble simulation, so this is near-linear speedup. */
+  def forecastNNGrid(
+      spark: SparkSession, series: Dataset[Series], frequency: Int, horizon: Int): Dataset[ForecastPoint] = {
+    import spark.implicits._
+    val m = frequency
+    val h = horizon
+    val parallelism = spark.sparkContext.defaultParallelism
+    // stage 1: per-series architecture + per-restart seeds (cheap)
+    val restarts = series.flatMap { s =>
+      val arch = NNar.architecture(s.values, m)
+      (0 until NNar.Repeats).map(r => (s.element, r, arch.p, arch.seasonalLag, arch.nHidden, s.values))
+    }
+    // stage 2: train one net per task
+    val nets = restarts
+      .repartition(parallelism)
+      .map { case (element, r, p, sl, nh, y) =>
+        (element, r, p, sl, nh, NNar.trainOne(y, m, p, sl, nh, r), y)
+      }
+    // stage 3: reassemble the ensemble per series, simulate, forecast
+    nets.groupByKey(_._1)
+      .flatMapGroups { (element: String, it: Iterator[(String, Int, Int, Int, Int, Array[Double], Array[Double])]) =>
+        val rows = it.toArray.sortBy(_._2)
+        val (_, _, p, sl, nh, _, y) = rows.head
+        val model = NNar.assemble(y, m, p, sl, nh, rows.map(_._6))
+        model.forecast(h).toPoints(element, Methods.NN)
+      }
+  }
+
+  /** Hybrid fan-out: stage 1 fits each (series, component) structure in
+    * its own task; stage 2 runs each (series, component, CV-fold) refit
+    * concurrently; stage 3 reduces fold errors to weights and combines
+    * the stage-1 forecasts. The reference caps this exact computation at
+    * 2 forked processes (R:331-332) — here it is (#series × 5 × folds)
+    * independent tasks. */
+  def forecastHybrid(
+      spark: SparkSession, series: Dataset[Series], frequency: Int, horizon: Int,
+      cvHorizon: Int): Dataset[ForecastPoint] = {
+    import spark.implicits._
+    val m = frequency
+    val h = horizon
+    val parallelism = spark.sparkContext.defaultParallelism
+    // stage 1: full structure fits, one task per (series, component)
+    val comps = series.flatMap(s => Hybrid.Components.map(c => (s.element, c, s.values)))
+      .repartition(parallelism)
+      .map { case (element, c, y) =>
+        (element, c, ParamsRow.from(Families.byMethod(c).fit(y, m).params), y)
+      }
+    // stage 2: CV refits, one task per (series, component, fold)
+    val cvh = cvHorizon
+    val folds = comps.flatMap { case (element, c, structRow, y) =>
+      val n = y.length
+      val hh = math.max(1, math.min(cvh, n / 4))
+      val windowSize = n - 2 * hh
+      if (windowSize < math.max(8, 2 * m)) Iterator.empty
+      else (windowSize to (n - hh) by hh).iterator.map(origin => (element, c, origin, hh, structRow, y))
+    }
+    val errs = folds
+      .repartition(parallelism)
+      .map { case (element, c, origin, hh, structRow, y) =>
+        val train = java.util.Arrays.copyOfRange(y, 0, origin)
+        val structure = Families.byMethod(c).fromParams(structRow.toParams)
+        val sse = try {
+          val fc = Hybrid.cvFit(c, train, m, structure).forecast(hh)
+          var s = 0.0; var cnt = 0
+          var j = 0
+          while (j < hh && origin + j < y.length) {
+            val e = fc.mean(j) - y(origin + j); s += e * e; cnt += 1; j += 1
+          }
+          if (cnt > 0) s / cnt else Double.MaxValue
+        } catch { case _: Throwable => Double.MaxValue }
+        (element, c, sse)
+      }
+    // stage 3: weights ∝ 1/RMSE; weighted point + mean-band combine
+    val weights = errs.groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (String, String), it: Iterator[(String, String, Double)]) =>
+        val es = it.map(_._3).toArray
+        val (element, c) = key
+        (element, c, math.sqrt(es.sum / es.length))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (element: String, it: Iterator[(String, String, Double)]) =>
+        val rmse = it.map(r => r._2 -> r._3).toMap
+        val inv = rmse.map { case (c, e) => c -> (if (e > 1e-12) 1.0 / e else 1e12) }
+        val tot = inv.values.sum
+        (element, inv.map { case (c, v) => c -> v / tot })
+      }
+    val compModels = comps.map { case (element, c, row, _) => (element, c, row) }
+    compModels.groupByKey(_._1)
+      .cogroup(weights.groupByKey(_._1)) { (element, compIt, wIt) =>
+        val byComp = compIt.map(r => r._2 -> r._3).toMap
+        val w = wIt.toSeq.headOption.map(_._2)
+          .getOrElse(Hybrid.Components.map(_ -> 1.0 / Hybrid.Components.size).toMap)
+        val models = byComp.map { case (c, row) => c -> Families.byMethod(c).fromParams(row.toParams) }
+        Hybrid.HybridModel(models, w).forecast(h).toPoints(element, Methods.HYBRID).iterator
+      }
+  }
+
   /** Convenience: forecast every element in the store with `method`. */
   def forecastStore(
       spark: SparkSession,
@@ -167,16 +304,25 @@ object Forecaster {
       horizon: Int,
       elements: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
+    def ser = SeriesStore.series(spark, sfDir, elements)
     val out = method match {
       case Methods.PROPHET =>
         forecastProphet(spark, sfDir, horizon, elements).toDF()
       case Methods.BAGGEDETS =>
-        forecastBagged(spark, SeriesStore.series(spark, sfDir, elements), frequency, horizon)
+        forecastBagged(spark, ser, frequency, horizon)
       case Methods.ARIMA | Methods.ARIMA_FORCE_SEASONALITY =>
-        forecastArimaGrid(spark, SeriesStore.series(spark, sfDir, elements), frequency, horizon,
+        forecastArimaGrid(spark, ser, frequency, horizon,
           method == Methods.ARIMA_FORCE_SEASONALITY).toDF()
+      case Methods.ETS =>
+        forecastEtsGrid(spark, ser, frequency, horizon, Some(false), Methods.ETS).toDF()
+      case Methods.ETSDAMPED =>
+        forecastEtsGrid(spark, ser, frequency, horizon, Some(true), Methods.ETSDAMPED).toDF()
+      case Methods.NN =>
+        forecastNNGrid(spark, ser, frequency, horizon).toDF()
+      case Methods.HYBRID =>
+        forecastHybrid(spark, ser, frequency, horizon, cvHorizon = horizon).toDF()
       case _ =>
-        forecastAll(spark, SeriesStore.series(spark, sfDir, elements), method, frequency, horizon).toDF()
+        forecastAll(spark, ser, method, frequency, horizon).toDF()
     }
     out.orderBy("element", "step")
   }
