@@ -139,15 +139,14 @@ object NearDup {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(
-        zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)))
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("dot", aggregate(
-        zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x))
-      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 4))
+      // native fused dot/norm/cosine kernel (graft.functions) — one
+      // codegen'd loop per pair, index-order accumulation = oracle math
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))

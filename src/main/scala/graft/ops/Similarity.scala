@@ -26,9 +26,11 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
+  /** Norm via the native fused expression (graft.functions) — stays in
+    * whole-stage codegen; accumulation order matches the oracle's
+    * sequential fold. */
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", sqrt(aggregate(
-      zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)))
+    df.withColumn("norm", sqrt(graft.functions.VectorFunctions.dot_product(col("v"), col("v"))))
 
   /** Exact cosine top-k neighbors per vector: broadcast the normalized
     * matrix (one copy per executor) and scan it with a primitive-array
@@ -110,6 +112,7 @@ object Similarity {
       .select(col("vec_id"), col("label").cast("long").as("label"),
         size(col("v")).cast("long").as("dim"),
         round(col("norm"), 4).as("norm"),
-        round(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x) / size(col("v")), 4).as("mean_val"))
+        round(graft.functions.VectorFunctions.dot_product(col("v"),
+          transform(col("v"), _ => lit(1.0d))) / size(col("v")), 4).as("mean_val"))
       .orderBy(col("vec_id"))
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+/** Native vector expressions: correctness vs the higher-order-function
+  * formulation, codegen + interpreted agreement, SQL registration.
+  */
+class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (2L, Array(0.0, 0.0), Array(1.0, 1.0)),
+      (3L, Array(2.5), Array(-2.5))
+    ).toDF("id", "a", "b")
+  }
+
+  test("dot_product and cosine_sim match the zip_with/aggregate formulation bit-exactly") {
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val hofNa = aggregate(zip_with(col("a"), col("a"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val hofNb = aggregate(zip_with(col("b"), col("b"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val rows = df.select(
+      VectorFunctions.dot_product(col("a"), col("b")).as("dp"),
+      hofDot.as("hofDp"),
+      VectorFunctions.cosine_sim(col("a"), col("b")).as("cs"),
+      try_divide(hofDot, sqrt(hofNa) * sqrt(hofNb)).as("hofCs")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot parity")
+      val hof = if (r.isNullAt(3) || r.getDouble(3).isNaN) 0.0 else r.getDouble(3) // HOF yields null on zero norm
+      assert(r.getDouble(2) == hof, s"cosine parity: ${r.getDouble(2)} vs $hof")
+    }
+  }
+
+  test("codegen and interpreted paths agree") {
+    val withCodegen = df.select(VectorFunctions.cosine_sim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.select(VectorFunctions.cosine_sim(col("a"), col("b"))).collect().map(_.getDouble(0))
+      assert(withCodegen.sameElements(interpreted))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("SQL registration: cosine_sim/dot_product callable from spark.sql") {
+    VectorFunctions.register(spark)
+    df.createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      "SELECT id, round(cosine_sim(a, b), 6) AS cs, dot_product(a, b) AS dp FROM vecs ORDER BY id")
+      .collect()
+    assert(r(0).getDouble(2) == 32.0) // 1·4 + 2·5 + 3·6
+    assert(r(1).getDouble(1) == 0.0, "zero-norm vector → cosine 0.0")
+    assert(r(2).getDouble(1) == -1.0)
+  }
+
+  test("nulls propagate; type mismatch is a clean analysis error") {
+    import spark.implicits._
+    val withNull = Seq((Array(1.0), Option.empty[Array[Double]])).toDF("a", "b")
+    val out = withNull.select(VectorFunctions.dot_product(col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0))
+    val err = intercept[Exception] {
+      df.select(VectorFunctions.cosine_sim(col("id"), col("a"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array") || err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}
