@@ -104,6 +104,17 @@ object SparkEntry {
     "embedding_near_dup" -> ((s, dir) => NearDup.embeddingNearDup(s, dir)),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "stl_decompose" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.SeriesStore.series(s, dir).flatMap { ser =>
+        val dec = graft.models.Stl.decompose(ser.values, Freq)
+        ser.values.indices.map(i => (ser.element, (i + 1).toLong,
+          dec.trend(i), dec.seasonal(i), dec.remainder(i)))
+      }.toDF("element", "step", "trend", "seasonal", "remainder")
+        .select(col("element"), col("step"), r6("trend"), r6("seasonal"), r6("remainder"))
+        .orderBy("element", "step")
+    }),
     "embedding_stats" -> ((s, dir) => Similarity.embeddingStats(s, dir)),
     "media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
     "asof_daily_value" -> ((s, dir) => Relational.asofDailySpine(s, dir)),

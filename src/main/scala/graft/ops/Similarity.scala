@@ -105,6 +105,47 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path:
+    * MLlib KMeans (seeded) partitions the vectors into nlist cells; each
+    * query probes its `nprobe` nearest centroids and exact-reranks only
+    * those cells' members with the native cosine kernel. Work drops from
+    * O(n²) to O(n²·nprobe/nlist); the centroid table is driver-tiny and
+    * broadcast. Recall depends on (nlist, nprobe) — rows-only check. */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 16, nprobe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val toVec = udf((arr: Seq[Double]) => Vectors.dense(arr.toArray))
+    val e = emb(spark, sfDir).withColumn("features", toVec(col("v")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(42L).setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(e)
+    val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+    val centroids = model.clusterCenters.map(_.toArray)
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    val np = nprobe
+    // probe list per query: nprobe nearest centroids by euclidean distance
+    val probes = assigned.as[(Long, Array[Double], Int)].flatMap { case (vid, v, _) =>
+      val cs = bcCentroids.value
+      val d = Array.tabulate(cs.length) { c =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { val t = v(i) - cs(c)(i); s += t * t; i += 1 }
+        (s, c)
+      }
+      java.util.Arrays.sort(d, Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+      d.take(np).map { case (_, c) => (vid, v, c) }
+    }.toDF("vec_id", "va", "cell")
+    val lists = assigned.select(col("vec_id").as("other_id"), col("v").as("vb"), col("cell"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
+    probes.join(lists, Seq("cell"))
+      .filter(col("vec_id") =!= col("other_id"))
+      .withColumn("sim_raw", graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("other_id"), round(col("sim_raw"), 4).as("sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Per-vector norm/mean stats — embedding hygiene screening (zero or
     * exploding norms break ANN); oracle-checkable in plain SQL. */
   def embeddingStats(spark: SparkSession, sfDir: String): DataFrame =

@@ -76,6 +76,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree >= (exact.size * 0.75).toInt, s"$agree/${exact.size} top-1 agreement")
   }
 
+  test("IVF top-k agrees with exact search when every cell is probed") {
+    // nprobe == nlist ⇒ no cells are skipped ⇒ must equal brute force
+    val exact = Similarity.cosineTopK(spark, sfDir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivf = Similarity.ivfTopK(spark, sfDir, k = 3, nlist = 4, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ivf == exact, "full-probe IVF must reproduce the exact ranking")
+    // partial probe keeps self-cell recall reasonable
+    val partial = Similarity.ivfTopK(spark, sfDir, k = 3, nlist = 4, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val agree = exact.keys.count(kk => partial.get(kk).contains(exact(kk)))
+    assert(agree >= (exact.size * 0.5).toInt, s"partial-probe agreement $agree/${exact.size}")
+  }
+
   test("multimodal batched decode emits stub features consistent with payload bytes") {
     val feats = Multimodal.mediaFeatures(spark, sfDir).collect()
     assert(feats.nonEmpty)
