@@ -67,6 +67,14 @@ object SparkEntry {
     "fc_drift" -> fcQuery(Methods.DRIFT),
     "fc_meanf" -> fcQuery(Methods.MEANF),
     "fc_snaive" -> fcQuery(Methods.SNAIVE),
+    "fc_ses" -> fcQuery(Methods.SES),
+    "user_activity" -> ((s, dir) =>
+      graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("event_type"))),
     // -- the reference's 10-method registry (R:6-7), distributed fits ------
     // (model-fitting math is not DuckDB-expressible → rows-only checks;
     //  numeric behavior is covered by ModelFamiliesSpec invariants)
@@ -213,6 +221,26 @@ object SparkEntry {
          |JOIN obs c ON c.element = st2.element
          |          AND c.step = st2.n - st2.mp + ((h.step - 1) % st2.mp) + 1
          |ORDER BY st2.element, h.step""".stripMargin,
+    "fc_ses" ->
+      s"""WITH $statsCte,
+         |lv AS (
+         |  SELECT element,
+         |    list_reduce(list(value ORDER BY step),
+         |      (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc) AS level
+         |  FROM obs GROUP BY element)
+         |SELECT st.element, 'SES' AS method, h.step,
+         |  round(lv.level - $Z80 * (st.sdd * sqrt(1.0 + (h.step - 1) * 0.3 * 0.3)), 6) AS lower1,
+         |  round(lv.level - $Z95 * (st.sdd * sqrt(1.0 + (h.step - 1) * 0.3 * 0.3)), 6) AS lower2,
+         |  round(lv.level, 6) AS mean,
+         |  round(lv.level + $Z80 * (st.sdd * sqrt(1.0 + (h.step - 1) * 0.3 * 0.3)), 6) AS upper1,
+         |  round(lv.level + $Z95 * (st.sdd * sqrt(1.0 + (h.step - 1) * 0.3 * 0.3)), 6) AS upper2
+         |FROM st JOIN lv USING (element) CROSS JOIN range(1, ${H + 1}) h(step)
+         |ORDER BY st.element, h.step""".stripMargin,
+    "user_activity" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -117,7 +117,11 @@ object Methods {
   val SNAIVE = "SNAIVE"
   val DRIFT = "DRIFT"
   val MEANF = "MEANF"
-  val extensions: Seq[String] = Seq(NAIVE, SNAIVE, DRIFT, MEANF)
+  /** Fixed-α simple exponential smoothing — the one recursive-state
+    * method whose level the DuckDB oracle can replay exactly
+    * (list_reduce), hash-checking the engine's state recursion. */
+  val SES = "SES"
+  val extensions: Seq[String] = Seq(NAIVE, SNAIVE, DRIFT, MEANF, SES)
 
   val all: Seq[String] = reference ++ extensions
 }

@@ -27,7 +27,8 @@ object Families {
     Methods.NAIVE -> Naive,
     Methods.SNAIVE -> SNaive,
     Methods.DRIFT -> Drift,
-    Methods.MEANF -> Meanf)
+    Methods.MEANF -> Meanf,
+    Methods.SES -> Ses)
 
   def byMethod(method: String): ModelFamily =
     all.getOrElse(method, throw new IllegalArgumentException(s"unknown method: $method"))

@@ -96,6 +96,39 @@ object NaiveFamilies {
       ModelParams(Map("cycle" -> cycle, "sigma" -> Array(sigma)), Map.empty)
   }
 
+  /** Fixed-α SES (engine extension): l_t = α·y_t + (1−α)·l_{t−1} with
+    * l_1 = y_1; mean_h = l_n (flat); se_h = s_d·sqrt(1 + (h−1)·α²)
+    * (ANN-class variance with the naive-method σ estimate — documented
+    * closed form so the oracle can reproduce it). α is fixed (0.3) so
+    * the whole computation, including the state recursion, is
+    * DuckDB-expressible via list_reduce. */
+  final case class SesModel(level: Double, sigma: Double, alpha: Double) extends SeriesModel {
+    val method: String = Methods.SES
+    def forecast(h: Int): Forecasts = {
+      val mean = Array.fill(h)(level)
+      val se = Array.tabulate(h)(i => sigma * math.sqrt(1.0 + i * alpha * alpha))
+      Forecasts.gaussian(mean, se)
+    }
+    def params: ModelParams =
+      ModelParams(Map("core" -> Array(level, sigma, alpha)), Map.empty)
+  }
+
+  object Ses extends ModelFamily {
+    val method: String = Methods.SES
+    val Alpha = 0.3
+    def fit(y: Array[Double], frequency: Int): SeriesModel = {
+      var l = y.head
+      var i = 1
+      // literal 0.7, not (1.0 − Alpha): the oracle's lambda uses the
+      // decimal literal 0.7 and the two doubles must be IDENTICAL bits
+      while (i < y.length) { l = 0.3 * y(i) + 0.7 * l; i += 1 }
+      SesModel(l, Stats.stddevSamp(Stats.diff(y)), Alpha)
+    }
+    def fromParams(p: ModelParams): SeriesModel = {
+      val c = p.d("core"); SesModel(c(0), c(1), c(2))
+    }
+  }
+
   object SNaive extends ModelFamily {
     val method: String = Methods.SNAIVE
     def fit(y: Array[Double], frequency: Int): SeriesModel = {

@@ -59,6 +59,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         "re-forecast from persisted params must reproduce the prefix"))
   }
 
+  test("wrapper train → params → cache round-trips every registered method") {
+    val base = Files.createTempDirectory("graft-engine-all").toString
+    val eng = new Engine(spark, base)
+    val idx = eng.indexName(sfDir)
+    // HYBRID excluded: full CV per method × tiny CI budget; covered by
+    // ModelFamiliesSpec + the fc_hybrid driver query
+    Methods.all.filterNot(_ == Methods.HYBRID).foreach { m =>
+      val out = eng.forecast("click", sfDir, m, 7, 6).collect()
+      assert(out.length == 6, s"$m horizon rows")
+      assert(eng.models.exists("click", idx, m), s"$m model persisted")
+      // second call is a cache slice of the warm cache — same prefix
+      val again = eng.forecast("click", sfDir, m, 7, 3).collect()
+      assert(again.length == 3, s"$m cache slice")
+    }
+  }
+
   test("availableMethods mirrors the reference registry byte-for-byte (R:6-7)") {
     val eng = new Engine(spark, Files.createTempDirectory("graft-engine2").toString)
     assert(eng.availableMethods == Seq("ARIMA", "ARIMA_FORCE_SEASONALITY", "THETA", "ETS",
