@@ -105,6 +105,7 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+    "winnow_fingerprints" -> ((s, dir) => TextAnalysis.winnowFingerprints(s, dir)),
     // -- near-dup / similarity / multimodal / as-of (north-star §2.3) ------
     "ngram_jaccard" -> ((s, dir) => NearDup.blockedJaccard(s, dir)),
     "minhash_candidates" -> ((s, dir) => NearDup.minhashCandidates(s, dir)),

@@ -247,7 +247,9 @@ object Ets {
       if (i < x0.length - (if (spec.hasTrend) 2 else 1)) 0.1
       else math.max(math.abs(v) * 0.1, yScale * 0.1)
     }
-    val (xb, fb) = Optim.nelderMead(objective, x0, step, maxIter = 600)
+    // negLL magnitude ~n·log(SSE): 1e-6 relative is far below any
+    // AICc-relevant difference (same reasoning as the ARIMA CSS fit)
+    val (xb, fb) = Optim.nelderMead(objective, x0, step, maxIter = 600, tol = 1e-6)
     if (fb >= 1e12) return None
     val (a, b, g, p, l, bb) = unpack(xb)
     val st = filter(y, spec, m, a, b, g, p, l, bb, s0)

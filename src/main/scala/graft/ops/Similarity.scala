@@ -116,7 +116,8 @@ object Similarity {
     val toVec = udf((arr: Seq[Double]) => Vectors.dense(arr.toArray))
     val e = emb(spark, sfDir).withColumn("features", toVec(col("v")))
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(42L).setFeaturesCol("features").setPredictionCol("cell")
+      .setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(e)
     val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
     val centroids = model.clusterCenters.map(_.toArray)

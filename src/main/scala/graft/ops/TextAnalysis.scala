@@ -101,4 +101,23 @@ object TextAnalysis {
         col("doc_id"),
         xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** Rolling-hash document sketch: hash every k-char window of the
+    * normalized text (the Rabin–Karp/winnowing shape) and keep the
+    * bottom-`sketchSize` window hashes — a locality-sensitive sketch
+    * robust to local edits (an edit perturbs only the windows that
+    * overlap it). Pure built-in expressions: `sequence` generates the
+    * window starts, `transform` hashes each window, `array_sort`+`slice`
+    * takes the bottom sketch — all codegen-able, no UDF; the shuffle
+    * (if any downstream) carries doc_id + sketchSize longs. */
+  def winnowFingerprints(spark: SparkSession, sfDir: String, k: Int = 8, sketchSize: Int = 4): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("txt"))
+      .withColumn("windows",
+        expr(s"transform(sequence(1, greatest(length(txt) - ${k - 1}, 1)), i -> xxhash64(substring(txt, i, $k)))"))
+      .select(col("doc_id"),
+        slice(array_sort(col("windows")), 1, sketchSize).as("sketch"),
+        size(col("windows")).cast("long").as("n_windows"))
+      .orderBy(col("doc_id"))
 }

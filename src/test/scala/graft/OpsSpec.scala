@@ -101,6 +101,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winnowing sketch: bottom-k of the window hashes, stable, edit-local") {
+    val rows = graft.ops.TextAnalysis.winnowFingerprints(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sketch = r.getSeq[Long](1)
+      assert(sketch.length <= 4)
+      assert(sketch == sketch.sorted, "sketch is the sorted bottom-k")
+      assert(r.getLong(2) >= sketch.length)
+    }
+    val again = graft.ops.TextAnalysis.winnowFingerprints(spark, sfDir).collect()
+    assert(rows.map(_.getSeq[Long](1)).toSeq == again.map(_.getSeq[Long](1)).toSeq)
+  }
+
   test("as-of daily spine is dense per key and forward-fills gaps") {
     val rows = Relational.asofDailySpine(spark, sfDir).collect()
     val byType = rows.groupBy(_.getString(0))
