@@ -352,9 +352,10 @@ final class Engine(spark: SparkSession, baseDir: String) {
   /** `getAvailableMethods()` (R:12-14). */
   def availableMethods: Seq[String] = Methods.reference
 
-  private def fitOne(name: String, sfDir: String, method: String, frequency: Int): SeriesModel = {
+  private def fitOne(name: String, sfDir: String, method: String, frequency: Int, horizon: Int): SeriesModel = {
     val family = Families.byMethod(method)
     val f = frequency
+    val h = horizon
     method match {
       case Methods.PROPHET =>
         // calendar-aware path (R:369) — fit still runs in an executor task
@@ -362,9 +363,10 @@ final class Engine(spark: SparkSession, baseDir: String) {
           .map { case (_, days, values) => ParamsRow.from(ProphetLite.fitDated(days, values).params) }
           .head() match { case row => family.fromParams(row.toParams) }
       case Methods.HYBRID =>
-        // cvHorizon = requested horizon quirk handled by caller passing frequency-independent fit
+        // the reference passes the REQUESTED horizon as cvHorizon (R:359)
+        // — CV granularity depends on the first caller's horizon
         graft.sources.SeriesStore.series(spark, sfDir, Seq(name))
-          .map(s => ParamsRow.from(family.fit(s.values, f).params))
+          .map(s => ParamsRow.from(Hybrid.HybridFamily.fitCv(s.values, f, h).params))
           .head() match { case row => family.fromParams(row.toParams) }
       case _ =>
         graft.sources.SeriesStore.series(spark, sfDir, Seq(name))
@@ -391,7 +393,7 @@ final class Engine(spark: SparkSession, baseDir: String) {
       }
     } else {
       // (c) full train; training itself warms a cacheLength-step cache
-      val model = fitOne(name, sfDir, method, frequency)
+      val model = fitOne(name, sfDir, method, frequency, horizon)
       models.save(name, index, method, model.params)
       cache.save(name, index, method, pointsDF(name, method, model, cacheLength))
       val pts = pointsDF(name, method, model, horizon)

@@ -124,6 +124,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("file-source streaming ingest writes watermark-closed daily aggregates") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    val day = 86400000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // two closed days + one open day (watermark holds the last back)
+    Seq(
+      (1L, ts(day * 100 + 1000), 10L, "a", 2.0, "{}"),
+      (2L, ts(day * 100 + 2000), 11L, "a", 4.0, "{}"),
+      (3L, ts(day * 101 + 1000), 12L, "a", 6.0, "{}"),
+      (4L, ts(day * 105), 13L, "a", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(inDir)
+    val q = EventIngest.start(spark, inDir, outDir, ckDir)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(outDir)
+      .select("element", "day_start", "n_obs", "avg_value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3))).toSet
+    assert(out.contains(("a", day * 100, 2L, 3.0)), s"day-100 aggregate; got $out")
+    assert(out.contains(("a", day * 101, 1L, 6.0)))
+  }
+
   test("streaming daily aggregate matches the batch plan on the same data") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
