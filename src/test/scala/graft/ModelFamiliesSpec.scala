@@ -174,12 +174,20 @@ class ModelFamiliesSpec extends AnyFunSuite {
     (0 until H).foreach(j => assert(math.abs(a.mean(j) - b.mean(j)) < 1e-12))
   }
 
-  test("ARIMA_FORCE_SEASONALITY forces the seasonal difference") {
+  test("ARIMA_FORCE_SEASONALITY forces the seasonal difference and continues the pattern") {
     val m = 7
     val y = Array.tabulate(100)(i => 10.0 + (i % m) + 0.01 * i)
     val model = Arima.ArimaForceSeasonalFamily.fit(y, m).asInstanceOf[Arima.ArimaModel]
     assert(model.fit.order.bigD == 1)
-    checkContract(model.forecast(H), H)
+    val f = model.forecast(H)
+    checkContract(f, H)
+    // deterministic seasonal ramp: seasonal difference is the constant
+    // 0.01·m, so the forecast must track pattern + drift closely
+    (0 until H).foreach { j =>
+      val i = 100 + j
+      val expected = 10.0 + (i % m) + 0.01 * i
+      assert(math.abs(f.mean(j) - expected) < 0.35, s"step ${j + 1}: ${f.mean(j)} vs $expected")
+    }
   }
 
   // ------------------------------------------------------------ Prophet

@@ -124,6 +124,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hybrid grid fan-out matches the single-task fit (weights and points)") {
+    import spark.implicits._
+    val ser = graft.sources.SeriesStore.series(spark, sfDir, Seq("purchase"))
+    val grid = graft.engine.Forecaster
+      .forecastHybrid(spark, ser, frequency = 7, horizon = 8, cvHorizon = 8)
+      .collect().sortBy(_.step)
+    val y = ser.collect().head.values
+    val single = graft.models.Hybrid.HybridFamily.fitCv(y, 7, cvHorizon = 8).forecast(8)
+    assert(grid.length == 8)
+    grid.zipWithIndex.foreach { case (p, j) =>
+      assert(math.abs(p.mean - single.mean(j)) < 1e-9,
+        s"grid vs single-task point at step ${j + 1}: ${p.mean} vs ${single.mean(j)}")
+    }
+  }
+
   test("file-source streaming ingest writes watermark-closed daily aggregates") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
