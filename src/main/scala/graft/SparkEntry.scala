@@ -75,6 +75,17 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"),
           round(avg(col("value")), 6).as("avg_value"))
         .orderBy(col("event_type"))),
+    "value_quantiles" -> ((s, dir) =>
+      // exact continuous quantiles (type-7 interpolation) — the same
+      // aggregation family as the NN simulation-PI percentiles (R:293)
+      graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("qs"))
+        .select(col("event_type"),
+          round(col("qs").getItem(0), 6).as("p50"),
+          round(col("qs").getItem(1), 6).as("p90"),
+          round(col("qs").getItem(2), 6).as("p99"))
+        .orderBy(col("event_type"))),
     // -- the reference's 10-method registry (R:6-7), distributed fits ------
     // (model-fitting math is not DuckDB-expressible → rows-only checks;
     //  numeric behavior is covered by ModelFamiliesSpec invariants)
@@ -242,6 +253,13 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  round(avg(value), 6) AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "value_quantiles" ->
+      """SELECT event_type,
+        |  round(qs[1], 6) AS p50, round(qs[2], 6) AS p90, round(qs[3], 6) AS p99
+        |FROM (
+        |  SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS qs
+        |  FROM events GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -26,16 +26,29 @@ object NearDup {
 
   /** Distinct lowercase whitespace tokens per doc. */
   private def tokens(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+    shingles(spark, sfDir, 1)
+
+  /** Distinct word n-gram shingles per doc (n = 1 → token set). Built
+    * with sequence/transform/array_join — no UDF; for n > 1 consecutive
+    * tokens are joined with a separator that cannot occur inside a
+    * token. */
+  def shingles(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val base = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(split(lower(trim(col("text"))), "\\s+")).as("toks"))
+        split(lower(trim(col("text"))), "\\s+").as("ws"))
+    val sh =
+      if (n <= 1) col("ws")
+      else expr(s"transform(sequence(1, greatest(size(ws) - ${n - 1}, 1)), i -> array_join(slice(ws, i, $n), ''))")
+    base.select(col("doc_id"), col("lang"), col("source"), array_distinct(sh).as("toks"))
+  }
 
   /** Exact token-set Jaccard within (lang, source) blocks: explode →
     * equi-join on (block, token) → per-pair intersection count →
     * |A∪B| = |A| + |B| − |A∩B|. One shuffle on the block+token key; the
     * block bound keeps each join group small regardless of corpus size. */
-  def blockedJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
-    val t = tokens(spark, sfDir)
+  def blockedJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.95,
+      ngram: Int = 1): DataFrame = {
+    val t = shingles(spark, sfDir, ngram)
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("toks")).as("n"), explode(col("toks")).as("w"))
     val a = t.select(col("lang"), col("source"), col("w"),

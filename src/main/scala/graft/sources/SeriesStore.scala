@@ -80,6 +80,42 @@ object SeriesStore {
       .as[Series]
   }
 
+  /** Write the observation store pre-partitioned by element — the
+    * SURVEY.md §4 scale move: with the store laid out this way, the
+    * per-series ordered collect reads only the matching element's
+    * directory (partition pruning) and a follow-up repartition-by-key is
+    * a directory-local operation, so the fit path's one shuffle becomes
+    * map-side at 100 TB. */
+  def writePartitioned(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    events(spark, sfDir)
+      .withColumn("element", org.apache.spark.sql.functions.col("event_type"))
+      .write.mode("overwrite")
+      .partitionBy("element")
+      .parquet(outDir)
+
+  /** Series materialization over a pre-partitioned store: identical
+    * output to [[series]]; the scan prunes to the requested elements'
+    * partitions (`PartitionFilters` in the plan, zero data read for
+    * other elements). */
+  def seriesFromPartitioned(spark: SparkSession, partitionedDir: String,
+      elements: Seq[String] = Nil): Dataset[Series] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = spark.read.parquet(partitionedDir)
+      .select(col("element"), col("ts"), col("event_id"), col("value").cast("double"))
+    val filtered =
+      if (elements.isEmpty) base
+      else base.filter(col("element").isin(elements: _*))
+    val w = Window.partitionBy(col("element")).orderBy(col("ts").asc, col("event_id").asc)
+    filtered
+      .withColumn("step", row_number().over(w))
+      .filter(col("step") <= MaxSeriesLength)
+      .groupBy(col("element"))
+      .agg(sort_array(collect_list(struct(col("step"), col("value")))).as("pts"))
+      .select(col("element"), col("pts.value").as("values"))
+      .as[Series]
+  }
+
   /** Calendar-aware per-element series for Prophet: (element, epoch days
     * asc, values) — the only path that keeps dates (R:35-38, R:369). */
   def datedSeries(spark: SparkSession, sfDir: String, elements: Seq[String] = Nil): Dataset[(String, Array[Int], Array[Double])] = {

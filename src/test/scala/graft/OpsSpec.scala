@@ -124,6 +124,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partitioned store round-trip: pruned read reproduces the direct series") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events_part"
+    graft.sources.SeriesStore.writePartitioned(spark, sfDir, out)
+    val direct = graft.sources.SeriesStore.series(spark, sfDir, Seq("error")).collect()
+    val pruned = graft.sources.SeriesStore.seriesFromPartitioned(spark, out, Seq("error")).collect()
+    assert(direct.length == 1 && pruned.length == 1)
+    assert(direct.head.values.sameElements(pruned.head.values))
+    // the element filter must reach the scan as a partition filter
+    val plan = graft.sources.SeriesStore.seriesFromPartitioned(spark, out, Seq("error"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("error"),
+      "element filter should prune partitions")
+  }
+
+  test("word-bigram shingles discriminate where token sets cannot") {
+    // this corpus: near-identical vocabularies but random word order ⇒
+    // unigram jaccard is high while bigram jaccard collapses
+    val uni = NearDup.blockedJaccard(spark, sfDir, threshold = 0.9, ngram = 1).count()
+    val bi = NearDup.blockedJaccard(spark, sfDir, threshold = 0.9, ngram = 2).count()
+    assert(bi <= uni, s"bigram pairs ($bi) should not exceed unigram pairs ($uni)")
+  }
+
   test("hybrid grid fan-out matches the single-task fit (weights and points)") {
     import spark.implicits._
     val ser = graft.sources.SeriesStore.series(spark, sfDir, Seq("purchase"))
