@@ -352,6 +352,13 @@ final class Engine(spark: SparkSession, baseDir: String) {
   /** `getAvailableMethods()` (R:12-14). */
   def availableMethods: Seq[String] = Methods.reference
 
+  /** `elasticConnection(...)` + ping (R:16-21): the "connection" is the
+    * session + store path; ping = a 1-row probe of the observation
+    * store (scan metadata only — the limit is pushed down). */
+  def ping(sfDir: String): Boolean =
+    try graft.sources.Tables.events(spark, sfDir).limit(1).count() == 1
+    catch { case _: Throwable => false }
+
   private def fitOne(name: String, sfDir: String, method: String, frequency: Int, horizon: Int): SeriesModel = {
     val family = Families.byMethod(method)
     val f = frequency

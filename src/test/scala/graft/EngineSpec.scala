@@ -80,4 +80,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eng.availableMethods == Seq("ARIMA", "ARIMA_FORCE_SEASONALITY", "THETA", "ETS",
       "ETSDAMPED", "BAGGEDETS", "STL", "NN", "HYBRID", "PROPHET"))
   }
+
+  test("ping probes the store (R:16-21 semantics)") {
+    val eng = new Engine(spark, Files.createTempDirectory("graft-engine3").toString)
+    assert(eng.ping(sfDir))
+    assert(!eng.ping("/nonexistent/store"))
+  }
 }
