@@ -144,12 +144,65 @@ object ProphetLite {
       s * yScale
     }
 
-    /** Future = lastDay+1 … lastDay+h calendar days (freq='day', R:379). */
+    /** Future = lastDay+1 … lastDay+h calendar days (freq='day', R:379).
+      *
+      * Intervals follow Prophet's own uncertainty model: future trend
+      * changepoints arrive at the historical rate with Laplace(0, λ̂)
+      * slope deltas (λ̂ = mean |fitted δ|), plus Gaussian observation
+      * noise — 1000 seeded sample paths, 10th/90th percentiles
+      * (interval_width = 0.8). The single band grows with horizon and
+      * is duplicated into both contract levels (R:381-382). */
     def forecast(h: Int): Forecasts = {
       val mean = Array.tabulate(h)(i => predict(lastDay + 1.0 + i))
-      val band = Stats.Z80 * sigma * yScale
-      val lower = mean.map(_ - band)
-      val upper = mean.map(_ + band)
+      val nCp = d.changepoints.length
+      // Laplace scale of fitted slope deltas (hinge coefficients)
+      val lambdaHat =
+        if (nCp == 0) 0.0
+        else {
+          var s = 0.0
+          var j = 0
+          while (j < nCp) { s += math.abs(beta(2 + j)); j += 1 }
+          math.max(s / nCp, 1e-12)
+        }
+      // changepoints per scaled-time unit over the changepoint range
+      val cpRate = if (nCp == 0) 0.0 else nCp / ChangepointRange
+      val dayStep = 1.0 / d.daySpan // one calendar day in scaled t units
+      val sims = 1000
+      val rng = new java.util.Random(Optim.seedOf(beta) ^ 0x70726f70L)
+      val paths = Array.ofDim[Double](h, sims)
+      var s = 0
+      while (s < sims) {
+        var slopeAdj = 0.0 // cumulative slope change, scaled-y per scaled-t
+        var dev = 0.0      // cumulative trend deviation, scaled y
+        var j = 0
+        while (j < h) {
+          if (rng.nextDouble() < cpRate * dayStep) {
+            // Laplace(0, λ̂) via inverse CDF
+            val u = rng.nextDouble() - 0.5
+            slopeAdj += -lambdaHat * math.signum(u) * math.log(1.0 - 2.0 * math.abs(u))
+          }
+          dev += slopeAdj * dayStep
+          paths(j)(s) = mean(j) + (dev + rng.nextGaussian() * sigma) * yScale
+          j += 1
+        }
+        s += 1
+      }
+      val lower = new Array[Double](h)
+      val upper = new Array[Double](h)
+      var j = 0
+      while (j < h) {
+        val col = paths(j)
+        java.util.Arrays.sort(col)
+        def q(p: Double): Double = {
+          val pos = (col.length - 1) * p
+          val lo = pos.toInt
+          val f = pos - lo
+          if (lo + 1 < col.length) col(lo) * (1 - f) + col(lo + 1) * f else col(lo)
+        }
+        lower(j) = math.min(q(0.10), mean(j))
+        upper(j) = math.max(q(0.90), mean(j))
+        j += 1
+      }
       Forecasts.singleBand(mean, lower, upper)
     }
 

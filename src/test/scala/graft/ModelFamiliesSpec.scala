@@ -219,6 +219,23 @@ class ModelFamiliesSpec extends AnyFunSuite {
     assert(math.abs(slope - 3.0) < 0.5, s"extrapolated slope $slope")
   }
 
+  test("ProphetLite intervals widen with horizon (trend-changepoint simulation)") {
+    val n = 300
+    val rng = new java.util.Random(17)
+    val days = Array.tabulate(n)(identity)
+    val y = Array.tabulate(n)(dd => 50.0 + 0.4 * dd + 3.0 * math.sin(2 * math.Pi * (dd % 7) / 7.0)
+      + rng.nextGaussian())
+    val model = ProphetLite.fitDated(days, y)
+    val f = model.forecast(60)
+    checkContract(f, 60)
+    val w1 = f.upper1(0) - f.lower1(0)
+    val w60 = f.upper1(59) - f.lower1(59)
+    assert(w60 > w1, s"band must widen: $w1 → $w60")
+    assert(f.lower1(10) == f.lower2(10) && f.upper1(10) == f.upper2(10), "single band duplicated")
+    val again = model.forecast(60)
+    assert(f.lower1.sameElements(again.lower1), "seeded simulation must be reproducible")
+  }
+
   test("ProphetLite params round-trip") {
     val days = Array.tabulate(120)(identity)
     val y = Array.tabulate(120)(d => 10.0 + d * 0.2 + math.sin(d / 3.0))
