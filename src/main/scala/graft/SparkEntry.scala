@@ -75,6 +75,19 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"),
           round(avg(col("value")), 6).as("avg_value"))
         .orderBy(col("event_type"))),
+    "sketch_aggregates" -> ((s, dir) =>
+      // the at-scale forms of the exact aggregates above: HLL++ distinct
+      // and KLL-style quantile sketches — constant memory per group,
+      // mergeable partials (what survives a 100 TB groupBy). Sketch
+      // internals aren't DuckDB-reproducible → rows-only check.
+      graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          round(element_at(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.99)), lit(10000)), 1), 6).as("p50_approx"),
+          round(element_at(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.99)), lit(10000)), 2), 6).as("p99_approx"))
+        .orderBy(col("event_type"))),
     "value_quantiles" -> ((s, dir) =>
       // exact continuous quantiles (type-7 interpolation) — the same
       // aggregation family as the NN simulation-PI percentiles (R:293)
