@@ -41,7 +41,25 @@ object SparkEntry {
           r6("lower1"), r6("lower2"), r6("mean"), r6("upper1"), r6("upper2"))
         .orderBy("element", "step")
 
+  /** One query exercised through the `spark.sql` surface with SQL that is
+    * valid in BOTH Spark and DuckDB — the same string is the oracle, so
+    * the engines execute literally identical text. */
+  val portableSql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_star_join" -> ((s, dir) => {
+      Seq("orders", "customer", "nation", "region").foreach(t =>
+        s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+      s.sql(portableSql)
+    }),
     // -- engine API surface ------------------------------------------------
     "methods_catalog" -> ((s, _) => {
       import s.implicits._
@@ -198,6 +216,7 @@ object SparkEntry {
        |ORDER BY element, step""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "sql_star_join" -> portableSql,
     "methods_catalog" ->
       ("SELECT * FROM (VALUES " +
         Methods.reference.zipWithIndex
