@@ -28,13 +28,21 @@ object Bench {
     // this VM sees bursty hypervisor CPU steal: a burst can tax whichever
     // query happens to be running by 5-10×. Re-time outliers once and
     // keep the min — the steady-state number, not the steal artifact.
+    // BOTH measurements (and the run count) are emitted so readers can
+    // see the variance, not only the minimum.
     val results = firstPass.map { case (name, t) =>
-      name -> (if (t > 5.0) math.min(t, timeOne(SparkEntry.queries(name))) else t)
+      if (t > 5.0) name -> (math.min(t, timeOne(SparkEntry.queries(name))), t, 2)
+      else name -> (t, t, 1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: ((String, (Double, Double, Int))) => String) =
+      results.map(f).mkString("{", ",", "}")
+    val qs = jmap { case (k, (best, _, _)) => s"\"" + k + "\":" + best }
+    val raw = jmap { case (k, (_, first, _)) => s"\"" + k + "\":" + first }
+    val runs = jmap { case (k, (_, _, n)) => s"\"" + k + "\":" + n }
+    val total = results.values.map(_._1).sum
+    val rawTotal = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""raw_first_pass":$raw,"raw_total":$rawTotal,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   *    (lang, source) blocks — the classic blocking trick that keeps the
   *    shingle self-join from exploding (an unblocked join on a common
   *    token is O(docs²) at 100 TB). Fully oracle-checkable SQL.
-  *  - `minhashCandidates`: MinHash + banded LSH via MLlib
-  *    (`ml.feature.MinHashLSH.approxSimilarityJoin`) — the 100 TB path:
-  *    candidate generation is hash-bucket equi-join, never all-pairs.
-  *    Seeded, deterministic.
+  *  - `minhashCandidates`: MinHash + banded LSH built from codegen'd
+  *    built-in expressions (a custom AND-8/OR-4 banding scheme — MLlib's
+  *    `MinHashLSH` is OR-only and degenerates to all-pairs on
+  *    self-similar corpora) — the 100 TB path: candidate generation is a
+  *    hash-bucket equi-join with a deterministic per-bucket size cap,
+  *    never all-pairs. Seeded, deterministic.
   *  - `simhash`: 64-bit SimHash signatures from xxhash64 token hashes,
   *    computed entirely with codegen'd built-in expressions (64 parallel
   *    conditional sums — no UDF), plus banded 16-bit keys for bucketing.
@@ -30,8 +32,11 @@ object NearDup {
 
   /** Distinct word n-gram shingles per doc (n = 1 → token set). Built
     * with sequence/transform/array_join — no UDF; for n > 1 consecutive
-    * tokens are joined with a separator that cannot occur inside a
-    * token. */
+    * tokens are joined with the control character U+0001 — genuinely
+    * out-of-alphabet (whitespace tokenization can never emit it inside a
+    * token), so distinct token sequences like ['ab','c'] vs ['a','bc']
+    * cannot collide. Any oracle for an n>1 query must mirror the same
+    * separator (DuckDB: `chr(1)`). */
   def shingles(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val base = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"),
@@ -68,6 +73,17 @@ object NearDup {
 
   val MinhashHashes = 32
   val MinhashBands = 4 // 4 bands × 8 rows: AND-8 then OR-4
+  /** Deterministic per-bucket population cap for the band self-join.
+    * A band bucket with more than this many docs is split into
+    * ceil(n/cap) salt groups by a secondary hash of doc_id and pairs are
+    * only generated within a salt group — bounding the join at
+    * O(buckets · cap²) instead of O(hottest-bucket²). Recall cost: a
+    * true pair in an oversized bucket survives that band with
+    * probability ~1/nsplits, but near-duplicates collide in several of
+    * the 4 OR'd bands, so the measured recall loss is small (and at
+    * 100 TB an uncapped hot bucket is not a recall question but an
+    * out-of-time question). */
+  val MinhashMaxBucket = 512
 
   /** MinHash signatures + banded LSH candidate pairs, entirely in
     * codegen'd built-in expressions (no UDF, no vector objects):
@@ -79,11 +95,16 @@ object NearDup {
     *     1-row-per-table scheme (e.g. MLlib MinHashLSH) suffers on a
     *     self-similar corpus, where OR-only banding degenerates to the
     *     all-pairs join);
-    *  3. candidates: equi-join on the band key shuffling ONLY
-    *     (band, doc_id) — never tokens or text — then distinct;
+    *  3. candidates: equi-join on the (band, salt) key shuffling ONLY
+    *     (band, salt, doc_id) — never tokens or text — with oversized
+    *     buckets split into ≤[[MinhashMaxBucket]]-doc salt groups (see
+    *     the cap's scaladoc) — then distinct;
     *  4. similarity: the MinHash ESTIMATE (matching signature fraction),
-    *     computed by joining the (tiny, broadcast) signature table back
-    *     on both sides — 32 integer compares per candidate, codegen'd.
+    *     computed by plain equi-joins of the signature table back on
+    *     both sides — 32 integer compares per candidate, codegen'd. No
+    *     broadcast hints: the signature table is O(corpus) and cannot be
+    *     assumed executor-memory-sized at 100 TB; AQE still picks a
+    *     broadcast when the measured size allows it.
     *
     * Estimated-similarity semantics (the standard MinHash operator);
     * recall at j ≥ 0.95 is 1−(1−0.95⁸)⁴ ≈ 0.96. Seeded and
@@ -99,11 +120,25 @@ object NearDup {
       val key = xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
       sigs.select(col("doc_id"), key.as("band"))
     }.reduce(_ union _)
+    // bound hot buckets before the self-join: count each band bucket
+    // with a window over the band partition (one shuffle, no join-back),
+    // then split oversized buckets into salt groups by a secondary
+    // doc_id hash. Both self-join sides share this exact subplan, so the
+    // band shuffle is computed once and reused (ReuseExchange).
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
+    val bucketed = bandRows
+      .withColumn("nsplits",
+        greatest(lit(1L),
+          ceil(count(lit(1)).over(bw).cast("double") / MinhashMaxBucket).cast("long")))
+      .select(col("band"), col("doc_id"),
+        pmod(xxhash64(lit("salt"), col("doc_id")), col("nsplits")).as("salt"))
     // dedup candidates BEFORE the signature joins: the distinct shuffle
     // carries 16-byte id pairs, which measures ~2.5× cheaper than
     // streaming every duplicate through the 64-column estimate
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.salt") === col("b.salt")
+          && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sa = sigs.select(col("doc_id").as("doc_a") +:
@@ -114,8 +149,8 @@ object NearDup {
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
     cand
-      .join(broadcast(sa), "doc_a")
-      .join(broadcast(sb), "doc_b")
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
       .withColumn("jaccard_est", round(matches.cast("double") / MinhashHashes, 4))
       .filter(col("jaccard_est") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard_est"))

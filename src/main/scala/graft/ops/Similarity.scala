@@ -1,7 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.linalg.{Vectors, VectorUDT}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,14 +8,17 @@ import org.apache.spark.sql.functions._
   * (north-star extension: similarity search at 100 TB).
   *
   *  - `cosineTopK`: brute-force exact cosine top-k — the correctness
-  *    baseline. All-pairs join + per-query window; O(n²·d) but fully
-  *    distributed (each pair is one codegen'd row op, no driver state).
-  *  - `lshTopK`: the scale path — L2-normalize, bucket with
-  *    BucketedRandomProjectionLSH (random-hyperplane buckets; on unit
-  *    vectors euclidean distance is monotone in cosine:
-  *    cos = 1 − d²/2), approxSimilarityJoin within a distance radius,
-  *    exact-rerank the candidates, top-k per query. Candidate generation
-  *    is a bucket equi-join — at 1000 executors nothing is all-pairs.
+  *    baseline. Broadcast-nested-loop join against the (executor-side)
+  *    broadcast reference set + per-query window; O(n²·d) compute but
+  *    fully distributed — NO driver materialization of the table, and
+  *    the streamed side is pre-hashed by query id so the top-k window
+  *    adds no extra shuffle.
+  *  - `lshTopK`: the scale path — seeded random-hyperplane bucketing
+  *    computed entirely with the native dot-product expression (no
+  *    MLlib fit, no VectorUDT, no UDFs), salted per-bucket size cap,
+  *    exact cosine rerank, top-k per query. Candidate generation is a
+  *    bucket equi-join — at 1000 executors nothing is all-pairs.
+  *  - `ivfTopK`: coarse-quantizer path — KMeans cells + nprobe probing.
   */
 object Similarity {
 
@@ -32,81 +33,98 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("norm", sqrt(graft.functions.VectorFunctions.dot_product(col("v"), col("v"))))
 
-  /** Exact cosine top-k neighbors per vector: broadcast the normalized
-    * matrix (one copy per executor) and scan it with a primitive-array
-    * kernel per query row — the classic distributed brute-force KNN
-    * shape. No pair materialization, no shuffle until the (tiny) top-k
-    * output. Dot products accumulate in index order, matching the
-    * oracle's double fold exactly. Ties broken by neighbor id.
+  /** Exact cosine top-k neighbors per vector, fully distributed:
+    * `a JOIN broadcast(b) ON vec_id <> other_id` — Spark builds the
+    * broadcast from executor-side partitions (no `collect()`, no driver
+    * row materialization) — then the fused cosine kernel per pair and a
+    * row_number window for the top-k. The streamed side is repartitioned
+    * by vec_id up front; BroadcastNestedLoopJoin preserves streamed-side
+    * partitioning, so the window reuses it and the plan has exactly one
+    * (tiny, n-row) shuffle before the final sort.
     *
     * Scale: O(n²d) compute spread across all cores with an O(nd)
-    * broadcast. When n·d outgrows a broadcast, switch to [[lshTopK]] —
-    * the bucketed path. */
+    * broadcast. When n·d outgrows a broadcast, switch to [[lshTopK]] or
+    * [[ivfTopK]] — the bucketed paths. Ties broken by neighbor id, on
+    * the UNROUNDED similarity, matching the oracle. */
   def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
-    import spark.implicits._
-    val e = withNorm(emb(spark, sfDir))
-      .select(col("vec_id"), col("v"), col("norm"))
-      .as[(Long, Array[Double], Double)]
-    val all = e.collect().sortBy(_._1) // small reference matrix (id, vec, norm)
-    val bc = spark.sparkContext.broadcast(all)
-    val kk = k
-    e.flatMap { case (vid, va, na) =>
-      val ref = bc.value
-      val sims = new Array[(Double, Long)](ref.length - 1)
-      var o = 0
-      var w = 0
-      while (o < ref.length) {
-        val (oid, vb, nb) = ref(o)
-        if (oid != vid) {
-          var dot = 0.0
-          var i = 0
-          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
-          sims(w) = (dot / (na * nb), oid)
-          w += 1
-        }
-        o += 1
-      }
-      java.util.Arrays.sort(sims, Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long))
-      (0 until math.min(kk, sims.length)).map { r =>
-        // HALF_UP to match Spark/DuckDB round() semantics exactly
-        val rounded = BigDecimal(sims(r)._1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (vid, (r + 1).toLong, sims(r)._2, rounded)
-      }
-    }.toDF("vec_id", "rank", "other_id", "sim")
-      .orderBy(col("vec_id"), col("rank"))
-  }
-
-  /** LSH-bucketed ANN top-k: normalize → BRP-LSH buckets (seeded) →
-    * candidate join within euclidean radius → exact cosine rerank →
-    * top-k. Recall depends on (numHashTables, radius); the rerank makes
-    * reported similarities exact. */
-  def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, radius: Double = 1.1): DataFrame = {
-    val toVec = udf((arr: Seq[Double]) => {
-      val n = math.sqrt(arr.map(x => x * x).sum)
-      Vectors.dense(arr.map(x => if (n > 0) x / n else x).toArray)
-    })
-    val e = emb(spark, sfDir).withColumn("features", toVec(col("v")))
-    // bucketLength must match the projection scale: on UNIT vectors the
-    // random projection has std ≈ 1/√d (~0.125 at d=64), so 0.5-wide
-    // buckets put almost everything in one bucket and the join
-    // degenerates toward all-pairs. 0.125 yields ~8 populated buckets
-    // per table — candidate volume drops ~5× for ~0.9 top-1 recall.
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(0.125).setNumHashTables(4).setSeed(42L)
-    val model = lsh.fit(e)
-    // d² = 2(1 − cos) on unit vectors ⇒ radius 1.2 covers cos ≥ 0.28
-    val cand = model.approxSimilarityJoin(e, e, radius, "dist")
-      .select(col("datasetA.vec_id").as("vec_id"), col("datasetB.vec_id").as("other_id"),
-        col("dist"))
-      .filter(col("vec_id") =!= col("other_id"))
-      .withColumn("sim", lit(1.0) - col("dist") * col("dist") / 2.0) // exact rerank on unit vectors
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("other_id").asc)
-    cand
+    val e = emb(spark, sfDir)
+    val a = e.repartition(col("vec_id")).select(col("vec_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("other_id"), col("v").as("vb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
+    a.join(broadcast(b), col("vec_id") =!= col("other_id"))
+      .withColumn("sim_raw", graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank").cast("long").as("rank"),
-        col("other_id"), round(col("sim"), 4).as("sim"))
+        col("other_id"), round(col("sim_raw"), 4).as("sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** Per-bucket population cap for the LSH candidate join — same salted
+    * split scheme as `NearDup.minhashCandidates` (see that scaladoc for
+    * the recall argument): buckets larger than this are split into salt
+    * groups and pairs are generated only within a group, bounding the
+    * join at O(buckets · cap²). */
+  val LshMaxBucket = 512
+
+  /** LSH-bucketed ANN top-k, pure expressions end to end:
+    *
+    *  1. unit-normalize with `transform` (zero-norm vectors pass
+    *     through unscaled);
+    *  2. `tables` seeded random hyperplane projections (driver-side
+    *     constant arrays — a few KB — embedded as literals); bucket =
+    *     floor(⟨u, rₜ⟩ / bucketLength), computed by the native
+    *     dot-product kernel inside whole-stage codegen;
+    *  3. candidates = equi-join on (table, bucket, salt) with the
+    *     [[LshMaxBucket]] salted cap, OR'd across tables via distinct —
+    *     the shuffle carries (table, bucket, salt, vec_id) only;
+    *  4. exact cosine rerank of candidates with the fused kernel, then
+    *     row_number top-k.
+    *
+    * On unit vectors the projection ⟨u, r⟩ has std ≈ 1 for a standard
+    * gaussian r, and nearby vectors (cos ≥ τ) differ in projection by
+    * std ≈ √(2(1−τ)); bucketLength ≈ that scale makes near pairs
+    * collide in some table with high probability while splitting the
+    * bulk. Recall depends on (tables, bucketLength) — rows-only check;
+    * reported similarities are exact. */
+  def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, tables: Int = 4,
+      bucketLength: Double = 0.5): DataFrame = {
+    val e = withNorm(emb(spark, sfDir))
+      .withColumn("u", transform(col("v"), x => when(col("norm") > 0, x / col("norm")).otherwise(x)))
+      .select(col("vec_id"), col("v"), col("u"))
+    // dimension probe: one-row metadata lookup (not a table collect)
+    val dim = e.limit(1).select(size(col("v")).as("d")).head().getInt(0)
+    val rng = new scala.util.Random(42L)
+    val projs = Array.fill(tables)(Array.fill(dim)(rng.nextGaussian()))
+    val tableRows = (0 until tables).map { t =>
+      val proj = array(projs(t).map(lit(_)): _*)
+      e.select(col("vec_id"), lit(t).as("tbl"),
+        floor(graft.functions.VectorFunctions.dot_product(col("u"), proj) / bucketLength)
+          .cast("long").as("bucket"))
+    }.reduce(_ union _)
+    val bw = Window.partitionBy(col("tbl"), col("bucket"))
+    val bucketed = tableRows
+      .withColumn("nsplits",
+        greatest(lit(1L), ceil(count(lit(1)).over(bw).cast("double") / LshMaxBucket).cast("long")))
+      .select(col("tbl"), col("bucket"), col("vec_id"),
+        pmod(xxhash64(lit("salt"), col("vec_id")), col("nsplits")).as("salt"))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
+          && col("a.salt") === col("b.salt") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"))
+      .distinct()
+    val va = e.select(col("vec_id"), col("v").as("va"))
+    val vb = e.select(col("vec_id").as("other_id"), col("v").as("vb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
+    cand
+      .join(va, "vec_id")
+      .join(vb, "other_id")
+      .withColumn("sim_raw", graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("other_id"), round(col("sim_raw"), 4).as("sim"))
       .orderBy(col("vec_id"), col("rank"))
   }
 
@@ -115,11 +133,13 @@ object Similarity {
     * query probes its `nprobe` nearest centroids and exact-reranks only
     * those cells' members with the native cosine kernel. Work drops from
     * O(n²) to O(n²·nprobe/nlist); the centroid table is driver-tiny and
-    * broadcast. Recall depends on (nlist, nprobe) — rows-only check. */
+    * broadcast. The array→VectorUDT bridge is MLlib's own
+    * `array_to_vector` (codegen-friendly, no Scala UDF). Recall depends
+    * on (nlist, nprobe) — rows-only check. */
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 16, nprobe: Int = 3): DataFrame = {
     import spark.implicits._
-    val toVec = udf((arr: Seq[Double]) => Vectors.dense(arr.toArray))
-    val e = emb(spark, sfDir).withColumn("features", toVec(col("v")))
+    val e = emb(spark, sfDir)
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("v")))
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")

@@ -108,8 +108,12 @@ object TextAnalysis {
     * robust to local edits (an edit perturbs only the windows that
     * overlap it). Pure built-in expressions: `sequence` generates the
     * window starts, `transform` hashes each window, `array_sort`+`slice`
-    * takes the bottom sketch — all codegen-able, no UDF; the shuffle
-    * (if any downstream) carries doc_id + sketchSize longs. */
+    * takes the bottom sketch — all codegen-able, no UDF.
+    *
+    * Output is one row per sketch slot — (doc_id, rank, window_hash,
+    * n_windows) — scalar columns only, so any downstream consumer (or
+    * the correctness harness) can sort/hash/join it without array
+    * handling. */
   def winnowFingerprints(spark: SparkSession, sfDir: String, k: Int = 8, sketchSize: Int = 4): DataFrame =
     docs(spark, sfDir)
       .select(col("doc_id"),
@@ -117,7 +121,9 @@ object TextAnalysis {
       .withColumn("windows",
         expr(s"transform(sequence(1, greatest(length(txt) - ${k - 1}, 1)), i -> xxhash64(substring(txt, i, $k)))"))
       .select(col("doc_id"),
-        slice(array_sort(col("windows")), 1, sketchSize).as("sketch"),
+        posexplode(slice(array_sort(col("windows")), 1, sketchSize)),
         size(col("windows")).cast("long").as("n_windows"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col").as("window_hash"), col("n_windows"))
+      .orderBy(col("doc_id"), col("rank"))
 }

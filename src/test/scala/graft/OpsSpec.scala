@@ -68,10 +68,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("LSH top-k similarities match the exact ranking where candidates overlap") {
     val exact = Similarity.cosineTopK(spark, sfDir, k = 1).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
-    val approx = Similarity.lshTopK(spark, sfDir, k = 1, radius = 2.0).collect()
+    val approx = Similarity.lshTopK(spark, sfDir, k = 1, bucketLength = 2.0).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
-    // radius 2.0 admits every distance, so misses come only from bucket
-    // recall (pairs never co-hashed in any of the 4 tables)
+    // wide buckets admit most of each projection's range, so misses come
+    // only from bucket recall (pairs never co-hashed in any of the 4
+    // tables); reported sims are exact (rerank), so where the top-1
+    // candidate was found the similarity must match brute force
     val agree = exact.keys.count(k => approx.get(k).exists(_._1 == exact(k)._1))
     assert(agree >= (exact.size * 0.75).toInt, s"$agree/${exact.size} top-1 agreement")
   }
@@ -101,17 +103,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("winnowing sketch: bottom-k of the window hashes, stable, edit-local") {
+  test("winnowing sketch: bottom-k of the window hashes, stable, scalar rows") {
     val rows = graft.ops.TextAnalysis.winnowFingerprints(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val sketch = r.getSeq[Long](1)
-      assert(sketch.length <= 4)
-      assert(sketch == sketch.sorted, "sketch is the sorted bottom-k")
-      assert(r.getLong(2) >= sketch.length)
+    // one row per (doc_id, rank, window_hash, n_windows) sketch slot
+    rows.groupBy(_.getLong(0)).foreach { case (docId, slots) =>
+      val byRank = slots.sortBy(_.getLong(1))
+      assert(byRank.length <= 4, s"doc $docId sketch larger than sketchSize")
+      assert(byRank.map(_.getLong(1)).sameElements(1L to byRank.length),
+        s"doc $docId ranks must be 1..k")
+      val hashes = byRank.map(_.getLong(2))
+      assert(hashes.sameElements(hashes.sorted), "sketch is the sorted bottom-k")
+      slots.foreach(r => assert(r.getLong(3) >= byRank.length))
     }
     val again = graft.ops.TextAnalysis.winnowFingerprints(spark, sfDir).collect()
-    assert(rows.map(_.getSeq[Long](1)).toSeq == again.map(_.getSeq[Long](1)).toSeq)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
   test("as-of daily spine is dense per key and forward-fills gaps") {
