@@ -123,5 +123,10 @@ object Methods {
   val SES = "SES"
   val extensions: Seq[String] = Seq(NAIVE, SNAIVE, DRIFT, MEANF, SES)
 
-  val all: Seq[String] = reference ++ extensions
+  /** Component-only method: TBATS is forecastHybrid's sixth default
+    * component (R:324-332) — fit/forecast/save/load all work, but it is
+    * not part of the reference's public 10-method catalog (R:6-7). */
+  val TBATS = "TBATS"
+
+  val all: Seq[String] = (reference ++ extensions) :+ TBATS
 }

@@ -28,7 +28,8 @@ object Families {
     Methods.SNAIVE -> SNaive,
     Methods.DRIFT -> Drift,
     Methods.MEANF -> Meanf,
-    Methods.SES -> Ses)
+    Methods.SES -> Ses,
+    Methods.TBATS -> Tbats.TbatsFamily)
 
   def byMethod(method: String): ModelFamily =
     all.getOrElse(method, throw new IllegalArgumentException(s"unknown method: $method"))

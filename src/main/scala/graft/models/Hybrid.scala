@@ -7,10 +7,9 @@ import graft.core.{Forecasts, Methods}
   * horizonAverage = TRUE, parallel = TRUE, num.cores = 2)`
   * (TimeSeriesFunctions_GPL_0.5.1.R:324-332).
   *
-  * Components: ARIMA, ETS, THETA, NN, STL — forecastHybrid's default
-  * set "aefnst" minus tbats (no TBATS implementation; documented
-  * substitution — the weighting and combination semantics are
-  * unchanged). Weights ∝ 1/RMSE from ROLLING-ORIGIN cross-validation:
+  * Components: ARIMA, ETS, THETA, NN, STL, TBATS — forecastHybrid's
+  * full default set "aefnst" (auto.arima, ets, thetam, nnetar, stlm,
+  * tbats). Weights ∝ 1/RMSE from ROLLING-ORIGIN cross-validation:
   * train on [0, origin), forecast cvHorizon steps, error against the
   * held-out window, origins sliding one step from `windowSize` to
   * n − cvHorizon (cvts semantics), errors averaged across horizons
@@ -32,7 +31,8 @@ import graft.core.{Forecasts, Methods}
 object Hybrid {
 
   val Components: Seq[String] = Seq(
-    Methods.ARIMA, Methods.ETS, Methods.THETA, Methods.NN, Methods.STL)
+    Methods.ARIMA, Methods.ETS, Methods.THETA, Methods.NN, Methods.STL,
+    Methods.TBATS)
 
   /** Cheap structure-fixed refit used inside CV folds. For NN the fold
     * refit uses fewer restarts/epochs (3/80) — the averaging already
@@ -52,6 +52,12 @@ object Hybrid {
         Arima.toModel(z, cand, m, Methods.ARIMA, u1Tail, yTail)
       case Methods.THETA => Theta.ThetaFamily.fit(y, m)
       case Methods.STL   => Stl.StlFamily.fit(y, m)
+      case Methods.TBATS =>
+        // structure-fixed refit: keep the selected (λ, k, damped, p, q),
+        // re-optimize the continuous parameters on the fold window
+        val full = structure.asInstanceOf[Tbats.TbatsModel].fitted
+        Tbats.TbatsModel(
+          Tbats.fitConfig(y, m, full.cfg, full.lambda).getOrElse(Tbats.fallback(y)))
       case Methods.NN =>
         val full = structure.asInstanceOf[NNar.NNModel]
         fitSmallNN(y, m, full.p, full.seasonalLag, full.nHidden)
@@ -167,7 +173,8 @@ object Hybrid {
       Methods.ETS -> Ets.EtsFamily.fromParams(sub(Methods.ETS)),
       Methods.THETA -> Theta.ThetaFamily.fromParams(sub(Methods.THETA)),
       Methods.NN -> NNar.fromParams(sub(Methods.NN)),
-      Methods.STL -> Stl.StlFamily.fromParams(sub(Methods.STL)))
+      Methods.STL -> Stl.StlFamily.fromParams(sub(Methods.STL)),
+      Methods.TBATS -> Tbats.fromParams(sub(Methods.TBATS)))
     val w = Components.map(c => c -> sub(c).d1("weight")).toMap
     HybridModel(comps, w)
   }
@@ -184,7 +191,8 @@ object Hybrid {
         Methods.ETS -> Ets.EtsFamily.fit(y, m),
         Methods.THETA -> Theta.ThetaFamily.fit(y, m),
         Methods.NN -> NNar.NNFamily.fit(y, m),
-        Methods.STL -> Stl.StlFamily.fit(y, m))
+        Methods.STL -> Stl.StlFamily.fit(y, m),
+        Methods.TBATS -> Tbats.TbatsFamily.fit(y, m))
       val w = cvWeights(y, m, cvHorizon, structures)
       HybridModel(structures, w)
     }

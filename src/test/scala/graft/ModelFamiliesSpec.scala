@@ -301,6 +301,63 @@ class ModelFamiliesSpec extends AnyFunSuite {
     checkContract(model.forecast(H), H)
   }
 
+  // ------------------------------------------------------------ TBATS
+
+  test("TBATS recovers a trigonometric weekly cycle over a trend") {
+    val m = 7
+    val rng = new java.util.Random(11)
+    val y = Array.tabulate(140)(i =>
+      30.0 + 0.1 * i + 5.0 * math.sin(2 * math.Pi * i / m) + rng.nextGaussian() * 0.2)
+    val fit = Tbats.fitAuto(y, m).get
+    assert(fit.cfg.k >= 1, "seasonal harmonics must be selected")
+    val f = Tbats.forecast(fit, H)
+    checkContract(f, H)
+    (0 until H).foreach { j =>
+      val t = 140 + j
+      val expected = 30.0 + 0.1 * t + 5.0 * math.sin(2 * math.Pi * t / m)
+      assert(math.abs(f.mean(j) - expected) < 1.5,
+        s"step ${j + 1}: ${f.mean(j)} vs $expected")
+    }
+  }
+
+  test("Guerrero lambda: near 0 on a multiplicative series, high on an additive one") {
+    val m = 7
+    val mult = Array.tabulate(140)(i =>
+      math.exp(0.02 * i + 0.3 * math.sin(2 * math.Pi * i / m)))
+    val add = Array.tabulate(140)(i =>
+      100.0 + 0.5 * i + 3.0 * math.sin(2 * math.Pi * i / m))
+    assert(Tbats.guerreroLambda(mult, m) < 0.4, "log-scale series wants lambda near 0")
+    assert(Tbats.guerreroLambda(add, m) > 0.5, "additive series wants lambda near 1")
+  }
+
+  test("TBATS Box-Cox round-trip and positive-band inverse mapping") {
+    val m = 7
+    val y = Array.tabulate(120)(i =>
+      math.exp(0.01 * i + 0.25 * math.sin(2 * math.Pi * i / m) + 2.0))
+    val fit = Tbats.fitAuto(y, m).get
+    val f = Tbats.forecast(fit, H)
+    checkContract(f, H)
+    // inverse Box-Cox keeps every band on the positive data scale
+    (0 until H).foreach(j => assert(f.lower2(j) > 0.0, s"band below 0 at ${j + 1}"))
+    // transform round-trip identity
+    val w = Tbats.boxCox(Array(2.5), 0.3)(0)
+    assert(math.abs(Tbats.invBoxCox(w, 0.3) - 2.5) < 1e-12)
+    assert(math.abs(Tbats.invBoxCox(Tbats.boxCox(Array(2.5), 0.0)(0), 0.0) - 2.5) < 1e-12)
+  }
+
+  test("TBATS params round-trip through the model store format") {
+    val m = 7
+    val y = Array.tabulate(100)(i =>
+      20.0 + 2.0 * math.sin(2 * math.Pi * i / m) + 0.05 * i)
+    val model = Tbats.TbatsFamily.fit(y, m)
+    val back = Tbats.TbatsFamily.fromParams(model.params)
+    val a = model.forecast(H); val b = back.forecast(H)
+    (0 until H).foreach { j =>
+      assert(a.mean(j) == b.mean(j), s"mean mismatch at ${j + 1}")
+      assert(a.lower2(j) == b.lower2(j) && a.upper2(j) == b.upper2(j))
+    }
+  }
+
   // ------------------------------------------------------------ registry
 
   test("every reference method resolves in the family registry (R:6-7 parity)") {
