@@ -150,10 +150,40 @@ object Forecaster {
         val (z, u1Tail, yTail) = Arima.difference(y, d, bigD, m)
         Arima.fitCandidate(z, o, m).map { cand =>
           val model = Arima.toModel(z, cand, m, methodName, u1Tail, yTail)
-          (element, cand.aicc, ParamsRow.from(model.params))
+          (element, cand.aicc, ParamsRow.from(model.params), y)
         }
       }
-    fits.groupByKey(_._1)
+    // stage 3: the top-K CSS candidates per series survive to the exact-
+    // ML rescore (two-stage `approximation = FALSE` — see KalmanMl),
+    // UNION the 3 lowest-complexity fits (same reasoning as
+    // Arima.rescoreSet: CSS's conditioning flatters AR-heavy models);
+    // the group buffer is ~30 small param rows
+    val topK = fits.groupByKey(_._1)
+      .flatMapGroups { (_: String, it: Iterator[(String, Double, ParamsRow, Array[Double])]) =>
+        val rows = it.toArray
+        def kOf(r: (String, Double, ParamsRow, Array[Double])): Int = {
+          val o = r._3.toParams.d("order")
+          o(0).toInt + o(2).toInt + o(3).toInt + o(5).toInt + (if (o(6) > 0.5) 1 else 0)
+        }
+        (rows.sortBy(_._2).take(KalmanMl.RescoreTop) ++
+          rows.sortBy(r => (kOf(r), r._2)).take(3)).distinct.iterator
+      }
+    // stage 4: one exact-ML refinement task per surviving candidate; a
+    // failed refinement keeps its CSS ranking but loses to any success
+    val refined = topK
+      .repartition(parallelism)
+      .map { case (element, cssAicc, row, y) =>
+        val model = Arima.fromParams(row.toParams)
+        val o = model.fit.order
+        val (z, u1Tail, yTail) = Arima.difference(y, o.d, o.bigD, m)
+        Arima.fitCandidateExact(z, model.fit, m) match {
+          case Some(ml) =>
+            (element, ml.aicc,
+              ParamsRow.from(Arima.toModel(z, ml, m, methodName, u1Tail, yTail).params))
+          case None => (element, 1e15 + cssAicc, row)
+        }
+      }
+    refined.groupByKey(_._1)
       .reduceGroups((a, b) => if (a._2 <= b._2) a else b)
       .flatMap { case (element, (_, _, row)) =>
         Arima.fromParams(row.toParams).forecast(h).toPoints(element, methodName)

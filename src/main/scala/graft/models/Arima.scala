@@ -155,7 +155,17 @@ object Arima {
 
   // ------------------------------------------------------------ CSS fit
 
-  final case class Order(p: Int, d: Int, q: Int, bigP: Int, bigD: Int, bigQ: Int, mean: Boolean)
+  final case class Order(p: Int, d: Int, q: Int, bigP: Int, bigD: Int, bigQ: Int, mean: Boolean) {
+    /** Free-parameter count (ex σ²). */
+    def k: Int = p + q + bigP + bigQ + (if (mean) 1 else 0)
+  }
+
+  /** `auto.arima` parity: a fit whose AR or MA polynomial has a root
+    * within 1% of the unit circle is "close to non-stationary /
+    * non-invertible" and is rejected (its forecast variance recursion
+    * and near-cancelling parameterizations are unreliable). */
+  private def rootTooClose(poly: Array[Double]): Boolean =
+    poly.length > 1 && KalmanMl.minRootModulus(poly) < 1.01
 
   /** CSS objective pieces for one parameter vector on the differenced
     * series z. `arFull`/`maFull` are expanded coefficient arrays
@@ -189,8 +199,20 @@ object Arima {
       mu: Double, sigma2: Double, aicc: Double)
 
   /** Fit one (p,q,P,Q,mean) candidate on the differenced series z by
-    * Nelder–Mead over PACF-space parameters. */
-  def fitCandidate(z: Array[Double], order: Order, m: Int): Option[CandidateFit] = {
+    * Nelder–Mead over PACF-space parameters (CSS objective). */
+  def fitCandidate(z: Array[Double], order: Order, m: Int): Option[CandidateFit] =
+    fitCandidateImpl(z, order, m, exact = false, warm = None)
+
+  /** Exact-ML refinement of a CSS-fitted candidate: same PACF-space
+    * parameterization, Kalman-filter likelihood objective, warm-started
+    * at the CSS optimum (`auto.arima`'s `approximation = FALSE`
+    * estimation, R:90 — see [[KalmanMl]]). The returned AICc is on the
+    * exact-likelihood scale and only comparable with other exact fits. */
+  def fitCandidateExact(z: Array[Double], warm: CandidateFit, m: Int): Option[CandidateFit] =
+    fitCandidateImpl(z, warm.order, m, exact = true, warm = Some(warm))
+
+  private def fitCandidateImpl(z: Array[Double], order: Order, m: Int,
+      exact: Boolean, warm: Option[CandidateFit]): Option[CandidateFit] = {
     import order._
     val nz = z.length
     val k = p + q + bigP + bigQ + (if (mean) 1 else 0)
@@ -220,16 +242,28 @@ object Arima {
       val arFull = expand(arR, arS, m)
       // maFull: 1 + θ(B) terms — expand() builds 1 − Σc B, so negate inputs
       val maFull = expand(maR.map(-_), maS.map(-_), m)
-      val (e, neff) = cssResiduals(z, muV, arFull, maFull)
-      var sse = 0.0
-      var t = z.length - neff
-      while (t < z.length) { sse += e(t) * e(t); t += 1 }
-      if (!java.lang.Double.isFinite(sse) || sse <= 0) 1e12
-      else neff * math.log(sse / neff)
+      if (exact) {
+        val res = KalmanMl.exactNegLogLik(z, muV, arFull, maFull)
+        if (res == null) 1e12 else res._1
+      } else {
+        val (e, neff) = cssResiduals(z, muV, arFull, maFull)
+        var sse = 0.0
+        var t = z.length - neff
+        while (t < z.length) { sse += e(t) * e(t); t += 1 }
+        if (!java.lang.Double.isFinite(sse) || sse <= 0) 1e12
+        else neff * math.log(sse / neff)
+      }
     }
     val dim = k
     if (dim == 0) {
       // white noise / pure differencing candidate
+      if (exact) {
+        val res = KalmanMl.exactNegLogLik(z, 0.0, Array(1.0), Array(1.0))
+        if (res == null || nz <= 3) return None
+        val kk = 1.0
+        val aicc = res._1 + 2 * kk + 2 * kk * (kk + 1) / (nz - kk - 1)
+        return Some(CandidateFit(order, m, Array.empty, Array.empty, Array.empty, Array.empty, 0.0, res._2, aicc))
+      }
       val (e, neff) = cssResiduals(z, 0.0, Array(1.0), Array(1.0))
       var sse = 0.0
       var t = z.length - neff
@@ -241,17 +275,38 @@ object Arima {
       val aicc = -2 * ll + 2 * kk + 2 * kk * (kk + 1) / (neff - kk - 1)
       return Some(CandidateFit(order, m, Array.empty, Array.empty, Array.empty, Array.empty, 0.0, sigma2, aicc))
     }
-    val x0 = new Array[Double](dim)
-    val step = Array.fill(dim)(0.2)
-    if (mean) step(dim - 1) = math.max(1e-8, Stats.stddevSamp(z) * 0.1)
-    // CSS negLL has magnitude ~n·log(SSE): 1e-6 relative ≈ 1e-3 absolute
-    // here, far below any AICc-relevant difference — candidates near the
+    // warm start: invert the PACF-space mapping at the CSS optimum so the
+    // exact refinement begins where CSS ended (atanh(pacf/0.97) per lag)
+    def toX(r: Array[Double]): Array[Double] = r.map { v =>
+      val c = math.max(-0.999, math.min(0.999, v / 0.97))
+      0.5 * math.log((1 + c) / (1 - c))
+    }
+    val x0 = warm match {
+      case Some(w) =>
+        (toX(KalmanMl.coefToPacf(w.arReg)) ++ toX(KalmanMl.coefToPacf(w.arSeas)) ++
+          toX(KalmanMl.coefToPacf(w.maReg.map(-_))) ++ toX(KalmanMl.coefToPacf(w.maSeas.map(-_))) ++
+          (if (mean) Array(w.mu - zMean) else Array.empty[Double]))
+      case None => new Array[Double](dim)
+    }
+    val step = Array.fill(dim)(if (warm.isDefined) 0.05 else 0.2)
+    if (mean) step(dim - 1) = math.max(1e-8, Stats.stddevSamp(z) * (if (warm.isDefined) 0.02 else 0.1))
+    // negLL magnitude ~n·log(SSE): 1e-6 relative ≈ 1e-3 absolute here,
+    // far below any AICc-relevant difference — candidates near the
     // invertibility boundary would otherwise burn the full budget
-    val (xb, fb) = Optim.nelderMead(objective, x0, step, maxIter = 250, tol = 1e-6)
+    val (xb, fb) = Optim.nelderMead(objective, x0, step,
+      maxIter = if (exact) 200 else 250, tol = 1e-6)
     if (fb >= 1e12) return None
     val (arR, arS, maR, maS, muV) = unpack(xb)
     val arFull = expand(arR, arS, m)
     val maFull = expand(maR.map(-_), maS.map(-_), m)
+    if (rootTooClose(arFull) || rootTooClose(maFull)) return None
+    if (exact) {
+      val res = KalmanMl.exactNegLogLik(z, muV, arFull, maFull)
+      if (res == null || nz - k - 2 <= 0) return None
+      val kk = k + 1.0 // + sigma2
+      val aicc = res._1 + 2 * kk + 2 * kk * (kk + 1) / (nz - kk - 1)
+      return Some(CandidateFit(order, m, arR, arS, maR, maS, muV, res._2, aicc))
+    }
     val (e, neff) = cssResiduals(z, muV, arFull, maFull)
     var sse = 0.0
     var t = z.length - neff
@@ -276,7 +331,8 @@ object Arima {
       bp <- 0 to (if (seasonal) MaxSeasonalP else 0)
       bq <- 0 to (if (seasonal) MaxSeasonalQ else 0)
       if p + q + bp + bq <= MaxOrder
-      if p + q + bp + bq > 0 || mean
+      // the all-zero order IS a model: white noise at d = 0 (mean-only),
+      // and the pure random walk ARIMA(0,d,0) after differencing
     } yield Order(p, d, q, bp, bigD, bq, mean)
   }
 
@@ -441,7 +497,9 @@ object Arima {
       u1Tail, yTail)
   }
 
-  /** Full fit: d/D selection + exhaustive grid, single-task. */
+  /** Full fit: d/D selection + exhaustive CSS grid + exact-ML rescore of
+    * the top CSS candidates (the two-stage `approximation = FALSE`
+    * posture — see [[KalmanMl]]), single-task. */
   def fitAuto(y: Array[Double], m: Int, forceSeasonal: Boolean, methodName: String): ArimaModel = {
     val seasonalOk = m > 1 && y.length >= 3 * m
     val bigD = if (forceSeasonal && seasonalOk) 1
@@ -452,11 +510,25 @@ object Arima {
     val cands = candidateOrders(d, bigD, m, seasonalOk)
       .flatMap(o => fitCandidate(z, o, m))
     val best =
-      if (cands.nonEmpty) cands.minBy(_.aicc)
-      else CandidateFit(Order(0, d, 0, 0, bigD, 0, mean = false), m,
+      if (cands.nonEmpty) {
+        val exact = rescoreSet(cands).flatMap(c => fitCandidateExact(z, c, m))
+        if (exact.nonEmpty) exact.minBy(_.aicc) else cands.minBy(_.aicc)
+      } else CandidateFit(Order(0, d, 0, 0, bigD, 0, mean = false), m,
         Array.empty, Array.empty, Array.empty, Array.empty, 0.0,
         math.max(1e-12, variance(z)), Double.PositiveInfinity)
     toModel(z, best, m, methodName, u1Tail, yTail)
+  }
+
+  /** Candidates that survive to the exact-ML rescore: the top
+    * [[KalmanMl.RescoreTop]] by CSS AICc UNION the 3 lowest-complexity
+    * fits. CSS's conditioning (dropping the first p residuals from
+    * n_eff) systematically flatters AR-heavy candidates, so a top-K cut
+    * alone can exclude the parsimonious model that exact ML would pick
+    * — the union keeps it in the race. */
+  def rescoreSet(cands: Seq[CandidateFit]): Seq[CandidateFit] = {
+    val byAicc = cands.sortBy(_.aicc).take(KalmanMl.RescoreTop)
+    val parsimonious = cands.sortBy(c => (c.order.k, c.aicc)).take(3)
+    (byAicc ++ parsimonious).distinct
   }
 
   object ArimaFamily extends ModelFamily {

@@ -57,7 +57,8 @@ object Hybrid {
         // re-optimize the continuous parameters on the fold window
         val full = structure.asInstanceOf[Tbats.TbatsModel].fitted
         Tbats.TbatsModel(
-          Tbats.fitConfig(y, m, full.cfg, full.lambda).getOrElse(Tbats.fallback(y)))
+          Tbats.fitConfig(y, m, full.cfg, full.lambda, maxIter = 150)
+            .getOrElse(Tbats.fallback(y)))
       case Methods.NN =>
         val full = structure.asInstanceOf[NNar.NNModel]
         fitSmallNN(y, m, full.p, full.seasonalLag, full.nHidden)

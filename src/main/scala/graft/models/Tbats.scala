@@ -244,8 +244,12 @@ object Tbats {
       cfg.p + cfg.q + (if (cfg.useBoxCox) 1 else 0) + 2 + 1
 
   /** Optimize the continuous parameters of one Config (λ held fixed —
-    * the tbats shape: λ from Guerrero, re-scored per structure). */
-  def fitConfig(y: Array[Double], m: Int, cfg: Config, lambda: Double): Option[Fitted] = {
+    * the tbats shape: λ from Guerrero, re-scored per structure).
+    * `maxIter` trims the NM budget for CV-fold refits, which need a
+    * comparable error scale rather than a converged deployable fit
+    * (same posture as the hybrid's reduced NN fold refits). */
+  def fitConfig(y: Array[Double], m: Int, cfg: Config, lambda: Double,
+      maxIter: Int = 500): Option[Fitted] = {
     val n = y.length
     if (n < 8) return None
     if (cfg.k > 0 && (m <= 1 || n < 2 * m + 2)) return None
@@ -293,7 +297,7 @@ object Tbats {
     val step = x0.zipWithIndex.map { case (v, i) =>
       if (i >= nFree - 2) math.max(math.abs(v) * 0.1, wScale * 0.1) else 0.05
     }
-    val (xb, fb) = Optim.nelderMead(objective, x0, step, maxIter = 500, tol = 1e-6)
+    val (xb, fb) = Optim.nelderMead(objective, x0, step, maxIter = maxIter, tol = 1e-6)
     if (fb >= 1e12) return None
     val (a, b, gg1, gg2, ph, ar, ma, l, bb) = unpack(xb)
     val st = filter(w, m, cfg, a, b, ph, gg1, gg2, ar, ma, l, bb, s0, ss0)

@@ -174,6 +174,115 @@ class ModelFamiliesSpec extends AnyFunSuite {
     (0 until H).foreach(j => assert(math.abs(a.mean(j) - b.mean(j)) < 1e-12))
   }
 
+  test("Kalman exact likelihood matches the closed form on white noise") {
+    val rng = new java.util.Random(5)
+    val z = Array.fill(200)(rng.nextGaussian())
+    val (negTwoLl, sigma2) = KalmanMl.exactNegLogLik(z, 0.0, Array(1.0), Array(1.0))
+    val s2 = z.map(v => v * v).sum / z.length
+    val expected = z.length * (math.log(2 * math.Pi) + math.log(s2) + 1.0)
+    assert(math.abs(sigma2 - s2) < 1e-12)
+    assert(math.abs(negTwoLl - expected) < 1e-9, s"$negTwoLl vs $expected")
+  }
+
+  test("coefToPacf inverts pacfToCoef for stationary AR polynomials") {
+    val pacf = Array(0.6, -0.3, 0.2)
+    val coef = Arima.pacfToCoef(pacf)
+    val back = KalmanMl.coefToPacf(coef)
+    pacf.zip(back).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12, s"$a vs $b") }
+  }
+
+  test("Kalman exact likelihood equals the brute-force covariance likelihood") {
+    // O(n³) reference: ψ-weight autocovariances → Toeplitz Σ → Cholesky
+    def bruteNegTwoLl(z: Array[Double], mu: Double, arFull: Array[Double], maFull: Array[Double]): Double = {
+      val n = z.length
+      val p = arFull.length - 1; val q = maFull.length - 1
+      val nPsi = 2000
+      val psi = new Array[Double](nPsi)
+      psi(0) = 1.0
+      for (j <- 1 until nPsi) {
+        var acc = if (j <= q) maFull(j) else 0.0
+        for (i <- 1 to math.min(j, p)) acc -= arFull(i) * psi(j - i)
+        psi(j) = acc
+      }
+      def gamma(k: Int): Double =
+        (0 until nPsi - k).foldLeft(0.0)((s, j) => s + psi(j) * psi(j + k))
+      val sig = Array.tabulate(n, n)((i, j) => gamma(math.abs(i - j)))
+      val chol = Array.fill(n)(new Array[Double](n))
+      for (i <- 0 until n; j <- 0 to i) {
+        var s = sig(i)(j)
+        for (k <- 0 until j) s -= chol(i)(k) * chol(j)(k)
+        if (i == j) chol(i)(i) = math.sqrt(s) else chol(i)(j) = s / chol(j)(j)
+      }
+      val logDet = (0 until n).map(i => 2.0 * math.log(chol(i)(i))).sum
+      val w = new Array[Double](n)
+      for (i <- 0 until n) {
+        var s = z(i) - mu
+        for (k <- 0 until i) s -= chol(i)(k) * w(k)
+        w(i) = s / chol(i)(i)
+      }
+      val s2 = w.map(v => v * v).sum / n
+      n * math.log(2 * math.Pi) + n * math.log(s2) + logDet + n
+    }
+    val rng = new java.util.Random(3)
+    val z = Array.fill(60)(rng.nextGaussian())
+    val configs = Seq(
+      (Array(1.0, -0.7), Array(1.0)),
+      (Array(1.0, -0.5, 0.2), Array(1.0)),
+      (Array(1.0), Array(1.0, 0.6)),
+      (Array(1.0, -0.6), Array(1.0, 0.4)),
+      (Array(1.0, -0.4, 0.1, -0.05), Array(1.0, 0.3, -0.2)))
+    configs.foreach { case (ar, ma) =>
+      val kal = KalmanMl.exactNegLogLik(z, 0.1, ar, ma)
+      val brute = bruteNegTwoLl(z, 0.1, ar, ma)
+      assert(math.abs(kal._1 - brute) < 1e-8,
+        s"ar=${ar.mkString(",")} ma=${ma.mkString(",")}: ${kal._1} vs $brute")
+    }
+  }
+
+  test("exact-ML refinement recovers the AR(1) coefficient from the CSS warm start") {
+    val rng = new java.util.Random(42)
+    val y = new Array[Double](300)
+    var prev = 0.0
+    (0 until 300).foreach { i => prev = 0.7 * prev + rng.nextGaussian(); y(i) = prev }
+    val (z, _, _) = Arima.difference(y, 0, 0, 1)
+    val css = Arima.fitCandidate(z, Arima.Order(1, 0, 0, 0, 0, 0, mean = true), 1).get
+    val ml = Arima.fitCandidateExact(z, css, 1).get
+    assert(math.abs(ml.arReg(0) - 0.7) < 0.1, s"phi ${ml.arReg(0)}")
+    // the refinement must not worsen the exact likelihood vs the CSS coefs
+    def ll(c: Arima.CandidateFit) = KalmanMl.exactNegLogLik(z, c.mu,
+      Arima.expand(c.arReg, c.arSeas, 1),
+      Arima.expand(c.maReg.map(-(_: Double)), c.maSeas.map(-(_: Double)), 1))._1
+    assert(ll(ml) <= ll(css) + 1e-6)
+  }
+
+  test("exact-ML rescoring: random walk keeps d=1 and beats ARIMA(0,1,0) on its own criterion") {
+    val rng = new java.util.Random(9)
+    val y = new Array[Double](250)
+    var acc = 0.0
+    (0 until 250).foreach { i => acc += rng.nextGaussian(); y(i) = acc }
+    val model = Arima.fitAuto(y, 1, forceSeasonal = false, Methods.ARIMA)
+    assert(model.fit.order.d == 1, "KPSS must difference a random walk")
+    // selection coherence: the winner's exact AICc is at least as good as
+    // the null ARIMA(0,1,0)'s (which the grid must now contain)
+    val (z, _, _) = Arima.difference(y, 1, 0, 1)
+    val nullCss = Arima.fitCandidate(z, Arima.Order(0, 1, 0, 0, 0, 0, mean = false), 1).get
+    val nullMl = Arima.fitCandidateExact(z, nullCss, 1).get
+    assert(model.fit.aicc <= nullMl.aicc + 1e-9,
+      s"winner ${model.fit.order} aicc ${model.fit.aicc} vs null ${nullMl.aicc}")
+    checkContract(model.forecast(H), H)
+  }
+
+  test("rescore set always includes the lowest-complexity candidates") {
+    val rng = new java.util.Random(4)
+    val z = Array.fill(150)(rng.nextGaussian())
+    val cands = Arima.candidateOrders(0, 0, 1, seasonal = false)
+      .flatMap(o => Arima.fitCandidate(z, o, 1))
+    val set = Arima.rescoreSet(cands)
+    val minK = cands.map(_.order.k).min
+    assert(set.exists(_.order.k == minK), "parsimonious candidate missing from rescore set")
+    assert(set.size <= KalmanMl.RescoreTop + 3)
+  }
+
   test("ARIMA_FORCE_SEASONALITY forces the seasonal difference and continues the pattern") {
     val m = 7
     val y = Array.tabulate(100)(i => 10.0 + (i % m) + 0.01 * i)
