@@ -130,6 +130,9 @@ object SparkEntry {
     "fc_nn" -> fcQuery(Methods.NN),
     "fc_hybrid" -> fcQuery(Methods.HYBRID),
     "fc_prophet" -> fcQuery(Methods.PROPHET),
+    // component-only method surfaced as a first-class query (R:324's
+    // hybrid includes tbats; standalone TBATS is an engine extension)
+    "fc_tbats" -> fcQuery(Methods.TBATS),
     // -- relational surface (SURVEY.md §2.2 B-G) ---------------------------
     "q1_pricing" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
     "star_join_revenue" -> ((s, dir) => Relational.starJoinRevenue(s, dir)),
