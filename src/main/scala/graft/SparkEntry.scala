@@ -145,12 +145,15 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_fingerprint" -> ((s, dir) => Dedup.exactByFingerprint(s, dir)),
     "dup_groups" -> ((s, dir) => Dedup.duplicateGroups(s, dir)),
+    "dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "winnow_fingerprints" -> ((s, dir) => TextAnalysis.winnowFingerprints(s, dir)),
+    "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
+    "pii_scan" -> ((s, dir) => TextAnalysis.piiScan(s, dir)),
     // -- near-dup / similarity / multimodal / as-of (north-star §2.3) ------
     "ngram_jaccard" -> ((s, dir) => NearDup.blockedJaccard(s, dir)),
     "minhash_candidates" -> ((s, dir) => NearDup.minhashCandidates(s, dir)),
@@ -357,6 +360,62 @@ object SparkEntry {
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY text HAVING count(*) > 1
         |ORDER BY keeper_id""".stripMargin,
+    // transitive closure of the unigram-jaccard edges via a recursive
+    // CTE — the oracle for the engine's iterative label propagation
+    "dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, lang, source, len(toks) AS n, unnest(toks) AS w FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM x a JOIN x b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        |  HAVING round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) >= 0.95),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+        |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tfx AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms
+        |  WHERE length(term) > 0 GROUP BY doc_id, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tfx GROUP BY term),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tfx.doc_id, tfx.term, tfx.tf, dfx.df,
+        |    tfx.tf * (ln((nd.n_docs + 1.0) / (dfx.df + 1.0)) + 1.0) AS score_raw
+        |  FROM tfx JOIN dfx USING (term) CROSS JOIN nd)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+        |  round(score_raw, 6) AS score
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_raw DESC, term ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "pii_scan" ->
+      """SELECT doc_id, n_emails, n_urls, n_longnums,
+        |  (n_emails + n_urls + n_longnums) > 0 AS flagged
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+        |    CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_longnums
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, n_chars,
         |  length(text) AS len,

@@ -48,4 +48,58 @@ object Dedup {
       .filter(col("n_copies") > 1)
       .select(col("keeper_id"), col("n_copies"))
       .orderBy(col("keeper_id"))
+
+  /** Near-duplicate CLUSTERS: connected components over the blocked-
+    * Jaccard candidate pairs (threshold 0.95 word-unigram, the
+    * hash-verified `ngram_jaccard` edge set), by iterative min-label
+    * propagation — the dedup step that turns pairwise "A≈B" into "keep
+    * one doc per transitive group", which pair lists alone cannot
+    * express (A≈B, B≈C ⇒ {A,B,C} even when A̸≈C).
+    *
+    * Each round is one shuffled join + min-aggregation: every node
+    * adopts the smallest label among itself and its neighbors. Rounds
+    * needed = graph diameter ≤ O(log n) for near-dup clusters (which
+    * are near-cliques — usually 2 rounds). The driver loop only
+    * compares a per-round convergence COUNT (one long), never rows;
+    * at 1000 executors each round is a plain distributed join. The
+    * classic large-star/small-star optimization halves the rounds at
+    * extreme diameters; near-dup graphs never get there.
+    *
+    * Output: (doc_id, cluster_id = min doc_id of the component,
+    * cluster_size) for every document (singletons cluster with
+    * themselves). Deterministic ⇒ DuckDB-oracle-checkable via a
+    * recursive CTE. */
+  def dupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
+    val pairs = NearDup.blockedJaccard(spark, sfDir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    // undirected edge list, both directions
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .localCheckpoint() // the edge set is reused every round — cut the lineage once
+    var labels = docs(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
+        .localCheckpoint() // truncate the per-round lineage (iterative plan growth)
+      // convergence probe scans the (tiny, checkpointed) label table only
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
 }

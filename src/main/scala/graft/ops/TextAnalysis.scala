@@ -102,6 +102,54 @@ object TextAnalysis {
         xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF top terms per document — the vocabulary/relevance operator
+    * of a text pipeline (term weighting for filtering, topic snapshots,
+    * keyword dedup keys). Declarative end to end:
+    * explode(split) → per-(doc, term) counts (TF) → per-term document
+    * frequency (DF, one distinct-style aggregation) → smooth IDF
+    * ln((N+1)/(df+1)) + 1 → row_number top-k per doc by
+    * (score desc, term asc). Two shuffles: (doc, term) and the window
+    * on doc — both bounded keys; nothing carries full texts. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val d = docs(spark, sfDir)
+    val nDocs = d.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val terms = d
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score_raw").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_raw",
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), round(col("score_raw"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** PII / contamination surface scan — the decontamination screen of a
+    * training-data pipeline: per-document counts of email-shaped spans,
+    * URLs, and long digit runs (id/credit-card-shaped), plus a flagged
+    * bit. Patterns are deliberately RE2-safe (no backtracking
+    * constructs) so the same regex text runs identically in Spark and
+    * the DuckDB oracle; `regexp_count` is codegen'd — a full-corpus
+    * scan with zero shuffles before the final sort. */
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+")).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit("https?://[^ \\t\\n]+")).cast("long").as("n_urls"),
+        regexp_count(col("text"), lit("[0-9]{9,}")).cast("long").as("n_longnums"))
+      .withColumn("flagged",
+        (col("n_emails") + col("n_urls") + col("n_longnums")) > 0)
+      .orderBy(col("doc_id"))
+
   /** Rolling-hash document sketch: hash every k-char window of the
     * normalized text (the Rabin–Karp/winnowing shape) and keep the
     * bottom-`sketchSize` window hashes — a locality-sensitive sketch

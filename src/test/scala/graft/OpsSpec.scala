@@ -121,6 +121,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("dup clusters: edge endpoints share a cluster, cluster_id is the member min") {
+    import graft.ops.Dedup
+    val pairs = NearDup.blockedJaccard(spark, sfDir, 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every document is labeled
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(clusters.size == nDocs)
+    // transitivity: each edge's endpoints landed in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"edge ($a,$b) split across clusters")
+    }
+    // cluster_id is the min member; sizes are consistent
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid is not its min member")
+      members.values.foreach { case (_, sz) => assert(sz == members.size) }
+    }
+  }
+
+  test("tf-idf top terms: ranks dense, scores consistent with tf and df") {
+    val rows = graft.ops.TextAnalysis.tfidfTopTerms(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    rows.groupBy(_.getLong(0)).foreach { case (docId, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length), s"doc $docId ranks not dense")
+      rs.foreach { r =>
+        val tf = r.getLong(3); val df = r.getLong(4); val score = r.getDouble(5)
+        assert(tf >= 1 && df >= 1 && df <= nDocs)
+        val expected = tf * (math.log((nDocs + 1.0) / (df + 1.0)) + 1.0)
+        assert(math.abs(score - expected) < 1e-4, s"doc $docId term ${r.getString(2)}")
+      }
+    }
+  }
+
+  test("pii scan counts match a direct regex count on the raw text") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.ops.TextAnalysis.piiScan(spark, sfDir).collect()
+    assert(rows.length == texts.size)
+    def countOf(pattern: String, s: String): Long =
+      java.util.regex.Pattern.compile(pattern).matcher(s).results().count()
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      assert(r.getLong(1) == countOf("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", t))
+      assert(r.getLong(2) == countOf("https?://[^ \\t\\n]+", t))
+      assert(r.getLong(3) == countOf("[0-9]{9,}", t))
+      assert(r.getBoolean(4) == (r.getLong(1) + r.getLong(2) + r.getLong(3) > 0))
+    }
+  }
+
   test("as-of daily spine is dense per key and forward-fills gaps") {
     val rows = Relational.asofDailySpine(spark, sfDir).collect()
     val byType = rows.groupBy(_.getString(0))
