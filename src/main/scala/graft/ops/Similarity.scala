@@ -135,13 +135,21 @@ object Similarity {
     * O(n²) to O(n²·nprobe/nlist); the centroid table is driver-tiny and
     * broadcast. The array→VectorUDT bridge is MLlib's own
     * `array_to_vector` (codegen-friendly, no Scala UDF). Recall depends
-    * on (nlist, nprobe) — rows-only check. */
-  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 16, nprobe: Int = 3): DataFrame = {
+    * on (nlist, nprobe) — rows-only check.
+    *
+    * `nlist ≤ 0` auto-tunes to ~√n (the standard IVF sizing: per-cell
+    * list length ≈ √n balances the coarse-search and rerank costs),
+    * clamped to [4, 4096]; the count() behind it is a metadata-scale
+    * aggregate, not a data collect. */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 0, nprobe: Int = 3): DataFrame = {
     import spark.implicits._
     val e = emb(spark, sfDir)
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("v")))
+    val nl =
+      if (nlist > 0) nlist
+      else math.min(4096, math.max(4, math.round(math.sqrt(e.count().toDouble)).toInt))
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(42L).setMaxIter(10)
+      .setK(nl).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(e)
     val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))

@@ -30,6 +30,22 @@ object EventIngest {
       .select(col("element"), col("w.start").as("day_start"),
         col("n_obs"), col("sum_value"), col("avg_value"))
 
+  /** Streaming exact dedup — the live-ingest guard of the dedup suite
+    * (§2.3): drop events whose content fingerprint was already seen
+    * within the watermark window. `dropDuplicatesWithinWatermark` keys
+    * the state store on the fingerprint and expires entries once the
+    * watermark passes, so state is bounded by (dedup horizon ×
+    * ingest rate), not by stream length — the only formulation that
+    * survives an unbounded stream. The fingerprint is the same
+    * xxhash64(normalized text) key as the batch `Dedup
+    * .exactByFingerprint`, so batch backfill and live ingest agree on
+    * what "duplicate" means. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Wire a parquet-directory stream of raw events into the daily
     * aggregate, appending to `outDir` with checkpointing — the live
     * observation-store writer. */

@@ -243,6 +243,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains(("a", day * 101, 1L, 6.0)))
   }
 
+  test("streaming dedup drops watermark-window duplicates and keeps distinct texts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val t0 = 86400000L * 19000
+    mem.addData(
+      (new java.sql.Timestamp(t0 + 1000), "alpha beta"),
+      (new java.sql.Timestamp(t0 + 2000), "alpha  beta"),  // same normalized fingerprint
+      (new java.sql.Timestamp(t0 + 3000), "gamma delta"),
+      (new java.sql.Timestamp(t0 + 4000), "ALPHA BETA"))   // lowercased ⇒ duplicate again
+    val q = EventIngest.dedupStream(mem.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text").collect().map(_.getString(0))
+      assert(texts.length == 2, s"expected 2 survivors, got ${texts.mkString("|")}")
+      val fps = texts.map(t => t.toLowerCase.trim.replaceAll("\\s+", " ")).toSet
+      assert(fps == Set("alpha beta", "gamma delta"))
+    } finally q.stop()
+  }
+
   test("streaming daily aggregate matches the batch plan on the same data") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
