@@ -146,6 +146,7 @@ object SparkEntry {
     "dedup_fingerprint" -> ((s, dir) => Dedup.exactByFingerprint(s, dir)),
     "dup_groups" -> ((s, dir) => Dedup.duplicateGroups(s, dir)),
     "dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
+    "curate_corpus" -> ((s, dir) => Dedup.curateCorpus(s, dir)),
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -386,6 +387,52 @@ object SparkEntry {
         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
         |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    // the composed curation pipeline: quality >= 0.5 AND no PII AND
+    // near-dup cluster representative — every stage's oracle fused
+    "curate_corpus" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, lang, source, len(toks) AS n, unnest(toks) AS w FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM x a JOIN x b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        |  HAVING round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) >= 0.95),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        |qf AS (
+        |  SELECT doc_id, lang, source,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      y -> list_contains(['the','a','and','of','to','in','is','on','for','with'], y))) AS DOUBLE)
+        |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stop_ratio,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_density
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id, lang, source,
+        |    round((len_score + stop_ratio + (1.0 - punct_density)) / 3.0, 6) AS quality
+        |  FROM qf),
+        |pii AS (
+        |  SELECT doc_id,
+        |    (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+        |     + len(regexp_extract_all(text, 'https?://[^ \t\n]+'))
+        |     + len(regexp_extract_all(text, '[0-9]{9,}'))) > 0 AS flagged
+        |  FROM documents)
+        |SELECT qual.doc_id, qual.lang, qual.source, qual.quality
+        |FROM qual JOIN pii USING (doc_id) JOIN lab USING (doc_id)
+        |WHERE qual.quality >= 0.5 AND NOT pii.flagged AND lab.doc_id = lab.cluster_id
+        |ORDER BY qual.doc_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

@@ -102,4 +102,33 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
+
+  /** The composed curation pipeline — what a training-data run actually
+    * executes over 100 TB: quality filter → PII screen → one-per-near-
+    * dup-cluster dedup, in one declarative plan.
+    *
+    * Keep a document iff (a) its composite quality score ≥ `minQuality`
+    * ([[TextAnalysis.qualityScore]]), (b) the PII scan found nothing
+    * ([[TextAnalysis.piiScan]]), and (c) it is its near-dup cluster's
+    * representative (`doc_id == cluster_id` from [[dupClusters]] —
+    * cluster structure is computed over the FULL corpus, so the
+    * min-doc_id representative is stable regardless of which members
+    * the filters drop). Each input is itself hash-verified against its
+    * own oracle; the composition is verified against a combined oracle
+    * too, so the end-to-end keep set is exact, not just plausible. */
+  def curateCorpus(spark: SparkSession, sfDir: String, minQuality: Double = 0.5): DataFrame = {
+    val quality = graft.ops.TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+    val pii = graft.ops.TextAnalysis.piiScan(spark, sfDir)
+      .select(col("doc_id"), col("flagged"))
+    val clusters = dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    quality
+      .join(pii, "doc_id")
+      .join(clusters, "doc_id")
+      .filter(col("quality") >= minQuality && !col("flagged")
+        && col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -141,6 +141,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("curated corpus = quality-pass AND pii-clean AND cluster representative") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val kept = Dedup.curateCorpus(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val quality = TextAnalysis.qualityScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val flagged = TextAnalysis.piiScan(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val reps = Dedup.dupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(0) == r.getLong(1))).toMap
+    val expected = quality.keySet.filter(d => quality(d) >= 0.5 && !flagged(d) && reps(d))
+    assert(kept == expected,
+      s"curation set mismatch: extra=${kept -- expected} missing=${expected -- kept}")
+    assert(kept.nonEmpty, "curation should keep at least one document at sf0.001")
+  }
+
   test("tf-idf top terms: ranks dense, scores consistent with tf and df") {
     val rows = graft.ops.TextAnalysis.tfidfTopTerms(spark, sfDir).collect()
     assert(rows.nonEmpty)
