@@ -50,12 +50,23 @@ object NearDup {
   /** Exact token-set Jaccard within (lang, source) blocks: explode →
     * equi-join on (block, token) → per-pair intersection count →
     * |A∪B| = |A| + |B| − |A∩B|. One shuffle on the block+token key; the
-    * block bound keeps each join group small regardless of corpus size. */
+    * block bound keeps each join group small regardless of corpus size.
+    *
+    * The join key is xxhash64(token), not the token string: the hot
+    * shuffle carries 8-byte longs instead of variable-length text, and
+    * the sort/compare in the join is primitive. Exactness argument: a
+    * token-hash collision WITHIN one (lang, source, doc-pair) group is
+    * the only way a count can differ from the string join — p ≈ d²/2⁶⁵
+    * for d distinct tokens per block, negligible even at 10⁹ tokens
+    * (and the DuckDB oracle, which joins on strings, hash-verifies the
+    * result at test scale). */
   def blockedJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.95,
       ngram: Int = 1): DataFrame = {
     val t = shingles(spark, sfDir, ngram)
       .select(col("doc_id"), col("lang"), col("source"),
-        size(col("toks")).as("n"), explode(col("toks")).as("w"))
+        size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n"),
+        xxhash64(col("tok")).as("w"))
     val a = t.select(col("lang"), col("source"), col("w"),
       col("doc_id").as("doc_a"), col("n").as("na"))
     val b = t.select(col("lang"), col("source"), col("w"),
