@@ -46,6 +46,59 @@ object EventIngest {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Per-element streaming state for [[anomalyStream]]: EWMA mean and
+    * variance plus the observation count. */
+  final case class EwmaState(mean: Double, variance: Double, n: Long)
+  final case class AnomalyPoint(
+      element: String, ts: java.sql.Timestamp, value: Double,
+      ewma: Double, zscore: Double, isAnomaly: Boolean)
+
+  /** Streaming anomaly detection with CUSTOM state — the
+    * `flatMapGroupsWithState` tier of the streaming surface (arbitrary
+    * per-key state beyond what windowed aggregation can express): each
+    * element carries an exponentially-weighted mean/variance across
+    * micro-batches; every event is scored z = (x − μ)/σ against the
+    * state BEFORE it updates it (so a level shift flags immediately),
+    * and |z| > `zThreshold` marks an anomaly once the element has seen
+    * `minObs` observations (EWMA variance underestimates scale during
+    * warm-up, so unbaked state must not flag). Events inside one batch
+    * are processed in (ts) order for determinism regardless of
+    * partition arrival order; state is O(1) per element.
+    *
+    * This is the live-data twin of the batch forecasting path: the same
+    * per-element grouping key, state that a 1000-executor cluster
+    * shards by element, and no unbounded buffering anywhere. */
+  def anomalyStream(events: DataFrame, alpha: Double = 0.1,
+      zThreshold: Double = 3.0, minObs: Long = 10L): org.apache.spark.sql.Dataset[AnomalyPoint] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val session = events.sparkSession
+    import session.implicits._
+    events
+      .select(col("event_type"), col("ts"), col("value").cast("double"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (element: String, it: Iterator[(String, java.sql.Timestamp, Double)],
+         state: GroupState[EwmaState]) => {
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0.0, 0L))
+          val out = it.toArray.sortBy(_._2.getTime).map { case (_, ts, x) =>
+            val sd = math.sqrt(st.variance)
+            val z =
+              if (st.n < 2 || sd < 1e-12) 0.0 // no scale estimate yet
+              else (x - st.mean) / sd
+            val baked = st.n >= minObs
+            val d = x - st.mean
+            st =
+              if (st.n == 0) EwmaState(x, 0.0, 1L)
+              else EwmaState(st.mean + alpha * d,
+                (1.0 - alpha) * (st.variance + alpha * d * d), st.n + 1)
+            AnomalyPoint(element, ts, x, st.mean, z, baked && math.abs(z) > zThreshold)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Wire a parquet-directory stream of raw events into the daily
     * aggregate, appending to `outDir` with checkpointing — the live
     * observation-store writer. */

@@ -279,6 +279,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming anomaly detector: custom EWMA state flags a level shift across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val t0 = 86400000L * 19000
+    def ev(i: Int, v: Double) = ("a", new java.sql.Timestamp(t0 + i * 1000L), v)
+    // batch 1: a stable signal establishes the state
+    mem.addData((1 to 20).map(i => ev(i, 10.0 + (if (i % 2 == 0) 0.1 else -0.1))): _*)
+    val q = EventIngest.anomalyStream(
+        mem.toDF().toDF("event_type", "ts", "value"), alpha = 0.1, zThreshold = 3.0)
+      .writeStream.format("memory").queryName("anomaly_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a 100x spike must flag against the carried-over state
+      mem.addData(ev(21, 1000.0), ev(22, 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("anomaly_out")
+        .select("value", "zscore", "isAnomaly").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+      assert(rows.length == 22)
+      val spike = rows.filter(_._1 == 1000.0)
+      assert(spike.length == 1 && spike.head._3, s"spike must flag, got ${spike.mkString}")
+      assert(spike.head._2 > 3.0)
+      // the stable stretch must NOT flag (state crossed the batch boundary)
+      assert(rows.filter(_._1 < 100).forall(!_._3), "stable points must not flag")
+    } finally q.stop()
+  }
+
   test("streaming daily aggregate matches the batch plan on the same data") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
