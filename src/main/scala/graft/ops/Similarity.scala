@@ -96,12 +96,16 @@ object Similarity {
     val dim = e.limit(1).select(size(col("v")).as("d")).head().getInt(0)
     val rng = new scala.util.Random(42L)
     val projs = Array.fill(tables)(Array.fill(dim)(rng.nextGaussian()))
-    val tableRows = (0 until tables).map { t =>
-      val proj = array(projs(t).map(lit(_)): _*)
-      e.select(col("vec_id"), lit(t).as("tbl"),
-        floor(graft.functions.VectorFunctions.dot_product(col("u"), proj) / bucketLength)
-          .cast("long").as("bucket"))
-    }.reduce(_ union _)
+    // all `tables` bucket keys in ONE scan: a struct per table, exploded
+    // — a 4-way union would read and normalize the vectors 4 times
+    val tableRows = e.select(col("vec_id"),
+        explode(array((0 until tables).map { t =>
+          val proj = array(projs(t).map(lit(_)): _*)
+          struct(lit(t).as("tbl"),
+            floor(graft.functions.VectorFunctions.dot_product(col("u"), proj) / bucketLength)
+              .cast("long").as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val bw = Window.partitionBy(col("tbl"), col("bucket"))
     val bucketed = tableRows
       .withColumn("nsplits",
