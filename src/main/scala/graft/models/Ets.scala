@@ -286,11 +286,85 @@ object Ets {
     } yield Spec(e, t, s)
   }
 
+  /** Winner-only refinement that frees the seasonal INITIAL states
+    * (heuristic-fixed during class selection): re-optimize the winning
+    * class's smoothing parameters, level/trend inits, and m−1 free
+    * seasonal states (the last is pinned by the normalization — sum 0
+    * additive, mean 1 multiplicative), warm-started at the selection
+    * optimum. `nParams` already counts the seasonal states, so AICc
+    * dimensionality is unchanged — this is a pure likelihood
+    * refinement, the same two-stage shape as the ARIMA CSS→exact-ML
+    * rescore. Kept only when it does not worsen the likelihood. */
+  def refineSeasonal(y: Array[Double], fit: Fitted, m: Int): Fitted = {
+    val spec = fit.spec
+    if (!spec.hasSeasonal || m <= 1) return fit
+    val mult = spec.seasonal == 'M'
+    val s0h = seasonalInit(y, m, mult)
+    val (l0w, b0w) = levelTrendInit(y, m, s0h, spec.seasonal)
+    val yScale = math.max(1e-8, Stats.stddevSamp(y))
+    def buildS(tail: Array[Double]): Array[Double] = {
+      val s = new Array[Double](m)
+      System.arraycopy(tail, 0, s, 0, m - 1)
+      s(m - 1) = if (mult) m - tail.sum else -tail.sum
+      s
+    }
+    def unpack(x: Array[Double]): (Double, Double, Double, Double, Double, Double, Array[Double]) = {
+      var i = 0
+      val a = x(i); i += 1
+      val b = if (spec.hasTrend) { val v = x(i); i += 1; v } else 0.0
+      val g = x(i); i += 1
+      val p = if (spec.damped) { val v = x(i); i += 1; v } else 1.0
+      val l = x(i); i += 1
+      val bb = if (spec.hasTrend) { val v = x(i); i += 1; v } else 0.0
+      (a, b, g, p, l, bb, buildS(java.util.Arrays.copyOfRange(x, i, i + m - 1)))
+    }
+    def objective(x: Array[Double]): Double = {
+      val (a, b, g, p, l, bb, s0) = unpack(x)
+      if (a <= 1e-4 || a >= 0.9999) return 1e12
+      if (spec.hasTrend && (b <= 1e-4 || b >= a)) return 1e12
+      if (g <= 1e-4 || g >= 1.0 - a) return 1e12
+      if (spec.damped && (p < 0.8 || p > 0.98)) return 1e12
+      if (mult && s0.exists(_ <= 1e-6)) return 1e12
+      val st = filter(y, spec, m, a, b, g, p, l, bb, s0)
+      val v = negLogLik(st, spec.error)
+      if (java.lang.Double.isFinite(v)) v else 1e12
+    }
+    val x0 = {
+      val buf = scala.collection.mutable.ArrayBuffer[Double](fit.alpha)
+      if (spec.hasTrend) buf += fit.beta
+      buf += fit.gamma
+      if (spec.damped) buf += fit.phi
+      buf += l0w
+      if (spec.hasTrend) buf += b0w
+      buf ++= s0h.take(m - 1)
+      buf.toArray
+    }
+    val nSmooth = x0.length - (m - 1) - (if (spec.hasTrend) 2 else 1)
+    val step = x0.zipWithIndex.map { case (v, i) =>
+      if (i < nSmooth) 0.05
+      else if (i < x0.length - (m - 1)) math.max(math.abs(v) * 0.1, yScale * 0.1)
+      else if (mult) 0.05 else math.max(math.abs(v) * 0.2, yScale * 0.05)
+    }
+    val (xb, fb) = Optim.nelderMead(objective, x0, step, maxIter = 800, tol = 1e-6)
+    if (fb >= 1e12 || fb > fit.negLL) return fit
+    val (a, b, g, p, l, bb, s0) = unpack(xb)
+    val st = filter(y, spec, m, a, b, g, p, l, bb, s0)
+    if (!java.lang.Double.isFinite(st.sse)) return fit
+    val k = nParams(spec, m)
+    val negLL = negLogLik(st, spec.error)
+    val n = y.length
+    val aicc =
+      if (n - k - 1 <= 0) Double.PositiveInfinity
+      else negLL + 2.0 * k + 2.0 * k * (k + 1.0) / (n - k - 1.0)
+    Fitted(spec, m, a, b, g, p, st.level, st.trend, st.seasonal,
+      (n - 1) % math.max(m, 1), st.sse / n, aicc, negLL)
+  }
+
   /** AICc model selection over the admissible classes — `ets`'s outer
-    * loop (R:167). */
+    * loop (R:167) — then seasonal-init refinement of the winner. */
   def fitAuto(y: Array[Double], m: Int, damped: Option[Boolean]): Option[Fitted] = {
     val fits = candidateSpecs(y, m, damped).flatMap(s => fitSpec(y, s, m))
-    if (fits.isEmpty) None else Some(fits.minBy(_.aicc))
+    if (fits.isEmpty) None else Some(refineSeasonal(y, fits.minBy(_.aicc), m))
   }
 
   /** h-step forecast means + class-1/2 analytic variance approximation:
