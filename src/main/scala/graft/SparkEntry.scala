@@ -141,6 +141,8 @@ object SparkEntry {
     "customer_order_coverage" -> ((s, dir) => Relational.customerOrderCoverage(s, dir)),
     "user_set_ops" -> ((s, dir) => Relational.userSetOps(s, dir)),
     "props_extract" -> ((s, dir) => Relational.propsExtract(s, dir)),
+    "revenue_rollup" -> ((s, dir) => Relational.revenueRollup(s, dir)),
+    "sliding_7d_revenue" -> ((s, dir) => Relational.sliding7dRevenue(s, dir)),
     // -- dedup / text analysis (north-star extensions, SURVEY.md §2.3) -----
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_fingerprint" -> ((s, dir) => Dedup.exactByFingerprint(s, dir)),
@@ -351,6 +353,28 @@ object SparkEntry {
       """SELECT k, count(*) AS n FROM (
         |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |WHERE k IS NOT NULL GROUP BY k ORDER BY k""".stripMargin,
+    "revenue_rollup" ->
+      """SELECT
+        |  CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS r_name,
+        |  CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS n_name,
+        |  count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin,
+    "sliding_7d_revenue" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+        |SELECT event_type, day, round(v, 6) AS v,
+        |  round(CAST(sum(CAST(v AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS v7
+        |FROM daily ORDER BY event_type, day""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,

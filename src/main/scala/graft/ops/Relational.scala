@@ -130,6 +130,43 @@ object Relational {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** ROLLUP aggregation (SURVEY.md §2.2-D breadth): revenue by region,
+    * nation, and the region/grand subtotals in one pass — Spark plans a
+    * single `Expand` + hash aggregate, not one scan per grouping level.
+    * Subtotal keys are rendered as 'ALL' via `grouping()` so the output
+    * carries no NULL group keys (and the oracle compares exactly). */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .join(broadcast(t(spark, sfDir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("total_price"),
+        grouping(col("r_name")).as("gr"), grouping(col("n_name")).as("gn"))
+      .select(
+        when(col("gr") === 1, lit("ALL")).otherwise(col("r_name")).as("r_name"),
+        when(col("gn") === 1, lit("ALL")).otherwise(col("n_name")).as("n_name"),
+        col("n_orders"), round(col("total_price"), 6).as("total_price"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** RANGE-frame window (SURVEY.md §2.2-E breadth): trailing-7-day
+    * revenue per element. The frame is a true range over days (a gap
+    * day shrinks the window), not a 7-ROW frame; the trailing sum
+    * accumulates in DECIMAL so frame-iteration order cannot perturb the
+    * double result on either engine. */
+  def sliding7dRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), graft.sources.Tables.tsDay("ts").as("day"))
+      .agg(dsum("value").as("v"))
+      .withColumn("dayn", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dayn")).rangeBetween(-6, 0)
+    daily
+      .withColumn("v7", sum(col("v").cast("decimal(18,4)")).over(w).cast("double"))
+      .select(col("event_type"), col("day"), round(col("v"), 6).as("v"),
+        round(col("v7"), 6).as("v7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** JSON scalar extraction from the events `props` column (SURVEY.md
     * §2.2-I: the ES `_source` parsing analogue). Schema'd `from_json`
     * rather than a per-row JSON-path probe: one Jackson parse per row

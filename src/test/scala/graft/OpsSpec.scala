@@ -188,6 +188,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rollup subtotals: each region's ALL row equals the sum of its nation rows") {
+    val rows = Relational.revenueRollup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(grand.length == 1)
+    val regions = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    regions.foreach { case (region, _, n, total) =>
+      val nations = rows.filter(r => r._1 == region && r._2 != "ALL")
+      assert(nations.map(_._3).sum == n, s"$region order-count subtotal")
+      assert(math.abs(nations.map(_._4).sum - total) < 1e-4, s"$region revenue subtotal")
+    }
+    assert(regions.map(_._3).sum == grand.head._3, "grand total")
+  }
+
+  test("7-day range frame shrinks over gaps (frame sum never exceeds 7 daily rows)") {
+    val rows = Relational.sliding7dRevenue(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getDouble(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byDay = rs.sortBy(_._2)
+      byDay.foreach { case (_, day, _, v7) =>
+        val expected = byDay.filter(r => r._2 <= day && r._2 > day - 7).map(_._3).sum
+        assert(math.abs(v7 - expected) < 1e-4, s"day $day trailing sum $v7 vs $expected")
+      }
+    }
+  }
+
   test("as-of daily spine is dense per key and forward-fills gaps") {
     val rows = Relational.asofDailySpine(spark, sfDir).collect()
     val byType = rows.groupBy(_.getString(0))
