@@ -176,6 +176,8 @@ object SparkEntry {
         .orderBy("element", "step")
     }),
     "embedding_stats" -> ((s, dir) => Similarity.embeddingStats(s, dir)),
+    "embedding_quantize" -> ((s, dir) => Similarity.quantizeStats(s, dir)),
+    "ivf_residual_quantize" -> ((s, dir) => Similarity.residualQuantizeStats(s, dir)),
     "media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
     "asof_daily_value" -> ((s, dir) => Relational.asofDailySpine(s, dir)),
   )
@@ -590,6 +592,24 @@ object SparkEntry {
         |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding), 4) AS mean_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0, 1e-30) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, scale, list_transform(v, x -> round(x / scale)) AS qq FROM s),
+        |err AS (
+        |  SELECT vec_id, scale, len(v) AS d,
+        |    list_transform(list_zip(v, qq), p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)) AS ee
+        |  FROM q)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_sum(ee) / d, 8) AS mse,
+        |  round(sqrt(list_aggregate(ee, 'max')), 6) AS max_err
+        |FROM err ORDER BY vec_id""".stripMargin,
     "media_features" ->
       """WITH m AS (
         |  SELECT doc_id,

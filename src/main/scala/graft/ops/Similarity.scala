@@ -184,6 +184,62 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Scalar int8 quantization of the embedding column — the 4×
+    * storage-compression step of a 100 TB embedding store. Per vector:
+    * scale = max|xᵢ|/127, qᵢ = round(xᵢ/scale) ∈ [−127, 127],
+    * reconstruction x̂ᵢ = qᵢ·scale. Emits per-vector reconstruction
+    * error stats (the quantization-quality screen); everything is
+    * `transform`/`aggregate` built-ins — codegen'd, zero shuffles
+    * before the output sort, and exactly reproducible in SQL. */
+  def quantizeStats(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir)
+      .withColumn("scale",
+        greatest(expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))") / 127.0,
+          lit(1e-30))) // all-zero vector: degenerate scale, zero error
+      .withColumn("q", expr("transform(v, x -> CAST(round(x / scale) AS INT))"))
+      .withColumn("err", expr("transform(zip_with(v, q, (x, qq) -> x - qq * scale), e -> e * e)"))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        round(expr("aggregate(err, 0D, (acc, e) -> acc + e)") / size(col("v")), 8).as("mse"),
+        round(sqrt(expr("aggregate(err, 0D, (acc, e) -> greatest(acc, e))")), 6).as("max_err"))
+      .orderBy(col("vec_id"))
+
+  /** IVF + residual quantization — the composed memory-scale path
+    * (SURVEY §7 round-4 item): assign each vector to its KMeans cell
+    * (seeded coarse quantizer, same as [[ivfTopK]]), int8-quantize the
+    * RESIDUAL x − centroid (residuals are centered and small, so the
+    * same 8 bits buy more precision than quantizing x directly), and
+    * report per-cell reconstruction error. At scale the store keeps
+    * (cell id, int8 residual, scale) — 4×+ compression with
+    * centroid-aware reconstruction; the centroid table is the only
+    * broadcast. Rows-only check (KMeans internals are seed-
+    * deterministic but not SQL-reproducible). */
+  def residualQuantizeStats(spark: SparkSession, sfDir: String, nlist: Int = 16): DataFrame = {
+    val e = emb(spark, sfDir)
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("v")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(e)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val centDf = spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }).toDF("cell", "centroid")
+    model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+      .join(broadcast(centDf), "cell")
+      .withColumn("r", expr("zip_with(v, centroid, (x, c) -> x - c)"))
+      .withColumn("scale",
+        greatest(expr("aggregate(r, 0D, (acc, x) -> greatest(acc, abs(x)))") / 127.0,
+          lit(1e-30)))
+      .withColumn("err", expr(
+        "transform(zip_with(r, transform(r, x -> CAST(round(x / scale) AS INT)), " +
+          "(x, qq) -> x - qq * scale), e -> e * e)"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(expr("aggregate(err, 0D, (acc, e) -> acc + e)") / size(col("v"))), 8).as("mean_mse"),
+        round(max(col("scale")), 6).as("max_scale"))
+      .orderBy(col("cell"))
+  }
+
   /** Per-vector norm/mean stats — embedding hygiene screening (zero or
     * exploding norms break ANN); oracle-checkable in plain SQL. */
   def embeddingStats(spark: SparkSession, sfDir: String): DataFrame =

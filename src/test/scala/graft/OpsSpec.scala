@@ -92,6 +92,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree >= (exact.size * 0.5).toInt, s"partial-probe agreement $agree/${exact.size}")
   }
 
+  test("int8 quantization: max reconstruction error bounded by half a quantization step") {
+    val rows = Similarity.quantizeStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1); val mse = r.getDouble(2); val maxErr = r.getDouble(3)
+      assert(scale > 0)
+      // both outputs are rounded to 6dp, so allow that rounding slack
+      assert(maxErr <= scale / 2.0 + 1e-6, s"vec ${r.getLong(0)}: maxErr $maxErr vs step $scale")
+      assert(mse <= maxErr * maxErr + 1e-12)
+    }
+    val cells = Similarity.residualQuantizeStats(spark, sfDir, nlist = 4).collect()
+    assert(cells.length == 4)
+    assert(cells.map(_.getLong(1)).sum == spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+    cells.foreach(c => assert(c.getDouble(2) >= 0.0))
+  }
+
   test("multimodal batched decode emits stub features consistent with payload bytes") {
     val feats = Multimodal.mediaFeatures(spark, sfDir).collect()
     assert(feats.nonEmpty)
