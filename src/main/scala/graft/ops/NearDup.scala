@@ -73,6 +73,11 @@ object NearDup {
       col("doc_id").as("doc_b"), col("n").as("nb"))
     a.join(b, Seq("lang", "source", "w"))
       .filter(col("doc_a") < col("doc_b"))
+      // length filter (standard set-similarity-join pruning): J(A,B) ≤
+      // min(|A|,|B|)/max(|A|,|B|), so J ≥ t requires the token-set
+      // sizes to be within a factor t — provably output-preserving, and
+      // it drops cross-size pairs BEFORE the count aggregation
+      .filter(col("na") >= col("nb") * threshold && col("nb") >= col("na") * threshold)
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
