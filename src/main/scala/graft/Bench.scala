@@ -34,15 +34,23 @@ object Bench {
       if (t > 5.0) name -> (math.min(t, timeOne(SparkEntry.queries(name))), t, 2)
       else name -> (t, t, 1)
     }
+    // Locale.ROOT: a comma decimal separator from the platform locale
+    // would silently break the JSON
+    def r4(x: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
     def jmap(f: ((String, (Double, Double, Int))) => String) =
       results.map(f).mkString("{", ",", "}")
-    val qs = jmap { case (k, (best, _, _)) => s"\"" + k + "\":" + best }
-    val raw = jmap { case (k, (_, first, _)) => s"\"" + k + "\":" + first }
+    val qs = jmap { case (k, (best, _, _)) => s"\"" + k + "\":" + r4(best) }
+    val raw = jmap { case (k, (_, first, _)) => s"\"" + k + "\":" + r4(first) }
     val runs = jmap { case (k, (_, _, n)) => s"\"" + k + "\":" + n }
     val total = results.values.map(_._1).sum
     val rawTotal = results.values.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""raw_first_pass":$raw,"raw_total":$rawTotal,"runs":$runs,"sf":"$sfDir"}""")
+    // Variance detail (first-pass timings + per-query run counts) goes on
+    // its OWN line so readers can see the steal-vs-steady spread; the
+    // driver-parsed contract line below stays compact — round 3's single
+    // mega-line overflowed the driver's output capture and the official
+    // bench record was lost ("parsed": null).
+    println(s"""{"detail":"bench_raw","raw_first_pass":$raw,"raw_total":${r4(rawTotal)},"runs":$runs}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

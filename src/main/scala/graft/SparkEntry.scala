@@ -414,7 +414,8 @@ object SparkEntry {
         |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
     // the composed curation pipeline: quality >= 0.5 AND no PII AND
-    // near-dup cluster representative — every stage's oracle fused
+    // min-doc_id representative among each near-dup cluster's SURVIVING
+    // members — every stage's oracle fused
     "curate_corpus" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, lang, source,
@@ -454,11 +455,15 @@ object SparkEntry {
         |    (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
         |     + len(regexp_extract_all(text, 'https?://[^ \t\n]+'))
         |     + len(regexp_extract_all(text, '[0-9]{9,}'))) > 0 AS flagged
-        |  FROM documents)
-        |SELECT qual.doc_id, qual.lang, qual.source, qual.quality
-        |FROM qual JOIN pii USING (doc_id) JOIN lab USING (doc_id)
-        |WHERE qual.quality >= 0.5 AND NOT pii.flagged AND lab.doc_id = lab.cluster_id
-        |ORDER BY qual.doc_id""".stripMargin,
+        |  FROM documents),
+        |surv AS (
+        |  SELECT qual.doc_id, qual.lang, qual.source, qual.quality, lab.cluster_id
+        |  FROM qual JOIN pii USING (doc_id) JOIN lab USING (doc_id)
+        |  WHERE qual.quality >= 0.5 AND NOT pii.flagged),
+        |rep AS (SELECT cluster_id, min(doc_id) AS rep_id FROM surv GROUP BY cluster_id)
+        |SELECT surv.doc_id, surv.lang, surv.source, surv.quality
+        |FROM surv JOIN rep ON surv.cluster_id = rep.cluster_id AND surv.doc_id = rep.rep_id
+        |ORDER BY surv.doc_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

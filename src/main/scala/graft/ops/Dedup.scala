@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators over the `documents` table (north-star
   * extension surface). Exact dedup here; MinHash/SimHash/Jaccard variants
@@ -49,54 +50,119 @@ object Dedup {
       .select(col("keeper_id"), col("n_copies"))
       .orderBy(col("keeper_id"))
 
+  // -------------------------------------------------------------------
+  // Connected components: alternating large-star / small-star
+  // (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  // SoCC 2014). Unlike plain min-label propagation — whose round count
+  // is the graph DIAMETER, so a 21-doc near-dup chain silently exits a
+  // 20-round cap with wrong labels — the alternation contracts every
+  // component to a min-rooted star in O(log² n) rounds regardless of
+  // diameter, and the root is always the component minimum (the min
+  // only ever acquires edges, never loses its rank).
+  //
+  // Edge representation: directed (u, v) with u > v (each edge points
+  // at the smaller endpoint). Both operations preserve that invariant.
+  // -------------------------------------------------------------------
+
+  /** Large-star: for each node u, connect every STRICTLY LARGER
+    * neighbor to min(Γ(u) ∪ {u}). Neighborhoods are symmetric, so the
+    * edge list is mirrored before grouping. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbr = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbr.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    // emitted (v, m) keeps the u > v invariant: v > u ≥ m
+    nbr.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: for each node u, connect u and every smaller-or-equal
+    * neighbor to min(Γ(u)). With the u > v invariant every stored edge
+    * already points small-ward, so no mirroring is needed. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val withM = e.join(mins, "u")
+    withM.select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .union(withM.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Labels from the blocked-Jaccard near-dup graph: (doc_id,
+    * cluster_id = min doc_id of the connected component) for EVERY
+    * document (singletons label themselves).
+    *
+    * Each alternation round is a handful of shuffled joins/aggregations
+    * over the (shrinking) edge list — longs only, never text — with a
+    * `localCheckpoint` per round to stop iterative plan growth. The
+    * driver-side loop compares only a (count, xor-of-hashes) checksum
+    * per round, never rows; checksum equality on a distinct edge set is
+    * set equality up to a 2⁻⁶⁴ hash-collision. If the cap is ever hit
+    * before convergence the method THROWS rather than returning wrong
+    * labels (the cap is far above the O(log² n) bound — hitting it
+    * means a bug, not a big graph). */
+  private def computeClusterLabels(spark: SparkSession, sfDir: String,
+      threshold: Double): DataFrame = {
+    val pairs = NearDup.blockedJaccard(spark, sfDir, threshold)
+      .select(col("doc_b").as("u"), col("doc_a").as("v")) // doc_a < doc_b ⇒ u > v
+    var edges = pairs.localCheckpoint()
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(edges)
+    var converged = false
+    var rounds = 0
+    val MaxRounds = 50
+    while (!converged && rounds < MaxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $MaxRounds large/small-star rounds")
+    // converged state = min-rooted stars: each non-root has exactly one
+    // edge to its component min (the groupBy is belt-and-braces)
+    val roots = edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("root"))
+    docs(spark, sfDir)
+      .select(col("doc_id"))
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Session-scoped cache of the near-dup cluster labels, keyed by
+    * (application, corpus dir, threshold): the blocked-Jaccard edge
+    * build is the single most expensive subplan in the suite, and BOTH
+    * [[dupClusters]] and [[curateCorpus]] need the same labels — compute
+    * once per corpus snapshot, persist (a (long, long) pair per doc —
+    * metadata-scale even at 100 TB), and let every consumer reuse it. */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Double), DataFrame]()
+
+  def clusterLabels(spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame =
+    labelCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir, threshold),
+      _ => computeClusterLabels(spark, sfDir, threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
   /** Near-duplicate CLUSTERS: connected components over the blocked-
     * Jaccard candidate pairs (threshold 0.95 word-unigram, the
-    * hash-verified `ngram_jaccard` edge set), by iterative min-label
-    * propagation — the dedup step that turns pairwise "A≈B" into "keep
-    * one doc per transitive group", which pair lists alone cannot
-    * express (A≈B, B≈C ⇒ {A,B,C} even when A̸≈C).
-    *
-    * Each round is one shuffled join + min-aggregation: every node
-    * adopts the smallest label among itself and its neighbors. Rounds
-    * needed = graph diameter ≤ O(log n) for near-dup clusters (which
-    * are near-cliques — usually 2 rounds). The driver loop only
-    * compares a per-round convergence COUNT (one long), never rows;
-    * at 1000 executors each round is a plain distributed join. The
-    * classic large-star/small-star optimization halves the rounds at
-    * extreme diameters; near-dup graphs never get there.
+    * hash-verified `ngram_jaccard` edge set) — the dedup step that turns
+    * pairwise "A≈B" into "keep one doc per transitive group", which pair
+    * lists alone cannot express (A≈B, B≈C ⇒ {A,B,C} even when A̸≈C).
     *
     * Output: (doc_id, cluster_id = min doc_id of the component,
     * cluster_size) for every document (singletons cluster with
     * themselves). Deterministic ⇒ DuckDB-oracle-checkable via a
     * recursive CTE. */
   def dupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
-    val pairs = NearDup.blockedJaccard(spark, sfDir, threshold)
-      .select(col("doc_a"), col("doc_b"))
-    // undirected edge list, both directions
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-      .localCheckpoint() // the edge set is reused every round — cut the lineage once
-    var labels = docs(spark, sfDir)
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
-        .localCheckpoint() // truncate the per-round lineage (iterative plan growth)
-      // convergence probe scans the (tiny, checkpointed) label table only
-      changed = next.filter(col("chg")).count()
-      labels = next.select(col("doc_id"), col("cluster_id"))
-      rounds += 1
-    }
+    val labels = clusterLabels(spark, sfDir, threshold)
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
@@ -105,29 +171,36 @@ object Dedup {
 
   /** The composed curation pipeline — what a training-data run actually
     * executes over 100 TB: quality filter → PII screen → one-per-near-
-    * dup-cluster dedup, in one declarative plan.
+    * dup-cluster dedup, in one declarative plan (cluster labels reused
+    * from the session cache, not rebuilt).
     *
     * Keep a document iff (a) its composite quality score ≥ `minQuality`
     * ([[TextAnalysis.qualityScore]]), (b) the PII scan found nothing
-    * ([[TextAnalysis.piiScan]]), and (c) it is its near-dup cluster's
-    * representative (`doc_id == cluster_id` from [[dupClusters]] —
-    * cluster structure is computed over the FULL corpus, so the
-    * min-doc_id representative is stable regardless of which members
-    * the filters drop). Each input is itself hash-verified against its
-    * own oracle; the composition is verified against a combined oracle
-    * too, so the end-to-end keep set is exact, not just plausible. */
+    * ([[TextAnalysis.piiScan]]), and (c) it is the min-doc_id member of
+    * its near-dup cluster AMONG the docs that survive (a) and (b) — so
+    * a cluster contributes a document whenever ANY member is keepable,
+    * rather than dropping whole clusters because the global
+    * representative happened to fail a filter (0.95 Jaccard still
+    * allows differing PII spans). Each input is itself hash-verified
+    * against its own oracle; the composition is verified against a
+    * combined oracle too, so the end-to-end keep set is exact, not just
+    * plausible. */
   def curateCorpus(spark: SparkSession, sfDir: String, minQuality: Double = 0.5): DataFrame = {
     val quality = graft.ops.TextAnalysis.qualityScore(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
     val pii = graft.ops.TextAnalysis.piiScan(spark, sfDir)
       .select(col("doc_id"), col("flagged"))
-    val clusters = dupClusters(spark, sfDir)
-      .select(col("doc_id"), col("cluster_id"))
-    quality
+    val clusters = clusterLabels(spark, sfDir)
+    val surviving = quality
       .join(pii, "doc_id")
       .join(clusters, "doc_id")
-      .filter(col("quality") >= minQuality && !col("flagged")
-        && col("doc_id") === col("cluster_id"))
+      .filter(col("quality") >= minQuality && !col("flagged"))
+    // representative among SURVIVORS: min doc_id per cluster via one
+    // partial-aggregated groupBy on the (tiny) surviving id set
+    val reps = surviving.groupBy(col("cluster_id")).agg(min(col("doc_id")).as("rep_id"))
+    surviving
+      .join(reps, "cluster_id")
+      .filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
       .orderBy(col("doc_id"))
   }

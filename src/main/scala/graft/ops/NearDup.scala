@@ -75,9 +75,14 @@ object NearDup {
       .filter(col("doc_a") < col("doc_b"))
       // length filter (standard set-similarity-join pruning): J(A,B) ≤
       // min(|A|,|B|)/max(|A|,|B|), so J ≥ t requires the token-set
-      // sizes to be within a factor t — provably output-preserving, and
-      // it drops cross-size pairs BEFORE the count aggregation
-      .filter(col("na") >= col("nb") * threshold && col("nb") >= col("na") * threshold)
+      // sizes to be within a factor t — it drops cross-size pairs
+      // BEFORE the count aggregation. The final acceptance compares
+      // round(J, 4) ≥ t, which admits raw J down to t − 0.00005, so the
+      // prune uses that slackened bound too — otherwise a pair sitting
+      // exactly on the rounding boundary could pass the oracle's HAVING
+      // while being size-pruned here
+      .filter(col("na") >= col("nb") * (threshold - 0.00005)
+        && col("nb") >= col("na") * (threshold - 0.00005))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",

@@ -33,19 +33,24 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("norm", sqrt(graft.functions.VectorFunctions.dot_product(col("v"), col("v"))))
 
-  /** Exact cosine top-k neighbors per vector, fully distributed:
-    * `a JOIN broadcast(b) ON vec_id <> other_id` — Spark builds the
-    * broadcast from executor-side partitions (no `collect()`, no driver
-    * row materialization) — then the fused cosine kernel per pair and a
-    * row_number window for the top-k. The streamed side is repartitioned
-    * by vec_id up front; BroadcastNestedLoopJoin preserves streamed-side
-    * partitioning, so the window reuses it and the plan has exactly one
-    * (tiny, n-row) shuffle before the final sort.
+  /** Exact cosine top-k neighbors per vector, fully distributed
+    * compute: `a JOIN broadcast(b) ON vec_id <> other_id` — then the
+    * fused cosine kernel per pair and a row_number window for the
+    * top-k. The streamed side is repartitioned by vec_id up front;
+    * BroadcastNestedLoopJoin preserves streamed-side partitioning, so
+    * the window reuses it and the plan has exactly one (tiny, n-row)
+    * shuffle before the final sort.
     *
-    * Scale: O(n²d) compute spread across all cores with an O(nd)
-    * broadcast. When n·d outgrows a broadcast, switch to [[lshTopK]] or
-    * [[ivfTopK]] — the bucketed paths. Ties broken by neighbor id, on
-    * the UNROUNDED similarity, matching the oracle. */
+    * Scale: O(n²d) COMPUTE is spread across all cores, but the
+    * broadcast BUILD side is still collected to the driver (that is
+    * what building a broadcast relation means), and the explicit
+    * `broadcast()` hint bypasses the autoBroadcastJoinThreshold guard —
+    * so the O(nd) reference set must fit driver/executor memory, same
+    * ceiling as any broadcast. This is the exact-answer correctness
+    * baseline; when n·d outgrows a broadcast, switch to [[lshTopK]] or
+    * [[ivfTopK]] — the bucketed paths with no broadcast of the corpus.
+    * Ties broken by neighbor id, on the UNROUNDED similarity, matching
+    * the oracle. */
   def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     val e = emb(spark, sfDir)
     val a = e.repartition(col("vec_id")).select(col("vec_id"), col("v").as("va"))
@@ -59,6 +64,12 @@ object Similarity {
         col("other_id"), round(col("sim_raw"), 4).as("sim"))
       .orderBy(col("vec_id"), col("rank"))
   }
+
+  /** Empty result with the top-k schema (vec_id, rank, other_id, sim) —
+    * the degenerate-input path for the ANN operators. */
+  private def emptyTopK(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), lit(0L).as("rank"),
+      col("vec_id").as("other_id"), lit(0.0d).as("sim")).limit(0)
 
   /** Per-bucket population cap for the LSH candidate join — same salted
     * split scheme as `NearDup.minhashCandidates` (see that scaladoc for
@@ -92,8 +103,12 @@ object Similarity {
     val e = withNorm(emb(spark, sfDir))
       .withColumn("u", transform(col("v"), x => when(col("norm") > 0, x / col("norm")).otherwise(x)))
       .select(col("vec_id"), col("v"), col("u"))
-    // dimension probe: one-row metadata lookup (not a table collect)
-    val dim = e.limit(1).select(size(col("v")).as("d")).head().getInt(0)
+    // dimension probe: one-row metadata lookup (not a table collect);
+    // an empty embeddings table yields the (empty) top-k schema rather
+    // than a NoSuchElementException
+    val dimOpt = e.limit(1).select(size(col("v")).as("d")).collect().headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty) return emptyTopK(e)
+    val dim = dimOpt.get
     val rng = new scala.util.Random(42L)
     val projs = Array.fill(tables)(Array.fill(dim)(rng.nextGaussian()))
     // all `tables` bucket keys in ONE scan: a struct per table, exploded
@@ -149,9 +164,14 @@ object Similarity {
     import spark.implicits._
     val e = emb(spark, sfDir)
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("v")))
+    // the count behind the auto-tune doubles as the degenerate-input
+    // guard: KMeans cannot be asked for more clusters than rows, and an
+    // empty table short-circuits to the empty top-k schema
+    val n = e.count()
+    if (n == 0) return emptyTopK(e)
     val nl =
-      if (nlist > 0) nlist
-      else math.min(4096, math.max(4, math.round(math.sqrt(e.count().toDouble)).toInt))
+      if (nlist > 0) math.min(nlist, n).toInt
+      else math.min(math.min(4096L, n), math.max(4L, math.round(math.sqrt(n.toDouble)))).toInt
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nl).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
@@ -217,8 +237,13 @@ object Similarity {
   def residualQuantizeStats(spark: SparkSession, sfDir: String, nlist: Int = 16): DataFrame = {
     val e = emb(spark, sfDir)
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("v")))
+    // same degenerate-input guard as ivfTopK: k ≤ n, empty in → empty out
+    val n = e.count()
+    if (n == 0)
+      return e.select(col("vec_id").cast("int").as("cell"), lit(0L).as("n_vectors"),
+        lit(0.0d).as("mean_mse"), lit(0.0d).as("max_scale")).limit(0)
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(42L).setMaxIter(10)
+      .setK(math.min(nlist.toLong, n).toInt).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(e)
     val centroids = model.clusterCenters.map(_.toArray)
