@@ -157,19 +157,56 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("curated corpus = quality-pass AND pii-clean AND cluster representative") {
+  test("curated corpus = quality-pass AND pii-clean AND survivor representative") {
     import graft.ops.{Dedup, TextAnalysis}
     val kept = Dedup.curateCorpus(spark, sfDir).collect().map(_.getLong(0)).toSet
     val quality = TextAnalysis.qualityScore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(6)).toMap
     val flagged = TextAnalysis.piiScan(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
-    val reps = Dedup.dupClusters(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(0) == r.getLong(1))).toMap
-    val expected = quality.keySet.filter(d => quality(d) >= 0.5 && !flagged(d) && reps(d))
+    val clusterOf = Dedup.dupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // representative among SURVIVORS: a cluster contributes its min
+    // filter-passing member, so a cluster is only lost when every
+    // member fails the screens
+    val survivors = quality.keySet.filter(d => quality(d) >= 0.5 && !flagged(d))
+    val expected = survivors.groupBy(clusterOf).values.map(_.min).toSet
     assert(kept == expected,
       s"curation set mismatch: extra=${kept -- expected} missing=${expected -- kept}")
     assert(kept.nonEmpty, "curation should keep at least one document at sf0.001")
+  }
+
+  test("near-dup chain with diameter past the old round cap converges to one cluster") {
+    import spark.implicits._
+    // 30 docs, each a 40-token sliding window shifted by one: consecutive
+    // docs share 39/41 tokens (J ≈ 0.9512 ≥ 0.95) but docs two apart only
+    // 38/42 (J ≈ 0.9048) — a pure PATH graph of diameter 29, the shape
+    // that silently defeated a diameter-bounded min-label loop with a
+    // 20-round cap. Large/small-star must still contract it to a single
+    // min-rooted cluster (plus leave an unrelated singleton alone).
+    val n = 30
+    val width = 40
+    val dir = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    val rows = (0 until n).map { i =>
+      val text = (i until i + width).map(j => f"w$j%04d").mkString(" ")
+      (i.toLong + 1, "en", "chain", text, text.length.toLong)
+    } :+ ((100L, "en", "chain", "entirely different tokens here", 30L))
+    rows.toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // sanity: the edge set really is a path (only consecutive pairs)
+    val edges = NearDup.blockedJaccard(spark, dir, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == (1 until n).map(i => (i.toLong, i.toLong + 1)).toSet,
+      s"fixture must form a path graph, got $edges")
+    val clusters = graft.ops.Dedup.dupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clusters.length == n + 1)
+    clusters.filter(_._1 <= n).foreach { case (d, cid, sz) =>
+      assert(cid == 1L, s"doc $d labeled $cid, expected the component min 1")
+      assert(sz == n.toLong)
+    }
+    val singleton = clusters.find(_._1 == 100L).get
+    assert(singleton._2 == 100L && singleton._3 == 1L)
   }
 
   test("tf-idf top terms: ranks dense, scores consistent with tf and df") {
