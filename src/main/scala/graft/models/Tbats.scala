@@ -12,7 +12,7 @@ import graft.core.{Forecasts, Methods, Stats}
   * series w:
   *
   *   w_t   = ℓ_{t-1} + φ·b_{t-1} + Σ_j s_j,{t-1} + d_t
-  *   d_t   = φ₁·d_{t-1} + θ₁·ε_{t-1} + ε_t            (ARMA(p,q), p,q ≤ 1)
+  *   d_t   = Σ_i φ_i·d_{t-i} + Σ_j θ_j·ε_{t-j} + ε_t  (ARMA(p,q), p,q ≤ 2)
   *   ℓ_t   = ℓ_{t-1} + φ·b_{t-1} + α·ε_t
   *   b_t   = φ·b_{t-1} + β·ε_t
   *   s_j,t  =  s_j,{t-1}·cos λ_j + s*_j,{t-1}·sin λ_j + γ₁·ε_t
@@ -175,15 +175,31 @@ object Tbats {
   //  Innovations filter                                               //
   // ---------------------------------------------------------------- //
 
-  /** End state of a filtered pass. */
+  /** End state of a filtered pass. Histories are most-recent-first:
+    * dHist = (d_t, d_{t-1}, …), epsHist = (ε_t, ε_{t-1}, …). */
   final case class FilterOut(
       sse: Double, level: Double, trend: Double,
-      s: Array[Double], ss: Array[Double], dPrev: Double, epsPrev: Double)
+      s: Array[Double], ss: Array[Double], dHist: Array[Double], epsHist: Array[Double])
+
+  /** Shift a most-recent-first history right by one and insert `v` at
+    * the front (length ≤ 2, so the shift is a couple of moves). */
+  private def push(h: Array[Double], v: Double): Unit = {
+    var i = h.length - 1
+    while (i > 0) { h(i) = h(i - 1); i -= 1 }
+    if (h.length > 0) h(0) = v
+  }
+
+  private def armaDot(c: Array[Double], h: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { s += c(i) * h(i); i += 1 }
+    s
+  }
 
   def filter(
       w: Array[Double], m: Int, cfg: Config,
       alpha: Double, beta: Double, phiD: Double, g1: Double, g2: Double,
-      arPhi: Double, maTheta: Double,
+      arPhi: Array[Double], maTheta: Array[Double],
       l0: Double, b0: Double, s0: Array[Double], ss0: Array[Double]): FilterOut = {
     val n = w.length
     val k = cfg.k
@@ -193,19 +209,19 @@ object Tbats {
     var b = b0
     val s = s0.clone()
     val ss = ss0.clone()
-    var dPrev = 0.0
-    var epsPrev = 0.0
+    val dHist = new Array[Double](arPhi.length)
+    val epsHist = new Array[Double](maTheta.length)
     var sse = 0.0
     var t = 0
     while (t < n) {
       var seas = 0.0
       var j = 0
       while (j < k) { seas += s(j); j += 1 }
-      val dhat = arPhi * dPrev + maTheta * epsPrev
+      val dhat = armaDot(arPhi, dHist) + armaDot(maTheta, epsHist)
       val what = l + phiD * b + seas + dhat
       val eps = w(t) - what
       if (!java.lang.Double.isFinite(eps))
-        return FilterOut(Double.PositiveInfinity, l, b, s, ss, dPrev, epsPrev)
+        return FilterOut(Double.PositiveInfinity, l, b, s, ss, dHist, epsHist)
       sse += eps * eps
       // state updates
       val lNew = l + phiD * b + alpha * eps
@@ -218,11 +234,11 @@ object Tbats {
         j += 1
       }
       l = lNew; b = bNew
-      dPrev = dhat + eps
-      epsPrev = eps
+      push(dHist, dhat + eps)
+      push(epsHist, eps)
       t += 1
     }
-    FilterOut(sse, l, b, s, ss, dPrev, epsPrev)
+    FilterOut(sse, l, b, s, ss, dHist, epsHist)
   }
 
   // ---------------------------------------------------------------- //
@@ -232,10 +248,21 @@ object Tbats {
   final case class Fitted(
       cfg: Config, m: Int, lambda: Double,
       alpha: Double, beta: Double, phiD: Double, g1: Double, g2: Double,
-      arPhi: Double, maTheta: Double,
+      arPhi: Array[Double], maTheta: Array[Double],
       level: Double, trend: Double, s: Array[Double], ss: Array[Double],
-      dPrev: Double, epsPrev: Double,
+      dHist: Array[Double], epsHist: Array[Double],
       sigma2: Double, aicc: Double)
+
+  /** AR stationarity with a 0.95 margin for orders ≤ 2: |φ₁| box at
+    * order 1; the stationarity triangle (φ₁+φ₂ < 1, φ₂−φ₁ < 1,
+    * |φ₂| < 1) at order 2. MA invertibility is the mirrored region
+    * (θ ↔ −φ in the characteristic polynomial). */
+  private def arRegionOk(c: Array[Double]): Boolean = c.length match {
+    case 0 => true
+    case 1 => math.abs(c(0)) <= 0.95
+    case _ => c(0) + c(1) <= 0.95 && c(1) - c(0) <= 0.95 && math.abs(c(1)) <= 0.95
+  }
+  private def maRegionOk(c: Array[Double]): Boolean = arRegionOk(c.map(-_))
 
   /** Free-parameter count for AICc: α, β, γ₁, γ₂ (if k>0), φ (damped),
     * φ₁/θ₁ (ARMA), λ (Box-Cox), ℓ0, b0, 2k trig states, σ². */
@@ -260,27 +287,29 @@ object Tbats {
       else { val (a, b) = Optim.olsLine(java.util.Arrays.copyOfRange(w, 0, math.min(n, 70))); (a, b, Array.empty[Double], Array.empty[Double]) }
     val wScale = math.max(1e-8, Stats.stddevSamp(w))
 
-    // free vector: alpha, beta, [g1, g2], [phiD], [arPhi], [maTheta], l0, b0
-    def unpack(x: Array[Double]): (Double, Double, Double, Double, Double, Double, Double, Double, Double) = {
+    // free vector: alpha, beta, [g1, g2], [phiD], arPhi×p, maTheta×q, l0, b0
+    final case class Params(a: Double, b: Double, gg1: Double, gg2: Double,
+      ph: Double, ar: Array[Double], ma: Array[Double], l: Double, bb: Double)
+    def unpack(x: Array[Double]): Params = {
       var i = 0
       val a = x(i); i += 1
       val b = x(i); i += 1
       val (gg1, gg2) = if (cfg.k > 0) { val v1 = x(i); val v2 = x(i + 1); i += 2; (v1, v2) } else (0.0, 0.0)
       val ph = if (cfg.damped) { val v = x(i); i += 1; v } else 1.0
-      val ar = if (cfg.p > 0) { val v = x(i); i += 1; v } else 0.0
-      val ma = if (cfg.q > 0) { val v = x(i); i += 1; v } else 0.0
+      val ar = Array.tabulate(cfg.p) { j => x(i + j) }; i += cfg.p
+      val ma = Array.tabulate(cfg.q) { j => x(i + j) }; i += cfg.q
       val l = x(i); i += 1
       val bb = x(i)
-      (a, b, gg1, gg2, ph, ar, ma, l, bb)
+      Params(a, b, gg1, gg2, ph, ar, ma, l, bb)
     }
     def objective(x: Array[Double]): Double = {
-      val (a, b, gg1, gg2, ph, ar, ma, l, bb) = unpack(x)
-      if (a <= 1e-4 || a >= 0.9999) return 1e12
-      if (b <= 1e-6 || b >= a) return 1e12
-      if (cfg.k > 0 && (math.abs(gg1) > 0.5 || math.abs(gg2) > 0.5)) return 1e12
-      if (cfg.damped && (ph < 0.8 || ph > 0.98)) return 1e12
-      if (math.abs(ar) > 0.95 || math.abs(ma) > 0.95) return 1e12
-      val st = filter(w, m, cfg, a, b, ph, gg1, gg2, ar, ma, l, bb, s0, ss0)
+      val p = unpack(x)
+      if (p.a <= 1e-4 || p.a >= 0.9999) return 1e12
+      if (p.b <= 1e-6 || p.b >= p.a) return 1e12
+      if (cfg.k > 0 && (math.abs(p.gg1) > 0.5 || math.abs(p.gg2) > 0.5)) return 1e12
+      if (cfg.damped && (p.ph < 0.8 || p.ph > 0.98)) return 1e12
+      if (!arRegionOk(p.ar) || !maRegionOk(p.ma)) return 1e12
+      val st = filter(w, m, cfg, p.a, p.b, p.ph, p.gg1, p.gg2, p.ar, p.ma, p.l, p.bb, s0, ss0)
       if (!java.lang.Double.isFinite(st.sse) || st.sse <= 0) 1e12
       else n * math.log(st.sse)
     }
@@ -288,8 +317,11 @@ object Tbats {
       val buf = scala.collection.mutable.ArrayBuffer[Double](0.1, 0.01)
       if (cfg.k > 0) { buf += 0.001; buf += 0.001 }
       if (cfg.damped) buf += 0.95
-      if (cfg.p > 0) buf += 0.1
-      if (cfg.q > 0) buf += 0.1
+      // higher-order ARMA terms start nearer zero: the first lag
+      // carries most of the signal, and a small second-lag start keeps
+      // the simplex inside the stationarity margin
+      (0 until cfg.p).foreach(j => buf += (if (j == 0) 0.1 else 0.02))
+      (0 until cfg.q).foreach(j => buf += (if (j == 0) 0.1 else 0.02))
       buf += l0w; buf += b0w
       buf.toArray
     }
@@ -299,8 +331,8 @@ object Tbats {
     }
     val (xb, fb) = Optim.nelderMead(objective, x0, step, maxIter = maxIter, tol = 1e-6)
     if (fb >= 1e12) return None
-    val (a, b, gg1, gg2, ph, ar, ma, l, bb) = unpack(xb)
-    val st = filter(w, m, cfg, a, b, ph, gg1, gg2, ar, ma, l, bb, s0, ss0)
+    val p = unpack(xb)
+    val st = filter(w, m, cfg, p.a, p.b, p.ph, p.gg1, p.gg2, p.ar, p.ma, p.l, p.bb, s0, ss0)
     if (!java.lang.Double.isFinite(st.sse) || st.sse <= 0) return None
     val kp = nParams(cfg)
     val negLL = n * math.log(st.sse)
@@ -308,16 +340,26 @@ object Tbats {
       if (n - kp - 1 <= 0) Double.PositiveInfinity
       else negLL + 2.0 * kp + 2.0 * kp * (kp + 1.0) / (n - kp - 1.0)
     Some(Fitted(cfg, m, if (cfg.useBoxCox) lambda else 1.0,
-      a, b, ph, gg1, gg2, ar, ma,
-      st.level, st.trend, st.s, st.ss, st.dPrev, st.epsPrev,
+      p.a, p.b, p.ph, p.gg1, p.gg2, p.ar, p.ma,
+      st.level, st.trend, st.s, st.ss, st.dHist, st.epsHist,
       st.sse / n, aicc))
   }
+
+  /** Highest ARMA order the stepwise error search will consider (R
+    * `tbats` delegates to a full auto.arima on the residuals; a (2,2)
+    * cap covers the orders that matter for sub-weekly error dynamics
+    * at a fraction of the fits). */
+  val MaxArmaOrder = 2
 
   /** Sequential AICc structure search (the `tbats` shape):
     *  1. harmonic count k (and useBoxCox if data is positive) on the
     *     plain damped=false, ARMA(0,0) skeleton;
-    *  2. damped trend and ARMA(1,0)/(0,1)/(1,1) refinements on the
-    *     winner. */
+    *  2. damped-trend choice on the winner;
+    *  3. stepwise ARMA(p,q) escalation on the damped winner: seed with
+    *     (1,0)/(0,1)/(1,1), then repeatedly try the +1-lag extensions
+    *     of the current best until AICc stops improving or the
+    *     [[MaxArmaOrder]] cap — so an ARMA(2,1) error structure is
+    *     reachable without fitting the full grid every time. */
   def fitAuto(y: Array[Double], m: Int): Option[Fitted] = {
     val lambda = guerreroLambda(y, m)
     val seasonalOk = m > 1 && y.length >= 2 * m + 2
@@ -330,11 +372,22 @@ object Tbats {
     } yield f
     if (base.isEmpty) return None
     val b0 = base.minBy(_.aicc)
-    val refinements = Seq(
-      b0.cfg.copy(damped = true),
-      b0.cfg.copy(p = 1), b0.cfg.copy(q = 1), b0.cfg.copy(p = 1, q = 1))
-      .flatMap(c => fitConfig(y, m, c, lambda))
-    Some((b0 +: refinements).minBy(_.aicc))
+    val bd = (b0 +: fitConfig(y, m, b0.cfg.copy(damped = true), lambda).toSeq).minBy(_.aicc)
+    val seeds = Seq((1, 0), (0, 1), (1, 1))
+      .flatMap { case (p, q) => fitConfig(y, m, bd.cfg.copy(p = p, q = q), lambda) }
+    var best = (bd +: seeds).minBy(_.aicc)
+    // only escalate when an ARMA seed actually won — the +1 extensions
+    // of (0,0) are the seeds themselves
+    var improved = best.cfg.p + best.cfg.q > 0
+    while (improved && (best.cfg.p < MaxArmaOrder || best.cfg.q < MaxArmaOrder)) {
+      val ext = Seq(
+        best.cfg.copy(p = best.cfg.p + 1), best.cfg.copy(q = best.cfg.q + 1))
+        .filter(c => c.p <= MaxArmaOrder && c.q <= MaxArmaOrder)
+        .flatMap(c => fitConfig(y, m, c, lambda))
+      improved = ext.nonEmpty && ext.minBy(_.aicc).aicc < best.aicc
+      if (improved) best = ext.minBy(_.aicc)
+    }
+    Some(best)
   }
 
   // ---------------------------------------------------------------- //
@@ -357,14 +410,16 @@ object Tbats {
     var b = f.beta
     val s = Array.fill(k)(f.g1)
     val ss = Array.fill(k)(f.g2)
-    var d = 1.0  // d_t picked up the innovation
-    var eps = 1.0
+    val dHist = new Array[Double](f.arPhi.length)
+    val epsHist = new Array[Double](f.maTheta.length)
+    push(dHist, 1.0)  // d_t picked up the innovation
+    push(epsHist, 1.0)
     var i = 1
     while (i < h) {
       var seas = 0.0
       var j = 0
       while (j < k) { seas += s(j); j += 1 }
-      val dhat = f.arPhi * d + f.maTheta * eps
+      val dhat = armaDot(f.arPhi, dHist) + armaDot(f.maTheta, epsHist)
       c(i) = l + f.phiD * b + seas + dhat
       // noise-free propagation
       val lNew = l + f.phiD * b
@@ -377,7 +432,8 @@ object Tbats {
         j += 1
       }
       l = lNew; b = bNew
-      d = dhat; eps = 0.0
+      push(dHist, dhat)
+      push(epsHist, 0.0)
       i += 1
     }
     c
@@ -393,14 +449,14 @@ object Tbats {
     var b = f.trend
     val s = f.s.clone()
     val ss = f.ss.clone()
-    var d = f.dPrev
-    var eps = f.epsPrev
+    val dHist = f.dHist.clone()
+    val epsHist = f.epsHist.clone()
     var i = 0
     while (i < h) {
       var seas = 0.0
       var j = 0
       while (j < k) { seas += s(j); j += 1 }
-      val dhat = f.arPhi * d + f.maTheta * eps
+      val dhat = armaDot(f.arPhi, dHist) + armaDot(f.maTheta, epsHist)
       meanW(i) = l + f.phiD * b + seas + dhat
       val lNew = l + f.phiD * b
       val bNew = f.phiD * b
@@ -412,7 +468,8 @@ object Tbats {
         j += 1
       }
       l = lNew; b = bNew
-      d = dhat; eps = 0.0
+      push(dHist, dhat)
+      push(epsHist, 0.0)
       i += 1
     }
     val c = impulseResponse(f, h)
@@ -442,11 +499,16 @@ object Tbats {
     def params: ModelParams = ModelParams(
       Map(
         "coef" -> Array(fitted.lambda, fitted.alpha, fitted.beta, fitted.phiD,
-          fitted.g1, fitted.g2, fitted.arPhi, fitted.maTheta,
-          fitted.level, fitted.trend, fitted.dPrev, fitted.epsPrev,
+          fitted.g1, fitted.g2, fitted.level, fitted.trend,
           fitted.sigma2, fitted.aicc, fitted.m.toDouble),
         "s" -> (if (fitted.s.isEmpty) Array(0.0) else fitted.s),
-        "ss" -> (if (fitted.ss.isEmpty) Array(0.0) else fitted.ss)),
+        "ss" -> (if (fitted.ss.isEmpty) Array(0.0) else fitted.ss),
+        // variable-order ARMA vectors (cfg carries the true lengths;
+        // Array(0.0) placeholders keep the store schema non-empty)
+        "arphi" -> (if (fitted.arPhi.isEmpty) Array(0.0) else fitted.arPhi),
+        "matheta" -> (if (fitted.maTheta.isEmpty) Array(0.0) else fitted.maTheta),
+        "dhist" -> (if (fitted.dHist.isEmpty) Array(0.0) else fitted.dHist),
+        "epshist" -> (if (fitted.epsHist.isEmpty) Array(0.0) else fitted.epsHist)),
       Map("cfg" -> fitted.cfg.toString, "method" -> Methods.TBATS))
   }
 
@@ -455,8 +517,12 @@ object Tbats {
     val cfg = Config.parse(p.s("cfg"))
     val s = if (cfg.k > 0) p.d("s") else Array.empty[Double]
     val ss = if (cfg.k > 0) p.d("ss") else Array.empty[Double]
-    TbatsModel(Fitted(cfg, c(14).toInt, c(0), c(1), c(2), c(3), c(4), c(5),
-      c(6), c(7), c(8), c(9), s, ss, c(10), c(11), c(12), c(13)))
+    def vec(key: String, len: Int): Array[Double] =
+      if (len > 0) p.d(key).take(len) else Array.empty[Double]
+    TbatsModel(Fitted(cfg, c(10).toInt, c(0), c(1), c(2), c(3), c(4), c(5),
+      vec("arphi", cfg.p), vec("matheta", cfg.q),
+      c(6), c(7), s, ss, vec("dhist", cfg.p), vec("epshist", cfg.q),
+      c(8), c(9)))
   }
 
   /** Degenerate-series fallback: level-only state space on the raw
@@ -465,8 +531,8 @@ object Tbats {
     val lvl = if (y.nonEmpty) y.last else 0.0
     val sse = if (y.length > 1) Stats.diff(y).map(x => x * x).sum else 0.0
     Fitted(Config(useBoxCox = false, damped = false, 0, 0, 0), 1, 1.0,
-      0.9999, 1e-4, 1.0, 0.0, 0.0, 0.0, 0.0, lvl, 0.0,
-      Array.empty, Array.empty, 0.0, 0.0,
+      0.9999, 1e-4, 1.0, 0.0, 0.0, Array.empty, Array.empty, lvl, 0.0,
+      Array.empty, Array.empty, Array.empty, Array.empty,
       if (y.length > 1) sse / y.length else 0.0, Double.PositiveInfinity)
   }
 

@@ -38,7 +38,11 @@ object Golden {
     y
   }
 
-  /** The frozen paths: name → forecast producer. */
+  /** The frozen paths: name → forecast producer. The seeded stochastic
+    * families (NN/bagged/Prophet) catch RNG-ordering regressions; the
+    * DETERMINISTIC families (ARIMA/ETS/Theta/STL/TBATS/hybrid) catch
+    * silent numeric drift — their invariant tests would pass a fit that
+    * quietly changed, these fixtures will not. */
   def cases: Seq[(String, () => Forecasts)] = Seq(
     "nn_trend_season" -> (() =>
       graft.models.NNar.NNFamily.fit(trendSeason(), Freq).forecast(H)),
@@ -47,7 +51,27 @@ object Golden {
     "bagged_trend_season" -> (() =>
       graft.models.Bagged.BaggedFamily.fit(trendSeason(), Freq).forecast(H)),
     "prophet_trend_season" -> (() =>
-      graft.models.ProphetLite.ProphetFamily.fit(trendSeason(), Freq).forecast(H)))
+      graft.models.ProphetLite.ProphetFamily.fit(trendSeason(), Freq).forecast(H)),
+    "arima_trend_season" -> (() =>
+      graft.models.Arima.ArimaFamily.fit(trendSeason(), Freq).forecast(H)),
+    "arima_ar1" -> (() =>
+      graft.models.Arima.ArimaFamily.fit(ar1(), Freq).forecast(H)),
+    "arima_force_seasonal_trend_season" -> (() =>
+      graft.models.Arima.ArimaForceSeasonalFamily.fit(trendSeason(), Freq).forecast(H)),
+    "theta_trend_season" -> (() =>
+      graft.models.Theta.ThetaFamily.fit(trendSeason(), Freq).forecast(H)),
+    "ets_trend_season" -> (() =>
+      graft.models.Ets.EtsFamily.fit(trendSeason(), Freq).forecast(H)),
+    "etsdamped_trend_season" -> (() =>
+      graft.models.Ets.EtsDampedFamily.fit(trendSeason(), Freq).forecast(H)),
+    "stl_trend_season" -> (() =>
+      graft.models.Stl.StlFamily.fit(trendSeason(), Freq).forecast(H)),
+    "tbats_trend_season" -> (() =>
+      graft.models.Tbats.TbatsFamily.fit(trendSeason(), Freq).forecast(H)),
+    "tbats_ar1" -> (() =>
+      graft.models.Tbats.TbatsFamily.fit(ar1(), Freq).forecast(H)),
+    "hybrid_trend_season" -> (() =>
+      graft.models.Hybrid.HybridFamily.fit(trendSeason(), Freq).forecast(H)))
 
   def render(f: Forecasts): String =
     (0 until f.length).map { j =>

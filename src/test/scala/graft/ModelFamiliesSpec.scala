@@ -429,6 +429,28 @@ class ModelFamiliesSpec extends AnyFunSuite {
     }
   }
 
+  test("TBATS stepwise ARMA escalation reaches a second-order error model") {
+    // level + ARMA(2,1) innovations with complex AR roots (pseudo-cyclic
+    // error autocorrelation) — a structure ARMA(1,1) cannot represent,
+    // so the stepwise (p,q) escalation must push past the old (1,1) cap
+    val rng = new java.util.Random(7L)
+    val n = 300
+    val y = new Array[Double](n)
+    var d1 = 0.0; var d2 = 0.0; var ePrev = 0.0
+    var i = 0
+    while (i < n) {
+      val e = rng.nextGaussian()
+      val d = 0.6 * d1 - 0.5 * d2 + 0.4 * ePrev + e
+      y(i) = 50.0 + d
+      d2 = d1; d1 = d; ePrev = e
+      i += 1
+    }
+    val fit = Tbats.fitAuto(y, 1).get
+    assert(fit.cfg.p == 2,
+      s"ARMA(2,1)-error series selected cfg ${fit.cfg} — second AR lag not reached")
+    checkContract(Tbats.forecast(fit, H), H)
+  }
+
   test("Guerrero lambda: near 0 on a multiplicative series, high on an additive one") {
     val m = 7
     val mult = Array.tabulate(140)(i =>
