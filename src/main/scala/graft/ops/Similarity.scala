@@ -97,9 +97,11 @@ object Similarity {
     * std ≈ √(2(1−τ)); bucketLength ≈ that scale makes near pairs
     * collide in some table with high probability while splitting the
     * bulk. Recall depends on (tables, bucketLength) — rows-only check;
-    * reported similarities are exact. */
-  def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, tables: Int = 4,
-      bucketLength: Double = 0.5): DataFrame = {
+    * reported similarities are exact. The defaults are gated by the
+    * OpsSpec recall test: measured recall@5 vs [[cosineTopK]] on the
+    * sf0.01 embeddings is 0.997 at (8, 2.0), asserted ≥ 0.9 in CI. */
+  def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, tables: Int = 8,
+      bucketLength: Double = 2.0): DataFrame = {
     val e = withNorm(emb(spark, sfDir))
       .withColumn("u", transform(col("v"), x => when(col("norm") > 0, x / col("norm")).otherwise(x)))
       .select(col("vec_id"), col("v"), col("u"))
@@ -159,8 +161,12 @@ object Similarity {
     * `nlist ≤ 0` auto-tunes to ~√n (the standard IVF sizing: per-cell
     * list length ≈ √n balances the coarse-search and rerank costs),
     * clamped to [4, 4096]; the count() behind it is a metadata-scale
-    * aggregate, not a data collect. */
-  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 0, nprobe: Int = 3): DataFrame = {
+    * aggregate, not a data collect. The default nprobe is gated by the
+    * OpsSpec recall test: measured recall@5 vs [[cosineTopK]] on the
+    * sf0.01 embeddings is 0.95 at nprobe = 12 over the auto nlist,
+    * asserted ≥ 0.9 in CI (at production n the same nprobe probes a
+    * far smaller fraction of a √n-sized cell set). */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 0, nprobe: Int = 12): DataFrame = {
     import spark.implicits._
     val e = emb(spark, sfDir)
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("v")))
