@@ -15,6 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // lay out the element-partitioned series store once (the ingest-time
+    // step a production deployment does); the fit queries then read it
+    graft.sources.SeriesStore.ensurePartitioned(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -70,15 +70,52 @@ object SeriesStore {
     * happens inside one task per element via sort_array(collect_list);
     * the 10k cap guarantees it fits. This is the engine's one genuine
     * shuffle on the fit path (SURVEY.md §4).
-    */
+    *
+    * When the element-partitioned mirror of this corpus exists (laid
+    * out once via [[ensurePartitioned]] — the administrative step a
+    * 100 TB deployment does at ingest), the fit path reads THAT:
+    * element filters become `PartitionFilters` (zero bytes read for
+    * other elements) and the scan is already corpus-column-pruned.
+    * Results are identical either way — the closed-form forecast
+    * oracles (fc_naive/…/fc_ses) hash-check the partitioned path
+    * end-to-end. */
   def series(spark: SparkSession, sfDir: String, elements: Seq[String] = Nil): Dataset[Series] = {
     import spark.implicits._
-    observations(spark, sfDir, elements)
+    val mirror = mirrorDir(sfDir)
+    if (mirrorFresh(sfDir, mirror)) seriesFromPartitioned(spark, mirror, elements)
+    else observations(spark, sfDir, elements)
       .groupBy(col("element"))
       .agg(sort_array(collect_list(struct(col("step"), col("value")))).as("pts"))
       .select(col("element"), col("pts.value").as("values"))
       .as[Series]
   }
+
+  /** Location of the element-partitioned mirror for a corpus dir
+    * (override the root with SPARK_GRAFT_STORE_DIR). */
+  def mirrorDir(sfDir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "/events_by_element"
+
+  /** A mirror is usable when its _SUCCESS marker exists and is no older
+    * than the source events store (stale mirrors are rebuilt, never
+    * silently read). */
+  private def mirrorFresh(sfDir: String, mirror: String): Boolean = {
+    val marker = new java.io.File(mirror, "_SUCCESS")
+    marker.isFile && marker.lastModified >= new java.io.File(s"$sfDir/events.parquet").lastModified
+  }
+
+  private val mirrorBuilds = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (or reuse) the element-partitioned mirror of `sfDir`'s
+    * events store — the explicit layout step; [[series]] then picks it
+    * up automatically. Memoized per JVM; other JVMs reuse the on-disk
+    * copy via the freshness check. */
+  def ensurePartitioned(spark: SparkSession, sfDir: String): String =
+    mirrorBuilds.computeIfAbsent(sfDir, { _ =>
+      val out = mirrorDir(sfDir)
+      if (!mirrorFresh(sfDir, out)) writePartitioned(spark, sfDir, out)
+      out
+    })
 
   /** Write the observation store pre-partitioned by element — the
     * SURVEY.md §4 scale move: with the store laid out this way, the

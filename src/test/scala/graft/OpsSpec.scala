@@ -314,6 +314,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "element filter should prune partitions")
   }
 
+  test("fit path defaults to the partitioned mirror once laid out") {
+    graft.sources.SeriesStore.ensurePartitioned(spark, sfDir)
+    val plan = graft.sources.SeriesStore.series(spark, sfDir, Seq("error"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("error"),
+      "series() should read the element-partitioned mirror with a partition filter")
+    // and the unfiltered store fit returns the same series as the flat scan
+    val viaMirror = graft.sources.SeriesStore.series(spark, sfDir).collect()
+      .map(s => s.element -> s.values.toSeq).toMap
+    val flat = graft.sources.SeriesStore.observations(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.col("element"))
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("step"), org.apache.spark.sql.functions.col("value")))).as("pts"))
+      .select(org.apache.spark.sql.functions.col("element"),
+        org.apache.spark.sql.functions.col("pts.value").as("values"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(viaMirror == flat, "mirror fit path must reproduce the flat-scan series")
+  }
+
   test("word-bigram shingles discriminate where token sets cannot") {
     // this corpus: near-identical vocabularies but random word order ⇒
     // unigram jaccard is high while bigram jaccard collapses
