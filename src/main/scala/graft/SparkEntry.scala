@@ -175,6 +175,45 @@ object SparkEntry {
         .select(col("element"), col("step"), r6("trend"), r6("seasonal"), r6("remainder"))
         .orderBy("element", "step")
     }),
+    "stl_recompose" -> ((s, dir) => {
+      // partial oracle for the STL path: trend + seasonal + remainder
+      // must recompose the input series (the additivity identity is
+      // SQL-checkable even though LOESS itself is not) — the oracle
+      // reads the RAW observations, so a drifted trend or misaligned
+      // seasonal hash-mismatches here even while stl_decompose stays
+      // rows-only. 4dp absorbs float re-association in the sum.
+      import s.implicits._
+      graft.sources.SeriesStore.series(s, dir).flatMap { ser =>
+        val dec = graft.models.Stl.decompose(ser.values, Freq)
+        ser.values.indices.map(i => (ser.element, (i + 1).toLong,
+          dec.trend(i) + dec.seasonal(i) + dec.remainder(i)))
+      }.toDF("element", "step", "y_rec")
+        .select(col("element"), col("step"), round(col("y_rec"), 4).as("y_rec"))
+        .orderBy("element", "step")
+    }),
+    "sketch_bounds" -> ((s, dir) =>
+      // partial oracle for the sketch aggregates: each group's HLL++
+      // distinct estimate and KLL-style quantile estimates are compared
+      // to the EXACT aggregates inside one plan, and only the bound
+      // verdicts are emitted — the oracle expects every bound to hold,
+      // so a degraded sketch hash-mismatches while sketch_aggregates
+      // itself stays rows-only (internals aren't SQL-reproducible).
+      graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.01).as("au"),
+          countDistinct(col("user_id")).as("eu"),
+          element_at(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.99)), lit(10000)), 1).as("p50a"),
+          element_at(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.99)), lit(10000)), 2).as("p99a"),
+          expr("percentile(value, array(0.45D, 0.55D, 0.98D))").as("qs"),
+          max(col("value")).as("vmax"))
+        .select(col("event_type"),
+          (abs(col("au") - col("eu")) <= col("eu") * 0.05).as("users_ok"),
+          (col("p50a") >= col("qs").getItem(0) && col("p50a") <= col("qs").getItem(1)).as("p50_ok"),
+          (col("p99a") >= col("qs").getItem(2) && col("p99a") <= col("vmax")).as("p99_ok"))
+        .orderBy(col("event_type"))),
     "embedding_stats" -> ((s, dir) => Similarity.embeddingStats(s, dir)),
     "embedding_quantize" -> ((s, dir) => Similarity.quantizeStats(s, dir)),
     "ivf_residual_quantize" -> ((s, dir) => Similarity.residualQuantizeStats(s, dir)),
@@ -591,6 +630,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim_raw DESC, other_id ASC) AS rank
         |  FROM pairs)
         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // additivity identity: the recomposed STL must equal the raw series
+    "stl_recompose" ->
+      s"WITH $obsCte SELECT element, step, round(value, 4) AS y_rec FROM obs ORDER BY element, step",
+    // every sketch bound must hold — the oracle pins the group keys and
+    // the all-true verdicts against DuckDB's exact aggregation
+    "sketch_bounds" ->
+      """SELECT event_type, TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p99_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "embedding_stats" ->
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
         |  CAST(len(embedding) AS BIGINT) AS dim,
