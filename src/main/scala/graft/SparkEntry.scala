@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Methods
 import graft.engine.Forecaster
-import graft.ops.{Dedup, Multimodal, NearDup, Relational, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, NearDup, Relational, Similarity, TextAnalysis}
 import graft.sources.SeriesStore
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -219,6 +219,16 @@ object SparkEntry {
     "ivf_residual_quantize" -> ((s, dir) => Similarity.residualQuantizeStats(s, dir)),
     "media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
     "asof_daily_value" -> ((s, dir) => Relational.asofDailySpine(s, dir)),
+    // -- dataset assembly: splits, decontamination, repetition, mixture ----
+    "corpus_split" -> ((s, dir) => Curation.corpusSplit(s, dir)),
+    "split_leakage" -> ((s, dir) => Curation.splitLeakage(s, dir)),
+    "repetition_stats" -> ((s, dir) => Curation.repetitionStats(s, dir)),
+    "corpus_mixture" -> ((s, dir) => Curation.corpusMixture(s, dir)),
+    // partial oracle for the fingerprint dedup path: its keep-set must
+    // equal the text-normalized exact survivor set (hash-collision-free
+    // at test scale), which IS SQL-expressible even though xxhash64 isn't
+    "dedup_fingerprint_keepset" -> ((s, dir) =>
+      Dedup.exactByFingerprint(s, dir).select(col("doc_id")).orderBy(col("doc_id"))),
   )
 
   // ---------------------------------------------------------------------
@@ -696,8 +706,72 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS asof_value,
         |  day_value IS NOT NULL AS observed
         |FROM joined ORDER BY event_type, day""".stripMargin,
+    "corpus_split" ->
+      """SELECT doc_id, lang, source,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "split_leakage" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, lang, source, len(toks) AS n, unnest(toks) AS w FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |         count(*) AS inter
+        |  FROM x a JOIN x b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |jp AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+        |  FROM pairs
+        |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.8),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT jp.doc_a, jp.doc_b, sa.split AS split_a, sb.split AS split_b, jp.jaccard
+        |FROM jp
+        |JOIN sp sa ON sa.doc_id = jp.doc_a
+        |JOIN sp sb ON sb.doc_id = jp.doc_b
+        |WHERE sa.split <> sb.split
+        |ORDER BY jp.doc_a, jp.doc_b""".stripMargin,
+    "repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+        |    i -> array_to_string(list_slice(ws, i, i + 2), chr(1)))) AS t
+        |  FROM toks),
+        |c AS (SELECT doc_id, t, count(*) AS cnt FROM tri GROUP BY doc_id, t)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_frac,
+        |  CAST(max(cnt) AS BIGINT) AS max_repeat
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_mixture" ->
+      """WITH m AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang, source),
+        |t AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM m)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / td, 6) AS share_docs,
+        |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS share_tokens
+        |FROM m CROSS JOIN t ORDER BY lang, source""".stripMargin,
+    "dedup_fingerprint_keepset" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |ORDER BY doc_id""".stripMargin,
     // dedup_fingerprint / doc_fingerprints / simhash_signatures: xxhash64
-    // is not reproducible in DuckDB; minhash_candidates / ann_lsh_topk:
+    // is not reproducible in DuckDB (but the fingerprint KEEP-SET is —
+    // see dedup_fingerprint_keepset); minhash_candidates / ann_lsh_topk:
     // LSH bucketing is seed-dependent — intentionally omitted (driver
     // records rows-only checks).
   )

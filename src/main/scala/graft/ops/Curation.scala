@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators a training-data pipeline runs AFTER
+  * cleaning: deterministic splits, split-leakage (decontamination)
+  * checks, repetition screening, and mixture accounting. All of them
+  * are pure relational plans over codegen'd built-ins, and all are
+  * DuckDB-oracle-checkable (the split hash is md5, which both engines
+  * compute identically — unlike xxhash64).
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Content-hash split assignment: first two hex chars of md5(text)
+    * partition [0x00, 0xff] into train < "e6" (230/256 ≈ 89.8%),
+    * val < "f3" (13/256 ≈ 5.1%), test (13/256 ≈ 5.1%).
+    *
+    * Hashing CONTENT (not doc_id) means byte-identical duplicates land
+    * in the same split by construction — the split can never manufacture
+    * train/test leakage out of exact copies, and assignment survives
+    * re-ingestion with different ids. Lexicographic hex compare == the
+    * numeric compare (hex digits are ASCII-ordered), so the same CASE
+    * runs in DuckDB verbatim. */
+  val splitExpr: Column = expr(
+    "CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train' " +
+      "WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val' ELSE 'test' END")
+
+  def corpusSplit(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), splitExpr.as("split"))
+      .orderBy(col("doc_id"))
+
+  /** Cross-split near-duplicate pairs — the decontamination check run
+    * before any training job: a test/val document whose near-twin sits
+    * in train invalidates the eval. Reuses the blocked-Jaccard join
+    * ([[NearDup.blockedJaccard]], threshold 0.8 — looser than dedup's
+    * 0.95 because contamination matters below verbatim duplication) and
+    * joins the split assignment onto both endpoints; only differing-
+    * split pairs survive. Scale posture = the edge build's: blocked,
+    * length-pruned, hash-keyed shuffles. */
+  def splitLeakage(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+    val pairs = NearDup.blockedJaccard(spark, sfDir, threshold)
+    val splits = docs(spark, sfDir).select(col("doc_id"), splitExpr.as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Per-document repetition screen (the Gopher-style duplicate-n-gram
+    * signal): over NON-distinct word trigrams, the duplicate fraction
+    * 1 − distinct/total and the hottest trigram's count. High values
+    * mark boilerplate/spam for the quality filter. Two bounded-key
+    * shuffles ((doc, trigram) counts, then the per-doc rollup); the
+    * trigram join uses the same U+0001 separator as
+    * [[NearDup.shingles]] so distinct token sequences cannot collide. */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val tri = docs(spark, sfDir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 1)), i -> array_join(slice(ws, i, 3), ''))")).as("t"))
+    tri.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_trigrams"),
+        count(lit(1)).as("n_distinct"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("cnt")), 6).as("dup_frac"),
+        max(col("cnt")).as("max_repeat"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus mixture accounting: per (lang, source) document/token counts
+    * and corpus shares — the table a mixture-weighted training sampler
+    * consumes. The share window runs over the GROUPED table (bounded by
+    * |lang|×|source|, never corpus-sized), so the single-partition
+    * window is metadata-scale at any corpus size. */
+  def corpusMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = docs(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+    val w = Window.partitionBy()
+    m.select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 6).as("share_docs"),
+        round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(w), 6).as("share_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+}

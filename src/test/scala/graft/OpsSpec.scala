@@ -334,6 +334,72 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaMirror == flat, "mirror fit path must reproduce the flat-scan series")
   }
 
+  test("content-hash split: deterministic, sane shares, copies co-located") {
+    import graft.ops.Curation
+    val rows = Curation.corpusSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(rows.nonEmpty)
+    val again = Curation.corpusSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(rows.toSeq == again.toSeq, "split assignment must be deterministic")
+    val trainShare = rows.count(_._2 == "train").toDouble / rows.length
+    assert(trainShare > 0.75 && trainShare < 0.98, s"train share $trainShare off target ~0.9")
+    // byte-identical duplicates hash to the same split by construction
+    val split = rows.toMap
+    val dupGroups = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy(org.apache.spark.sql.functions.col("text"))
+      .agg(org.apache.spark.sql.functions.collect_list("doc_id").as("ids"))
+      .collect().map(_.getSeq[Long](1)).filter(_.length > 1)
+    dupGroups.foreach { ids =>
+      assert(ids.map(split).toSet.size == 1, s"copies $ids split across partitions")
+    }
+  }
+
+  test("split leakage pairs are cross-split near-duplicates at the 0.8 threshold") {
+    import graft.ops.Curation
+    val pairs = NearDup.blockedJaccard(spark, sfDir, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val split = Curation.corpusSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val leaks = Curation.splitLeakage(spark, sfDir).collect()
+    leaks.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(pairs.contains((a, b)), s"leak ($a,$b) is not a near-dup pair")
+      assert(r.getString(2) == split(a) && r.getString(3) == split(b))
+      assert(split(a) != split(b), "leak endpoints must sit in different splits")
+      assert(r.getDouble(4) >= 0.8)
+    }
+    // completeness: every cross-split near-dup pair is reported
+    val expected = pairs.keys.count { case (a, b) => split(a) != split(b) }
+    assert(leaks.length == expected, s"${leaks.length} leaks vs $expected cross-split pairs")
+  }
+
+  test("repetition stats flag a constructed spam document") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (1L, "en", "s", "buy now " * 50 + "limited offer", 0L),
+      (2L, "en", "s", (1 to 100).map(i => s"tok$i").mkString(" "), 0L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.Curation.repetitionStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val (spamTotal, spamDistinct, spamFrac, spamMax) = rows(1L)
+    assert(spamDistinct <= spamTotal && spamFrac > 0.9 && spamMax > 10,
+      s"spam doc should be dominated by repeated trigrams: $rows")
+    val (_, _, cleanFrac, cleanMax) = rows(2L)
+    assert(cleanFrac == 0.0 && cleanMax == 1L, "all-distinct doc has zero repetition")
+  }
+
+  test("corpus mixture shares sum to one and counts match the raw table") {
+    val rows = graft.ops.Curation.corpusMixture(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-3, "doc shares")
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-3, "token shares")
+  }
+
   test("word-bigram shingles discriminate where token sets cannot") {
     // this corpus: near-identical vocabularies but random word order ⇒
     // unigram jaccard is high while bigram jaccard collapses
