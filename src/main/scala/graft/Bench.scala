@@ -30,13 +30,14 @@ object Bench {
     }
     val firstPass = SparkEntry.queries.map { case (name, fn) => name -> timeOne(fn) }
     // this VM sees bursty hypervisor CPU steal: a burst can tax whichever
-    // query happens to be running by 5-10×. Re-time outliers once and
-    // keep the min — the steady-state number, not the steal artifact.
-    // BOTH measurements (and the run count) are emitted so readers can
-    // see the variance, not only the minimum.
+    // query happens to be running by 5-10×. A threshold-gated retime
+    // (round 3 used t > 5 s) misses bursts landing on mid-cost queries
+    // (a 0.6 s query measured 3.2 s once and went un-retimed), so EVERY
+    // query now gets a second timed pass and the min is reported as the
+    // steady-state number. BOTH passes are emitted so readers see the
+    // variance, not only the minimum.
     val results = firstPass.map { case (name, t) =>
-      if (t > 5.0) name -> (math.min(t, timeOne(SparkEntry.queries(name))), t, 2)
-      else name -> (t, t, 1)
+      name -> (math.min(t, timeOne(SparkEntry.queries(name))), t, 2)
     }
     // Locale.ROOT: a comma decimal separator from the platform locale
     // would silently break the JSON

@@ -59,9 +59,39 @@ object NearDup {
     * the only way a count can differ from the string join — p ≈ d²/2⁶⁵
     * for d distinct tokens per block, negligible even at 10⁹ tokens
     * (and the DuckDB oracle, which joins on strings, hash-verifies the
-    * result at test scale). */
+    * result at test scale).
+    *
+    * Thresholds ≥ [[PairFloor]] share one cached pair build per
+    * (app, corpus, ngram) — see [[PairFloor]]'s scaladoc for the
+    * output-identity argument. */
   def blockedJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.95,
-      ngram: Int = 1): DataFrame = {
+      ngram: Int = 1): DataFrame =
+    if (threshold >= PairFloor)
+      cachedFloorPairs(spark, sfDir, ngram)
+        .filter(col("jaccard") >= threshold)
+        .orderBy(col("doc_a"), col("doc_b"))
+    else blockedJaccardDirect(spark, sfDir, threshold, ngram)
+
+  /** Loosest threshold any registered consumer uses (`split_leakage`'s
+    * 0.8). The exploded token self-join — the expensive subplan — is
+    * computed ONCE per (app, corpus, ngram) at this floor, persisted
+    * (a (long, long, double) pair table — 38k rows at sf0.1), and every
+    * tighter threshold (`ngram_jaccard` 0.95, the CC edge set 0.95)
+    * derives by a filter: provably identical output, because any pair
+    * accepted at round(J,4) ≥ t ≥ 0.8 survives the floor's slackened
+    * length-prune too. */
+  val PairFloor = 0.8
+
+  private val floorPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+
+  private def cachedFloorPairs(spark: SparkSession, sfDir: String, ngram: Int): DataFrame =
+    floorPairCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir, ngram),
+      _ => blockedJaccardDirect(spark, sfDir, PairFloor, ngram)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def blockedJaccardDirect(spark: SparkSession, sfDir: String, threshold: Double,
+      ngram: Int): DataFrame = {
     val t = shingles(spark, sfDir, ngram)
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("toks")).as("n"), explode(col("toks")).as("tok"))
