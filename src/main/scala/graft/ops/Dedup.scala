@@ -151,6 +151,15 @@ object Dedup {
       _ => computeClusterLabels(spark, sfDir, threshold)
         .persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Release every cached label table — for long-lived sessions that
+    * churn through many corpus snapshots (the cache is keyed by corpus,
+    * so without this a resident service would accumulate one persisted
+    * table per snapshot ever touched). */
+  def clearCaches(): Unit = {
+    labelCache.values.forEach(df => { df.unpersist(); () })
+    labelCache.clear()
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the blocked-
     * Jaccard candidate pairs (threshold 0.95 word-unigram, the
     * hash-verified `ngram_jaccard` edge set) — the dedup step that turns

@@ -90,6 +90,13 @@ object NearDup {
       _ => blockedJaccardDirect(spark, sfDir, PairFloor, ngram)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Release the cached pair tables (see `Dedup.clearCaches` for why a
+    * long-lived session wants this). */
+  def clearCaches(): Unit = {
+    floorPairCache.values.forEach(df => { df.unpersist(); () })
+    floorPairCache.clear()
+  }
+
   private def blockedJaccardDirect(spark: SparkSession, sfDir: String, threshold: Double,
       ngram: Int): DataFrame = {
     val t = shingles(spark, sfDir, ngram)

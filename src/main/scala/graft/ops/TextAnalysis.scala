@@ -41,28 +41,44 @@ object TextAnalysis {
           .cast("bigint").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** The quality-composite pieces as plain column expressions over a
+    * `text` column — shared verbatim by the batch [[qualityScore]]
+    * query and the streaming curation stage (`EventIngest
+    * .curateDocStream`), so batch and stream screen identically. */
+  private val qualityStop = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+  val lenScoreExpr: Column = least(length(col("text")).cast("double") / 500.0, lit(1.0))
+  val stopRatioExpr: Column = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    size(filter(words, w => w.isin(qualityStop.map(lit(_)): _*))).cast("double") /
+      size(words).cast("double")
+  }
+  val punctDensityExpr: Column =
+    length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+      length(col("text")).cast("double")
+  val qualityExpr: Column =
+    round((lenScoreExpr + stopRatioExpr + (lit(1.0) - punctDensityExpr)) / 3.0, 6)
+
+  /** PII presence as one boolean expression over `text` — same regexes
+    * as [[piiScan]]; shared with the streaming curation stage. */
+  val piiFlaggedExpr: Column =
+    (regexp_count(col("text"),
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+")) +
+      regexp_count(col("text"), lit("https?://[^ \\t\\n]+")) +
+      regexp_count(col("text"), lit("[0-9]{9,}"))) > 0
+
   /** Quality score: a deterministic 0..1 composite of length, mean word
     * length, punctuation density and stopword ratio — the "quality
     * scoring" operator of a training-data pipeline, as one declarative
     * expression tree. */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
-    val words = split(lower(trim(col("text"))), "\\s+")
-    val nWords = size(words).cast("double")
-    val nStop = size(filter(words, w => w.isin(stop.map(lit(_)): _*))).cast("double")
-    val lenScore = least(length(col("text")).cast("double") / 500.0, lit(1.0))
-    val stopRatio = nStop / nWords
-    val punctDensity = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
-      length(col("text")).cast("double")
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(
         col("doc_id"), col("lang"), col("source"),
-        round(lenScore, 6).as("len_score"),
-        round(stopRatio, 6).as("stop_ratio"),
-        round(punctDensity, 6).as("punct_density"),
-        round((lenScore + stopRatio + (lit(1.0) - punctDensity)) / 3.0, 6).as("quality"))
+        round(lenScoreExpr, 6).as("len_score"),
+        round(stopRatioExpr, 6).as("stop_ratio"),
+        round(punctDensityExpr, 6).as("punct_density"),
+        qualityExpr.as("quality"))
       .orderBy(col("doc_id"))
-  }
 
   /** Language identification by stopword-marker voting: counts occurrences
     * of a few high-frequency marker words per language and takes the

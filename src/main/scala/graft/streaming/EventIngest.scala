@@ -46,6 +46,24 @@ object EventIngest {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming document curation — the ingest-time half of the batch
+    * `curate_corpus` pipeline: quality screen + PII screen (the exact
+    * expressions the batch queries use, `TextAnalysis.qualityExpr` /
+    * `piiFlaggedExpr`), content-hash split assignment
+    * (`Curation.splitExpr` — deterministic, so a doc re-ingested later
+    * lands in the same split), then watermark-bounded exact dedup on
+    * the normalized-text fingerprint. Near-dup CLUSTER dedup stays a
+    * periodic batch pass (transitive closure is global by nature); this
+    * stage guarantees everything entering the corpus is screened,
+    * split-assigned, and exact-duplicate-free within the watermark.
+    * All stateless except the bounded dedup state — shards by key at
+    * any executor count. */
+  def curateDocStream(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
+    dedupStream(docs
+      .filter(graft.ops.TextAnalysis.qualityExpr >= minQuality
+        && !graft.ops.TextAnalysis.piiFlaggedExpr)
+      .withColumn("split", graft.ops.Curation.splitExpr))
+
   /** Per-element streaming state for [[anomalyStream]]: EWMA mean and
     * variance plus the observation count. */
   final case class EwmaState(mean: Double, variance: Double, n: Long)

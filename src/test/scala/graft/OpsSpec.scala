@@ -400,6 +400,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-3, "token shares")
   }
 
+  test("streaming curation screens, splits, and dedups like the batch pipeline") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val good = "the quick brown fox and the lazy dog sit on the hill with a friend " * 10
+    val pii = good + " contact me at someone@example.com"
+    val junk = "@@@@ !!!! ####"
+    val t0 = new java.sql.Timestamp(86400000L * 19000)
+    def ts(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(
+      (1L, ts(0), good),
+      (2L, ts(1000), pii),   // PII screen drops
+      (3L, ts(2000), junk),  // quality screen drops
+      (4L, ts(3000), good))  // exact duplicate of 1 inside the watermark
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventIngest.curateDocStream(stream)
+      .select("doc_id", "split")
+      .writeStream.format("memory").queryName("curate_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("curate_out").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(out.map(_._1).toSet == Set(1L), s"only the first good doc survives; got ${out.toSeq}")
+      // split assignment must equal the deterministic batch expression
+      val batchSplit = Seq(Tuple1(good)).toDF("text")
+        .select(graft.ops.Curation.splitExpr).head.getString(0)
+      assert(out.head._2 == batchSplit, "stream and batch must assign the same split")
+    } finally q.stop()
+  }
+
   test("word-bigram shingles discriminate where token sets cannot") {
     // this corpus: near-identical vocabularies but random word order ⇒
     // unigram jaccard is high while bigram jaccard collapses
