@@ -229,6 +229,7 @@ object SparkEntry {
     // at test scale), which IS SQL-expressible even though xxhash64 isn't
     "dedup_fingerprint_keepset" -> ((s, dir) =>
       Dedup.exactByFingerprint(s, dir).select(col("doc_id")).orderBy(col("doc_id"))),
+    "source_overlap" -> ((s, dir) => Curation.sourceOverlap(s, dir)),
   )
 
   // ---------------------------------------------------------------------
@@ -769,6 +770,18 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         |ORDER BY doc_id""".stripMargin,
+    // the naive pair-join formulation — same counts as the engine's
+    // per-fingerprint combination math, tractable at oracle scale
+    "source_overlap" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT least(a.source, b.source) AS source_a,
+        |  greatest(a.source, b.source) AS source_b,
+        |  count(*) AS n_dup_pairs
+        |FROM g a JOIN g b ON a.norm = b.norm AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // dedup_fingerprint / doc_fingerprints / simhash_signatures: xxhash64
     // is not reproducible in DuckDB (but the fingerprint KEEP-SET is —
     // see dedup_fingerprint_keepset); minhash_candidates / ann_lsh_topk:

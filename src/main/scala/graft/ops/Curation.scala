@@ -75,6 +75,39 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source exact-duplicate overlap matrix — duplication
+    * provenance: how many duplicate PAIRS each (source, source)
+    * combination contributes, including the same-source diagonal.
+    * (The blocked-Jaccard ops can never see cross-source pairs — the
+    * block IS (lang, source) — so this is the cross-block view.)
+    *
+    * Scale-conscious formulation: instead of self-joining documents on
+    * the normalized-text fingerprint (a viral boilerplate text with c
+    * copies would explode into c² join rows), aggregate to per-
+    * (fingerprint, source) COUNTS first and combine counts per
+    * fingerprint: cross pairs = c_a·c_b, same-source pairs = C(c,2).
+    * The heavy shuffle carries (8-byte fp, source, count) — bounded by
+    * distinct texts, never by pair count. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val cnt = docs(spark, sfDir)
+      .select(col("source"), fp.as("fp"))
+      .groupBy(col("fp"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    cnt.as("a")
+      .join(cnt.as("b"), col("a.fp") === col("b.fp") && col("a.source") <= col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        // C(c,2) in exact long arithmetic: c·(c−1) is even, so a right
+        // shift divides without the double detour Column./ would take
+        when(col("a.source") === col("b.source"),
+          shiftright(col("a.c") * (col("a.c") - 1), 1))
+          .otherwise(col("a.c") * col("b.c")).as("n"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("n")).as("n_dup_pairs"))
+      .filter(col("n_dup_pairs") > 0)
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Corpus mixture accounting: per (lang, source) document/token counts
     * and corpus shares — the table a mixture-weighted training sampler
     * consumes. The share window runs over the GROUPED table (bounded by

@@ -391,6 +391,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cleanFrac == 0.0 && cleanMax == 1L, "all-distinct doc has zero repetition")
   }
 
+  test("source overlap matrix counts cross- and same-source duplicate pairs") {
+    // the shipped corpora are exact-dup-free (source_overlap is 0 rows
+    // there, matching its oracle), so the combination math c_a·c_b /
+    // C(c,2) needs a constructed fixture with known overlap
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-overlap").toString
+    Seq(
+      (1L, "en", "s1", "xxx", 3L), (2L, "en", "s1", "yyy", 3L),
+      (3L, "en", "s2", "xxx", 3L), (4L, "en", "s2", "xxx", 3L),
+      (5L, "en", "s3", "yyy", 3L), (6L, "en", "s3", "zzz", 3L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val engine = graft.ops.Curation.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "xxx": d1(s1), d3+d4(s2) → (s1,s2)=1·2, (s2,s2)=C(2,2); "yyy": (s1,s3)=1
+    assert(engine == Map(("s1", "s2") -> 2L, ("s2", "s2") -> 1L, ("s1", "s3") -> 1L),
+      s"got $engine")
+  }
+
   test("corpus mixture shares sum to one and counts match the raw table") {
     val rows = graft.ops.Curation.corpusMixture(spark, sfDir).collect()
     assert(rows.nonEmpty)
