@@ -81,13 +81,32 @@ object SeriesStore {
     * end-to-end. */
   def series(spark: SparkSession, sfDir: String, elements: Seq[String] = Nil): Dataset[Series] = {
     import spark.implicits._
-    val mirror = mirrorDir(sfDir)
-    if (mirrorFresh(sfDir, mirror)) seriesFromPartitioned(spark, mirror, elements)
-    else observations(spark, sfDir, elements)
-      .groupBy(col("element"))
-      .agg(sort_array(collect_list(struct(col("step"), col("value")))).as("pts"))
-      .select(col("element"), col("pts.value").as("values"))
-      .as[Series]
+    def build = {
+      val mirror = mirrorDir(sfDir)
+      if (mirrorFresh(sfDir, mirror)) seriesFromPartitioned(spark, mirror, elements)
+      else observations(spark, sfDir, elements)
+        .groupBy(col("element"))
+        .agg(sort_array(collect_list(struct(col("step"), col("value")))).as("pts"))
+        .select(col("element"), col("pts.value").as("values"))
+        .as[Series]
+    }
+    // the full-store read feeds EVERY fit query — materialize it once
+    // per (app, corpus): one (element, values) row per series, ≤10k
+    // points each, so the persisted table is per-series-bounded, not
+    // corpus-bounded. Element-filtered reads stay uncached (partition-
+    // pruned, already cheap).
+    if (elements.nonEmpty) build
+    else seriesCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir),
+      _ => build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private val seriesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Dataset[Series]]()
+
+  /** Release the cached series tables (long-lived multi-corpus sessions). */
+  def clearCaches(): Unit = {
+    seriesCache.values.forEach(ds => { ds.unpersist(); () })
+    seriesCache.clear()
   }
 
   /** Location of the element-partitioned mirror for a corpus dir
