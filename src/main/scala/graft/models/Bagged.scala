@@ -81,7 +81,9 @@ object Bagged {
     val lam = guerreroLambda(y, m)
     val w = boxCox(y, lam)
     val dec = Stl.decompose(w, m)
-    val block = math.min(if (m > 1) 2 * m else 8, math.max(2, n / 2))
+    // clamp to n: a block longer than the series would index past the
+    // remainder array (n=1 crashed here before the degenerate sweep)
+    val block = math.min(math.min(if (m > 1) 2 * m else 8, math.max(2, n / 2)), n)
     val rng = new java.util.Random(Optim.seedOf(y) ^ 0x5bd1e995)
     val out = new Array[Array[Double]](num)
     out(0) = y.clone()

@@ -113,6 +113,10 @@ object NNar {
     val hiddenA = new Array[Double](nHidden)
     val lr = 0.03
     val n = xs.length
+    // no training rows (series shorter than the lag window): keep the
+    // seeded init — the Adam step would divide the zero gradient by a
+    // zero batch and poison every weight with NaN
+    if (n == 0) return new Net(nIn, nHidden, w)
     val batch = math.min(BatchSize, n)
     var cursor = 0
     var epoch = 0

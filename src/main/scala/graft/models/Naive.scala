@@ -45,7 +45,9 @@ object NaiveFamilies {
       val mean = Array.tabulate(h)(i => last + slope * (i + 1))
       val se = Array.tabulate(h) { i =>
         val k = i + 1.0
-        sigma * math.sqrt(k * (1.0 + k / (n - 1.0)))
+        // n = 1: no drift sample at all — sigma is 0 but k/(n−1) is ∞,
+        // and 0·∞ would poison the bands with NaN
+        if (n <= 1) 0.0 else sigma * math.sqrt(k * (1.0 + k / (n - 1.0)))
       }
       Forecasts.gaussian(mean, se)
     }

@@ -63,6 +63,30 @@ class ContractPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("∀ method: degenerate series (tiny, constant, negative) still honor the contract") {
+    // below-minimum lengths exercise every family's fallback; negative
+    // values exercise the Box-Cox-ineligible paths (Guerrero/log guards)
+    val degenerates: Seq[Array[Double]] = Seq(
+      Array(5.0),
+      Array(2.0, 2.0, 2.0),
+      Array(1.0, 4.0, 2.0, 8.0, 5.0),
+      Array.fill(40)(7.5),                         // constant, fit-length
+      Array.tabulate(60)(i => -20.0 + 0.3 * i))    // crosses zero
+    degenerates.foreach { y =>
+      fastMethods.foreach { m =>
+        val f = Families.byMethod(m).fit(y, 7).forecast(6)
+        assert(f.length == 6, s"$m on n=${y.length}: length")
+        (0 until 6).foreach { j =>
+          assert(java.lang.Double.isFinite(f.mean(j)), s"$m on n=${y.length}: mean finite at $j")
+          assert(java.lang.Double.isFinite(f.lower2(j)) && java.lang.Double.isFinite(f.upper2(j)),
+            s"$m on n=${y.length}: bands finite at $j")
+          assert(f.lower2(j) <= f.mean(j) + 1e-9 && f.mean(j) <= f.upper2(j) + 1e-9,
+            s"$m on n=${y.length}: band order at $j")
+        }
+      }
+    }
+  }
+
   test("∀ series: single-band methods duplicate their band (R:216-217, R:381-382)") {
     forAll(seriesGen) { y =>
       Seq(Methods.BAGGEDETS, Methods.PROPHET).foreach { m =>
