@@ -494,7 +494,7 @@ object SparkEntry {
         |      y -> list_contains(['the','a','and','of','to','in','is','on','for','with'], y))) AS DOUBLE)
         |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stop_ratio,
         |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-        |      / length(text) AS punct_density
+        |      / greatest(length(text), 1) AS punct_density
         |  FROM documents),
         |qual AS (
         |  SELECT doc_id, lang, source,
@@ -550,7 +550,7 @@ object SparkEntry {
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
         |  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
         |  round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
-        |    / length(text), 6) AS upper_ratio
+        |    / greatest(length(text), 1), 6) AS upper_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "token_counts" ->
       """SELECT doc_id,
@@ -565,7 +565,7 @@ object SparkEntry {
         |      x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], x))) AS DOUBLE)
         |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stop_ratio,
         |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-        |      / length(text) AS punct_density
+        |      / greatest(length(text), 1) AS punct_density
         |  FROM documents)
         |SELECT doc_id, lang, source,
         |  round(len_score, 6) AS len_score,

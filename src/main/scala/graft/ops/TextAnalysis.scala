@@ -26,8 +26,10 @@ object TextAnalysis {
         length(col("text")).cast("bigint").as("len"),
         wsTokens(col("text")).as("n_tokens"),
         length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("bigint").as("n_punct"),
+        // greatest(len, 1): an empty text has ratio 0, not an ANSI
+        // divide-by-zero error (the oracle mirrors the guard)
         round(length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double")
-          / length(col("text")), 6).as("upper_ratio"))
+          / greatest(length(col("text")), lit(1)), 6).as("upper_ratio"))
       .orderBy(col("doc_id"))
 
   /** Token counting: whitespace tokens and a BPE-ish regex tokenization
@@ -52,9 +54,11 @@ object TextAnalysis {
     size(filter(words, w => w.isin(qualityStop.map(lit(_)): _*))).cast("double") /
       size(words).cast("double")
   }
+  // greatest(len, 1): empty text scores density 0 instead of raising
+  // an ANSI divide-by-zero (empty documents are routine in real feeds)
   val punctDensityExpr: Column =
     length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
-      length(col("text")).cast("double")
+      greatest(length(col("text")), lit(1)).cast("double")
   val qualityExpr: Column =
     round((lenScoreExpr + stopRatioExpr + (lit(1.0) - punctDensityExpr)) / 3.0, 6)
 

@@ -410,6 +410,61 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $engine")
   }
 
+  test("every document operator tolerates an empty corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val ops: Seq[(String, () => Long)] = Seq(
+      "dedup_exact" -> (() => graft.ops.Dedup.exact(spark, dir).count()),
+      "dedup_fp" -> (() => graft.ops.Dedup.exactByFingerprint(spark, dir).count()),
+      "dup_groups" -> (() => graft.ops.Dedup.duplicateGroups(spark, dir).count()),
+      "dup_clusters" -> (() => graft.ops.Dedup.dupClusters(spark, dir).count()),
+      "curate" -> (() => graft.ops.Dedup.curateCorpus(spark, dir).count()),
+      "jaccard" -> (() => NearDup.blockedJaccard(spark, dir, 0.9).count()),
+      "minhash" -> (() => NearDup.minhashCandidates(spark, dir).count()),
+      "simhash" -> (() => NearDup.simhash(spark, dir).count()),
+      "split" -> (() => graft.ops.Curation.corpusSplit(spark, dir).count()),
+      "leakage" -> (() => graft.ops.Curation.splitLeakage(spark, dir).count()),
+      "repetition" -> (() => graft.ops.Curation.repetitionStats(spark, dir).count()),
+      "mixture" -> (() => graft.ops.Curation.corpusMixture(spark, dir).count()),
+      "overlap" -> (() => graft.ops.Curation.sourceOverlap(spark, dir).count()),
+      "quality" -> (() => graft.ops.TextAnalysis.qualityScore(spark, dir).count()),
+      "pii" -> (() => graft.ops.TextAnalysis.piiScan(spark, dir).count()),
+      "tfidf" -> (() => graft.ops.TextAnalysis.tfidfTopTerms(spark, dir).count()),
+      "winnow" -> (() => graft.ops.TextAnalysis.winnowFingerprints(spark, dir).count()))
+    ops.foreach { case (name, run) =>
+      val n = try run() catch {
+        case e: Throwable => fail(s"$name threw on an empty corpus: $e")
+      }
+      assert(n == 0L, s"$name returned $n rows from an empty corpus")
+    }
+  }
+
+  test("empty and whitespace-only documents score instead of crashing") {
+    // ANSI mode turns x/0 into a runtime error: quality/text_stats used
+    // to divide by length(text) and died on empty docs (routine in real
+    // feeds). The greatest(len, 1) guard makes the ratios total.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptytext").toString
+    val good = "the quick brown fox and the lazy dog sit on the hill with a friend " * 10
+    Seq((1L, "en", "s", "", 0L), (2L, "en", "s", "   ", 3L),
+        (3L, "en", "s", good, good.length.toLong))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val q = graft.ops.TextAnalysis.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    assert(q.size == 3 && q.values.forall(v => !v.isNaN))
+    val ts = graft.ops.TextAnalysis.textStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(ts(1L) == 0.0, "empty text has uppercase ratio 0")
+    // the composed pipeline runs end to end over the degenerate docs
+    // and keeps exactly the quality-passing one
+    assert(graft.ops.Dedup.curateCorpus(spark, dir).collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("corpus mixture shares sum to one and counts match the raw table") {
     val rows = graft.ops.Curation.corpusMixture(spark, sfDir).collect()
     assert(rows.nonEmpty)
