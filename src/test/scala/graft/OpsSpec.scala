@@ -465,6 +465,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("zero-norm vectors and an empty events store degrade gracefully") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zero").toString
+    Seq((1L, 0, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+        (2L, 0, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+        (3L, 1, Array(4.0f, 3.0f, 2.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    // the fused cosine kernel scores a zero-norm pair 0, never NaN/∞
+    val sims = Similarity.cosineTopK(spark, dir, 2).collect()
+    assert(sims.nonEmpty)
+    sims.foreach(r => assert(java.lang.Double.isFinite(r.getDouble(3))))
+    assert(sims.filter(_.getLong(0) == 1L).forall(_.getDouble(3) == 0.0))
+    // all-zero vector quantizes with zero scale/error, not a crash
+    val qz = Similarity.quantizeStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(qz(1L) == 0.0)
+    // an empty events store flows through the whole fit pipeline
+    val edir = java.nio.file.Files.createTempDirectory("graft-zero-ev").toString
+    Seq.empty[(java.sql.Timestamp, String, Long, Long, Double, String)]
+      .toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+      .write.parquet(s"$edir/events.parquet")
+    assert(SparkEntry.queries("fc_naive")(spark, edir).collect().isEmpty)
+  }
+
   test("corpus mixture shares sum to one and counts match the raw table") {
     val rows = graft.ops.Curation.corpusMixture(spark, sfDir).collect()
     assert(rows.nonEmpty)
