@@ -117,7 +117,8 @@ object Similarity {
     // — a 4-way union would read and normalize the vectors 4 times
     val tableRows = e.select(col("vec_id"),
         explode(array((0 until tables).map { t =>
-          val proj = array(projs(t).map(lit(_)): _*)
+          val proj = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            projs(t).map(lit(_))): _*)
           struct(lit(t).as("tbl"),
             floor(graft.functions.VectorFunctions.dot_product(col("u"), proj) / bucketLength)
               .cast("long").as("bucket"))
@@ -254,7 +255,7 @@ object Similarity {
     val model = km.fit(e)
     val centroids = model.clusterCenters.map(_.toArray)
     val centDf = spark.createDataFrame(
-      centroids.zipWithIndex.map { case (c, i) => (i, c) }).toDF("cell", "centroid")
+      centroids.zipWithIndex.toIndexedSeq.map { case (c, i) => (i, c) }).toDF("cell", "centroid")
     model.transform(e).select(col("vec_id"), col("v"), col("cell"))
       .join(broadcast(centDf), "cell")
       .withColumn("r", expr("zip_with(v, centroid, (x, c) -> x - c)"))
