@@ -159,6 +159,9 @@ object SparkEntry {
     "pii_scan" -> ((s, dir) => TextAnalysis.piiScan(s, dir)),
     // -- near-dup / similarity / multimodal / as-of (north-star §2.3) ------
     "ngram_jaccard" -> ((s, dir) => NearDup.blockedJaccard(s, dir)),
+    // phrase-level near-dup: word-BIGRAM shingles at 0.9 — order-aware,
+    // so shuffled-word documents that tie on token sets separate here
+    "bigram_jaccard" -> ((s, dir) => NearDup.blockedJaccard(s, dir, 0.9, ngram = 2)),
     "minhash_candidates" -> ((s, dir) => NearDup.minhashCandidates(s, dir)),
     "simhash_signatures" -> ((s, dir) => NearDup.simhash(s, dir)),
     "embedding_near_dup" -> ((s, dir) => NearDup.embeddingNearDup(s, dir)),
@@ -612,6 +615,32 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
         |FROM pairs
         |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.95
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // bigram shingles joined with chr(1) — the same out-of-alphabet
+    // separator the engine uses, so token-sequence boundaries agree
+    "bigram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, source,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+        |      i -> array_to_string(list_slice(ws, i, i + 1), chr(1)))) AS toks
+        |  FROM w),
+        |x AS (
+        |  SELECT doc_id, lang, source, len(toks) AS n, unnest(toks) AS g FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |         count(*) AS inter
+        |  FROM x a JOIN x b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
     "embedding_near_dup" ->
       """WITH e AS (
