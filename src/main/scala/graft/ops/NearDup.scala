@@ -30,20 +30,35 @@ object NearDup {
   private def tokens(spark: SparkSession, sfDir: String): DataFrame =
     shingles(spark, sfDir, 1)
 
-  /** Distinct word n-gram shingles per doc (n = 1 → token set). Built
-    * with sequence/transform/array_join — no UDF; for n > 1 consecutive
-    * tokens are joined with the control character U+0001 — genuinely
-    * out-of-alphabet (whitespace tokenization can never emit it inside a
-    * token), so distinct token sequences like ['ab','c'] vs ['a','bc']
-    * cannot collide. Any oracle for an n>1 query must mirror the same
-    * separator (DuckDB: `chr(1)`). */
+  /** Distinct word n-gram shingle HASHES per doc (n = 1 → hashed token
+    * set). Tokens are hashed once (`xxhash64` inside a `transform` —
+    * one pass over the split array) and n-grams are composed by hashing
+    * the n consecutive token hashes — pure 8-byte arithmetic, so no
+    * n-word strings are ever built or re-hashed (the string form made
+    * the bigram join ~4× the unigram cost). A doc shorter than n
+    * contributes one shingle, the fold-hash of its whole token-hash
+    * array (mirroring the clamped-slice semantics of the string form
+    * without an out-of-bounds `element_at` under ANSI).
+    *
+    * Exactness: set cardinalities and cross-doc equalities match the
+    * string-shingle form unless two distinct token sequences collide in
+    * the composed hash — p ≈ d²/2⁶⁵, the same negligible bound as the
+    * token-hash join (and the DuckDB oracles, which build real
+    * `chr(1)`-separated shingle strings, hash-verify the outputs). */
   def shingles(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val base = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"),
-        split(lower(trim(col("text"))), "\\s+").as("ws"))
+        expr("transform(split(lower(trim(text)), '\\\\s+'), w -> xxhash64(w))").as("th"))
     val sh =
-      if (n <= 1) col("ws")
-      else expr(s"transform(sequence(1, greatest(size(ws) - ${n - 1}, 1)), i -> array_join(slice(ws, i, $n), ''))")
+      if (n <= 1) col("th")
+      else {
+        val comp = (0 until n).map(j => s"element_at(th, i + $j)").mkString(", ")
+        expr(
+          s"""CASE WHEN size(th) < $n
+             |  THEN array(aggregate(th, CAST($n AS BIGINT), (acc, x) -> xxhash64(acc, x)))
+             |  ELSE transform(sequence(1, size(th) - ${n - 1}), i -> xxhash64($comp))
+             |END""".stripMargin)
+      }
     base.select(col("doc_id"), col("lang"), col("source"), array_distinct(sh).as("toks"))
   }
 
@@ -99,11 +114,10 @@ object NearDup {
 
   private def blockedJaccardDirect(spark: SparkSession, sfDir: String, threshold: Double,
       ngram: Int): DataFrame = {
+    // toks already ARE the 8-byte shingle hashes — explode and join
     val t = shingles(spark, sfDir, ngram)
       .select(col("doc_id"), col("lang"), col("source"),
-        size(col("toks")).as("n"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), col("lang"), col("source"), col("n"),
-        xxhash64(col("tok")).as("w"))
+        size(col("toks")).as("n"), explode(col("toks")).as("w"))
     val a = t.select(col("lang"), col("source"), col("w"),
       col("doc_id").as("doc_a"), col("n").as("na"))
     val b = t.select(col("lang"), col("source"), col("w"),
@@ -167,11 +181,16 @@ object NearDup {
     * Estimated-similarity semantics (the standard MinHash operator);
     * recall at j ≥ 0.95 is 1−(1−0.95⁸)⁴ ≈ 0.96. Seeded and
     * deterministic. */
-  def minhashCandidates(spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
+  def minhashCandidates(spark: SparkSession, sfDir: String, threshold: Double = 0.95,
+      ngram: Int = 1): DataFrame = {
+    // ngram > 1 = the SCALE path for phrase-level near-dup: the exact
+    // bigram join costs ~5x the unigram tier on vocab-dense corpora,
+    // while the minhash cost is ngram-independent (32 mins per doc)
     val rowsPerBand = MinhashHashes / MinhashBands
-    val t = tokens(spark, sfDir)
-      .select(col("doc_id"), explode(col("toks")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+    val t = shingles(spark, sfDir, ngram)
+      // toks already hold xxhash64(token) — same h values as before the
+      // shingle layer pre-hashed, one hash pass saved
+      .select(col("doc_id"), explode(col("toks")).as("h"))
     val sigCols = (0 until MinhashHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     val sigs = t.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandRows = (0 until MinhashBands).map { b =>
@@ -223,8 +242,9 @@ object NearDup {
     * hamming-near candidates (bucketing for the 100 TB path). */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     val t = tokens(spark, sfDir)
-      .select(col("doc_id"), explode(col("toks")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      // toks already hold xxhash64(token) — same h values as before the
+      // shingle layer pre-hashed, one hash pass saved
+      .select(col("doc_id"), explode(col("toks")).as("h"))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }

@@ -44,6 +44,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bigram minhash covers the exact bigram pairs (phrase-level scale path)") {
+    val exact = NearDup.blockedJaccard(spark, sfDir, 0.9, ngram = 2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = NearDup.minhashCandidates(spark, sfDir, 0.9, ngram = 2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      assert(recall >= 0.8, s"bigram LSH recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
   test("simhash signatures are deterministic and 64-bit") {
     val a = NearDup.simhash(spark, sfDir).collect()
     val b = NearDup.simhash(spark, sfDir).collect()
