@@ -19,10 +19,19 @@ object Stl {
   /** LOESS smoother: local weighted linear regression with tricube
     * weights over the `span` nearest points, evaluated at every
     * position 0..n-1 (jump = 1). Degree 1. */
-  def loess(y: Array[Double], span: Int): Array[Double] = {
+  def loess(y: Array[Double], span: Int): Array[Double] = loessTr(y, span)._1
+
+  /** Loess plus the exact trace of its smoother matrix (Σᵢ lᵢᵢ) — the
+    * effective degrees of freedom the smooth consumes. At position i the
+    * weight the local fit puts on y(i) itself is tri(0)·swxx/det (xᵢ = 0,
+    * tricube weight 1), so the trace falls out of the same pass for free.
+    * Used to un-shrink the remainder variance for prediction intervals.
+    */
+  def loessTr(y: Array[Double], span: Int): (Array[Double], Double) = {
     val n = y.length
     val q = math.max(2, math.min(span, n))
     val out = new Array[Double](n)
+    var trace = 0.0
     var i = 0
     while (i < n) {
       // window of q nearest indices around i
@@ -44,12 +53,17 @@ object Stl {
         j += 1
       }
       val det = sw * swxx - swx * swx
-      out(i) =
-        if (math.abs(det) > 1e-12) (swxx * swy - swx * swxy) / det // intercept at x=0 (= position i)
-        else swy / math.max(sw, 1e-12)
+      if (math.abs(det) > 1e-12) {
+        out(i) = (swxx * swy - swx * swxy) / det // intercept at x=0 (= position i)
+        trace += swxx / det
+      } else {
+        val swSafe = math.max(sw, 1e-12)
+        out(i) = swy / swSafe
+        trace += 1.0 / swSafe
+      }
       i += 1
     }
-    out
+    (out, trace)
   }
 
   /** Centered moving average of odd/even order, NaN-free interior only:
@@ -67,8 +81,14 @@ object Stl {
     out
   }
 
+  /** `df` is the effective degrees of freedom the smoothers consumed
+    * (trace of the seasonal cycle-subseries loess matrices + trace of the
+    * trend loess, from the final inner iteration). The remainder's
+    * variance underestimates the true noise variance by roughly the
+    * factor (n − df)/n — forecast bands must un-shrink by its inverse. */
   final case class Decomposition(
-      trend: Array[Double], seasonal: Array[Double], remainder: Array[Double])
+      trend: Array[Double], seasonal: Array[Double], remainder: Array[Double],
+      df: Double = 0.0)
 
   /** One STL run (2 inner iterations, mstl defaults). For m <= 1 the
     * seasonal is zero and the trend is a single loess pass (mstl's
@@ -76,14 +96,16 @@ object Stl {
   def decompose(y: Array[Double], m: Int, sWindow: Int = 13): Decomposition = {
     val n = y.length
     if (m <= 1 || n < 2 * m + 2) {
-      val trend = loess(y, trendSpan(n))
+      val (trend, tr) = loessTr(y, trendSpan(n))
       val rem = Array.tabulate(n)(i => y(i) - trend(i))
-      return Decomposition(trend, new Array[Double](n), rem)
+      return Decomposition(trend, new Array[Double](n), rem, tr)
     }
     val trend = new Array[Double](n) // starts at 0
     var seasonal = new Array[Double](n)
+    var df = 0.0
     var inner = 0
     while (inner < 2) {
+      df = 0.0 // only the final iteration's traces describe the output
       // 1. detrend
       val det = Array.tabulate(n)(i => y(i) - trend(i))
       // 2. cycle-subseries smoothing, extended one cycle each side
@@ -94,7 +116,8 @@ object Stl {
         val sub = new Array[Double](len)
         var j = 0
         while (j < len) { sub(j) = det(k + j * m); j += 1 }
-        val sm = loess(sub, sWindow)
+        val (sm, smTr) = loessTr(sub, sWindow)
+        df += smTr
         // linear-extrapolate one point before and after from the smooth
         val before = if (len >= 2) 2 * sm(0) - sm(1) else sm(0)
         val after = if (len >= 2) 2 * sm(len - 1) - sm(len - 2) else sm(len - 1)
@@ -118,12 +141,13 @@ object Stl {
       seasonal = s
       // 5-6. deseasonalize, trend loess
       val deseas = Array.tabulate(n)(i2 => y(i2) - seasonal(i2))
-      val t = loess(deseas, trendSpanStl(m, sWindow))
+      val (t, tTr) = loessTr(deseas, trendSpanStl(m, sWindow))
+      df += tTr
       System.arraycopy(t, 0, trend, 0, n)
       inner += 1
     }
     val rem = Array.tabulate(n)(i => y(i) - trend(i) - seasonal(i))
-    Decomposition(trend, seasonal, rem)
+    Decomposition(trend, seasonal, rem, df)
   }
 
   private def oddAtLeast(v: Int): Int = if (v % 2 == 1) v else v + 1
@@ -174,7 +198,17 @@ object Stl {
       val dec = decompose(y, frequency)
       val adjusted = Array.tabulate(y.length)(i => y(i) - dec.seasonal(i))
       // stlf: non-seasonal ETS (model "ZZN") on the adjusted series
-      val ets = Ets.fitAuto(adjusted, 1, None).getOrElse(Ets.fallback(adjusted))
+      val etsRaw = Ets.fitAuto(adjusted, 1, None).getOrElse(Ets.fallback(adjusted))
+      // PI calibration: the loess smoothers absorb noise into trend +
+      // seasonal (they consume dec.df effective degrees of freedom), so
+      // the ETS residual variance on the adjusted series underestimates
+      // the true noise variance by ~(n − df)/n. Un-shrink sigma² by the
+      // inverse or the 80/95 bands undercover badly (measured 0.68/0.88
+      // empirical coverage before the correction, 0.82/0.95 after —
+      // CalibrationSpec, BASELINE.md).
+      val n = y.length
+      val inflate = n.toDouble / math.max(n - dec.df, math.max(4.0, 0.2 * n))
+      val ets = etsRaw.copy(sigma2 = etsRaw.sigma2 * inflate)
       val m = if (frequency > 1 && y.length >= 2 * frequency + 2) frequency else 1
       // last full cycle, aligned so cycle(i) = seasonal value at position with (pos % m == i)
       val aligned =
