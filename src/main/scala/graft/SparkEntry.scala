@@ -164,6 +164,8 @@ object SparkEntry {
     "bigram_jaccard" -> ((s, dir) => NearDup.blockedJaccard(s, dir, 0.9, ngram = 2)),
     "minhash_candidates" -> ((s, dir) => NearDup.minhashCandidates(s, dir)),
     "simhash_signatures" -> ((s, dir) => NearDup.simhash(s, dir)),
+    // simhash consumer: 4x16-bit banded join + exact hamming<=3 filter
+    "simhash_hamming_pairs" -> ((s, dir) => NearDup.simhashHammingPairs(s, dir)),
     "embedding_near_dup" -> ((s, dir) => NearDup.embeddingNearDup(s, dir)),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),

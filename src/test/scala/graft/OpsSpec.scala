@@ -65,6 +65,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("simhash hamming pairs recover the exact near-dup edge set (recall)") {
+    // the simhash consumer: same harness as the minhash recall gate —
+    // measured against the exact blocked-Jaccard >= 0.95 pairs at the
+    // registered short-doc operating point (radius 11, 8 bands:
+    // pigeonhole-guaranteed to hamming 7, ~0.9 band-hit above). The
+    // J >= 0.95 twins on this corpus measure at hamming 0-11
+    // (BASELINE.md); measured recall recorded there too.
+    val exact = NearDup.blockedJaccard(spark, sfDir, 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = NearDup.simhashHammingPairs(spark, sfDir).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "doc_a < doc_b canonical order")
+      assert(r.getLong(2) <= 11, "hamming bounded by the radius")
+    }
+    val approx = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      info(s"simhash hamming<=11 recall $recall over ${exact.size} exact pairs, ${approx.size} emitted")
+      assert(recall >= 0.7, s"simhash recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
   test("cosineTopK is exact: each neighbor list is sorted and self-free") {
     val rows = Similarity.cosineTopK(spark, sfDir, k = 3).collect()
     val byVec = rows.groupBy(_.getLong(0))
