@@ -280,11 +280,8 @@ object Forecaster {
     // stage 2: CV refits, one task per (series, component, fold)
     val cvh = cvHorizon
     val folds = comps.flatMap { case (element, c, structRow, y) =>
-      val n = y.length
-      val hh = math.max(1, math.min(cvh, n / 4))
-      val windowSize = n - 2 * hh
-      if (windowSize < math.max(8, 2 * m)) Iterator.empty
-      else (windowSize to (n - hh) by hh).iterator.map(origin => (element, c, origin, hh, structRow, y))
+      val (hh, origins) = Hybrid.cvPlan(y.length, m, cvh)
+      origins.iterator.map(origin => (element, c, origin, hh, structRow, y))
     }
     val errs = folds
       .repartition(parallelism)

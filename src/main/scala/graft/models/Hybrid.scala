@@ -95,17 +95,29 @@ object Hybrid {
       Array.tabulate(maxLag)(i => z(n - 1 - i)), seed)
   }
 
-  /** Non-overlapping-origin CV RMSE per component (horizon-averaged,
-    * R:326-328). With `windowSize = n − 2·cvHorizon` the origins advance
-    * by cvHorizon, giving exactly the two held-out windows the
-    * reference's `cvts` evaluates (rolling = FALSE default). */
+  /** Rolling-origin CV RMSE per component (horizon-averaged, R:326-328).
+    * Each origin advances ONE observation (`cvts` fold semantics): fold i
+    * trains on the expanding window [0, windowSize + i), forecasts
+    * cvHorizon steps, and errors pool across all (fold, horizon) cells
+    * (`horizonAverage = TRUE`). With `windowSize = n − 2·cvHorizon` this
+    * yields exactly cvHorizon + 1 folds regardless of series length. */
+  /** The shared fold plan: effective horizon h and the rolling origins
+    * (`windowSize = n − 2·h`, one origin per observation, h + 1 folds).
+    * Empty origins ⇒ series too short for CV ⇒ callers fall back to
+    * equal weights. Used by both the local [[cvWeights]] and the
+    * distributed per-(series, component, fold) fan-out in Forecaster. */
+  def cvPlan(n: Int, m: Int, cvHorizon: Int): (Int, Range) = {
+    val h = math.max(1, math.min(cvHorizon, n / 4))
+    val windowSize = n - 2 * h
+    if (windowSize < math.max(8, 2 * m)) (h, Range(0, 0))
+    else (h, windowSize to (n - h) by 1)
+  }
+
   def cvWeights(y: Array[Double], m: Int, cvHorizon: Int,
       structures: Map[String, SeriesModel]): Map[String, Double] = {
     val n = y.length
-    val h = math.max(1, math.min(cvHorizon, n / 4))
-    val windowSize = n - 2 * h
-    if (windowSize < math.max(8, 2 * m)) return Components.map(_ -> 1.0 / Components.size).toMap
-    val origins = windowSize to (n - h) by h
+    val (h, origins) = cvPlan(n, m, cvHorizon)
+    if (origins.isEmpty) return Components.map(_ -> 1.0 / Components.size).toMap
     val rmse = Components.map { c =>
       var sse = 0.0
       var cnt = 0
