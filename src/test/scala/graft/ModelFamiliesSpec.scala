@@ -410,6 +410,35 @@ class ModelFamiliesSpec extends AnyFunSuite {
     checkContract(model.forecast(H), H)
   }
 
+  test("Hybrid CV fold plan is rolling-origin: h+1 step-1 folds (R:326-328)") {
+    // length-100 fixture, cvHorizon=10: windowSize = 100 − 2·10 = 80,
+    // origins advance one observation per fold (cvts rolling semantics),
+    // giving 11 folds — well past the 2 non-overlapping windows the old
+    // scheme evaluated, and ≥3 as the verdict's done-criterion demands.
+    val (h, origins) = Hybrid.cvPlan(n = 100, m = 7, cvHorizon = 10)
+    assert(h == 10)
+    assert(origins == (80 to 90), s"origins $origins")
+    assert(origins.size == h + 1 && origins.size >= 3)
+    assert(origins.step == 1, "folds must slide one origin at a time")
+    // every fold trains on ≥ windowSize points and holds out exactly h
+    origins.foreach(o => assert(o >= 80 && o + h <= 100))
+
+    // weights on the same fixture actually come from that multi-fold plan:
+    // distinct components ⇒ distinct pooled RMSE ⇒ non-uniform weights
+    val m = 7
+    val rng = new java.util.Random(5)
+    val y = Array.tabulate(100)(i =>
+      50.0 + 0.2 * i + 4.0 * math.sin(2 * math.Pi * (i % m) / m) + rng.nextGaussian() * 0.5)
+    val w = Hybrid.HybridFamily.fitCv(y, m, cvHorizon = 10).weights
+    assert(math.abs(w.values.sum - 1.0) < 1e-9)
+    assert(w.values.max - w.values.min > 1e-6,
+      "CV-informed weights should not collapse to the equal-weight fallback")
+
+    // too-short series: empty plan ⇒ callers fall back to equal weights
+    val (_, none) = Hybrid.cvPlan(n = 20, m = 7, cvHorizon = 10)
+    assert(none.isEmpty)
+  }
+
   // ------------------------------------------------------------ TBATS
 
   test("TBATS recovers a trigonometric weekly cycle over a trend") {
