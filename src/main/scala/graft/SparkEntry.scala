@@ -26,6 +26,10 @@ object SparkEntry {
   val H = 14
   val Freq = 7
 
+  /** Smaller re-request horizon for the `fc_cached_slice` query — must be
+    * < [[H]] so the second wrapper call is a pure cache slice (R:110). */
+  val SliceH = 7
+
   private def r6(c: String): Column = round(col(c), 6).as(c)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -86,6 +90,28 @@ object SparkEntry {
     "fc_meanf" -> fcQuery(Methods.MEANF),
     "fc_snaive" -> fcQuery(Methods.SNAIVE),
     "fc_ses" -> fcQuery(Methods.SES),
+    // -- wrapper cache surface (R:104-124) ---------------------------------
+    "fc_cached_slice" -> ((s, dir) => {
+      import s.implicits._
+      // The per-series wrapper exactly as the reference is called: train
+      // SES at horizon 14 (branch (c) warms a 14-step cache, R:92-93),
+      // then re-request horizon 7 — the result is the R:110 cache slice,
+      // served from the store with no model math. The driver loop is the
+      // API's one-call-per-element shape over the handful of event types,
+      // not a data path; each fit scan is partition-pruned to its element.
+      val eng = new graft.engine.Engine(s,
+        java.nio.file.Files.createTempDirectory("graft-slice-store").toString)
+      val elements = graft.sources.Tables.events(s, dir)
+        .select("event_type").distinct().as[String].collect().sorted
+      elements.toSeq.map { name =>
+          eng.forecast(name, dir, Methods.SES, Freq, H)
+          eng.forecast(name, dir, Methods.SES, Freq, SliceH)
+        }
+        .reduce(_.unionByName(_))
+        .select(col("element"), col("method"), col("step").cast("long").as("step"),
+          r6("lower1"), r6("lower2"), r6("mean"), r6("upper1"), r6("upper2"))
+        .orderBy("element", "step")
+    }),
     "user_activity" -> ((s, dir) =>
       graft.sources.Tables.events(s, dir)
         .groupBy(col("event_type"))
@@ -345,6 +371,23 @@ object SparkEntry {
          |  round(lv.level + $Z80 * (st.sdd * sqrt(1.0 + (h.step - 1) * 0.3 * 0.3)), 6) AS upper1,
          |  round(lv.level + $Z95 * (st.sdd * sqrt(1.0 + (h.step - 1) * 0.3 * 0.3)), 6) AS upper2
          |FROM st JOIN lv USING (element) CROSS JOIN range(1, ${H + 1}) h(step)
+         |ORDER BY st.element, h.step""".stripMargin,
+    // the cache slice must equal the first SliceH steps of a fresh SES
+    // forecast — R:110's contract is "the slice IS the forecast"
+    "fc_cached_slice" ->
+      s"""WITH $statsCte,
+         |lv AS (
+         |  SELECT element,
+         |    list_reduce(list(value ORDER BY step),
+         |      (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc) AS level
+         |  FROM obs GROUP BY element)
+         |SELECT st.element, 'SES' AS method, h.step,
+         |  round(lv.level - $Z80 * (st.sdd * sqrt(1.0 + (h.step - 1) * 0.3 * 0.3)), 6) AS lower1,
+         |  round(lv.level - $Z95 * (st.sdd * sqrt(1.0 + (h.step - 1) * 0.3 * 0.3)), 6) AS lower2,
+         |  round(lv.level, 6) AS mean,
+         |  round(lv.level + $Z80 * (st.sdd * sqrt(1.0 + (h.step - 1) * 0.3 * 0.3)), 6) AS upper1,
+         |  round(lv.level + $Z95 * (st.sdd * sqrt(1.0 + (h.step - 1) * 0.3 * 0.3)), 6) AS upper2
+         |FROM st JOIN lv USING (element) CROSS JOIN range(1, ${SliceH + 1}) h(step)
          |ORDER BY st.element, h.step""".stripMargin,
     "user_activity" ->
       """SELECT event_type, count(*) AS n_events,
