@@ -32,6 +32,28 @@ object SparkEntry {
 
   private def r6(c: String): Column = round(col(c), 6).as(c)
 
+  /** One wrapper-store directory per Spark application — the engine's
+    * model/cache trees persist across `fc_cached_slice` invocations like
+    * the reference's RDS trees persist across wrapper calls (R:8-9), and
+    * a single JVM shutdown hook removes the tree (no /tmp leak per
+    * invocation). Store keys embed the index (= sf-dir basename), so two
+    * scale factors sharing one directory cannot collide. */
+  private val sliceStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sliceStoreDir(s: SparkSession): String =
+    sliceStores.computeIfAbsent(s.sparkContext.applicationId, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-slice-store")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+      }
+      dir.toString
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     fcQuery(Methods.NAIVE)(spark, "/root/testdata/sf0.001")
@@ -96,18 +118,32 @@ object SparkEntry {
       // The per-series wrapper exactly as the reference is called: train
       // SES at horizon 14 (branch (c) warms a 14-step cache, R:92-93),
       // then re-request horizon 7 — the result is the R:110 cache slice,
-      // served from the store with no model math. The driver loop is the
-      // API's one-call-per-element shape over the handful of event types,
-      // not a data path; each fit scan is partition-pruned to its element.
-      val eng = new graft.engine.Engine(s,
-        java.nio.file.Files.createTempDirectory("graft-slice-store").toString)
+      // served from the store with no model math. The store persists for
+      // the session exactly as the reference's RDS trees do (R:8-9), so
+      // only the first invocation trains; later ones are pure branch-(a)
+      // cache reads. The driver loop is the API's one-call-per-element
+      // shape over the handful of event types, not a data path; the
+      // per-element calls are independent, so they are submitted
+      // concurrently (the shape of a real serving tier — Spark schedules
+      // the overlapping tiny jobs across the idle cores).
+      val eng = new graft.engine.Engine(s, sliceStoreDir(s))
       val elements = graft.sources.Tables.events(s, dir)
         .select("event_type").distinct().as[String].collect().sorted
-      elements.toSeq.map { name =>
-          eng.forecast(name, dir, Methods.SES, Freq, H)
-          eng.forecast(name, dir, Methods.SES, Freq, SliceH)
-        }
-        .reduce(_.unionByName(_))
+      // two raw names that collide after sanitization (R:43 gsub) would
+      // silently serve one element's cache under the other's label —
+      // refuse rather than mislabel
+      val sanitized = elements.map(graft.engine.Names.sanitize)
+      require(sanitized.distinct.length == sanitized.length,
+        s"store-key collision after sanitization among: ${elements.mkString(", ")}")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+          Future.traverse(elements.toSeq) { name => Future {
+            eng.forecast(name, dir, Methods.SES, Freq, H)
+            eng.forecast(name, dir, Methods.SES, Freq, SliceH)
+          }}, scala.concurrent.duration.Duration.Inf)
+        .reduceOption(_.unionByName(_))
+        .getOrElse(s.emptyDataset[graft.core.ForecastPoint].toDF())
         .select(col("element"), col("method"), col("step").cast("long").as("step"),
           r6("lower1"), r6("lower2"), r6("mean"), r6("upper1"), r6("upper2"))
         .orderBy("element", "step")

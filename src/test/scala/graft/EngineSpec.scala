@@ -59,6 +59,33 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         "re-forecast from persisted params must reproduce the prefix"))
   }
 
+  test("branch (a) is a genuine store read, not a silent recompute") {
+    // For SES a fresh h=7 forecast is row-identical to the h=14 cache
+    // slice, so value equality alone cannot prove the slice path runs.
+    // Overwrite the persisted cache with sentinel values after training:
+    // if the second call re-derived the forecast it would return SES
+    // numbers; the sentinels coming back prove the rows were READ from
+    // the store (R:110).
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-engine-sentinel").toString
+    val eng = new Engine(spark, base)
+    val name = "purchase"
+    val idx = eng.indexName(sfDir)
+
+    eng.forecast(name, sfDir, Methods.SES, 7, 14).collect()
+    val sentinels = (1 to 14).map(st =>
+      graft.core.ForecastPoint(name, Methods.SES, st, -1, -2, 123.456, 2, 1)).toDF()
+    eng.cache.save(name, idx, Methods.SES, sentinels)
+
+    val out = eng.forecast(name, sfDir, Methods.SES, 7, 7).collect()
+    assert(out.length == 7)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean") == 123.456,
+        "cache hit must serve the stored rows verbatim — slice, no model math")
+      assert(r.getAs[Int]("step") <= 7, "slice bound (R:110)")
+    }
+  }
+
   test("wrapper train → params → cache round-trips every registered method") {
     val base = Files.createTempDirectory("graft-engine-all").toString
     val eng = new Engine(spark, base)
