@@ -291,6 +291,8 @@ object SparkEntry {
     "split_leakage" -> ((s, dir) => Curation.splitLeakage(s, dir)),
     "repetition_stats" -> ((s, dir) => Curation.repetitionStats(s, dir)),
     "corpus_mixture" -> ((s, dir) => Curation.corpusMixture(s, dir)),
+    "corpus_resample" -> ((s, dir) => Curation.corpusResample(s, dir)),
+    "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     // partial oracle for the fingerprint dedup path: its keep-set must
     // equal the text-normalized exact survivor set (hash-collision-free
     // at test scale), which IS SQL-expressible even though xxhash64 isn't
@@ -876,6 +878,33 @@ object SparkEntry {
         |  round(CAST(n_docs AS DOUBLE) / td, 6) AS share_docs,
         |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS share_tokens
         |FROM m CROSS JOIN t ORDER BY lang, source""".stripMargin,
+    "corpus_resample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT lang, source, sum(n_tok) AS stratum_tokens FROM t GROUP BY lang, source),
+        |r AS (SELECT lang, source,
+        |    least(1.0, quantile_cont(stratum_tokens, 0.5) OVER () / stratum_tokens) AS rate
+        |  FROM s)
+        |SELECT t.doc_id, t.lang, t.source, t.n_tok, round(r.rate, 6) AS rate
+        |FROM t JOIN r USING (lang, source)
+        |WHERE CAST(('0x' || substr(md5('resample:' || CAST(t.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |  / 4294967296.0 < r.rate
+        |ORDER BY t.doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val' ELSE 'test' END AS split,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT split, lang, source, doc_id, n_tok,
+        |  CAST(COALESCE(sum(n_tok) OVER (PARTITION BY split, lang, source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+        |  CAST(floor(COALESCE(sum(n_tok) OVER (PARTITION BY split, lang, source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
+        |FROM t ORDER BY split, lang, source, doc_id""".stripMargin,
     "dedup_fingerprint_keepset" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')

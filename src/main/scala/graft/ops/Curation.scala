@@ -108,6 +108,72 @@ object Curation {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Per-document whitespace token count — the same measure
+    * [[corpusMixture]] aggregates. */
+  private def docTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+
+  /** Deterministic stratified downsampling — the EXECUTION step of
+    * mixture weighting ([[corpusMixture]] is the accounting): cap every
+    * (lang, source) stratum at the median stratum's token budget by
+    * keeping each document iff a uniform hash of its id falls below the
+    * stratum's rate = min(1, median/stratum_tokens).
+    *
+    * Hash-threshold sampling is the 100 TB-correct sampler: one
+    * map-side filter against a broadcast rate table (|lang|×|source|
+    * rows) — no shuffle of the corpus, no RNG state, bit-reproducible
+    * across runs/partitionings/engines, and monotone in the rate (the
+    * kept set at a lower rate is a subset of the kept set at a higher
+    * one, so mixture re-tuning never churns unrelated documents). The
+    * uniform draw is the first 8 hex chars of md5 — DuckDB computes the
+    * identical fraction, so the whole operator is oracle-checkable.
+    * The median-over-strata window runs on the grouped table
+    * (metadata-scale, same posture as [[corpusMixture]]'s share
+    * window). */
+  def corpusResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docTokens(spark, sfDir)
+    val strata = toks.groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_tok")).as("stratum_tokens"))
+    val w = Window.partitionBy()
+    val rates = strata.select(col("lang"), col("source"),
+      least(lit(1.0),
+        expr("percentile(stratum_tokens, 0.5)").over(w) / col("stratum_tokens")).as("rate"))
+    val u = conv(substring(md5(concat(lit("resample:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+    toks.join(broadcast(rates), Seq("lang", "source"))
+      .filter(u < col("rate"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        round(col("rate"), 6).as("rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing (GPT-style concat-and-chunk): within each
+    * (split, lang, source) shard, documents are laid out in doc_id
+    * order and chunked into fixed `budget`-token bins; each document is
+    * assigned the bin its start offset falls in. This is the
+    * deterministic doc → (shard, bin, offset) assignment table a
+    * training loader consumes.
+    *
+    * The running offset is a window cumsum per shard: real pipelines
+    * pack per OUTPUT SHARD exactly so the window partition count grows
+    * with the corpus (|splits|×|lang|×|source| here; at 100 TB the
+    * shard key gains a hash component) — never a single global
+    * sequence. */
+  def packSequences(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), splitExpr.as("split"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("split"), col("lang"), col("source"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .select(col("split"), col("lang"), col("source"), col("doc_id"), col("n_tok"),
+        coalesce(sum(col("n_tok")).over(w), lit(0L)).as("start_off"))
+      .withColumn("bin", floor(col("start_off") / lit(budget.toDouble)).cast("long"))
+      .orderBy(col("split"), col("lang"), col("source"), col("doc_id"))
+  }
+
   /** Corpus mixture accounting: per (lang, source) document/token counts
     * and corpus shares — the table a mixture-weighted training sampler
     * consumes. The share window runs over the GROUPED table (bounded by

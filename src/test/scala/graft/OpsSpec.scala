@@ -563,6 +563,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-3, "token shares")
   }
 
+  test("corpusResample: deterministic, rate-bounded, and rate-1 strata kept whole") {
+    val out = graft.ops.Curation.corpusResample(spark, sfDir).collect()
+    val again = graft.ops.Curation.corpusResample(spark, sfDir).collect()
+    assert(out.length == again.length && out.map(_.toString).sameElements(again.map(_.toString)),
+      "hash-threshold sampling must be bit-reproducible")
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rate = r.getDouble(4)
+      assert(rate > 0 && rate <= 1.0, s"rate $rate out of (0, 1]")
+    }
+    // a stratum whose budget is at or under the median has rate 1 and
+    // must survive the filter intact
+    val fullByStratum = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val keptByStratum = out.groupBy(r => (r.getString(1), r.getString(2)))
+    keptByStratum.foreach { case (k, rows) =>
+      val full = fullByStratum(k)
+      val rate = rows.head.getDouble(4)
+      if (rate == 1.0)
+        assert(rows.length.toLong == full, s"rate-1 stratum $k lost documents")
+      else {
+        assert(rows.length.toLong <= full, s"stratum $k gained documents")
+        // per-doc keep is an independent uniform draw; hold the count to
+        // a 4-sigma binomial band (vacuous for tiny strata, sharp for
+        // large ones — what the property should be for a sampler)
+        val sigma = math.sqrt(full * rate * (1 - rate))
+        assert(math.abs(rows.length - rate * full) <= 4 * sigma + 1,
+          s"stratum $k kept ${rows.length} of $full at rate $rate — outside 4-sigma")
+      }
+    }
+  }
+
+  test("packSequences: per-shard offsets are a gapless cumsum and bins contiguous") {
+    val budget = 2048
+    val rows = graft.ops.Curation.packSequences(spark, sfDir, budget).collect()
+    assert(rows.nonEmpty)
+    val shards = rows.groupBy(r => (r.getString(0), r.getString(1), r.getString(2)))
+    shards.foreach { case (shard, rs) =>
+      val ordered = rs.sortBy(_.getLong(3)) // doc_id order within the shard
+      var expectedOff = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(5) == expectedOff,
+          s"shard $shard doc ${r.getLong(3)}: start_off ${r.getLong(5)} != cumsum $expectedOff")
+        assert(r.getLong(6) == expectedOff / budget,
+          s"shard $shard doc ${r.getLong(3)}: bin mismatch")
+        expectedOff += r.getLong(4)
+      }
+      val bins = ordered.map(_.getLong(6)).distinct.sorted
+      assert(bins.sameElements(bins.indices.map(_.toLong)), s"shard $shard bins not contiguous")
+    }
+  }
+
   test("streaming curation screens, splits, and dedups like the batch pipeline") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
