@@ -182,9 +182,28 @@ object NearDup {
     *     assumed executor-memory-sized at 100 TB; AQE still picks a
     *     broadcast when the measured size allows it.
     *
-    * Estimated-similarity semantics (the standard MinHash operator);
-    * recall at j ≥ 0.95 is 1−(1−0.95⁸)⁴ ≈ 0.96. Seeded and
-    * deterministic. */
+    * CANDIDATE semantics: the estimate filter keeps
+    * `est ≥ threshold − 2σ`, σ = √(t(1−t)/32) — the estimate of a pair
+    * sitting AT the true threshold is Binomial(32, t)/32, so a strict
+    * `est ≥ t` cut drops ~half of exactly-threshold pairs (sf0.1
+    * measured pair recall 0.58 strict → 0.68 with slack; at sf0.001
+    * every exact pair is a J=1 twin, which is why the small-scale gate
+    * could not see it). A candidate generator must over-approximate —
+    * exact confirmation is the consumer's job (the dedup pipeline
+    * verifies with true Jaccard on the candidate set).
+    *
+    * The right recall metric for dedup is COMPONENT-level, not
+    * pair-level: this corpus's exact J ≥ 0.95 edges are dominated by
+    * large duplicate cliques whose band buckets split under the
+    * 512 cap, capping within-clique pair survival at 1−(3/4)⁴ ≈ 0.68
+    * — but a clique only needs a spanning subset of its edges to land
+    * in one component, and refusing to emit all C(n,2) clique edges is
+    * the cap's entire point at 100 TB. Measured at sf0.1: pair recall
+    * 0.68, component recall 1.00 (every exact pair's endpoints
+    * connected in the candidate graph) — the latter is gated in
+    * OpsSpec. Band-hit recall at j ≥ 0.95 for an un-split bucket is
+    * 1−(1−0.95⁸)⁴ ≈ 0.96. Seeded and deterministic; `jaccard_est` is
+    * emitted so consumers can re-tighten. */
   def minhashCandidates(spark: SparkSession, sfDir: String, threshold: Double = 0.95,
       ngram: Int = 1): DataFrame = {
     // ngram > 1 = the SCALE path for phrase-level near-dup: the exact
@@ -232,7 +251,8 @@ object NearDup {
       .join(sa, "doc_a")
       .join(sb, "doc_b")
       .withColumn("jaccard_est", round(matches.cast("double") / MinhashHashes, 4))
-      .filter(col("jaccard_est") >= threshold)
+      .filter(col("jaccard_est") >=
+        threshold - 2 * math.sqrt(threshold * (1 - threshold) / MinhashHashes))
       .select(col("doc_a"), col("doc_b"), col("jaccard_est"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

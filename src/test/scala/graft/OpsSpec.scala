@@ -157,6 +157,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf >= 0.9, f"IVF recall@5 $ivf%.4f fell below the 0.9 gate")
   }
 
+  test("minhash component-level recall is total at sf0.1, where cliques split buckets") {
+    // The sf0.001 pair-recall gate above cannot see either failure mode
+    // that only appears at scale: (1) estimator variance at the
+    // threshold (every small-scale exact pair is a J=1 twin) and
+    // (2) the 512-doc bucket cap splitting large duplicate cliques.
+    // The gate that matters for dedup is CONNECTIVITY: every exact
+    // J >= 0.95 pair's endpoints must land in one component of the
+    // candidate graph — cliques may lose individual edges to the salt
+    // cap (measured pair recall 0.68, by design), but never cohesion.
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory, s"$dir not generated")
+    val exact = NearDup.blockedJaccard(spark, dir, 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(exact.nonEmpty)
+    val approx = NearDup.minhashCandidates(spark, dir, 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    approx.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b); if (ra != rb) parent(ra) = rb }
+    val connected = exact.count { case (a, b) => find(a) == find(b) }
+    val compRecall = connected.toDouble / exact.length
+    info(f"sf0.1: ${exact.length} exact pairs, ${approx.length} candidates, " +
+      f"component recall $compRecall%.4f")
+    assert(compRecall >= 0.99,
+      f"component recall $compRecall%.4f — candidate graph lost near-dup cohesion")
+  }
+
   test("ANN recall@5 holds at sf0.1, where the salted bucket cap engages") {
     // At sf0.01 (500 vectors) no LSH bucket reaches the 512 cap, so the
     // gate above cannot see salt-split recall loss — which is how a
