@@ -346,10 +346,14 @@ object Tbats {
   }
 
   /** Highest ARMA order the stepwise error search will consider (R
-    * `tbats` delegates to a full auto.arima on the residuals; a (2,2)
-    * cap covers the orders that matter for sub-weekly error dynamics
-    * at a fraction of the fits). */
-  val MaxArmaOrder = 2
+    * `tbats` delegates to a full auto.arima on the residuals, which
+    * searches to order ~5). The stepwise escalation only fits a +1
+    * extension when the current order actually improved AICc, so the
+    * cap is a safety bound, not a per-fit cost: order-3 fits happen
+    * only on series whose order-2 error model already won. A
+    * deliberately-constructed ARMA(3,1)-error series escalating past
+    * (2,2) is fixture-tested in ModelFamiliesSpec. */
+  val MaxArmaOrder = 3
 
   /** Sequential AICc structure search (the `tbats` shape):
     *  1. harmonic count k (and useBoxCox if data is positive) on the
