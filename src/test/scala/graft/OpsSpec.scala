@@ -531,7 +531,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "quality" -> (() => graft.ops.TextAnalysis.qualityScore(spark, dir).count()),
       "pii" -> (() => graft.ops.TextAnalysis.piiScan(spark, dir).count()),
       "tfidf" -> (() => graft.ops.TextAnalysis.tfidfTopTerms(spark, dir).count()),
-      "winnow" -> (() => graft.ops.TextAnalysis.winnowFingerprints(spark, dir).count()))
+      "winnow" -> (() => graft.ops.TextAnalysis.winnowFingerprints(spark, dir).count()),
+      "resample" -> (() => graft.ops.Curation.corpusResample(spark, dir).count()),
+      "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case e: Throwable => fail(s"$name threw on an empty corpus: $e")
