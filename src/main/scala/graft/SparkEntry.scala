@@ -217,6 +217,8 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "winnow_fingerprints" -> ((s, dir) => TextAnalysis.winnowFingerprints(s, dir)),
+    // winnow consumer: df-capped sketch-slot join → substring-overlap pairs
+    "winnow_overlap" -> ((s, dir) => TextAnalysis.winnowOverlap(s, dir)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
     "pii_scan" -> ((s, dir) => TextAnalysis.piiScan(s, dir)),
     // -- near-dup / similarity / multimodal / as-of (north-star §2.3) ------
@@ -229,6 +231,10 @@ object SparkEntry {
     // simhash consumer: 4x16-bit banded join + exact hamming<=3 filter
     "simhash_hamming_pairs" -> ((s, dir) => NearDup.simhashHammingPairs(s, dir)),
     "embedding_near_dup" -> ((s, dir) => NearDup.embeddingNearDup(s, dir)),
+    // SemDeDup: one representative per embedding-cosine component
+    "semantic_dedup" -> ((s, dir) => Dedup.semanticDedup(s, dir)),
+    // its 100 TB path: pair scan blocked by the cached KMeans cell
+    "semantic_dedup_ivf" -> ((s, dir) => Dedup.semanticDedupIvf(s, dir)),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -737,6 +743,28 @@ object SparkEntry {
         |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm), 4) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm), 4) >= 0.40),
+        |edges AS (
+        |  SELECT va AS src, vb AS dst FROM pairs
+        |  UNION ALL SELECT vb, va FROM pairs),
+        |reach(vec_id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT edges.src, reach.r FROM edges JOIN reach ON edges.dst = reach.vec_id),
+        |lab AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size,
+        |  lab.vec_id = lab.cluster_id AS keep
+        |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
     "cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -91,23 +91,22 @@ object Dedup {
       .distinct()
   }
 
-  /** Labels from the blocked-Jaccard near-dup graph: (doc_id,
-    * cluster_id = min doc_id of the connected component) for EVERY
-    * document (singletons label themselves).
+  /** Contract an undirected graph to min-rooted stars by alternating
+    * large-star/small-star rounds. Input: directed edges `(u, v)` with
+    * `u > v`; output: the converged edge set — one `(node, root)` edge
+    * per non-root node, root = component minimum.
     *
     * Each alternation round is a handful of shuffled joins/aggregations
-    * over the (shrinking) edge list — longs only, never text — with a
+    * over the (shrinking) edge list — ids only, never payloads — with a
     * `localCheckpoint` per round to stop iterative plan growth. The
     * driver-side loop compares only a (count, xor-of-hashes) checksum
     * per round, never rows; checksum equality on a distinct edge set is
     * set equality up to a 2⁻⁶⁴ hash-collision. If the cap is ever hit
     * before convergence the method THROWS rather than returning wrong
     * labels (the cap is far above the O(log² n) bound — hitting it
-    * means a bug, not a big graph). */
-  private def computeClusterLabels(spark: SparkSession, sfDir: String,
-      threshold: Double): DataFrame = {
-    val pairs = NearDup.blockedJaccard(spark, sfDir, threshold)
-      .select(col("doc_b").as("u"), col("doc_a").as("v")) // doc_a < doc_b ⇒ u > v
+    * means a bug, not a big graph). Shared by the text near-dup
+    * clustering and the embedding-space semantic dedup. */
+  private[ops] def starContract(pairs: DataFrame): DataFrame = {
     var edges = pairs.localCheckpoint()
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
@@ -128,9 +127,20 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within $MaxRounds large/small-star rounds")
+    edges
+  }
+
+  /** Labels from the blocked-Jaccard near-dup graph: (doc_id,
+    * cluster_id = min doc_id of the connected component) for EVERY
+    * document (singletons label themselves). The CC machinery is the
+    * shared [[starContract]]. */
+  private def computeClusterLabels(spark: SparkSession, sfDir: String,
+      threshold: Double): DataFrame = {
+    val pairs = NearDup.blockedJaccard(spark, sfDir, threshold)
+      .select(col("doc_b").as("u"), col("doc_a").as("v")) // doc_a < doc_b ⇒ u > v
     // converged state = min-rooted stars: each non-root has exactly one
     // edge to its component min (the groupBy is belt-and-braces)
-    val roots = edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("root"))
+    val roots = starContract(pairs).groupBy(col("u").as("doc_id")).agg(min(col("v")).as("root"))
     docs(spark, sfDir)
       .select(col("doc_id"))
       .join(roots, Seq("doc_id"), "left")
@@ -212,5 +222,84 @@ object Dedup {
       .filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Semantic (embedding-space) dedup — the SemDeDup pattern (Abbas et
+    * al. 2023): documents whose EMBEDDINGS are near-identical are
+    * semantic duplicates even when their token sets differ, so cluster
+    * the cosine≥threshold graph and keep one representative per
+    * component. Output: (vec_id, cluster_id = component min,
+    * cluster_size, keep = is-representative) for every vector —
+    * the keep column IS the dedup decision, the cluster columns are the
+    * audit trail.
+    *
+    * This is the EXACT tier: the edge set is the full unblocked cosine
+    * graph (broadcast-nested-loop pair scan + the fused native cosine
+    * kernel — same distributed-compute/broadcast-build shape and the
+    * same O(n²·d) ceiling as [[Similarity.cosineTopK]], and the same
+    * honest caveat: the broadcast side must fit in memory).
+    * Deterministic ⇒ DuckDB-oracle-checkable via a recursive CTE;
+    * components via the shared [[starContract]] — O(log² n) rounds, ids
+    * only on the shuffle. At 100 TB the pair scan is blocked by the
+    * coarse-quantizer cell — that path is [[semanticDedupIvf]], gated
+    * against this one in OpsSpec. */
+  def semanticDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.40): DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val edges = a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_b").as("u"), col("vec_a").as("v")) // vec_a < vec_b ⇒ u > v
+    semanticLabelsFromEdges(spark, sfDir, edges)
+  }
+
+  /** The 100 TB path for [[semanticDedup]]: block the pair scan by the
+    * session-cached KMeans coarse-quantizer cell (the very clustering
+    * SemDeDup prescribes), MULTI-PROBED — each vector is listed under
+    * its 2 nearest cells, so a near pair split across a cell boundary
+    * still meets in one of the four probed-cell combinations. Each
+    * cell's scan is O((2·|cell|)²) with ~√n cells, so nothing is ever
+    * all-pairs and nothing is broadcast but the centroids. OpsSpec
+    * gates the keep-set agreement against the exact unblocked operator.
+    * Seeded KMeans isn't SQL-expressible ⇒ rows-only registration. */
+  def semanticDedupIvf(spark: SparkSession, sfDir: String, threshold: Double = 0.40,
+      nprobe: Int = 2): DataFrame = {
+    val assigned = Similarity.probedAssignments(spark, sfDir, nprobe) match {
+      case Some(a) => a
+      case None =>
+        return spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("vec_id").as("cluster_id"),
+            lit(0L).as("cluster_size"), lit(true).as("keep")).limit(0)
+    }
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    val edges = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_b").as("u"), col("vec_a").as("v"))
+      .distinct() // a pair can collide in several probed cells
+    semanticLabelsFromEdges(spark, sfDir, edges)
+  }
+
+  /** Shared tail of the two semantic-dedup paths: contract the edge
+    * set, label every vector (singletons label themselves), attach
+    * component sizes and the keep verdict. */
+  private def semanticLabelsFromEdges(spark: SparkSession, sfDir: String,
+      edges: DataFrame): DataFrame = {
+    val roots = starContract(edges).groupBy(col("u").as("vec_id")).agg(min(col("v")).as("root"))
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"))
+      .join(roots, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("root"), col("vec_id")).as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("vec_id"))
   }
 }

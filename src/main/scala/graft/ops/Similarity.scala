@@ -50,10 +50,16 @@ object Similarity {
     * baseline; when n·d outgrows a broadcast, switch to [[lshTopK]] or
     * [[ivfTopK]] — the bucketed paths with no broadcast of the corpus.
     * Ties broken by neighbor id, on the UNROUNDED similarity, matching
-    * the oracle. */
-  def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    * the oracle.
+    *
+    * `queryPred` restricts the QUERY side only (the neighbor pool stays
+    * the full corpus) — the recall-gate query uses it to measure on a
+    * deterministic sample without paying the full n² scan. */
+  def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5,
+      queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val e = emb(spark, sfDir)
-    val a = e.repartition(col("vec_id")).select(col("vec_id"), col("v").as("va"))
+    val a = queryPred.foldLeft(e)(_.filter(_))
+      .repartition(col("vec_id")).select(col("vec_id"), col("v").as("va"))
     val b = e.select(col("vec_id").as("other_id"), col("v").as("vb"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
     a.join(broadcast(b), col("vec_id") =!= col("other_id"))
@@ -209,6 +215,36 @@ object Similarity {
         Some(CoarseQuantizer(n, model.clusterCenters.map(_.toArray), assigned))
       }
     })
+
+  /** The cached coarse quantizer's (vec_id, v, cell) assignment table —
+    * the cell blocking other ops build on (semantic dedup's 100 TB
+    * path). None on an empty corpus. */
+  private[ops] def cellAssignments(spark: SparkSession, sfDir: String,
+      nlist: Int = 0): Option[DataFrame] =
+    coarseQuantizer(spark, sfDir, nlist).map(_.assigned)
+
+  /** Multi-probe cell assignments: (vec_id, v, cell) with each vector
+    * listed under its `nprobe` NEAREST centroids (nprobe=1 ≡ the plain
+    * assignment). Blocking a pair scan on probed cells recovers pairs
+    * that straddle a cell boundary — two nearby vectors assigned to
+    * different nearest cells almost always share a second-nearest one.
+    * Same literal-centroid expression machinery as [[ivfTopK]]'s probe
+    * selection: O(nlist·d) per row inside codegen, no extra shuffle. */
+  private[ops] def probedAssignments(spark: SparkSession, sfDir: String,
+      nprobe: Int, nlist: Int = 0): Option[DataFrame] =
+    coarseQuantizer(spark, sfDir, nlist).map { q =>
+      val distStructs = array(q.centroids.zipWithIndex.map { case (c, i) =>
+        val carr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit(_))): _*)
+        struct(
+          aggregate(zip_with(col("v"), carr, (x, cc) => { val d = x - cc; d * d }),
+            lit(0.0d), (acc, e) => acc + e).as("dist"),
+          lit(i).as("cell"))
+      }.toIndexedSeq: _*)
+      val np = math.min(nprobe, q.centroids.length)
+      q.assigned
+        .withColumn("probe", explode(slice(array_sort(distStructs), 1, np)))
+        .select(col("vec_id"), col("v"), col("probe.cell").as("cell"))
+    }
 
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path:
     * MLlib KMeans (seeded, cached per corpus via [[coarseQuantizer]])

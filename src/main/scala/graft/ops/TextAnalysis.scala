@@ -194,4 +194,39 @@ object TextAnalysis {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col").as("window_hash"), col("n_windows"))
       .orderBy(col("doc_id"), col("rank"))
+
+  /** The consumer of [[winnowFingerprints]]: substring-overlap candidate
+    * pairs — two documents sharing `minShared` of their bottom-k sketch
+    * slots very likely share a long verbatim character run (the
+    * copy-detection / cross-document-contamination screen that token-set
+    * Jaccard misses when the copied span is a small part of each doc).
+    *
+    * Scale shape: the join key is the 8-byte window hash, never text,
+    * and two guards bound it at any corpus size — (1) sketch slots are
+    * distinct per document and at most `sketchSize` of them exist, so a
+    * document contributes ≤ sketchSize join rows; (2) a hash shared by
+    * more than `maxDf` documents is a ubiquitous phrase, not evidence of
+    * copying, and is dropped BEFORE the self-join (the same viral-text
+    * c² guard as `Curation.sourceOverlap` — exact copies are exact
+    * dedup's job). Join cost is therefore O(Σ df²) with df ≤ maxDf.
+    * xxhash64 isn't DuckDB-expressible ⇒ rows-only registration; the
+    * planted-substring behavior is pinned in OpsSpec. */
+  def winnowOverlap(spark: SparkSession, sfDir: String, k: Int = 8, sketchSize: Int = 4,
+      maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    val slots = winnowFingerprints(spark, sfDir, k, sketchSize)
+      .select(col("doc_id"), col("window_hash"))
+      .distinct() // a window repeated inside one doc is one slot
+    val df = slots.groupBy(col("window_hash")).agg(count(lit(1)).as("df"))
+    val rare = slots.join(df.filter(col("df") <= maxDf), "window_hash")
+      .select(col("doc_id"), col("window_hash"))
+    rare.as("a")
+      .join(rare.as("b"),
+        col("a.window_hash") === col("b.window_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_slots"))
+      .filter(col("shared_slots") >= minShared)
+      .withColumn("containment_est",
+        round(col("shared_slots").cast("double") / sketchSize, 4))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -508,6 +508,97 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $engine")
   }
 
+  test("winnow overlap finds a planted shared substring and ignores hot windows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    val shared = "the migration of the monarch butterflies crosses three thousand " +
+      "kilometers of open country every autumn without a single rest day"
+    val docA = s"report one begins here $shared and then concludes alpha"
+    val docB = s"totally different preamble text $shared with another ending beta"
+    val docC = "unrelated prose about submarine cables and their repair ships in rough seas"
+    // 100 copies of one viral text: every sketch hash has df=100 > maxDf,
+    // so the guard must drop them all — no c² pair explosion, no pairs
+    val viral = (100L until 200L).map(i =>
+      (i, "en", "s", "breaking news everyone please share this exact message now", 60L))
+    val rows = Seq((1L, "en", "s", docA, docA.length.toLong),
+      (2L, "en", "s", docB, docB.length.toLong),
+      (3L, "en", "s", docC, docC.length.toLong)) ++ viral
+    rows.toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val pairs = graft.ops.TextAnalysis.winnowOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"planted shared substring must surface the (1,2) pair; got ${pairs.keys.toSeq.sorted}")
+    assert(pairs((1L, 2L)) >= 2, "the shared run must dominate both bottom-k sketches")
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L },
+      "the unrelated document shares no slots")
+    assert(!pairs.keys.exists { case (a, b) => a >= 100L || b >= 100L },
+      "df-capped hashes must not pair the viral copies")
+  }
+
+  test("semantic dedup: components of the cosine graph, one representative each") {
+    val rows = graft.ops.Dedup.semanticDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // partition properties: cluster_id is the member min, sizes agree,
+    // exactly one keep per cluster and it is the representative
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.map(_.getLong(0)).min == cid, s"cluster $cid id must be the member min")
+      ms.foreach { r =>
+        assert(r.getLong(2) == ms.length, s"cluster $cid size mismatch")
+        assert(r.getBoolean(3) == (r.getLong(0) == cid), "keep iff representative")
+      }
+    }
+    assert(byCluster.values.exists(_.length > 1),
+      "fixture corpus must contain at least one multi-member semantic component")
+    // labels must equal a brute-force union-find over the exact
+    // UNBLOCKED cosine edge set, computed here from first principles
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var (d, nx, ny, i) = (0.0, 0.0, 0.0, 0)
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      val den = math.sqrt(nx) * math.sqrt(ny)
+      if (den == 0) 0.0 else d / den
+    }
+    val edges = for {
+      i <- vecs.indices
+      j <- (i + 1) until vecs.length
+      if BigDecimal(cos(vecs(i)._2, vecs(j)._2)).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.40
+    } yield (vecs(i)._1, vecs(j)._1)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    rows.foreach { r =>
+      assert(find(r.getLong(0)) == r.getLong(1),
+        s"vec ${r.getLong(0)}: starContract label ${r.getLong(1)} != union-find ${find(r.getLong(0))}")
+    }
+    info(s"${byCluster.size} components over ${rows.length} vectors, " +
+      s"${rows.count(_.getBoolean(3))} kept")
+  }
+
+  test("IVF-cell-blocked semantic dedup agrees with the exact unblocked path") {
+    val exact = graft.ops.Dedup.semanticDedup(spark, sfDir).collect()
+    val ivf = graft.ops.Dedup.semanticDedupIvf(spark, sfDir).collect()
+    assert(ivf.length == exact.length, "both paths label every vector")
+    val keepExact = exact.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val keepIvf = ivf.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val agreement = keepExact.intersect(keepIvf).size.toDouble /
+      math.max(keepExact.union(keepIvf).size, 1)
+    info(f"keep-set Jaccard agreement $agreement%.4f " +
+      s"(exact keeps ${keepExact.size}, ivf keeps ${keepIvf.size})")
+    assert(agreement >= 0.9,
+      f"unsupervised-cell blocking must recover the labeled blocking: $agreement%.4f")
+  }
+
   test("every document operator tolerates an empty corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
@@ -532,6 +623,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pii" -> (() => graft.ops.TextAnalysis.piiScan(spark, dir).count()),
       "tfidf" -> (() => graft.ops.TextAnalysis.tfidfTopTerms(spark, dir).count()),
       "winnow" -> (() => graft.ops.TextAnalysis.winnowFingerprints(spark, dir).count()),
+      "winnow_overlap" -> (() => graft.ops.TextAnalysis.winnowOverlap(spark, dir).count()),
       "resample" -> (() => graft.ops.Curation.corpusResample(spark, dir).count()),
       "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()))
     ops.foreach { case (name, run) =>
@@ -582,6 +674,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val qz = Similarity.quantizeStats(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(qz(1L) == 0.0)
+    // semantic dedup: the zero-norm vector scores 0 against everything
+    // (a singleton, kept); vecs 2 and 3 have cosine 20/30 ≈ 0.67 ≥ 0.4
+    // so they form one component and only vec 2 survives
+    val sd = graft.ops.Dedup.semanticDedup(spark, dir).collect().sortBy(_.getLong(0))
+    assert(sd.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(sd.map(_.getBoolean(3)).toSeq == Seq(true, true, false))
+    assert(sd(2).getLong(1) == 2L && sd(2).getLong(2) == 2L)
+    // and an EMPTY embeddings store flows through both dedup paths
+    val mdir = java.nio.file.Files.createTempDirectory("graft-zero-emb").toString
+    Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$mdir/embeddings.parquet")
+    assert(graft.ops.Dedup.semanticDedup(spark, mdir).count() == 0L)
+    assert(graft.ops.Dedup.semanticDedupIvf(spark, mdir).count() == 0L)
     // an empty events store flows through the whole fit pipeline
     val edir = java.nio.file.Files.createTempDirectory("graft-zero-ev").toString
     Seq.empty[(java.sql.Timestamp, String, Long, Long, Double, String)]
