@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Methods
 import graft.engine.Forecaster
-import graft.ops.{Curation, Dedup, Multimodal, NearDup, Relational, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, NearDup, QualityModel, Relational, Similarity, TextAnalysis}
 import graft.sources.SeriesStore
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -214,6 +214,8 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    // distilled bag-of-words LR screen; held-out AUC gated in OpsSpec
+    "quality_model_scores" -> ((s, dir) => QualityModel.modelScores(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "winnow_fingerprints" -> ((s, dir) => TextAnalysis.winnowFingerprints(s, dir)),
@@ -238,6 +240,8 @@ object SparkEntry {
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    // recall verdicts for the approximate paths, hash-checked vs TRUE
+    "ann_recall_gates" -> ((s, dir) => Similarity.recallGates(s, dir)),
     "stl_decompose" -> ((s, dir) => {
       import s.implicits._
       graft.sources.SeriesStore.series(s, dir).flatMap { ser =>
@@ -743,6 +747,11 @@ object SparkEntry {
         |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm), 4) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "ann_recall_gates" ->
+      """SELECT 'ann_ivf_recall_at_5' AS metric, CAST(0.9 AS DOUBLE) AS floor, TRUE AS ok
+        |UNION ALL SELECT 'ann_lsh_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
+        |UNION ALL SELECT 'minhash_pair_recall', CAST(0.6 AS DOUBLE), TRUE
+        |ORDER BY metric""".stripMargin,
     "semantic_dedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, embedding,

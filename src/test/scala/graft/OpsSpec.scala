@@ -205,12 +205,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val exact = topSets(Similarity.cosineTopK(spark, dir, k = 5))
     assert(exact.nonEmpty)
-    val lshSets = topSets(Similarity.lshTopK(spark, dir, k = 5))
-    val recs = exact.map { case (v, ex) =>
-      lshSets.getOrElse(v, Set.empty).intersect(ex).size.toDouble / ex.size }
-    val lsh = recs.sum / recs.size
-    info(f"recall@5 on sf0.1: lsh=$lsh%.4f")
+    def recall(sets: Map[Long, Set[Long]]): Double = {
+      val recs = exact.map { case (v, ex) =>
+        sets.getOrElse(v, Set.empty).intersect(ex).size.toDouble / ex.size }
+      recs.sum / recs.size
+    }
+    val lsh = recall(topSets(Similarity.lshTopK(spark, dir, k = 5)))
+    val ivf = recall(topSets(Similarity.ivfTopK(spark, dir, k = 5)))
+    info(f"recall@5 on sf0.1: lsh=$lsh%.4f ivf=$ivf%.4f")
     assert(lsh >= 0.9, f"LSH recall@5 $lsh%.4f fell below the 0.9 gate at sf0.1")
+    assert(ivf >= 0.9, f"IVF recall@5 $ivf%.4f fell below the 0.9 gate at sf0.1")
   }
 
   test("int8 quantization: max reconstruction error bounded by half a quantization step") {
@@ -508,6 +512,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $engine")
   }
 
+  test("distilled quality classifier generalizes to the held-out splits") {
+    val heuristic = graft.ops.TextAnalysis.qualityScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(6) >= 0.5)).toMap
+    val scored = graft.ops.QualityModel.modelScores(spark, sfDir).collect()
+    assert(scored.length == heuristic.size, "every document is scored")
+    val holdout = scored.filterNot(_.getBoolean(3))
+    assert(holdout.nonEmpty, "val/test hash buckets must be non-empty")
+    // AUC of the model probability against the rule-screen verdict on
+    // documents the fit never saw — the distillation quality gate
+    val ranked = holdout.map(r => (r.getDouble(1), heuristic(r.getLong(0))))
+    val pos = ranked.count(_._2).toLong
+    val neg = ranked.length - pos
+    assume(pos > 0 && neg > 0, "held-out slice needs both classes")
+    // exact Mann-Whitney AUC with tie correction
+    val sorted = ranked.sortBy(_._1)
+    var rankSum = 0.0
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val avgRank = (i + 1 + j) / 2.0 // ranks are 1-based; ties share the mean rank
+      var t = i
+      while (t < j) { if (sorted(t)._2) rankSum += avgRank; t += 1 }
+      i = j
+    }
+    val auc = (rankSum - pos * (pos + 1) / 2.0) / (pos.toDouble * neg)
+    info(f"held-out AUC $auc%.4f over ${holdout.length} docs ($pos pos / $neg neg)")
+    assert(auc >= 0.75, f"distilled classifier AUC $auc%.4f below the 0.75 gate")
+  }
+
+  test("recall-gate verdict rows are all ok (the partial oracle holds)") {
+    val rows = Similarity.recallGates(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("ann_ivf_recall_at_5", "ann_lsh_recall_at_5", "minhash_pair_recall"))
+    rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} verdict false"))
+  }
+
+  test("recall-gate verdicts hold at sf0.1 (cap-splitting scale)") {
+    // the bench runs this query at sf0.1; a verdict that silently reads
+    // false there would make the registered gate misleading even though
+    // only sf0.01 is hash-checked — so pin the large-scale behavior too
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory, s"$dir not generated")
+    val rows = Similarity.recallGates(spark, dir).collect()
+    rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} verdict false at sf0.1"))
+  }
+
   test("winnow overlap finds a planted shared substring and ignores hot windows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
@@ -624,6 +675,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tfidf" -> (() => graft.ops.TextAnalysis.tfidfTopTerms(spark, dir).count()),
       "winnow" -> (() => graft.ops.TextAnalysis.winnowFingerprints(spark, dir).count()),
       "winnow_overlap" -> (() => graft.ops.TextAnalysis.winnowOverlap(spark, dir).count()),
+      "quality_model" -> (() => graft.ops.QualityModel.modelScores(spark, dir).count()),
       "resample" -> (() => graft.ops.Curation.corpusResample(spark, dir).count()),
       "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()))
     ops.foreach { case (name, run) =>
