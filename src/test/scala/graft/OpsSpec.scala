@@ -512,6 +512,98 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $engine")
   }
 
+  test("viral-duplicate skew: caps bound the joins, connectivity and counts stay exact") {
+    // The scale claims that otherwise live only in scaladocs, asserted
+    // on a constructed worst case: ONE text duplicated 600× across two
+    // sources (a clique whose band buckets exceed the 512 salt cap),
+    // plus a few ordinary documents.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-viral").toString
+    val viralText = "please share this important announcement with all of your " +
+      "friends because the committee has decided that the annual meeting will " +
+      "now happen on the first day of the coming month in the town hall"
+    val clique = (0L until 600L).map(i =>
+      (i, "en", if (i < 300) "s1" else "s2", viralText, viralText.length.toLong))
+    val t900 = "the river keeps its own slow schedule through the valley floor and " +
+      "the people of the town have learned to read the water line on the old stone " +
+      "bridge because it tells them more about the season than any calendar on the " +
+      "wall of the station ever could and they trust it completely"
+    val t901 = "a workshop on pottery glazes runs every second weekend downtown and " +
+      "the teacher brings a crate of samples from the kiln so that the students can " +
+      "see how the same clay takes a different color when the heat and the minerals " +
+      "in the glaze are allowed to argue with each other for an afternoon"
+    val t902 = "migratory birds favor the eastern shore when the wind turns cold and " +
+      "the observers on the headland count them through the morning with the patience " +
+      "of people who know that the light will not hold and that the flocks they miss " +
+      "today will not come back along the same line of the coast"
+    val normals = Seq(
+      (900L, "en", "s1", t900, t900.length.toLong),
+      (901L, "en", "s2", t901, t901.length.toLong),
+      (902L, "en", "s1", t902, t902.length.toLong))
+    (clique ++ normals).toDF("doc_id", "lang", "source", "text", "n_chars")
+      .repartition(4).write.parquet(s"$dir/documents.parquet")
+
+    // (1) minhash candidates: the 512 cap splits the clique's buckets,
+    // so the emitted edge set must be SMALLER than the full clique —
+    // yet union-find over it must still connect all 600 copies (the
+    // spanning property dedup consumes; pair enumeration is sacrificed
+    // by design)
+    val cand = NearDup.minhashCandidates(spark, dir, 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fullClique = 600L * 599 / 2
+    assert(cand.length < fullClique,
+      s"salt cap must drop clique edges: got ${cand.length} of $fullClique")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    cand.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert((0L until 600L).forall(find(_) == 0L),
+      "every viral copy must stay connected through the capped candidate graph")
+    info(s"clique candidates ${cand.length} / $fullClique possible, one component")
+
+    // (2) text-tier clustering converges (no round-cap throw) and labels
+    // the per-(lang,source) cliques exactly
+    val clusters = graft.ops.Dedup.dupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(clusters.count { case (_, (cid, sz)) => cid == 0L && sz == 300L } == 300)
+    assert(clusters.count { case (_, (cid, sz)) => cid == 300L && sz == 300L } == 300)
+
+    // (3) composed curation keeps exactly one representative per
+    // surviving cluster: min doc_id of each source's clique + normals
+    val kept = graft.ops.Dedup.curateCorpus(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 300L, 900L, 901L, 902L), s"got $kept")
+
+    // (4) source_overlap: rows stay |source-pairs|-scale with EXACT
+    // combination counts — never a 600² doc-level join
+    val overlap = graft.ops.Curation.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(overlap == Map(
+      ("s1", "s1") -> (300L * 299 / 2), ("s1", "s2") -> 300L * 300,
+      ("s2", "s2") -> (300L * 299 / 2)), s"got $overlap")
+
+    // (5) a hot LSH bucket (520 identical vectors > the 512 cap, plus
+    // seeded noise): every hot-bucket query still gets its full k at
+    // similarity 1.0 through the salted split
+    val rng = new scala.util.Random(7L)
+    val base = Array.fill(8)(rng.nextGaussian().toFloat)
+    val hot = (0L until 520L).map(i => (i, 0, base.clone()))
+    val noise = (600L until 630L).map(i => (i, 1, Array.fill(8)(rng.nextGaussian().toFloat)))
+    (hot ++ noise).toDF("vec_id", "label", "embedding")
+      .repartition(4).write.parquet(s"$dir/embeddings.parquet")
+    val topk = Similarity.lshTopK(spark, dir, k = 5).collect()
+      .filter(_.getLong(0) < 520L)
+    val byQuery = topk.groupBy(_.getLong(0))
+    assert(byQuery.size == 520 && byQuery.values.forall(_.length == 5),
+      "every hot-bucket query keeps a full k=5 neighbor list")
+    assert(topk.forall(r => r.getDouble(3) == 1.0),
+      "identical-vector neighbors rerank at exactly 1.0")
+  }
+
   test("distilled quality classifier generalizes to the held-out splits") {
     val heuristic = graft.ops.TextAnalysis.qualityScore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getDouble(6) >= 0.5)).toMap
