@@ -64,6 +64,8 @@ object Similarity {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
     a.join(broadcast(b), col("vec_id") =!= col("other_id"))
       .withColumn("sim_raw", graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
+      // per-partition top-k sort shouldn't move the vectors (see ivfTopK)
+      .select(col("vec_id"), col("other_id"), col("sim_raw"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank").cast("long").as("rank"),
@@ -163,6 +165,8 @@ object Similarity {
       .join(va, "vec_id")
       .join(vb, "other_id")
       .withColumn("sim_raw", graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
+      // vectors projected away before the rank window (see ivfTopK)
+      .select(col("vec_id"), col("other_id"), col("sim_raw"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank").cast("long").as("rank"),
@@ -291,26 +295,37 @@ object Similarity {
     // keep every vector as a candidate
     val probes = queryPred.foldLeft(q.assigned)(_.filter(_))
       .withColumn("probe", explode(slice(array_sort(distStructs), 1, np)))
-      .select(col("vec_id"), col("v").as("va"), col("probe.cell").as("cell"))
+      .select(col("vec_id"), col("probe.cell").as("cell"))
     // multi-assignment on the DATABASE side: each vector is indexed
     // under its 2 nearest cells, so a neighbor sitting just across its
     // own cell's boundary is still reachable from the query's probe set.
     // Measured at sf0.1 (auto nlist = 45, nprobe = 12): recall@5 0.774
-    // single-assigned → ≥ 0.9 multi-assigned — the same
+    // single-assigned → 0.926 multi-assigned — the same
     // only-visible-at-scale failure mode as the LSH salt correlation
     // (at sf0.01's 22 cells, 12 probes cover enough of the space to
-    // mask it). Index doubles, which is the standard multi-assignment
-    // trade; candidates may appear via both cells, so dedup before the
-    // rerank window. */
+    // mask it). Index doubles — the standard multi-assignment trade.
     val lists = probedAssignments(spark, sfDir, 2, nlist).get
-      .select(col("vec_id").as("other_id"), col("v").as("vb"), col("cell"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
-    probes.join(lists, Seq("cell"))
+      .select(col("vec_id").as("other_id"), col("cell"))
+    // candidate pairs are built and DEDUPED as bare id pairs (a pair can
+    // meet through both of a candidate's assigned cells, and it must not
+    // occupy two ranks); the vectors join back AFTER the distinct, so
+    // the probe-join and dedup shuffles carry 16-byte pairs, never the
+    // embedding arrays — same shape as lshTopK's candidate stage
+    val cand = probes.join(lists, Seq("cell"))
       .filter(col("vec_id") =!= col("other_id"))
-      // a pair can meet through both of the candidate's assigned cells —
-      // dedup before the rank window or it would occupy two ranks
-      .dropDuplicates("vec_id", "other_id")
+      .select(col("vec_id"), col("other_id"))
+      .distinct()
+    val va = q.assigned.select(col("vec_id"), col("v").as("va"))
+    val vb = q.assigned.select(col("vec_id").as("other_id"), col("v").as("vb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
+    cand
+      .join(va, "vec_id")
+      .join(vb, "other_id")
       .withColumn("sim_raw", graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
+      // project the vectors away BEFORE the rank window: its shuffle
+      // then carries (id, id, double) rows, not two embedding arrays
+      // per candidate pair
+      .select(col("vec_id"), col("other_id"), col("sim_raw"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank").cast("long").as("rank"),
