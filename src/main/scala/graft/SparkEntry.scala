@@ -303,6 +303,8 @@ object SparkEntry {
     "corpus_mixture" -> ((s, dir) => Curation.corpusMixture(s, dir)),
     "corpus_resample" -> ((s, dir) => Curation.corpusResample(s, dir)),
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
+    // the composed curate -> split -> pack loader manifest, fused oracle
+    "training_manifest" -> ((s, dir) => Curation.trainingManifest(s, dir)),
     // partial oracle for the fingerprint dedup path: its keep-set must
     // equal the text-normalized exact survivor set (hash-collision-free
     // at test scale), which IS SQL-expressible even though xxhash64 isn't
@@ -610,6 +612,68 @@ object SparkEntry {
         |SELECT surv.doc_id, surv.lang, surv.source, surv.quality
         |FROM surv JOIN rep ON surv.cluster_id = rep.cluster_id AND surv.doc_id = rep.rep_id
         |ORDER BY surv.doc_id""".stripMargin,
+    // the fused end-to-end oracle: the curate recursive CTE verbatim,
+    // extended with the split CASE and the per-shard packing window
+    "training_manifest" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, lang, source, len(toks) AS n, unnest(toks) AS w FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM x a JOIN x b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        |  HAVING round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) >= 0.95),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        |qf AS (
+        |  SELECT doc_id, lang, source,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      y -> list_contains(['the','a','and','of','to','in','is','on','for','with'], y))) AS DOUBLE)
+        |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stop_ratio,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS punct_density
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id, lang, source,
+        |    round((len_score + stop_ratio + (1.0 - punct_density)) / 3.0, 6) AS quality
+        |  FROM qf),
+        |pii AS (
+        |  SELECT doc_id,
+        |    (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+        |     + len(regexp_extract_all(text, 'https?://[^ \t\n]+'))
+        |     + len(regexp_extract_all(text, '[0-9]{9,}'))) > 0 AS flagged
+        |  FROM documents),
+        |surv AS (
+        |  SELECT qual.doc_id, qual.lang, qual.source, qual.quality, lab.cluster_id
+        |  FROM qual JOIN pii USING (doc_id) JOIN lab USING (doc_id)
+        |  WHERE qual.quality >= 0.5 AND NOT pii.flagged),
+        |rep AS (SELECT cluster_id, min(doc_id) AS rep_id FROM surv GROUP BY cluster_id),
+        |kept AS (
+        |  SELECT surv.doc_id
+        |  FROM surv JOIN rep ON surv.cluster_id = rep.cluster_id AND surv.doc_id = rep.rep_id),
+        |man AS (
+        |  SELECT d.doc_id, d.lang, d.source,
+        |    CASE WHEN substr(md5(d.text), 1, 2) < 'e6' THEN 'train'
+        |         WHEN substr(md5(d.text), 1, 2) < 'f3' THEN 'val' ELSE 'test' END AS split,
+        |    CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents d JOIN kept USING (doc_id))
+        |SELECT split, lang, source, doc_id, n_tok,
+        |  CAST(COALESCE(sum(n_tok) OVER (PARTITION BY split, lang, source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+        |  CAST(floor(COALESCE(sum(n_tok) OVER (PARTITION BY split, lang, source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
+        |FROM man ORDER BY split, lang, source, doc_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

@@ -174,6 +174,38 @@ object Curation {
       .orderBy(col("split"), col("lang"), col("source"), col("doc_id"))
   }
 
+  /** The end-to-end assembly a training run actually executes, in ONE
+    * declarative plan: curate (quality ∧ PII-clean ∧ one representative
+    * per near-dup cluster, [[Dedup.curateCorpus]]) → content-hash split
+    * ([[splitExpr]]) → per-shard sequence packing ([[packSequences]]'s
+    * window over the SURVIVORS only). Output: the doc → (split, shard,
+    * bin, offset) manifest a training loader consumes, for exactly the
+    * curated keep-set.
+    *
+    * Every stage is individually hash-verified against its own oracle;
+    * this composition is verified against a fused oracle too (the
+    * curate recursive CTE extended with the split CASE and the packing
+    * window), so the END-TO-END manifest is exact — the strongest
+    * correctness statement in the assembly suite. Scale posture is the
+    * union of its parts: cluster labels ride the session cache, the
+    * packing window partitions per output shard, and the only new work
+    * over [[Dedup.curateCorpus]] is one join back to the documents for
+    * the split hash and token count. */
+  def trainingManifest(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame = {
+    val kept = Dedup.curateCorpus(spark, sfDir).select(col("doc_id"))
+    val toks = docs(spark, sfDir)
+      .join(kept, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), splitExpr.as("split"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("split"), col("lang"), col("source"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .select(col("split"), col("lang"), col("source"), col("doc_id"), col("n_tok"),
+        coalesce(sum(col("n_tok")).over(w), lit(0L)).as("start_off"))
+      .withColumn("bin", floor(col("start_off") / lit(budget.toDouble)).cast("long"))
+      .orderBy(col("split"), col("lang"), col("source"), col("doc_id"))
+  }
+
   /** Corpus mixture accounting: per (lang, source) document/token counts
     * and corpus shares — the table a mixture-weighted training sampler
     * consumes. The share window runs over the GROUPED table (bounded by

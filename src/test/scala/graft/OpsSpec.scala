@@ -901,6 +901,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("training manifest covers exactly the curated keep-set with gapless shard offsets") {
+    val kept = graft.ops.Dedup.curateCorpus(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val man = graft.ops.Curation.trainingManifest(spark, sfDir).collect()
+    assert(man.map(_.getLong(3)).toSet == kept,
+      "manifest rows must be the curated survivors, nothing more or less")
+    // per shard: offsets are a gapless cumsum in doc_id order
+    man.groupBy(r => (r.getString(0), r.getString(1), r.getString(2))).foreach {
+      case (shard, rows) =>
+        val sorted = rows.sortBy(_.getLong(3))
+        var off = 0L
+        sorted.foreach { r =>
+          assert(r.getLong(5) == off, s"offset gap in shard $shard at doc ${r.getLong(3)}")
+          assert(r.getLong(6) == off / 2048, "bin = start_off / budget")
+          off += r.getLong(4)
+        }
+    }
+  }
+
   test("streaming curation screens, splits, and dedups like the batch pipeline") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
