@@ -221,6 +221,8 @@ object SparkEntry {
     "winnow_fingerprints" -> ((s, dir) => TextAnalysis.winnowFingerprints(s, dir)),
     // winnow consumer: df-capped sketch-slot join → substring-overlap pairs
     "winnow_overlap" -> ((s, dir) => TextAnalysis.winnowOverlap(s, dir)),
+    // self-corpus bigram-LM perplexity (CCNet-style quality signal)
+    "doc_perplexity" -> ((s, dir) => TextAnalysis.docPerplexity(s, dir)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
     "pii_scan" -> ((s, dir) => TextAnalysis.piiScan(s, dir)),
     // -- near-dup / similarity / multimodal / as-of (north-star §2.3) ------
@@ -811,6 +813,23 @@ object SparkEntry {
         |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm), 4) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "doc_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, s[1] AS w1, s[2] AS w2
+        |  FROM (SELECT doc_id, unnest(list_zip(ws, ws[2:])) AS s FROM t)
+        |  WHERE s[2] IS NOT NULL),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, sum(cb) AS cw FROM bi GROUP BY w1),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM t)),
+        |lp AS (
+        |  SELECT bg.doc_id,
+        |    log2((bi.cb + CAST(0.5 AS DOUBLE)) / (ctx.cw + CAST(0.5 AS DOUBLE) * voc.v)) AS l
+        |  FROM bg JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc)
+        |SELECT doc_id, count(*) AS n_bigrams, round(pow(2.0, -avg(l)), 4) AS ppl
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ann_recall_gates" ->
       """SELECT 'ann_ivf_recall_at_5' AS metric, CAST(0.9 AS DOUBLE) AS floor, TRUE AS ok
         |UNION ALL SELECT 'ann_lsh_recall_at_5', CAST(0.9 AS DOUBLE), TRUE

@@ -195,6 +195,49 @@ object TextAnalysis {
         col("col").as("window_hash"), col("n_windows"))
       .orderBy(col("doc_id"), col("rank"))
 
+  /** Self-corpus bigram-LM perplexity — the CCNet-style LM quality
+    * signal: train an add-α bigram language model on the corpus itself
+    * and score every document's per-bigram perplexity under it.
+    * Documents whose word transitions are unlike the corpus (gibberish,
+    * wrong-language, template spam with rare transitions) score HIGH;
+    * repetitive boilerplate scores LOW — both tails are curation
+    * signals the per-document ratio screens cannot see, because this
+    * score is relative to the whole corpus.
+    *
+    * p(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁·) + α·V); per doc,
+    * ppl = 2^(−mean log₂ p) over its interior bigrams (docs with < 2
+    * tokens have no bigrams and are excluded — same rule both engines).
+    *
+    * Scale shape: the model IS two aggregation tables — bigram counts
+    * (bounded by distinct bigrams, not corpus size) and their prefix
+    * sums — joined back to the per-doc bigram stream by string keys;
+    * at test scale both count tables auto-broadcast, at 100 TB they
+    * shuffle-join with AQE skew handling on the stop-word prefixes.
+    * Everything is exact integer counts + log₂/pow — DuckDB computes
+    * the identical model, so the whole operator is oracle-checkable
+    * (4dp absorbs cross-engine float-sum association). */
+  def docPerplexity(spark: SparkSession, sfDir: String, alpha: Double = 0.5): DataFrame = {
+    val t = docs(spark, sfDir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+    val bg = t.select(col("doc_id"), explode(
+        when(size(col("ws")) >= 2, expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))
+          .otherwise(expr("CAST(array() AS array<struct<w1: string, w2: string>>)"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val ctx = bi.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val voc = t.select(explode(col("ws")).as("w")).agg(countDistinct(col("w")).as("v"))
+    bg.join(bi, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(voc))
+      .withColumn("l", log2((col("cb") + lit(alpha)) / (col("cw") + lit(alpha) * col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(pow(lit(2.0), -avg(col("l"))), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The consumer of [[winnowFingerprints]]: substring-overlap candidate
     * pairs — two documents sharing `minShared` of their bottom-k sketch
     * slots very likely share a long verbatim character run (the

@@ -604,6 +604,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "identical-vector neighbors rerank at exactly 1.0")
   }
 
+  test("bigram perplexity separates repetitive boilerplate from alien transitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppl").toString
+    val normal = (1L to 20L).map(i =>
+      (i, "en", "s", s"the cat number $i sat on the mat and the dog slept near the door", 60L))
+    // repetitive: one bigram over and over -> transitions the corpus LM
+    // has seen many times -> LOW perplexity
+    val boiler = (100L, "en", "s", ("buy now " * 30).trim, 240L)
+    // alien: word transitions appearing nowhere else -> HIGH perplexity
+    val alien = (101L, "en", "s",
+      "zyx qwv plk mnb vcx asd fgh jkl poi uyt rew qas zxc edc rfv tgb yhn ujm", 70L)
+    (normal :+ boiler :+ alien)
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val ppl = graft.ops.TextAnalysis.docPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val normalMean = normal.map(n => ppl(n._1)).sum / normal.size
+    assert(ppl(100L) < normalMean,
+      s"repeated bigrams must score below the normal docs: ${ppl(100L)} vs $normalMean")
+    assert(ppl(101L) > normalMean * 2,
+      s"unique transitions must score far above the normal docs: ${ppl(101L)} vs $normalMean")
+  }
+
   test("distilled quality classifier generalizes to the held-out splits") {
     val heuristic = graft.ops.TextAnalysis.qualityScore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getDouble(6) >= 0.5)).toMap
@@ -768,6 +791,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "winnow" -> (() => graft.ops.TextAnalysis.winnowFingerprints(spark, dir).count()),
       "winnow_overlap" -> (() => graft.ops.TextAnalysis.winnowOverlap(spark, dir).count()),
       "quality_model" -> (() => graft.ops.QualityModel.modelScores(spark, dir).count()),
+      "perplexity" -> (() => graft.ops.TextAnalysis.docPerplexity(spark, dir).count()),
       "resample" -> (() => graft.ops.Curation.corpusResample(spark, dir).count()),
       "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()))
     ops.foreach { case (name, run) =>
