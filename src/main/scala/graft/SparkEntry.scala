@@ -301,6 +301,8 @@ object SparkEntry {
     // -- dataset assembly: splits, decontamination, repetition, mixture ----
     "corpus_split" -> ((s, dir) => Curation.corpusSplit(s, dir)),
     "split_leakage" -> ((s, dir) => Curation.splitLeakage(s, dir)),
+    // substring-level decontamination: cross-split winnow-sketch pairs
+    "split_substring_leakage" -> ((s, dir) => Curation.splitSubstringLeakage(s, dir)),
     "repetition_stats" -> ((s, dir) => Curation.repetitionStats(s, dir)),
     "corpus_mixture" -> ((s, dir) => Curation.corpusMixture(s, dir)),
     "corpus_resample" -> ((s, dir) => Curation.corpusResample(s, dir)),

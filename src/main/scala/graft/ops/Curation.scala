@@ -54,6 +54,28 @@ object Curation {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Substring-level cross-split decontamination — the second tier of
+    * the leakage check: [[splitLeakage]] catches near-twin DOCUMENTS
+    * (token-set Jaccard ≥ 0.8), but an eval answer copied verbatim into
+    * a larger train document sails under any whole-document similarity.
+    * The winnow sketch sees exactly that case: two documents sharing
+    * `minShared` bottom-k window hashes share a long character run.
+    * This operator keeps only the [[TextAnalysis.winnowOverlap]] pairs
+    * whose endpoints sit in DIFFERENT splits — the substring analogue
+    * of the PaLM/GPT-4 n-gram contamination screen. Scale posture is
+    * winnowOverlap's (df-capped slot join); xxhash64 ⇒ rows-only. */
+  def splitSubstringLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = TextAnalysis.winnowOverlap(spark, sfDir)
+    val splits = docs(spark, sfDir).select(col("doc_id"), splitExpr.as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("shared_slots"), col("containment_est"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Per-document repetition screen (the Gopher-style duplicate-n-gram
     * signal): over NON-distinct word trigrams, the duplicate fraction
     * 1 − distinct/total and the hottest trigram's count. High values

@@ -74,6 +74,24 @@ object QualityModel {
         .fit(train))
     })
 
+  /** Apply the corpus-fitted classifier to a STREAM of documents
+    * (doc_id, text, …) — the model-serving half of ingest-time
+    * curation: tokenizer, hashing and the LR dot product are all
+    * stateless row-local transforms, so the same fitted model scores a
+    * Structured Streaming frame with zero state and no watermark
+    * requirement. Output: (doc_id, quality_prob, keep). Throws if the
+    * corpus has no fittable model — a streaming scorer with no model
+    * is a configuration error, not a degenerate input. */
+  def scoreStream(spark: SparkSession, sfDir: String, docs: DataFrame): DataFrame = {
+    val model = fitted(spark, sfDir).getOrElse(throw new IllegalStateException(
+      s"no fittable quality model for corpus $sfDir (empty or single-class)"))
+    model.transform(featurize(docs))
+      .withColumn("p1",
+        org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1))
+      .select(col("doc_id"), round(col("p1"), 4).as("quality_prob"),
+        (col("p1") >= 0.5d).as("keep"))
+  }
+
   /** Score every document with the distilled classifier: (doc_id,
     * quality_prob, keep = prob ≥ 0.5, in_train = was in the fit split).
     * Falls back to an empty frame when no model is fittable (empty or

@@ -255,7 +255,30 @@ object TextAnalysis {
     * xxhash64 isn't DuckDB-expressible ⇒ rows-only registration; the
     * planted-substring behavior is pinned in OpsSpec. */
   def winnowOverlap(spark: SparkSession, sfDir: String, k: Int = 8, sketchSize: Int = 4,
-      maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+      maxDf: Int = 64, minShared: Int = 2): DataFrame =
+    overlapCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir, k, sketchSize, maxDf, minShared),
+      _ => winnowOverlapDirect(spark, sfDir, k, sketchSize, maxDf, minShared)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Session cache for the overlap pair table — two registered queries
+    * consume it ([[winnowOverlap]] itself and the cross-split
+    * decontamination view `Curation.splitSubstringLeakage`); the pair
+    * build is the expensive part and the result is (id, id, long,
+    * double) rows — metadata-scale. Same pattern as
+    * `NearDup.floorPairCache`. */
+  private val overlapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int, Int), DataFrame]()
+
+  /** Release the cached overlap tables (twin of the other session
+    * caches — see `Dedup.clearCaches`). */
+  def clearCaches(): Unit = {
+    overlapCache.values.forEach(df => { df.unpersist(); () })
+    overlapCache.clear()
+  }
+
+  private def winnowOverlapDirect(spark: SparkSession, sfDir: String, k: Int, sketchSize: Int,
+      maxDf: Int, minShared: Int): DataFrame = {
     val slots = winnowFingerprints(spark, sfDir, k, sketchSize)
       .select(col("doc_id"), col("window_hash"))
       .distinct() // a window repeated inside one doc is one slot

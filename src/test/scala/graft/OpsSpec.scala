@@ -700,6 +700,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the unrelated document shares no slots")
     assert(!pairs.keys.exists { case (a, b) => a >= 100L || b >= 100L },
       "df-capped hashes must not pair the viral copies")
+    // the substring decontamination tier: exactly the overlap pairs
+    // whose endpoints hash into different splits
+    val leak = graft.ops.Curation.splitSubstringLeakage(spark, dir).collect()
+    leak.foreach { r =>
+      assert(r.getString(2) != r.getString(3), "leakage rows must cross splits")
+      assert(pairs.contains((r.getLong(0), r.getLong(1))),
+        "leakage rows must be winnow-overlap pairs")
+    }
   }
 
   test("semantic dedup: components of the cosine graph, one representative each") {
@@ -792,6 +800,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "winnow_overlap" -> (() => graft.ops.TextAnalysis.winnowOverlap(spark, dir).count()),
       "quality_model" -> (() => graft.ops.QualityModel.modelScores(spark, dir).count()),
       "perplexity" -> (() => graft.ops.TextAnalysis.docPerplexity(spark, dir).count()),
+      "substr_leakage" -> (() => graft.ops.Curation.splitSubstringLeakage(spark, dir).count()),
+      "manifest" -> (() => graft.ops.Curation.trainingManifest(spark, dir).count()),
       "resample" -> (() => graft.ops.Curation.corpusResample(spark, dir).count()),
       "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()))
     ops.foreach { case (name, run) =>
@@ -941,6 +951,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           off += r.getLong(4)
         }
     }
+  }
+
+  test("streaming quality-model scoring matches the batch scorer row for row") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val texts = Seq(
+      (1L, "the quick brown fox and the lazy dog sit on the hill with a friend " * 8),
+      (2L, "@@@@ !!!! #### %%%% &&&& ****"),
+      (3L, "a calm morning walk along the shore with the tide going out slowly " * 6))
+    val batch = graft.ops.QualityModel.scoreStream(spark, sfDir,
+        texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(texts: _*)
+    val q = graft.ops.QualityModel.scoreStream(spark, sfDir,
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qm_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("qm_out").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+      assert(streamed == batch,
+        s"stream and batch scoring must agree: $streamed vs $batch")
+      assert(!streamed(2L)._2, "the junk document must be screened out")
+    } finally q.stop()
   }
 
   test("streaming curation screens, splits, and dedups like the batch pipeline") {
