@@ -223,6 +223,8 @@ object SparkEntry {
     "winnow_overlap" -> ((s, dir) => TextAnalysis.winnowOverlap(s, dir)),
     // self-corpus bigram-LM perplexity (CCNet-style quality signal)
     "doc_perplexity" -> ((s, dir) => TextAnalysis.docPerplexity(s, dir)),
+    // RAG/training chunking: 64-token windows, 16-token overlap
+    "doc_chunks" -> ((s, dir) => TextAnalysis.docChunks(s, dir)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
     "pii_scan" -> ((s, dir) => TextAnalysis.piiScan(s, dir)),
     // -- near-dup / similarity / multimodal / as-of (north-star §2.3) ------
@@ -815,6 +817,18 @@ object SparkEntry {
         |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm), 4) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |st AS (
+        |  SELECT doc_id, ws, unnest(list_transform(
+        |    generate_series(0, greatest(CAST(ceil((len(ws) - 64) / CAST(48 AS DOUBLE)) AS INT), 0)),
+        |    i -> i * 48)) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, CAST(start_tok / 48 AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(least(len(ws) - start_tok, 64) AS BIGINT) AS n_tok,
+        |  array_to_string(ws[start_tok + 1 : start_tok + 64], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "doc_perplexity" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws

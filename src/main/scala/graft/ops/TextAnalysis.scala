@@ -195,6 +195,41 @@ object TextAnalysis {
         col("col").as("window_hash"), col("n_windows"))
       .orderBy(col("doc_id"), col("rank"))
 
+  /** Fixed-window document chunking with overlap — the segmentation
+    * step of RAG indexing and long-document training: each document is
+    * cut into `chunk`-token windows advancing by `chunk − overlap`
+    * tokens, so consecutive chunks share `overlap` tokens of context
+    * and no token is ever dropped. Output: (doc_id, chunk_id,
+    * start_tok, n_tok, chunk_text) — one row per chunk, offsets
+    * 0-based over the whitespace tokenization.
+    *
+    * Pure built-in expressions (`sequence` generates the window starts,
+    * `slice`+`array_join` materializes each window) — codegen'd,
+    * zero shuffles before the output sort, and reproducible in SQL, so
+    * the operator is fully oracle-checked. The last window is allowed
+    * to be short (a trailing remainder shorter than `overlap` would
+    * otherwise vanish); single-window docs emit exactly one chunk. */
+  def docChunks(spark: SparkSession, sfDir: String, chunk: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(overlap < chunk, "overlap must be smaller than the chunk")
+    val stride = chunk - overlap
+    docs(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        // K+1 window starts at multiples of the stride, with
+        // K = max(0, ⌈(n − chunk)/stride⌉): the last start is always
+        // < n − overlap, and K·stride + chunk ≥ n so no token drops
+        explode(expr(
+          s"transform(sequence(0, greatest(CAST(ceil((size(ws) - $chunk) / CAST($stride AS DOUBLE)) AS INT), 0)), " +
+            s"i -> i * $stride)")).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(size(col("ws")) - col("start_tok"), lit(chunk)).cast("long").as("n_tok"),
+        array_join(slice(col("ws"), col("start_tok") + 1, lit(chunk)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Self-corpus bigram-LM perplexity — the CCNet-style LM quality
     * signal: train an add-α bigram language model on the corpus itself
     * and score every document's per-bigram perplexity under it.

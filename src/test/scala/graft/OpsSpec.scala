@@ -604,6 +604,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "identical-vector neighbors rerank at exactly 1.0")
   }
 
+  test("doc chunks: stride-aligned, overlap-consistent, and lossless") {
+    val chunks = graft.ops.TextAnalysis.docChunks(spark, sfDir, chunk = 64, overlap = 16)
+      .collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    chunks.foreach { case (docId, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      val toks = docs(docId)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i, "chunk ids dense from 0")
+        assert(r.getLong(2) == i * 48L, "starts advance by the stride")
+        val expect = toks.slice(i * 48, i * 48 + 64)
+        assert(r.getLong(3) == expect.length, s"doc $docId chunk $i token count")
+        assert(r.getString(4) == expect.mkString(" "), s"doc $docId chunk $i text")
+      }
+      // lossless: dropping each chunk's 16-token overlap head (except
+      // the first) reconstructs the document's token stream exactly
+      val rebuilt = sorted.zipWithIndex.flatMap { case (r, i) =>
+        val ts = r.getString(4).split(" ").toSeq
+        if (i == 0) ts else ts.drop(16)
+      }
+      assert(rebuilt.toSeq == toks, s"doc $docId must reconstruct from its chunks")
+    }
+  }
+
   test("bigram perplexity separates repetitive boilerplate from alien transitions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ppl").toString
@@ -801,6 +829,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "quality_model" -> (() => graft.ops.QualityModel.modelScores(spark, dir).count()),
       "perplexity" -> (() => graft.ops.TextAnalysis.docPerplexity(spark, dir).count()),
       "substr_leakage" -> (() => graft.ops.Curation.splitSubstringLeakage(spark, dir).count()),
+      "chunks" -> (() => graft.ops.TextAnalysis.docChunks(spark, dir).count()),
       "manifest" -> (() => graft.ops.Curation.trainingManifest(spark, dir).count()),
       "resample" -> (() => graft.ops.Curation.corpusResample(spark, dir).count()),
       "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()))
