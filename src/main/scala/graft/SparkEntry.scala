@@ -299,6 +299,9 @@ object SparkEntry {
     "embedding_quantize" -> ((s, dir) => Similarity.quantizeStats(s, dir)),
     "ivf_residual_quantize" -> ((s, dir) => Similarity.residualQuantizeStats(s, dir)),
     "media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
+    // letterbox-resize plan (integer-exact) and uniform frame sampling
+    "media_resize" -> ((s, dir) => Multimodal.mediaResize(s, dir)),
+    "media_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "asof_daily_value" -> ((s, dir) => Relational.asofDailySpine(s, dir)),
     // -- dataset assembly: splits, decontamination, repetition, mixture ----
     "corpus_split" -> ((s, dir) => Curation.corpusSplit(s, dir)),
@@ -936,6 +939,41 @@ object SparkEntry {
         |            WHEN 'audio' THEN n_bytes % 48000
         |            ELSE 1 + n_bytes % 24 END AS frames
         |FROM m ORDER BY doc_id""".stripMargin,
+    "media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, kind,
+        |    CAST(16 + n_bytes % 640 AS BIGINT) AS width,
+        |    CAST(16 + (n_bytes * 7) % 480 AS BIGINT) AS height
+        |  FROM m WHERE kind <> 'audio'),
+        |s AS (
+        |  SELECT *, CAST(floor(least(224 * 1000000.0 / width, 224 * 1000000.0 / height)) AS BIGINT) AS s6
+        |  FROM f)
+        |SELECT doc_id, kind, width, height,
+        |  round(s6 / 1000000.0, 6) AS scale,
+        |  width * s6 // 1000000 AS out_w,
+        |  height * s6 // 1000000 AS out_h,
+        |  (224 - width * s6 // 1000000) // 2 AS pad_x,
+        |  (224 - height * s6 // 1000000) // 2 AS pad_y
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "media_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+        |f AS (SELECT doc_id, CAST(1 + n_bytes % 24 AS BIGINT) AS frames FROM m),
+        |s AS (SELECT doc_id, frames, least(8, frames) AS n_samples FROM f),
+        |k AS (
+        |  SELECT doc_id, frames, n_samples,
+        |    unnest(generate_series(0, CAST(n_samples - 1 AS INT))) AS sample_k
+        |  FROM s)
+        |SELECT doc_id, frames, CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(sample_k AS BIGINT) AS sample_k,
+        |  CAST(sample_k AS BIGINT) * frames // n_samples AS frame_idx
+        |FROM k ORDER BY doc_id, sample_k""".stripMargin,
     "asof_daily_value" ->
       """WITH daily AS (
         |  SELECT event_type, day, value AS day_value FROM (

@@ -72,4 +72,44 @@ object Multimodal {
     extractFeatures(spark, mediaTable(spark, sfDir))
       .toDF()
       .orderBy("doc_id")
+
+  /** Letterbox-resize plan for the visual rows (image/video): the
+    * preprocessing step in front of any vision encoder — scale each
+    * decoded frame to fit `targetW`×`targetH` preserving aspect ratio,
+    * centered with symmetric padding. The scale factor is computed in
+    * exact MILLIONTH units (integer floor of the double ratio) and the
+    * output dimensions with integer division, so the whole plan is
+    * bit-reproducible in SQL and hash-verified — no float-boundary
+    * ambiguity ever reaches a dimension. Audio rows are excluded
+    * (resize is meaningless for them). */
+  def mediaResize(spark: SparkSession, sfDir: String,
+      targetW: Int = 224, targetH: Int = 224): DataFrame =
+    mediaFeatures(spark, sfDir)
+      .filter(col("kind") =!= "audio")
+      .withColumn("s6", expr(
+        s"CAST(floor(least($targetW * 1000000.0 / width, $targetH * 1000000.0 / height)) AS BIGINT)"))
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        round(col("s6") / 1e6, 6).as("scale"),
+        expr("width * s6 DIV 1000000").as("out_w"),
+        expr("height * s6 DIV 1000000").as("out_h"),
+        expr(s"($targetW - width * s6 DIV 1000000) DIV 2").as("pad_x"),
+        expr(s"($targetH - height * s6 DIV 1000000) DIV 2").as("pad_y"))
+      .orderBy(col("doc_id"))
+
+  /** Uniform frame sampling for the video rows: up to `maxFrames`
+    * frame indices per clip at even spacing — the frame-sample stage a
+    * video pipeline runs before per-frame decode/embedding (sampling
+    * indices is metadata arithmetic; only the CHOSEN frames would ever
+    * be decoded at scale). Integer index math (k·frames div n) —
+    * oracle hash-verified. */
+  def frameSample(spark: SparkSession, sfDir: String, maxFrames: Int = 8): DataFrame =
+    mediaFeatures(spark, sfDir)
+      .filter(col("kind") === "video")
+      .withColumn("n_samples", least(lit(maxFrames.toLong), col("frames")))
+      .select(col("doc_id"), col("frames"), col("n_samples"),
+        posexplode(expr(
+          "transform(sequence(0, CAST(n_samples - 1 AS INT)), k -> CAST(k AS BIGINT) * frames DIV n_samples)")))
+      .select(col("doc_id"), col("frames"), col("n_samples"),
+        col("pos").cast("long").as("sample_k"), col("col").as("frame_idx"))
+      .orderBy(col("doc_id"), col("sample_k"))
 }

@@ -830,6 +830,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "perplexity" -> (() => graft.ops.TextAnalysis.docPerplexity(spark, dir).count()),
       "substr_leakage" -> (() => graft.ops.Curation.splitSubstringLeakage(spark, dir).count()),
       "chunks" -> (() => graft.ops.TextAnalysis.docChunks(spark, dir).count()),
+      "resize" -> (() => Multimodal.mediaResize(spark, dir).count()),
+      "frames" -> (() => Multimodal.frameSample(spark, dir).count()),
       "manifest" -> (() => graft.ops.Curation.trainingManifest(spark, dir).count()),
       "resample" -> (() => graft.ops.Curation.corpusResample(spark, dir).count()),
       "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()))
