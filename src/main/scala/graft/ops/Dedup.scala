@@ -168,6 +168,8 @@ object Dedup {
   def clearCaches(): Unit = {
     labelCache.values.forEach(df => { df.unpersist(); () })
     labelCache.clear()
+    semanticLabelCache.values.forEach(df => { df.unpersist(); () })
+    semanticLabelCache.clear()
   }
 
   /** Near-duplicate CLUSTERS: connected components over the blocked-
@@ -243,18 +245,28 @@ object Dedup {
     * only on the shuffle. At 100 TB the pair scan is blocked by the
     * coarse-quantizer cell — that path is [[semanticDedupIvf]], gated
     * against this one in OpsSpec. */
-  def semanticDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.40): DataFrame = {
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-    val edges = a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .withColumn("cosine",
-        round(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")), 4))
-      .filter(col("cosine") >= threshold)
-      .select(col("vec_b").as("u"), col("vec_a").as("v")) // vec_a < vec_b ⇒ u > v
-    semanticLabelsFromEdges(spark, sfDir, edges)
-  }
+  def semanticDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.40): DataFrame =
+    semanticLabelCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir, threshold, "exact"), _ => {
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+        val edges = a.join(broadcast(b), col("vec_a") < col("vec_b"))
+          .withColumn("cosine",
+            round(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")), 4))
+          .filter(col("cosine") >= threshold)
+          .select(col("vec_b").as("u"), col("vec_a").as("v")) // vec_a < vec_b ⇒ u > v
+        semanticLabelsFromEdges(spark, sfDir, edges)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** Session cache for the semantic label tables (one per dedup
+    * variant): the pair scan + star contraction is the expensive part
+    * and the result is four scalar columns per vector — metadata-scale.
+    * Same lifecycle as [[labelCache]]. */
+  private val semanticLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Double, String), DataFrame]()
 
   /** The 100 TB path for [[semanticDedup]]: block the pair scan by the
     * session-cached KMeans coarse-quantizer cell (the very clustering
@@ -274,16 +286,20 @@ object Dedup {
           .select(col("vec_id"), col("vec_id").as("cluster_id"),
             lit(0L).as("cluster_size"), lit(true).as("keep")).limit(0)
     }
-    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("vb"))
-    val edges = a.join(b, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine",
-        round(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")), 4))
-      .filter(col("cosine") >= threshold)
-      .select(col("vec_b").as("u"), col("vec_a").as("v"))
-      .distinct() // a pair can collide in several probed cells
-    semanticLabelsFromEdges(spark, sfDir, edges)
+    semanticLabelCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir, threshold, s"ivf$nprobe"), _ => {
+        val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
+        val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("vb"))
+        val edges = a.join(b, Seq("cell"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("cosine",
+            round(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")), 4))
+          .filter(col("cosine") >= threshold)
+          .select(col("vec_b").as("u"), col("vec_a").as("v"))
+          .distinct() // a pair can collide in several probed cells
+        semanticLabelsFromEdges(spark, sfDir, edges)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
   }
 
   /** Shared tail of the two semantic-dedup paths: contract the edge
