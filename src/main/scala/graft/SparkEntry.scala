@@ -296,6 +296,8 @@ object SparkEntry {
           (col("p99a") >= col("qs").getItem(2) && col("p99a") <= col("vmax")).as("p99_ok"))
         .orderBy(col("event_type"))),
     "embedding_stats" -> ((s, dir) => Similarity.embeddingStats(s, dir)),
+    // centroid-distance z-score outlier screen (cached quantizer)
+    "embedding_outliers" -> ((s, dir) => Similarity.embeddingOutliers(s, dir)),
     "embedding_quantize" -> ((s, dir) => Similarity.quantizeStats(s, dir)),
     "ivf_residual_quantize" -> ((s, dir) => Similarity.residualQuantizeStats(s, dir)),
     "media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),

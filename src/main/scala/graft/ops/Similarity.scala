@@ -442,6 +442,50 @@ object Similarity {
     annRows.unionByName(mhRow).orderBy(col("metric"))
   }
 
+  /** Centroid-distance outlier screen — the second embedding-hygiene
+    * tier after [[embeddingStats]]'s norm checks: a vector far from its
+    * own coarse-quantizer centroid relative to its cell's spread is a
+    * mis-embedded / corrupted / out-of-distribution row that poisons
+    * ANN cells and semantic dedup alike. z = (d − μ_cell)/σ_cell over
+    * the euclidean centroid distance; |z| > `zThreshold` flags.
+    *
+    * An extreme vector defeats within-cell z-scoring by ISOLATING
+    * itself: KMeans hands it a private cell where its centroid distance
+    * is 0 — so the screen has a second rule: a vector alone in its own
+    * cell, when the quantizer allocates ~√n cells for the corpus, is
+    * definitionally isolated and flags regardless of z (measured: a
+    * planted 60σ vector lands in a singleton cell with z = 0).
+    *
+    * Rides the session-cached quantizer (no extra fit); the per-cell
+    * moments are one groupBy over ~√n cells and broadcast back — the
+    * corpus never shuffles. Seeded KMeans ⇒ rows-only. */
+  def embeddingOutliers(spark: SparkSession, sfDir: String, zThreshold: Double = 3.0): DataFrame = {
+    val q = coarseQuantizer(spark, sfDir, 0) match {
+      case Some(cq) => cq
+      case None =>
+        return emb(spark, sfDir).select(col("vec_id"), lit(0).as("cell"),
+          lit(0L).as("n_cell"), lit(0.0d).as("dist"), lit(0.0d).as("z"),
+          lit(false).as("flagged")).limit(0)
+    }
+    val centDf = spark.createDataFrame(
+      q.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) => (i, c) }).toDF("cell", "centroid")
+    val withDist = q.assigned
+      .join(broadcast(centDf), "cell")
+      .withColumn("dist",
+        sqrt(expr("aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)), 0D, (acc, e) -> acc + e)")))
+    val moments = withDist.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_cell"),
+        avg(col("dist")).as("mu"), stddev_pop(col("dist")).as("sigma"))
+    withDist
+      .join(broadcast(moments), "cell")
+      .withColumn("z",
+        when(col("sigma") > 0, (col("dist") - col("mu")) / col("sigma")).otherwise(lit(0.0d)))
+      .select(col("vec_id"), col("cell"), col("n_cell"),
+        round(col("dist"), 4).as("dist"), round(col("z"), 4).as("z"),
+        (abs(col("z")) > zThreshold || col("n_cell") <= 1).as("flagged"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-vector norm/mean stats — embedding hygiene screening (zero or
     * exploding norms break ANN); oracle-checkable in plain SQL. */
   def embeddingStats(spark: SparkSession, sfDir: String): DataFrame =

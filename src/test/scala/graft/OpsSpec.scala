@@ -512,6 +512,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $engine")
   }
 
+  test("embedding outlier screen: z-scores centered per cell, planted outlier flagged") {
+    import spark.implicits._
+    val rows = Similarity.embeddingOutliers(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(java.lang.Double.isFinite(r.getDouble(4)), "z finite")
+      assert(r.getBoolean(5) ==
+        (math.abs(r.getDouble(4)) > 3.0 || r.getLong(2) <= 1L),
+        "flag iff |z| > 3 or isolated in a singleton cell")
+    }
+    // per-cell z means ~0 by construction
+    val byCell = rows.groupBy(_.getInt(1)).values
+    byCell.filter(_.length > 1).foreach { cell =>
+      val mz = cell.map(_.getDouble(4)).sum / cell.length
+      assert(math.abs(mz) < 0.05, s"per-cell z mean $mz should be ~0")
+    }
+    // a planted far-away vector must flag (it isolates into a singleton
+    // cell, which is exactly what the population rule exists for);
+    // its tight cluster must stay mostly unflagged
+    val dir = java.nio.file.Files.createTempDirectory("graft-outlier").toString
+    val rng = new scala.util.Random(11L)
+    val cluster = (0L until 60L).map(i =>
+      (i, 0, Array.tabulate(8)(d => (d + 1).toFloat + rng.nextGaussian().toFloat * 0.05f)))
+    val outlier = (999L, 0, Array.fill(8)(60.0f))
+    (cluster :+ outlier).toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val planted = Similarity.embeddingOutliers(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(planted(999L), "the planted far vector must be flagged")
+    assert(planted.count(_._2) <= 3, "the tight cluster must stay mostly unflagged")
+  }
+
+  test("session caches release and rebuild cleanly across clearCaches") {
+    // the resident-service contract: a long-lived session churning
+    // corpus snapshots must be able to drop every persisted table and
+    // get identical answers on recompute
+    val before = (
+      graft.ops.Dedup.dupClusters(spark, sfDir).collect().toSeq,
+      graft.ops.Dedup.semanticDedup(spark, sfDir).collect().toSeq,
+      graft.ops.TextAnalysis.winnowOverlap(spark, sfDir).collect().toSeq,
+      Similarity.ivfTopK(spark, sfDir).collect().toSeq)
+    graft.ops.Dedup.clearCaches()
+    graft.ops.NearDup.clearCaches()
+    graft.ops.Similarity.clearCaches()
+    graft.ops.TextAnalysis.clearCaches()
+    graft.ops.QualityModel.clearCaches()
+    val after = (
+      graft.ops.Dedup.dupClusters(spark, sfDir).collect().toSeq,
+      graft.ops.Dedup.semanticDedup(spark, sfDir).collect().toSeq,
+      graft.ops.TextAnalysis.winnowOverlap(spark, sfDir).collect().toSeq,
+      Similarity.ivfTopK(spark, sfDir).collect().toSeq)
+    assert(before == after, "recomputed results must equal the cached ones")
+  }
+
   test("viral-duplicate skew: caps bound the joins, connectivity and counts stay exact") {
     // The scale claims that otherwise live only in scaladocs, asserted
     // on a constructed worst case: ONE text duplicated 600× across two
