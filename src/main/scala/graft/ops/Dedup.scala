@@ -271,15 +271,23 @@ object Dedup {
   /** The 100 TB path for [[semanticDedup]]: block the pair scan by the
     * session-cached KMeans coarse-quantizer cell (the very clustering
     * SemDeDup prescribes), MULTI-PROBED — each vector is listed under
-    * its 2 nearest cells, so a near pair split across a cell boundary
-    * still meets in one of the four probed-cell combinations. Each
-    * cell's scan is O((2·|cell|)²) with ~√n cells, so nothing is ever
-    * all-pairs and nothing is broadcast but the centroids. OpsSpec
-    * gates the keep-set agreement against the exact unblocked operator.
-    * Seeded KMeans isn't SQL-expressible ⇒ rows-only registration. */
+    * its `nprobe` nearest cells, so a near pair split across a cell
+    * boundary still meets in some probed-cell combination. Each cell's
+    * scan is O((nprobe·|cell|)²) with ~√n cells, so nothing is ever
+    * all-pairs and nothing is broadcast but the centroids.
+    *
+    * The default nprobe = 4 is the measured-at-scale choice: at sf0.1
+    * (auto nlist = 45 over 2000 vectors — the regime where cells
+    * multiply and components chain across boundaries) keep-set
+    * agreement vs the exact unblocked operator is 0.71 at nprobe=2,
+    * 0.83 at 3, **0.91 at 4** (coarser quantizers measured worse at
+    * equal cost: 0.85 at (2, nlist=8), 0.90 at (3, nlist=16)); at
+    * sf0.001's 22 cells, nprobe=2 already measured 0.96. Both scales
+    * gated ≥ 0.9 in OpsSpec. Seeded KMeans isn't SQL-expressible ⇒
+    * rows-only registration. */
   def semanticDedupIvf(spark: SparkSession, sfDir: String, threshold: Double = 0.40,
-      nprobe: Int = 2): DataFrame = {
-    val assigned = Similarity.probedAssignments(spark, sfDir, nprobe) match {
+      nprobe: Int = 4, nlist: Int = 0): DataFrame = {
+    val assigned = Similarity.probedAssignments(spark, sfDir, nprobe, nlist) match {
       case Some(a) => a
       case None =>
         return spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -287,7 +295,7 @@ object Dedup {
             lit(0L).as("cluster_size"), lit(true).as("keep")).limit(0)
     }
     semanticLabelCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, sfDir, threshold, s"ivf$nprobe"), _ => {
+      (spark.sparkContext.applicationId, sfDir, threshold, s"ivf$nprobe-$nlist"), _ => {
         val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
         val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("vb"))
         val edges = a.join(b, Seq("cell"))

@@ -746,6 +746,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} verdict false"))
   }
 
+  test("semantic dedup IVF agreement holds at sf0.1 (more cells, tighter blocking)") {
+    // the sf0.001 gate sees 22 cells; at sf0.1 the auto quantizer
+    // allocates ~63 probed cells over 2000 vectors — the regime where
+    // cell blocking could silently shed cross-cell edges (the same
+    // only-visible-at-scale class as the IVF recall and LSH salt bugs)
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory, s"$dir not generated")
+    val exact = graft.ops.Dedup.semanticDedup(spark, dir).collect()
+    val keepExact = exact.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    // shipped defaults (nprobe=4): the measured-at-scale choice — 2
+    // probes read 0.71 here while the sf0.001 gate read 0.96
+    val ivf = graft.ops.Dedup.semanticDedupIvf(spark, dir).collect()
+    val keepIvf = ivf.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val agreement = keepExact.intersect(keepIvf).size.toDouble /
+      math.max(keepExact.union(keepIvf).size, 1)
+    info(f"sf0.1 keep-set Jaccard agreement $agreement%.4f " +
+      s"(exact keeps ${keepExact.size}, ivf keeps ${keepIvf.size})")
+    assert(agreement >= 0.9,
+      f"cell blocking must hold at the scale where cells multiply: $agreement%.4f")
+  }
+
   test("recall-gate verdicts hold at sf0.1 (cap-splitting scale)") {
     // the bench runs this query at sf0.1; a verdict that silently reads
     // false there would make the registered gate misleading even though
