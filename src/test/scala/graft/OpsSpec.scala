@@ -710,9 +710,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("distilled quality classifier generalizes to the held-out splits") {
-    val heuristic = graft.ops.TextAnalysis.qualityScore(spark, sfDir).collect()
+    Seq(sfDir, "/root/testdata/sf0.01").foreach(checkQualityModelAuc)
+  }
+
+  private def checkQualityModelAuc(dir: String): Unit = {
+    assume(new java.io.File(dir).isDirectory, s"$dir not generated")
+    val heuristic = graft.ops.TextAnalysis.qualityScore(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getDouble(6) >= 0.5)).toMap
-    val scored = graft.ops.QualityModel.modelScores(spark, sfDir).collect()
+    val scored = graft.ops.QualityModel.modelScores(spark, dir).collect()
     assert(scored.length == heuristic.size, "every document is scored")
     val holdout = scored.filterNot(_.getBoolean(3))
     assert(holdout.nonEmpty, "val/test hash buckets must be non-empty")
@@ -735,7 +740,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       i = j
     }
     val auc = (rankSum - pos * (pos + 1) / 2.0) / (pos.toDouble * neg)
-    info(f"held-out AUC $auc%.4f over ${holdout.length} docs ($pos pos / $neg neg)")
+    info(f"$dir held-out AUC $auc%.4f over ${holdout.length} docs ($pos pos / $neg neg)")
     assert(auc >= 0.75, f"distilled classifier AUC $auc%.4f below the 0.75 gate")
   }
 
