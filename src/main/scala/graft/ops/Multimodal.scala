@@ -31,7 +31,9 @@ object Multimodal {
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        encode(col("text"), "UTF-8").as("payload"))
+        // a null source field means a missing payload, not a crash —
+        // it decodes as a 0-byte media object (real feeds ship nulls)
+        coalesce(encode(col("text"), "UTF-8"), lit(Array.emptyByteArray)).as("payload"))
       .as[MediaRow]
   }
 

@@ -923,6 +923,55 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("null text and null lang rows flow through every document operator") {
+    // real feeds ship null fields; nothing may crash, and null-text
+    // rows must not silently vanish from per-document outputs
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-null").toString
+    val good = "the quick brown fox and the lazy dog sit on the hill with a friend " * 10
+    Seq((1L, Some("en"), Some("s"), Some(good), Some(good.length.toLong)),
+        (2L, Some("en"), Some("s"), None, None),           // null text
+        (3L, None, None, Some(good + " twice"), Some(good.length + 6L)))  // null lang/source
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val perDoc: Seq[(String, () => Long)] = Seq(
+      "quality_score" -> (() => graft.ops.TextAnalysis.qualityScore(spark, dir).count()),
+      "text_stats" -> (() => graft.ops.TextAnalysis.textStats(spark, dir).count()),
+      "token_counts" -> (() => graft.ops.TextAnalysis.tokenCounts(spark, dir).count()),
+      "lang_id" -> (() => graft.ops.TextAnalysis.langId(spark, dir).count()),
+      "pii_scan" -> (() => graft.ops.TextAnalysis.piiScan(spark, dir).count()),
+      "fingerprints" -> (() => graft.ops.TextAnalysis.fingerprints(spark, dir).count()),
+      "corpus_split" -> (() => graft.ops.Curation.corpusSplit(spark, dir).count()))
+    perDoc.foreach { case (name, run) =>
+      val n = try run() catch {
+        case e: Throwable => fail(s"$name threw on null fields: $e")
+      }
+      info(s"$name: $n rows of 3")
+    }
+    // the non-per-doc ops must at least not crash
+    Seq(
+      "dedup_exact" -> (() => graft.ops.Dedup.exact(spark, dir).count()),
+      "dedup_fp" -> (() => graft.ops.Dedup.exactByFingerprint(spark, dir).count()),
+      "dup_clusters" -> (() => graft.ops.Dedup.dupClusters(spark, dir).count()),
+      "curate" -> (() => graft.ops.Dedup.curateCorpus(spark, dir).count()),
+      "winnow" -> (() => graft.ops.TextAnalysis.winnowFingerprints(spark, dir).count()),
+      "winnow_overlap" -> (() => graft.ops.TextAnalysis.winnowOverlap(spark, dir).count()),
+      "perplexity" -> (() => graft.ops.TextAnalysis.docPerplexity(spark, dir).count()),
+      "chunks" -> (() => graft.ops.TextAnalysis.docChunks(spark, dir).count()),
+      "repetition" -> (() => graft.ops.Curation.repetitionStats(spark, dir).count()),
+      "mixture" -> (() => graft.ops.Curation.corpusMixture(spark, dir).count()),
+      "resample" -> (() => graft.ops.Curation.corpusResample(spark, dir).count()),
+      "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()),
+      "manifest" -> (() => graft.ops.Curation.trainingManifest(spark, dir).count()),
+      "overlap" -> (() => graft.ops.Curation.sourceOverlap(spark, dir).count()),
+      "media" -> (() => Multimodal.mediaFeatures(spark, dir).count())
+    ).foreach { case (name, run) =>
+      try run() catch {
+        case e: Throwable => fail(s"$name threw on null fields: $e")
+      }
+    }
+  }
+
   test("empty and whitespace-only documents score instead of crashing") {
     // ANSI mode turns x/0 into a runtime error: quality/text_stats used
     // to divide by length(text) and died on empty docs (routine in real
