@@ -24,6 +24,11 @@ object Similarity {
 
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // a row with no embedding is not a point in the vector space: it
+      // can neither query nor be retrieved, and the KMeans featurizer
+      // NPEs on it — drop it at the shared source (real feeds ship
+      // null fields; the null sweep pins this)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 

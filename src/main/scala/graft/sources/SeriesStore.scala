@@ -42,6 +42,11 @@ object SeriesStore {
     */
   def observations(spark: SparkSession, sfDir: String, elements: Seq[String] = Nil): DataFrame = {
     val base = events(spark, sfDir)
+      // a null measurement is not an observation: keep it out of the
+      // series (and out of step numbering) rather than letting it NPE
+      // the non-nullable Series encoder downstream; the predicate
+      // pushes down to the scan like the element filter
+      .filter(col("value").isNotNull)
       .select(col("event_type").as("element"), col("ts"), col("event_id"), col("value").cast("double"))
     val filtered =
       if (elements.isEmpty) base
@@ -158,6 +163,7 @@ object SeriesStore {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = spark.read.parquet(partitionedDir)
+      .filter(col("value").isNotNull) // same null-observation rule as [[observations]]
       .select(col("element"), col("ts"), col("event_id"), col("value").cast("double"))
     val filtered =
       if (elements.isEmpty) base

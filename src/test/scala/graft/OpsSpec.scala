@@ -972,6 +972,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("null embedding rows flow through every vector operator") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullvec").toString
+    val rng = new scala.util.Random(13L)
+    val ok = (0L until 40L).map(i => (i, (i % 2).toInt,
+      Some(Array.fill(8)(rng.nextGaussian().toFloat))))
+    val nullRow = (99L, 0, Option.empty[Array[Float]])
+    (ok :+ nullRow).toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    Seq(
+      "cosine_topk" -> (() => Similarity.cosineTopK(spark, dir, 3).count()),
+      "lsh_topk" -> (() => Similarity.lshTopK(spark, dir, 3).count()),
+      "ivf_topk" -> (() => Similarity.ivfTopK(spark, dir, 3).count()),
+      "embedding_stats" -> (() => Similarity.embeddingStats(spark, dir).count()),
+      "quantize" -> (() => Similarity.quantizeStats(spark, dir).count()),
+      "residual_quantize" -> (() => Similarity.residualQuantizeStats(spark, dir).count()),
+      "outliers" -> (() => Similarity.embeddingOutliers(spark, dir).count()),
+      "semantic" -> (() => graft.ops.Dedup.semanticDedup(spark, dir).count()),
+      "semantic_ivf" -> (() => graft.ops.Dedup.semanticDedupIvf(spark, dir).count()),
+      "near_dup" -> (() => NearDup.embeddingNearDup(spark, dir).count())
+    ).foreach { case (name, run) =>
+      try run() catch {
+        case e: Throwable => fail(s"$name threw on a null embedding: $e")
+      }
+    }
+    // events with a null value/user must not break the fit path or the
+    // relational aggregates (null observations are not observations)
+    val edir = java.nio.file.Files.createTempDirectory("graft-nullev").toString
+    val t0 = 86400000L * 19000
+    (0 until 30).map { i =>
+      (new java.sql.Timestamp(t0 + i * 3600000L), "purchase", i.toLong,
+        if (i % 7 == 3) None else Some(100L + i),
+        if (i % 5 == 2) Option.empty[Double] else Some(10.0 + i), """{"k":"v"}""")
+    }.toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+      .coalesce(1).write.parquet(s"$edir/events.parquet")
+    Seq(
+      "fc_naive" -> (() => SparkEntry.queries("fc_naive")(spark, edir).count()),
+      "user_activity" -> (() => SparkEntry.queries("user_activity")(spark, edir).count()),
+      "value_quantiles" -> (() => SparkEntry.queries("value_quantiles")(spark, edir).count())
+    ).foreach { case (name, run) =>
+      try run() catch {
+        case e: Throwable => fail(s"$name threw on null event fields: $e")
+      }
+    }
+  }
+
   test("empty and whitespace-only documents score instead of crashing") {
     // ANSI mode turns x/0 into a runtime error: quality/text_stats used
     // to divide by length(text) and died on empty docs (routine in real
