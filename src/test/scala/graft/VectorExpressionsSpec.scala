@@ -12,10 +12,14 @@ import graft.functions.VectorFunctions
   */
 class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  // built WITH the advertised extensions entry point, so this suite also
+  // proves `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  // injects the functions at session build (no manual register call)
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
@@ -57,6 +61,17 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.codegen.wholeStage", prev)
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
+  }
+
+  test("extensions injection: functions resolve in SQL with NO register call") {
+    // the session was built with spark.sql.extensions=GraftExtensions;
+    // if injection silently failed this resolves to UNRESOLVED_ROUTINE.
+    // Guard against a sibling suite's session leaking in (extensions
+    // only apply at creation): skip rather than false-pass if so.
+    assume(spark.conf.get("spark.sql.extensions", "") ==
+      "graft.functions.GraftExtensions", "session not built by this suite")
+    val r = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))").head()
+    assert(r.getDouble(0) == 11.0)
   }
 
   test("SQL registration: cosine_sim/dot_product callable from spark.sql") {
