@@ -49,13 +49,15 @@ object Bench {
     val runs = jmap { case (k, (_, _, n)) => s"\"" + k + "\":" + n }
     val total = results.values.map(_._1).sum
     val rawTotal = results.values.map(_._2).sum
-    // Variance detail (first-pass timings + per-query run counts) goes on
-    // its OWN line so readers can see the steal-vs-steady spread; the
-    // driver-parsed contract line below stays compact — round 3's single
-    // mega-line overflowed the driver's output capture and the official
-    // bench record was lost ("parsed": null).
+    // Per-query detail (best + first-pass timings + run counts) goes on
+    // its OWN lines; the driver-parsed contract line below is O(1) in the
+    // query count. Round 3's single mega-line overflowed the driver's
+    // 2000-char output capture, and round 8's "compact" line recurred the
+    // same failure once the embedded per-query map grew past ~1.9k chars
+    // at 84 queries — so the contract line now carries only scalars.
     println(s"""{"detail":"bench_raw","raw_first_pass":$raw,"raw_total":${r4(rawTotal)},"runs":$runs}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"detail":"bench_queries","queries":$qs}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
