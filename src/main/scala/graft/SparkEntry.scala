@@ -195,6 +195,10 @@ object SparkEntry {
     // component-only method surfaced as a first-class query (R:324's
     // hybrid includes tbats; standalone TBATS is an engine extension)
     "fc_tbats" -> fcQuery(Methods.TBATS),
+    // verdict tripwire for the 11 rows-only fit families: short-slice
+    // fits distilled to (metric, ok) rows vs a literal-TRUE oracle
+    "fit_quality_gates" -> ((s, dir) =>
+      graft.engine.FitGates.fitQualityGates(s, dir, Freq, H)),
     // -- relational surface (SURVEY.md §2.2 B-G) ---------------------------
     "q1_pricing" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
     "star_join_revenue" -> ((s, dir) => Relational.starJoinRevenue(s, dir)),
@@ -244,6 +248,9 @@ object SparkEntry {
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    // ADC over the int8 residual code store + exact rerank — the search
+    // consumer of ivf_residual_quantize's compressed representation
+    "ann_ivf_pq_topk" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     // recall verdicts for the approximate paths, hash-checked vs TRUE
     "ann_recall_gates" -> ((s, dir) => Similarity.recallGates(s, dir)),
     "stl_decompose" -> ((s, dir) => {
@@ -851,16 +858,26 @@ object SparkEntry {
         |  FROM bg JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc)
         |SELECT doc_id, count(*) AS n_bigrams, round(pow(2.0, -avg(l)), 4) AS ppl
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // every (method × invariant) verdict must be TRUE — the literal
+    // table is generated from the same GatedMethods list the query uses
+    "fit_quality_gates" ->
+      ("SELECT * FROM (VALUES " +
+        graft.engine.FitGates.GatedMethods
+          .flatMap(m => Seq("bands_nested", "finite", "h_rows")
+            .map(s => s"('${m.toLowerCase}_$s', TRUE)"))
+          .mkString(", ") +
+        ") AS t(metric, ok) ORDER BY metric"),
     "ann_recall_gates" ->
       """SELECT 'ann_ivf_recall_at_5' AS metric, CAST(0.9 AS DOUBLE) AS floor, TRUE AS ok
         |UNION ALL SELECT 'ann_lsh_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
+        |UNION ALL SELECT 'ann_pq_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT 'minhash_pair_recall', CAST(0.6 AS DOUBLE), TRUE
         |ORDER BY metric""".stripMargin,
     "semantic_dedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |pairs AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -870,7 +887,7 @@ object SparkEntry {
         |  SELECT va AS src, vb AS dst FROM pairs
         |  UNION ALL SELECT vb, va FROM pairs),
         |reach(vec_id, r) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
+        |  SELECT vec_id, vec_id FROM embeddings WHERE embedding IS NOT NULL
         |  UNION
         |  SELECT edges.src, reach.r FROM edges JOIN reach ON edges.dst = reach.vec_id),
         |lab AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id),
@@ -930,7 +947,7 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |    CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes
         |  FROM documents)
         |SELECT doc_id, kind, n_bytes,
         |  CASE kind WHEN 'image' THEN 16 + n_bytes % 640
@@ -945,7 +962,7 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |    CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes
         |  FROM documents),
         |f AS (
         |  SELECT doc_id, kind,
@@ -964,7 +981,7 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
     "media_frame_sample" ->
       """WITH m AS (
-        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  SELECT doc_id, CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes
         |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
         |f AS (SELECT doc_id, CAST(1 + n_bytes % 24 AS BIGINT) AS frames FROM m),
         |s AS (SELECT doc_id, frames, least(8, frames) AS n_samples FROM f),

@@ -249,6 +249,9 @@ object Dedup {
     semanticLabelCache.computeIfAbsent(
       (spark.sparkContext.applicationId, sfDir, threshold, "exact"), _ => {
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          // same "not a point in the vector space" rule as Similarity.emb:
+          // a null embedding can neither match nor be kept as a survivor
+          .filter(col("embedding").isNotNull)
           .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
         val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
@@ -317,6 +320,10 @@ object Dedup {
       edges: DataFrame): DataFrame = {
     val roots = starContract(edges).groupBy(col("u").as("vec_id")).agg(min(col("v")).as("root"))
     val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // null-embedding rows are absent from the vector space, so they
+      // get no label row at all (matching every other vector operator,
+      // and keeping the exact and IVF paths consistent on null corpora)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"))
       .join(roots, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("root"), col("vec_id")).as("cluster_id"))

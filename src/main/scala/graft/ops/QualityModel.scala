@@ -46,7 +46,11 @@ object QualityModel {
       .setPattern("\\W+").setToLowercase(true)
     val tf = new org.apache.spark.ml.feature.HashingTF()
       .setInputCol("toks").setOutputCol("features").setNumFeatures(HashDim)
-    tf.transform(tok.transform(docs))
+    // RegexTokenizer's underlying UDF NPEs on a null text value; a real
+    // feed ships null fields, and a null document is simply an empty
+    // bag of words to this model (scores at the intercept)
+    tf.transform(tok.transform(
+      docs.withColumn("text", coalesce(col("text"), lit("")))))
   }
 
   private val modelCache =
@@ -104,13 +108,16 @@ object QualityModel {
         return docs.select(col("doc_id"), lit(0.0d).as("quality_prob"),
           lit(false).as("keep"), lit(false).as("in_train")).limit(0)
     }
-    model.transform(featurize(docs))
+    // in_train is pinned from the RAW text before featurize coalesces
+    // nulls to '': md5(NULL) is NULL → never in the fit split (and the
+    // coalesced '' must not hash into train on the null row's behalf)
+    model.transform(featurize(docs.withColumn("in_train", coalesce(trainPred, lit(false)))))
       .withColumn("p1",
         org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1))
       .select(col("doc_id"),
         round(col("p1"), 4).as("quality_prob"),
         (col("p1") >= 0.5d).as("keep"),
-        trainPred.as("in_train"))
+        col("in_train"))
       .orderBy(col("doc_id"))
   }
 }

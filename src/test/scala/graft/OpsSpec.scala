@@ -152,9 +152,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val lsh = recall(topSets(Similarity.lshTopK(spark, dir, k = 5)))
     val ivf = recall(topSets(Similarity.ivfTopK(spark, dir, k = 5)))
-    info(f"recall@5 on sf0.01: lsh=$lsh%.4f ivf=$ivf%.4f")
+    val pq = recall(topSets(Similarity.ivfPqTopK(spark, dir, k = 5)))
+    info(f"recall@5 on sf0.01: lsh=$lsh%.4f ivf=$ivf%.4f pq=$pq%.4f")
     assert(lsh >= 0.9, f"LSH recall@5 $lsh%.4f fell below the 0.9 gate")
     assert(ivf >= 0.9, f"IVF recall@5 $ivf%.4f fell below the 0.9 gate")
+    assert(pq >= 0.9, f"IVF-PQ recall@5 $pq%.4f fell below the 0.9 gate")
   }
 
   test("minhash component-level recall is total at sf0.1, where cliques split buckets") {
@@ -212,9 +214,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val lsh = recall(topSets(Similarity.lshTopK(spark, dir, k = 5)))
     val ivf = recall(topSets(Similarity.ivfTopK(spark, dir, k = 5)))
-    info(f"recall@5 on sf0.1: lsh=$lsh%.4f ivf=$ivf%.4f")
+    val pq = recall(topSets(Similarity.ivfPqTopK(spark, dir, k = 5)))
+    info(f"recall@5 on sf0.1: lsh=$lsh%.4f ivf=$ivf%.4f pq=$pq%.4f")
     assert(lsh >= 0.9, f"LSH recall@5 $lsh%.4f fell below the 0.9 gate at sf0.1")
     assert(ivf >= 0.9, f"IVF recall@5 $ivf%.4f fell below the 0.9 gate at sf0.1")
+    assert(pq >= 0.9, f"IVF-PQ recall@5 $pq%.4f fell below the 0.9 gate at sf0.1")
   }
 
   test("int8 quantization: max reconstruction error bounded by half a quantization step") {
@@ -710,7 +714,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("distilled quality classifier generalizes to the held-out splits") {
-    Seq(sfDir, "/root/testdata/sf0.01").foreach(checkQualityModelAuc)
+    // sf0.1 is the PRIMARY gate (its held-out slice is hundreds of docs;
+    // the sf0.001 slice is ~56 docs and near-vacuous — kept as a smoke
+    // check only)
+    Seq(sfDir, "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach(checkQualityModelAuc)
   }
 
   private def checkQualityModelAuc(dir: String): Unit = {
@@ -744,10 +751,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auc >= 0.75, f"distilled classifier AUC $auc%.4f below the 0.75 gate")
   }
 
+  test("fit-quality gates: every (method, invariant) verdict is ok") {
+    val rows = graft.engine.FitGates.fitQualityGates(spark, sfDir, 7, 14).collect()
+    assert(rows.length == graft.engine.FitGates.GatedMethods.length * 3,
+      s"one verdict row per (method, invariant): ${rows.length}")
+    val bad = rows.filterNot(_.getBoolean(1)).map(_.getString(0))
+    assert(bad.isEmpty, s"failed invariants: ${bad.mkString(", ")}")
+  }
+
   test("recall-gate verdict rows are all ok (the partial oracle holds)") {
     val rows = Similarity.recallGates(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("ann_ivf_recall_at_5", "ann_lsh_recall_at_5", "minhash_pair_recall"))
+      Seq("ann_ivf_recall_at_5", "ann_lsh_recall_at_5", "ann_pq_recall_at_5",
+        "minhash_pair_recall"))
     rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} verdict false"))
   }
 
@@ -970,6 +986,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         case e: Throwable => fail(s"$name threw on null fields: $e")
       }
     }
+  }
+
+  test("a null text row flows through the quality-model fit and scorers") {
+    // the round-8 null campaign missed quality_model: RegexTokenizer's
+    // UDF NPEs on null text, so a real feed with one null row crashed
+    // quality_model_scores (and the streaming scorer). The corpus here
+    // is built so the weak labels span both classes with overwhelming
+    // hash-split probability, forcing a real fit + full-corpus featurize.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullqm").toString
+    val good = "the quick brown fox and the lazy dog sit on the hill with a friend " * 10
+    val junk = "!!! ### $$$ %%% ^^^ &&& *** ((( )))"
+    val rows = (0L until 10L).map(i => (i, "en", "s", Some(good + s" variant $i"), 700L)) ++
+      (10L until 20L).map(i => (i, "en", "s", Some(junk + s" $i"), 40L)) :+
+      ((99L, "en", "s", Option.empty[String], 0L))
+    rows.toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val scored = graft.ops.QualityModel.modelScores(spark, dir).collect()
+    assert(scored.length == 21, s"every document (incl. the null-text row) scores: ${scored.length}")
+    val nullRow = scored.filter(_.getLong(0) == 99L)
+    assert(nullRow.length == 1 && !nullRow.head.isNullAt(1),
+      "the null-text row gets a real probability (empty bag of words)")
+    assert(!nullRow.head.getBoolean(3), "a null-text row is never in the fit split")
+    // the serving path shares featurize — must survive the same feed
+    assert(graft.ops.QualityModel.scoreStream(spark, dir,
+      spark.read.parquet(s"$dir/documents.parquet")).count() == 21L)
   }
 
   test("null embedding rows flow through every vector operator") {
