@@ -236,6 +236,9 @@ object SparkEntry {
     // phrase-level near-dup: word-BIGRAM shingles at 0.9 — order-aware,
     // so shuffled-word documents that tie on token sets separate here
     "bigram_jaccard" -> ((s, dir) => NearDup.blockedJaccard(s, dir, 0.9, ngram = 2)),
+    // exact repeated-span pass (Lee et al.-style): maximal >=16-token
+    // verbatim spans shared across documents, with positions
+    "substring_dedup" -> ((s, dir) => NearDup.substringSpans(s, dir)),
     "minhash_candidates" -> ((s, dir) => NearDup.minhashCandidates(s, dir)),
     "simhash_signatures" -> ((s, dir) => NearDup.simhash(s, dir)),
     // simhash consumer: 4x16-bit banded join + exact hamming<=3 filter
@@ -311,6 +314,9 @@ object SparkEntry {
     // letterbox-resize plan (integer-exact) and uniform frame sampling
     "media_resize" -> ((s, dir) => Multimodal.mediaResize(s, dir)),
     "media_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
+    // perceptual dedup: dHash over the stub luma grid + banded hamming
+    // join — integer-exact, so the whole pipeline is oracle-verified
+    "media_near_dup" -> ((s, dir) => Multimodal.mediaNearDup(s, dir)),
     "asof_daily_value" -> ((s, dir) => Relational.asofDailySpine(s, dir)),
     // -- dataset assembly: splits, decontamination, repetition, mixture ----
     "corpus_split" -> ((s, dir) => Curation.corpusSplit(s, dir)),
@@ -684,7 +690,7 @@ object SparkEntry {
         |  SELECT d.doc_id, d.lang, d.source,
         |    CASE WHEN substr(md5(d.text), 1, 2) < 'e6' THEN 'train'
         |         WHEN substr(md5(d.text), 1, 2) < 'f3' THEN 'val' ELSE 'test' END AS split,
-        |    CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tok
+        |    CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
         |  FROM documents d JOIN kept USING (doc_id))
         |SELECT split, lang, source, doc_id, n_tok,
         |  CAST(COALESCE(sum(n_tok) OVER (PARTITION BY split, lang, source ORDER BY doc_id
@@ -817,6 +823,33 @@ object SparkEntry {
         |FROM pairs
         |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // positional 16-gram join + per-diagonal islands window, with the
+    // 256-occurrence hot-gram cap applied identically on both sides
+    "substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, s.pos AS pos, s.gram AS gram
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 15),
+        |      i -> {'pos': CAST(i AS BIGINT),
+        |            'gram': array_to_string(list_slice(ws, i, i + 15), chr(1))})) AS s
+        |    FROM t WHERE len(ws) >= 16)),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 256),
+        |gc AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN c USING (gram)),
+        |m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b,
+        |         a.pos - b.pos AS diag
+        |  FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT doc_a, doc_b, diag, pos_a, pos_b,
+        |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        |  FROM m)
+        |SELECT doc_a, doc_b, min(pos_a) AS a_start, min(pos_b) AS b_start,
+        |  max(pos_a) - min(pos_a) + 16 AS span_tokens
+        |FROM r GROUP BY doc_a, doc_b, diag, grp
+        |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
     "embedding_near_dup" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,
@@ -979,6 +1012,32 @@ object SparkEntry {
         |  (224 - width * s6 // 1000000) // 2 AS pad_x,
         |  (224 - height * s6 // 1000000) // 2 AS pad_y
         |FROM s ORDER BY doc_id""".stripMargin,
+    // brute-force dHash pair scan — equal to the engine's banded join by
+    // the pigeonhole guarantee (radius 7 = bands−1, no bucket splits at
+    // oracle scale); 63 comparison bits (1<<63 is checked-overflow here)
+    "media_near_dup" ->
+      """WITH m AS (
+        |  SELECT doc_id, COALESCE(text, '') AS txt, length(COALESCE(text, '')) AS len
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) <> 1),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len = 0 THEN list_transform(generate_series(0, 71), k -> 0)
+        |         ELSE list_transform(generate_series(0, 71),
+        |           k -> ascii(substr(txt, CAST(1 + (k * len) // 72 AS INT), 1)))
+        |    END AS grid
+        |  FROM m),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(generate_series(0, 62),
+        |      j -> CASE WHEN grid[CAST((j // 8) * 9 + (j % 8) + 1 AS INT)] >
+        |                     grid[CAST((j // 8) * 9 + (j % 8) + 2 AS INT)]
+        |                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS dhash
+        |  FROM g)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "media_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes
@@ -1090,7 +1149,7 @@ object SparkEntry {
         |  SELECT doc_id, lang, source,
         |    CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
         |         WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val' ELSE 'test' END AS split,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
         |  FROM documents)
         |SELECT split, lang, source, doc_id, n_tok,
         |  CAST(COALESCE(sum(n_tok) OVER (PARTITION BY split, lang, source ORDER BY doc_id

@@ -183,10 +183,22 @@ object Curation {
     * with the corpus (|splits|×|lang|×|source| here; at 100 TB the
     * shard key gains a hash component) — never a single global
     * sequence. */
+  /** Tokenizer-faithful count for the packing bins: the BPE-style
+    * pre-tokenization regex (letter runs | digit runs | single
+    * punctuation — the same measure `token_counts` reports as
+    * bpe_tokens, hash-verified against DuckDB). Whitespace words
+    * under-count what a real loader's tokenizer emits (punctuation
+    * glued to words, digit groups), so bin budgets sized on them would
+    * overflow real sequence length; this approximation tracks public
+    * BPE vocabularies' split points without needing a merges table. */
+  private def bpeTokExpr: Column =
+    size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
   def packSequences(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame = {
     val toks = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), splitExpr.as("split"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        bpeTokExpr.as("n_tok"))
     val w = Window.partitionBy(col("split"), col("lang"), col("source"))
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
     toks
@@ -218,7 +230,7 @@ object Curation {
     val toks = docs(spark, sfDir)
       .join(kept, "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), splitExpr.as("split"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        bpeTokExpr.as("n_tok"))
     val w = Window.partitionBy(col("split"), col("lang"), col("source"))
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
     toks

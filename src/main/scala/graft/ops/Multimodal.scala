@@ -98,6 +98,59 @@ object Multimodal {
         expr(s"($targetH - height * s6 DIV 1000000) DIV 2").as("pad_y"))
       .orderBy(col("doc_id"))
 
+  /** Perceptual near-duplicate pairs over the visual media rows — the
+    * dHash tier an LLM multimodal pipeline runs as routinely as text
+    * dedup: decode each image/video payload to a small luma grid,
+    * difference-hash it to 64 bits (dHash: bit = left cell brighter
+    * than its right neighbor on a 9×8 grid — robust to rescale and
+    * small edits), then find hamming-near pairs with the same banded
+    * join + exact `bit_count(xor) ≤ r` filter as the text SimHash path
+    * ([[NearDup.bandedHammingPairs]] — 8 bands of 8 bits; the default
+    * radius 7 = bands−1 is exactly the pigeonhole guarantee, so when no
+    * bucket splits the banded join is EQUAL to the brute-force scan and
+    * the DuckDB oracle hash-verifies it; a larger radius would break
+    * that equality, not just recall). Position-sampled grids mean a
+    * LENGTH-CHANGING edit shifts every downstream cell (measured: the
+    * corpus's token-edit near-dup twins land at hamming ≥ 15) — like
+    * real dHash, the detector targets same-dimension local edits, and
+    * exact-duplicate payloads land at hamming 0 (3 pairs at sf0.1).
+    *
+    * ====== STUB GRID ======: the 9×8 luma grid stands in for a real
+    * decode (no codec libraries in this environment) — it samples 72
+    * character code points evenly across the payload text, a
+    * deterministic pure function mirrored exactly by the DuckDB oracle,
+    * so the ENTIRE pipeline (grid → dHash → banded join → hamming
+    * filter) is hash-verified end to end; swap the grid stage for real
+    * pixels in production and everything downstream is unchanged. A
+    * near-identical payload (few characters edited) moves few grid
+    * cells ⇒ small hamming distance — the planted fixture in OpsSpec
+    * pins this. Empty payloads hash to 0 (identical empty media IS
+    * identical). Audio rows are excluded (dHash is a visual
+    * fingerprint). */
+  def mediaNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame = {
+    val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter((col("doc_id") % 3).cast("int") =!= 1) // audio rows out
+      .withColumn("txt", coalesce(col("text"), lit("")))
+      .withColumn("len", length(col("txt")))
+      .withColumn("grid", expr(
+        """CASE WHEN len = 0 THEN transform(sequence(0, 71), k -> 0)
+          |ELSE transform(sequence(0, 71),
+          |  k -> ascii(substring(txt, CAST(1 + (k * len) DIV 72 AS INT), 1)))
+          |END""".stripMargin))
+      // 63 comparison bits (bit 63 stays 0): 1L << 63 is a signed-long
+      // overflow DuckDB refuses at checked arithmetic, and one grid
+      // comparison is noise against a 6-bit radius — portable encoding
+      // beats the extra bit
+      .withColumn("sig", expr(
+        """aggregate(sequence(0, 62), CAST(0 AS BIGINT),
+          |  (acc, j) -> acc + IF(
+          |    element_at(grid, CAST((j DIV 8) * 9 + (j % 8) + 1 AS INT)) >
+          |    element_at(grid, CAST((j DIV 8) * 9 + (j % 8) + 2 AS INT)),
+          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("sig"))
+    NearDup.bandedHammingPairs(sigs, maxHamming, bands = 8, cap = 512)
+  }
+
   /** Uniform frame sampling for the video rows: up to `maxFrames`
     * frame indices per clip at even spacing — the frame-sample stage a
     * video pipeline runs before per-frame decode/embedding (sampling

@@ -354,25 +354,38 @@ object NearDup {
     * within hamming ≤ bands−1 whose bucket is not salt-split MUST be
     * emitted) and the exactness of the hamming filter — see OpsSpec. */
   def simhashHammingPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4): DataFrame =
+    bandedHammingPairs(simhashSigs(spark, sfDir).select(col("doc_id"), col("simhash").as("sig")),
+      maxHamming, bands, SimhashMaxBucket)
+
+  /** The generic banded hamming-neighbor join over any (doc_id, sig)
+    * 64-bit signature table — the machinery behind
+    * [[simhashHammingPairs]] and `Multimodal.mediaNearDup`: explode
+    * each signature into `bands` disjoint band keys (pigeonhole:
+    * hamming ≤ bands−1 guarantees an exact band agreement), equi-join
+    * on (band index, band key, salt) with the decorrelated salted
+    * bucket cap, then keep pairs passing the exact
+    * `bit_count(a XOR b) ≤ maxHamming` filter. Shuffles carry
+    * (band idx, band key, salt, doc_id, 8-byte sig) — never payloads. */
+  private[ops] def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
+      bands: Int, cap: Int): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64: $bands")
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val sigs = simhashSigs(spark, sfDir)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    val banded = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("bi"),
-            shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bk"))
+            shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("bk"))
         }: _*)).as("band"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("sig"),
         col("band.bi").as("bi"), col("band.bk").as("bk"))
     val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("bi"), col("bk"))
     val bucketed = banded
       .withColumn("nsplits",
         greatest(lit(1L),
-          ceil(count(lit(1)).over(bw).cast("double") / SimhashMaxBucket).cast("long")))
+          ceil(count(lit(1)).over(bw).cast("double") / cap).cast("long")))
       // band-decorrelated salt, as in minhash/lshTopK: fold (bi, bk) in
-      .select(col("bi"), col("bk"), col("doc_id"), col("simhash"),
+      .select(col("bi"), col("bk"), col("doc_id"), col("sig"),
         pmod(xxhash64(lit("salt"), col("bi"), col("bk"), col("doc_id")), col("nsplits"))
           .as("salt"))
     bucketed.as("a")
@@ -380,11 +393,85 @@ object NearDup {
         col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk")
           && col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Exact repeated-span detection — the third dedup tier, complementing
+    * whole-document Jaccard (this file) and the sampled winnow sketch
+    * (`TextAnalysis.winnowOverlap`): training pipelines also run an
+    * EXACT repeated-substring pass (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"), because a verbatim
+    * paragraph shared by two otherwise-different documents sails under
+    * both whole-doc similarity and a sampled sketch's floor.
+    *
+    * Suffix-array machinery is replaced by the Spark-native equivalent:
+    * positional k-token grams (composed 8-byte hashes, same arithmetic
+    * as [[shingles]] but position-keyed and NON-distinct) equi-joined
+    * across documents, then maximal runs reassembled per (pair,
+    * diagonal) — a shared span of L ≥ k tokens appears as L−k+1
+    * consecutive gram positions on one diagonal (pos_a − pos_b
+    * constant), so an islands window (pos_a − row_number) recovers the
+    * maximal span exactly. Output: one row per maximal shared span —
+    * (doc_a, doc_b, a_start, b_start, span_tokens), 1-based token
+    * offsets.
+    *
+    * Scale posture: the gram join shuffles (8-byte gram hash, doc_id,
+    * pos) — never text — and [[SpanDfCap]] drops grams occurring more
+    * than that many times corpus-wide BEFORE the self-join (a viral
+    * boilerplate k-gram with c occurrences would otherwise contribute
+    * c² join rows; the cap is part of the operator's declared semantics
+    * and the DuckDB oracle applies the identical rule, so the output
+    * stays exact, not just plausible). The islands window partitions by
+    * (pair, diagonal) — match-set-sized, never corpus-sized.
+    * Hash-composition exactness argument is [[shingles]]'s: collisions
+    * p ≈ d²/2⁶⁵, and the string-built oracle hash-verifies at test
+    * scale. */
+  def substringSpans(spark: SparkSession, sfDir: String, k: Int = 16,
+      dfCap: Int = SpanDfCap): DataFrame = {
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"),
+        expr("transform(split(lower(trim(text)), '\\\\s+'), w -> xxhash64(w))").as("th"))
+      .filter(size(col("th")) >= k)
+    val comp = (0 until k).map(j => s"element_at(th, CAST(i + $j AS INT))").mkString(", ")
+    val grams = base.select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(th) - ${k - 1}), i -> struct(CAST(i AS BIGINT) AS pos, xxhash64($comp) AS gh))"))
+          .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    // hot-gram cap applied before the self-join; the count window and
+    // the join shuffle share the gh partitioning (ReuseExchange)
+    val gw = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    val capped = grams
+      .withColumn("cnt", count(lit(1)).over(gw))
+      .filter(col("cnt") <= dfCap)
+      .select(col("doc_id"), col("pos"), col("gh"))
+    val a = capped.select(col("gh"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+    val b = capped.select(col("gh"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    val matches = a.join(b, "gh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pos_a"))
+    matches
+      .withColumn("grp", col("pos_a") - row_number().over(iw))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"),
+        (max(col("pos_a")) - min(col("pos_a")) + k).as("span_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("span_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+  }
+
+  /** Corpus-wide occurrence cap for one k-gram in [[substringSpans]] —
+    * grams hotter than this (site-chrome boilerplate at web scale) are
+    * excluded from span building BY DEFINITION, bounding the self-join
+    * at O(grams · cap) instead of O(hottest²). Part of the declared
+    * semantics: the oracle applies the same rule. */
+  val SpanDfCap = 256
 
   /** Embedding-cosine near-dup pairs (brute force, double math). The
     * dot/norm fold is `aggregate(zip_with(...))` — sequential, codegen'd,

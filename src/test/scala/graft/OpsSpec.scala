@@ -751,6 +751,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auc >= 0.75, f"distilled classifier AUC $auc%.4f below the 0.75 gate")
   }
 
+  test("substring spans: planted verbatim run recovered with exact offsets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-span").toString
+    val span = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val d1 = "alpha beta gamma " + span + " tail1 tail2"  // span tokens 4..23
+    val d2 = "x1 x2 x3 x4 x5 " + span + " end"            // span tokens 6..25
+    val d3 = (1 to 30).map(i => s"unique$i").mkString(" ")
+    Seq((1L, "en", "s", d1, d1.length.toLong), (2L, "en", "s", d2, d2.length.toLong),
+        (3L, "en", "s", d3, d3.length.toLong))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = NearDup.substringSpans(spark, dir).collect()
+    assert(rows.length == 1, s"exactly the one planted span: ${rows.mkString(", ")}")
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((1L, 2L, 4L, 6L, 20L)), s"maximal span with exact offsets: $r")
+    // the declared hot-gram cap excludes over-shared grams by definition
+    assert(NearDup.substringSpans(spark, dir, dfCap = 1).count() == 0L)
+  }
+
+  test("media near-dup: same-size local edit lands within the hamming radius") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediand").toString
+    val base = ("the quick brown fox jumps over the lazy dog while a calm river " +
+      "flows beside the old stone bridge in the quiet morning light of early june") * 2
+    // same-LENGTH edit: a handful of characters replaced mid-payload —
+    // the analogue of a local pixel edit on an equal-dimension image
+    val edited = base.updated(40, 'X').updated(41, 'Y').updated(120, 'Z')
+    val other = base.reverse // same length, totally different structure
+    val rows = Seq(
+      (3L, "en", "s", Some(base), base.length.toLong),      // image
+      (4L, "en", "s", Some(base), base.length.toLong),      // audio — excluded
+      (6L, "en", "s", Some(edited), edited.length.toLong),  // image, near-dup of 3
+      (9L, "en", "s", Some(other), other.length.toLong),    // image, unrelated
+      (12L, "en", "s", Option.empty[String], 0L),           // empty payloads:
+      (15L, "en", "s", Option.empty[String], 0L))           //   identical media
+    rows.toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val pairs = Multimodal.mediaNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((3L, 6L)), s"planted same-size edit must pair: $pairs")
+    assert(pairs((3L, 6L)) > 0L, "an edited payload is near, not identical")
+    assert(pairs.get((12L, 15L)).contains(0L), "empty payloads are identical media")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), "audio rows excluded")
+    assert(!pairs.contains((3L, 9L)) && !pairs.contains((6L, 9L)),
+      s"an unrelated same-length payload stays out: $pairs")
+  }
+
   test("fit-quality gates: every (method, invariant) verdict is ok") {
     val rows = graft.engine.FitGates.fitQualityGates(spark, sfDir, 7, 14).collect()
     assert(rows.length == graft.engine.FitGates.GatedMethods.length * 3,
