@@ -114,6 +114,8 @@ object NearDup {
     simhashSigCache.clear()
     minhashSigCache.values.forEach(df => { df.unpersist(); () })
     minhashSigCache.clear()
+    minhashBucketCache.values.forEach(df => { df.unpersist(); () })
+    minhashBucketCache.clear()
   }
 
   private def blockedJaccardDirect(spark: SparkSession, sfDir: String, threshold: Double,
@@ -209,28 +211,8 @@ object NearDup {
     // ngram > 1 = the SCALE path for phrase-level near-dup: the exact
     // bigram join costs ~5x the unigram tier on vocab-dense corpora,
     // while the minhash cost is ngram-independent (32 mins per doc)
-    val rowsPerBand = MinhashHashes / MinhashBands
     val sigs = minhashSigs(spark, sfDir, ngram)
-    val bandRows = (0 until MinhashBands).map { b =>
-      val key = xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
-      sigs.select(col("doc_id"), key.as("band"))
-    }.reduce(_ union _)
-    // bound hot buckets before the self-join: count each band bucket
-    // with a window over the band partition (one shuffle, no join-back),
-    // then split oversized buckets into salt groups by a secondary
-    // doc_id hash. Both self-join sides share this exact subplan, so the
-    // band shuffle is computed once and reused (ReuseExchange).
-    val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
-    val bucketed = bandRows
-      .withColumn("nsplits",
-        greatest(lit(1L),
-          ceil(count(lit(1)).over(bw).cast("double") / MinhashMaxBucket).cast("long")))
-      // fold the band key into the salt: a doc_id-only salt is the SAME
-      // split in every band, so a pair split apart in one oversized
-      // bucket loses every OR'd chance at once (see the matching fix in
-      // Similarity.lshTopK, measured there at sf0.1)
-      .select(col("band"), col("doc_id"),
-        pmod(xxhash64(lit("salt"), col("band"), col("doc_id")), col("nsplits")).as("salt"))
+    val bucketed = minhashBuckets(spark, sfDir, ngram)
     // dedup candidates BEFORE the signature joins: the distinct shuffle
     // carries 16-byte id pairs, which measures ~2.5× cheaper than
     // streaming every duplicate through the 64-column estimate
@@ -256,6 +238,41 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard_est"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Session cache of the salted band-bucket table, keyed like the
+    * signature cache: band-key derivation + the bucket-count window +
+    * salt assignment is deterministic per corpus and read by BOTH sides
+    * of the candidate self-join on every invocation (plus the recall
+    * gate) — computed once, persisted (4 small columns per (doc,
+    * band)). */
+  private val minhashBucketCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+
+  private def minhashBuckets(spark: SparkSession, sfDir: String, ngram: Int): DataFrame =
+    minhashBucketCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir, ngram), { _ =>
+      val rowsPerBand = MinhashHashes / MinhashBands
+      val sigs = minhashSigs(spark, sfDir, ngram)
+      val bandRows = (0 until MinhashBands).map { b =>
+        val key = xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+        sigs.select(col("doc_id"), key.as("band"))
+      }.reduce(_ union _)
+      // bound hot buckets before the self-join: count each band bucket
+      // with a window over the band partition (one shuffle, no
+      // join-back), then split oversized buckets into salt groups by a
+      // secondary doc_id hash
+      val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
+      bandRows
+        .withColumn("nsplits",
+          greatest(lit(1L),
+            ceil(count(lit(1)).over(bw).cast("double") / MinhashMaxBucket).cast("long")))
+        // fold the band key into the salt: a doc_id-only salt is the
+        // SAME split in every band, so a pair split apart in one
+        // oversized bucket loses every OR'd chance at once (see the
+        // matching fix in Similarity.lshTopK, measured there at sf0.1)
+        .select(col("band"), col("doc_id"),
+          pmod(xxhash64(lit("salt"), col("band"), col("doc_id")), col("nsplits")).as("salt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   private val minhashSigCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
