@@ -978,7 +978,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "frames" -> (() => Multimodal.frameSample(spark, dir).count()),
       "manifest" -> (() => graft.ops.Curation.trainingManifest(spark, dir).count()),
       "resample" -> (() => graft.ops.Curation.corpusResample(spark, dir).count()),
-      "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()))
+      "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()),
+      "substring_dedup" -> (() => NearDup.substringSpans(spark, dir).count()),
+      "media_near_dup" -> (() => Multimodal.mediaNearDup(spark, dir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case e: Throwable => fail(s"$name threw on an empty corpus: $e")
@@ -1028,7 +1030,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()),
       "manifest" -> (() => graft.ops.Curation.trainingManifest(spark, dir).count()),
       "overlap" -> (() => graft.ops.Curation.sourceOverlap(spark, dir).count()),
-      "media" -> (() => Multimodal.mediaFeatures(spark, dir).count())
+      "media" -> (() => Multimodal.mediaFeatures(spark, dir).count()),
+      "media_near_dup" -> (() => Multimodal.mediaNearDup(spark, dir).count()),
+      "substring_dedup" -> (() => NearDup.substringSpans(spark, dir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null fields: $e")
@@ -1078,6 +1082,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "embedding_stats" -> (() => Similarity.embeddingStats(spark, dir).count()),
       "quantize" -> (() => Similarity.quantizeStats(spark, dir).count()),
       "residual_quantize" -> (() => Similarity.residualQuantizeStats(spark, dir).count()),
+      "ivf_pq_topk" -> (() => Similarity.ivfPqTopK(spark, dir, 3).count()),
       "outliers" -> (() => Similarity.embeddingOutliers(spark, dir).count()),
       "semantic" -> (() => graft.ops.Dedup.semanticDedup(spark, dir).count()),
       "semantic_ivf" -> (() => graft.ops.Dedup.semanticDedupIvf(spark, dir).count()),
