@@ -239,6 +239,9 @@ object SparkEntry {
     // exact repeated-span pass (Lee et al.-style): maximal >=16-token
     // verbatim spans shared across documents, with positions
     "substring_dedup" -> ((s, dir) => NearDup.substringSpans(s, dir)),
+    // its consumer — the drop decision: per-doc tokens covered by spans
+    // shared with lower-id docs, overlap-merged (the removal measure)
+    "substring_dup_coverage" -> ((s, dir) => NearDup.substringDupCoverage(s, dir)),
     "minhash_candidates" -> ((s, dir) => NearDup.minhashCandidates(s, dir)),
     "simhash_signatures" -> ((s, dir) => NearDup.simhash(s, dir)),
     // simhash consumer: 4x16-bit banded join + exact hamming<=3 filter
@@ -850,6 +853,55 @@ object SparkEntry {
         |  max(pos_a) - min(pos_a) + 16 AS span_tokens
         |FROM r GROUP BY doc_a, doc_b, diag, grp
         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+    // the span CTE extended with the overlap-merge windows: running-max
+    // islands over half-open [s, e) intervals per covered document
+    "substring_dup_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, s.pos AS pos, s.gram AS gram
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 15),
+        |      i -> {'pos': CAST(i AS BIGINT),
+        |            'gram': array_to_string(list_slice(ws, i, i + 15), chr(1))})) AS s
+        |    FROM t WHERE len(ws) >= 16)),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 256),
+        |gc AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN c USING (gram)),
+        |m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b,
+        |         a.pos - b.pos AS diag
+        |  FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT doc_a, doc_b, diag, pos_a, pos_b,
+        |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_a, doc_b, min(pos_b) AS b_start,
+        |    max(pos_a) - min(pos_a) + 16 AS span_tokens
+        |  FROM r GROUP BY doc_a, doc_b, diag, grp),
+        |iv AS (SELECT doc_b AS doc_id, b_start AS s, b_start + span_tokens AS e FROM spans),
+        |mrk AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM mrk),
+        |mg AS (SELECT doc_id, island, min(s) AS i_s, max(e) AS i_e FROM isl GROUP BY doc_id, island),
+        |cov AS (SELECT doc_id, count(*) AS dup_islands, sum(i_e - i_s) AS dup_tokens
+        |        FROM mg GROUP BY doc_id),
+        |tk AS (SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |       FROM documents)
+        |SELECT cov.doc_id, CAST(dup_islands AS BIGINT) AS dup_islands,
+        |  CAST(dup_tokens AS BIGINT) AS dup_tokens, tk.n_tok,
+        |  round(CAST(dup_tokens AS DOUBLE) / tk.n_tok, 6) AS dup_frac
+        |FROM cov JOIN tk USING (doc_id) ORDER BY doc_id""".stripMargin,
     "embedding_near_dup" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,

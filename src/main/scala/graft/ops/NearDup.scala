@@ -490,6 +490,44 @@ object NearDup {
     * semantics: the oracle applies the same rule. */
   val SpanDfCap = 256
 
+  /** The consumer of [[substringSpans]] — the DROP decision of exact
+    * substring dedup (Lee et al. remove the later copy of every
+    * repeated span): per document, how many of its tokens are covered
+    * by spans it shares with LOWER-id documents (the first occurrence
+    * keeps; every span table row already has doc_a < doc_b, so the
+    * doc_b side pays). Overlapping/adjacent spans are merged into
+    * maximal intervals first — two overlapping 20-token spans cover at
+    * most their union, not 40 tokens — via the classic running-max
+    * islands window (half-open [s, e) arithmetic). Output: (doc_id,
+    * dup_islands, dup_tokens, n_tok, dup_frac) for every document that
+    * has any covered span. Window partitions are per-document interval
+    * sets — span-table-sized, never corpus-sized; fully
+    * oracle-checkable (the span CTE extended with the same two
+    * windows). */
+  def substringDupCoverage(spark: SparkSession, sfDir: String, k: Int = 16,
+      dfCap: Int = SpanDfCap): DataFrame = {
+    val iv = substringSpans(spark, sfDir, k, dfCap)
+      .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("span_tokens")).as("e"))
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val islands = iv
+      .withColumn("prev_max", max(col("e")).over(ow.rowsBetween(Long.MinValue, -1)))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(ow.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+    val toks = docs(spark, sfDir).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_islands"), sum(col("ie") - col("is")).as("dup_tokens"))
+      .join(toks, "doc_id")
+      .select(col("doc_id"), col("dup_islands"), col("dup_tokens"), col("n_tok"),
+        round(col("dup_tokens").cast("double") / col("n_tok"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs (brute force, double math). The
     * dot/norm fold is `aggregate(zip_with(...))` — sequential, codegen'd,
     * no UDF. Blocked by `label` (the embeddings table's natural cluster

@@ -771,6 +771,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(NearDup.substringSpans(spark, dir, dfCap = 1).count() == 0L)
   }
 
+  test("substring dup coverage: overlapping spans merge, first occurrence never pays") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spancov").toString
+    val span = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val d1 = "alpha beta gamma " + span + " tail1 tail2" // first occurrence — keeps
+    val d2 = "x1 x2 x3 x4 x5 " + span + " end"           // pays for the span vs d1
+    val d4 = "y1 y2 " + span + " tail1 tail2"            // overlapping spans vs d1 AND d2
+    Seq((1L, "en", "s", d1, d1.length.toLong), (2L, "en", "s", d2, d2.length.toLong),
+        (4L, "en", "s", d4, d4.length.toLong))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val cov = NearDup.substringDupCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!cov.contains(1L), "the lowest-id copy keeps all its spans")
+    // d2 shares exactly the 20-token span with d1 (26 tokens total)
+    assert(cov(2L) == ((1L, 20L, 26L)), s"d2 coverage: ${cov.get(2L)}")
+    // d4 shares span+tail (22 tokens) with d1 and the bare span (20)
+    // with d2 — the two overlapping intervals MERGE to one 22-token
+    // island, not 42 double-counted tokens
+    assert(cov(4L) == ((1L, 22L, 24L)), s"d4 merged coverage: ${cov.get(4L)}")
+  }
+
   test("media near-dup: same-size local edit lands within the hamming radius") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mediand").toString
