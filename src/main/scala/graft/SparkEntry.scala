@@ -338,6 +338,13 @@ object SparkEntry {
     "dedup_fingerprint_keepset" -> ((s, dir) =>
       Dedup.exactByFingerprint(s, dir).select(col("doc_id")).orderBy(col("doc_id"))),
     "source_overlap" -> ((s, dir) => Curation.sourceOverlap(s, dir)),
+    // the per-stage survivor "data card": raw -> quality -> pii -> dedup
+    "curation_funnel" -> ((s, dir) => Dedup.curationFunnel(s, dir)),
+    // tokenizer-design report: top-k token types + cumulative coverage
+    "vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
+    // per-dimension moments for whitening/z-scoring (exact via 1e-6
+    // integer quantization - cross-row float sums never hash-compare)
+    "embedding_dim_stats" -> ((s, dir) => Similarity.embeddingDimStats(s, dir)),
   )
 
   // ---------------------------------------------------------------------
@@ -1225,6 +1232,112 @@ object SparkEntry {
         |  count(*) AS n_dup_pairs
         |FROM g a JOIN g b ON a.norm = b.norm AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the curate_corpus recursive CTE reused up through the keep-set,
+    // aggregated per stage; CASE (not FILTER) mirrors Spark's
+    // when/otherwise so an empty stage reads 0, never NULL
+    "curation_funnel" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, lang, source, len(toks) AS n, unnest(toks) AS w FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM x a JOIN x b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        |  HAVING round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) >= 0.95),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        |qf AS (
+        |  SELECT doc_id,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      y -> list_contains(['the','a','and','of','to','in','is','on','for','with'], y))) AS DOUBLE)
+        |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stop_ratio,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS punct_density
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round((len_score + stop_ratio + (1.0 - punct_density)) / 3.0, 6) AS quality
+        |  FROM qf),
+        |pii AS (
+        |  SELECT doc_id,
+        |    (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+        |     + len(regexp_extract_all(text, 'https?://[^ \t\n]+'))
+        |     + len(regexp_extract_all(text, '[0-9]{9,}'))) > 0 AS flagged
+        |  FROM documents),
+        |f AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok,
+        |    qual.quality >= 0.5 AS q_ok,
+        |    (qual.quality >= 0.5 AND NOT pii.flagged) AS p_ok,
+        |    lab.cluster_id
+        |  FROM documents d JOIN qual ON d.doc_id = qual.doc_id
+        |  JOIN pii ON d.doc_id = pii.doc_id JOIN lab ON d.doc_id = lab.doc_id),
+        |rep AS (SELECT cluster_id, min(doc_id) AS rep_id FROM f WHERE p_ok GROUP BY cluster_id),
+        |g AS (
+        |  SELECT f.*, (f.p_ok AND f.doc_id = rep.rep_id) AS d_ok
+        |  FROM f LEFT JOIN rep ON f.cluster_id = rep.cluster_id),
+        |funnel AS (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+        |    count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM g
+        |  UNION ALL SELECT 2, 'quality',
+        |    CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN q_ok THEN n_tok ELSE 0 END) AS BIGINT) FROM g
+        |  UNION ALL SELECT 3, 'pii_clean',
+        |    CAST(sum(CASE WHEN p_ok THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN p_ok THEN n_tok ELSE 0 END) AS BIGINT) FROM g
+        |  UNION ALL SELECT 4, 'dedup_rep',
+        |    CAST(sum(CASE WHEN d_ok THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN d_ok THEN n_tok ELSE 0 END) AS BIGINT) FROM g)
+        |SELECT stage, stage_name, n_docs, n_tokens FROM funnel ORDER BY stage""".stripMargin,
+    "vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM c),
+        |r AS (
+        |  SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+        |    CAST(sum(n) OVER (ORDER BY n DESC, token ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, token, n,
+        |  CAST(n AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+        |  CAST(cum AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS cum_share
+        |FROM r, tot WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // exactness contract: quantize each float at 1e-6 via floor(x*1e6+0.5)
+    // (floor has no tie semantics, unlike round), aggregate exact BIGINTs,
+    // and apply the SAME final IEEE formula in both engines -> doubles
+    // are bit-identical with no rounding anywhere
+    "embedding_dim_stats" ->
+      """WITH e AS (SELECT embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |u AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM e),
+        |a AS (
+        |  SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS s,
+        |    CAST(sum(q * q) AS BIGINT) AS ssq, min(q) AS qmin, max(q) AS qmax
+        |  FROM u GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
+        |  sqrt(greatest(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+        |    0.0)) / 1000000.0 AS std,
+        |  CAST(qmin AS DOUBLE) / 1000000.0 AS min_val,
+        |  CAST(qmax AS DOUBLE) / 1000000.0 AS max_val
+        |FROM a ORDER BY dim""".stripMargin,
     // dedup_fingerprint / doc_fingerprints / simhash_signatures: xxhash64
     // is not reproducible in DuckDB (but the fingerprint KEEP-SET is —
     // see dedup_fingerprint_keepset); minhash_candidates / ann_lsh_topk:

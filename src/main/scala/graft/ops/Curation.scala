@@ -191,7 +191,7 @@ object Curation {
     * glued to words, digit groups), so bin budgets sized on them would
     * overflow real sequence length; this approximation tracks public
     * BPE vocabularies' split points without needing a merges table. */
-  private def bpeTokExpr: Column =
+  private[ops] def bpeTokExpr: Column =
     size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
       .cast("long")
 

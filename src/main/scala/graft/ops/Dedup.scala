@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -224,6 +224,58 @@ object Dedup {
       .filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The curation FUNNEL — the "data card" table every training-data
+    * run publishes: how many documents and tokens survive each stage of
+    * [[curateCorpus]]'s pipeline (raw → quality ≥ min → +PII-clean →
+    * +one representative per near-dup cluster). Four audit rows; the
+    * final row's counts are exactly `curate_corpus`'s keep-set (same
+    * predicates, same cached cluster labels), so the funnel can't
+    * silently disagree with the dedup decision it reports on.
+    *
+    * Tokens are the BPE-style pre-tokenization measure the packing
+    * stage budgets with ([[Curation.bpeTokExpr]]) — the funnel answers
+    * "how many TRAINING tokens does each stage cost", not word counts.
+    *
+    * Scale shape: one pass computes per-document stage flags (three
+    * joins on doc_id — quality/PII are projections of the same scan,
+    * cluster labels ride the session cache), the representative set is
+    * a groupBy over the surviving ids only, and the funnel itself is a
+    * SINGLE global aggregate of conditional sums unpivoted by `stack` —
+    * counts only, no per-stage re-scans, nothing driver-side. */
+  def curationFunnel(spark: SparkSession, sfDir: String, minQuality: Double = 0.5): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), graft.ops.Curation.bpeTokExpr.as("n_tok"))
+    val quality = graft.ops.TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality"))
+    val pii = graft.ops.TextAnalysis.piiScan(spark, sfDir)
+      .select(col("doc_id"), col("flagged"))
+    val flags = toks.join(quality, "doc_id").join(pii, "doc_id")
+      .join(clusterLabels(spark, sfDir), "doc_id")
+      .withColumn("q_ok", col("quality") >= minQuality)
+      .withColumn("p_ok", col("q_ok") && !col("flagged"))
+    val reps = flags.filter(col("p_ok"))
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("rep_id"))
+    val staged = flags.join(reps, Seq("cluster_id"), "left")
+      .withColumn("d_ok", col("p_ok") && col("doc_id") === col("rep_id"))
+    // coalesce: an empty corpus reports a 4-row all-zero funnel (sum
+    // over no rows is NULL), not a table of nulls
+    def cnt(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    def tok(c: Column) = coalesce(sum(when(c, col("n_tok")).otherwise(0L)), lit(0L))
+    staged
+      .agg(
+        count(lit(1)).as("d0"), coalesce(sum(col("n_tok")), lit(0L)).as("t0"),
+        cnt(col("q_ok")).as("d1"), tok(col("q_ok")).as("t1"),
+        cnt(col("p_ok")).as("d2"), tok(col("p_ok")).as("t2"),
+        cnt(col("d_ok")).as("d3"), tok(col("d_ok")).as("t3"))
+      .selectExpr(
+        """stack(4,
+          |  1L, 'raw',       d0, t0,
+          |  2L, 'quality',   d1, t1,
+          |  3L, 'pii_clean', d2, t2,
+          |  4L, 'dedup_rep', d3, t3) AS (stage, stage_name, n_docs, n_tokens)""".stripMargin)
+      .orderBy(col("stage"))
   }
 
   /** Semantic (embedding-space) dedup — the SemDeDup pattern (Abbas et

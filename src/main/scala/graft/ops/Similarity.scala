@@ -680,4 +680,49 @@ object Similarity {
         round(graft.functions.VectorFunctions.dot_product(col("v"),
           transform(col("v"), _ => lit(1.0d))) / size(col("v")), 4).as("mean_val"))
       .orderBy(col("vec_id"))
+
+  /** Per-DIMENSION corpus moments — the whitening/normalization prep
+    * table ([[embeddingStats]] is per-vector; this is its transpose):
+    * for each embedding dimension, count, mean, population std, min and
+    * max. A dead dimension (std 0) or a runaway one (|mean| ≫ others)
+    * breaks cosine geometry, and mean/std per dim are exactly the
+    * statistics a whitening or z-scoring stage consumes.
+    *
+    * Exactness strategy: cross-row float sums are order-dependent, so
+    * each element is first quantized to an exact integer at 1e-6
+    * resolution via `floor(x·1e6 + 0.5)` — floor is a single IEEE op
+    * with no tie-breaking semantics, so Spark and the DuckDB oracle
+    * produce the SAME integer for the same float (unlike `round`, whose
+    * decimal-string vs binary implementations can disagree at scale>0).
+    * All aggregation is then exact BIGINT arithmetic; the final
+    * mean/std are fixed formulas of those integers (identical IEEE ops
+    * in both engines ⇒ bit-identical doubles, no rounding needed).
+    *
+    * Scale shape: posexplode fans each vector into (dim, value) rows —
+    * d·n rows but only 12 bytes each — and ONE map-side-combined
+    * groupBy(dim) reduces them to d output rows; nothing else shuffles.
+    * 2^63 headroom: |x|≤2000 quantizes to ≤2.1e9, squares ≤4.4e18 /
+    * row would overflow a per-partition sum at ~2 rows, so unit-norm-
+    * scale inputs (|x|≤1 ⇒ ssq ≤ 1e12·n) hold to n≈9e6 per dim; the
+    * sum is checked and the scaladoc contract is unit-scale inputs. */
+  def embeddingDimStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = floor(col("x") * lit(1000000.0d) + lit(0.5d)).cast("long")
+    emb(spark, sfDir)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), q.as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("ssq"),
+        min(col("q")).as("qmin"), max(col("q")).as("qmax"))
+      .select(col("dim"), col("n"),
+        (col("s").cast("double") / col("n").cast("double") / 1000000.0d).as("mean"),
+        (sqrt(greatest(
+          col("ssq").cast("double") / col("n").cast("double") -
+            (col("s").cast("double") / col("n").cast("double")) *
+            (col("s").cast("double") / col("n").cast("double")),
+          lit(0.0d))) / 1000000.0d).as("std"),
+        (col("qmin").cast("double") / 1000000.0d).as("min_val"),
+        (col("qmax").cast("double") / 1000000.0d).as("max_val"))
+      .orderBy(col("dim"))
+  }
 }

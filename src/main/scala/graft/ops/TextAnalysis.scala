@@ -43,6 +43,59 @@ object TextAnalysis {
           .cast("bigint").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Vocabulary head coverage — the tokenizer-design report: the top-k
+    * corpus tokens by frequency (the same BPE-style pre-tokenization
+    * regex `token_counts` hash-verifies) with each token's corpus share
+    * and the head's cumulative share. This is the table one reads when
+    * sizing a BPE vocabulary or auditing a corpus mix: "the top 100
+    * types cover X% of all token occurrences".
+    *
+    * Scale shape: the per-token counts are one map-side-combined
+    * groupBy over (token) — the only corpus-sized shuffle, carrying
+    * (token, count) pairs, never text. The head selection is
+    * `orderBy.limit(k)` ⇒ TakeOrderedAndProject (per-partition top-k,
+    * driver merges k·p rows), NOT a global sort; the rank/cumsum window
+    * then runs over exactly k rows. The grand total rides a broadcast
+    * 1-row cross join. Shares are single IEEE divisions of exact
+    * integer counts — bit-identical in any engine, no rounding
+    * needed for the oracle hash.
+    *
+    * The counts table is session-cached (the `floorPairCache` pattern):
+    * the head and the grand total are two consumers of the same
+    * aggregation, and without the cache Spark plans two full tokenize
+    * scans of the corpus (measured: AQE does NOT reuse the exchange —
+    * the two aggregate subtrees canonicalize differently). Cached rows
+    * are (token, count) pairs — vocabulary-scale, not corpus-scale. */
+  def vocabCoverage(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
+    val counts = cachedVocabCounts(spark, sfDir)
+    val total = counts.agg(sum(col("n")).as("total_tokens"))
+    val head = counts.orderBy(col("n").desc, col("token").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    head.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(col("rank"), col("token"), col("n"),
+        (col("n").cast("double") / col("total_tokens").cast("double")).as("share"),
+        (col("cum").cast("double") / col("total_tokens").cast("double")).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  /** Session cache for the per-token corpus counts ([[vocabCoverage]]'s
+    * shared subplan — head selection and grand total both read it). */
+  private val vocabCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def cachedVocabCounts(spark: SparkSession, sfDir: String): DataFrame =
+    vocabCountCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir),
+      _ => docs(spark, sfDir)
+        .select(explode(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** The quality-composite pieces as plain column expressions over a
     * `text` column — shared verbatim by the batch [[qualityScore]]
     * query and the streaming curation stage (`EventIngest
@@ -310,6 +363,8 @@ object TextAnalysis {
   def clearCaches(): Unit = {
     overlapCache.values.forEach(df => { df.unpersist(); () })
     overlapCache.clear()
+    vocabCountCache.values.forEach(df => { df.unpersist(); () })
+    vocabCountCache.clear()
   }
 
   private def winnowOverlapDirect(spark: SparkSession, sfDir: String, k: Int, sketchSize: Int,

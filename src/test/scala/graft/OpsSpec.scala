@@ -967,6 +967,68 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"unsupervised-cell blocking must recover the labeled blocking: $agreement%.4f")
   }
 
+  test("curation funnel: stages monotone, endpoints match raw corpus and curated keep-set") {
+    val f = graft.ops.Dedup.curationFunnel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(f.map(_._2).toSeq == Seq("raw", "quality", "pii_clean", "dedup_rep"))
+    f.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"funnel not monotone: $a -> $b")
+    }
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(f(0)._3 == nDocs, "stage 1 must count the raw corpus")
+    val curated = graft.ops.Dedup.curateCorpus(spark, sfDir).count()
+    assert(f(3)._3 == curated, "final stage must equal the curate_corpus keep-set")
+    // an empty corpus still reports the full 4-row funnel, all zeros
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-empty").toString
+    import spark.implicits._
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val empty = graft.ops.Dedup.curationFunnel(spark, dir).collect()
+    assert(empty.length == 4 && empty.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+  }
+
+  test("vocab coverage: contiguous ranks, monotone counts and cumulative share") {
+    // k larger than the sf0.001 vocabulary (31 types): the head is the
+    // WHOLE vocabulary and cumulative coverage must close at exactly 1
+    val rows = graft.ops.TextAnalysis.vocabCoverage(spark, sfDir, k = 50).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length.toLong))
+    if (rows.length < 50)
+      assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-12,
+        "a head covering the whole vocabulary must sum to share 1")
+    rows.map(_.getLong(2)).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, "counts must be non-increasing down the ranking")
+    }
+    val shares = rows.map(_.getDouble(3))
+    val cums = rows.map(_.getDouble(4))
+    assert(math.abs(shares.sum - cums.last) < 1e-9,
+      "cumulative share must equal the sum of the head's shares")
+    cums.sliding(2).foreach { case Array(a, b) => assert(b > a) }
+    assert(cums.last <= 1.0 + 1e-12 && cums.last > 0.1,
+      s"a 50-type head should cover a meaningful slice, got ${cums.last}")
+  }
+
+  test("embedding dim stats: exact moments on a constructed fixture, nulls ignored") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dimstats").toString
+    // dim 0: values 1,2,3 -> mean 2, population std sqrt(2/3), min 1 max 3;
+    // dim 1: constant 5 -> std exactly 0; the null row must not count
+    Seq((1L, Option(Seq(1.0f, 5.0f)), 0), (2L, Option(Seq(2.0f, 5.0f)), 0),
+        (3L, Option(Seq(3.0f, 5.0f)), 0), (4L, Option.empty[Seq[Float]], 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.embeddingDimStats(spark, dir).collect()
+    assert(rows.length == 2)
+    val d0 = rows.find(_.getLong(0) == 0L).get
+    assert(d0.getLong(1) == 3L, "null embedding must be excluded from n")
+    assert(math.abs(d0.getDouble(2) - 2.0) < 1e-9)
+    assert(math.abs(d0.getDouble(3) - math.sqrt(2.0 / 3.0)) < 1e-6)
+    assert(d0.getDouble(4) == 1.0 && d0.getDouble(5) == 3.0)
+    val d1 = rows.find(_.getLong(0) == 1L).get
+    assert(d1.getDouble(3) == 0.0 && math.abs(d1.getDouble(2) - 5.0) < 1e-9)
+  }
+
   test("every document operator tolerates an empty corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
@@ -1054,7 +1116,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "overlap" -> (() => graft.ops.Curation.sourceOverlap(spark, dir).count()),
       "media" -> (() => Multimodal.mediaFeatures(spark, dir).count()),
       "media_near_dup" -> (() => Multimodal.mediaNearDup(spark, dir).count()),
-      "substring_dedup" -> (() => NearDup.substringSpans(spark, dir).count())
+      "substring_dedup" -> (() => NearDup.substringSpans(spark, dir).count()),
+      "funnel" -> (() => graft.ops.Dedup.curationFunnel(spark, dir).count()),
+      "vocab" -> (() => graft.ops.TextAnalysis.vocabCoverage(spark, dir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null fields: $e")
@@ -1108,7 +1172,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "outliers" -> (() => Similarity.embeddingOutliers(spark, dir).count()),
       "semantic" -> (() => graft.ops.Dedup.semanticDedup(spark, dir).count()),
       "semantic_ivf" -> (() => graft.ops.Dedup.semanticDedupIvf(spark, dir).count()),
-      "near_dup" -> (() => NearDup.embeddingNearDup(spark, dir).count())
+      "near_dup" -> (() => NearDup.embeddingNearDup(spark, dir).count()),
+      "dim_stats" -> (() => Similarity.embeddingDimStats(spark, dir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on a null embedding: $e")
