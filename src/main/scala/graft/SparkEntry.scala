@@ -345,6 +345,12 @@ object SparkEntry {
     // per-dimension moments for whitening/z-scoring (exact via 1e-6
     // integer quantization - cross-row float sums never hash-compare)
     "embedding_dim_stats" -> ((s, dir) => Similarity.embeddingDimStats(s, dir)),
+    // the STREAMING engine itself, driver-checked: the file-source
+    // events stream runs to completion under Trigger.AvailableNow and
+    // the memory sink's watermark-closed windows are the result — the
+    // oracle re-derives the closed set with integer ms arithmetic
+    "stream_daily_agg" -> ((s, dir) =>
+      graft.streaming.EventIngest.dailyAggregateAvailableNow(s, dir)),
   )
 
   // ---------------------------------------------------------------------
@@ -1338,6 +1344,22 @@ object SparkEntry {
         |  CAST(qmin AS DOUBLE) / 1000000.0 AS min_val,
         |  CAST(qmax AS DOUBLE) / 1000000.0 AS max_val
         |FROM a ORDER BY dim""".stripMargin,
+    // append-mode release predicate: window.end <= watermark, watermark
+    // = max event time - 1 day at Spark's millisecond granularity —
+    // mirrored below as exact integer ms arithmetic; decimal sums make
+    // the values order-independent on both sides
+    "stream_daily_agg" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |agg AS (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS day, count(*) AS n_obs,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT element, day, n_obs, sum_value,
+        |  sum_value / CAST(n_obs AS DOUBLE) AS avg_value
+        |FROM agg, mx
+        |WHERE (datediff('day', DATE '1970-01-01', day) + 1) * 86400000
+        |      <= epoch_ns(m) // 1000000 - 86400000
+        |ORDER BY element, day""".stripMargin,
     // dedup_fingerprint / doc_fingerprints / simhash_signatures: xxhash64
     // is not reproducible in DuckDB (but the fingerprint KEEP-SET is —
     // see dedup_fingerprint_keepset); minhash_candidates / ann_lsh_topk:

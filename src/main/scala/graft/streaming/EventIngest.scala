@@ -20,15 +20,71 @@ object EventIngest {
   /** Watermarked tumbling-day aggregation over a (possibly streaming)
     * events frame with columns (ts TIMESTAMP, event_type STRING,
     * value DOUBLE). Works identically for batch frames — the same plan
-    * serves backfill and live ingest. */
+    * serves backfill and live ingest.
+    *
+    * Sums accumulate in DECIMAL(18,4), not double: decimal addition is
+    * exact and order-independent, so the stream, the batch backfill,
+    * and the DuckDB oracle all produce bit-identical sums regardless of
+    * partitioning or micro-batch arrival order (a double sum's value
+    * depends on accumulation order). The average is one double division
+    * of that exact sum. */
   def dailyAggregate(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 day")
       .groupBy(col("event_type").as("element"), window(col("ts"), "1 day").as("w"))
-      .agg(count(lit(1)).as("n_obs"), sum(col("value")).as("sum_value"),
-        avg(col("value")).as("avg_value"))
-      .select(col("element"), col("w.start").as("day_start"),
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .select(col("element"), col("w.start").as("day_start"), col("n_obs"),
+        col("sum_dec").cast("double").as("sum_value"),
+        (col("sum_dec").cast("double") / col("n_obs").cast("double")).as("avg_value"))
+
+  /** The driver-facing BATCH entry for the streaming path: run the
+    * file-source events stream to completion with `Trigger
+    * .AvailableNow` and return the watermark-CLOSED daily aggregates
+    * from the memory sink — which makes the streaming engine itself
+    * oracle-checkable. The emitted set is deterministic: append mode
+    * releases a window exactly when `window.end <= watermark`
+    * (boundary pinned by test), and the final no-data micro-batch
+    * flushes everything closed by `max(ts) − 1 day`, so plain SQL can
+    * predict the output rows — the DuckDB oracle re-derives the same
+    * set with integer millisecond arithmetic (Spark tracks watermarks
+    * in ms). `ts` arrives as exact epoch-nanos LONG (see
+    * `Tables.events`) and is truncated to micros only for the
+    * event-time clock; day windows are unaffected (floor-of-floor).
+    *
+    * Scale: identical to the live ingest plan — per-batch shuffles
+    * carry (element, window) decimal partials, state is
+    * watermark-bounded; the memory sink holds day×type rows. */
+  def dailyAggregateAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = graft.sources.Tables.events(spark, sfDir).schema // sets nanosAsLong
+    // driver layout: events.parquet is a single FILE (stream the parent
+    // dir, glob-filtered); Spark-written stores are a DIRECTORY of
+    // part-files (streamable directly)
+    val evPath = s"$sfDir/events.parquet"
+    val reader = spark.readStream.schema(schema)
+    val raw =
+      if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    // driver store: ts = epoch-nanos LONG; synthetic test stores may
+    // write a plain TIMESTAMP — accept both
+    val tsCol = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts")
+    }
+    val src = raw.select(tsCol.as("ts"), col("event_type"), col("value"))
+    val sink = "stream_daily_agg_sink"
+    spark.catalog.dropTempView(sink)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    val q = dailyAggregate(src)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("element"), to_date(col("day_start")).as("day"),
         col("n_obs"), col("sum_value"), col("avg_value"))
+      .orderBy(col("element"), col("day"))
+  }
 
   /** Streaming exact dedup — the live-ingest guard of the dedup suite
     * (§2.3): drop events whose content fingerprint was already seen

@@ -1419,6 +1419,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AvailableNow stream: window closing exactly at the watermark is emitted, open one held") {
+    // pins the oracle's release predicate (window.end <= watermark):
+    // max ts = day 12 -> wm = day 11 = END of the [day10, day11) window,
+    // so day 10 must be emitted and day 12 (still open) must not
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    val day = 86400000L
+    Seq((new java.sql.Timestamp(day * 10 + 5000), "a", 1.5),
+        (new java.sql.Timestamp(day * 12), "a", 2.0))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = EventIngest.dailyAggregateAvailableNow(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", "1970-01-11", 1L, 1.5)),
+      s"exactly the boundary window, got ${out.mkString(",")}")
+  }
+
   test("file-source streaming ingest writes watermark-closed daily aggregates") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
