@@ -321,6 +321,8 @@ object SparkEntry {
     // join — integer-exact, so the whole pipeline is oracle-verified
     "media_near_dup" -> ((s, dir) => Multimodal.mediaNearDup(s, dir)),
     "asof_daily_value" -> ((s, dir) => Relational.asofDailySpine(s, dir)),
+    // native session_window sessionization, integer-microsecond clock
+    "user_sessions" -> ((s, dir) => Relational.userSessions(s, dir)),
     // -- dataset assembly: splits, decontamination, repetition, mixture ----
     "corpus_split" -> ((s, dir) => Curation.corpusSplit(s, dir)),
     "split_leakage" -> ((s, dir) => Curation.splitLeakage(s, dir)),
@@ -330,6 +332,8 @@ object SparkEntry {
     "corpus_mixture" -> ((s, dir) => Curation.corpusMixture(s, dir)),
     "corpus_resample" -> ((s, dir) => Curation.corpusResample(s, dir)),
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
+    // the loader-side report: bins per shard, fill vs the token budget
+    "pack_efficiency" -> ((s, dir) => Curation.packEfficiency(s, dir)),
     // the composed curate -> split -> pack loader manifest, fused oracle
     "training_manifest" -> ((s, dir) => Curation.trainingManifest(s, dir)),
     // partial oracle for the fingerprint dedup path: its keep-set must
@@ -351,6 +355,10 @@ object SparkEntry {
     // oracle re-derives the closed set with integer ms arithmetic
     "stream_daily_agg" -> ((s, dir) =>
       graft.streaming.EventIngest.dailyAggregateAvailableNow(s, dir)),
+    // the stateful MERGING window class under the same AvailableNow
+    // lifecycle: watermark-closed session windows, oracle-predicted
+    "stream_sessions" -> ((s, dir) =>
+      graft.streaming.EventIngest.sessionsAvailableNow(s, dir)),
   )
 
   // ---------------------------------------------------------------------
@@ -1222,6 +1230,25 @@ object SparkEntry {
         |  CAST(floor(COALESCE(sum(n_tok) OVER (PARTITION BY split, lang, source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
         |FROM t ORDER BY split, lang, source, doc_id""".stripMargin,
+    "pack_efficiency" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val' ELSE 'test' END AS split,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT split, lang, source, n_tok,
+        |    CAST(floor(COALESCE(sum(n_tok) OVER (PARTITION BY split, lang, source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
+        |  FROM t)
+        |SELECT split,
+        |  count(DISTINCT (lang, source)) AS n_shards,
+        |  count(DISTINCT (lang, source, bin)) AS n_bins,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_tok) AS DOUBLE) / CAST(count(DISTINCT (lang, source, bin)) * 2048 AS DOUBLE) AS fill_ratio
+        |FROM p GROUP BY split ORDER BY split""".stripMargin,
     "dedup_fingerprint_keepset" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
@@ -1344,6 +1371,29 @@ object SparkEntry {
         |  CAST(qmin AS DOUBLE) / 1000000.0 AS min_val,
         |  CAST(qmax AS DOUBLE) / 1000000.0 AS max_val
         |FROM a ORDER BY dim""".stripMargin,
+    // gaps-and-islands on the SAME integer microseconds Spark windows
+    // on; break at diff > gap (an event exactly gap after the previous
+    // one MERGES — session ends are inclusive, fixture-pinned)
+    "user_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, value
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |o AS (
+        |  SELECT user_id, tus, value,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |           OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, tus, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |  max(tus) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
     // append-mode release predicate: window.end <= watermark, watermark
     // = max event time - 1 day at Spark's millisecond granularity —
     // mirrored below as exact integer ms arithmetic; decimal sums make
@@ -1360,6 +1410,34 @@ object SparkEntry {
         |WHERE (datediff('day', DATE '1970-01-01', day) + 1) * 86400000
         |      <= epoch_ns(m) // 1000000 - 86400000
         |ORDER BY element, day""".stripMargin,
+    // the user_sessions gaps-and-islands sessions, filtered to the
+    // watermark-CLOSED set: wm = (max event-time ms) - 1 day, a session
+    // is released iff end_us <= wm_ms * 1000 (Spark tracks watermarks in
+    // milliseconds; boundary + ms-truncation pinned by fixture test)
+    "stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, value
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |mx AS (SELECT max(tus) AS mus FROM e),
+        |o AS (
+        |  SELECT user_id, tus, value,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |           OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, tus, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |  max(tus) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s, mx
+        |GROUP BY user_id, sid, mus
+        |HAVING max(tus) + 1800000000 <= (mus // 1000 - 86400000) * 1000
+        |ORDER BY user_id, session_start_us""".stripMargin,
     // dedup_fingerprint / doc_fingerprints / simhash_signatures: xxhash64
     // is not reproducible in DuckDB (but the fingerprint KEEP-SET is —
     // see dedup_fingerprint_keepset); minhash_candidates / ann_lsh_topk:

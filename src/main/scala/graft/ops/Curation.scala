@@ -208,6 +208,32 @@ object Curation {
       .orderBy(col("split"), col("lang"), col("source"), col("doc_id"))
   }
 
+  /** Packing efficiency — the loader-side report next to the curation
+    * funnel's corpus-side one: per split, how many shards and bins the
+    * packing produced, how many docs/tokens they hold, and how close
+    * the bins run to the token budget. A document is assigned to the
+    * bin its START offset lands in (concat-and-chunk semantics —
+    * [[packSequences]]), so a bin can overflow the budget and
+    * `fill_ratio` = tokens / (bins × budget) measures how much shard
+    * tails and doc granularity cost against an ideal gapless packing.
+    *
+    * Scale shape: rides [[packSequences]]'s one shard-key shuffle, then
+    * a single groupBy(split) over (split, shard, bin) rows — counts
+    * only. The ratio is one IEEE division of exact BIGINTs (oracle
+    * hash-compares bit-exactly, no rounding). */
+  def packEfficiency(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame =
+    packSequences(spark, sfDir, budget)
+      .groupBy(col("split"))
+      .agg(
+        countDistinct(col("lang"), col("source")).as("n_shards"),
+        countDistinct(col("lang"), col("source"), col("bin")).as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+      .select(col("split"), col("n_shards"), col("n_bins"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") /
+          (col("n_bins") * lit(budget.toLong)).cast("double")).as("fill_ratio"))
+      .orderBy(col("split"))
+
   /** The end-to-end assembly a training run actually executes, in ONE
     * declarative plan: curate (quality ∧ PII-clean ∧ one representative
     * per near-dup cluster, [[Dedup.curateCorpus]]) → content-hash split

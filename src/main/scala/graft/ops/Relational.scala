@@ -177,4 +177,48 @@ object Relational {
       .filter(col("k").isNotNull)
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
       .orderBy(col("k"))
+
+  /** Per-user sessionization via Spark's native `session_window` — the
+    * gap-merged event-time window class (§2.2-H deferred it from the
+    * MVP; added as an extension operator: "sessions" are the unit every
+    * behavioral/agent-trace pipeline aggregates by). Two events share a
+    * session iff the later one starts AT OR BEFORE the earlier
+    * window's end (= prev event + gap); an event at exactly prev + gap
+    * MERGES — Spark's session ends are inclusive (boundary pinned by a
+    * fixture test). Session end = last event + gap, Spark's reported
+    * `session_window.end`.
+    *
+    * Exactness contract: the clock is exact integer MICROSECONDS
+    * (`ts DIV 1000` of the epoch-nanos LONG — floor-of-floor keeps
+    * every gap comparison integral), value sums go through
+    * DECIMAL(18,4), and the DuckDB oracle re-derives the identical
+    * sessions with a gaps-and-islands window (break at diff > gap) on
+    * the same integer microseconds.
+    *
+    * Scale shape: one shuffle on user_id (the session merge is
+    * per-key local sort + linear scan inside Spark's
+    * UpdatingSessionsIterator), aggregation carries (user, window)
+    * partials — the same plan serves streaming sessionization with a
+    * watermark. */
+  def userSessions(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    val evRaw = graft.sources.Tables.events(spark, sfDir)
+    // driver store: ts = epoch-nanos LONG; synthetic test stores may
+    // write a plain TIMESTAMP — accept both (same rule as the stream)
+    val tCol = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts")
+    }
+    evRaw
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), tCol.as("t"), col("value"))
+      .groupBy(col("user_id"), session_window(col("t"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
 }

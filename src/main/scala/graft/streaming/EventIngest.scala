@@ -86,6 +86,65 @@ object EventIngest {
       .orderBy(col("element"), col("day"))
   }
 
+  /** Watermarked per-user sessionization over a streaming events frame —
+    * the stateful MERGING window class (`session_window`), one tier past
+    * [[dailyAggregate]]'s fixed tumbling windows: window extent is
+    * data-dependent, so the state store must grow/merge sessions as
+    * events arrive and can only release one once the watermark proves no
+    * future event can extend it. Same exactness contract as the batch
+    * twin `Relational.userSessions`: integer-microsecond clock, decimal
+    * sums (order-independent — stream, batch, and oracle bit-agree).
+    *
+    * Scale: state is per-(user, open session), bounded by the watermark;
+    * each micro-batch shuffles (user, window) decimal partials. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+
+  /** Driver-facing BATCH entry for streaming sessionization (the
+    * [[dailyAggregateAvailableNow]] pattern): run the file-source events
+    * stream to completion under `Trigger.AvailableNow` and return the
+    * watermark-CLOSED sessions from the memory sink. Append mode
+    * releases a session exactly when `session_end <= watermark`
+    * (boundary pinned by test, including Spark's millisecond watermark
+    * truncation of a microsecond clock), and the final no-data
+    * micro-batch flushes everything closed by `max(ts) − 1 day` — so the
+    * DuckDB oracle predicts the emitted set: gaps-and-islands sessions
+    * (break at diff > gap) filtered to
+    * `end_us <= (max_us // 1000 − 86400000) * 1000`. */
+  def sessionsAvailableNow(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    val schema = graft.sources.Tables.events(spark, sfDir).schema
+    val evPath = s"$sfDir/events.parquet"
+    val reader = spark.readStream.schema(schema)
+    val raw =
+      if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val tsCol = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts")
+    }
+    val src = raw
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(tsCol.as("ts"), col("user_id"), col("value"))
+    val sink = "stream_sessions_sink"
+    spark.catalog.dropTempView(sink)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ck").toString
+    val q = sessionize(src, gapMinutes)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink).orderBy(col("user_id"), col("session_start_us"))
+  }
+
   /** Streaming exact dedup — the live-ingest guard of the dedup suite
     * (§2.3): drop events whose content fingerprint was already seen
     * within the watermark window. `dropDuplicatesWithinWatermark` keys

@@ -1063,6 +1063,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "manifest" -> (() => graft.ops.Curation.trainingManifest(spark, dir).count()),
       "resample" -> (() => graft.ops.Curation.corpusResample(spark, dir).count()),
       "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()),
+      "pack_eff" -> (() => graft.ops.Curation.packEfficiency(spark, dir).count()),
       "substring_dedup" -> (() => NearDup.substringSpans(spark, dir).count()),
       "media_near_dup" -> (() => Multimodal.mediaNearDup(spark, dir).count()))
     ops.foreach { case (name, run) =>
@@ -1112,6 +1113,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "mixture" -> (() => graft.ops.Curation.corpusMixture(spark, dir).count()),
       "resample" -> (() => graft.ops.Curation.corpusResample(spark, dir).count()),
       "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()),
+      "pack_eff" -> (() => graft.ops.Curation.packEfficiency(spark, dir).count()),
       "manifest" -> (() => graft.ops.Curation.trainingManifest(spark, dir).count()),
       "overlap" -> (() => graft.ops.Curation.sourceOverlap(spark, dir).count()),
       "media" -> (() => Multimodal.mediaFeatures(spark, dir).count()),
@@ -1192,7 +1194,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(
       "fc_naive" -> (() => SparkEntry.queries("fc_naive")(spark, edir).count()),
       "user_activity" -> (() => SparkEntry.queries("user_activity")(spark, edir).count()),
-      "value_quantiles" -> (() => SparkEntry.queries("value_quantiles")(spark, edir).count())
+      "value_quantiles" -> (() => SparkEntry.queries("value_quantiles")(spark, edir).count()),
+      "user_sessions" -> (() => Relational.userSessions(spark, edir).count()),
+      "stream_sessions" -> (() => EventIngest.sessionsAvailableNow(spark, edir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null event fields: $e")
@@ -1323,6 +1327,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pack efficiency re-derives exactly from the packing table") {
+    val packed = graft.ops.Curation.packSequences(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(4), r.getLong(6)))
+    val eff = graft.ops.Curation.packEfficiency(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(eff.nonEmpty)
+    eff.foreach { case (split, nShards, nBins, nDocs, nTokens, fill) =>
+      val rows = packed.filter(_._1 == split)
+      assert(nShards == rows.map(r => (r._2, r._3)).distinct.length)
+      assert(nBins == rows.map(r => (r._2, r._3, r._5)).distinct.length)
+      assert(nDocs == rows.length)
+      assert(nTokens == rows.map(_._4).sum)
+      assert(fill == nTokens.toDouble / (nBins * 2048L).toDouble)
+      assert(fill > 0.0)
+    }
+  }
+
   test("training manifest covers exactly the curated keep-set with gapless shard offsets") {
     val kept = graft.ops.Dedup.curateCorpus(spark, sfDir).collect().map(_.getLong(0)).toSet
     val man = graft.ops.Curation.trainingManifest(spark, sfDir).collect()
@@ -1419,6 +1440,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("session windows: event exactly one gap later MERGES (inclusive window end)") {
+    // pins the oracle's break predicate (diff > gap splits; diff == gap
+    // merges): u1: 0us and 1000us merge, and 1000us + gap lands exactly
+    // on the window end -> MERGED, extending the session. u2: one
+    // session; u3 (gap + 1) splits.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val gapUs = 30L * 60L * 1000000L
+    Seq((1L, 0L, 2.0), (1L, 1000L, 3.0), (1L, 1000L + gapUs, 5.0),
+        (2L, 0L, 1.0), (2L, gapUs - 1L, 1.0),
+        (3L, 0L, 4.0), (3L, gapUs + 1L, 6.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = Relational.userSessions(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val expected = Seq(
+      (1L, 0L, 1000L + 2 * gapUs, 3L, 10.0),  // boundary event MERGES, end = last + gap
+      (2L, 0L, gapUs - 1L + gapUs, 2L, 2.0),
+      (3L, 0L, gapUs, 1L, 4.0),               // gap + 1 splits
+      (3L, gapUs + 1L, 2 * gapUs + 1L, 1L, 6.0))
+    assert(out.toSeq == expected, s"got ${out.mkString(",")}")
+  }
+
   test("AvailableNow stream: window closing exactly at the watermark is emitted, open one held") {
     // pins the oracle's release predicate (window.end <= watermark):
     // max ts = day 12 -> wm = day 11 = END of the [day10, day11) window,
@@ -1434,6 +1479,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq(("a", "1970-01-11", 1L, 1.5)),
       s"exactly the boundary window, got ${out.mkString(",")}")
+  }
+
+  test("AvailableNow sessions: session ending exactly at the watermark is emitted, ms residue floors") {
+    // pins the session release predicate (end_us <= wm_ms * 1000): the
+    // clock-driving event carries a 999us sub-millisecond residue that
+    // Spark's ms watermark must floor away, landing wm EXACTLY on user
+    // 1's session end (emit); user 3 ends 1ms later (hold); the clock
+    // driver's own session is open (hold).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-avnow").toString
+    val gapUs = 30L * 60L * 1000000L
+    val dayUs = 86400000000L
+    Seq((1L, 0L, 2.5),
+        (3L, 1000L, 4.0),
+        (2L, dayUs + gapUs + 999L, 1.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = EventIngest.sessionsAvailableNow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 0L, gapUs, 1L, 2.5)),
+      s"exactly the boundary session, got ${out.mkString(",")}")
+  }
+
+  test("streaming sessions equal the batch sessions filtered to the watermark-closed set") {
+    // parity on the real store: AvailableNow's emitted set must be
+    // exactly the batch gaps-and-islands sessions whose end clears the
+    // final watermark (max event us, ms-floored, minus 1 day). The max
+    // event time is recoverable from the batch output itself: every
+    // session end = last event + gap.
+    val gapUs = 30L * 60L * 1000000L
+    val batch = Relational.userSessions(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val maxUs = batch.map(_._3).max - gapUs
+    val wmUs = (maxUs / 1000L - 86400000L) * 1000L
+    val expected = batch.filter(_._3 <= wmUs).toSeq
+    val streamed = EventIngest.sessionsAvailableNow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(streamed.nonEmpty && streamed == expected,
+      s"stream ${streamed.length} rows vs batch-closed ${expected.length}")
   }
 
   test("file-source streaming ingest writes watermark-closed daily aggregates") {
