@@ -323,6 +323,10 @@ object SparkEntry {
     "asof_daily_value" -> ((s, dir) => Relational.asofDailySpine(s, dir)),
     // native session_window sessionization, integer-microsecond clock
     "user_sessions" -> ((s, dir) => Relational.userSessions(s, dir)),
+    // -- event analytics: retention, funnel, rolling actives ---------------
+    "user_retention" -> ((s, dir) => graft.ops.EventAnalytics.userRetention(s, dir)),
+    "event_funnel" -> ((s, dir) => graft.ops.EventAnalytics.eventFunnel(s, dir)),
+    "rolling_active_users" -> ((s, dir) => graft.ops.EventAnalytics.rollingActiveUsers(s, dir)),
     // -- dataset assembly: splits, decontamination, repetition, mixture ----
     "corpus_split" -> ((s, dir) => Curation.corpusSplit(s, dir)),
     "split_leakage" -> ((s, dir) => Curation.splitLeakage(s, dir)),
@@ -1410,6 +1414,60 @@ object SparkEntry {
         |WHERE (datediff('day', DATE '1970-01-01', day) + 1) * 86400000
         |      <= epoch_ns(m) // 1000000 - 86400000
         |ORDER BY element, day""".stripMargin,
+    // cohort = first-active day; (cohort, offset, user) rows are unique
+    // per user, so count(*) = distinct actives; retention divides exact
+    // BIGINTs (offset 0 = cohort size by construction)
+    "user_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |a AS (
+        |  SELECT f.cohort_day, datediff('day', f.cohort_day, e.day) AS day_offset,
+        |    count(*) AS n_active
+        |  FROM e JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_active,
+        |  CAST(n_active AS DOUBLE) /
+        |    CAST(first_value(n_active) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS DOUBLE)
+        |    AS retention
+        |FROM a ORDER BY cohort_day, day_offset""".stripMargin,
+    // ordered funnel: step k completes at the first event of its type AT
+    // OR AFTER step k-1's completion (ties on the exact microsecond
+    // count); conversion = n_k / n_1, NULL when nobody entered
+    "event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |w1 AS (SELECT user_id, tus, event_type,
+        |  min(CASE WHEN event_type = 'view' THEN tus END) OVER (PARTITION BY user_id) AS t1 FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tus >= t1 THEN tus END)
+        |  OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tus >= t2 THEN tus END)
+        |  OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM w3),
+        |a AS (SELECT
+        |  count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS n1,
+        |  count(CASE WHEN t2 IS NOT NULL THEN 1 END) AS n2,
+        |  count(CASE WHEN t3 IS NOT NULL THEN 1 END) AS n3 FROM u)
+        |SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+        |  CAST(n1 AS DOUBLE) / nullif(n1, 0) AS conversion FROM a
+        |UNION ALL SELECT 2, 'click', n2, CAST(n2 AS DOUBLE) / nullif(n1, 0) FROM a
+        |UNION ALL SELECT 3, 'purchase', n3, CAST(n3 AS DOUBLE) / nullif(n1, 0) FROM a
+        |ORDER BY step""".stripMargin,
+    // contribution expansion: each distinct (user, day) is visible from
+    // the next 7 window endpoints; partial future windows not reported
+    "rolling_active_users" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |mx AS (SELECT max(day) AS max_day FROM e),
+        |c AS (
+        |  SELECT user_id, CAST(day + r.range * INTERVAL 1 DAY AS DATE) AS day
+        |  FROM e, range(7) r)
+        |SELECT c.day, count(DISTINCT c.user_id) AS active_7d
+        |FROM c, mx WHERE c.day <= mx.max_day
+        |GROUP BY c.day ORDER BY c.day""".stripMargin,
     // the user_sessions gaps-and-islands sessions, filtered to the
     // watermark-CLOSED set: wm = (max event-time ms) - 1 day, a session
     // is released iff end_us <= wm_ms * 1000 (Spark tracks watermarks in

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product/event analytics over the events stream — the three reports
+  * every behavioral pipeline runs next to sessionization (engine
+  * extension past the reference's per-element time series pull,
+  * `TimeSeriesFunctions_GPL_0.5.1.R:23-40`): cohort retention, ordered
+  * funnel conversion, and rolling distinct actives. All three are pure
+  * declarative plans with DuckDB oracles; the scale posture of each is
+  * documented on the method (what shuffles, what it carries, what the
+  * bounded expansions are).
+  *
+  * Clock contract (shared with `Relational.userSessions`): the driver
+  * store's `ts` is an epoch-nanos LONG — days and microseconds are
+  * derived with exact integer arithmetic (`DIV`), never double math; a
+  * synthetic TIMESTAMP store is accepted through the same dual-type
+  * branch.
+  */
+object EventAnalytics {
+
+  /** (user_id, …) events with nulls dropped (a null user or clock is
+    * attributable to no one / no time) and the ts normalized to an
+    * exact integer microsecond column `tus` plus a calendar `day`. */
+  private def userEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val (tusCol, dayCol) = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (expr("ts DIV 1000"), graft.sources.Tables.tsDay("ts"))
+      case _ => (unix_micros(col("ts")), to_date(col("ts")))
+    }
+    ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), tusCol.as("tus"), dayCol.as("day"))
+  }
+
+  /** Cohort retention matrix: users cohorted by first-active day; for
+    * each (cohort_day, day_offset) the count of cohort members active
+    * that day and the retention rate vs the cohort size. Offset 0 is
+    * the cohort size by construction (the first-seen day is an active
+    * day), so `retention` is an exact-integer IEEE division — the
+    * oracle hash-compares with no rounding.
+    *
+    * Scale shape: ONE shuffle on user_id does all the per-user work —
+    * `min(day)` and `collect_set(day)` in the same aggregate (the set
+    * holds distinct calendar DAYS, bounded by the observation span —
+    * ≤365/user-year — never raw events), then the exploded
+    * (cohort, offset, user) rows are unique per user so the matrix agg
+    * is a plain count over (cohort_day, offset) — a second shuffle of
+    * count partials on a |days|² -bounded key space. No joins. */
+  def userRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = userEvents(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("days"))
+    val matrix = perUser
+      .select(col("user_id"), col("cohort_day"), explode(col("days")).as("day"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    matrix
+      .withColumn("retention",
+        col("n_active").cast("double") /
+          first(col("n_active")).over(
+            Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))).cast("double"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Ordered funnel conversion over the canonical view → click →
+    * purchase steps: a user completes step k iff an event of step k's
+    * type occurs AT OR AFTER the time they completed step k−1 (ties on
+    * the exact microsecond count — "at the same instant" is not
+    * "before"). Emits one row per step: users reaching it and the
+    * conversion rate vs step 1 (NULL when nobody entered the funnel —
+    * `nullif` on both sides, no 0/0).
+    *
+    * Scale shape: one shuffle on user_id serves all three chained
+    * window mins (same partition key → Catalyst plans one Exchange,
+    * three Window operators over one sort); the per-user (t1,t2,t3)
+    * triple is then distinct-ed (rows carry 4 scalars) and reduced to a
+    * SINGLE global row — stacked to 3 output rows driver-side-free. */
+  def eventFunnel(spark: SparkSession, sfDir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.length == 3, "eventFunnel is specified for 3-step funnels")
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = userEvents(spark, sfDir)
+      .filter(col("event_type").isin(steps: _*))
+      .withColumn("t1", min(when(col("event_type") === steps(0), col("tus"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === steps(1)
+        && col("tus") >= col("t1"), col("tus"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === steps(2)
+        && col("tus") >= col("t2"), col("tus"))).over(w))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+      .distinct()
+    perUser
+      .agg(count(when(col("t1").isNotNull, 1)).as("n1"),
+        count(when(col("t2").isNotNull, 1)).as("n2"),
+        count(when(col("t3").isNotNull, 1)).as("n3"))
+      .select(expr(
+        s"""stack(3,
+           |  1, '${steps(0)}', n1, CAST(n1 AS DOUBLE) / nullif(n1, 0),
+           |  2, '${steps(1)}', n2, CAST(n2 AS DOUBLE) / nullif(n1, 0),
+           |  3, '${steps(2)}', n3, CAST(n3 AS DOUBLE) / nullif(n1, 0)
+           |) AS (step, event_type, n_users, conversion)""".stripMargin))
+      .orderBy(col("step"))
+  }
+
+  /** Rolling 7-day distinct active users per day (the WAU curve; the
+    * same plan parameterizes to DAU/MAU). Formulated as CONTRIBUTION
+    * EXPANSION, not a range self-join: each distinct (user, day)
+    * activity contributes to the 7 window endpoints it is visible from,
+    * then one distinct-count per day. Days past the last observed day
+    * (partial windows of the future) are not reported.
+    *
+    * Scale shape: dedup to (user, day) first — one shuffle whose volume
+    * is per-day actives, not raw events — then a map-side 7× explode of
+    * that already-small table into a two-phase `count(DISTINCT user)`
+    * per day (~|days| keys). The day-bounds filter broadcasts a 1-row
+    * aggregate. The range-join alternative shuffles the activity table
+    * once per window day at cluster scale; the expansion is strictly
+    * cheaper because it never re-partitions raw events. */
+  def rollingActiveUsers(spark: SparkSession, sfDir: String, windowDays: Int = 7): DataFrame = {
+    val active = userEvents(spark, sfDir).select(col("user_id"), col("day")).distinct()
+    val bounds = active.agg(max(col("day")).as("max_day"))
+    active
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))).as("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("max_day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as(s"active_${windowDays}d"))
+      .orderBy(col("day"))
+  }
+}

@@ -1196,7 +1196,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "user_activity" -> (() => SparkEntry.queries("user_activity")(spark, edir).count()),
       "value_quantiles" -> (() => SparkEntry.queries("value_quantiles")(spark, edir).count()),
       "user_sessions" -> (() => Relational.userSessions(spark, edir).count()),
-      "stream_sessions" -> (() => EventIngest.sessionsAvailableNow(spark, edir).count())
+      "stream_sessions" -> (() => EventIngest.sessionsAvailableNow(spark, edir).count()),
+      "user_retention" -> (() => graft.ops.EventAnalytics.userRetention(spark, edir).count()),
+      "event_funnel" -> (() => graft.ops.EventAnalytics.eventFunnel(spark, edir).count()),
+      "rolling_active_users" -> (() => graft.ops.EventAnalytics.rollingActiveUsers(spark, edir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null event fields: $e")
@@ -1501,6 +1504,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     assert(out.toSeq == Seq((1L, 0L, gapUs, 1L, 2.5)),
       s"exactly the boundary session, got ${out.mkString(",")}")
+  }
+
+  test("event funnel: steps must be reached in order, ties on the exact microsecond count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    // u1 completes in order; u2's click precedes their first view (does
+    // not count) so the later purchase can't count either; u3's click at
+    // the SAME microsecond as the view counts, but their purchase came
+    // earlier; u4 never views (enters no step)
+    Seq((1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+        (2L, 5L, "click"), (2L, 10L, "view"), (2L, 20L, "purchase"),
+        (3L, 10L, "view"), (3L, 10L, "click"), (3L, 9L, "purchase"),
+        (4L, 10L, "purchase"))
+      .toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("event_type"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventAnalytics.eventFunnel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1, "view", 3L, 1.0), (2, "click", 2L, 2.0 / 3.0), (3, "purchase", 1L, 1.0 / 3.0)),
+      s"got ${out.mkString(",")}")
+  }
+
+  test("user retention: cohort by first-active day, offset 0 is the cohort size") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-retention").toString
+    val dayUs = 86400000000L
+    Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 0L), (2L, 3L), (3L, 1L), (3L, 2L))
+      .toDF("user_id", "d")
+      .select(col("user_id"), timestamp_micros(col("d") * dayUs).as("ts"),
+        lit("view").as("event_type"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventAnalytics.userRetention(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("1970-01-01", 0L, 2L, 1.0), ("1970-01-01", 1L, 1L, 0.5), ("1970-01-01", 3L, 2L, 1.0),
+      ("1970-01-02", 0L, 1L, 1.0), ("1970-01-02", 1L, 1L, 1.0)),
+      s"got ${out.mkString(",")}")
+  }
+
+  test("rolling actives: a user is visible for 7 days, partial future windows unreported") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rolling").toString
+    val dayUs = 86400000000L
+    Seq((1L, 0L), (2L, 3L))
+      .toDF("user_id", "d")
+      .select(col("user_id"), timestamp_micros(col("d") * dayUs).as("ts"),
+        lit("view").as("event_type"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventAnalytics.rollingActiveUsers(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(out.toSeq == Seq(("1970-01-01", 1L), ("1970-01-02", 1L),
+      ("1970-01-03", 1L), ("1970-01-04", 2L)), s"got ${out.mkString(",")}")
   }
 
   test("streaming sessions equal the batch sessions filtered to the watermark-closed set") {
