@@ -327,6 +327,10 @@ object SparkEntry {
     "user_retention" -> ((s, dir) => graft.ops.EventAnalytics.userRetention(s, dir)),
     "event_funnel" -> ((s, dir) => graft.ops.EventAnalytics.eventFunnel(s, dir)),
     "rolling_active_users" -> ((s, dir) => graft.ops.EventAnalytics.rollingActiveUsers(s, dir)),
+    // batch twin of the flatMapGroupsWithState streaming detector — the
+    // same scoreStep kernel, oracle = a DuckDB recursive CTE mirroring
+    // the recursion's operation order literally
+    "ewma_anomalies" -> ((s, dir) => graft.ops.EventAnalytics.ewmaAnomalies(s, dir)),
     // -- dataset assembly: splits, decontamination, repetition, mixture ----
     "corpus_split" -> ((s, dir) => Curation.corpusSplit(s, dir)),
     "split_leakage" -> ((s, dir) => Curation.splitLeakage(s, dir)),
@@ -1414,6 +1418,41 @@ object SparkEntry {
         |WHERE (datediff('day', DATE '1970-01-01', day) + 1) * 86400000
         |      <= epoch_ns(m) // 1000000 - 86400000
         |ORDER BY element, day""".stripMargin,
+    // per-element EWMA recursion, step by step: row for step k carries
+    // the state AFTER k points; z/anomaly are computed from the state
+    // after k-1 (z before update, warm-up guard n >= 10). Literals are
+    // CAST to DOUBLE (DuckDB decimal literals would perturb the
+    // arithmetic) and (1.0 - 0.1) mirrors Scala's (1.0 - alpha) —
+    // NOT a 0.9 literal, which is a different double
+    "ewma_anomalies" ->
+      """WITH RECURSIVE obs AS (
+        |  SELECT event_type AS element, epoch_ns(ts) // 1000 AS tus,
+        |         CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS step
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |rec AS (
+        |  SELECT element, step, tus, x,
+        |         x AS mean, CAST(0.0 AS DOUBLE) AS var, 1 AS n,
+        |         CAST(0.0 AS DOUBLE) AS z, FALSE AS anom
+        |  FROM obs WHERE step = 1
+        |  UNION ALL
+        |  SELECT o.element, o.step, o.tus, o.x,
+        |         r.mean + CAST(0.1 AS DOUBLE) * (o.x - r.mean),
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) *
+        |           (r.var + CAST(0.1 AS DOUBLE) * (o.x - r.mean) * (o.x - r.mean)),
+        |         r.n + 1,
+        |         CASE WHEN r.n < 2 OR sqrt(r.var) < CAST(1e-12 AS DOUBLE)
+        |              THEN CAST(0.0 AS DOUBLE)
+        |              ELSE (o.x - r.mean) / sqrt(r.var) END,
+        |         r.n >= 10 AND
+        |           abs(CASE WHEN r.n < 2 OR sqrt(r.var) < CAST(1e-12 AS DOUBLE)
+        |                    THEN CAST(0.0 AS DOUBLE)
+        |                    ELSE (o.x - r.mean) / sqrt(r.var) END) > CAST(3.0 AS DOUBLE)
+        |  FROM rec r JOIN obs o ON o.element = r.element AND o.step = r.step + 1)
+        |SELECT element, tus, x AS value, round(mean, 6) AS ewma,
+        |       round(z, 6) AS zscore, anom AS is_anomaly
+        |FROM rec ORDER BY element, tus""".stripMargin,
     // cohort = first-active day; (cohort, offset, user) rows are unique
     // per user, so count(*) = distinct actives; retention divides exact
     // BIGINTs (offset 0 = cohort size by construction)

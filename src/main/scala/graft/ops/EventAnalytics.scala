@@ -105,6 +105,61 @@ object EventAnalytics {
       .orderBy(col("step"))
   }
 
+  /** Batch EWMA anomaly scan — the backfill twin of the streaming
+    * detector (`EventIngest.anomalyStream`): every event is scored
+    * z = (x − μ)/σ against the per-element exponentially-weighted
+    * mean/variance BEFORE the point updates it, flagged once the state
+    * is baked (≥ `minObs` points). Both paths call the SAME
+    * `EventIngest.scoreStep`, so stream, batch, and the DuckDB
+    * recursive-CTE oracle (which mirrors the operation order literally)
+    * agree to the bit; outputs round to 6dp on both sides.
+    *
+    * Scale shape: recursive state has no relational form, so this is
+    * the documented `mapPartitions` tier (SURVEY §2 preference (d)) —
+    * but as a SECONDARY SORT, not a buffer: repartition by element,
+    * sort within partitions by (element, tus, event_id), then a linear
+    * scan that carries O(1) state and never materializes a group. The
+    * one shuffle carries (element, tus, id, value); parallelism equals
+    * element cardinality — the same keyed-scan bound as the fit
+    * surface, and the stream processes the identical recursion
+    * incrementally when cardinality is the bottleneck. */
+  def ewmaAnomalies(spark: SparkSession, sfDir: String, alpha: Double = 0.1,
+      zThreshold: Double = 3.0, minObs: Long = 10L): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val tusCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts"))
+    }
+    val scored = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"), tusCol.as("tus"),
+        coalesce(col("event_id"), lit(0L)).as("event_id"), col("value").cast("double").as("x"))
+      .as[(String, Long, Long, Double)]
+      .repartition(col("element"))
+      .sortWithinPartitions(col("element"), col("tus"), col("event_id"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var st = graft.streaming.EventIngest.EwmaState(0.0, 0.0, 0L)
+        it.map { case (el, tus, _, x) =>
+          if (el != cur) {
+            cur = el
+            st = graft.streaming.EventIngest.EwmaState(0.0, 0.0, 0L)
+          }
+          val (nst, z, anom) =
+            graft.streaming.EventIngest.scoreStep(st, x, alpha, zThreshold, minObs)
+          st = nst
+          (el, tus, x, nst.mean, z, anom)
+        }
+      }
+      .toDF("element", "tus", "value", "ewma", "zscore", "is_anomaly")
+    scored
+      .select(col("element"), col("tus"), col("value"),
+        round(col("ewma"), 6).as("ewma"), round(col("zscore"), 6).as("zscore"),
+        col("is_anomaly"))
+      .orderBy(col("element"), col("tus"))
+  }
+
   /** Rolling 7-day distinct active users per day (the WAU curve; the
     * same plan parameterizes to DAU/MAU). Formulated as CONTRIBUTION
     * EXPANSION, not a range self-join: each distinct (user, day)

@@ -186,6 +186,28 @@ object EventIngest {
       element: String, ts: java.sql.Timestamp, value: Double,
       ewma: Double, zscore: Double, isAnomaly: Boolean)
 
+  /** One EWMA scoring step — THE shared kernel of the streaming
+    * detector ([[anomalyStream]]) and the batch scan
+    * (`EventAnalytics.ewmaAnomalies`), so their arithmetic is identical
+    * to the bit (and to the DuckDB recursive-CTE oracle, which mirrors
+    * this exact operation order). The point is scored z = (x − μ)/σ
+    * against the state BEFORE it updates it; anomaly requires the state
+    * to be baked (≥ `minObs` points seen) because EWMA variance
+    * underestimates scale during warm-up. Returns (updated state, z,
+    * isAnomaly). */
+  def scoreStep(st: EwmaState, x: Double, alpha: Double,
+      zThreshold: Double, minObs: Long): (EwmaState, Double, Boolean) = {
+    val sd = math.sqrt(st.variance)
+    val z = if (st.n < 2 || sd < 1e-12) 0.0 else (x - st.mean) / sd
+    val baked = st.n >= minObs
+    val d = x - st.mean
+    val nst =
+      if (st.n == 0) EwmaState(x, 0.0, 1L)
+      else EwmaState(st.mean + alpha * d,
+        (1.0 - alpha) * (st.variance + alpha * d * d), st.n + 1)
+    (nst, z, baked && math.abs(z) > zThreshold)
+  }
+
   /** Streaming anomaly detection with CUSTOM state — the
     * `flatMapGroupsWithState` tier of the streaming surface (arbitrary
     * per-key state beyond what windowed aggregation can express): each
@@ -214,18 +236,10 @@ object EventIngest {
         (element: String, it: Iterator[(String, java.sql.Timestamp, Double)],
          state: GroupState[EwmaState]) => {
           var st = state.getOption.getOrElse(EwmaState(0.0, 0.0, 0L))
-          val out = it.toArray.sortBy(_._2.getTime).map { case (_, ts, x) =>
-            val sd = math.sqrt(st.variance)
-            val z =
-              if (st.n < 2 || sd < 1e-12) 0.0 // no scale estimate yet
-              else (x - st.mean) / sd
-            val baked = st.n >= minObs
-            val d = x - st.mean
-            st =
-              if (st.n == 0) EwmaState(x, 0.0, 1L)
-              else EwmaState(st.mean + alpha * d,
-                (1.0 - alpha) * (st.variance + alpha * d * d), st.n + 1)
-            AnomalyPoint(element, ts, x, st.mean, z, baked && math.abs(z) > zThreshold)
+          val out = it.toArray.sortBy(p => (p._2.getTime, p._2.getNanos)).map { case (_, ts, x) =>
+            val (nst, z, anom) = scoreStep(st, x, alpha, zThreshold, minObs)
+            st = nst
+            AnomalyPoint(element, ts, x, st.mean, z, anom)
           }
           state.update(st)
           out.iterator

@@ -1199,7 +1199,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "stream_sessions" -> (() => EventIngest.sessionsAvailableNow(spark, edir).count()),
       "user_retention" -> (() => graft.ops.EventAnalytics.userRetention(spark, edir).count()),
       "event_funnel" -> (() => graft.ops.EventAnalytics.eventFunnel(spark, edir).count()),
-      "rolling_active_users" -> (() => graft.ops.EventAnalytics.rollingActiveUsers(spark, edir).count())
+      "rolling_active_users" -> (() => graft.ops.EventAnalytics.rollingActiveUsers(spark, edir).count()),
+      "ewma_anomalies" -> (() => graft.ops.EventAnalytics.ewmaAnomalies(spark, edir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null event fields: $e")
@@ -1557,6 +1558,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getDate(0).toString, r.getLong(1)))
     assert(out.toSeq == Seq(("1970-01-01", 1L), ("1970-01-02", 1L),
       ("1970-01-03", 1L), ("1970-01-04", 2L)), s"got ${out.mkString(",")}")
+  }
+
+  test("ewma anomalies: a spike flags only once the state is baked") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    // element "a": 12 alternating baseline points, a spike at n=13
+    // (baked, must flag), recovery, then nothing else flags.
+    // element "b": a spike at n=5 (unbaked, must NOT flag).
+    val a = (0 until 12).map(i => ("a", i.toLong, if (i % 2 == 0) 10.0 else 12.0)) ++
+      Seq(("a", 12L, 1000.0), ("a", 13L, 11.0))
+    val b = (0 until 4).map(i => ("b", i.toLong, if (i % 2 == 0) 5.0 else 6.0)) ++
+      Seq(("b", 4L, 500.0))
+    (a ++ b).zipWithIndex.map { case ((el, s, v), id) => (el, s, v, id.toLong) }
+      .toDF("event_type", "s", "value", "event_id")
+      .select(col("event_type"), timestamp_micros(col("s") * 1000000L).as("ts"),
+        col("value"), col("event_id"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventAnalytics.ewmaAnomalies(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(5)))
+    val flagged = out.filter(_._4).map(p => (p._1, p._3)).toSeq
+    assert(flagged == Seq(("a", 1000.0)), s"only the baked spike flags, got ${out.mkString(",")}")
+  }
+
+  test("batch ewma scan equals the flatMapGroupsWithState detector on the same store") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val src = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), timestamp_micros(expr("ts DIV 1000")).as("ts"), col("value"))
+    // flatMapGroupsWithState runs on a batch Dataset with empty state
+    val stream = EventIngest.anomalyStream(src).collect()
+      .map(p => (p.element, p.ts.getTime * 1000L + p.ts.getNanos / 1000L % 1000L,
+        BigDecimal(p.ewma).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(p.zscore).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        p.isAnomaly)).toSet
+    val batch = graft.ops.EventAnalytics.ewmaAnomalies(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        r.getBoolean(5))).toSet
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} vs stream ${stream.size}; diff ${(batch diff stream).take(3)}")
   }
 
   test("streaming sessions equal the batch sessions filtered to the watermark-closed set") {
