@@ -321,6 +321,12 @@ object SparkEntry {
     // join — integer-exact, so the whole pipeline is oracle-verified
     "media_near_dup" -> ((s, dir) => Multimodal.mediaNearDup(s, dir)),
     "asof_daily_value" -> ((s, dir) => Relational.asofDailySpine(s, dir)),
+    // fact-to-fact join + selective broadcast dim, top-k via
+    // TakeOrderedAndProject (Q3 shape)
+    "shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
+    // 6-table join with the non-hierarchical c_nation = s_nation edge
+    // (Q5 shape)
+    "local_supplier_volume" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     // native session_window sessionization, integer-microsecond clock
     "user_sessions" -> ((s, dir) => Relational.userSessions(s, dir)),
     // -- event analytics: retention, funnel, rolling actives ---------------
@@ -1418,6 +1424,36 @@ object SparkEntry {
         |WHERE (datediff('day', DATE '1970-01-01', day) + 1) * 86400000
         |      <= epoch_ns(m) // 1000000 - 86400000
         |ORDER BY element, day""".stripMargin,
+    // decimal-exact revenue: the multiply stays DECIMAL before the sum
+    // (scale 8 products of scale-4 inputs are exact), cast to double
+    // only at the end — ties in the top-k broken by (date, orderkey)
+    "shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate > TIMESTAMP '1998-03-15'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
     // per-element EWMA recursion, step by step: row for step k carries
     // the state AFTER k points; z/anomaly are computed from the state
     // after k-1 (z before update, warm-up guard n >= 10). Literals are

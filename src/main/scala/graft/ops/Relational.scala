@@ -49,6 +49,59 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("total_price"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** TPC-H Q3-shaped shipping priority: unshipped revenue of
+    * segment-filtered customers — the selective-dimension × two-fact
+    * join class (one tier past the pure star: the fact-to-fact
+    * orders⋈lineitem edge shuffles on the SHARED key while the filtered
+    * dimension broadcasts). Revenue = Σ extendedprice·(1−discount) in
+    * DECIMAL (the multiply stays decimal-exact before the sum), top-k
+    * by revenue via TakeOrderedAndProject — the fact join output is
+    * never globally sorted.
+    *
+    * Scale shape: customer (segment-pruned at the scan — predicate
+    * pushed) broadcasts; orders⋈lineitem co-shuffles on orderkey; the
+    * aggregate's key space is |qualifying orders|, partial-merged
+    * map-side. */
+  def shippingPriority(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-03-15"))
+      .join(t(spark, sfDir, "orders").filter(col("o_orderdate") < lit("1998-03-15")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, sfDir, "customer")
+        .filter(col("c_mktsegment") === lit("BUILDING"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(k)
+
+  /** TPC-H Q5-shaped local supplier volume: revenue per nation where the
+    * supplier and the customer share the nation — the 6-table join with
+    * a NON-HIERARCHICAL equality edge (c_nationkey = s_nationkey closes
+    * a cycle the star doesn't have). All four dimension sides broadcast
+    * (region→nation prunes nations before they reach the fact join);
+    * the only shuffles are orders⋈lineitem on orderkey and the final
+    * per-nation aggregate. */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, sfDir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(spark, sfDir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")
+        .filter(col("r_name") === lit("ASIA"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+
   /** Top-k: orderBy + limit ⇒ Spark plans TakeOrderedAndProject (no full
     * sort of the fact table). Deterministic tie-break on the key. */
   def topOrders(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =

@@ -1560,6 +1560,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("1970-01-03", 1L), ("1970-01-04", 2L)), s"got ${out.mkString(",")}")
   }
 
+  test("multi-way join plans: Q3 takes top-k without a global sort, dims broadcast") {
+    val q3 = Relational.shippingPriority(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q3.contains("TakeOrderedAndProject"), s"Q3 must TakeOrderedAndProject:\n$q3")
+    assert(q3.contains("BroadcastHashJoin"), "Q3's filtered customer dim must broadcast")
+    val q5 = Relational.localSupplierVolume(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q5.contains("BroadcastHashJoin"), "Q5's dimension sides must broadcast")
+    // the cycle-closing c_nationkey = s_nationkey edge must be an
+    // equi-join condition, not a post-join filter over a wider join
+    assert(!q5.contains("CartesianProduct") && !q5.contains("BroadcastNestedLoopJoin"),
+      s"Q5 must stay all-equi-join:\n$q5")
+  }
+
   test("ewma anomalies: a spike flags only once the state is baked") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ewma").toString
