@@ -327,6 +327,9 @@ object SparkEntry {
     // 6-table join with the non-hierarchical c_nation = s_nation edge
     // (Q5 shape)
     "local_supplier_volume" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
+    // orders⋈lineitem over co-bucketed mirrors: SMJ + per-order agg with
+    // ZERO Exchange nodes (plan-asserted) — the layout-for-scale tier
+    "bucketed_join_revenue" -> ((s, dir) => Relational.bucketedJoinRevenue(s, dir)),
     // native session_window sessionization, integer-microsecond clock
     "user_sessions" -> ((s, dir) => Relational.userSessions(s, dir)),
     // -- event analytics: retention, funnel, rolling actives ---------------
@@ -1454,6 +1457,17 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |  AND r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    // bucketed mirror holds the same rows as the raw table, so the
+    // oracle reads the raw parquet; ties broken by orderkey
+    "bucketed_join_revenue" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
     // per-element EWMA recursion, step by step: row for step k carries
     // the state AFTER k points; z/anomaly are computed from the state
     // after k-1 (z before update, warm-up guard n >= 10). Literals are

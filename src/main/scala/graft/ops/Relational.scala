@@ -102,6 +102,34 @@ object Relational {
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)
 
+  /** The ZERO-SHUFFLE fact-fact join: orders⋈lineitem over the
+    * co-bucketed mirrors ([[graft.sources.BucketStore]]) — both scans
+    * report `HashPartitioning(orderkey, n)`, so the SortMergeJoin needs
+    * no Exchange on either side, and the per-order aggregate (keyed on a
+    * superset of the bucket key) reuses the same distribution. The only
+    * data movement in the whole plan is the final top-k gather
+    * (TakeOrderedAndProject). This is the layout-for-scale counterpart
+    * of [[shippingPriority]]: same join, the shuffle paid once at ingest
+    * instead of per query. The merge hint pins SMJ so the plan shape is
+    * scale-representative (at test SF the orders side would otherwise
+    * broadcast — fine, but then the plan proves nothing about 100 TB).
+    *
+    * OpsSpec asserts the plan: SortMergeJoin present, zero Exchange
+    * nodes of any kind. */
+  def bucketedJoinRevenue(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import graft.sources.BucketStore
+    BucketStore.bucketed(spark, sfDir, "lineitem").hint("merge")
+      .join(BucketStore.bucketed(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(k)
+  }
+
   /** Top-k: orderBy + limit ⇒ Spark plans TakeOrderedAndProject (no full
     * sort of the fact table). Deterministic tie-break on the key. */
   def topOrders(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =

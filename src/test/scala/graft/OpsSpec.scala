@@ -1574,6 +1574,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"Q5 must stay all-equi-join:\n$q5")
   }
 
+  test("bucketed fact-fact join: SMJ + per-order agg with zero Exchange nodes") {
+    val df = Relational.bucketedJoinRevenue(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"co-bucketed join must SMJ:\n$plan")
+    // the whole point of the bucketed layout: no Exchange anywhere —
+    // not on either join side, not for the orderkey-keyed aggregate
+    assert(!plan.contains("Exchange"), s"bucketed plan must have zero Exchange nodes:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    // and the mirrors hold exactly the source rows
+    assert(df.count() == 10)
+  }
+
   test("ewma anomalies: a spike flags only once the state is baked") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ewma").toString
