@@ -80,12 +80,64 @@ object SparkEntry {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** Correlated-subquery surface, portable Spark+DuckDB (same string is
+    * the oracle). Catalyst must DECORRELATE all three — EXISTS → left
+    * semi, NOT EXISTS → left anti, the correlated scalar aggregate → a
+    * grouped aggregate joined back on the correlation key (TPC-H
+    * Q4/Q17/Q22 shapes) — OpsSpec asserts no nested-loop fallback.
+    * Float posture: every threshold that crosses an aggregation is an
+    * exact DECIMAL sum followed by ONE double division, so both engines
+    * execute the identical IEEE operation sequence and boundary
+    * comparisons cannot flip. */
+  val existsSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  val scalarSubquerySql: String =
+    """SELECT count(*) AS n_items,
+      |  round(CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 6) AS avg_weekly
+      |FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#4'
+      |  AND l1.l_quantity < (
+      |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
+  val dormantCustomersSql: String =
+    """SELECT c_nationkey, count(*) AS n_dormant,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  private def sqlOnViews(sql: String, tables: String*): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      tables.foreach(t =>
+        s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+      s.sql(sql)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_star_join" -> ((s, dir) => {
       Seq("orders", "customer", "nation", "region").foreach(t =>
         s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
       s.sql(portableSql)
     }),
+    // correlated subqueries, decorrelated by Catalyst (plan-asserted)
+    "sql_exists_agg" -> sqlOnViews(existsSql, "orders", "lineitem"),
+    "sql_scalar_subquery" -> sqlOnViews(scalarSubquerySql, "lineitem", "part"),
+    "sql_dormant_customers" -> sqlOnViews(dormantCustomersSql, "customer", "orders"),
     // -- engine API surface ------------------------------------------------
     "methods_catalog" -> ((s, _) => {
       import s.implicits._
@@ -424,6 +476,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "sql_star_join" -> portableSql,
+    "sql_exists_agg" -> existsSql,
+    "sql_scalar_subquery" -> scalarSubquerySql,
+    "sql_dormant_customers" -> dormantCustomersSql,
     "methods_catalog" ->
       ("SELECT * FROM (VALUES " +
         Methods.reference.zipWithIndex

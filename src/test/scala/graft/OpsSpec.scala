@@ -1574,6 +1574,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"Q5 must stay all-equi-join:\n$q5")
   }
 
+  test("correlated subqueries decorrelate: semi/anti/agg-join, no nested loops") {
+    val plans = Seq("sql_exists_agg", "sql_scalar_subquery", "sql_dormant_customers")
+      .map(n => n -> SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString)
+    plans.foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n must decorrelate to equi-joins:\n$p")
+    }
+    assert(plans(0)._2.contains("LeftSemi"), "EXISTS must become a semi join")
+    assert(plans(2)._2.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+  }
+
   test("bucketed fact-fact join: SMJ + per-order agg with zero Exchange nodes") {
     val df = Relational.bucketedJoinRevenue(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
