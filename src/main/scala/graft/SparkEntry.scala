@@ -384,6 +384,9 @@ object SparkEntry {
     "bucketed_join_revenue" -> ((s, dir) => Relational.bucketedJoinRevenue(s, dir)),
     // native session_window sessionization, integer-microsecond clock
     "user_sessions" -> ((s, dir) => Relational.userSessions(s, dir)),
+    // interval-overlap aggregation WITHOUT an interval join: difference
+    // array (+1/-1 per session) + one prefix sum over the hour axis
+    "session_concurrency" -> ((s, dir) => graft.ops.EventAnalytics.sessionConcurrency(s, dir)),
     // -- event analytics: retention, funnel, rolling actives ---------------
     "user_retention" -> ((s, dir) => graft.ops.EventAnalytics.userRetention(s, dir)),
     "event_funnel" -> ((s, dir) => graft.ops.EventAnalytics.eventFunnel(s, dir)),
@@ -1466,6 +1469,36 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    // same gaps-and-islands sessions, then the same difference array:
+    // +1 at the start hour, -1 after the end hour, prefix-summed
+    "session_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |o AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |           OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |sess AS (
+        |  SELECT min(tus) AS s, max(tus) + 1800000000 AS e
+        |  FROM s GROUP BY user_id, sid),
+        |d AS (
+        |  SELECT h, CAST(sum(d) AS BIGINT) AS net FROM (
+        |    SELECT s // 3600000000 AS h, 1 AS d FROM sess
+        |    UNION ALL
+        |    SELECT (e - 1) // 3600000000 + 1 AS h, -1 AS d FROM sess) u
+        |  GROUP BY h HAVING sum(d) <> 0)
+        |SELECT CAST(h * 3600000000 AS BIGINT) AS hour_us, net,
+        |  CAST(sum(net) OVER (ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_active
+        |FROM d ORDER BY hour_us""".stripMargin,
     // append-mode release predicate: window.end <= watermark, watermark
     // = max event time - 1 day at Spark's millisecond granularity —
     // mirrored below as exact integer ms arithmetic; decimal sums make

@@ -174,6 +174,46 @@ object EventAnalytics {
     * aggregate. The range-join alternative shuffles the activity table
     * once per window day at cluster scale; the expansion is strictly
     * cheaper because it never re-partitions raw events. */
+  /** Concurrent-session load profile: for every hour where the count of
+    * simultaneously-open sessions CHANGES, the new count — the classic
+    * interval-overlap aggregation ("how many sessions were open at
+    * t?"), computed WITHOUT an interval join.
+    *
+    * The naive plan is sessions ⋈ hours on `start ≤ h < end` — a range
+    * join that degenerates to a nested loop (or an exploded
+    * every-hour-per-session blowup) at scale. This uses the DIFFERENCE
+    * ARRAY instead: each session contributes exactly two delta rows
+    * (+1 at its start hour, −1 at the hour after its end), the deltas
+    * aggregate per hour, and a single prefix sum over the hour axis
+    * reconstructs the concurrency level. Cost: one map-side 2× expansion
+    * of the (already aggregated) session table, one groupBy over
+    * |distinct hours|, one window. The unpartitioned prefix-sum window
+    * runs over the POST-aggregation hour table — bounded by timeline
+    * length (~10⁵ rows for a decade of hours), never by data volume, so
+    * the single-task window is safe at any corpus size.
+    *
+    * Sessions are [[Relational.userSessions]]' gap-merged intervals
+    * (half-open [start, end)); hours with a net-zero delta (equal
+    * starts and ends) are not change points and are dropped. */
+  def sessionConcurrency(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val deltas = Relational.userSessions(spark, sfDir, gapMinutes)
+      .select(explode(array(
+        // integer DIV, never double division: an hour-boundary landing
+        // on a double rounding edge must not shift the change point
+        struct(expr(s"session_start_us DIV $hourUs").as("h"), lit(1L).as("d")),
+        struct(expr(s"(session_end_us - 1) DIV $hourUs + 1").as("h"), lit(-1L).as("d"))
+      )).as("x"))
+      .select(col("x.h").as("h"), col("x.d").as("d"))
+      .groupBy(col("h")).agg(sum(col("d")).as("net"))
+      .filter(col("net") =!= 0L)
+    val w = Window.orderBy(col("h")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("n_active", sum(col("net")).over(w))
+      .select((col("h") * hourUs).as("hour_us"), col("net"), col("n_active"))
+      .orderBy(col("hour_us"))
+  }
+
   def rollingActiveUsers(spark: SparkSession, sfDir: String, windowDays: Int = 7): DataFrame = {
     val active = userEvents(spark, sfDir).select(col("user_id"), col("day")).distinct()
     val bounds = active.agg(max(col("day")).as("max_day"))

@@ -1468,6 +1468,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == expected, s"got ${out.mkString(",")}")
   }
 
+  test("session concurrency: difference-array profile, hour-boundary end exclusive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-conc").toString
+    val hourUs = 3600L * 1000000L; val minUs = 60L * 1000000L
+    // A: events 10:00+10:10 -> session [10:00, 10:40); B: 10:30 ->
+    // [10:30, 11:00) — ends EXACTLY on the hour boundary, so hour 10 is
+    // its last active hour; C: 11:05 -> [11:05, 11:35)
+    Seq((1L, 10L * hourUs), (1L, 10L * hourUs + 10L * minUs),
+        (2L, 10L * hourUs + 30L * minUs), (3L, 11L * hourUs + 5L * minUs))
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), lit(1.0).as("value"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventAnalytics.sessionConcurrency(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = Seq(
+      (10L * hourUs, 2L, 2L),   // A and B open
+      (11L * hourUs, -1L, 1L),  // A and B closed, C opens
+      (12L * hourUs, -1L, 0L))  // C closed
+    assert(out.toSeq == expected, s"got ${out.mkString(",")}")
+  }
+
   test("AvailableNow stream: window closing exactly at the watermark is emitted, open one held") {
     // pins the oracle's release predicate (window.end <= watermark):
     // max ts = day 12 -> wm = day 11 = END of the [day10, day11) window,
