@@ -387,6 +387,10 @@ object SparkEntry {
     // interval-overlap aggregation WITHOUT an interval join: difference
     // array (+1/-1 per session) + one prefix sum over the hour axis
     "session_concurrency" -> ((s, dir) => graft.ops.EventAnalytics.sessionConcurrency(s, dir)),
+    // last-click attribution via a BANDED time join (clicks registered
+    // in two hour-buckets, purchases probe one) — never a range join;
+    // streaming twin = watermarked stream-stream join, pair-parity-tested
+    "click_attribution" -> ((s, dir) => graft.ops.EventAnalytics.clickAttribution(s, dir)),
     // -- event analytics: retention, funnel, rolling actives ---------------
     "user_retention" -> ((s, dir) => graft.ops.EventAnalytics.userRetention(s, dir)),
     "event_funnel" -> ((s, dir) => graft.ops.EventAnalytics.eventFunnel(s, dir)),
@@ -1499,6 +1503,25 @@ object SparkEntry {
         |  CAST(sum(net) OVER (ORDER BY h
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_active
         |FROM d ORDER BY hour_us""".stripMargin,
+    // last click = row_number over (tus DESC, id DESC) — the same
+    // winner as Spark's max(struct(click_us, click_id)); unattributed
+    // purchases survive the LEFT JOIN with NULL click columns
+    "click_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.tus AS click_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.tus DESC, c.event_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.tus <= p.tus AND p.tus - c.tus < 3600000000)
+        |SELECT p.event_id AS purchase_id, p.user_id, p.tus AS purchase_us,
+        |  j.click_id, j.click_us, p.tus - j.click_us AS delta_us
+        |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.purchase_id
+        |ORDER BY purchase_id""".stripMargin,
     // append-mode release predicate: window.end <= watermark, watermark
     // = max event time - 1 day at Spark's millisecond granularity —
     // mirrored below as exact integer ms arithmetic; decimal sums make

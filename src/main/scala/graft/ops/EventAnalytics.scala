@@ -174,6 +174,78 @@ object EventAnalytics {
     * aggregate. The range-join alternative shuffles the activity table
     * once per window day at cluster scale; the expansion is strictly
     * cheaper because it never re-partitions raw events. */
+  /** (event_id, user_id, tus, event_type) with the dual-clock rule —
+    * the attribution paths need the event identity for deterministic
+    * tie-breaks, which [[userEvents]] deliberately drops. */
+  private def identifiedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val tusCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts"))
+    }
+    ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), tusCol.as("tus"), col("event_type"))
+  }
+
+  /** Last-click attribution: for each purchase, the latest click by the
+    * same user within the attribution window before (or at) the
+    * purchase — the event-joining pattern behind every conversion
+    * report. Unattributed purchases are kept with NULL click columns.
+    *
+    * Scale shape — a BANDED equi-join, not a range join: the naive
+    * formulation (`c.tus BETWEEN p.tus - W AND p.tus` as a join
+    * predicate on user only) makes every active user a mini cross
+    * join across their full history. Instead each click is registered
+    * in exactly TWO time buckets of width W (its own and the next), a
+    * purchase probes its single bucket, and the residual window
+    * predicate filters inside the join — so the shuffle keys are
+    * (user, hour-bucket), candidate fan-out is bounded by per-user
+    * activity within ADJACENT hours, and no pair farther than W apart
+    * is ever materialized. The last-click reduction is one
+    * `max(struct(click_us, click_id))` partial-merged aggregate (ties:
+    * latest click, then largest id — pinned by fixture).
+    *
+    * The streaming twin (`EventIngest.attributionPairs`) runs the same
+    * window as a watermarked stream-stream join; OpsSpec proves pair
+    * parity. */
+  /** The banded-join candidate pair set (see [[clickAttribution]]) —
+    * package-visible so the stream-parity test can compare it against
+    * the stream-stream join's emissions. */
+  private[graft] def attributionCandidates(spark: SparkSession, sfDir: String,
+      windowUs: Long): DataFrame = {
+    val ev = identifiedEvents(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("tus").as("purchase_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("tus").as("click_us"))
+      .withColumn("c_bucket", explode(array(
+        expr(s"click_us DIV $windowUs"), expr(s"click_us DIV $windowUs + 1"))))
+    purchases
+      .withColumn("p_bucket", expr(s"purchase_us DIV $windowUs"))
+      .join(clicks,
+        col("user_id") === col("c_user") &&
+          col("p_bucket") === col("c_bucket") &&
+          col("click_us") <= col("purchase_us") &&
+          col("purchase_us") - col("click_us") < windowUs)
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("click_id"), col("click_us"))
+  }
+
+  def clickAttribution(spark: SparkSession, sfDir: String,
+      windowUs: Long = 3600L * 1000000L): DataFrame = {
+    val ev = identifiedEvents(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("tus").as("purchase_us"))
+    val winners = attributionCandidates(spark, sfDir, windowUs)
+      .groupBy(col("purchase_id"))
+      .agg(max(struct(col("click_us"), col("click_id"))).as("w"))
+    purchases.join(winners, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("w.click_id").as("click_id"), col("w.click_us").as("click_us"),
+        (col("purchase_us") - col("w.click_us")).as("delta_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Concurrent-session load profile: for every hour where the count of
     * simultaneously-open sessions CHANGES, the new count — the classic
     * interval-overlap aggregation ("how many sessions were open at

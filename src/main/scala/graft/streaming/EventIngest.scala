@@ -179,6 +179,68 @@ object EventIngest {
         && !graft.ops.TextAnalysis.piiFlaggedExpr)
       .withColumn("split", graft.ops.Curation.splitExpr))
 
+  /** STREAM-STREAM join tier: live click→purchase attribution pairs —
+    * every (purchase, click-by-same-user-within-the-hour-before) match,
+    * emitted as both sides arrive. The join predicate is user equality
+    * plus an event-time RANGE (`p_ts − 1h < c_ts ≤ p_ts`); with both
+    * sides watermarked, Spark derives the state-eviction bound from the
+    * range itself, so each side buffers only ~(watermark + window) of
+    * history per user — the only stream-stream-join formulation that
+    * survives an unbounded stream. Inner join ⇒ append-safe.
+    *
+    * The batch twin is `EventAnalytics.clickAttribution`'s banded-join
+    * candidate set; OpsSpec proves the pair sets identical, which
+    * cross-checks the batch banding against Spark's native range-join
+    * state machine. The last-click REDUCTION stays batch-side: an
+    * aggregation downstream of a stream-stream join cannot release a
+    * winner until the watermark closes the purchase's window, and the
+    * report semantics ("latest click so far") are exactly what the
+    * batch pass computes over closed data. */
+  def attributionPairs(events: DataFrame): DataFrame = {
+    val base = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        col("click_id"), unix_micros(col("c_ts")).as("click_us"))
+  }
+
+  /** Run [[attributionPairs]] over the parquet events store under
+    * `Trigger.AvailableNow` (the [[sessionsAvailableNow]] pattern) and
+    * return the emitted pairs. Inner stream-stream joins emit on match
+    * (the watermark bounds STATE, not emission), so one AvailableNow
+    * pass yields the complete pair set. */
+  def attributionPairsAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = graft.sources.Tables.events(spark, sfDir).schema
+    val evPath = s"$sfDir/events.parquet"
+    val reader = spark.readStream.schema(schema)
+    val raw =
+      if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val tsCol = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts")
+    }
+    val src = raw.select(col("event_id"), tsCol.as("ts"), col("user_id"), col("event_type"))
+    val sink = "stream_attribution_sink"
+    spark.catalog.dropTempView(sink)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-attr-ck").toString
+    val q = attributionPairs(src)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink).orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Per-element streaming state for [[anomalyStream]]: EWMA mean and
     * variance plus the observation count. */
   final case class EwmaState(mean: Double, variance: Double, n: Long)

@@ -1489,6 +1489,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == expected, s"got ${out.mkString(",")}")
   }
 
+  test("click attribution: window edges and tie-break pinned by fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    val hourUs = 3600L * 1000000L
+    // user 1: clicks at t=0 and t=10 (tie on nothing), purchase at
+    // t=hourUs -> click at t=0 is EXACTLY one hour before: excluded
+    // (strict p-c < W); click at t=10 wins. A second click at the same
+    // microsecond as the winner but higher id must win the tie.
+    // user 2: purchase with no click in window -> NULL attribution.
+    val rows = Seq(
+      (100L, 0L, 1L, "click"), (101L, 10L, 1L, "click"),
+      (102L, 10L, 1L, "click"), // same instant as 101, higher id
+      (103L, hourUs, 1L, "purchase"),
+      (104L, 5L * hourUs, 2L, "purchase"), (105L, hourUs, 2L, "click"))
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventAnalytics.clickAttribution(spark, dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(out.toSeq == Seq((103L, 102L, hourUs - 10L), (104L, -1L, -1L)),
+      s"got ${out.mkString(",")}")
+  }
+
+  test("stream-stream attribution join emits exactly the batch banded-join pairs") {
+    val batch = graft.ops.EventAnalytics
+      .attributionCandidates(spark, sfDir, 3600L * 1000000L)
+      .select("purchase_id", "click_id", "purchase_us", "click_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = EventIngest.attributionPairsAvailableNow(spark, sfDir)
+      .select("purchase_id", "click_id", "purchase_us", "click_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty, "parity test needs a non-empty pair set")
+    assert(streamed == batch,
+      s"stream ${streamed.size} pairs vs batch ${batch.size}; " +
+        s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("AvailableNow stream: window closing exactly at the watermark is emitted, open one held") {
     // pins the oracle's release predicate (window.end <= watermark):
     // max ts = day 12 -> wm = day 11 = END of the [day10, day11) window,
