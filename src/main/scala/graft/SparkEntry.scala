@@ -294,6 +294,9 @@ object SparkEntry {
     // its consumer — the drop decision: per-doc tokens covered by spans
     // shared with lower-id docs, overlap-merged (the removal measure)
     "substring_dup_coverage" -> ((s, dir) => NearDup.substringDupCoverage(s, dir)),
+    // incremental (batch-vs-base) dedup: exact tier + blocked-Jaccard
+    // near tier, verdict per arriving doc — the daily-crawl pattern
+    "dedup_increment" -> ((s, dir) => Dedup.dedupIncrement(s, dir)),
     "minhash_candidates" -> ((s, dir) => NearDup.minhashCandidates(s, dir)),
     "simhash_signatures" -> ((s, dir) => NearDup.simhash(s, dir)),
     // simhash consumer: 4x16-bit banded join + exact hamming<=3 filter
@@ -881,6 +884,53 @@ object SparkEntry {
         |    {'negscore': -s_fr, 'lang': 'fr'},
         |    {'negscore': -s_zh, 'lang': 'zh'}])[1].lang AS pred_lang
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // same verified-pair CTE as ngram_jaccard, restricted to edges that
+    // CROSS the id-keyed base/increment split; exact tier = normalized
+    // text equality; precedence exact > near, partner = lowest base id
+    "dedup_increment" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g') AS norm,
+        |    doc_id % 7 <> 0 AS is_base
+        |  FROM documents),
+        |ex AS (
+        |  SELECT i.doc_id, min(b.doc_id) AS exact_base
+        |  FROM d i JOIN d b ON i.norm = b.norm AND NOT i.is_base AND b.is_base
+        |  GROUP BY i.doc_id),
+        |t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, lang, source, len(toks) AS n, unnest(toks) AS w FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |         count(*) AS inter
+        |  FROM x a JOIN x b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |nearp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.95),
+        |nr AS (
+        |  SELECT u.i AS doc_id, min(u.b) AS near_base FROM (
+        |    SELECT doc_a AS i, doc_b AS b FROM nearp
+        |    UNION ALL
+        |    SELECT doc_b AS i, doc_a AS b FROM nearp) u
+        |  JOIN d di ON di.doc_id = u.i AND NOT di.is_base
+        |  JOIN d db ON db.doc_id = u.b AND db.is_base
+        |  GROUP BY u.i)
+        |SELECT d.doc_id,
+        |  CASE WHEN ex.exact_base IS NOT NULL THEN 'drop_exact'
+        |       WHEN nr.near_base IS NOT NULL THEN 'drop_near'
+        |       ELSE 'kept' END AS verdict,
+        |  coalesce(ex.exact_base, nr.near_base) AS base_doc_id
+        |FROM d
+        |LEFT JOIN ex ON d.doc_id = ex.doc_id
+        |LEFT JOIN nr ON d.doc_id = nr.doc_id
+        |WHERE NOT d.is_base
+        |ORDER BY d.doc_id""".stripMargin,
     "ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,

@@ -278,6 +278,67 @@ object Dedup {
       .orderBy(col("stage"))
   }
 
+  /** INCREMENTAL dedup — the production shape: a corpus is never
+    * deduped once, it is deduped against EVERY NEW BATCH (daily crawl,
+    * fresh dump) without re-clustering the base. The corpus is split
+    * deterministically into base (existing store, doc_id % 7 ≠ 0) and
+    * increment (the arriving batch, ~14% — a day's crawl against a
+    * week's corpus); each increment doc gets a verdict:
+    *
+    *  - `drop_exact`: its normalized text equals a base doc's
+    *    (partner = lowest such base id);
+    *  - `drop_near`: a verified token-Jaccard ≥ `threshold` pair links
+    *    it to a base doc (partner = lowest; exact takes precedence);
+    *  - `kept`: novel — enters the corpus.
+    *
+    * Scale shape: the exact tier is an equi-join on the normalized
+    * text (same posture as [[exact]]; the fingerprint variant
+    * [[exactByFingerprint]] is the 8-byte-shuffle swap-in), and the
+    * increment side of that join is BATCH-sized, not corpus-sized —
+    * at 100 TB this is a broadcast of the day's arrivals against the
+    * base scan. The near tier reuses the blocked-Jaccard verified pair
+    * table ([[NearDup.blockedJaccard]] — shared session cache with
+    * every other consumer) and filters it to base↔increment edges;
+    * batch-internal duplicates are deliberately NOT this operator's
+    * job (run [[exact]]/[[dupClusters]] on the batch first — the
+    * stages compose).
+    *
+    * The split is id-keyed, NOT content-keyed: a content-keyed split
+    * (md5(text) buckets, as `corpus_split` rightly uses for train/val
+    * hygiene) can never exhibit a cross-split exact duplicate — both
+    * copies hash to the same side by construction — which would make
+    * the exact tier untestable dead code. The modulus is 7, coprime to
+    * the test corpus's duplicate-family id stride (20), so planted
+    * near-dup families genuinely straddle the split. */
+  def dedupIncrement(spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"),
+      regexp_replace(lower(trim(coalesce(col("text"), lit("")))), "\\s+", " ").as("norm"),
+      (col("doc_id") % 7 =!= 0).as("is_base"))
+    val base = d.filter(col("is_base"))
+    val inc = d.filter(!col("is_base"))
+    val exactM = inc.select(col("doc_id"), col("norm"))
+      .join(base.select(col("norm"), col("doc_id").as("b_id")), "norm")
+      .groupBy(col("doc_id")).agg(min(col("b_id")).as("exact_base"))
+    val pairs = NearDup.blockedJaccard(spark, sfDir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val dirPairs = pairs.select(col("doc_a").as("i"), col("doc_b").as("b"))
+      .unionAll(pairs.select(col("doc_b").as("i"), col("doc_a").as("b")))
+    val nearM = dirPairs
+      .join(inc.select(col("doc_id").as("i")), "i")
+      .join(base.select(col("doc_id").as("b")), "b")
+      .groupBy(col("i")).agg(min(col("b")).as("near_base"))
+      .withColumnRenamed("i", "doc_id")
+    inc.select(col("doc_id"))
+      .join(exactM, Seq("doc_id"), "left")
+      .join(nearM, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_base").isNotNull, lit("drop_exact"))
+          .when(col("near_base").isNotNull, lit("drop_near"))
+          .otherwise(lit("kept")).as("verdict"),
+        coalesce(col("exact_base"), col("near_base")).as("base_doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Semantic (embedding-space) dedup — the SemDeDup pattern (Abbas et
     * al. 2023): documents whose EMBEDDINGS are near-identical are
     * semantic duplicates even when their token sets differ, so cluster

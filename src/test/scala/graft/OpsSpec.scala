@@ -1065,6 +1065,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pack" -> (() => graft.ops.Curation.packSequences(spark, dir).count()),
       "pack_eff" -> (() => graft.ops.Curation.packEfficiency(spark, dir).count()),
       "substring_dedup" -> (() => NearDup.substringSpans(spark, dir).count()),
+      "dedup_increment" -> (() => graft.ops.Dedup.dedupIncrement(spark, dir).count()),
       "media_near_dup" -> (() => Multimodal.mediaNearDup(spark, dir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
@@ -1119,6 +1120,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "media" -> (() => Multimodal.mediaFeatures(spark, dir).count()),
       "media_near_dup" -> (() => Multimodal.mediaNearDup(spark, dir).count()),
       "substring_dedup" -> (() => NearDup.substringSpans(spark, dir).count()),
+      "dedup_increment" -> (() => graft.ops.Dedup.dedupIncrement(spark, dir).count()),
       "funnel" -> (() => graft.ops.Dedup.curationFunnel(spark, dir).count()),
       "vocab" -> (() => graft.ops.TextAnalysis.vocabCoverage(spark, dir).count())
     ).foreach { case (name, run) =>
@@ -1486,6 +1488,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L * hourUs, 2L, 2L),   // A and B open
       (11L * hourUs, -1L, 1L),  // A and B closed, C opens
       (12L * hourUs, -1L, 0L))  // C closed
+    assert(out.toSeq == expected, s"got ${out.mkString(",")}")
+  }
+
+  test("incremental dedup: exact beats near, partner is lowest base id, novel kept") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val w40 = (0 until 40).map(i => f"w$i%02d").mkString(" ")
+    // ids % 7 == 0 are the arriving batch; 1..4 are the base corpus
+    Seq(
+      (1L, "alpha bravo charlie delta echo"),          // base
+      (2L, w40),                                       // base
+      (3L, "foxtrot golf hotel india juliet kilo"),    // base
+      (4L, "ALPHA bravo  charlie delta echo"),         // base, same norm as 1
+      (7L, "  Alpha  BRAVO charlie   delta ECHO "),    // exact dup of 1 AND 4 -> min base 1
+      (14L, "lima mike november oscar papa quebec"),   // novel
+      (21L, w40 + " zulu"),                            // J = 40/41 vs base 2 -> near
+      (28L, "romeo sierra tango uniform victor xray")) // novel
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), lit("en").as("lang"), lit("s").as("source"),
+        col("text"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = graft.ops.Dedup.dedupIncrement(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val expected = Seq(
+      (7L, "drop_exact", 1L),   // exact wins over the implied jaccard-1.0 near edge
+      (14L, "kept", -1L),
+      (21L, "drop_near", 2L),
+      (28L, "kept", -1L))
     assert(out.toSeq == expected, s"got ${out.mkString(",")}")
   }
 
