@@ -385,6 +385,13 @@ object SparkEntry {
     // orders⋈lineitem over co-bucketed mirrors: SMJ + per-order agg with
     // ZERO Exchange nodes (plan-asserted) — the layout-for-scale tier
     "bucketed_join_revenue" -> ((s, dir) => Relational.bucketedJoinRevenue(s, dir)),
+    // PIVOT (Expand-backed wide reshape), enumerated pivot domain
+    "revenue_year_pivot" -> ((s, dir) => Relational.revenueByYearPivot(s, dir)),
+    // per-group top-k: rank window inside the group partition only
+    "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
+    // exact global ntile(10) WITHOUT a single-task window: range
+    // partition + per-partition offsets; ntile split rule in closed form
+    "order_value_deciles" -> ((s, dir) => Relational.orderValueDeciles(s, dir)),
     // native session_window sessionization, integer-microsecond clock
     "user_sessions" -> ((s, dir) => Relational.userSessions(s, dir)),
     // interval-overlap aggregation WITHOUT an interval join: difference
@@ -1618,6 +1625,34 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |  AND r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    // pivot ≡ conditional aggregation (the relational meaning of pivot)
+    "revenue_year_pivot" ->
+      ("""SELECT n_name, """ +
+        (1995 to 2001).map(y =>
+          s"CAST(sum(CASE WHEN year(o_orderdate) = $y THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS y$y")
+          .mkString(", ") +
+        """ FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    "top_orders_per_segment" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 3
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+    // the engine's distributed rank must reproduce ntile(10) exactly
+    "order_value_deciles" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS decile
+        |  FROM orders)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
     // bucketed mirror holds the same rows as the raw table, so the
     // oracle reads the raw parquet; ties broken by orderkey
     "bucketed_join_revenue" ->

@@ -138,6 +138,95 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(k)
 
+  /** PIVOT: per-nation revenue spread across order-year columns — the
+    * wide-report reshape (Spark plans it as a single aggregate over
+    * `Expand`, one shuffle on the groupBy key; the pivot VALUES are
+    * enumerated explicitly, as any 100 TB pivot must be — an
+    * auto-discovered pivot domain costs an extra distinct pass).
+    * Oracle = conditional aggregation, the relational meaning of
+    * pivot.
+    *
+    * (The decile op below documents why its global rank is NOT an
+    * `ntile` window: unpartitioned windows are single-task. It uses
+    * range partitioning + `zipWithIndex` — two passes over the fact
+    * table (boundary/count + rank), each fully parallel; a deployment
+    * running it repeatedly would persist the range-shuffled table.) */
+  def revenueByYearPivot(spark: SparkSession, sfDir: String,
+      years: Seq[Int] = 1995 to 2001): DataFrame =
+    t(spark, sfDir, "orders")
+      .join(broadcast(t(spark, sfDir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+      .groupBy(col("n_name"))
+      .pivot("yr", years.map(y => y: Any))
+      .agg(sum(col("price")).cast("double"))
+      .select(col("n_name") +: years.map(y => col(y.toString).as(s"y$y")): _*)
+      .orderBy(col("n_name"))
+
+  /** Per-group top-k (top orders per market segment): rank window inside
+    * the (already co-partitioned) segment, filter rank ≤ k. One shuffle
+    * on the segment key; nothing global — the per-group sort is
+    * partition-local. Ties broken by orderkey so the rank is total. */
+  def topOrdersPerSegment(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, sfDir, "orders")
+      .join(broadcast(t(spark, sfDir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  /** Exact global deciles (ntile(10) semantics) WITHOUT the
+    * single-task window: `ntile` over an unpartitioned `Window` pulls
+    * every row through ONE task — the textbook scale-killer for a
+    * global-rank operator. Instead: range-repartition on the total
+    * order (price desc, orderkey asc — Spark's distributed sample-based
+    * RangePartitioning), count each partition (a ≤#partitions-row
+    * metadata collect, like the dimension probe in Similarity), turn
+    * the counts into global rank offsets, and assign each row
+    * rank = offset + local position with a per-partition linear scan.
+    * The decile then comes from ntile's exact split rule (n%10 buckets
+    * of size ⌈n/10⌉ first, ties already broken by the total order) —
+    * bit-identical to the DuckDB oracle's `ntile(10)`, at any executor
+    * count. */
+  def orderValueDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // ONE RDD instance for every downstream action: range-boundary
+    // sampling is seeded by rdd.id, so two separately-planned jobs
+    // (e.g. a counts pass + a rank pass built from the Dataset twice)
+    // can land on DIFFERENT boundaries and corrupt the global rank —
+    // measured: decile sizes drifted 1500 → 1774 at sf0.01. A single
+    // instance keeps the partitioning identical across its recomputes.
+    val rdd = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartitionByRange(nPart, col("o_totalprice").desc, col("o_orderkey").asc)
+      .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      .as[(Long, Double)].rdd
+    val n = rdd.count()
+    val (q, r0) = (n / 10L, n % 10L)
+    val cut = r0 * (q + 1) // ranks <= cut live in the r0 larger buckets
+    val ranked = rdd.zipWithIndex().map { case ((k, p), i) =>
+      val rank = i + 1
+      val dec =
+        if (q == 0L) rank // n < 10: one row per bucket, ntile(i) = i
+        else if (rank <= cut) (rank - 1) / (q + 1) + 1
+        else r0 + (rank - cut - 1) / q + 1
+      (k, p, dec)
+    }.toDF("o_orderkey", "o_totalprice", "decile")
+    ranked
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum("o_totalprice").as("total_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("decile"))
+  }
+
   /** Window functions: daily per-type revenue with an ordered running sum
     * (the rolling-window shape behind the reference's CV windows,
     * SURVEY.md §2.2-E). Daily sums are decimal-exact; the running sum
