@@ -158,6 +158,11 @@ object SparkEntry {
         .orderBy("element", "step")),
     "series_prophet_df" -> ((s, dir) =>
       SeriesStore.prophetDF(s, dir).orderBy("element", "ds", "y")),
+    // calendar densify + LOCF: the gap a positional clock cannot see
+    "series_gapfill" -> ((s, dir) => SeriesStore.gapFilledDaily(s, dir)),
+    // holdout backtest of the closed-form families — forecast, error,
+    // and metric all re-derived by the oracle
+    "fc_backtest_closed" -> ((s, dir) => graft.engine.Backtest.closedFormBacktest(s, dir)),
     // -- closed-form forecasts (oracle-checkable model pipeline) -----------
     "fc_naive" -> fcQuery(Methods.NAIVE),
     "fc_drift" -> fcQuery(Methods.DRIFT),
@@ -513,6 +518,63 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS step
         |  FROM events)
         |WHERE step <= 10000 ORDER BY element, ds, y""".stripMargin,
+    // daily mean (exact sum, one division), generate_series spine, LOCF
+    // via last_value IGNORE NULLS — the same window the engine runs
+    "series_gapfill" ->
+      """WITH daily AS (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_obs,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS day_value
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT element,
+        |    CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily GROUP BY element),
+        |j AS (
+        |  SELECT s.element, s.day, coalesce(d.n_obs, 0) AS n_obs, d.day_value
+        |  FROM spine s LEFT JOIN daily d ON s.element = d.element AND s.day = d.day)
+        |SELECT element, day, n_obs,
+        |  round(last_value(day_value IGNORE NULLS) OVER (
+        |    PARTITION BY element ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+        |  n_obs = 0 AS is_filled
+        |FROM j ORDER BY element, day""".stripMargin,
+    // holdout backtest: the oracle re-derives train stats (FILTERed
+    // aggregates over the prefix), the three closed-form forecasts, the
+    // per-step errors, and both metrics
+    "fc_backtest_closed" ->
+      s"""WITH $obsCte,
+         |tr AS (SELECT element, count(*) AS n FROM obs GROUP BY element),
+         |st AS (
+         |  SELECT o.element, t.n - 7 AS ntr,
+         |    arg_max(o.value, o.step) FILTER (WHERE o.step <= t.n - 7) AS last_v,
+         |    arg_min(o.value, o.step) FILTER (WHERE o.step <= t.n - 7) AS first_v,
+         |    avg(o.value) FILTER (WHERE o.step <= t.n - 7) AS mu
+         |  FROM obs o JOIN tr t USING (element)
+         |  WHERE t.n > 14
+         |  GROUP BY o.element, t.n),
+         |te AS (
+         |  SELECT o.element, o.step - s.ntr AS h, o.value AS actual,
+         |    s.last_v, s.first_v, s.mu, s.ntr
+         |  FROM obs o JOIN st s USING (element)
+         |  WHERE o.step > s.ntr),
+         |err AS (
+         |  SELECT element, h,
+         |    actual - last_v AS e_naive,
+         |    actual - (last_v + (last_v - first_v) / (ntr - 1.0) * h) AS e_drift,
+         |    actual - mu AS e_meanf
+         |  FROM te),
+         |m AS (
+         |  SELECT element, 'NAIVE' AS method, avg(abs(e_naive)) AS mae,
+         |    sqrt(avg(e_naive * e_naive)) AS rmse FROM err GROUP BY element
+         |  UNION ALL
+         |  SELECT element, 'DRIFT', avg(abs(e_drift)),
+         |    sqrt(avg(e_drift * e_drift)) FROM err GROUP BY element
+         |  UNION ALL
+         |  SELECT element, 'MEANF', avg(abs(e_meanf)),
+         |    sqrt(avg(e_meanf * e_meanf)) FROM err GROUP BY element)
+         |SELECT element, method, round(mae, 6) AS mae, round(rmse, 6) AS rmse
+         |FROM m ORDER BY element, method""".stripMargin,
     "fc_naive" ->
       s"WITH $statsCte\n${bands("NAIVE", "last_v", "sdd * sqrt(h.step)")}",
     "fc_drift" ->

@@ -178,6 +178,48 @@ object SeriesStore {
       .as[Series]
   }
 
+  /** Calendar gap-fill with last-observation-carried-forward — the
+    * ingest-hygiene step in front of any calendar-indexed consumer (the
+    * reference's positional `ts` silently treats a 3-day outage as
+    * adjacent points; a calendar pipeline must instead SEE the gap and
+    * decide the fill). Per element: daily mean value (decimal-exact sum,
+    * one double division), densified to every day in [first, last] via
+    * `sequence()`, gaps filled by the running `last(_, ignoreNulls)`
+    * window with `n_obs = 0` and `is_filled = true` marking synthetic
+    * days.
+    *
+    * Scale shape: one (element, day) aggregate shuffle; the spine
+    * explode is map-side from a per-element min/max row (≤ |elements| ×
+    * timeline-days rows); the LOCF window is partitioned per element —
+    * never global. */
+  def gapFilledDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    // driver store: ts = epoch-nanos LONG; synthetic test stores may
+    // write a plain TIMESTAMP — accept both (the shared dual-clock rule)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val daily = ev
+      .filter(col("value").isNotNull) // same null-observation rule as [[observations]]
+      .groupBy(col("event_type").as("element"), dayCol.as("day"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .withColumn("day_value", col("sum_dec").cast("double") / col("n_obs"))
+      .drop("sum_dec")
+    val spine = daily.groupBy(col("element"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("element"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("element")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("element", "day"), "left")
+      .select(col("element"), col("day"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        round(last(col("day_value"), ignoreNulls = true).over(w), 6).as("value"),
+        coalesce(col("n_obs"), lit(0L)).equalTo(0L).as("is_filled"))
+      .orderBy(col("element"), col("day"))
+  }
+
   /** Calendar-aware per-element series for Prophet: (element, epoch days
     * asc, values) — the only path that keeps dates (R:35-38, R:369). */
   def datedSeries(spark: SparkSession, sfDir: String, elements: Seq[String] = Nil): Dataset[(String, Array[Int], Array[Double])] = {

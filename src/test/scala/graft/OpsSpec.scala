@@ -1491,6 +1491,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == expected, s"got ${out.mkString(",")}")
   }
 
+  test("series gapfill: a 3-day outage densifies with LOCF and is_filled flags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gapfill").toString
+    val day = 86400L * 1000000L
+    // element a: days 10 (two obs, mean 3.0), 11, then a 3-day gap, 15
+    Seq((10L * day, 2.0), (10L * day + 1000L, 4.0), (11L * day, 5.0), (15L * day, 9.0))
+      .toDF("us", "value")
+      .select(timestamp_micros(col("us")).as("ts"), lit("a").as("event_type"),
+        col("value"), lit(1L).as("user_id"), lit(1L).as("event_id"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = graft.sources.SeriesStore.gapFilledDaily(spark, dir).collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val expected = Seq(
+      ("1970-01-11", 2L, 3.0, false),  // mean of 2.0 and 4.0
+      ("1970-01-12", 1L, 5.0, false),
+      ("1970-01-13", 0L, 5.0, true),   // LOCF from day 11
+      ("1970-01-14", 0L, 5.0, true),
+      ("1970-01-15", 0L, 5.0, true),
+      ("1970-01-16", 1L, 9.0, false))
+    assert(out.toSeq == expected, s"got ${out.mkString(",")}")
+  }
+
   test("incremental dedup: exact beats near, partner is lowest base id, novel kept") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
