@@ -10,9 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // lay out the element-partitioned series store before timing — an
-    // ingest-time step, not query cost (reused across runs when fresh)
+    // lay out the element-partitioned series store and the co-bucketed
+    // fact mirrors before timing — ingest-time steps, not query cost
     graft.sources.SeriesStore.ensurePartitioned(spark, sfDir)
+    graft.sources.BucketStore.ensureBucketed(spark, sfDir)
     // steady-state warm-up: run the whole query set once at the smallest
     // SF so JIT + codegen + parquet-footer costs don't land on whichever
     // query happens to run first in the timed pass

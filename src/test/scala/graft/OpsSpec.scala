@@ -1697,6 +1697,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plans(2)._2.contains("LeftAnti"), "NOT EXISTS must become an anti join")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // the engine's declared skew posture: static plans stay declarative
+    // and RUNTIME skew is AQE's job — this pins that the config path
+    // actually engages. One key owns half of a 200k-row fact side; with
+    // broadcast off (forcing SMJ) and test-sized skew thresholds, AQE
+    // must rewrite the hot partition into multiple reader splits.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "131072")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(200000L)
+        .select(when(col("id") % 2 === 0L, 0L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(2000L).select(col("id").as("k"), (col("id") * 2L).as("w"))
+      val joined = fact.join(dim, "k")
+      // execute THIS QueryExecution (count() would plan a separate one
+      // whose AdaptiveSparkPlan never finalizes on `joined`)
+      assert(joined.collect().length == 101000L) // hot key 0 (100k) + odd ids < 2000 (1k)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"skew test must run SMJ:\n$plan")
+      assert(plan.contains("skew=true"), s"AQE must mark the skewed join:\n$plan")
+      assert(plan.contains("AQEShuffleRead coalesced and skewed"),
+        s"AQE must split the hot partition into skewed reader splits:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed fact-fact join: SMJ + per-order agg with zero Exchange nodes") {
     val df = Relational.bucketedJoinRevenue(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
