@@ -414,6 +414,9 @@ object SparkEntry {
     // same scoreStep kernel, oracle = a DuckDB recursive CTE mirroring
     // the recursion's operation order literally
     "ewma_anomalies" -> ((s, dir) => graft.ops.EventAnalytics.ewmaAnomalies(s, dir)),
+    // one-day slice off the time-sorted mirror: answer is layout-free
+    // (oracle scans the raw table), the row-group pruning is plan-pinned
+    "events_day_slice" -> ((s, dir) => graft.ops.EventAnalytics.eventsDaySlice(s, dir)),
     // -- dataset assembly: splits, decontamination, repetition, mixture ----
     "corpus_split" -> ((s, dir) => Curation.corpusSplit(s, dir)),
     "split_leakage" -> ((s, dir) => Curation.splitLeakage(s, dir)),
@@ -421,6 +424,9 @@ object SparkEntry {
     "split_substring_leakage" -> ((s, dir) => Curation.splitSubstringLeakage(s, dir)),
     "repetition_stats" -> ((s, dir) => Curation.repetitionStats(s, dir)),
     "corpus_mixture" -> ((s, dir) => Curation.corpusMixture(s, dir)),
+    // exact n-per-stratum md5-ranked draw; salted two-phase top-n so no
+    // task ever sorts a whole stratum (oracle = the naive global rank)
+    "stratified_sample" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
     "corpus_resample" -> ((s, dir) => Curation.corpusResample(s, dir)),
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     // the loader-side report: bins per shard, fill vs the token budget
@@ -1391,6 +1397,17 @@ object SparkEntry {
         |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_frac,
         |  CAST(max(cnt) AS BIGINT) AS max_repeat
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // naive global per-stratum rank — the engine's salted two-phase
+    // top-n must be bit-identical to this at any partitioning
+    "stratified_sample" ->
+      """SELECT lang, source, sample_rank, doc_id FROM (
+        |  SELECT lang, source, doc_id,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(COALESCE(text, '') || '|' || CAST(doc_id AS VARCHAR)),
+        |        doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 10
+        |ORDER BY lang, source, sample_rank""".stripMargin,
     "corpus_mixture" ->
       """WITH m AS (
         |  SELECT lang, source, count(*) AS n_docs,
@@ -1802,6 +1819,14 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', n2, CAST(n2 AS DOUBLE) / nullif(n1, 0) FROM a
         |UNION ALL SELECT 3, 'purchase', n3, CAST(n3 AS DOUBLE) / nullif(n1, 0) FROM a
         |ORDER BY step""".stripMargin,
+    // layout-independent slice semantics: the oracle scans the RAW
+    // table — the sorted mirror may only change the I/O, never the rows
+    "events_day_slice" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // contribution expansion: each distinct (user, day) is visible from
     // the next 7 window endpoints; partial future windows not reported
     "rolling_active_users" ->

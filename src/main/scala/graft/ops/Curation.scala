@@ -282,4 +282,45 @@ object Curation {
         round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(w), 6).as("share_tokens"))
       .orderBy(col("lang"), col("source"))
   }
+
+  /** Deterministic stratified sample: exactly `n` documents per
+    * (lang, source) stratum, chosen by md5 rank — the audit/eval draw a
+    * pipeline takes from every shard ("show me 10 random-but-stable
+    * docs per stratum"). Hash-ordering makes the draw reproducible
+    * across runs AND engines (md5 is the same bytes everywhere, unlike
+    * a seeded RNG), and content-keyed, so re-ingesting with new doc_ids
+    * preserves the sample of unchanged documents.
+    *
+    * Scale shape: a naive `row_number` per stratum sorts ENTIRE strata
+    * through single tasks — with a handful of (lang, source) values a
+    * 100 TB corpus would funnel billions of rows into ≤|strata| tasks.
+    * Instead the rank runs in two phases, the top-n analogue of a
+    * partial aggregate: (1) rank within (stratum, salt) — `salts`-way
+    * parallel, each task sorting ~1/salts of a stratum — and keep each
+    * salt's local top n; (2) re-rank the surviving ≤ salts×n rows per
+    * stratum. Phase 2's per-stratum input is O(salts·n) regardless of
+    * corpus size, so the single-task-per-stratum step is metadata-scale.
+    * The salt never reaches the output: any partitioning of a stratum
+    * has the true top-n contained in the union of per-part top-ns, so
+    * the result is bit-identical to the naive global rank (the DuckDB
+    * oracle runs exactly that naive form). */
+  def stratifiedSample(spark: SparkSession, sfDir: String, n: Int = 10,
+      salts: Int = 16): DataFrame = {
+    val ranked = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        // content||id: distinct rank keys even for byte-identical twins
+        md5(concat(coalesce(col("text"), lit("")), lit("|"),
+          col("doc_id").cast("string"))).as("rk"),
+        pmod(xxhash64(col("doc_id")), lit(salts)).as("salt"))
+    val local = Window.partitionBy(col("lang"), col("source"), col("salt"))
+      .orderBy(col("rk"), col("doc_id"))
+    val global = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("rk"), col("doc_id"))
+    ranked
+      .withColumn("lr", row_number().over(local)).filter(col("lr") <= n)
+      .withColumn("sample_rank", row_number().over(global))
+      .filter(col("sample_rank") <= n)
+      .select(col("lang"), col("source"), col("sample_rank"), col("doc_id"))
+      .orderBy(col("lang"), col("source"), col("sample_rank"))
+  }
 }

@@ -298,4 +298,31 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as(s"active_${windowDays}d"))
       .orderBy(col("day"))
   }
+
+  /** One-day slice report off the TIME-SORTED events mirror
+    * ([[graft.sources.LayoutStore]]): per event_type counts, distinct
+    * users, and a decimal-exact value sum for a single calendar day.
+    *
+    * The answer is layout-independent (the oracle runs the same slice
+    * over the raw table) — what the mirror buys is the SCAN: `ts_day`
+    * is a stored integer column sorted with the file order, so the
+    * pushed `ts_day = K` predicate prunes whole parquet row groups by
+    * their min/max stats and the scan decodes ~1/30th of the corpus
+    * instead of filtering it row by row. OpsSpec pins the behavior
+    * causally: the same slice over a deliberately shuffled copy decodes
+    * the full corpus, the sorted mirror doesn't. At 100 TB this is the
+    * difference between a time-slice query costing O(slice) and
+    * O(corpus) I/O — without the directory-per-day explosion that
+    * `partitionBy` would impose on a high-cardinality time key. */
+  def eventsDaySlice(spark: SparkSession, sfDir: String,
+      day: java.time.LocalDate = java.time.LocalDate.of(2024, 1, 15)): DataFrame =
+    graft.sources.LayoutStore.sorted(spark, sfDir)
+      .filter(col("ts_day") === lit(day.toEpochDay.toInt))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
 }

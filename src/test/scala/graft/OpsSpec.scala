@@ -1900,4 +1900,83 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out.contains(("a", day0 + 86400000L, 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("stratified sample: salted two-phase top-n equals the naive global rank") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.ops.Curation.stratifiedSample(spark, sfDir, n = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    // the naive form the oracle runs: one global rank per stratum
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("rk"), col("doc_id"))
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(concat(coalesce(col("text"), lit("")), lit("|"),
+          col("doc_id").cast("string"))).as("rk"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= 10)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getInt(4), r.getLong(0)))
+    assert(got.toSet == want.toSet,
+      s"two-phase and naive rank diverge: ${(got.toSet -- want.toSet).take(3)} vs ${(want.toSet -- got.toSet).take(3)}")
+    // exactly min(n, |stratum|) rows per stratum, ranks 1..k contiguous
+    got.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
+      assert(rows.length <= 10)
+    }
+  }
+
+  test("stratified sample: a stratum smaller than n returns all its rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-strat").toString
+    // stratum (en, tiny) has 3 docs < n=5; (en, big) has 20
+    val rows = (0 until 3).map(i => (i.toLong, "en", "tiny", s"doc $i text")) ++
+      (100 until 120).map(i => (i.toLong, "en", "big", s"doc $i text"))
+    rows.toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Curation.stratifiedSample(spark, dir, n = 5, salts = 4).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(got.count(_._1 == "tiny") == 3, "undersized stratum keeps everything")
+    assert(got.count(_._1 == "big") == 5)
+  }
+
+  test("time-sorted mirror prunes row groups a shuffled layout must decode") {
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    // small row groups so sf0.001's 1000 rows span many groups; the
+    // /tmp mirror cache may hold a prior JVM's default-block-size build,
+    // so drop it and let ensureSorted rewrite under this conf
+    spark.conf.set("parquet.block.size", (16 * 1024).toString)
+    val mirror = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") +
+        "/root_testdata_sf0_001/events_sorted")
+    if (mirror.isDirectory) {
+      import scala.reflect.io.Directory
+      new Directory(mirror).deleteRecursively()
+    }
+    val shuffledDir = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/ev"
+    try {
+      graft.sources.LayoutStore.sorted(spark, sfDir)
+        // deliberately destroy the time order, keep everything else
+        .repartition(4, col("event_id"))
+        .write.parquet(shuffledDir)
+      val day = lit(java.time.LocalDate.of(2024, 1, 15).toEpochDay.toInt)
+      val slice = graft.ops.EventAnalytics.eventsDaySlice(spark, sfDir)
+      val sortedScan = scanRows(
+        graft.sources.LayoutStore.sorted(spark, sfDir).filter(col("ts_day") === day))
+      val shuffledScan = scanRows(
+        spark.read.parquet(shuffledDir).filter(col("ts_day") === day))
+      val total = graft.sources.LayoutStore.sorted(spark, sfDir).count()
+      // the filter must reach the parquet reader to prune at all
+      val plan = slice.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("ts_day"),
+        s"day predicate must be pushed to the scan:\n$plan")
+      assert(sortedScan < total / 2,
+        s"sorted layout must row-group-prune: scan decoded $sortedScan of $total")
+      assert(sortedScan < shuffledScan,
+        s"sorted scan ($sortedScan rows) must beat the shuffled layout ($shuffledScan)")
+    } finally spark.conf.unset("parquet.block.size")
+  }
 }
