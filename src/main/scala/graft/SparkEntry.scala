@@ -293,6 +293,9 @@ object SparkEntry {
     // phrase-level near-dup: word-BIGRAM shingles at 0.9 — order-aware,
     // so shuffled-word documents that tie on token sets separate here
     "bigram_jaccard" -> ((s, dir) => NearDup.blockedJaccard(s, dir, 0.9, ngram = 2)),
+    // typo-tolerant fixed-width key match: exact Hamming<=2 pairs via
+    // pigeonhole chunk equi-join (recall 1 by construction, no cap)
+    "fuzzy_key_pairs" -> ((s, dir) => NearDup.fuzzyKeyPairs(s, dir)),
     // exact repeated-span pass (Lee et al.-style): maximal >=16-token
     // verbatim spans shared across documents, with positions
     "substring_dedup" -> ((s, dir) => NearDup.substringSpans(s, dir)),
@@ -1024,6 +1027,19 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
         |FROM pairs
         |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.95
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // the naive all-pairs form of the pigeonhole chunk join; DuckDB's
+    // hamming() is char-based over the equal-length padded keys
+    "fuzzy_key_pairs" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    rpad(lower(substr(text, 1, 24)), 24, chr(1)) AS key
+        |  FROM documents
+        |  WHERE length(trim(COALESCE(text, ''))) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(hamming(a.key, b.key) AS INT) AS dist
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id
+        |WHERE hamming(a.key, b.key) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
     // bigram shingles joined with chr(1) — the same out-of-alphabet
     // separator the engine uses, so token-sequence boundaries agree

@@ -549,4 +549,57 @@ object NearDup {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Typo-tolerant key matching: EXACT Hamming-≤-`maxDist` pairs over a
+    * fixed-width normalized key (lowercased first `width` chars, padded
+    * to `width`) — the entity-resolution primitive for title/URL-style
+    * keys where corruption is positional (OCR noise, case flips, single
+    * typos). Complements the shingle tiers: Jaccard/minhash are
+    * shift-invariant but blind to which positions differ; this tier is
+    * positional and exact. Shift-tolerant matching stays the shingle
+    * tiers' job — that division of labor is what keeps BOTH exact.
+    *
+    * Exactness by pigeonhole: the key is cut into `maxDist + 1` equal
+    * chunks; ≤ `maxDist` substitutions cannot touch every chunk, so any
+    * qualifying pair shares at least one (chunk_idx, chunk_value) — an
+    * EQUI-join, never a similarity join. No frequency cap and no salt:
+    * recall is 1 by construction, and a hot chunk value (a shared
+    * template prefix) is ordinary equi-join skew, which is AQE's job
+    * (the skew-split behavior is pinned in OpsSpec), not a reason to
+    * drop candidates. Shuffle carries (8-byte chunk hash? no — the
+    * chunk string itself, ≤ width/(maxDist+1) chars) + id + the padded
+    * key for the verify step; the verify is one codegen'd zip_with fold
+    * per candidate, and candidates per doc are bounded by its chunks'
+    * bucket sizes.
+    *
+    * DuckDB's char-based `hamming()` (padded keys are equal-length by
+    * construction) re-derives dist on the oracle side — fully
+    * hash-checked. */
+  def fuzzyKeyPairs(spark: SparkSession, sfDir: String, width: Int = 24,
+      maxDist: Int = 2): DataFrame = {
+    require(width % (maxDist + 1) == 0, "width must split into equal chunks")
+    val cw = width / (maxDist + 1)
+    val keys = docs(spark, sfDir)
+      .filter(length(trim(coalesce(col("text"), lit("")))) > 0)
+      .select(col("doc_id"),
+        rpad(lower(substring(col("text"), 1, width)), width, "\u0001").as("key"))
+    val chunked = keys.select(col("doc_id"), col("key"),
+      explode(expr(s"transform(sequence(0, $maxDist), i -> " +
+        s"struct(i AS idx, substring(key, i * $cw + 1, $cw) AS chunk))")).as("c"))
+      .select(col("doc_id"), col("key"), col("c.idx"), col("c.chunk"))
+    val a = chunked.select(col("idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("key").as("key_a"))
+    val b = chunked.select(col("idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col("key").as("key_b"))
+    a.join(b, Seq("idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("key_a"), col("key_b"))
+      .distinct() // a pair may share several chunks
+      .withColumn("dist",
+        expr("aggregate(zip_with(split(key_a, ''), split(key_b, ''), " +
+          "(x, y) -> IF(x = y, 0, 1)), 0, (acc, d) -> acc + d)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

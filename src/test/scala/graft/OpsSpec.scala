@@ -1901,6 +1901,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("fuzzy key pairs: pigeonhole equi-join equals brute-force hamming") {
+    val keyed = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(length(trim(coalesce(col("text"), lit("")))) > 0)
+      .select(col("doc_id"), rpad(lower(substring(col("text"), 1, 24)), 24, "\u0001").as("key"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ida, ka) <- keyed; (idb, kb) <- keyed if ida < idb
+      d = ka.zip(kb).count { case (x, y) => x != y } if d <= 2
+    } yield (ida, idb, d)).toSet
+    val got = NearDup.fuzzyKeyPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"pigeonhole join must be exact: missing ${(brute -- got).take(3)}, extra ${(got -- brute).take(3)}")
+    assert(brute.nonEmpty, "corpus should contain fuzzy-key pairs or the test is vacuous")
+  }
+
+  test("fuzzy key pairs: distance boundary and the shift blind spot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
+    val base = "the quick brown fox jump" // exactly 24 chars
+    Seq(
+      (0L, "en", "s", base + " extra tail"),
+      (1L, "en", "s", "thE quick brown fox jump"), // dist 1 (case-folded: 0... lower() folds E->e => dist 0)
+      (2L, "en", "s", "the quick crown fax jump"), // 2 substitutions
+      (3L, "en", "s", "the quack crewn fax jomp"), // 4 substitutions — out
+      (4L, "en", "s", "xthe quick brown fox jum") // 1-char SHIFT: hamming-far by design
+    ).toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = NearDup.fuzzyKeyPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.get((0L, 1L)).contains(0), "case flip folds to distance 0")
+    assert(got.get((0L, 2L)).contains(2), "two substitutions kept at the boundary")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L), "distance 4 excluded")
+    assert(!got.contains((0L, 4L)),
+      "a positional shift is OUT of scope for the hamming tier (shingle tiers own it)")
+  }
+
   test("stratified sample: salted two-phase top-n equals the naive global rank") {
     import org.apache.spark.sql.expressions.Window
     val got = graft.ops.Curation.stratifiedSample(spark, sfDir, n = 10).collect()
