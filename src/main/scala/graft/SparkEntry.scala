@@ -322,6 +322,9 @@ object SparkEntry {
     "ann_ivf_pq_topk" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     // recall verdicts for the approximate paths, hash-checked vs TRUE
     "ann_recall_gates" -> ((s, dir) => Similarity.recallGates(s, dir)),
+    // plan-SHAPE tripwire: pushdown/broadcast/zero-Exchange/no-cartesian
+    // verdicts over the registered queries' physical plans
+    "plan_gates" -> ((s, dir) => graft.ops.PlanGates.planGates(s, dir)),
     "stl_decompose" -> ((s, dir) => {
       import s.implicits._
       graft.sources.SeriesStore.series(s, dir).flatMap { ser =>
@@ -1193,6 +1196,19 @@ object SparkEntry {
             .map(s => s"('${m.toLowerCase}_$s', TRUE)"))
           .mkString(", ") +
         ") AS t(metric, ok) ORDER BY metric"),
+    // literal-TRUE verdict oracle, same pattern as fit_quality_gates:
+    // the row set IS the contract — a failed check hash-mismatches
+    "plan_gates" ->
+      ("SELECT * FROM (VALUES " +
+        Seq("ann_ivf_equi_join", "ann_lsh_equi_join",
+          "bucketed_join_shuffle_free", "events_day_slice_stats_prunable",
+          "exists_becomes_semi_join", "fuzzy_key_pairs_equi_join",
+          "local_supplier_all_equi_join", "minhash_candidates_equi_join",
+          "not_exists_becomes_anti_join", "q1_pricing_filter_pushed",
+          "scalar_subquery_decorrelates", "shipping_priority_topk_fused",
+          "star_join_broadcasts_dims", "top_orders_no_global_sort")
+          .map(c => s"('$c', TRUE)").mkString(", ") +
+        ") AS t(check_name, ok) ORDER BY check_name"),
     "ann_recall_gates" ->
       """SELECT 'ann_ivf_recall_at_5' AS metric, CAST(0.9 AS DOUBLE) AS floor, TRUE AS ok
         |UNION ALL SELECT 'ann_lsh_recall_at_5', CAST(0.9 AS DOUBLE), TRUE

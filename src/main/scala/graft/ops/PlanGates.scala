@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-checked PLAN-SHAPE tripwire — the `ann_recall_gates` /
+  * `fit_quality_gates` pattern applied to the physical plans
+  * themselves: the scale posture this engine claims (filters pushed to
+  * the scan, dimension joins broadcast, the co-bucketed fact join
+  * shuffle-free, top-k never a global sort, similarity joins never
+  * cartesian) is asserted today in ScalaTest; this query distills the
+  * same assertions into (check, ok) verdict rows against a literal-TRUE
+  * oracle, so a planner regression — a lost pushdown after a refactor,
+  * an Exchange sneaking back into the bucketed join, a decorrelation
+  * that falls back to a nested loop — hash-mismatches in the driver's
+  * correctness gate instead of only failing a test nobody re-ran.
+  *
+  * Only the PLAN is built (no query here executes the checked
+  * DataFrames); with AQE on, `executedPlan` renders the initial
+  * physical plan, which is exactly where these static features live.
+  * Cost is planning + the one-off layout builds the checked queries
+  * share with the rest of the suite (bucketed + sorted mirrors).
+  */
+object PlanGates {
+
+  /** The checks, mirroring OpsSpec's plan assertions one-for-one.
+    * Names are stable — they ARE the oracle rows. */
+  private val checks: Seq[(String, String, String => Boolean)] = Seq(
+    // scans: predicate pushdown reaches parquet
+    ("q1_pricing_filter_pushed", "q1_pricing",
+      p => p.contains("PushedFilters: [") && !p.contains("PushedFilters: []")),
+    ("events_day_slice_stats_prunable", "events_day_slice",
+      p => p.contains("PushedFilters") && p.contains("ts_day")),
+    // joins: dimensions broadcast, fact-fact stays equi, top-k fused
+    ("star_join_broadcasts_dims", "star_join_revenue",
+      p => p.contains("BroadcastHashJoin")),
+    ("top_orders_no_global_sort", "top_orders",
+      p => p.contains("TakeOrderedAndProject")),
+    ("shipping_priority_topk_fused", "shipping_priority",
+      p => p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin")),
+    ("local_supplier_all_equi_join", "local_supplier_volume",
+      p => p.contains("BroadcastHashJoin") && noLoops(p)),
+    // the co-bucketed layout's whole point: zero Exchange nodes
+    ("bucketed_join_shuffle_free", "bucketed_join_revenue",
+      p => p.contains("SortMergeJoin") && !p.contains("Exchange")),
+    // correlated subqueries decorrelate to joins, never nested loops
+    ("exists_becomes_semi_join", "sql_exists_agg",
+      p => p.contains("LeftSemi") && noLoops(p)),
+    ("not_exists_becomes_anti_join", "sql_dormant_customers",
+      p => p.contains("LeftAnti") && noLoops(p)),
+    ("scalar_subquery_decorrelates", "sql_scalar_subquery", noLoops),
+    // similarity/dedup candidate generation is equi-join, not all-pairs
+    ("minhash_candidates_equi_join", "minhash_candidates", noLoops),
+    ("fuzzy_key_pairs_equi_join", "fuzzy_key_pairs", noLoops),
+    ("ann_lsh_equi_join", "ann_lsh_topk", noLoops),
+    ("ann_ivf_equi_join", "ann_ivf_topk", noLoops))
+
+  private def noLoops(p: String): Boolean =
+    !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+
+  def planGates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val verdicts = checks.map { case (check, query, pred) =>
+      val plan = graft.SparkEntry.queries(query)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      (check, pred(plan))
+    }
+    verdicts.toDF("check_name", "ok").orderBy("check_name")
+  }
+}

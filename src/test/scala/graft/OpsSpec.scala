@@ -1901,6 +1901,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("plan gates: every plan-shape verdict holds") {
+    val rows = graft.ops.PlanGates.planGates(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1))
+    assert(rows.length == 14)
+    val failed = rows.filterNot(_._2).map(_._1)
+    assert(failed.isEmpty, s"plan-shape regressions: ${failed.mkString(", ")}")
+  }
+
   test("fuzzy key pairs: pigeonhole equi-join equals brute-force hamming") {
     val keyed = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(length(trim(coalesce(col("text"), lit("")))) > 0)
