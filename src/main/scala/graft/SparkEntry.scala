@@ -121,6 +121,55 @@ object SparkEntry {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** Q7 shape (volume shipping between two nations): 6-table join with
+    * a DISJUNCTIVE cross-dimension predicate — the OR spans BOTH nation
+    * dims, so it cannot push into either side and must survive as a
+    * post-join filter while every join stays equi (plan-gated). The
+    * revenue follows the house rule: exact DECIMAL product/sum, ONE
+    * cast to DOUBLE at the end. */
+  val q7VolumeSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Q8 shape (market share): one supplier nation's share of a
+    * region's PROMO-part volume per order year — an 8-table join fanned
+    * into a conditional-aggregate ratio. Share = two exact DECIMAL sums
+    * and ONE double division, so the boundary rule of the subquery
+    * suite applies here too. */
+  val q8MarketShareSql: String =
+    """SELECT o_year,
+      |  round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+      |                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year, n2.n_name AS nation,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS volume
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, region,
+      |    nation n2
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND s_nationkey = n2.n_nationkey
+      |    AND r_name = 'ASIA' AND p_type = 'PROMO'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
   private def sqlOnViews(sql: String, tables: String*): (SparkSession, String) => DataFrame =
     (s, dir) => {
       tables.foreach(t =>
@@ -138,6 +187,11 @@ object SparkEntry {
     "sql_exists_agg" -> sqlOnViews(existsSql, "orders", "lineitem"),
     "sql_scalar_subquery" -> sqlOnViews(scalarSubquerySql, "lineitem", "part"),
     "sql_dormant_customers" -> sqlOnViews(dormantCustomersSql, "customer", "orders"),
+    // disjunctive cross-dim predicate (Q7) / conditional-agg share (Q8)
+    "sql_nation_volume" -> sqlOnViews(q7VolumeSql,
+      "supplier", "lineitem", "orders", "customer", "nation"),
+    "sql_market_share" -> sqlOnViews(q8MarketShareSql,
+      "part", "supplier", "lineitem", "orders", "customer", "nation", "region"),
     // -- engine API surface ------------------------------------------------
     "methods_catalog" -> ((s, _) => {
       import s.implicits._
@@ -513,6 +567,8 @@ object SparkEntry {
     "sql_exists_agg" -> existsSql,
     "sql_scalar_subquery" -> scalarSubquerySql,
     "sql_dormant_customers" -> dormantCustomersSql,
+    "sql_nation_volume" -> q7VolumeSql,
+    "sql_market_share" -> q8MarketShareSql,
     "methods_catalog" ->
       ("SELECT * FROM (VALUES " +
         Methods.reference.zipWithIndex
@@ -1203,7 +1259,8 @@ object SparkEntry {
         Seq("ann_ivf_equi_join", "ann_lsh_equi_join",
           "bucketed_join_shuffle_free", "events_day_slice_stats_prunable",
           "exists_becomes_semi_join", "fuzzy_key_pairs_equi_join",
-          "local_supplier_all_equi_join", "minhash_candidates_equi_join",
+          "local_supplier_all_equi_join", "market_share_all_equi_join",
+          "minhash_candidates_equi_join", "nation_volume_all_equi_join",
           "not_exists_becomes_anti_join", "q1_pricing_filter_pushed",
           "scalar_subquery_decorrelates", "shipping_priority_topk_fused",
           "star_join_broadcasts_dims", "top_orders_no_global_sort")

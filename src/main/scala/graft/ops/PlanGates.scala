@@ -48,6 +48,11 @@ object PlanGates {
     ("not_exists_becomes_anti_join", "sql_dormant_customers",
       p => p.contains("LeftAnti") && noLoops(p)),
     ("scalar_subquery_decorrelates", "sql_scalar_subquery", noLoops),
+    // the disjunctive cross-dim predicate must not force a nested loop
+    ("nation_volume_all_equi_join", "sql_nation_volume",
+      p => p.contains("BroadcastHashJoin") && noLoops(p)),
+    ("market_share_all_equi_join", "sql_market_share",
+      p => p.contains("BroadcastHashJoin") && noLoops(p)),
     // similarity/dedup candidate generation is equi-join, not all-pairs
     ("minhash_candidates_equi_join", "minhash_candidates", noLoops),
     ("fuzzy_key_pairs_equi_join", "fuzzy_key_pairs", noLoops),
