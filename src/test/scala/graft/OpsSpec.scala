@@ -1946,6 +1946,70 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a positional shift is OUT of scope for the hamming tier (shingle tiers own it)")
   }
 
+  test("fuzzy key pairs: random tiny-alphabet corpora keep pigeonhole exact") {
+    import spark.implicits._
+    // alphabet {a,b,c} over short strings maximizes boundary cases:
+    // many pairs sit exactly at distance 2 and 3, and shared chunks
+    // are common — the regime where a blocking bug would show
+    (0 until 4).foreach { sample =>
+      val rng = new java.util.Random(1000L + sample)
+      val docs = (0 until 40).map { i =>
+        val len = 6 + rng.nextInt(24)
+        val s = Array.fill(len)(('a' + rng.nextInt(3)).toChar).mkString
+        (i.toLong, "en", "s", s)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-fzp$sample").toString
+      docs.toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val keyed = docs.map { case (id, _, _, t) =>
+        (id, t.toLowerCase.take(24).padTo(24, '\u0001').mkString)
+      }
+      val brute = (for {
+        (ida, ka) <- keyed; (idb, kb) <- keyed if ida < idb
+        d = ka.zip(kb).count { case (x, y) => x != y } if d <= 2
+      } yield (ida, idb, d)).toSet
+      val got = NearDup.fuzzyKeyPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute, s"sample $sample: missing ${(brute -- got).take(3)}, " +
+        s"extra ${(got -- brute).take(3)}")
+    }
+  }
+
+  test("stratified sample: random skewed strata keep two-phase ≡ naive") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    (0 until 3).foreach { sample =>
+      val rng = new java.util.Random(2000L + sample)
+      // skewed stratum sizes (1 to ~200 docs) across few strata — the
+      // shape where phase-1 salting must not lose a true top-n row
+      val docs = (0 until 3).flatMap { li =>
+        (0 until 1 + rng.nextInt(4)).flatMap { si =>
+          val size = 1 + rng.nextInt(if (si == 0) 200 else 20)
+          (0 until size).map { _ =>
+            (rng.nextLong().abs, s"l$li", s"s$si",
+              Array.fill(8)(('a' + rng.nextInt(26)).toChar).mkString)
+          }
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ssp$sample").toString
+      docs.toDF("doc_id", "lang", "source", "text")
+        .coalesce(2).write.parquet(s"$dir/documents.parquet")
+      val n = 1 + rng.nextInt(6)
+      val got = graft.ops.Curation.stratifiedSample(spark, dir, n = n, salts = 5)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("rk"), col("doc_id"))
+      val want = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(concat(coalesce(col("text"), lit("")), lit("|"),
+            col("doc_id").cast("string"))).as("rk"))
+        .withColumn("sample_rank", row_number().over(w))
+        .filter(col("sample_rank") <= n)
+        .collect().map(r => (r.getString(1), r.getString(2), r.getInt(4), r.getLong(0))).toSet
+      assert(got == want, s"sample $sample n=$n: diverged")
+    }
+  }
+
   test("stratified sample: salted two-phase top-n equals the naive global rank") {
     import org.apache.spark.sql.expressions.Window
     val got = graft.ops.Curation.stratifiedSample(spark, sfDir, n = 10).collect()
