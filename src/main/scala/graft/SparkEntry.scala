@@ -487,6 +487,10 @@ object SparkEntry {
     // exact n-per-stratum md5-ranked draw; salted two-phase top-n so no
     // task ever sorts a whole stratum (oracle = the naive global rank)
     "stratified_sample" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
+    // batch-vs-base mixture drift report (the dedup_increment split)
+    "corpus_drift" -> ((s, dir) => Curation.corpusDrift(s, dir)),
+    // ANALYZE-style per-column stats: unioned pruned-scan aggregates
+    "table_profile" -> ((s, dir) => Relational.tableProfile(s, dir)),
     "corpus_resample" -> ((s, dir) => Curation.corpusResample(s, dir)),
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     // the loader-side report: bins per shard, fill vs the token budget
@@ -1486,6 +1490,38 @@ object SparkEntry {
         |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_frac,
         |  CAST(max(cnt) AS BIGINT) AS max_repeat
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same grouped counts + window shares; each share/drift is ONE
+    // double division/subtraction in the identical order
+    "corpus_drift" ->
+      """WITH m AS (
+        |  SELECT lang, source,
+        |    count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS n_base,
+        |    count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS n_batch
+        |  FROM documents GROUP BY lang, source),
+        |t AS (SELECT sum(n_base) AS tb, sum(n_batch) AS tc FROM m)
+        |SELECT lang, source, n_base, n_batch,
+        |  round(CAST(n_base AS DOUBLE) / tb, 6) AS share_base,
+        |  round(CAST(n_batch AS DOUBLE) / tc, 6) AS share_batch,
+        |  round(CAST(n_batch AS DOUBLE) / tc - CAST(n_base AS DOUBLE) / tb, 6) AS drift
+        |FROM m, t ORDER BY lang, source""".stripMargin,
+    // numerics print through DECIMAL(18,4) so both engines render
+    // identical min/max text; distinct counts are exact
+    "table_profile" ->
+      ("""SELECT * FROM (""" +
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+          s"""SELECT '$c' AS "column", count(*) AS n_rows,
+             |  count(*) - count($c) AS n_null,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(CAST(min($c) AS DECIMAL(18,4)) AS VARCHAR) AS min_s,
+             |  CAST(CAST(max($c) AS DECIMAL(18,4)) AS VARCHAR) AS max_s
+             |FROM lineitem""".stripMargin).mkString(" UNION ALL ") +
+        " UNION ALL " +
+        Seq("l_returnflag", "l_linestatus", "l_shipdate").map(c =>
+          s"""SELECT '$c', count(*), count(*) - count($c),
+             |  count(DISTINCT $c),
+             |  CAST(min($c) AS VARCHAR), CAST(max($c) AS VARCHAR)
+             |FROM lineitem""".stripMargin).mkString(" UNION ALL ") +
+        """) ORDER BY "column""""),
     // naive global per-stratum rank — the engine's salted two-phase
     // top-n must be bit-identical to this at any partitioning
     "stratified_sample" ->

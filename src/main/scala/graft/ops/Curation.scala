@@ -283,6 +283,30 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Mixture-drift monitor between the incremental batch and the base
+    * corpus (the same id-keyed split [[Dedup.dedupIncrement]] dedups
+    * across): per (lang, source), document counts and corpus shares on
+    * each side and the share delta — the report a pipeline watches to
+    * catch a feed whose composition shifted before the batch is merged.
+    * ONE groupBy over the corpus (count_if per side in the same
+    * aggregate — no outer join of two profiles); the share window runs
+    * over the GROUPED table, metadata-scale like [[corpusMixture]].
+    * Shares and drift are each ONE double division/subtraction on both
+    * engines, so the rounded values hash-match. */
+  def corpusDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = docs(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(when(col("doc_id") % 7 =!= 0, 1)).as("n_base"),
+        count(when(col("doc_id") % 7 === 0, 1)).as("n_batch"))
+    val w = Window.partitionBy()
+    m.select(col("lang"), col("source"), col("n_base"), col("n_batch"),
+        round(col("n_base").cast("double") / sum(col("n_base")).over(w), 6).as("share_base"),
+        round(col("n_batch").cast("double") / sum(col("n_batch")).over(w), 6).as("share_batch"),
+        round(col("n_batch").cast("double") / sum(col("n_batch")).over(w)
+          - col("n_base").cast("double") / sum(col("n_base")).over(w), 6).as("drift"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Deterministic stratified sample: exactly `n` documents per
     * (lang, source) stratum, chosen by md5 rank — the audit/eval draw a
     * pipeline takes from every shard ("show me 10 random-but-stable

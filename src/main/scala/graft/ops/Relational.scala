@@ -391,4 +391,44 @@ object Relational {
         col("sum_dec").cast("double").as("sum_value"))
       .orderBy(col("user_id"), col("session_start_us"))
   }
+
+  /** ANALYZE-style column statistics for the biggest fact table — the
+    * stats a cost-based planner (or a data-quality monitor) feeds on:
+    * per column, row/null/exact-distinct counts and min/max rendered to
+    * a uniform string schema (numerics through DECIMAL(18,4) so both
+    * engines print identical text).
+    *
+    * Shape: one single-row aggregate PER COLUMN, unioned — not one wide
+    * multi-distinct aggregate, which Expand-multiplies the scan by the
+    * number of distinct columns before one shuffle carries it all. The
+    * per-column form reads only its own parquet column (pruned scans:
+    * total I/O equals the one-pass wide plan over the same columns) and
+    * each distinct-count aggregates independently in parallel. At
+    * 100 TB the exact NDV per column is still a full-column shuffle —
+    * the production swap is `approx_count_distinct` (HLL++, one pass,
+    * mergeable partials; the sketch tier `sketch_aggregates` already
+    * demonstrates it) — exact is registered here because exactness is
+    * what the oracle can pin. */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    def numProf(c: String) = li.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("decimal(18,4)").cast("string").as("min_s"),
+      max(col(c)).cast("decimal(18,4)").cast("string").as("max_s"))
+      .select(lit(c).as("column"), col("*"))
+    def rawProf(c: String) = li.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("string").as("min_s"),
+      max(col(c)).cast("string").as("max_s"))
+      .select(lit(c).as("column"), col("*"))
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(numProf)
+      .reduce(_ unionAll _)
+      .unionAll(Seq("l_returnflag", "l_linestatus", "l_shipdate").map(rawProf)
+        .reduce(_ unionAll _))
+      .orderBy(col("column"))
+  }
 }
