@@ -41,12 +41,28 @@ object LayoutStore {
     sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
       ident(sfDir) + "/events_sorted"
 
+  /** Events with `ts` normalized to epoch-nanos LONG — the driver
+    * store's native clock; a synthetic TIMESTAMP store is accepted
+    * through the same dual-type rule as `EventAnalytics`. */
+  private def eventsNanos(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    normalizeTs(ev)
+  }
+
+  private def normalizeTs(ev: DataFrame): DataFrame = {
+    val tsLong = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts")) * lit(1000L)
+    }
+    ev.withColumn("ts", tsLong)
+  }
+
   /** Write (or reuse) the time-sorted events mirror for one corpus. */
   def ensureSorted(spark: SparkSession, sfDir: String): Unit =
     builds.computeIfAbsent((spark.sparkContext.applicationId, sfDir), _ => {
       val p = path(sfDir)
       if (!new java.io.File(p, "_SUCCESS").isFile) {
-        Tables.events(spark, sfDir)
+        eventsNanos(spark, sfDir)
           .withColumn("ts_day", expr(s"CAST(ts DIV ${Tables.NanosPerDay} AS INT)"))
           .repartitionByRange(col("ts"))
           .sortWithinPartitions(col("ts"))
@@ -60,5 +76,27 @@ object LayoutStore {
   def sorted(spark: SparkSession, sfDir: String): DataFrame = {
     ensureSorted(spark, sfDir)
     spark.read.parquet(path(sfDir))
+  }
+
+  /** Incremental ingest: APPEND one batch of events to the mirror
+    * without rewriting it. The pruning invariant is per ROW GROUP, not
+    * global — each appended file only needs to be internally
+    * ts-sorted for its row groups' (min, max) to stay tight, so daily
+    * (or hourly) increments keep the whole mirror prunable forever with
+    * O(increment) write cost. This is exactly why the mirror sorts by
+    * range instead of directory-partitioning: an append never has to
+    * touch, split, or compact existing day directories.
+    *
+    * `newEvents` must carry the raw schema (`ts` epoch-nanos LONG or
+    * TIMESTAMP, plus the event columns); `ts_day` is derived here so
+    * callers cannot write a mirror whose stats column disagrees with
+    * the clock. */
+  def appendBatch(spark: SparkSession, sfDir: String, newEvents: DataFrame): Unit = {
+    ensureSorted(spark, sfDir)
+    normalizeTs(newEvents)
+      .withColumn("ts_day", expr(s"CAST(ts DIV ${Tables.NanosPerDay} AS INT)"))
+      .repartitionByRange(col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode(SaveMode.Append).parquet(path(sfDir))
   }
 }

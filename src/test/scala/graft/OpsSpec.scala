@@ -1901,6 +1901,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sorted mirror append: increment lands prunable, slices stay exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-append").toString
+    val dayUs = 86400000000L
+    def ev(day: Long, n: Int): Seq[(java.sql.Timestamp, Long, String, Double)] =
+      (0 until n).map(i =>
+        (new java.sql.Timestamp(day * 86400000L + i * 1000L), i.toLong, "view", 1.0))
+    ev(19723L, 50).toDF("ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    // base mirror: day 19723 only
+    assert(graft.sources.LayoutStore.sorted(spark, dir).count() == 50)
+    // append the next day WITHOUT rewriting the base
+    val baseFiles = graft.sources.LayoutStore.sorted(spark, dir).inputFiles.toSet
+    graft.sources.LayoutStore.appendBatch(spark, dir,
+      ev(19724L, 30).toDF("ts", "user_id", "event_type", "value"))
+    val after = graft.sources.LayoutStore.sorted(spark, dir)
+    assert(after.count() == 80)
+    assert(baseFiles.subsetOf(after.inputFiles.toSet), "append must not rewrite base files")
+    // the slice over the appended day sees exactly the increment
+    val day2 = java.time.LocalDate.ofEpochDay(19724L)
+    val slice = graft.ops.EventAnalytics.eventsDaySlice(spark, dir, day2).collect()
+    assert(slice.length == 1 && slice.head.getLong(1) == 30L,
+      s"appended-day slice must count the increment: ${slice.mkString(",")}")
+  }
+
   test("plan gates: every plan-shape verdict holds") {
     val rows = graft.ops.PlanGates.planGates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
