@@ -315,19 +315,21 @@ object Curation {
     * a seeded RNG), and content-keyed, so re-ingesting with new doc_ids
     * preserves the sample of unchanged documents.
     *
-    * Scale shape: a naive `row_number` per stratum sorts ENTIRE strata
-    * through single tasks — with a handful of (lang, source) values a
-    * 100 TB corpus would funnel billions of rows into ≤|strata| tasks.
-    * Instead the rank runs in two phases, the top-n analogue of a
-    * partial aggregate: (1) rank within (stratum, salt) — `salts`-way
-    * parallel, each task sorting ~1/salts of a stratum — and keep each
-    * salt's local top n; (2) re-rank the surviving ≤ salts×n rows per
-    * stratum. Phase 2's per-stratum input is O(salts·n) regardless of
-    * corpus size, so the single-task-per-stratum step is metadata-scale.
-    * The salt never reaches the output: any partitioning of a stratum
-    * has the true top-n contained in the union of per-part top-ns, so
-    * the result is bit-identical to the naive global rank (the DuckDB
-    * oracle runs exactly that naive form). */
+    * Scale shape: Catalyst already prunes a rank-≤-n window map-side
+    * (`WindowGroupLimit` partial mode, visible in this plan), so even
+    * the naive per-stratum window ships at most map_tasks×n rows — but
+    * ALL of them still funnel into one final task per stratum, which at
+    * 100 TB (hundreds of thousands of map tasks, a handful of strata)
+    * is a millions-of-rows single-task sort. The rank therefore runs in
+    * two phases, the top-n analogue of a partial aggregate: (1) rank
+    * within (stratum, salt) — `salts`-way parallel reduce, bounded at
+    * salts×n survivors per stratum regardless of map-task count; (2)
+    * re-rank those O(salts·n) rows per stratum — metadata-scale. Each
+    * phase gets its own WindowGroupLimit pruning on top. The salt never
+    * reaches the output: any partitioning of a stratum has the true
+    * top-n contained in the union of per-part top-ns, so the result is
+    * bit-identical to the naive global rank (the DuckDB oracle runs
+    * exactly that naive form). */
   def stratifiedSample(spark: SparkSession, sfDir: String, n: Int = 10,
       salts: Int = 16): DataFrame = {
     val ranked = docs(spark, sfDir)

@@ -2079,30 +2079,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.queryExecution.executedPlan.collectLeaves()
         .map(_.metrics("numOutputRows").value).sum
     }
-    // small row groups so sf0.001's 1000 rows span many groups; the
-    // /tmp mirror cache may hold a prior JVM's default-block-size build,
-    // so drop it and let ensureSorted rewrite under this conf
+    // own temp CORPUS (sharing the sf0.001 mirror races with whichever
+    // test builds it first under a different block size — the LayoutStore
+    // memo is per (app, corpus)) + small row groups so 3000 rows span
+    // many groups
+    import spark.implicits._
     spark.conf.set("parquet.block.size", (16 * 1024).toString)
-    val mirror = new java.io.File(
-      sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") +
-        "/root_testdata_sf0_001/events_sorted")
-    if (mirror.isDirectory) {
-      import scala.reflect.io.Directory
-      new Directory(mirror).deleteRecursively()
-    }
+    val corpus = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    (0 until 3000).map { i =>
+      (new java.sql.Timestamp(
+        java.time.LocalDate.of(2024, 1, 1 + i % 30).toEpochDay * 86400000L + i * 7L),
+        i.toLong, "view", 1.0)
+    }.toDF("ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$corpus/events.parquet")
     val shuffledDir = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/ev"
     try {
-      graft.sources.LayoutStore.sorted(spark, sfDir)
+      graft.sources.LayoutStore.sorted(spark, corpus)
         // deliberately destroy the time order, keep everything else
-        .repartition(4, col("event_id"))
+        .repartition(4, col("user_id"))
         .write.parquet(shuffledDir)
       val day = lit(java.time.LocalDate.of(2024, 1, 15).toEpochDay.toInt)
-      val slice = graft.ops.EventAnalytics.eventsDaySlice(spark, sfDir)
+      val slice = graft.ops.EventAnalytics.eventsDaySlice(spark, corpus)
       val sortedScan = scanRows(
-        graft.sources.LayoutStore.sorted(spark, sfDir).filter(col("ts_day") === day))
+        graft.sources.LayoutStore.sorted(spark, corpus).filter(col("ts_day") === day))
       val shuffledScan = scanRows(
         spark.read.parquet(shuffledDir).filter(col("ts_day") === day))
-      val total = graft.sources.LayoutStore.sorted(spark, sfDir).count()
+      val total = graft.sources.LayoutStore.sorted(spark, corpus).count()
       // the filter must reach the parquet reader to prune at all
       val plan = slice.queryExecution.executedPlan.toString
       assert(plan.contains("PushedFilters") && plan.contains("ts_day"),
