@@ -491,6 +491,10 @@ object SparkEntry {
     "corpus_drift" -> ((s, dir) => Curation.corpusDrift(s, dir)),
     // ANALYZE-style per-column stats: unioned pruned-scan aggregates
     "table_profile" -> ((s, dir) => Relational.tableProfile(s, dir)),
+    // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
+    // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
+    // are engine-specific)
+    "table_profile_approx" -> ((s, dir) => Relational.tableProfileApprox(s, dir)),
     "corpus_resample" -> ((s, dir) => Curation.corpusResample(s, dir)),
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     // the loader-side report: bins per shard, fill vs the token budget

@@ -431,4 +431,24 @@ object Relational {
         .reduce(_ unionAll _))
       .orderBy(col("column"))
   }
+
+  /** The 100 TB tier of [[tableProfile]]: same per-column report with
+    * the exact NDV swapped for `approx_count_distinct` (HLL++, rsd
+    * 0.01) — ONE pass per column with mergeable sketch partials instead
+    * of a full-column distinct shuffle. Sketch estimates differ across
+    * engines ⇒ rows-only registration; OpsSpec gates the estimate
+    * within ±5% of the exact count per column, the `ann_recall_gates`
+    * discipline applied to NDV. */
+  def tableProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    def prof(c: String) = li.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      approx_count_distinct(col(c), 0.01).as("n_distinct_approx"))
+      .select(lit(c).as("column"), col("*"))
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate").map(prof)
+      .reduce(_ unionAll _)
+      .orderBy(col("column"))
+  }
 }

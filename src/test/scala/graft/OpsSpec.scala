@@ -1901,6 +1901,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("approx table profile: HLL++ NDV within ±5% of exact, per column") {
+    val exact = graft.ops.Relational.tableProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = graft.ops.Relational.tableProfileApprox(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(approx.length == exact.size)
+    approx.foreach { case (c, nRows, nNull, nd) =>
+      val ex = exact(c)
+      assert(math.abs(nd - ex) <= math.max(1L, (ex * 0.05).toLong),
+        s"$c: approx NDV $nd vs exact $ex exceeds 5%")
+      assert(nRows > 0 && nNull >= 0)
+    }
+  }
+
   test("sorted mirror append: increment lands prunable, slices stay exact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-append").toString
