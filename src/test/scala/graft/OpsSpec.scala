@@ -1826,6 +1826,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains(("a", day * 101, 1L, 6.0)))
   }
 
+  test("checkpointed file sink: restart is exactly-once, increments append cleanly") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    val day = 86400000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def rows(outDir: String) = spark.read.parquet(outDir)
+      .select("element", "day_start", "n_obs").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2))).toSeq
+    Seq((1L, ts(day * 200 + 1000), 1L, "a", 1.0, "{}"),
+      (2L, ts(day * 200 + 2000), 2L, "a", 3.0, "{}"),
+      (3L, ts(day * 205), 3L, "a", 0.0, "{}")) // advances the watermark
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(inDir)
+    val q1 = EventIngest.start(spark, inDir, outDir, ckDir)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = rows(outDir)
+    assert(afterFirst.count(_._2 == day * 200) == 1, s"day-200 closed once: $afterFirst")
+    // restart with the SAME checkpoint and UNCHANGED input: the sink
+    // must not re-emit anything (exactly-once across restarts)
+    val q2 = EventIngest.start(spark, inDir, outDir, ckDir)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rows(outDir).sorted == afterFirst.sorted,
+      "restart with no new input must add zero rows")
+    // drop an increment file; a third incarnation processes ONLY it
+    Seq((4L, ts(day * 206 + 1000), 4L, "b", 5.0, "{}"),
+      (5L, ts(day * 210), 5L, "b", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val q3 = EventIngest.start(spark, inDir, outDir, ckDir)
+    try q3.processAllAvailable() finally q3.stop()
+    val afterThird = rows(outDir)
+    assert(afterThird.count(_._2 == day * 200) == 1,
+      s"old windows must not duplicate on restart: $afterThird")
+    assert(afterThird.exists(r => r._1 == "b" && r._2 == day * 206),
+      s"the increment's closed window must appear: $afterThird")
+  }
+
   test("streaming dedup drops watermark-window duplicates and keeps distinct texts") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
