@@ -214,6 +214,10 @@ object SparkEntry {
       SeriesStore.prophetDF(s, dir).orderBy("element", "ds", "y")),
     // calendar densify + LOCF: the gap a positional clock cannot see
     "series_gapfill" -> ((s, dir) => SeriesStore.gapFilledDaily(s, dir)),
+    // pre-modeling screening features: moments/trend/persistence per
+    // element from exact decimal sums, one shuffle
+    "series_features" -> ((s, dir) =>
+      graft.engine.SeriesFeatures.seriesFeatures(s, dir)),
     // holdout backtest of the closed-form families — forecast, error,
     // and metric all re-derived by the oracle
     "fc_backtest_closed" -> ((s, dir) => graft.engine.Backtest.closedFormBacktest(s, dir)),
@@ -588,6 +592,45 @@ object SparkEntry {
         |FROM events ORDER BY element""".stripMargin,
     "series_obs" ->
       s"WITH $obsCte SELECT element, step, value FROM obs ORDER BY element, step",
+    // identical exact-sum assembly: decimal accumulations, then ONE
+    // fixed double op sequence per feature (see SeriesFeatures scaladoc)
+    "series_features" ->
+      (s"WITH $obsCte, " +
+        """l AS (
+          |  SELECT element, CAST(step AS BIGINT) AS x,
+          |    CAST(value AS DECIMAL(18,4)) AS y,
+          |    lag(CAST(value AS DECIMAL(18,4)))
+          |      OVER (PARTITION BY element ORDER BY step) AS yp
+          |  FROM obs),
+          |a AS (
+          |  SELECT element, count(*) AS n, sum(y) AS sy, sum(y*y) AS syy,
+          |    sum(x) AS sx, sum(x*x) AS sxx, sum(y*x) AS sxy,
+          |    count(CASE WHEN yp IS NOT NULL THEN 1 END) AS n1,
+          |    sum(CASE WHEN yp IS NOT NULL THEN y*yp END) AS sab,
+          |    sum(CASE WHEN yp IS NOT NULL THEN yp END) AS sa,
+          |    sum(CASE WHEN yp IS NOT NULL THEN y END) AS sb,
+          |    sum(CASE WHEN yp IS NOT NULL THEN yp*yp END) AS saa,
+          |    sum(CASE WHEN yp IS NOT NULL THEN y*y END) AS sbb
+          |  FROM l GROUP BY element)
+          |SELECT element, n AS n_obs,
+          |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+          |  round(sqrt(greatest(
+          |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+          |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 0.0)), 6) AS std,
+          |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS slope,
+          |  round(CASE WHEN n1 >= 2 THEN
+          |    (CAST(n1 AS DOUBLE) * CAST(sab AS DOUBLE)
+          |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+          |    / nullif(sqrt(
+          |        (CAST(n1 AS DOUBLE) * CAST(saa AS DOUBLE)
+          |          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          |      * (CAST(n1 AS DOUBLE) * CAST(sbb AS DOUBLE)
+          |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 0.0)
+          |    END, 6) AS r1
+          |FROM a ORDER BY element""".stripMargin),
     "series_prophet_df" ->
       """SELECT element, ds, y FROM (
         |  SELECT event_type AS element, CAST(ts AS DATE) AS ds, value AS y,

@@ -1939,6 +1939,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("series features: linear series has exact slope and r1 = 1, constant degrades to NULLs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-feat").toString
+    val rows =
+      (1 to 10).map(i => (i.toLong, new java.sql.Timestamp(i * 60000L), "lin", 2.0 * i + 3.0)) ++
+      (1 to 8).map(i => (100L + i, new java.sql.Timestamp(i * 60000L), "const", 4.0))
+    rows.toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val f = graft.engine.SeriesFeatures.seriesFeatures(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lin = f("lin")
+    assert(lin.getLong(1) == 10L)
+    assert(math.abs(lin.getDouble(2) - 14.0) < 1e-9, "mean of 5,7,...,23")
+    assert(math.abs(lin.getDouble(4) - 2.0) < 1e-9, "OLS slope of 2i+3")
+    assert(math.abs(lin.getDouble(5) - 1.0) < 1e-9, "arithmetic progression ⇒ r1 = 1")
+    val c = f("const")
+    assert(c.getDouble(3) == 0.0, "constant ⇒ std 0")
+    assert(c.getDouble(4) == 0.0, "constant ⇒ slope 0")
+    assert(c.isNullAt(5), "constant ⇒ r1 undefined (zero variance)")
+  }
+
   test("approx table profile: HLL++ NDV within ±5% of exact, per column") {
     val exact = graft.ops.Relational.tableProfile(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
