@@ -62,13 +62,21 @@ object PlanGates {
   private def noLoops(p: String): Boolean =
     !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
 
-  def planGates(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val verdicts = checks.map { case (check, query, pred) =>
-      val plan = graft.SparkEntry.queries(query)(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      (check, pred(plan))
-    }
-    verdicts.toDF("check_name", "ok").orderBy("check_name")
-  }
+  /** Verdicts are a pure function of (session, corpus) — plans don't
+    * change within a session — so the 16 plan builds run once per
+    * (app, corpus), the same session-cache discipline as the signature
+    * and label tables. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def planGates(spark: SparkSession, sfDir: String): DataFrame =
+    cache.computeIfAbsent((spark.sparkContext.applicationId, sfDir), _ => {
+      import spark.implicits._
+      val verdicts = checks.map { case (check, query, pred) =>
+        val plan = graft.SparkEntry.queries(query)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        (check, pred(plan))
+      }
+      verdicts.toDF("check_name", "ok").orderBy("check_name")
+    })
 }

@@ -1697,6 +1697,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plans(2)._2.contains("LeftAnti"), "NOT EXISTS must become an anti join")
   }
 
+  test("runtime bloom filter prunes a shuffled fact join from a selective build side") {
+    // the third runtime-adaptivity pin (with AQE skew split and AQE
+    // coalesce): when a selective dim filters a shuffled fact-fact
+    // join, Spark injects a bloom MightContain probe on the fact scan
+    // side so non-joining rows die before the shuffle. Thresholds are
+    // test-sized; the assertion is on the optimized plan's filter.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      val sel = graft.sources.Tables.table(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") || optimized.contains("BloomFilter"),
+        s"runtime bloom filter must be injected on the probe side:\n$optimized")
+      assert(joined.collect().nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // the engine's declared skew posture: static plans stay declarative
     // and RUNTIME skew is AQE's job — this pins that the config path
