@@ -481,6 +481,9 @@ object SparkEntry {
     // one-day slice off the time-sorted mirror: answer is layout-free
     // (oracle scans the raw table), the row-group pruning is plan-pinned
     "events_day_slice" -> ((s, dir) => graft.ops.EventAnalytics.eventsDaySlice(s, dir)),
+    // one-user slice off the Z-ORDERED mirror: Morton-interleaved
+    // (day, user) layout prunes row groups on EITHER dimension
+    "events_user_slice" -> ((s, dir) => graft.ops.EventAnalytics.eventsUserSlice(s, dir)),
     // -- dataset assembly: splits, decontamination, repetition, mixture ----
     "corpus_split" -> ((s, dir) => Curation.corpusSplit(s, dir)),
     "split_leakage" -> ((s, dir) => Curation.splitLeakage(s, dir)),
@@ -1999,6 +2002,13 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // layout-independent one-user slice (the z-order mirror may only
+    // change the I/O, never the rows)
+    "events_user_slice" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id = 7
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // contribution expansion: each distinct (user, day) is visible from
     // the next 7 window endpoints; partial future windows not reported
     "rolling_active_users" ->

@@ -325,4 +325,25 @@ object EventAnalytics {
       .select(col("event_type"), col("n_events"), col("n_users"),
         col("sum_dec").cast("double").as("sum_value"))
       .orderBy(col("event_type"))
+
+  /** One-user activity report off the Z-ORDERED mirror
+    * ([[graft.sources.LayoutStore.zOrdered]]): per (day, event_type)
+    * counts and decimal-exact value sums for a single user — the
+    * entity-slice twin of [[eventsDaySlice]]. On the ts-sorted mirror
+    * this predicate decodes the whole corpus (every row group spans all
+    * users); on the Morton-interleaved layout the pushed `user_id = K`
+    * prunes most row groups, and a day predicate would prune on the
+    * SAME mirror too (both dimensions' stats are tight — OpsSpec
+    * measures the contrast). Answer is layout-independent; the oracle
+    * scans the raw table. */
+  def eventsUserSlice(spark: SparkSession, sfDir: String, userId: Long = 7L): DataFrame =
+    graft.sources.LayoutStore.zOrdered(spark, sfDir)
+      .filter(col("user_id") === userId)
+      .groupBy(col("ts_day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .select(date_add(lit(java.sql.Date.valueOf("1970-01-01")), col("ts_day")).as("day"),
+        col("event_type"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
 }

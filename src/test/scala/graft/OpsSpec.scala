@@ -2028,6 +2028,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"appended-day slice must count the increment: ${slice.mkString(",")}")
   }
 
+  test("z-order mirror prunes BOTH day and user slices; ts-sort only day") {
+    import spark.implicits._
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    spark.conf.set("parquet.block.size", (16 * 1024).toString)
+    val corpus = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // 30 days × 64 users, deterministic spread
+    (0 until 6000).map { i =>
+      (new java.sql.Timestamp(
+        java.time.LocalDate.of(2024, 1, 1 + i % 30).toEpochDay * 86400000L + i * 3L),
+        (i % 64).toLong, "view", 1.0)
+    }.toDF("ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$corpus/events.parquet")
+    try {
+      val day = lit(java.time.LocalDate.of(2024, 1, 15).toEpochDay.toInt)
+      val z = graft.sources.LayoutStore.zOrdered(spark, corpus)
+      val total = z.count()
+      val zUser = scanRows(z.filter(col("user_id") === 7L))
+      val zDay = scanRows(z.filter(col("ts_day") === day))
+      val tUser = scanRows(
+        graft.sources.LayoutStore.sorted(spark, corpus).filter(col("user_id") === 7L))
+      assert(zUser < total / 2, s"z-order must prune the user slice: $zUser of $total")
+      assert(zDay < total / 2, s"z-order must prune the day slice too: $zDay of $total")
+      assert(tUser > total / 2,
+        s"the ts-sorted mirror cannot prune a user slice ($tUser of $total) — " +
+          "that contrast is the z-order story")
+      // and the registered query's rows are layout-independent
+      val got = graft.ops.EventAnalytics.eventsUserSlice(spark, corpus).collect()
+      assert(got.map(_.getLong(2)).sum == (0 until 6000).count(_ % 64 == 7),
+        "the slice must count exactly user 7's rows")
+    } finally spark.conf.unset("parquet.block.size")
+  }
+
   test("plan gates: every plan-shape verdict holds") {
     val rows = graft.ops.PlanGates.planGates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
