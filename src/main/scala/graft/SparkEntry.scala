@@ -496,6 +496,9 @@ object SparkEntry {
     "stratified_sample" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
     // batch-vs-base mixture drift report (the dedup_increment split)
     "corpus_drift" -> ((s, dir) => Curation.corpusDrift(s, dir)),
+    // temperature-flattened mixture weights (alpha = 0.5 => sqrt, the
+    // IEEE-exact choice); decimal-quantized normalizer
+    "corpus_temperature_mix" -> ((s, dir) => Curation.corpusTemperatureMix(s, dir)),
     // ANALYZE-style per-column stats: unioned pruned-scan aggregates
     "table_profile" -> ((s, dir) => Relational.tableProfile(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
@@ -1540,6 +1543,25 @@ object SparkEntry {
         |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_frac,
         |  CAST(max(cnt) AS BIGINT) AS max_repeat
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // sqrt (correctly-rounded IEEE, unlike pow) + decimal-quantized
+    // normalizing sum => cross-engine hash-exact tempered shares
+    "corpus_temperature_mix" ->
+      """WITH m AS (
+        |  SELECT lang, source,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang, source),
+        |t AS (SELECT sum(n_tokens) AS tot FROM m),
+        |r AS (SELECT lang, source, n_tokens,
+        |    round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+        |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS rt
+        |  FROM m, t),
+        |s AS (SELECT sum(rt) AS srt FROM r)
+        |SELECT lang, source, n_tokens, share,
+        |  round(CAST(rt AS DOUBLE) / CAST(srt AS DOUBLE), 6) AS tempered_share,
+        |  round(CAST(rt AS DOUBLE) / CAST(srt AS DOUBLE)
+        |    / nullif(share, 0.0), 6) AS sample_factor
+        |FROM r, s ORDER BY lang, source""".stripMargin,
     // same grouped counts + window shares; each share/drift is ONE
     // double division/subtraction in the identical order
     "corpus_drift" ->

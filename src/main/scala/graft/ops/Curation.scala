@@ -307,6 +307,39 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Temperature-weighted mixture (the multilingual up/down-sampling
+    * rule: stratum probability ∝ share^α, α < 1 flattens the mix so
+    * low-resource strata are over-sampled): per (lang, source), the raw
+    * token share, the tempered share, and the resulting sampling factor
+    * a loader multiplies into its per-stratum rates.
+    *
+    * α is fixed at 0.5 because that makes share^α = sqrt(share), and
+    * sqrt — unlike pow, which libms round differently in the last ulp —
+    * is IEEE-correctly-rounded in BOTH engines, so the oracle can
+    * hash-match. Cross-stratum order-independence: each sqrt is
+    * quantized to DECIMAL(18,9) BEFORE the normalizing sum, so the
+    * denominator is an exact decimal accumulation (a plain double sum
+    * over strata would depend on aggregation order); the tempered share
+    * and factor are then ONE double division each. The window runs over
+    * the GROUPED |lang×source| table — metadata-scale, same as
+    * [[corpusMixture]]. */
+  def corpusTemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = docs(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+    val w = Window.partitionBy()
+    val share = col("n_tokens").cast("double") / sum(col("n_tokens")).over(w).cast("double")
+    m.select(col("lang"), col("source"), col("n_tokens"),
+        round(share, 6).as("share"),
+        round(sqrt(share), 9).cast("decimal(18,9)").as("rt"))
+      .select(col("lang"), col("source"), col("n_tokens"), col("share"),
+        round(col("rt").cast("double") / sum(col("rt")).over(w).cast("double"), 6)
+          .as("tempered_share"),
+        round(col("rt").cast("double") / sum(col("rt")).over(w).cast("double")
+          / nullif(col("share"), lit(0.0)), 6).as("sample_factor"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Deterministic stratified sample: exactly `n` documents per
     * (lang, source) stratum, chosen by md5 rank — the audit/eval draw a
     * pipeline takes from every shard ("show me 10 random-but-stable

@@ -1968,6 +1968,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("temperature mix flattens: small strata up-sampled, large down-sampled, shares sum to 1") {
+    val rows = graft.ops.Curation.corpusTemperatureMix(spark, sfDir).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-3, "tempered shares sum to 1")
+    val smallest = rows.minBy(_._1); val largest = rows.maxBy(_._1)
+    assert(smallest._3 > 1.0, s"low-resource stratum must up-sample: $smallest")
+    assert(largest._3 < 1.0, s"high-resource stratum must down-sample: $largest")
+    // alpha = 0.5 preserves the share ORDER while compressing ratios
+    assert(rows.sortBy(_._1).map(_._2).sameElements(rows.map(_._2).sorted),
+      "tempering is monotone in the raw share")
+  }
+
   test("series features: linear series has exact slope and r1 = 1, constant degrades to NULLs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-feat").toString
