@@ -345,6 +345,8 @@ object SparkEntry {
     // RAG/training chunking: 64-token windows, 16-token overlap
     "doc_chunks" -> ((s, dir) => TextAnalysis.docChunks(s, dir)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
+    // lexical retrieval tier next to the vector tier: BM25 top-k
+    "bm25_search" -> ((s, dir) => TextAnalysis.bm25Search(s, dir)),
     "pii_scan" -> ((s, dir) => TextAnalysis.piiScan(s, dir)),
     // -- near-dup / similarity / multimodal / as-of (north-star §2.3) ------
     "ngram_jaccard" -> ((s, dir) => NearDup.blockedJaccard(s, dir)),
@@ -1283,6 +1285,30 @@ object SparkEntry {
         |  CAST(least(len(ws) - start_tok, 64) AS BIGINT) AS n_tok,
         |  array_to_string(ws[start_tok + 1 : start_tok + 64], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    "bm25_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM t),
+        |st AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM b),
+        |tf AS (
+        |  SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ws) AS w FROM b)
+        |  WHERE w IN ('spark', 'join', 'query')
+        |  GROUP BY doc_id, dl, w),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |        / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / st.avgdl)), 8)
+        |      AS DECIMAL(18,8)) AS contrib
+        |  FROM tf JOIN dfq USING (w) CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_terms, round(CAST(sum(contrib) AS DOUBLE), 6) AS score
+        |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     "doc_perplexity" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws

@@ -385,4 +385,51 @@ object TextAnalysis {
         round(col("shared_slots").cast("double") / sketchSize, 4))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** BM25 retrieval over the corpus for a fixed query — the lexical
+    * search primitive next to the vector tier (`Similarity`): score =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), k1 = 1.2,
+    * b = 0.75, idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Scale shape: the exploded token stream filters to the query's
+    * terms BEFORE any shuffle (a handful of terms survive the map
+    * side), tf/df aggregate on (doc, term), corpus stats (N, avgdl, the
+    * ≤|query| idf rows) broadcast, and the top-k is
+    * TakeOrderedAndProject — never a global sort. Determinism: the
+    * per-term contributions are quantized to DECIMAL(18,8) before the
+    * per-doc sum (a double sum across terms would depend on aggregation
+    * order); ln agrees across engines on this data (the doc_perplexity
+    * precedent), and ties at the cut break on doc_id in both. */
+  def bm25Search(spark: SparkSession, sfDir: String,
+      query: Seq[String] = Seq("spark", "join", "query"), k: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs(spark, sfDir).select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val withIdf = tf
+      .join(broadcast(df), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+      .withColumn("contrib",
+        round(col("idf") * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))), 8)
+          .cast("decimal(18,8)"))
+    withIdf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("sc"))
+      .select(col("doc_id"), col("n_terms"),
+        round(col("sc").cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -354,6 +354,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bm25 search: scores match the closed form on a planted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    // N=3, avgdl=3: doc 1 hits (spark x2, join), doc 2 hits (spark), doc 3 none
+    Seq((1L, "en", "s", "spark spark join", 16L),
+        (2L, "en", "s", "spark other words here", 22L),
+        (3L, "en", "s", "nothing relevant", 16L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def contrib(df: Long, tf: Double, dl: Double): BigDecimal = {
+      val idf = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+      val raw = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+      BigDecimal(raw).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val got = graft.ops.TextAnalysis.bm25Search(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exp1 = (contrib(2, 2.0, 3.0) + contrib(1, 1.0, 3.0)).toDouble
+    val exp2 = contrib(2, 1.0, 4.0).toDouble
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "ranking and membership")
+    assert(got(0)._2 == 2L && got(1)._2 == 1L, "matched-term counts")
+    assert(math.abs(got(0)._3 - exp1) < 1e-6, s"doc 1 score ${got(0)._3} vs $exp1")
+    assert(math.abs(got(1)._3 - exp2) < 1e-6, s"doc 2 score ${got(1)._3} vs $exp2")
+  }
+
   test("pii scan counts match a direct regex count on the raw text") {
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -1052,6 +1076,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "quality" -> (() => graft.ops.TextAnalysis.qualityScore(spark, dir).count()),
       "pii" -> (() => graft.ops.TextAnalysis.piiScan(spark, dir).count()),
       "tfidf" -> (() => graft.ops.TextAnalysis.tfidfTopTerms(spark, dir).count()),
+      "bm25" -> (() => graft.ops.TextAnalysis.bm25Search(spark, dir).count()),
       "winnow" -> (() => graft.ops.TextAnalysis.winnowFingerprints(spark, dir).count()),
       "winnow_overlap" -> (() => graft.ops.TextAnalysis.winnowOverlap(spark, dir).count()),
       "quality_model" -> (() => graft.ops.QualityModel.modelScores(spark, dir).count()),
@@ -1122,7 +1147,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "substring_dedup" -> (() => NearDup.substringSpans(spark, dir).count()),
       "dedup_increment" -> (() => graft.ops.Dedup.dedupIncrement(spark, dir).count()),
       "funnel" -> (() => graft.ops.Dedup.curationFunnel(spark, dir).count()),
-      "vocab" -> (() => graft.ops.TextAnalysis.vocabCoverage(spark, dir).count())
+      "vocab" -> (() => graft.ops.TextAnalysis.vocabCoverage(spark, dir).count()),
+      // null text drops out of tf but still counts toward N/avgdl —
+      // identical on both engines (count(*) vs null-skipping sum)
+      "bm25" -> (() => graft.ops.TextAnalysis.bm25Search(spark, dir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null fields: $e")
