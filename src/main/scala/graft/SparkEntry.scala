@@ -145,6 +145,89 @@ object SparkEntry {
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** Q15 shape (top supplier): an aggregated CTE referenced TWICE — once
+    * as the join input and once under a scalar `max` subquery — selecting
+    * the argmax row(s). The equality that picks the winner compares two
+    * exact DECIMAL sums (never doubles: a one-ulp disagreement between
+    * engines would drop or add a winner); the single DOUBLE cast happens
+    * at output. Catalyst folds the max branch to a grouped aggregate fed
+    * into an equi-join (plan-gated: no nested loops). */
+  val q15TopSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q18 shape (large-volume orders): IN over a HAVING'd aggregate of the
+    * SAME fact table the outer query re-joins — the semi-join input is an
+    * aggregate, not a scan. The qualifying threshold compares exact
+    * DECIMAL quantity sums, so membership cannot flip between engines. */
+  val q18LargeOrdersSql: String =
+    """SELECT c_name, o_orderkey, o_orderdate,
+      |  round(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 6) AS total_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 180)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Q21 shape (suppliers who kept orders waiting): the same fact table
+    * correlated THREE ways — the driving scan, an EXISTS proving the
+    * order is multi-supplier, and a NOT EXISTS proving no OTHER supplier
+    * was late on it. The NOT EXISTS predicate references the OUTER
+    * query's `o_orderdate` (not just the correlation key), the richer
+    * decorrelation case. "Late" adapts TPC-H's receipt>commit to this
+    * schema: shipped > 60 days after order date. Both subqueries must
+    * decorrelate to semi/anti equi-joins (plan-gated). */
+  val q21WaitingSuppliersSql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** Q11 shape (revenue concentration): grouped HAVING tested against a
+    * scalar aggregate over the SAME table — each group's revenue vs a
+    * fraction of the corpus total. Both sides are exact DECIMAL sums cast
+    * once to DOUBLE, then ONE multiply on the threshold side, so the
+    * boundary comparison executes the identical IEEE sequence in both
+    * engines. */
+  val q11PartConcentrationSql: String =
+    """SELECT l_partkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS part_revenue
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) >
+      |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+      |   FROM lineitem) * 0.00075
+      |ORDER BY l_partkey""".stripMargin
+
   /** Q8 shape (market share): one supplier nation's share of a
     * region's PROMO-part volume per order year — an 8-table join fanned
     * into a conditional-aggregate ratio. Share = two exact DECIMAL sums
@@ -192,6 +275,15 @@ object SparkEntry {
       "supplier", "lineitem", "orders", "customer", "nation"),
     "sql_market_share" -> sqlOnViews(q8MarketShareSql,
       "part", "supplier", "lineitem", "orders", "customer", "nation", "region"),
+    // aggregated-CTE argmax (Q15) / semi over a HAVING'd aggregate (Q18)
+    // / triple self-correlation with an outer-column predicate (Q21)
+    // / grouped HAVING vs scalar total (Q11)
+    "sql_top_supplier" -> sqlOnViews(q15TopSupplierSql, "supplier", "lineitem"),
+    "sql_large_orders" -> sqlOnViews(q18LargeOrdersSql,
+      "customer", "orders", "lineitem"),
+    "sql_waiting_suppliers" -> sqlOnViews(q21WaitingSuppliersSql,
+      "supplier", "lineitem", "orders"),
+    "sql_part_concentration" -> sqlOnViews(q11PartConcentrationSql, "lineitem"),
     // -- engine API surface ------------------------------------------------
     "methods_catalog" -> ((s, _) => {
       import s.implicits._
@@ -501,6 +593,13 @@ object SparkEntry {
     // temperature-flattened mixture weights (alpha = 0.5 => sqrt, the
     // IEEE-exact choice); decimal-quantized normalizer
     "corpus_temperature_mix" -> ((s, dir) => Curation.corpusTemperatureMix(s, dir)),
+    // contract validation: one fused conditional aggregate per table +
+    // key-projected anti-join RI checks; integer-cross-multiplied
+    // budget verdicts
+    "dq_checks" -> ((s, dir) => graft.ops.DataQuality.dqChecks(s, dir)),
+    // SCD2 MERGE: one full-outer join + exploded version structs;
+    // null-safe no-op comparator
+    "scd2_merge" -> ((s, dir) => graft.ops.Scd.scd2Merge(s, dir)),
     // ANALYZE-style per-column stats: unioned pruned-scan aggregates
     "table_profile" -> ((s, dir) => Relational.tableProfile(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
@@ -589,6 +688,10 @@ object SparkEntry {
     "sql_dormant_customers" -> dormantCustomersSql,
     "sql_nation_volume" -> q7VolumeSql,
     "sql_market_share" -> q8MarketShareSql,
+    "sql_top_supplier" -> q15TopSupplierSql,
+    "sql_large_orders" -> q18LargeOrdersSql,
+    "sql_waiting_suppliers" -> q21WaitingSuppliersSql,
+    "sql_part_concentration" -> q11PartConcentrationSql,
     "methods_catalog" ->
       ("SELECT * FROM (VALUES " +
         Methods.reference.zipWithIndex
@@ -1602,6 +1705,60 @@ object SparkEntry {
         |  round(CAST(n_batch AS DOUBLE) / tc, 6) AS share_batch,
         |  round(CAST(n_batch AS DOUBLE) / tc - CAST(n_base AS DOUBLE) / tb, 6) AS drift
         |FROM m, t ORDER BY lang, source""".stripMargin,
+    // every violation count CAST to BIGINT (DuckDB's count_if is
+    // HUGEINT — an uncast value would schema-mismatch Spark's LONG);
+    // budget verdicts cross-multiply integers, never divide
+    "dq_checks" ->
+      """SELECT * FROM (
+        |SELECT 'customer_key_null' AS "check", CAST(count_if(c_custkey IS NULL) AS BIGINT) AS value, count_if(c_custkey IS NULL) = 0 AS ok FROM customer
+        |UNION ALL SELECT 'customer_key_dup', CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT), count(*) - count(DISTINCT c_custkey) = 0 FROM customer
+        |UNION ALL SELECT 'orders_key_null', CAST(count_if(o_orderkey IS NULL) AS BIGINT), count_if(o_orderkey IS NULL) = 0 FROM orders
+        |UNION ALL SELECT 'orders_key_dup', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT), count(*) - count(DISTINCT o_orderkey) = 0 FROM orders
+        |UNION ALL SELECT 'orders_price_nonpos', CAST(count_if(o_totalprice <= 0) AS BIGINT), count_if(o_totalprice <= 0) = 0 FROM orders
+        |UNION ALL SELECT 'orders_status_domain', CAST(count_if(o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL) AS BIGINT), count_if(o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL) = 0 FROM orders
+        |UNION ALL SELECT 'lineitem_discount_range', CAST(count_if(l_discount < 0 OR l_discount > 1) AS BIGINT), count_if(l_discount < 0 OR l_discount > 1) = 0 FROM lineitem
+        |UNION ALL SELECT 'lineitem_qty_nonpos', CAST(count_if(l_quantity <= 0) AS BIGINT), count_if(l_quantity <= 0) = 0 FROM lineitem
+        |UNION ALL SELECT 'documents_id_null', CAST(count_if(doc_id IS NULL) AS BIGINT), count_if(doc_id IS NULL) = 0 FROM documents
+        |UNION ALL SELECT 'documents_id_dup', CAST(count(*) - count(DISTINCT doc_id) AS BIGINT), count(*) - count(DISTINCT doc_id) = 0 FROM documents
+        |UNION ALL SELECT 'documents_text_null_budget', CAST(count_if(text IS NULL) AS BIGINT), count_if(text IS NULL) * 20 <= count(*) FROM documents
+        |UNION ALL SELECT 'embeddings_id_dup', CAST(count(*) - count(DISTINCT vec_id) AS BIGINT), count(*) - count(DISTINCT vec_id) = 0 FROM embeddings
+        |UNION ALL SELECT 'embeddings_dim_consistent', CAST(count(DISTINCT CASE WHEN embedding IS NOT NULL THEN len(embedding) END) AS BIGINT), count(DISTINCT CASE WHEN embedding IS NOT NULL THEN len(embedding) END) <= 1 FROM embeddings
+        |UNION ALL SELECT 'events_id_dup', CAST(count(*) - count(DISTINCT event_id) AS BIGINT), count(*) - count(DISTINCT event_id) = 0 FROM events
+        |UNION ALL SELECT 'events_ts_null', CAST(count_if(ts IS NULL) AS BIGINT), count_if(ts IS NULL) = 0 FROM events
+        |UNION ALL SELECT 'events_user_null_budget', CAST(count_if(user_id IS NULL) AS BIGINT), count_if(user_id IS NULL) * 20 <= count(*) FROM events
+        |UNION ALL SELECT 'events_value_null_budget', CAST(count_if(value IS NULL) AS BIGINT), count_if(value IS NULL) * 20 <= count(*) FROM events
+        |UNION ALL SELECT 'orders_custkey_ri', CAST(count(*) AS BIGINT), count(*) = 0 FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL SELECT 'lineitem_orderkey_ri', CAST(count(*) AS BIGINT), count(*) = 0 FROM lineitem l
+        |  WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL SELECT 'lineitem_row_dup',
+        |  CAST((SELECT count(*) FROM lineitem) - (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem)) AS BIGINT),
+        |  (SELECT count(*) FROM lineitem) = (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem))
+        |) ORDER BY "check"""".stripMargin,
+    // the oracle rebuilds each SCD2 cohort directly (m=3 changed, m=5
+    // no-op — so it lands in the NOT-IN branch — m=7 tombstone, m=9
+    // insert); a comparator bug that opened versions for no-op
+    // re-sends would emit extra rows and hash-mismatch
+    "scd2_merge" ->
+      """WITH mx AS (SELECT max(c_custkey) AS mk FROM customer)
+        |SELECT * FROM (
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  CAST(1 AS INT) AS version, CAST(0 AS BIGINT) AS valid_from,
+        |  CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+        |FROM customer WHERE c_custkey % 20 NOT IN (3, 7)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  CAST(1 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), FALSE
+        |FROM customer WHERE c_custkey % 20 IN (3, 7)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, c_mktsegment,
+        |  CAST(2 AS INT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |FROM customer WHERE c_custkey % 20 = 3
+        |UNION ALL
+        |SELECT c_custkey + mk, 'NEW_' || c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  CAST(1 AS INT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |FROM customer, mx WHERE c_custkey % 20 = 9
+        |) ORDER BY c_custkey, version""".stripMargin,
     // numerics print through DECIMAL(18,4) so both engines render
     // identical min/max text; distinct counts are exact
     "table_profile" ->

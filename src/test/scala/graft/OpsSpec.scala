@@ -1715,14 +1715,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("correlated subqueries decorrelate: semi/anti/agg-join, no nested loops") {
-    val plans = Seq("sql_exists_agg", "sql_scalar_subquery", "sql_dormant_customers")
+    val plans = Seq("sql_exists_agg", "sql_scalar_subquery", "sql_dormant_customers",
+      "sql_top_supplier", "sql_large_orders", "sql_waiting_suppliers",
+      "sql_part_concentration")
       .map(n => n -> SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString)
     plans.foreach { case (n, p) =>
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$n must decorrelate to equi-joins:\n$p")
     }
-    assert(plans(0)._2.contains("LeftSemi"), "EXISTS must become a semi join")
-    assert(plans(2)._2.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+    val byName = plans.toMap
+    assert(byName("sql_exists_agg").contains("LeftSemi"),
+      "EXISTS must become a semi join")
+    assert(byName("sql_dormant_customers").contains("LeftAnti"),
+      "NOT EXISTS must become an anti join")
+    // Q18's IN over a HAVING'd aggregate: semi join whose build side is
+    // an aggregate, not a scan
+    assert(byName("sql_large_orders").contains("LeftSemi"),
+      "IN (aggregate subquery) must become a semi join")
+    // Q21's twin correlations on one fact: the EXISTS survives as a
+    // semi, the NOT EXISTS (with its outer-column o_orderdate predicate)
+    // as an anti — all equi-keyed on l_orderkey
+    assert(byName("sql_waiting_suppliers").contains("LeftSemi")
+      && byName("sql_waiting_suppliers").contains("LeftAnti"),
+      "Q21 must decorrelate both self-subqueries to semi + anti joins")
   }
 
   test("runtime bloom filter prunes a shuffled fact join from a selective build side") {
@@ -2293,5 +2308,80 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sortedScan < shuffledScan,
         s"sorted scan ($sortedScan rows) must beat the shuffled layout ($shuffledScan)")
     } finally spark.conf.unset("parquet.block.size")
+  }
+
+  test("scd2 merge: every branch pinned — unchanged, no-op re-send, update, delete, insert") {
+    import spark.implicits._
+    def cust(rows: Seq[(Long, String, Integer, java.lang.Double, String)]) =
+      rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val base = cust(Seq(
+      (1L, "a", 1, 10.0, "S"),          // untouched
+      (2L, "b", 2, 20.0, "S"),          // no-op re-send (identical)
+      (3L, "c", null, 30.0, "S"),       // no-op with a NULL attribute
+      (4L, "d", 4, 40.0, "S"),          // genuine update
+      (5L, "e", 5, 50.0, "S")))         // tombstoned
+    val changes = cust(Seq(
+      (2L, "b", 2, 20.0, "S"),
+      (3L, "c", null, 30.0, "S"),
+      (4L, "d", 4, 41.0, "S"),
+      (6L, "f", 6, 60.0, "S")))         // insert
+      .withColumn("op", when(col("c_custkey") === 5L, "delete").otherwise("upsert"))
+      .unionByName(cust(Seq((5L, null, null, null, null)))
+        .withColumn("op", lit("delete")))
+    val out = graft.ops.Scd.applyScd2(base, changes)
+      .collect().map(r => (r.getLong(0), r.getInt(5), r.getLong(6),
+        if (r.isNullAt(7)) -1L else r.getLong(7), r.getBoolean(8)))
+    val expected = Seq(
+      (1L, 1, 0L, -1L, true),           // untouched current
+      (2L, 1, 0L, -1L, true),           // no-op: still ONE current row
+      (3L, 1, 0L, -1L, true),           // null <=> null is no change
+      (4L, 1, 0L, 1L, false), (4L, 2, 1L, -1L, true), // closed + reopened
+      (5L, 1, 0L, 1L, false),           // closed, no successor
+      (6L, 1, 1L, -1L, true))           // inserted at the batch epoch
+    assert(out.toSeq == expected, s"got ${out.mkString(",")}")
+    // the updated attribute must actually carry the new value
+    val v2 = graft.ops.Scd.applyScd2(base, changes)
+      .filter(col("c_custkey") === 4L && col("version") === 2).collect()(0)
+    assert(v2.getDouble(3) == 41.0)
+  }
+
+  test("dq checks: planted violations are counted; budgets cross-multiply exactly") {
+    import spark.implicits._
+    // 20 rows: 1 null key, keys {1,1,2..17} (one duplicated pair), 1
+    // null text — exactly AT the 5% budget boundary (1·20 ≤ 20), which
+    // must pass; a second corpus with 2 nulls must fail it
+    val atBudget = ((null.asInstanceOf[java.lang.Long], "t") +:
+      (1L to 18L).map(i => (java.lang.Long.valueOf(if (i == 18L) 1L else i), "t")) :+
+      (java.lang.Long.valueOf(19L), null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val rows = graft.ops.DataQuality.checksFor(atBudget, "id", Some("text"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rows("id_null") == ((1L, false)), s"got ${rows("id_null")}")
+    // 20 rows, 18 distinct non-null keys → 2 unaccounted (1 null + 1 dup)
+    assert(rows("id_dup") == ((2L, false)), s"got ${rows("id_dup")}")
+    assert(rows("text_null_budget") == ((1L, true)),
+      s"1/20 nulls is AT the 5% budget and must pass: ${rows("text_null_budget")}")
+    val overBudget = (1L to 18L).map(i => (i, "t")).toDF("id", "text")
+      .unionByName(Seq((19L, null.asInstanceOf[String]),
+        (20L, null.asInstanceOf[String])).toDF("id", "text"))
+    val over = graft.ops.DataQuality.checksFor(overBudget, "id", Some("text"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(over("text_null_budget") == ((2L, false)),
+      s"2/20 nulls must bust the 5% budget: ${over("text_null_budget")}")
+  }
+
+  test("dq checks: the shipped store validates clean, one fused aggregate per table") {
+    val out = graft.ops.DataQuality.dqChecks(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.length == 20, s"expected 20 checks, got ${rows.length}")
+    val failed = rows.filter(!_.getBoolean(2)).map(_.getString(0))
+    assert(failed.isEmpty, s"clean store must pass all checks; failed: ${failed.mkString(",")}")
+    // the one-scan-per-table contract: no check multiplies table reads —
+    // customer appears in exactly 2 plans (its fused agg + the RI dim
+    // side), so the whole suite stays O(#tables) scans, and nothing
+    // falls back to a non-equi join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"RI checks must stay equi-anti-joins:\n$plan")
   }
 }
