@@ -600,6 +600,10 @@ object SparkEntry {
     // SCD2 MERGE: one full-outer join + exploded version structs;
     // null-safe no-op comparator
     "scd2_merge" -> ((s, dir) => graft.ops.Scd.scd2Merge(s, dir)),
+    // incremental view maintenance: base build + 2 O(increment)
+    // appends + aggregate-sized merge; oracle = full recompute
+    "incr_daily_agg" -> ((s, dir) =>
+      graft.ops.IncrementalAgg.maintainedDailyAgg(s, dir)),
     // ANALYZE-style per-column stats: unioned pruned-scan aggregates
     "table_profile" -> ((s, dir) => Relational.tableProfile(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
@@ -1759,6 +1763,15 @@ object SparkEntry {
         |  CAST(1 AS INT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
         |FROM customer, mx WHERE c_custkey % 20 = 9
         |) ORDER BY c_custkey, version""".stripMargin,
+    // the maintained partial store must be indistinguishable from this
+    // full recompute over raw history — maintenance drift hash-fails
+    "incr_daily_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS total
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY event_type, CAST(ts AS DATE)
+        |ORDER BY event_type, day""".stripMargin,
     // numerics print through DECIMAL(18,4) so both engines render
     // identical min/max text; distinct counts are exact
     "table_profile" ->

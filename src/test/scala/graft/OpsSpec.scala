@@ -2310,6 +2310,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("parquet.block.size")
   }
 
+  test("incremental agg: maintained store ≡ full recompute; compaction is a semantic no-op") {
+    val maintained = graft.ops.IncrementalAgg.maintainedDailyAgg(spark, sfDir)
+    val direct = {
+      val ev = graft.sources.Tables.events(spark, sfDir)
+      ev.filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), graft.sources.Tables.tsDay("ts").as("day"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("value").cast("decimal(18,4)")).cast("double"), 6).as("total"))
+        .orderBy("event_type", "day")
+    }
+    val m = maintained.collect().map(_.toSeq)
+    assert(m.length == direct.count().toInt && m.sameElements(direct.collect().map(_.toSeq)),
+      "maintained partials must be indistinguishable from a full recompute")
+    // compaction folds the multi-batch store to one partial set without
+    // moving a bit (exact types + distributive aggregates)
+    val store = java.nio.file.Files.createTempDirectory("graft-incr-test").toString
+    val ev = graft.sources.Tables.events(spark, sfDir).filter(col("ts").isNotNull)
+      .select(col("event_type"), graft.sources.Tables.tsDay("ts").as("day"), col("value"))
+    // five appends of interleaved slices (modulus on the day ordinal)
+    (0 until 5).foreach { k =>
+      ev.filter(unix_date(col("day")) % 5 === k)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("long").as("pn"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(30,4)").as("psum"))
+        .write.mode("append").parquet(store)
+    }
+    def readMerged() = spark.read.parquet(store)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("pn")).cast("long").as("n"),
+        round(sum(col("psum")).cast("double"), 6).as("total"))
+      .orderBy("event_type", "day").collect().map(_.toSeq)
+    val before = readMerged()
+    val filesBefore = new java.io.File(store).listFiles().count(_.getName.endsWith(".parquet"))
+    graft.ops.IncrementalAgg.compact(spark, store)
+    val filesAfter = new java.io.File(store).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(readMerged().sameElements(before), "compaction must not change the merged view")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the partial store ($filesBefore → $filesAfter files)")
+  }
+
   test("scd2 merge: every branch pinned — unchanged, no-op re-send, update, delete, insert") {
     import spark.implicits._
     def cust(rows: Seq[(Long, String, Integer, java.lang.Double, String)]) =
