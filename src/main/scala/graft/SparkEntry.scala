@@ -572,6 +572,9 @@ object SparkEntry {
     // same scoreStep kernel, oracle = a DuckDB recursive CTE mirroring
     // the recursion's operation order literally
     "ewma_anomalies" -> ((s, dir) => graft.ops.EventAnalytics.ewmaAnomalies(s, dir)),
+    // Page's CUSUM over daily means: exact-sum reference window, fixed
+    // IEEE op sequence, linear-scan recursion (see cusumShifts scaladoc)
+    "cusum_shifts" -> ((s, dir) => graft.ops.EventAnalytics.cusumShifts(s, dir)),
     // one-day slice off the time-sorted mirror: answer is layout-free
     // (oracle scans the raw table), the row-group pruning is plan-pinned
     "events_day_slice" -> ((s, dir) => graft.ops.EventAnalytics.eventsDaySlice(s, dir)),
@@ -2171,6 +2174,53 @@ object SparkEntry {
         |SELECT element, tus, x AS value, round(mean, 6) AS ewma,
         |       round(z, 6) AS zscore, anom AS is_anomaly
         |FROM rec ORDER BY element, tus""".stripMargin,
+    // the CTE mirrors cusumShifts' exact arithmetic: decimal daily
+    // sums, one division per mean, quantized-square variance, and the
+    // literal recursion order sp + (z − 0.5) — see the scaladoc
+    "cusum_shifts" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)),
+        |obs AS (
+        |  SELECT element, day, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m, s, n,
+        |    CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q,
+        |    row_number() OVER (PARTITION BY element ORDER BY day) AS idx
+        |  FROM daily),
+        |tot AS (SELECT element, (CAST(count(*) AS BIGINT) * 2) // 5 AS p
+        |  FROM obs GROUP BY element),
+        |pref AS (
+        |  SELECT o.element,
+        |    CAST(sum(o.s) AS DOUBLE) / CAST(sum(o.n) AS DOUBLE) AS mu0,
+        |    sqrt(CAST(sum(CAST(o.q AS DECIMAL(19,0)) * CAST(o.q AS DECIMAL(19,0))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         - (CAST(sum(CAST(o.q AS DECIMAL(38,0))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |           * (CAST(sum(CAST(o.q AS DECIMAL(38,0))) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+        |      / 1000000.0 AS sigma0
+        |  FROM obs o JOIN tot t ON o.element = t.element
+        |  WHERE o.idx <= t.p GROUP BY o.element),
+        |scored AS (
+        |  SELECT o.element, o.day, o.m,
+        |    CASE WHEN pf.sigma0 < 1e-9 THEN 0.0
+        |         ELSE (o.m - pf.mu0) / pf.sigma0 END AS z,
+        |    o.idx - t.p AS step
+        |  FROM obs o JOIN tot t ON o.element = t.element
+        |    JOIN pref pf ON o.element = pf.element
+        |  WHERE o.idx > t.p),
+        |rec AS (
+        |  SELECT element, step, day, m, z,
+        |    greatest(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE) + (z - 0.5)) AS sp,
+        |    greatest(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE) + (-z - 0.5)) AS sn
+        |  FROM scored WHERE step = 1
+        |  UNION ALL
+        |  SELECT o.element, o.step, o.day, o.m, o.z,
+        |    greatest(CAST(0.0 AS DOUBLE), r.sp + (o.z - 0.5)),
+        |    greatest(CAST(0.0 AS DOUBLE), r.sn + (-o.z - 0.5))
+        |  FROM rec r JOIN scored o ON o.element = r.element AND o.step = r.step + 1)
+        |SELECT element, day, round(m, 6) AS daily_mean, round(sp, 6) AS cusum_pos,
+        |  round(sn, 6) AS cusum_neg, (sp > 5.0 OR sn > 5.0) AS is_shift
+        |FROM rec ORDER BY element, day""".stripMargin,
     // cohort = first-active day; (cohort, offset, user) rows are unique
     // per user, so count(*) = distinct actives; retention divides exact
     // BIGINTs (offset 0 = cohort size by construction)

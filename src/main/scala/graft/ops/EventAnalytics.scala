@@ -160,6 +160,102 @@ object EventAnalytics {
       .orderBy(col("element"), col("tus"))
   }
 
+  /** Two-sided CUSUM level-shift detection over each element's DAILY
+    * mean — the changepoint monitor that complements [[ewmaAnomalies]]
+    * (point outliers) by accumulating small persistent drifts until
+    * they cross the decision interval (Page's cumulative-sum scheme;
+    * k = 0.5σ slack, h = 5σ interval — the standard tabular CUSUM).
+    *
+    * Determinism contract (what makes this oracle-checkable): every
+    * cross-row reduction is EXACT — daily means come from DECIMAL
+    * value sums and BIGINT counts with ONE double division; the
+    * reference μ0 is the prefix grand mean of the same exact sums; the
+    * reference σ0 is derived from 1e-6-quantized daily means whose
+    * squares accumulate in DECIMAL(38,0) — so the only floating-point
+    * is a FIXED per-row operation sequence both engines execute
+    * identically (sqrt is IEEE-correctly-rounded, the one library
+    * function both agree on bit-exactly; pow is not and is never
+    * used). The recursion itself (max(0, s + z − k)) is pure IEEE
+    * adds/compares, mirrored literally by the DuckDB recursive CTE.
+    *
+    * Reference window: the first 40% of each element's observed days
+    * (integer arithmetic) — scored days are the remaining 60%. A
+    * near-constant prefix (σ0 < 1e-9) scores z = 0 like the EWMA
+    * guard.
+    *
+    * Scale shape: the raw scan reduces to (element, day) partials in
+    * one shuffle (the same daily-aggregate bound as everything else on
+    * this table); prefix stats are an element-keyed aggregate joined
+    * back by broadcast (|elements| rows); the recursion runs as a
+    * secondary-sorted linear scan over the DAY table — O(days) state
+    * rows per element, never raw events. */
+  def cusumShifts(spark: SparkSession, sfDir: String,
+      k: Double = 0.5, h: Double = 5.0): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val daily = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"), dayCol.as("day"), col("value"))
+      .groupBy(col("element"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("s"),
+        count(lit(1)).cast("long").as("n"))
+      .withColumn("m", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("q", floor(col("m") * lit(1000000.0d) + lit(0.5d)).cast("long"))
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("element")).orderBy(col("day"))))
+    // prefix length P = ⌊2D/5⌋ per element (exact integer arithmetic)
+    val withP = daily.join(
+      broadcast(daily.groupBy(col("element"))
+        .agg(count(lit(1)).cast("long").as("d_total"))
+        .withColumn("p", (col("d_total") * 2L) / 5L)),
+      "element")
+    val prefStats = withP.filter(col("idx") <= col("p"))
+      .groupBy(col("element"))
+      .agg(sum(col("s")).as("ps"), sum(col("n")).as("pn"),
+        sum(col("q").cast("decimal(38,0)")).as("pq"),
+        sum((col("q").cast("decimal(19,0)") * col("q").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("pqq"),
+        count(lit(1)).cast("long").as("pd"))
+      // μ0 and σ0 via a FIXED double op sequence from exact inputs
+      .withColumn("mu0", col("ps").cast("double") / col("pn").cast("double"))
+      .withColumn("mq", col("pq").cast("double") / col("pd").cast("double"))
+      .withColumn("mqq", col("pqq").cast("double") / col("pd").cast("double"))
+      .withColumn("sigma0",
+        sqrt(col("mqq") - col("mq") * col("mq")) / lit(1000000.0d))
+      .select(col("element"), col("mu0"), col("sigma0"))
+    val scored = withP.filter(col("idx") > col("p"))
+      .join(broadcast(prefStats), "element")
+      .withColumn("z",
+        when(col("sigma0") < lit(1e-9d), lit(0.0d))
+          .otherwise((col("m") - col("mu0")) / col("sigma0")))
+      .select(col("element"), col("day").cast("string").as("day_s"),
+        col("m"), col("z"))
+      .as[(String, String, Double, Double)]
+      .repartition(col("element"))
+      .sortWithinPartitions(col("element"), col("day_s"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var sp = 0.0; var sn = 0.0
+        it.map { case (el, day, m, z) =>
+          if (el != cur) { cur = el; sp = 0.0; sn = 0.0 }
+          sp = math.max(0.0, sp + (z - k))
+          sn = math.max(0.0, sn + (-z - k))
+          (el, day, m, sp, sn, sp > h || sn > h)
+        }
+      }
+      .toDF("element", "day_s", "daily_mean", "cusum_pos", "cusum_neg", "is_shift")
+    scored.select(col("element"), col("day_s").cast("date").as("day"),
+        round(col("daily_mean"), 6).as("daily_mean"),
+        round(col("cusum_pos"), 6).as("cusum_pos"),
+        round(col("cusum_neg"), 6).as("cusum_neg"), col("is_shift"))
+      .orderBy("element", "day")
+  }
+
   /** Rolling 7-day distinct active users per day (the WAU curve; the
     * same plan parameterizes to DAU/MAU). Formulated as CONTRIBUTION
     * EXPANSION, not a range self-join: each distinct (user, day)

@@ -2310,6 +2310,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("parquet.block.size")
   }
 
+  test("cusum flags a planted level shift at its onset and stays quiet on a steady series") {
+    import spark.implicits._
+    // 30 days, 4 events/day; prefix = first 12 days. "steady" alternates
+    // 10/11 forever (σ0 = 0.5, |z| = 1 → the ±0.5 drift never
+    // accumulates past h = 5); "shift" jumps to 60 on day 21 → z = 99
+    // crosses the decision interval the same day
+    val dir = java.nio.file.Files.createTempDirectory("graft-cusum-test").toString
+    val rows = for {
+      el <- Seq("steady", "shift"); d <- 1 to 30; r <- 1 to 4
+    } yield {
+      val base = 10.0 + (d % 2)
+      val v = if (el == "shift" && d > 20) 60.0 else base
+      ((el.hashCode.toLong * 1000 + d * 10 + r),
+        java.sql.Timestamp.valueOf(f"2024-03-${d}%02d 12:00:00"),
+        1L, el, v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventAnalytics.cusumShifts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.getDayOfMonth,
+        r.getBoolean(5)))
+    assert(out.count(_._1 == "shift") == 18 && out.count(_._1 == "steady") == 18,
+      s"18 scored days per element, got ${out.length}")
+    val firstFlag = out.filter(t => t._1 == "shift" && t._3).map(_._2).min
+    assert(firstFlag == 21, s"shift onset day 21 must flag immediately, got $firstFlag")
+    assert(out.filter(t => t._1 == "shift" && t._2 < 21).forall(!_._3),
+      "no flag before the planted shift")
+    assert(out.filter(_._1 == "steady").forall(!_._3),
+      "the alternating steady series must never flag")
+  }
+
   test("incremental agg: maintained store ≡ full recompute; compaction is a semantic no-op") {
     val maintained = graft.ops.IncrementalAgg.maintainedDailyAgg(spark, sfDir)
     val direct = {
