@@ -54,6 +54,13 @@ object BucketStore {
 
   private def write(spark: SparkSession, sfDir: String, table: String, key: String): Unit = {
     val name = tableName(sfDir, table)
+    // regenerated source (the driver rewrites testdata between rounds)
+    // must force a rebuild — stale bucketed rows would silently skew
+    // every consumer (the shared mirror-freshness rule)
+    val fresh = new java.io.File(tablePath(sfDir, table), "_SUCCESS").isFile &&
+      new java.io.File(tablePath(sfDir, table), "_SUCCESS").lastModified >=
+        new java.io.File(s"$sfDir/$table.parquet").lastModified
+    if (spark.catalog.tableExists(name) && !fresh) spark.sql(s"DROP TABLE $name")
     if (!spark.catalog.tableExists(name)) {
       Tables.table(spark, sfDir, table)
         .write.format("parquet")

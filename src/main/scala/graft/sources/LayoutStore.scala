@@ -41,6 +41,16 @@ object LayoutStore {
     sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
       ident(sfDir) + "/events_sorted"
 
+  /** A mirror is usable only when its _SUCCESS marker is no older than
+    * the source store — a regenerated corpus (the driver rewrites
+    * testdata between rounds) must rebuild, never silently serve stale
+    * rows (the SeriesStore freshness rule). */
+  private[sources] def mirrorFresh(sfDir: String, mirror: String): Boolean = {
+    val marker = new java.io.File(mirror, "_SUCCESS")
+    marker.isFile &&
+      marker.lastModified >= new java.io.File(s"$sfDir/events.parquet").lastModified
+  }
+
   /** Events with `ts` normalized to epoch-nanos LONG — the driver
     * store's native clock; a synthetic TIMESTAMP store is accepted
     * through the same dual-type rule as `EventAnalytics`. */
@@ -61,7 +71,7 @@ object LayoutStore {
   def ensureSorted(spark: SparkSession, sfDir: String): Unit =
     builds.computeIfAbsent((spark.sparkContext.applicationId, sfDir), _ => {
       val p = path(sfDir)
-      if (!new java.io.File(p, "_SUCCESS").isFile) {
+      if (!mirrorFresh(sfDir, p)) {
         eventsNanos(spark, sfDir)
           .withColumn("ts_day", expr(s"CAST(ts DIV ${Tables.NanosPerDay} AS INT)"))
           .repartitionByRange(col("ts"))
@@ -109,7 +119,7 @@ object LayoutStore {
   def ensureZOrdered(spark: SparkSession, sfDir: String): Unit =
     zBuilds.computeIfAbsent((spark.sparkContext.applicationId, sfDir), _ => {
       val p = zPath(sfDir)
-      if (!new java.io.File(p, "_SUCCESS").isFile) {
+      if (!mirrorFresh(sfDir, p)) {
         val z = spread16(expr(s"ts DIV ${Tables.NanosPerDay}"))
           .bitwiseOR(shiftleft(spread16(col("user_id")), 1))
         eventsNanos(spark, sfDir)

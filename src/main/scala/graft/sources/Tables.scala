@@ -5,13 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Central table loaders for the driver's testdata store (TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark cannot
-  * represent natively (timestamps are microsecond precision). Truncating
-  * to micros would be lossy here — the generator emits sub-microsecond
-  * jitter — and a lossy order key could disagree with the DuckDB oracle's
-  * native nanosecond ordering. So events are read with
-  * `spark.sql.legacy.parquet.nanosAsLong`, keeping `ts` as an exact
-  * epoch-nanos LONG; calendar projections are derived from it exactly.
+  * `events.ts` is normalized to an exact epoch-nanos LONG at this source
+  * boundary, whatever the store's physical type — every downstream
+  * consumer gets ONE clock contract and derives calendar projections
+  * with exact integer arithmetic. Store generations handled:
+  *   - TIMESTAMP(NANOS) (early driver stores): Spark cannot represent
+  *     nanos natively; read with `spark.sql.legacy.parquet.nanosAsLong`,
+  *     which already yields the LONG.
+  *   - TIMESTAMP(MICROS) wall time, NTZ or LTZ (current driver store /
+  *     Spark-written fixtures): `unix_micros(CAST ts AS TIMESTAMP) *
+  *     1000` — exact (micros scale up losslessly). The session timezone
+  *     is pinned to UTC here so the NTZ wall→epoch interpretation
+  *     matches DuckDB's zone-free wall arithmetic (`CAST(ts AS DATE)`,
+  *     `epoch_us`) regardless of machine zone.
   */
 object Tables {
 
@@ -22,7 +28,20 @@ object Tables {
 
   /** events with `ts` as epoch-nanos LONG (exact; see scaladoc above). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = eventsRaw(spark, sfDir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw // nanos store
+      case _ =>
+        raw.withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+    }
+  }
+
+  /** events exactly as stored (no ts normalization) — for consumers
+    * that must match the ON-DISK schema, e.g. the streaming file
+    * source, whose user-supplied schema is checked against the files. */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 

@@ -56,7 +56,7 @@ object EventIngest {
     * carry (element, window) decimal partials, state is
     * watermark-bounded; the memory sink holds day×type rows. */
   def dailyAggregateAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = graft.sources.Tables.events(spark, sfDir).schema // sets nanosAsLong
+    val schema = graft.sources.Tables.eventsRaw(spark, sfDir).schema // on-disk schema for the file source
     // driver layout: events.parquet is a single FILE (stream the parent
     // dir, glob-filtered); Spark-written stores are a DIRECTORY of
     // part-files (streamable directly)
@@ -69,7 +69,9 @@ object EventIngest {
     // write a plain TIMESTAMP — accept both
     val tsCol = schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000"))
-      case _ => col("ts")
+      // NTZ wall time → LTZ instant under the UTC session pin (watermarks
+      // require TIMESTAMP); identity for an already-LTZ fixture store
+      case _ => col("ts").cast("timestamp")
     }
     val src = raw.select(tsCol.as("ts"), col("event_type"), col("value"))
     val sink = "stream_daily_agg_sink"
@@ -121,7 +123,7 @@ object EventIngest {
     * (break at diff > gap) filtered to
     * `end_us <= (max_us // 1000 − 86400000) * 1000`. */
   def sessionsAvailableNow(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
-    val schema = graft.sources.Tables.events(spark, sfDir).schema
+    val schema = graft.sources.Tables.eventsRaw(spark, sfDir).schema
     val evPath = s"$sfDir/events.parquet"
     val reader = spark.readStream.schema(schema)
     val raw =
@@ -129,7 +131,9 @@ object EventIngest {
       else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
     val tsCol = schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000"))
-      case _ => col("ts")
+      // NTZ wall time → LTZ instant under the UTC session pin (watermarks
+      // require TIMESTAMP); identity for an already-LTZ fixture store
+      case _ => col("ts").cast("timestamp")
     }
     val src = raw
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
@@ -219,7 +223,7 @@ object EventIngest {
     * (the watermark bounds STATE, not emission), so one AvailableNow
     * pass yields the complete pair set. */
   def attributionPairsAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = graft.sources.Tables.events(spark, sfDir).schema
+    val schema = graft.sources.Tables.eventsRaw(spark, sfDir).schema
     val evPath = s"$sfDir/events.parquet"
     val reader = spark.readStream.schema(schema)
     val raw =
@@ -227,7 +231,9 @@ object EventIngest {
       else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
     val tsCol = schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000"))
-      case _ => col("ts")
+      // NTZ wall time → LTZ instant under the UTC session pin (watermarks
+      // require TIMESTAMP); identity for an already-LTZ fixture store
+      case _ => col("ts").cast("timestamp")
     }
     val src = raw.select(col("event_id"), tsCol.as("ts"), col("user_id"), col("event_type"))
     val sink = "stream_attribution_sink"
