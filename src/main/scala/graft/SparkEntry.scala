@@ -228,6 +228,76 @@ object SparkEntry {
       |   FROM lineitem) * 0.00075
       |ORDER BY l_partkey""".stripMargin
 
+  /** Q12 shape (shipping-speed vs priority matrix): the fact-fact join
+    * graded into a derived dimension (ship latency class) with paired
+    * conditional counts per class. Counts are exact BIGINTs; the class
+    * boundaries are date interval comparisons — nothing can flip
+    * between engines. (TPC-H Q12 uses l_shipmode/commit/receipt, which
+    * this schema lacks; the latency classing keeps the shape: CASE
+    * grading inside a fact join feeding count_if pairs.) */
+  val q12ShipClassSql: String =
+    """SELECT ship_class,
+      |  CAST(count_if(o_orderpriority IN ('1-URGENT','2-HIGH')) AS BIGINT) AS high_count,
+      |  CAST(count_if(o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS BIGINT) AS low_count
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY THEN 'SLOW'
+      |         WHEN l_shipdate > o_orderdate + INTERVAL 15 DAY THEN 'MEDIUM'
+      |         ELSE 'FAST' END AS ship_class
+      |  FROM orders, lineitem WHERE o_orderkey = l_orderkey) AS graded
+      |GROUP BY ship_class
+      |ORDER BY ship_class""".stripMargin
+
+  /** Q13 shape (customer order-count distribution): the double-aggregate
+    * histogram whose LEFT OUTER join carries a NON-KEY predicate inside
+    * the ON clause — customers whose only orders fail the predicate must
+    * survive with count 0, which an ON-vs-WHERE confusion silently
+    * breaks. Both aggregate layers are exact BIGINT counts. */
+  val q13OrderHistogramSql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey) AS c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q14 shape (promo revenue share): conditional-vs-total aggregate
+    * ratio over a month-sliced fact⋈dim join — two exact DECIMAL sums,
+    * each cast ONCE to double, one multiply, one division, rounded to
+    * 6dp (the Q8 boundary discipline). The date slice must reach the
+    * parquet scan as a pushed filter. */
+  val q14PromoShareSql: String =
+    """SELECT round(CAST(100 AS DOUBLE) *
+      |    CAST(sum(CASE WHEN p_type = 'PROMO'
+      |         THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |              (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |         (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+      |  6) AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
+  /** Q19 shape (disjunctive bracket predicate): three OR'd conjunctive
+    * brackets, each mixing BOTH join sides (brand/size from part,
+    * quantity from lineitem) — the classic test that the optimizer
+    * extracts the shared `p_partkey = l_partkey` equi-key and keeps the
+    * disjunction as a filter instead of falling back to a nested-loop
+    * join (plan-gated). Revenue is the exact DECIMAL sum cast once. */
+  val q19DisjunctiveSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND ((p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+      |    OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+      |    OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35))""".stripMargin
+
   /** Q8 shape (market share): one supplier nation's share of a
     * region's PROMO-part volume per order year — an 8-table join fanned
     * into a conditional-aggregate ratio. Share = two exact DECIMAL sums
@@ -284,6 +354,12 @@ object SparkEntry {
     "sql_waiting_suppliers" -> sqlOnViews(q21WaitingSuppliersSql,
       "supplier", "lineitem", "orders"),
     "sql_part_concentration" -> sqlOnViews(q11PartConcentrationSql, "lineitem"),
+    // latency-class × priority matrix (Q12 shape) / outer-join count
+    // histogram (Q13) / promo share (Q14) / disjunctive brackets (Q19)
+    "sql_ship_priority_class" -> sqlOnViews(q12ShipClassSql, "orders", "lineitem"),
+    "sql_order_count_histogram" -> sqlOnViews(q13OrderHistogramSql, "customer", "orders"),
+    "sql_promo_revenue" -> sqlOnViews(q14PromoShareSql, "lineitem", "part"),
+    "sql_disjunctive_filter" -> sqlOnViews(q19DisjunctiveSql, "lineitem", "part"),
     // -- engine API surface ------------------------------------------------
     "methods_catalog" -> ((s, _) => {
       import s.implicits._
@@ -607,6 +683,14 @@ object SparkEntry {
     // appends + aggregate-sized merge; oracle = full recompute
     "incr_daily_agg" -> ((s, dir) =>
       graft.ops.IncrementalAgg.maintainedDailyAgg(s, dir)),
+    // A-Priori frequent-pair mining over order baskets: item pruning
+    // runs BEFORE any pair materializes (broadcast semi-join); all
+    // metrics are one IEEE division over exact BIGINT counts
+    "part_affinity" -> ((s, dir) => graft.ops.Affinity.partAffinity(s, dir)),
+    // PageRank over the co-occurrence graph: 10 power iterations in
+    // scaled BIGINT arithmetic (order-independent sums, integer
+    // divisions), oracle = the same recursion unrolled as chained CTEs
+    "part_pagerank" -> ((s, dir) => graft.ops.Affinity.partPagerank(s, dir)),
     // ANALYZE-style per-column stats: unioned pruned-scan aggregates
     "table_profile" -> ((s, dir) => Relational.tableProfile(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
@@ -642,6 +726,12 @@ object SparkEntry {
     // lifecycle: watermark-closed session windows, oracle-predicted
     "stream_sessions" -> ((s, dir) =>
       graft.streaming.EventIngest.sessionsAvailableNow(s, dir)),
+    // the STREAM-STREAM JOIN tier under the same lifecycle: watermarked
+    // event-time range join; inner joins emit on match (the watermark
+    // bounds state, not emission), so one AvailableNow pass yields the
+    // complete pair set — the oracle is the plain range join
+    "stream_attribution" -> ((s, dir) =>
+      graft.streaming.EventIngest.attributionPairsAvailableNow(s, dir)),
   )
 
   // ---------------------------------------------------------------------
@@ -688,6 +778,52 @@ object SparkEntry {
        |FROM st CROSS JOIN range(1, ${H + 1}) h(step)
        |ORDER BY element, step""".stripMargin
 
+  /** Shared A-Priori CTE prefix for the basket-mining oracles: distinct
+    * baskets, order total, item counts, the cross-multiplied frequent
+    * floor, pruned baskets, and >= 2-support pair counts — mirrors
+    * `ops/Affinity.frequentPairs` exactly. */
+  private val basketCtes =
+    """WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM bk),
+      |ic AS (SELECT pk, count(*) AS n_item FROM bk GROUP BY pk),
+      |freq AS (SELECT ic.pk FROM ic CROSS JOIN tot
+      |         WHERE ic.n_item * 1000 >= tot.n_orders),
+      |pbk AS (SELECT bk.ok, bk.pk FROM bk JOIN freq ON freq.pk = bk.pk),
+      |pc AS (SELECT a.pk AS pa, b2.pk AS pb, count(*) AS n_ab
+      |       FROM pbk a JOIN pbk b2 ON a.ok = b2.ok AND a.pk < b2.pk
+      |       GROUP BY a.pk, b2.pk HAVING count(*) >= 2)""".stripMargin
+
+  /** The scaled-BIGINT PageRank recursion of `ops/Affinity.partPagerank`
+    * unrolled as `Iterations` chained CTEs (standard SQL forbids
+    * aggregation in a recursive term, and unrolling keeps the replay
+    * portable). Every per-iteration SUM is cast back to BIGINT so
+    * DuckDB's HUGEINT sum widening cannot leak into the column type. */
+  private def pagerankOracleSql: String = {
+    val scale = graft.ops.Affinity.RankScale
+    val base = scale * 15L / 100L
+    val iters = (1 to graft.ops.Affinity.Iterations).map { i =>
+      s"""r$i AS (SELECT d0.src AS part,
+         |  ($base // nn.n) + (85 * COALESCE(i$i.m, 0)) // 100 AS r
+         |  FROM dg d0 CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.dst AS part,
+         |               CAST(SUM(rp.r // d2.outdeg) AS BIGINT) AS m
+         |             FROM e JOIN r${i - 1} rp ON rp.part = e.src
+         |                    JOIN dg d2 ON d2.src = e.src
+         |             GROUP BY e.dst) i$i ON i$i.part = d0.src)""".stripMargin
+    }.mkString(",\n")
+    basketCtes + s""",
+      |e AS (SELECT pa AS src, pb AS dst FROM pc
+      |      UNION ALL SELECT pb, pa FROM pc),
+      |dg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      |nn AS (SELECT count(*) AS n FROM dg),
+      |r0 AS (SELECT dg.src AS part, $scale // nn.n AS r FROM dg CROSS JOIN nn),
+      |$iters
+      |SELECT part, r AS rank_scaled,
+      |  CAST(r AS DOUBLE) / $scale.0 AS rank
+      |FROM r${graft.ops.Affinity.Iterations}
+      |ORDER BY rank_scaled DESC, part""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "sql_star_join" -> portableSql,
     "sql_exists_agg" -> existsSql,
@@ -699,6 +835,10 @@ object SparkEntry {
     "sql_large_orders" -> q18LargeOrdersSql,
     "sql_waiting_suppliers" -> q21WaitingSuppliersSql,
     "sql_part_concentration" -> q11PartConcentrationSql,
+    "sql_ship_priority_class" -> q12ShipClassSql,
+    "sql_order_count_histogram" -> q13OrderHistogramSql,
+    "sql_promo_revenue" -> q14PromoShareSql,
+    "sql_disjunctive_filter" -> q19DisjunctiveSql,
     "methods_catalog" ->
       ("SELECT * FROM (VALUES " +
         Methods.reference.zipWithIndex
@@ -1450,12 +1590,15 @@ object SparkEntry {
     "plan_gates" ->
       ("SELECT * FROM (VALUES " +
         Seq("ann_ivf_equi_join", "ann_lsh_equi_join",
-          "bucketed_join_shuffle_free", "events_day_slice_stats_prunable",
+          "bucketed_join_shuffle_free", "disjunctive_filter_stays_equi",
+          "events_day_slice_stats_prunable",
           "exists_becomes_semi_join", "fuzzy_key_pairs_equi_join",
           "local_supplier_all_equi_join", "market_share_all_equi_join",
           "minhash_candidates_equi_join", "nation_volume_all_equi_join",
-          "not_exists_becomes_anti_join", "q1_pricing_filter_pushed",
-          "scalar_subquery_decorrelates", "shipping_priority_topk_fused",
+          "not_exists_becomes_anti_join", "order_histogram_outer_equi_join",
+          "promo_share_broadcasts_part", "q1_pricing_filter_pushed",
+          "scalar_subquery_decorrelates", "ship_class_matrix_equi_join",
+          "shipping_priority_topk_fused",
           "star_join_broadcasts_dims", "top_orders_no_global_sort")
           .map(c => s"('$c', TRUE)").mkString(", ") +
         ") AS t(check_name, ok) ORDER BY check_name"),
@@ -1766,6 +1909,26 @@ object SparkEntry {
         |  CAST(1 AS INT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
         |FROM customer, mx WHERE c_custkey % 20 = 9
         |) ORDER BY c_custkey, version""".stripMargin,
+    // A-Priori pair mining replayed from scratch: same frequent-item
+    // cross-multiplication floor, same >= 2 pair floor, each metric ONE
+    // double division over exact BIGINT counts/products
+    "part_affinity" ->
+      (basketCtes + """
+        |SELECT pc.pa AS part_a, pc.pb AS part_b,
+        |  ia.n_item AS n_a, ib.n_item AS n_b, pc.n_ab,
+        |  CAST(pc.n_ab AS DOUBLE) / CAST(tot.n_orders AS DOUBLE) AS support,
+        |  CAST(pc.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+        |  CAST(tot.n_orders * pc.n_ab AS DOUBLE) /
+        |    CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+        |FROM pc JOIN ic ia ON ia.pk = pc.pa
+        |        JOIN ic ib ON ib.pk = pc.pb
+        |        CROSS JOIN tot
+        |ORDER BY part_a, part_b""").stripMargin,
+    // the integer PageRank recursion unrolled as chained CTEs — DuckDB
+    // replays the exact BIGINT update (// is floor division, DIV
+    // truncates toward zero: identical on the non-negative masses
+    // here), so ranks are bit-equal at any Spark parallelism
+    "part_pagerank" -> pagerankOracleSql,
     // the maintained partial store must be indistinguishable from this
     // full recompute over raw history — maintenance drift hash-fails
     "incr_daily_agg" ->
@@ -2318,6 +2481,23 @@ object SparkEntry {
         |GROUP BY user_id, sid, mus
         |HAVING max(tus) + 1800000000 <= (mus // 1000 - 86400000) * 1000
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // every (purchase, same-user click within the preceding hour) pair —
+    // the stream-stream join's complete emission set; strict lower bound
+    // expressed as `purchase_us - click_us < window`, matching the
+    // streaming predicate `c_ts > p_ts - 1h` exactly on integer micros
+    "stream_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT event_id AS purchase_id, user_id, tus AS purchase_us
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, tus AS click_us
+        |      FROM e WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_id, c.click_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.click_us <= p.purchase_us
+        |  AND p.purchase_us - c.click_us < 3600000000
+        |ORDER BY purchase_id, click_id""".stripMargin,
     // dedup_fingerprint / doc_fingerprints / simhash_signatures: xxhash64
     // is not reproducible in DuckDB (but the fingerprint KEEP-SET is —
     // see dedup_fingerprint_keepset); minhash_candidates / ann_lsh_topk:

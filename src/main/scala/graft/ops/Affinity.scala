@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Market-basket affinity mining and graph centrality over the order
+  * baskets — the recommendation-adjacent pair of operators every retail
+  * or co-occurrence pipeline runs after sessionization (engine extension
+  * past the reference's per-element series pull,
+  * `TimeSeriesFunctions_GPL_0.5.1.R:23-40`; the mining semantics follow
+  * the public A-Priori formulation: Agrawal & Srikant, VLDB'94).
+  *
+  * Scale posture (shared by both operators):
+  *   - The basket table is `distinct(orderkey, partkey)` — ONE shuffle
+  *     on the composite key; every downstream pair expansion is bounded
+  *     by the basket size (≤ order lines), never the catalog size.
+  *   - A-Priori ITEM pruning runs before any pair is materialized: the
+  *     item-count table is catalog-sized (|parts|), broadcast back, so
+  *     the only large shuffle in the whole plan is the basket build.
+  *     Pairs of infrequent items are never generated — the classic
+  *     candidate-pruning step, here as a broadcast semi-join.
+  *   - The pair self-join keys on the ORDER key both sides — Catalyst
+  *     co-partitions the two sides on one Exchange pair, and the output
+  *     is per-order quadratic only in the (pruned) basket width.
+  *   - All ratios (support, confidence, lift) are ONE IEEE division
+  *     over exact BIGINT counts/products, so every row hash-verifies
+  *     against the DuckDB oracle bit-for-bit.
+  */
+object Affinity {
+
+  /** Frequent-item share floor: an item participates in pairs iff its
+    * basket count clears 0.1% of all baskets, decided by exact integer
+    * cross-multiplication (`cnt * 1000 >= n_orders` — no division, no
+    * IEEE boundary between engines). */
+  val ItemShareDenom = 1000L
+
+  /** Minimum co-occurrence count for an emitted pair. */
+  val MinPairSupport = 2L
+
+  /** Distinct (order, part) baskets from lineitem. */
+  private def baskets(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+
+  /** Pair co-occurrence counts over frequent-item-pruned baskets —
+    * the shared A-Priori core of [[partAffinity]] and [[partPagerank]].
+    * Returns (pa, pb, n_ab) with pa < pb, n_ab >= MinPairSupport, plus
+    * the broadcastable side tables (item counts, 1-row basket total). */
+  private def frequentPairs(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val b = baskets(spark, sfDir)
+    val totals = b.agg(countDistinct(col("ok")).as("n_orders"))
+    val itemCounts = b.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val frequent = itemCounts.crossJoin(broadcast(totals))
+      .filter(col("n_item") * lit(ItemShareDenom) >= col("n_orders"))
+      .select(col("pk"), col("n_item"))
+    val pruned = b.join(broadcast(frequent.select(col("pk"))), Seq("pk"), "left_semi")
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= lit(MinPairSupport))
+    (pairs, itemCounts, totals)
+  }
+
+  /** Association metrics for every frequent part pair: support share,
+    * directional confidence a→b, and lift — each ONE double division
+    * over exact integer counts (products stay far inside BIGINT: counts
+    * are basket-bounded). Output: (part_a, part_b, n_a, n_b, n_ab,
+    * support, confidence, lift). */
+  def partAffinity(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pairs, itemCounts, totals) = frequentPairs(spark, sfDir)
+    pairs
+      .join(broadcast(itemCounts.select(col("pk").as("pa"), col("n_item").as("n_a"))), Seq("pa"))
+      .join(broadcast(itemCounts.select(col("pk").as("pb"), col("n_item").as("n_b"))), Seq("pb"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_a"), col("n_b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_orders").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((col("n_orders") * col("n_ab")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  /** Fixed-point scale for integer PageRank mass: ranks live in units
+    * of 1e-12, so BIGINT sums are exact and order-independent — the
+    * whole iteration hash-verifies against the oracle's replay. */
+  val RankScale = 1000000000000L
+  /** Damping 0.85 expressed as the exact integer pair (85, 100). */
+  val DampNum = 85L
+  val DampDen = 100L
+  val Iterations = 10
+
+  /** PageRank over the co-occurrence graph (symmetric edges = frequent
+    * pairs): `Iterations` power iterations of
+    * `r' = (1-d)/N + d * Σ_in r/outdeg`, entirely in scaled BIGINT
+    * arithmetic — contributions are exact integer divisions
+    * (`r DIV outdeg`), the incoming mass is a BIGINT sum (exact under
+    * any reduce order), and the damped update is `(85 * in) DIV 100` —
+    * so Spark at any parallelism and DuckDB's unrolled-CTE replay
+    * produce bit-identical ranks. The one double column is a single
+    * terminal division by the scale.
+    *
+    * Scale shape: the classic partitioned-PageRank plan — the edge
+    * table (with out-degrees pre-joined) is computed once and cached;
+    * each iteration shuffles only (node, BIGINT) rank rows into the
+    * edge partitioning and reduces contributions two-phase. Nothing
+    * per-iteration touches the corpus; the driver loop is `Iterations`
+    * plan stages, not collected data. */
+  def partPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pairs, _, _) = frequentPairs(spark, sfDir)
+    val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, Seq("src")).cache()
+    val nodes = deg.select(col("src").as("part"))
+    val nTab = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nTab))
+      .select(col("part"), expr(s"$RankScale DIV n").as("r"))
+    for (_ <- 1 to Iterations) {
+      val contrib = edgesDeg.join(ranks, col("src") === col("part"))
+        .select(col("dst"), expr("r DIV outdeg").as("c"))
+      val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      ranks = nodes.join(inSum, col("part") === col("dst"), "left")
+        .crossJoin(broadcast(nTab))
+        .select(col("part"),
+          (expr(s"(${RankScale * 15L / 100L}) DIV n") +
+            expr(s"($DampNum * coalesce(in_mass, 0)) DIV $DampDen")).as("r"))
+    }
+    ranks
+      .select(col("part"), col("r").as("rank_scaled"),
+        (col("r").cast("double") / lit(RankScale.toDouble)).as("rank"))
+      .orderBy(col("rank_scaled").desc, col("part"))
+  }
+}

@@ -57,13 +57,23 @@ object PlanGates {
     ("minhash_candidates_equi_join", "minhash_candidates", noLoops),
     ("fuzzy_key_pairs_equi_join", "fuzzy_key_pairs", noLoops),
     ("ann_lsh_equi_join", "ann_lsh_topk", noLoops),
-    ("ann_ivf_equi_join", "ann_ivf_topk", noLoops))
+    ("ann_ivf_equi_join", "ann_ivf_topk", noLoops),
+    // Q19's disjunctive brackets mix both join sides: the optimizer
+    // must still extract the shared equi-key, never a nested loop
+    ("disjunctive_filter_stays_equi", "sql_disjunctive_filter",
+      p => p.contains("BroadcastHashJoin") && noLoops(p)),
+    ("promo_share_broadcasts_part", "sql_promo_revenue",
+      p => p.contains("BroadcastHashJoin") && noLoops(p)),
+    // Q13's outer join carries a non-key ON predicate — must stay an
+    // equi outer join (the predicate rides the join, not a loop)
+    ("order_histogram_outer_equi_join", "sql_order_count_histogram", noLoops),
+    ("ship_class_matrix_equi_join", "sql_ship_priority_class", noLoops))
 
   private def noLoops(p: String): Boolean =
     !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
 
   /** Verdicts are a pure function of (session, corpus) — plans don't
-    * change within a session — so the 16 plan builds run once per
+    * change within a session — so the plan builds run once per
     * (app, corpus), the same session-cache discipline as the signature
     * and label tables. */
   private val cache =

@@ -2123,7 +2123,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("plan gates: every plan-shape verdict holds") {
     val rows = graft.ops.PlanGates.planGates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
-    assert(rows.length == 16)
+    assert(rows.length == 20)
     val failed = rows.filterNot(_._2).map(_._1)
     assert(failed.isEmpty, s"plan-shape regressions: ${failed.mkString(", ")}")
   }
@@ -2454,5 +2454,94 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"RI checks must stay equi-anti-joins:\n$plan")
+  }
+
+  test("order-count histogram: ON-clause predicate keeps filtered-out customers at count 0") {
+    import spark.implicits._
+    // customer 1: two qualifying orders; customer 2: ONLY a 5-LOW order
+    // (must survive with count 0 — the ON-vs-WHERE distinction);
+    // customer 3: no orders at all
+    val dir = java.nio.file.Files.createTempDirectory("graft-q13-test").toString
+    Seq((1L, "a", 0, 0.0, "S"), (2L, "b", 0, 0.0, "S"), (3L, "c", 0, 0.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, "O", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (11L, 1L, "O", 1.0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "2-HIGH"),
+      (12L, 2L, "O", 1.0, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("sql_order_count_histogram")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 1L, 0L -> 2L),
+      s"low-only customer 2 and orderless customer 3 must land in the 0 bucket: $out")
+  }
+
+  /** Basket fixture for the A-Priori operators: needs > 1000 orders so
+    * the 0.1% cross-multiplied item floor can actually prune (at 10
+    * orders every count-1 item clears `1 * 1000 >= 10`). Filler part
+    * 999 rides every order; parts 101/102 co-occur in orders 1-5; part
+    * 104 appears once (1 * 1000 < 1200 → pruned before any pair). */
+  private def writeBasketFixture(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-basket-test").toString
+    val rows =
+      (1 to 1200).map(ok => (ok.toLong, 999L)) ++
+        (1 to 5).flatMap(ok => Seq((ok.toLong, 101L), (ok.toLong, 102L))) ++
+        Seq((6L, 101L), (6L, 104L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("part affinity: item floor prunes before pairing; metrics are exact single divisions") {
+    val dir = writeBasketFixture()
+    val out = graft.ops.Affinity.partAffinity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(!out.keys.exists(k => k._1 == 104L || k._2 == 104L),
+      s"count-1 part 104 must be item-pruned before any pair: ${out.keys}")
+    assert(out.keySet == Set((101L, 102L), (101L, 999L), (102L, 999L)),
+      s"exactly the three frequent pairs: ${out.keys}")
+    // (101,102): n_a=6 (orders 1-5 + order 6), n_b=5, n_ab=5, N=1200
+    val (na, nb, nab, support, confidence, lift) = out((101L, 102L))
+    assert((na, nb, nab) == ((6L, 5L, 5L)))
+    assert(support == 5.0 / 1200.0 && confidence == 5.0 / 6.0,
+      s"single-division metrics must be IEEE-exact: $support, $confidence")
+    assert(lift == (1200.0 * 5.0) / (6.0 * 5.0), s"lift: $lift")
+  }
+
+  test("part pagerank: scaled-BIGINT recursion matches a reference replay; hub dominates") {
+    import spark.implicits._
+    // star graph: hub 500 co-occurs with each leaf in 2 orders; >1000
+    // total orders keep every star part frequent under the 0.1% floor
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-test").toString
+    val leaves = Seq(501L, 502L, 503L, 504L)
+    val star = leaves.zipWithIndex.flatMap { case (leaf, i) =>
+      Seq(2 * i + 1, 2 * i + 2).flatMap(ok => Seq((ok.toLong, 500L), (ok.toLong, leaf)))
+    }
+    val filler = (9 to 1100).map(ok => (ok.toLong, 999L))
+    (star ++ filler).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Affinity.partPagerank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference replay of the exact integer recursion (Long arithmetic
+    // mirrors Spark's DIV and the oracle's // on non-negative values)
+    val scale = graft.ops.Affinity.RankScale
+    val nodes = 500L +: leaves
+    val outdeg = Map(500L -> 4L) ++ leaves.map(_ -> 1L)
+    val edges = leaves.flatMap(l => Seq((500L, l), (l, 500L)))
+    var r = nodes.map(_ -> scale / nodes.size).toMap
+    for (_ <- 1 to graft.ops.Affinity.Iterations) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / outdeg(src) }.sum
+      }
+      r = nodes.map(n => n -> (scale * 15L / 100L / nodes.size +
+        85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(got == r, s"integer recursion must replay exactly: got $got, want $r")
+    assert(leaves.forall(l => got(500L) > got(l)), s"hub must out-rank leaves: $got")
+    // mass sanity: ranks are positive and bounded by the total scale
+    assert(got.values.forall(v => v > 0L && v < scale))
   }
 }
