@@ -691,6 +691,14 @@ object SparkEntry {
     // scaled BIGINT arithmetic (order-independent sums, integer
     // divisions), oracle = the same recursion unrolled as chained CTEs
     "part_pagerank" -> ((s, dir) => graft.ops.Affinity.partPagerank(s, dir)),
+    // triangle counting via degree-ordered edge orientation: each
+    // triangle found exactly once, wedge fan-out √-bounded on hubs
+    "graph_triangles" -> ((s, dir) => graft.ops.Graph.partTriangles(s, dir)),
+    // median/MAD spike screen: doubled-median order stats keep the
+    // whole decision path in exact BIGINTs (no interpolation division)
+    "mad_anomalies" -> ((s, dir) => graft.ops.EventAnalytics.madAnomalies(s, dir)),
+    // k-anonymity audit over (lang, source, length-bucket) QIs
+    "k_anonymity" -> ((s, dir) => graft.ops.DataQuality.kAnonymityReport(s, dir)),
     // ANALYZE-style per-column stats: unioned pruned-scan aggregates
     "table_profile" -> ((s, dir) => Relational.tableProfile(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
@@ -1929,6 +1937,74 @@ object SparkEntry {
     // truncates toward zero: identical on the non-negative masses
     // here), so ranks are bit-equal at any Spark parallelism
     "part_pagerank" -> pagerankOracleSql,
+    // degree-ordered orientation replayed in SQL; ties in the order
+    // stats are value-ties, so row_number nondeterminism cannot change
+    // which VALUE is selected
+    "graph_triangles" ->
+      (basketCtes + """,
+        |ud AS (SELECT pa AS u, pb AS v FROM pc),
+        |dg2 AS (SELECT n, count(*) AS d FROM (
+        |  SELECT pa AS n FROM pc UNION ALL SELECT pb AS n FROM pc) t GROUP BY n),
+        |ori AS (SELECT
+        |  CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND ud.u < ud.v)
+        |       THEN ud.u ELSE ud.v END AS s,
+        |  CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND ud.u < ud.v)
+        |       THEN ud.v ELSE ud.u END AS t
+        |  FROM ud JOIN dg2 du ON du.n = ud.u JOIN dg2 dv ON dv.n = ud.v),
+        |wg AS (SELECT a.s AS u, a.t AS v, b.t AS w
+        |       FROM ori a JOIN ori b ON a.s = b.s AND a.t < b.t),
+        |tri AS (SELECT u, v, w FROM wg
+        |        WHERE EXISTS (SELECT 1 FROM ori o
+        |                      WHERE (o.s = wg.v AND o.t = wg.w)
+        |                         OR (o.s = wg.w AND o.t = wg.v)))
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri) x
+        |GROUP BY node ORDER BY node""").stripMargin,
+    // the doubled-median integer recursion replayed literally; every
+    // aggregate recast to BIGINT so HUGEINT widening stays internal
+    "mad_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) * 100
+        |      // count(*) AS m
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |counts AS (SELECT element, (count(*) + 1) // 2 AS lo,
+        |                  (count(*) + 2) // 2 AS hi
+        |           FROM daily GROUP BY 1),
+        |ranked AS (SELECT element, m,
+        |             row_number() OVER (PARTITION BY element ORDER BY m) AS rn
+        |           FROM daily),
+        |med2 AS (SELECT r.element,
+        |           CAST(sum(CASE WHEN rn = c.lo THEN m END) +
+        |                sum(CASE WHEN rn = c.hi THEN m END) AS BIGINT) AS med2
+        |         FROM ranked r JOIN counts c USING (element) GROUP BY 1),
+        |wd AS (SELECT d.element, d.day, d.m,
+        |         CAST(abs(d.m * 2 - m2.med2) AS BIGINT) AS dev
+        |       FROM daily d JOIN med2 m2 USING (element)),
+        |rd AS (SELECT element, dev,
+        |         row_number() OVER (PARTITION BY element ORDER BY dev) AS rn
+        |       FROM wd),
+        |mad2 AS (SELECT rd.element,
+        |           CAST(sum(CASE WHEN rn = c.lo THEN dev END) +
+        |                sum(CASE WHEN rn = c.hi THEN dev END) AS BIGINT) AS mad2
+        |         FROM rd JOIN counts c USING (element) GROUP BY 1)
+        |SELECT w.element, w.day,
+        |  CAST(w.m AS DOUBLE) / 1000000.0 AS daily_mean,
+        |  w.m AS mean_micro, m2.med2, w.dev, md.mad2,
+        |  (w.dev > 0 AND w.dev * 2 > md.mad2 * 7) AS is_anomaly
+        |FROM wd w JOIN med2 m2 USING (element) JOIN mad2 md USING (element)
+        |ORDER BY element, day""".stripMargin,
+    "k_anonymity" ->
+      """SELECT lang, source, n_chars // 500 AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  count(*) < 5 AS at_risk
+        |FROM documents
+        |GROUP BY lang, source, len_bucket
+        |ORDER BY lang, source, len_bucket""".stripMargin,
     // the maintained partial store must be indistinguishable from this
     // full recompute over raw history — maintenance drift hash-fails
     "incr_daily_agg" ->

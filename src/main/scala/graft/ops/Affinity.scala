@@ -65,6 +65,12 @@ object Affinity {
     (pairs, itemCounts, totals)
   }
 
+  /** The undirected frequent-pair edge set (u < v, unique) — the shared
+    * input of the graph-analytics consumers ([[partPagerank]],
+    * `Graph.partTriangles`). */
+  def frequentPairEdges(spark: SparkSession, sfDir: String): DataFrame =
+    frequentPairs(spark, sfDir)._1.select(col("pa").as("u"), col("pb").as("v"))
+
   /** Association metrics for every frequent part pair: support share,
     * directional confidence a→b, and lift — each ONE double division
     * over exact integer counts (products stay far inside BIGINT: counts

@@ -38,6 +38,24 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** k-anonymity audit over the documents table's quasi-identifiers
+    * (lang, source, length bucket): any combination shared by fewer
+    * than k documents can single out a contributor when joined with an
+    * external dataset — the release-gate check privacy reviews run
+    * next to the PII scan. One groupBy over the QI key (two-phase
+    * count partials); the verdict is an exact integer compare, so
+    * every row hash-verifies. Bucket width 500 chars keeps the length
+    * dimension coarse enough to be a plausible QI rather than a
+    * fingerprint. */
+  def kAnonymityReport(spark: SparkSession, sfDir: String, k: Long = 5L): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), col("source"),
+        expr("n_chars DIV 500").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < lit(k))
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+
   /** One named check: `value` is the violation count (or measured
     * metric) computed inside the table's fused aggregate; `ok` is the
     * pass predicate over the aggregated (value, table row count) pair,

@@ -256,6 +256,68 @@ object EventAnalytics {
       .orderBy("element", "day")
   }
 
+  /** Robust (median/MAD) anomaly screen over per-element daily means —
+    * the outlier-resistant tier of the anomaly family (EWMA tracks a
+    * drifting mean, CUSUM detects sustained level shifts; MAD flags
+    * single-day spikes WITHOUT letting the spike itself inflate the
+    * scale estimate, which is exactly where z-scores fail).
+    *
+    * Exactness: the whole decision path is INTEGER arithmetic, so flags
+    * hash-verify. Daily mean in micro-units = `(s4 * 100) DIV n` where
+    * `s4` is the exact DECIMAL(18,4) day sum ×10⁴ as BIGINT. Medians
+    * avoid interpolation (whose IEEE op order differs between engines)
+    * by the DOUBLED-median trick: med2 = x(lo) + x(hi) with
+    * lo = (n+1) DIV 2, hi = (n+2) DIV 2 — twice the type-7 median,
+    * still an exact BIGINT. Deviations dev = |2·m − med2| (scaled 2×),
+    * mad2 = dev(lo) + dev(hi) (scaled 4× the MAD), and the flag rule
+    * |m − med| > K·MAD becomes the cross-multiplication
+    * `2·dev > K·mad2` — no division anywhere. A zero MAD (constant
+    * series) degenerates to flagging any deviation, the standard MAD
+    * caveat, pinned by fixture.
+    *
+    * Scale shape: one (element, day) aggregate shuffle; both order
+    * statistics are windows partitioned per element over the DAY table
+    * (bounded by timeline length); the med/mad join is broadcast
+    * (|elements| rows). Nothing touches raw events twice. */
+  def madAnomalies(spark: SparkSession, sfDir: String, k: Long = 7L): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val daily = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"), dayCol.as("day"), col("value"))
+      .groupBy(col("element"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("s"),
+        count(lit(1)).cast("long").as("n"))
+      .withColumn("m", expr("CAST(s * 10000 AS BIGINT) * 100 DIV n"))
+      .select(col("element"), col("day"), col("m"))
+    val byVal = Window.partitionBy(col("element")).orderBy(col("m"))
+    val counts = daily.groupBy(col("element")).agg(count(lit(1)).as("nd"))
+      .withColumn("lo", expr("(nd + 1) DIV 2")).withColumn("hi", expr("(nd + 2) DIV 2"))
+    val ranked = daily.withColumn("rn", row_number().over(byVal))
+      .join(broadcast(counts), "element")
+    val med2 = ranked
+      .groupBy(col("element"))
+      .agg((sum(when(col("rn") === col("lo"), col("m"))) +
+        sum(when(col("rn") === col("hi"), col("m")))).as("med2"))
+    val withDev = daily.join(broadcast(med2), "element")
+      .withColumn("dev", abs(col("m") * 2L - col("med2")))
+    val byDev = Window.partitionBy(col("element")).orderBy(col("dev"))
+    val mad2 = withDev.withColumn("rn", row_number().over(byDev))
+      .join(broadcast(counts), "element")
+      .groupBy(col("element"))
+      .agg((sum(when(col("rn") === col("lo"), col("dev"))) +
+        sum(when(col("rn") === col("hi"), col("dev")))).as("mad2"))
+    withDev.join(broadcast(mad2), "element")
+      .select(col("element"), col("day"),
+        (col("m").cast("double") / lit(1000000.0d)).as("daily_mean"),
+        col("m").as("mean_micro"), col("med2"), col("dev"), col("mad2"),
+        (col("dev") > lit(0L) && col("dev") * 2L > col("mad2") * lit(k)).as("is_anomaly"))
+      .orderBy(col("element"), col("day"))
+  }
+
   /** Rolling 7-day distinct active users per day (the WAU curve; the
     * same plan parameterizes to DAU/MAU). Formulated as CONTRIBUTION
     * EXPANSION, not a range self-join: each distinct (user, day)

@@ -2511,6 +2511,65 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lift == (1200.0 * 5.0) / (6.0 * 5.0), s"lift: $lift")
   }
 
+  test("triangle counting: planted triangle found once, pendant edge excluded") {
+    import spark.implicits._
+    // triangle {201,202,203} (each pair co-occurs twice), pendant edge
+    // 201–204; filler keeps the corpus >1000 orders for the item floor
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri-test").toString
+    val pairs = Seq((201L, 202L), (201L, 203L), (202L, 203L), (201L, 204L))
+    val star = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(2 * i + 1, 2 * i + 2).flatMap(ok => Seq((ok.toLong, a), (ok.toLong, b)))
+    }
+    val filler = (9 to 1100).map(ok => (ok.toLong, 999L))
+    (star ++ filler).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Graph.partTriangles(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(201L -> 1L, 202L -> 1L, 203L -> 1L),
+      s"exactly the planted triangle, each member once, 204 absent: $got")
+  }
+
+  test("mad anomalies: spike day flags, alternating baseline and constant series stay quiet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad-test").toString
+    val rows = for {
+      el <- Seq("spiky", "flat"); d <- 1 to 30; r <- 1 to 4
+    } yield {
+      val v =
+        if (el == "flat") 10.0
+        else if (d == 30) 60.0
+        else 10.0 + (d % 2) // alternating 11/10 baseline
+      ((el.hashCode.toLong * 1000 + d * 10 + r),
+        java.sql.Timestamp.valueOf(f"2024-03-${d}%02d 12:00:00"),
+        1L, el, v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventAnalytics.madAnomalies(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.getDayOfMonth,
+        r.getLong(3), r.getBoolean(7)))
+    val spikyFlags = out.filter(t => t._1 == "spiky" && t._4).map(_._2)
+    assert(spikyFlags.toSeq == Seq(30), s"only the spike day may flag: ${spikyFlags.toSeq}")
+    assert(out.filter(_._1 == "flat").forall(!_._4),
+      "a constant series (MAD 0, dev 0) must never flag")
+    // integer decision path: the spike's deviation is exactly 99e6 of
+    // doubled micro-units against med2 = 21e6
+    val spikeRow = out.find(t => t._1 == "spiky" && t._2 == 30).get
+    assert(spikeRow._3 == 60000000L, s"spike mean_micro: ${spikeRow._3}")
+  }
+
+  test("k-anonymity: singleton QI group flags, populous group passes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kanon-test").toString
+    val docs = (1 to 6).map(i => (i.toLong, s"text $i", "en", "web", 100L)) :+
+      ((7L, "loner", "fr", "web", 100L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.DataQuality.kAnonymityReport(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSet == Set(("en", 6L, false), ("fr", 1L, true)), s"got: ${out.toSeq}")
+  }
+
   test("part pagerank: scaled-BIGINT recursion matches a reference replay; hub dominates") {
     import spark.implicits._
     // star graph: hub 500 co-occurs with each leaf in 2 orders; >1000
