@@ -1604,10 +1604,12 @@ object SparkEntry {
           "local_supplier_all_equi_join", "market_share_all_equi_join",
           "minhash_candidates_equi_join", "nation_volume_all_equi_join",
           "not_exists_becomes_anti_join", "order_histogram_outer_equi_join",
+          "pagerank_iterations_equi_join", "part_affinity_equi_join",
           "promo_share_broadcasts_part", "q1_pricing_filter_pushed",
           "scalar_subquery_decorrelates", "ship_class_matrix_equi_join",
           "shipping_priority_topk_fused",
-          "star_join_broadcasts_dims", "top_orders_no_global_sort")
+          "star_join_broadcasts_dims", "top_orders_no_global_sort",
+          "triangles_equi_join")
           .map(c => s"('$c', TRUE)").mkString(", ") +
         ") AS t(check_name, ok) ORDER BY check_name"),
     "ann_recall_gates" ->

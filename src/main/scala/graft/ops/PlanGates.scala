@@ -67,10 +67,24 @@ object PlanGates {
     // Q13's outer join carries a non-key ON predicate — must stay an
     // equi outer join (the predicate rides the join, not a loop)
     ("order_histogram_outer_equi_join", "sql_order_count_histogram", noLoops),
-    ("ship_class_matrix_equi_join", "sql_ship_priority_class", noLoops))
+    ("ship_class_matrix_equi_join", "sql_ship_priority_class", noLoops),
+    // graph tier: pair mining, wedge build, and closing-edge check must
+    // run as HASH equi joins — a cartesian here is quadratic in the
+    // catalog. (These plans legitimately contain single-row
+    // BroadcastNestedLoopJoins: the `crossJoin(broadcast(totals))`
+    // scalar-attach pattern — so the gate forbids CartesianProduct and
+    // requires the hash joins, rather than banning BNLJ outright.)
+    ("part_affinity_equi_join", "part_affinity", hashJoinsNoCartesian),
+    ("pagerank_iterations_equi_join", "part_pagerank", hashJoinsNoCartesian),
+    ("triangles_equi_join", "graph_triangles", hashJoinsNoCartesian))
 
   private def noLoops(p: String): Boolean =
     !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+
+  private def hashJoinsNoCartesian(p: String): Boolean =
+    !p.contains("CartesianProduct") &&
+      (p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("SortMergeJoin"))
 
   /** Verdicts are a pure function of (session, corpus) — plans don't
     * change within a session — so the plan builds run once per
