@@ -694,6 +694,15 @@ object SparkEntry {
     // triangle counting via degree-ordered edge orientation: each
     // triangle found exactly once, wedge fan-out √-bounded on hubs
     "graph_triangles" -> ((s, dir) => graft.ops.Graph.partTriangles(s, dir)),
+    // the triangle consumer: local clustering coefficient per node,
+    // ONE double division over exact counts
+    "graph_clustering" -> ((s, dir) => graft.ops.Graph.clusteringCoefficients(s, dir)),
+    // A-Priori level 3: triple candidates generated ONLY from frequent
+    // pairs (broadcast semi-pruned), counted per order
+    "part_triples" -> ((s, dir) => graft.ops.Affinity.partTriples(s, dir)),
+    // nearest-rank (type-1) p05/p95 winsorization: selected order
+    // statistics, no interpolation — clamp decisions hash-verify
+    "value_winsorize" -> ((s, dir) => graft.ops.EventAnalytics.valueWinsorize(s, dir)),
     // median/MAD spike screen: doubled-median order stats keep the
     // whole decision path in exact BIGINTs (no interpolation division)
     "mad_anomalies" -> ((s, dir) => graft.ops.EventAnalytics.madAnomalies(s, dir)),
@@ -1964,6 +1973,80 @@ object SparkEntry {
         |  UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT w FROM tri) x
         |GROUP BY node ORDER BY node""").stripMargin,
+    // triangles + degrees → coefficient; nodes outside any triangle
+    // appear with 0, degree-1 nodes are 0 by definition
+    "graph_clustering" ->
+      (basketCtes + """,
+        |ud AS (SELECT pa AS u, pb AS v FROM pc),
+        |dg2 AS (SELECT n, count(*) AS d FROM (
+        |  SELECT pa AS n FROM pc UNION ALL SELECT pb AS n FROM pc) t GROUP BY n),
+        |ori AS (SELECT
+        |  CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND ud.u < ud.v)
+        |       THEN ud.u ELSE ud.v END AS s,
+        |  CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND ud.u < ud.v)
+        |       THEN ud.v ELSE ud.u END AS t
+        |  FROM ud JOIN dg2 du ON du.n = ud.u JOIN dg2 dv ON dv.n = ud.v),
+        |wg AS (SELECT a.s AS u, a.t AS v, b.t AS w
+        |       FROM ori a JOIN ori b ON a.s = b.s AND a.t < b.t),
+        |tri AS (SELECT u, v, w FROM wg
+        |        WHERE EXISTS (SELECT 1 FROM ori o
+        |                      WHERE (o.s = wg.v AND o.t = wg.w)
+        |                         OR (o.s = wg.w AND o.t = wg.v))),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri) x GROUP BY node)
+        |SELECT dg2.n AS node, CAST(dg2.d AS BIGINT) AS degree,
+        |  CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN dg2.d < 2 THEN 0.0
+        |       ELSE CAST(COALESCE(tc.n_triangles, 0) * 2 AS DOUBLE) /
+        |            CAST(dg2.d * (dg2.d - 1) AS DOUBLE) END AS clustering
+        |FROM dg2 LEFT JOIN tc ON tc.node = dg2.n
+        |ORDER BY node""").stripMargin,
+    // level-3 A-Priori replay: triples counted only where all three
+    // sub-pairs are frequent, support = one division
+    "part_triples" ->
+      (basketCtes + """,
+        |fi AS (SELECT pa AS pk FROM pc UNION SELECT pb FROM pc),
+        |pb3 AS (SELECT pbk.ok, pbk.pk FROM pbk JOIN fi ON fi.pk = pbk.pk),
+        |occ3 AS (
+        |  SELECT x.pk AS a, y.pk AS b, z.pk AS c
+        |  FROM pb3 x JOIN pb3 y ON x.ok = y.ok AND x.pk < y.pk
+        |             JOIN pb3 z ON y.ok = z.ok AND z.pk > y.pk
+        |  WHERE EXISTS (SELECT 1 FROM pc WHERE pc.pa = x.pk AND pc.pb = y.pk)
+        |    AND EXISTS (SELECT 1 FROM pc WHERE pc.pa = y.pk AND pc.pb = z.pk)
+        |    AND EXISTS (SELECT 1 FROM pc WHERE pc.pa = x.pk AND pc.pb = z.pk))
+        |SELECT a AS part_a, b AS part_b, c AS part_c,
+        |  CAST(count(*) AS BIGINT) AS n_abc,
+        |  CAST(count(*) AS DOUBLE) / CAST(tot.n_orders AS DOUBLE) AS support
+        |FROM occ3 CROSS JOIN tot
+        |GROUP BY a, b, c, tot.n_orders
+        |HAVING count(*) >= 2
+        |ORDER BY part_a, part_b, part_c""").stripMargin,
+    // nearest-rank selection replayed: the rank-k VALUE is unique even
+    // when row_number tie order is not
+    "value_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type AS element, value
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT element, value,
+        |        row_number() OVER (PARTITION BY element ORDER BY value) AS rn
+        |      FROM e),
+        |n AS (SELECT element, count(*) AS n,
+        |        (count(*) + 19) // 20 AS lo_rank,
+        |        (19 * count(*) + 19) // 20 AS hi_rank
+        |      FROM e GROUP BY 1),
+        |p AS (SELECT r.element,
+        |        max(CASE WHEN rn = n.lo_rank THEN value END) AS p05,
+        |        max(CASE WHEN rn = n.hi_rank THEN value END) AS p95
+        |      FROM r JOIN n USING (element) GROUP BY 1)
+        |SELECT e.event_id, e.element, e.value, p.p05, p.p95,
+        |  CASE WHEN e.value < p.p05 THEN p.p05
+        |       WHEN e.value > p.p95 THEN p.p95
+        |       ELSE e.value END AS value_winsorized,
+        |  (e.value < p.p05 OR e.value > p.p95) AS clipped
+        |FROM e JOIN p USING (element)
+        |ORDER BY event_id""".stripMargin,
     // the doubled-median integer recursion replayed literally; every
     // aggregate recast to BIGINT so HUGEINT widening stays internal
     "mad_anomalies" ->

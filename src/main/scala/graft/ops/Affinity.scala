@@ -92,6 +92,44 @@ object Affinity {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** A-Priori LEVEL 3 — frequent triples, generated the way the
+    * algorithm scales: candidates come only from FREQUENT PAIRS (every
+    * 2-subset of a frequent triple must be a frequent pair), so the
+    * 3-way expansion never touches an item combination the level-2
+    * pass already ruled out. The pair-occurrence table is pre-filtered
+    * to frequent pairs via a broadcast semi-join, then extended by one
+    * more basket item, and the two new sub-pairs are semi-checked
+    * before counting. Support is one IEEE division over exact BIGINTs.
+    *
+    * Scale shape: all joins key on the ORDER (co-partitioned) or on
+    * broadcast pair sets; per-order expansion is cubic only in the
+    * pruned basket width, which the item floor bounds. */
+  def partTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pairs, _, totals) = frequentPairs(spark, sfDir)
+    val b = baskets(spark, sfDir)
+    val freqItems = pairs.select(col("pa").as("pk"))
+      .union(pairs.select(col("pb").as("pk"))).distinct()
+    val pb = b.join(broadcast(freqItems), Seq("pk"), "left_semi")
+    val pairSet = broadcast(pairs.select(col("pa"), col("pb")))
+    // pair occurrences restricted to frequent pairs, then extended
+    val occ2 = pb.as("x").join(pb.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.ok").as("ok"), col("x.pk").as("a"), col("y.pk").as("b"))
+      .join(pairSet, col("a") === col("pa") && col("b") === col("pb"), "left_semi")
+    val occ3 = occ2.as("o2").join(pb.as("z"),
+        col("o2.ok") === col("z.ok") && col("z.pk") > col("o2.b"))
+      .select(col("o2.a").as("a"), col("o2.b").as("b"), col("z.pk").as("c"))
+      .join(pairSet, col("b") === col("pa") && col("c") === col("pb"), "left_semi")
+      .join(pairSet, col("a") === col("pa") && col("c") === col("pb"), "left_semi")
+    occ3.groupBy(col("a").as("part_a"), col("b").as("part_b"), col("c").as("part_c"))
+      .agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= lit(MinPairSupport))
+      .crossJoin(broadcast(totals))
+      .select(col("part_a"), col("part_b"), col("part_c"), col("n_abc"),
+        (col("n_abc").cast("double") / col("n_orders").cast("double")).as("support"))
+      .orderBy(col("part_a"), col("part_b"), col("part_c"))
+  }
+
   /** Fixed-point scale for integer PageRank mass: ranks live in units
     * of 1e-12, so BIGINT sums are exact and order-independent — the
     * whole iteration hash-verifies against the oracle's replay. */

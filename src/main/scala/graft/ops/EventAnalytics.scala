@@ -318,6 +318,40 @@ object EventAnalytics {
       .orderBy(col("element"), col("day"))
   }
 
+  /** Nearest-rank winsorization of event values per element — the
+    * standard heavy-tail cleaning step in front of any mean-based
+    * aggregate (a single fat-fingered 1e9 reading otherwise owns the
+    * day's sum). Bounds are the NEAREST-RANK (type-1) p05/p95 order
+    * statistics — `lo = ⌈n/20⌉ = (n+19) DIV 20`, `hi = ⌈19n/20⌉` —
+    * selected values, NOT interpolated: selection is exact on any
+    * engine, so clamp decisions and outputs hash-verify with no
+    * arithmetic on the values at all.
+    *
+    * Scale shape: one element-keyed shuffle serves the rank window;
+    * bounds reduce to |elements| rows joined back by broadcast; the
+    * clamp is a map-side projection. */
+  def valueWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("event_type").as("element"), col("value"))
+    val ranked = ev.withColumn("rn",
+      row_number().over(Window.partitionBy(col("element")).orderBy(col("value"))))
+    val loHi = ev.groupBy(col("element")).agg(count(lit(1)).as("n"))
+      .withColumn("lo_rank", expr("(n + 19) DIV 20"))
+      .withColumn("hi_rank", expr("(19 * n + 19) DIV 20"))
+    val picked = ranked.join(broadcast(loHi), "element")
+      .groupBy(col("element"))
+      .agg(max(when(col("rn") === col("lo_rank"), col("value"))).as("p05"),
+        max(when(col("rn") === col("hi_rank"), col("value"))).as("p95"))
+    ev.join(broadcast(picked), "element")
+      .select(col("event_id"), col("element"), col("value"), col("p05"), col("p95"),
+        when(col("value") < col("p05"), col("p05"))
+          .when(col("value") > col("p95"), col("p95"))
+          .otherwise(col("value")).as("value_winsorized"),
+        (col("value") < col("p05") || col("value") > col("p95")).as("clipped"))
+      .orderBy(col("event_id"))
+  }
+
   /** Rolling 7-day distinct active users per day (the WAU curve; the
     * same plan parameterizes to DAU/MAU). Formulated as CONTRIBUTION
     * EXPANSION, not a range self-join: each distinct (user, day)

@@ -54,4 +54,27 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("node"))
   }
+
+  /** Local clustering coefficient per node: 2·tri / (deg·(deg−1)) —
+    * how close each node's neighborhood is to a clique, THE standard
+    * triangle consumer (community structure, spam/bot detection in
+    * co-occurrence graphs). Every node of the graph is emitted
+    * (triangle-less nodes join as 0); degree-1 nodes get coefficient
+    * 0 by definition. The coefficient is the ONE double division over
+    * exact BIGINT counts, so rows hash-verify. */
+  def clusteringCoefficients(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Affinity.frequentPairEdges(spark, sfDir)
+    val degs = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val tri = partTriangles(spark, sfDir)
+      .select(col("node").as("n"), col("n_triangles"))
+    degs.join(tri, Seq("n"), "left")
+      .select(col("n").as("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2L, lit(0.0d))
+          .otherwise((coalesce(col("n_triangles"), lit(0L)) * 2L).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double"))
+          .as("clustering"))
+      .orderBy(col("node"))
+  }
 }

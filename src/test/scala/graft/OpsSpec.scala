@@ -2529,6 +2529,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly the planted triangle, each member once, 204 absent: $got")
   }
 
+  test("clustering coefficients: triangle members 1 or 1/3, pendant node 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-test").toString
+    val pairs = Seq((201L, 202L), (201L, 203L), (202L, 203L), (201L, 204L))
+    val star = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(2 * i + 1, 2 * i + 2).flatMap(ok => Seq((ok.toLong, a), (ok.toLong, b)))
+    }
+    val filler = (9 to 1100).map(ok => (ok.toLong, 999L))
+    (star ++ filler).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Graph.clusteringCoefficients(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(201L) == ((3L, 1L, 1.0 / 3.0)), s"hub: ${got(201L)}")
+    assert(got(202L) == ((2L, 1L, 1.0)) && got(203L) == ((2L, 1L, 1.0)))
+    assert(got(204L) == ((1L, 0L, 0.0)), s"degree-1 pendant: ${got(204L)}")
+  }
+
+  test("part triples: level-3 candidates only from frequent pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri3-test").toString
+    // {301,302,303} co-ordered twice → one frequent triple; {304,305}
+    // twice → a frequent pair that must NOT extend to any triple
+    val triple = Seq(1L, 2L).flatMap(ok => Seq((ok, 301L), (ok, 302L), (ok, 303L)))
+    val duo = Seq(3L, 4L).flatMap(ok => Seq((ok, 304L), (ok, 305L)))
+    val filler = (5 to 1100).map(ok => (ok.toLong, 999L))
+    (triple ++ duo ++ filler).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Affinity.partTriples(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+    assert(got.toSeq == Seq(((301L, 302L, 303L), 2L)), s"got: ${got.toSeq}")
+  }
+
+  test("winsorize: nearest-rank bounds clamp exactly the planted tails") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wins-test").toString
+    // n=40, values 1..40: lo_rank = ceil(40/20) = 2 → p05 = 2,
+    // hi_rank = ceil(19*40/20) = 38 → p95 = 38
+    val rows = (1 to 40).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), 1L, "m", i.toDouble, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventAnalytics.valueWinsorize(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    assert(out.size == 40)
+    assert(out(1L) == ((2.0, 38.0, 2.0, true)), s"low tail: ${out(1L)}")
+    assert(out(40L) == ((2.0, 38.0, 38.0, true)) && out(39L)._4,
+      "both high-tail values clamp to 38")
+    assert(out(2L) == ((2.0, 38.0, 2.0, false)), "boundary value is not clipped")
+    assert((3L to 38L).forall(i => !out(i)._4), "interior untouched")
+  }
+
   test("mad anomalies: spike day flags, alternating baseline and constant series stay quiet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mad-test").toString
