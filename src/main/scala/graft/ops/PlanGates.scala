@@ -75,8 +75,17 @@ object PlanGates {
     // scalar-attach pattern — so the gate forbids CartesianProduct and
     // requires the hash joins, rather than banning BNLJ outright.)
     ("part_affinity_equi_join", "part_affinity", hashJoinsNoCartesian),
-    ("pagerank_iterations_equi_join", "part_pagerank", hashJoinsNoCartesian),
+    // the production pagerank cuts lineage per iteration (its final
+    // plan is LogicalRDDs), so the gate inspects one un-checkpointed
+    // iteration's join shape via a dedicated plan builder
+    ("pagerank_iterations_equi_join", "__pagerank_iteration", hashJoinsNoCartesian),
     ("triangles_equi_join", "graph_triangles", hashJoinsNoCartesian))
+
+  /** Gate-only plan builders for checks whose production query hides
+    * the interesting stage behind a lineage cut. */
+  private val customPlans: Map[String, (SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "__pagerank_iteration" -> ((s, d) => Affinity.pagerankIterationPlan(s, d)))
 
   private def noLoops(p: String): Boolean =
     !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
@@ -97,8 +106,8 @@ object PlanGates {
     cache.computeIfAbsent((spark.sparkContext.applicationId, sfDir), _ => {
       import spark.implicits._
       val verdicts = checks.map { case (check, query, pred) =>
-        val plan = graft.SparkEntry.queries(query)(spark, sfDir)
-          .queryExecution.executedPlan.toString
+        val build = customPlans.getOrElse(query, graft.SparkEntry.queries(query))
+        val plan = build(spark, sfDir).queryExecution.executedPlan.toString
         (check, pred(plan))
       }
       verdicts.toDF("check_name", "ok").orderBy("check_name")
