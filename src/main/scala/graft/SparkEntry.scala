@@ -298,6 +298,23 @@ object SparkEntry {
       |    OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
       |    OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35))""".stripMargin
 
+  /** GROUPING SETS with NON-hierarchical sets — `(region)` and
+    * `(priority)` side by side, which ROLLUP cannot express: one scan,
+    * one Expand, two independent aggregate groupings. Group keys render
+    * 'ALL' via COALESCE on the grouping nulls (neither source column is
+    * nullable), counts exact, price the exact DECIMAL sum. */
+  val groupingSetsSql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_price
+      |FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
+      |ORDER BY region, priority""".stripMargin
+
   /** Q8 shape (market share): one supplier nation's share of a
     * region's PROMO-part volume per order year — an 8-table join fanned
     * into a conditional-aggregate ratio. Share = two exact DECIMAL sums
@@ -354,6 +371,10 @@ object SparkEntry {
     "sql_waiting_suppliers" -> sqlOnViews(q21WaitingSuppliersSql,
       "supplier", "lineitem", "orders"),
     "sql_part_concentration" -> sqlOnViews(q11PartConcentrationSql, "lineitem"),
+    // non-hierarchical GROUPING SETS: (region) and (priority) in one
+    // Expand — the grouping shape ROLLUP can't express
+    "sql_grouping_sets" -> sqlOnViews(groupingSetsSql,
+      "orders", "customer", "nation", "region"),
     // latency-class × priority matrix (Q12 shape) / outer-join count
     // histogram (Q13) / promo share (Q14) / disjunctive brackets (Q19)
     "sql_ship_priority_class" -> sqlOnViews(q12ShipClassSql, "orders", "lineitem"),
@@ -703,6 +724,9 @@ object SparkEntry {
     // nearest-rank (type-1) p05/p95 winsorization: selected order
     // statistics, no interpolation — clamp decisions hash-verify
     "value_winsorize" -> ((s, dir) => graft.ops.EventAnalytics.valueWinsorize(s, dir)),
+    // daily P50/P95 report, same nearest-rank exactness rule
+    "daily_value_percentiles" -> ((s, dir) =>
+      graft.ops.EventAnalytics.dailyValuePercentiles(s, dir)),
     // median/MAD spike screen: doubled-median order stats keep the
     // whole decision path in exact BIGINTs (no interpolation division)
     "mad_anomalies" -> ((s, dir) => graft.ops.EventAnalytics.madAnomalies(s, dir)),
@@ -852,6 +876,7 @@ object SparkEntry {
     "sql_large_orders" -> q18LargeOrdersSql,
     "sql_waiting_suppliers" -> q21WaitingSuppliersSql,
     "sql_part_concentration" -> q11PartConcentrationSql,
+    "sql_grouping_sets" -> groupingSetsSql,
     "sql_ship_priority_class" -> q12ShipClassSql,
     "sql_order_count_histogram" -> q13OrderHistogramSql,
     "sql_promo_revenue" -> q14PromoShareSql,
@@ -2023,6 +2048,20 @@ object SparkEntry {
         |GROUP BY a, b, c, tot.n_orders
         |HAVING count(*) >= 2
         |ORDER BY part_a, part_b, part_c""").stripMargin,
+    "daily_value_percentiles" ->
+      """WITH e AS (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS day, value
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT element, day, value,
+        |        row_number() OVER (PARTITION BY element, day ORDER BY value) AS rn,
+        |        count(*) OVER (PARTITION BY element, day) AS cnt
+        |      FROM e)
+        |SELECT element, day, CAST(count(*) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = (cnt + 1) // 2 THEN value END) AS p50,
+        |  max(CASE WHEN rn = (19 * cnt + 19) // 20 THEN value END) AS p95
+        |FROM r GROUP BY element, day
+        |ORDER BY element, day""".stripMargin,
     // nearest-rank selection replayed: the rank-k VALUE is unique even
     // when row_number tie order is not
     "value_winsorize" ->

@@ -352,6 +352,36 @@ object EventAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** Per-(element, day) nearest-rank P50/P95 of event values — the
+    * daily latency-percentile report every ops dashboard renders. The
+    * [[valueWinsorize]] exactness rule applies: nearest-rank (type-1)
+    * order statistics are SELECTED values, never interpolated, so the
+    * whole row hash-verifies with no value arithmetic.
+    *
+    * Scale shape: one (element, day)-keyed Exchange serves the rank
+    * window AND the count aggregate (same partitioning — Catalyst
+    * plans one shuffle); output is one row per (element, day). */
+  def dailyValuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val vals = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"), dayCol.as("day"), col("value"))
+    val grp = Window.partitionBy(col("element"), col("day"))
+    val ranked = vals
+      .withColumn("rn", row_number().over(grp.orderBy(col("value"))))
+      .withColumn("cnt", count(lit(1)).over(grp))
+    ranked
+      .groupBy(col("element"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn") === expr("(cnt + 1) DIV 2"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(19 * cnt + 19) DIV 20"), col("value"))).as("p95"))
+      .orderBy(col("element"), col("day"))
+  }
+
   /** Rolling 7-day distinct active users per day (the WAU curve; the
     * same plan parameterizes to DAU/MAU). Formulated as CONTRIBUTION
     * EXPANSION, not a range self-join: each distinct (user, day)

@@ -2581,6 +2581,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((3L to 38L).forall(i => !out(i)._4), "interior untouched")
   }
 
+  test("grouping sets: region rows and priority rows each partition the same order total") {
+    val rows = SparkEntry.queries("sql_grouping_sets")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byRegion = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    val byPriority = rows.filter(r => r._1 == "ALL" && r._2 != "ALL")
+    assert(byRegion.nonEmpty && byPriority.nonEmpty,
+      s"both grouping sets must appear: ${rows.toSeq}")
+    assert(rows.forall(r => (r._1 == "ALL") != (r._2 == "ALL")),
+      "every row belongs to exactly one grouping set")
+    assert(byRegion.map(_._3).sum == byPriority.map(_._3).sum,
+      "the two groupings partition the same joined row set")
+  }
+
+  test("daily percentiles: nearest-rank p50/p95 selected from a planted day") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpct-test").toString
+    val rows = (1 to 40).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), 1L, "m", i.toDouble, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventAnalytics.dailyValuePercentiles(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(2), r.getDouble(3), r.getDouble(4)) == ((40L, 20.0, 38.0)),
+      s"n/p50/p95: ${(r.getLong(2), r.getDouble(3), r.getDouble(4))}")
+  }
+
   test("mad anomalies: spike day flags, alternating baseline and constant series stay quiet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mad-test").toString
