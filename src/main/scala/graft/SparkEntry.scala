@@ -727,6 +727,14 @@ object SparkEntry {
     // daily P50/P95 report, same nearest-rank exactness rule
     "daily_value_percentiles" -> ((s, dir) =>
       graft.ops.EventAnalytics.dailyValuePercentiles(s, dir)),
+    // first-order Markov transition matrix over per-user sequences:
+    // one lead window, deterministic (tus, event_id) tiebreak
+    "event_transitions" -> ((s, dir) =>
+      graft.ops.EventAnalytics.eventTransitions(s, dir)),
+    // per-label centroid cosine matrix: map-side per-dim partials,
+    // offset-shifted integer means so both engines floor identically
+    "label_centroid_sim" -> ((s, dir) =>
+      graft.ops.Similarity.labelCentroidSimilarity(s, dir)),
     // median/MAD spike screen: doubled-median order stats keep the
     // whole decision path in exact BIGINTs (no interpolation division)
     "mad_anomalies" -> ((s, dir) => graft.ops.EventAnalytics.madAnomalies(s, dir)),
@@ -2048,6 +2056,45 @@ object SparkEntry {
         |GROUP BY a, b, c, tot.n_orders
         |HAVING count(*) >= 2
         |ORDER BY part_a, part_b, part_c""").stripMargin,
+    "event_transitions" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s AS (SELECT event_type AS cur,
+        |        lead(event_type, 1) OVER (
+        |          PARTITION BY user_id ORDER BY tus, event_id) AS nxt
+        |      FROM e),
+        |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_pair
+        |      FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        |t AS (SELECT cur, CAST(sum(n_pair) AS BIGINT) AS n_cur FROM c GROUP BY cur)
+        |SELECT c.cur, c.nxt, c.n_pair, t.n_cur,
+        |  CAST(c.n_pair AS DOUBLE) / CAST(t.n_cur AS DOUBLE) AS p
+        |FROM c JOIN t USING (cur)
+        |ORDER BY cur, nxt""".stripMargin,
+    // the offset-shifted integer centroid replayed: (Σq + n·1e9)//n −
+    // 1e9 floors identically to Spark's truncating DIV once shifted
+    // non-negative; dot/norms exact BIGINT sums over integer centroids
+    "label_centroid_sim" ->
+      """WITH e AS (SELECT label, embedding FROM embeddings
+        |           WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |u AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+        |      FROM e),
+        |m AS (SELECT label, dim,
+        |        (CAST(sum(q) AS BIGINT) + count(*) * 1000000000) // count(*)
+        |          - 1000000000 AS m
+        |      FROM u GROUP BY label, dim),
+        |nrm AS (SELECT label, CAST(sum(m * m) AS BIGINT) AS nn FROM m GROUP BY label),
+        |d AS (SELECT a.label AS label_a, b.label AS label_b,
+        |        CAST(sum(a.m * b.m) AS BIGINT) AS dot
+        |      FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+        |      GROUP BY a.label, b.label)
+        |SELECT label_a, label_b,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS cosine
+        |FROM d JOIN nrm na ON na.label = d.label_a
+        |       JOIN nrm nb ON nb.label = d.label_b
+        |ORDER BY label_a, label_b""".stripMargin,
     "daily_value_percentiles" ->
       """WITH e AS (
         |  SELECT event_type AS element, CAST(ts AS DATE) AS day, value

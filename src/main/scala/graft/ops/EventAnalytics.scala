@@ -399,6 +399,31 @@ object EventAnalytics {
   /** (event_id, user_id, tus, event_type) with the dual-clock rule —
     * the attribution paths need the event identity for deterministic
     * tie-breaks, which [[userEvents]] deliberately drops. */
+  /** First-order event-type transition matrix over per-user sequences —
+    * P(next = b | current = a), the Markov-chain building block behind
+    * next-action prediction and funnel-drop diagnosis. Successor pairs
+    * come from ONE `lead` window per user (ordered by the exact
+    * microsecond clock with event_id as the deterministic tiebreak, so
+    * both engines pair identical neighbors); counts are exact BIGINTs
+    * and the probability is ONE IEEE division, so rows hash-verify.
+    *
+    * Scale shape: one user-keyed Exchange serves the sequence window;
+    * the pair/total aggregates are two-phase over a |types|²-bounded
+    * key space. Sequence state never leaves the window operator. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val seq0 = identifiedEvents(spark, sfDir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))))
+      .filter(col("next_type").isNotNull)
+    val counts = seq0.groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+      .agg(count(lit(1)).as("n_pair"))
+    val totals = counts.groupBy(col("cur")).agg(sum(col("n_pair")).as("n_cur"))
+    counts.join(broadcast(totals), "cur")
+      .select(col("cur"), col("nxt"), col("n_pair"), col("n_cur"),
+        (col("n_pair").cast("double") / col("n_cur").cast("double")).as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
   private def identifiedEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = graft.sources.Tables.events(spark, sfDir)
     val tusCol = ev.schema("ts").dataType match {

@@ -725,4 +725,40 @@ object Similarity {
         (col("qmax").cast("double") / 1000000.0d).as("max_val"))
       .orderBy(col("dim"))
   }
+
+  /** Cosine similarity between per-LABEL centroid embeddings — the
+    * class-separation report (are the label clusters distinguishable in
+    * embedding space?) and the grouped-vector-aggregation operator
+    * class: per-dimension partial sums combine map-side, so a 100 TB
+    * corpus reduces to |labels|×|dims| rows before anything joins.
+    *
+    * Exactness: components quantize to 1e-6 BIGINTs (the
+    * [[embeddingDimStats]] rule); the centroid mean uses the
+    * OFFSET-SHIFTED integer division `(Σq + n·10⁹) DIV n − 10⁹` so
+    * both engines floor identically on negative sums (Spark's DIV
+    * truncates toward zero, DuckDB's // floors — shifting to
+    * non-negative makes them agree). Dot and norms are exact BIGINT
+    * sums over the integer centroids; the cosine is one fixed
+    * double-op sequence, rounded to 6dp. */
+  def labelCentroidSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = emb(spark, sfDir)
+      .filter(col("label").isNotNull)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x") * lit(1000000.0d) + lit(0.5d)).cast("long").as("q"))
+    val m = q.groupBy(col("label"), col("dim"))
+      .agg(expr("(sum(q) + count(1) * 1000000000) DIV count(1) - 1000000000").as("m"))
+    val norms = m.groupBy(col("label")).agg(sum(col("m") * col("m")).as("nn"))
+    val dots = m.as("a").join(m.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.m") * col("b.m")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("label").as("label_a"), col("nn").as("na"))), "label_a")
+      .join(broadcast(norms.select(col("label").as("label_b"), col("nn").as("nb"))), "label_b")
+      .select(col("label_a"), col("label_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6).as("cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
 }

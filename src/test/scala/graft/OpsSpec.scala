@@ -2608,6 +2608,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"n/p50/p95: ${(r.getLong(2), r.getDouble(3), r.getDouble(4))}")
   }
 
+  test("event transitions: lead pairs with microsecond+id tiebreak, probabilities exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-trans-test").toString
+    // user 1: view(id=1) and click(id=2) at the SAME instant (tie →
+    // event_id order), then purchase; user 2: view → view
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-03-01 12:01:00")
+    Seq((1L, t0, 1L, "view", 1.0, "{}"), (2L, t0, 1L, "click", 1.0, "{}"),
+      (3L, t1, 1L, "purchase", 1.0, "{}"),
+      (4L, t0, 2L, "view", 1.0, "{}"), (5L, t1, 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.EventAnalytics.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == Set(("view", "click"), ("click", "purchase"), ("view", "view")),
+      s"tie must pair view→click by event_id: ${got.keySet}")
+    assert(got(("view", "click")) == ((1L, 2L, 0.5)) && got(("view", "view")) == ((1L, 2L, 0.5)))
+    assert(got(("click", "purchase")) == ((1L, 1L, 1.0)))
+  }
+
+  test("label centroids: orthogonal/parallel/negative cosines exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-centroid-test").toString
+    Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(2.0f, 0.0f), 2),
+      (5L, Seq(-1.0f, 0.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.ops.Similarity.labelCentroidSimilarity(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got((0, 1)) == 0.0 && got((0, 2)) == 1.0 && got((0, 3)) == -1.0,
+      s"orthogonal/parallel/opposite centroids: $got")
+    assert(got.size == 6, s"all label pairs emitted: ${got.keySet}")
+  }
+
   test("mad anomalies: spike day flags, alternating baseline and constant series stay quiet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mad-test").toString
