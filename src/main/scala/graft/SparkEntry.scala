@@ -731,6 +731,11 @@ object SparkEntry {
     // one lead window, deterministic (tus, event_id) tiebreak
     "event_transitions" -> ((s, dir) =>
       graft.ops.EventAnalytics.eventTransitions(s, dir)),
+    // week-over-week churn: expression-equi hash ANTI join on
+    // (user, wk+1), trailing week excluded
+    "user_churn" -> ((s, dir) => graft.ops.EventAnalytics.userChurn(s, dir)),
+    // 20-bin equi-width histogram, integer-exact binning on cents
+    "value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
     // per-label centroid cosine matrix: map-side per-dim partials,
     // offset-shifted integer means so both engines floor identically
     "label_centroid_sim" -> ((s, dir) =>
@@ -2056,6 +2061,37 @@ object SparkEntry {
         |GROUP BY a, b, c, tot.n_orders
         |HAVING count(*) >= 2
         |ORDER BY part_a, part_b, part_c""").stripMargin,
+    "user_churn" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 604800000000 AS wk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |mx AS (SELECT max(wk) AS max_wk FROM w),
+        |ch AS (SELECT a.wk, CAST(count(*) AS BIGINT) AS n_churned
+        |       FROM w a
+        |       WHERE NOT EXISTS (SELECT 1 FROM w b
+        |                         WHERE b.user_id = a.user_id AND b.wk = a.wk + 1)
+        |       GROUP BY a.wk),
+        |act AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_active FROM w GROUP BY wk)
+        |SELECT act.wk, act.n_active,
+        |  CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned,
+        |  CAST(COALESCE(ch.n_churned, 0) AS DOUBLE) / CAST(act.n_active AS DOUBLE) AS churn_rate
+        |FROM act LEFT JOIN ch ON ch.wk = act.wk CROSS JOIN mx
+        |WHERE act.wk < mx.max_wk
+        |ORDER BY act.wk""".stripMargin,
+    // integer-exact equi-width binning: cents via floor(x·100+0.5)
+    // (CAST double→int truncates in Spark but rounds in DuckDB), bin
+    // and bounds pure integer arithmetic
+    "value_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT min(c) AS lo, max(c) AS hi FROM c)
+        |SELECT (c.c - b.lo) * 20 // (b.hi - b.lo + 1) AS bin,
+        |  b.lo + ((c.c - b.lo) * 20 // (b.hi - b.lo + 1)) * (b.hi - b.lo + 1) // 20 AS bin_lo_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM c CROSS JOIN b
+        |GROUP BY bin, bin_lo_cents
+        |ORDER BY bin""".stripMargin,
     "event_transitions" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type

@@ -424,6 +424,39 @@ object EventAnalytics {
       .orderBy(col("cur"), col("nxt"))
   }
 
+  /** Week-over-week churn: per week, the active-user count and how many
+    * of them do NOT appear the following week — the retention
+    * complement every growth dashboard tracks. The "absent next week"
+    * test is a LEFT ANTI join whose key is the EXPRESSION equi pair
+    * (user, wk+1 = wk) — Catalyst plans it as a hash anti join, never a
+    * loop. The trailing week (no successor to test against) is
+    * excluded. Weeks are exact integer epoch-week indices
+    * (`tus DIV 604800000000`); churn rate is one IEEE division.
+    *
+    * Scale shape: the corpus reduces to distinct (user, week) in one
+    * shuffle; the anti join and the count aggregate both key on that
+    * deduplicated table. */
+  def userChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = identifiedEvents(spark, sfDir)
+      .select(col("user_id"), expr("tus DIV 604800000000").as("wk"))
+      .distinct()
+    val lastWeek = weekly.agg(max(col("wk")).as("max_wk"))
+    val churned = weekly.as("a")
+      .join(weekly.as("b"),
+        col("a.user_id") === col("b.user_id") && col("b.wk") === col("a.wk") + 1L,
+        "left_anti")
+      .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+    weekly.groupBy(col("wk")).agg(count(lit(1)).as("n_active"))
+      .join(churned, Seq("wk"), "left")
+      .crossJoin(broadcast(lastWeek))
+      .filter(col("wk") < col("max_wk"))
+      .select(col("wk"), col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        (coalesce(col("n_churned"), lit(0L)).cast("double") /
+          col("n_active").cast("double")).as("churn_rate"))
+      .orderBy(col("wk"))
+  }
+
   private def identifiedEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = graft.sources.Tables.events(spark, sfDir)
     val tusCol = ev.schema("ts").dataType match {

@@ -300,6 +300,31 @@ object Relational {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Equi-width histogram of order totals — the numeric-profiling
+    * operator next to `table_profile`. Binning is EXACT integer
+    * arithmetic end to end: prices quantize to cents via the
+    * `floor(x·100 + 0.5)` idiom (Spark's double→long CAST truncates
+    * while DuckDB's rounds — floor+0.5 sidesteps the divergence), and
+    * `bin = (c − lo) · 20 DIV (hi − lo + 1)` maps every row to one of
+    * 20 buckets with no floating boundary to flip. Bounds attach as a
+    * broadcast single-row aggregate; the histogram is a two-phase
+    * count over ≤20 keys. */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = t(spark, sfDir, "orders")
+      .filter(col("o_totalprice").isNotNull)
+      .select(floor(col("o_totalprice") * lit(100.0d) + lit(0.5d)).cast("long").as("c"))
+    val bounds = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    cents.crossJoin(broadcast(bounds))
+      .select(expr("(c - lo) * 20 DIV (hi - lo + 1)").as("bin"),
+        col("lo"), col("hi"))
+      .groupBy(col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        expr("lo + bin * (hi - lo + 1) DIV 20").as("bin_lo_cents"),
+        col("n"))
+      .orderBy(col("bin"))
+  }
+
   /** ROLLUP aggregation (SURVEY.md §2.2-D breadth): revenue by region,
     * nation, and the region/grand subtotals in one pass — Spark plans a
     * single `Expand` + hash aggregate, not one scan per grouping level.

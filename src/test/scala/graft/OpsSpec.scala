@@ -2644,6 +2644,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 6, s"all label pairs emitted: ${got.keySet}")
   }
 
+  test("user churn: absent-next-week anti join, trailing week excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-churn-test").toString
+    // u1 active weeks 0,1,2; u2 week 0 only; u3 week 1 only
+    def ts(wk: Long) = new java.sql.Timestamp(wk * 604800000L + 1000L)
+    Seq((1L, ts(0), 1L), (2L, ts(1), 1L), (3L, ts(2), 1L),
+      (4L, ts(0), 2L), (5L, ts(1), 3L))
+      .map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.EventAnalytics.userChurn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(0L, 1L), s"trailing week 2 must be excluded: ${got.keySet}")
+    assert(got(0L) == ((2L, 1L, 0.5)) && got(1L) == ((2L, 1L, 0.5)), s"got: $got")
+  }
+
+  test("value histogram: integer binning maps each cent value to its own bin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist-test").toString
+    // cents 1..20 → lo=1, hi=20, range=20: bin = c-1, one row each
+    (1 to 20).map(i => (i.toLong, 1L, "O", i / 100.0,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.ops.Relational.valueHistogram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 20 && got.forall(_._3 == 1L), s"20 singleton bins: ${got.toSeq}")
+    assert(got.forall { case (bin, lo, _) => lo == bin + 1 },
+      s"bin_lo_cents must be exact: ${got.toSeq}")
+  }
+
   test("mad anomalies: spike day flags, alternating baseline and constant series stay quiet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mad-test").toString
