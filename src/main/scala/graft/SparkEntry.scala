@@ -736,6 +736,9 @@ object SparkEntry {
     "user_churn" -> ((s, dir) => graft.ops.EventAnalytics.userChurn(s, dir)),
     // 20-bin equi-width histogram, integer-exact binning on cents
     "value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
+    // pairwise Pearson over lineitem numerics: one pass, decimal-exact
+    // moments, fixed double sequence per pair
+    "column_correlations" -> ((s, dir) => Relational.columnCorrelations(s, dir)),
     // per-label centroid cosine matrix: map-side per-dim partials,
     // offset-shifted integer means so both engines floor identically
     "label_centroid_sim" -> ((s, dir) =>
@@ -878,7 +881,35 @@ object SparkEntry {
       |ORDER BY rank_scaled DESC, part""".stripMargin
   }
 
+  /** column_correlations oracle — same quantization, same DECIMAL-exact
+    * moments (DuckDB widens BIGINT sums to HUGEINT: equally exact), and
+    * the IDENTICAL corr formula text, so the double op sequence cannot
+    * diverge. */
+  private def correlationsOracleSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def corrExpr(a: String, b: String): String = {
+      val (ma, mb) = (s"(CAST(s_$a AS DOUBLE) / CAST(n AS DOUBLE))",
+        s"(CAST(s_$b AS DOUBLE) / CAST(n AS DOUBLE))")
+      s"round((CAST(sx_${a}_$b AS DOUBLE) / CAST(n AS DOUBLE) - $ma * $mb) / " +
+        s"(sqrt(CAST(ss_$a AS DOUBLE) / CAST(n AS DOUBLE) - $ma * $ma) * " +
+        s"sqrt(CAST(ss_$b AS DOUBLE) / CAST(n AS DOUBLE) - $mb * $mb)), 6)"
+    }
+    val qcols = cols.map(c => s"CAST(floor($c * 10000.0 + 0.5) AS BIGINT) AS $c").mkString(", ")
+    val sums = (cols.map(c => s"sum($c) AS s_$c") ++
+      cols.map(c => s"sum($c * $c) AS ss_$c") ++
+      cols.combinations(2).map { case Seq(a, b) => s"sum($a * $b) AS sx_${a}_$b" })
+      .mkString(", ")
+    val rows = cols.combinations(2).map { case Seq(a, b) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, n, ${corrExpr(a, b)} AS corr FROM a"
+    }.mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT $qcols FROM lineitem
+       |  WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums FROM q)
+       |SELECT * FROM ($rows) ORDER BY col_a, col_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "column_correlations" -> correlationsOracleSql,
     "sql_star_join" -> portableSql,
     "sql_exists_agg" -> existsSql,
     "sql_scalar_subquery" -> scalarSubquerySql,

@@ -325,6 +325,51 @@ object Relational {
       .orderBy(col("bin"))
   }
 
+  /** Pairwise Pearson correlations between the lineitem numerics — the
+    * statistical-profiling companion of `table_profile` (feature
+    * redundancy, pricing-model sanity). ONE pass computes every moment:
+    * values quantize to 1e-4 BIGINTs (`floor(x·10⁴+0.5)`, covers the
+    * store's 2-decimal precision exactly), each sum / square-sum /
+    * cross-sum accumulates in DECIMAL — order-independent and exact —
+    * and the correlation itself is a FIXED double op sequence over the
+    * exact sums, rounded to 6dp, so all 6 pairs hash-verify. Rows with
+    * any null are excluded up front (declared semantics: complete-case
+    * correlation).
+    *
+    * Scale shape: one single-row aggregate with map-side partials (15
+    * aggregates, no Expand); the 6 output rows are a `stack` over the
+    * broadcast scalar row. */
+  def columnCorrelations(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val base = t(spark, sfDir, "lineitem")
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c =>
+        floor(col(c) * lit(10000.0d) + lit(0.5d)).cast("decimal(19,0)").as(c)): _*)
+    val aggs =
+      Seq(count(lit(1)).cast("long").as("n")) ++
+        cols.map(c => sum(col(c)).cast("decimal(38,0)").as(s"s_$c")) ++
+        cols.map(c => sum(col(c) * col(c)).cast("decimal(38,0)").as(s"ss_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum(col(a) * col(b)).cast("decimal(38,0)").as(s"sx_${a}_$b")
+        }.toSeq
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    // corr(a,b) from the exact sums, identical op order to the oracle:
+    // (sxy/n − ma·mb) / (sqrt(ssa/n − ma²) · sqrt(ssb/n − mb²))
+    def corrExpr(a: String, b: String): String = {
+      val (ma, mb) = (s"(CAST(s_$a AS DOUBLE) / CAST(n AS DOUBLE))",
+        s"(CAST(s_$b AS DOUBLE) / CAST(n AS DOUBLE))")
+      s"round((CAST(sx_${a}_$b AS DOUBLE) / CAST(n AS DOUBLE) - $ma * $mb) / " +
+        s"(sqrt(CAST(ss_$a AS DOUBLE) / CAST(n AS DOUBLE) - $ma * $ma) * " +
+        s"sqrt(CAST(ss_$b AS DOUBLE) / CAST(n AS DOUBLE) - $mb * $mb)), 6)"
+    }
+    val stacks = cols.combinations(2).map { case Seq(a, b) =>
+      s"'$a', '$b', ${corrExpr(a, b)}"
+    }.mkString(", ")
+    one.selectExpr("n", s"stack(6, $stacks) AS (col_a, col_b, corr)")
+      .select(col("col_a"), col("col_b"), col("n"), col("corr"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   /** ROLLUP aggregation (SURVEY.md §2.2-D breadth): revenue by region,
     * nation, and the region/grand subtotals in one pass — Spark plans a
     * single `Expand` + hash aggregate, not one scan per grouping level.

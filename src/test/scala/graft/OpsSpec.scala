@@ -2644,6 +2644,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 6, s"all label pairs emitted: ${got.keySet}")
   }
 
+  test("column correlations: perfect linear pair hits 1.0, all pairs bounded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corr-test").toString
+    // extendedprice = 3·quantity (corr exactly 1); discount constant +
+    // alternating tax (uncorrelated with the linear pair)
+    (1 to 50).map(i => (i.toLong, 1L, 1L, 1, i.toDouble, 3.0 * i,
+        if (i % 2 == 0) 0.1 else 0.2, if (i % 3 == 0) 0.05 else 0.07,
+        "N", "O", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Relational.columnCorrelations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got.size == 6)
+    assert(got.get(("l_extendedprice", "l_quantity")).contains(1.0) ||
+      got.get(("l_quantity", "l_extendedprice")).contains(1.0),
+      s"perfect linear pair: $got")
+    assert(got.values.forall(c => c >= -1.0 && c <= 1.0), s"bounded: $got")
+  }
+
   test("user churn: absent-next-week anti join, trailing week excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-churn-test").toString
