@@ -416,6 +416,11 @@ object SparkEntry {
     "fc_meanf" -> fcQuery(Methods.MEANF),
     "fc_snaive" -> fcQuery(Methods.SNAIVE),
     "fc_ses" -> fcQuery(Methods.SES),
+    // Croston intermittent-demand (extension family): calendar demand
+    // series with exact-zero gap days, two literal SES recursions,
+    // z/p forecast — the first fit family beyond the closed forms whose
+    // whole recursion is DuckDB hash-verified
+    "fc_croston" -> ((s, dir) => graft.models.Croston.forecast(s, dir)),
     // -- wrapper cache surface (R:104-124) ---------------------------------
     "fc_cached_slice" -> ((s, dir) => {
       import s.implicits._
@@ -2092,6 +2097,49 @@ object SparkEntry {
         |GROUP BY a, b, c, tot.n_orders
         |HAVING count(*) >= 2
         |ORDER BY part_a, part_b, part_c""").stripMargin,
+    // the Croston recursion replayed literally: same densified zero
+    // days, same s + 0.1·(obs − s) order, same pre-update interval
+    "fc_croston" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS s
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)),
+        |spine AS (
+        |  SELECT element, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT element, min(day) AS mn, max(day) AS mx FROM daily GROUP BY element)),
+        |obs AS (
+        |  SELECT sp.element, sp.day,
+        |    COALESCE(CAST(d.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS x,
+        |    row_number() OVER (PARTITION BY sp.element ORDER BY sp.day) AS step
+        |  FROM spine sp LEFT JOIN daily d ON d.element = sp.element AND d.day = sp.day),
+        |rec AS (
+        |  SELECT element, step, x,
+        |    CASE WHEN x > 0 THEN x END AS z,
+        |    CASE WHEN x > 0 THEN CAST(1.0 AS DOUBLE) END AS p,
+        |    CASE WHEN x > 0 THEN 1 ELSE 2 END AS q
+        |  FROM obs WHERE step = 1
+        |  UNION ALL
+        |  SELECT o.element, o.step, o.x,
+        |    CASE WHEN o.x > 0 THEN
+        |      CASE WHEN r.z IS NULL THEN o.x
+        |           ELSE r.z + CAST(0.1 AS DOUBLE) * (o.x - r.z) END
+        |    ELSE r.z END,
+        |    CASE WHEN o.x > 0 THEN
+        |      CASE WHEN r.z IS NULL THEN CAST(r.q AS DOUBLE)
+        |           ELSE r.p + CAST(0.1 AS DOUBLE) * (CAST(r.q AS DOUBLE) - r.p) END
+        |    ELSE r.p END,
+        |    CASE WHEN o.x > 0 THEN 1 ELSE r.q + 1 END
+        |  FROM rec r JOIN obs o ON o.element = r.element AND o.step = r.step + 1),
+        |fin AS (
+        |  SELECT r.element, r.z, r.p
+        |  FROM rec r JOIN (SELECT element, max(step) AS ms FROM rec GROUP BY element) m
+        |    ON m.element = r.element AND r.step = m.ms
+        |  WHERE r.z IS NOT NULL)
+        |SELECT element, CAST(s.step AS BIGINT) AS step, round(z / p, 6) AS mean
+        |FROM fin CROSS JOIN generate_series(1, 7) AS s(step)
+        |ORDER BY element, step""".stripMargin,
     "user_churn" ->
       """WITH w AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 604800000000 AS wk

@@ -2664,6 +2664,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.forall(c => c >= -1.0 && c <= 1.0), s"bounded: $got")
   }
 
+  test("croston: intermittent recursion replayed by hand, zeros never chase the level") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-croston-test").toString
+    // demands on days 1,4,6 of a 6-day window: 5, 8, 3 (gaps are exact
+    // zero-demand days)
+    val rows = Seq((1, 5.0), (4, 8.0), (6, 3.0)).map { case (d, v) =>
+      (d.toLong, java.sql.Timestamp.valueOf(f"2024-03-0$d%d 12:00:00"), 1L, "m", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.models.Croston.forecast(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    // replay with the SAME IEEE sequence: d1 x=5 → z=5, p=1, q=1;
+    // d2,d3 zeros → q=3; d4 x=8 (interval 3); d5 zero → q=2; d6 x=3
+    var z = 5.0; var p = 1.0
+    p = p + 0.1 * (3.0 - p); z = z + 0.1 * (8.0 - z)
+    p = p + 0.1 * (2.0 - p); z = z + 0.1 * (3.0 - z)
+    val expected = BigDecimal(z / p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.length == 7 && out.forall(_._2 == expected),
+      s"flat z/p forecast at $expected: ${out.toSeq}")
+    assert(out.map(_._1).sorted.toSeq == (1L to 7L), "7 horizon steps")
+  }
+
   test("user churn: absent-next-week anti join, trailing week excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-churn-test").toString
