@@ -421,6 +421,11 @@ object SparkEntry {
     // z/p forecast — the first fit family beyond the closed forms whose
     // whole recursion is DuckDB hash-verified
     "fc_croston" -> ((s, dir) => graft.models.Croston.forecast(s, dir)),
+    // Syntetos–Boylan ADI/CV² quadrants: every class decision an exact
+    // cross-multiplication — routes series between Croston and the
+    // continuous families
+    "demand_classes" -> ((s, dir) =>
+      graft.ops.EventAnalytics.demandClasses(s, dir)),
     // -- wrapper cache surface (R:104-124) ---------------------------------
     "fc_cached_slice" -> ((s, dir) => {
       import s.implicits._
@@ -2140,6 +2145,34 @@ object SparkEntry {
         |SELECT element, CAST(s.step AS BIGINT) AS step, round(z / p, 6) AS mean
         |FROM fin CROSS JOIN generate_series(1, 7) AS s(step)
         |ORDER BY element, step""".stripMargin,
+    // HUGEINT replay of the exact quadrant cross-multiplications; the
+    // adi/cv2 doubles are one division each over the same integers
+    "demand_classes" ->
+      """WITH daily AS (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS s,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS q
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)),
+        |st AS (
+        |  SELECT element,
+        |    CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS n_periods,
+        |    CAST(count(*) FILTER (WHERE s > 0) AS BIGINT) AS nd,
+        |    CAST(sum(q) FILTER (WHERE s > 0) AS HUGEINT) AS sq,
+        |    CAST(sum(CAST(q AS HUGEINT) * q) FILTER (WHERE s > 0) AS HUGEINT) AS sqq
+        |  FROM daily GROUP BY element)
+        |SELECT element, n_periods, nd AS n_demands,
+        |  round(CAST(n_periods AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS adi,
+        |  round(CAST(nd * sqq - sq * sq AS DOUBLE) / CAST(sq * sq AS DOUBLE), 6) AS cv2,
+        |  CASE WHEN n_periods * 100 < 132 * nd THEN
+        |    CASE WHEN 100 * (nd * sqq - sq * sq) < 49 * (sq * sq)
+        |         THEN 'smooth' ELSE 'erratic' END
+        |  ELSE
+        |    CASE WHEN 100 * (nd * sqq - sq * sq) < 49 * (sq * sq)
+        |         THEN 'intermittent' ELSE 'lumpy' END
+        |  END AS demand_class
+        |FROM st ORDER BY element""".stripMargin,
     "user_churn" ->
       """WITH w AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 604800000000 AS wk

@@ -457,6 +457,55 @@ object EventAnalytics {
       .orderBy(col("wk"))
   }
 
+  /** Syntetos–Boylan demand classification per element — the routing
+    * report in front of the forecast families: ADI (average inter-
+    * demand interval = calendar periods / demand periods) and CV²
+    * (squared coefficient of variation of the demand sizes) place each
+    * series in the smooth / intermittent / erratic / lumpy quadrant
+    * (cuts 1.32 and 0.49, the published values), deciding Croston vs
+    * the continuous-series methods.
+    *
+    * Exactness: every CLASS decision is an integer/decimal cross-
+    * multiplication — `ADI ≥ 1.32` ⇔ `periods·100 ≥ 132·nd`, and
+    * `CV² ≥ 0.49` ⇔ `100·(nd·Σq² − (Σq)²) ≥ 49·(Σq)²` over DECIMAL-
+    * exact sums of the 1e-4-quantized daily demands — so no IEEE
+    * boundary can flip a quadrant between engines. The reported adi
+    * and cv2 doubles are each ONE division over the exact operands. */
+  def demandClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val daily = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"), dayCol.as("day"), col("value"))
+      .groupBy(col("element"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("s"))
+      .withColumn("q", expr("CAST(s * 10000 AS DECIMAL(19,0))"))
+    val stats = daily.groupBy(col("element"))
+      .agg(
+        (datediff(max(col("day")), min(col("day"))) + 1)
+          .cast("long").as("n_periods"),
+        count(when(col("s") > 0, 1)).as("nd"),
+        sum(when(col("s") > 0, col("q"))).cast("decimal(19,0)").as("sq"),
+        sum(when(col("s") > 0, col("q") * col("q")).cast("decimal(27,0)"))
+          .cast("decimal(27,0)").as("sqq"))
+    stats
+      .withColumn("num",
+        expr("CAST(nd AS DECIMAL(10,0)) * sqq - CAST(sq * sq AS DECIMAL(38,0))"))
+      .withColumn("den", expr("CAST(sq * sq AS DECIMAL(38,0))"))
+      .select(col("element"), col("n_periods"), col("nd").as("n_demands"),
+        round(col("n_periods").cast("double") / col("nd").cast("double"), 6).as("adi"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("cv2"),
+        when(expr("n_periods * 100 < 132 * nd"),
+          when(expr("100 * num < 49 * den"), lit("smooth")).otherwise(lit("erratic")))
+          .otherwise(
+            when(expr("100 * num < 49 * den"), lit("intermittent")).otherwise(lit("lumpy")))
+          .as("demand_class"))
+      .orderBy(col("element"))
+  }
+
   private def identifiedEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = graft.sources.Tables.events(spark, sfDir)
     val tusCol = ev.schema("ts").dataType match {

@@ -2687,6 +2687,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_._1).sorted.toSeq == (1L to 7L), "7 horizon steps")
   }
 
+  test("demand classes: planted quadrants land where Syntetos–Boylan puts them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbclass-test").toString
+    // "smooth": demand every day, constant size (ADI 1, CV² 0);
+    // "lumpy": demand every 3rd day with wildly varying sizes
+    val smooth = (1 to 12).map(d => (d, "smooth", 10.0))
+    val lumpy = Seq(1, 4, 7, 10).zip(Seq(1.0, 100.0, 1.0, 100.0))
+      .map { case (d, v) => (d, "lumpy", v) }
+    (smooth ++ lumpy).zipWithIndex.map { case ((d, el, v), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00"), 1L, el, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.EventAnalytics.demandClasses(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getString(5)))).toMap
+    assert(got("smooth") == ((1.0, "smooth")), s"daily constant demand: ${got("smooth")}")
+    val (adi, cls) = got("lumpy")
+    assert(adi == 2.5 && cls == "lumpy", s"sparse erratic demand: ${got("lumpy")}")
+  }
+
   test("user churn: absent-next-week anti join, trailing week excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-churn-test").toString
