@@ -1230,7 +1230,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "user_retention" -> (() => graft.ops.EventAnalytics.userRetention(spark, edir).count()),
       "event_funnel" -> (() => graft.ops.EventAnalytics.eventFunnel(spark, edir).count()),
       "rolling_active_users" -> (() => graft.ops.EventAnalytics.rollingActiveUsers(spark, edir).count()),
-      "ewma_anomalies" -> (() => graft.ops.EventAnalytics.ewmaAnomalies(spark, edir).count())
+      "ewma_anomalies" -> (() => graft.ops.EventAnalytics.ewmaAnomalies(spark, edir).count()),
+      // round-9-late event operators join the sweep
+      "cusum_shifts" -> (() => graft.ops.EventAnalytics.cusumShifts(spark, edir).count()),
+      "mad_anomalies" -> (() => graft.ops.EventAnalytics.madAnomalies(spark, edir).count()),
+      "value_winsorize" -> (() => graft.ops.EventAnalytics.valueWinsorize(spark, edir).count()),
+      "daily_value_percentiles" -> (() =>
+        graft.ops.EventAnalytics.dailyValuePercentiles(spark, edir).count()),
+      "event_transitions" -> (() => graft.ops.EventAnalytics.eventTransitions(spark, edir).count()),
+      "user_churn" -> (() => graft.ops.EventAnalytics.userChurn(spark, edir).count()),
+      "fc_croston" -> (() => graft.models.Croston.forecast(spark, edir).count()),
+      "demand_classes" -> (() => graft.ops.EventAnalytics.demandClasses(spark, edir).count()),
+      "stream_attribution" -> (() =>
+        EventIngest.attributionPairsAvailableNow(spark, edir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null event fields: $e")
