@@ -558,6 +558,10 @@ object SparkEntry {
     // exact repeated-span pass (Lee et al.-style): maximal >=16-token
     // verbatim spans shared across documents, with positions
     "substring_dedup" -> ((s, dir) => NearDup.substringSpans(s, dir)),
+    // sorted-neighborhood blocking (the third family beside hash
+    // blocks and LSH bands): one global sort, O(n·w) candidates,
+    // two-bucket banded equi-join pair formation
+    "snm_candidates" -> ((s, dir) => NearDup.sortedNeighborhoodPairs(s, dir)),
     // its consumer — the drop decision: per-doc tokens covered by spans
     // shared with lower-id docs, overlap-merged (the removal measure)
     "substring_dup_coverage" -> ((s, dir) => NearDup.substringDupCoverage(s, dir)),
@@ -2173,6 +2177,21 @@ object SparkEntry {
         |         THEN 'intermittent' ELSE 'lumpy' END
         |  END AS demand_class
         |FROM st ORDER BY element""".stripMargin,
+    // plain row_number replay of the deterministic (key, doc_id) total
+    // order; the banded pair formation must equal this direct window
+    "snm_candidates" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS key
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |r AS (SELECT doc_id, key,
+        |        row_number() OVER (ORDER BY key, doc_id) AS rnk FROM d)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+        |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS key_lev
+        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4
+        |WHERE levenshtein(a.key, b.key) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "user_churn" ->
       """WITH w AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 604800000000 AS wk

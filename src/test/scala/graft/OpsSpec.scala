@@ -2718,6 +2718,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(adi == 2.5 && cls == "lumpy", s"sparse erratic demand: ${got("lumpy")}")
   }
 
+  test("sorted-neighborhood: prefix-variant docs pair, banded set equals the direct window") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snm-test").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon one"),
+      (2L, "alpha beta gamma delta epsilon two"),
+      (3L, "zulu yankee xray whiskey victor"),
+      (4L, "alpha beta gamma delta epsilon two!"),
+      (5L, "mike november oscar papa quebec"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.NearDup.sortedNeighborhoodPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.contains((1L, 2L)) && got.contains((2L, 4L)) && got.contains((1L, 4L)),
+      s"the three alpha-prefix variants must pair: ${got.keySet}")
+    assert(!got.keys.exists(k => k._1 == 3L || k._2 == 3L),
+      s"the zulu doc is over the lev threshold against all neighbors: ${got.keySet}")
+    // banded formation ≡ the direct windowed self-join on the same rank
+    val keyed = docs.map { case (id, t, _, _, _) =>
+      (id, t.toLowerCase.trim.replaceAll("\\s+", " ").take(40))
+    }.sortBy(p => (p._2, p._1)).zipWithIndex.map { case ((id, k), i) => (id, k, i + 1) }
+    val direct = (for {
+      (ida, ka, ra) <- keyed; (idb, kb, rb) <- keyed
+      if rb > ra && rb - ra <= 4
+      lev = {
+        val dp = Array.tabulate(ka.length + 1, kb.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to ka.length; j <- 1 to kb.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (ka(i - 1) == kb(j - 1)) 0 else 1))
+        dp(ka.length)(kb.length)
+      } if lev <= 10
+    } yield (ida, idb) -> lev.toLong).toMap
+    assert(got == direct, s"banded pairs must equal the direct window: $got vs $direct")
+  }
+
   test("user churn: absent-next-week anti join, trailing week excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-churn-test").toString
