@@ -697,6 +697,9 @@ object SparkEntry {
     "split_leakage" -> ((s, dir) => Curation.splitLeakage(s, dir)),
     // substring-level decontamination: cross-split winnow-sketch pairs
     "split_substring_leakage" -> ((s, dir) => Curation.splitSubstringLeakage(s, dir)),
+    // benchmark decontamination: verbatim 13-gram overlap against the
+    // (broadcast) eval set; source docs are planted ground truth
+    "eval_contamination" -> ((s, dir) => Curation.evalContamination(s, dir)),
     "repetition_stats" -> ((s, dir) => Curation.repetitionStats(s, dir)),
     "corpus_mixture" -> ((s, dir) => Curation.corpusMixture(s, dir)),
     // exact n-per-stratum md5-ranked draw; salted two-phase top-n so no
@@ -2192,6 +2195,23 @@ object SparkEntry {
         |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4
         |WHERE levenshtein(a.key, b.key) <= 10
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // same tokenization, same chr(1)-joined 13-grams, same eval-set
+    // derivation (three lowest-id long-enough docs)
+    "eval_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |tl AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 13),
+        |ev AS (SELECT doc_id AS eval_id,
+        |         array_to_string(list_slice(ws, 1, 13), chr(1)) AS gram
+        |       FROM tl ORDER BY doc_id LIMIT 3),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 12),
+        |        i -> array_to_string(list_slice(ws, i, i + 12), chr(1)))) AS gram
+        |      FROM tl)
+        |SELECT ev.eval_id, g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM g JOIN ev USING (gram)
+        |GROUP BY ev.eval_id, g.doc_id
+        |ORDER BY eval_id, doc_id""".stripMargin,
     "user_churn" ->
       """WITH w AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 604800000000 AS wk

@@ -382,4 +382,40 @@ object Curation {
       .select(col("lang"), col("source"), col("sample_rank"), col("doc_id"))
       .orderBy(col("lang"), col("source"), col("sample_rank"))
   }
+
+  /** Benchmark decontamination (the GPT-3 appendix-C style check): flag
+    * every corpus document that contains one of the EVAL SET's 13-token
+    * grams verbatim — the external-overlap complement of the
+    * corpus-internal `split_leakage`/`split_substring_leakage` tiers (a
+    * training corpus must be screened against the benchmarks it will be
+    * judged on, not only against its own splits). The eval set here is
+    * derived deterministically — the first 13 tokens of the three
+    * lowest-id long-enough documents stand in for benchmark prompts —
+    * so the check is reproducible and the source docs act as planted
+    * ground truth (each must flag itself).
+    *
+    * Scale shape: the eval gram set is benchmark-sized and broadcast;
+    * the corpus-side positional 13-grams stream map-side out of the
+    * scan into the broadcast hash join, and only matching (eval, doc)
+    * pairs reach the two-phase count. Nothing corpus-sized shuffles.
+    * (Production swaps the gram STRINGS for 8-byte hashes on the
+    * shuffle; strings keep the oracle replay byte-faithful here.) */
+  def evalContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 13)
+    val evalItems = toks.orderBy(col("doc_id")).limit(3)
+      .select(col("doc_id").as("eval_id"),
+        expr("array_join(slice(ws, 1, 13), chr(1))").as("gram"))
+    val grams = toks.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, size(ws) - 12), i -> array_join(slice(ws, i, 13), chr(1)))"))
+        .as("gram"))
+    grams.join(broadcast(evalItems), Seq("gram"))
+      .groupBy(col("eval_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("eval_id"), col("doc_id"))
+  }
 }

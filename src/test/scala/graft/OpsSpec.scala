@@ -2755,6 +2755,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == direct, s"banded pairs must equal the direct window: $got vs $direct")
   }
 
+  test("eval contamination: source docs self-flag, a verbatim copy flags, clean doc doesn't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contam-test").toString
+    val words = (1 to 20).map(i => s"w$i").mkString(" ") // 20 tokens
+    val other = (21 to 40).map(i => s"w$i").mkString(" ")
+    val third = (41 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words), (2L, other), (3L, third),
+      // doc 4 embeds doc 1's first 13 tokens verbatim mid-text
+      (4L, "prefix tokens here " + (1 to 13).map(i => s"w$i").mkString(" ") + " suffix"),
+      (5L, (61 to 80).map(i => s"w$i").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Curation.evalContamination(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((1L, 1L), (2L, 2L), (3L, 3L), (1L, 4L)),
+      s"three self-hits plus the planted copy: ${got.keySet}")
+    assert(got((1L, 4L)) == 1L, "one verbatim gram hit in the copy")
+  }
+
   test("user churn: absent-next-week anti join, trailing week excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-churn-test").toString
