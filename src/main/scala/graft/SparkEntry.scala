@@ -1694,6 +1694,7 @@ object SparkEntry {
       ("SELECT * FROM (VALUES " +
         Seq("ann_ivf_equi_join", "ann_lsh_equi_join",
           "bucketed_join_shuffle_free", "disjunctive_filter_stays_equi",
+          "eval_contamination_broadcasts_evalset",
           "events_day_slice_stats_prunable",
           "exists_becomes_semi_join", "fuzzy_key_pairs_equi_join",
           "local_supplier_all_equi_join", "market_share_all_equi_join",
@@ -1703,6 +1704,7 @@ object SparkEntry {
           "promo_share_broadcasts_part", "q1_pricing_filter_pushed",
           "scalar_subquery_decorrelates", "ship_class_matrix_equi_join",
           "shipping_priority_topk_fused",
+          "snm_pairs_banded_equi_join",
           "star_join_broadcasts_dims", "top_orders_no_global_sort",
           "triangles_equi_join")
           .map(c => s"('$c', TRUE)").mkString(", ") +

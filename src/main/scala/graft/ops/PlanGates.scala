@@ -79,7 +79,12 @@ object PlanGates {
     // plan is LogicalRDDs), so the gate inspects one un-checkpointed
     // iteration's join shape via a dedicated plan builder
     ("pagerank_iterations_equi_join", "__pagerank_iteration", hashJoinsNoCartesian),
-    ("triangles_equi_join", "graph_triangles", hashJoinsNoCartesian))
+    ("triangles_equi_join", "graph_triangles", hashJoinsNoCartesian),
+    // sorted-neighborhood pairs form on the banded bucket key, and the
+    // eval-set contamination join must broadcast the benchmark side
+    ("snm_pairs_banded_equi_join", "snm_candidates", hashJoinsNoCartesian),
+    ("eval_contamination_broadcasts_evalset", "eval_contamination",
+      p => p.contains("BroadcastHashJoin") && noLoops(p)))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */
