@@ -751,6 +751,10 @@ object SparkEntry {
     // week-over-week churn: expression-equi hash ANTI join on
     // (user, wk+1), trailing week excluded
     "user_churn" -> ((s, dir) => graft.ops.EventAnalytics.userChurn(s, dir)),
+    // NEAREST-in-time join (±1h, argmin |Δt|, tie → earlier click):
+    // the 3-bucket widening of the attribution banding
+    "nearest_click_join" -> ((s, dir) =>
+      graft.ops.EventAnalytics.nearestClickJoin(s, dir)),
     // 20-bin equi-width histogram, integer-exact binning on cents
     "value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
     // pairwise Pearson over lineitem numerics: one pass, decimal-exact
@@ -2214,6 +2218,32 @@ object SparkEntry {
         |FROM g JOIN ev USING (gram)
         |GROUP BY ev.eval_id, g.doc_id
         |ORDER BY eval_id, doc_id""".stripMargin,
+    // direct ±window range join + the same (absΔ, click_us, click_id)
+    // argmin order; unmatched purchases survive with NULLs
+    "nearest_click_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT event_id AS purchase_id, user_id, tus AS purchase_us
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, tus AS click_us
+        |      FROM e WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT p.purchase_id, c.click_id, c.click_us,
+        |    abs(c.click_us - p.purchase_us) AS ad
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND abs(c.click_us - p.purchase_us) <= 3600000000),
+        |best AS (
+        |  SELECT purchase_id, click_id, click_us, ad,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY ad, click_us, click_id) AS rn
+        |  FROM cand)
+        |SELECT pp.purchase_id, pp.user_id, pp.purchase_us,
+        |  b.click_id, b.click_us,
+        |  b.click_us - pp.purchase_us AS delta_us, b.ad AS abs_delta_us
+        |FROM p pp LEFT JOIN best b
+        |  ON b.purchase_id = pp.purchase_id AND b.rn = 1
+        |ORDER BY pp.purchase_id""".stripMargin,
     "user_churn" ->
       """WITH w AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 604800000000 AS wk

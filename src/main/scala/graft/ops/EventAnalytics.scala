@@ -424,6 +424,50 @@ object EventAnalytics {
       .orderBy(col("cur"), col("nxt"))
   }
 
+  /** NEAREST-in-time join: for each purchase, the same-user click
+    * minimizing |Δt| within ±1 h — the sensor-alignment semantic
+    * (closest reading, either side) that as-of (latest-before,
+    * `asof_daily_value`) and last-click (latest-in-window,
+    * `click_attribution`) cannot express. Ties (equidistant before and
+    * after) resolve to the EARLIER click, then the smaller id — pinned
+    * by fixture and encoded in one `min(struct(absΔ, click_us,
+    * click_id))` partial-merged aggregate. Unmatched purchases survive
+    * with NULLs.
+    *
+    * Scale shape: the attribution banding widened to ±: clicks
+    * register in THREE hour-buckets (b−1, b, b+1), purchases probe one,
+    * so every pair within the tolerance meets in a (user, bucket)
+    * EQUI-join and nothing farther ever materializes; a candidate
+    * duplicated across shared buckets is harmless under min(). */
+  def nearestClickJoin(spark: SparkSession, sfDir: String,
+      windowUs: Long = 3600L * 1000000L): DataFrame = {
+    val ev = identifiedEvents(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("tus").as("purchase_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("tus").as("click_us"))
+      .withColumn("c_bucket", explode(array(
+        expr(s"click_us DIV $windowUs - 1"),
+        expr(s"click_us DIV $windowUs"),
+        expr(s"click_us DIV $windowUs + 1"))))
+    val best = purchases
+      .withColumn("p_bucket", expr(s"purchase_us DIV $windowUs"))
+      .join(clicks,
+        col("user_id") === col("c_user") &&
+          col("p_bucket") === col("c_bucket") &&
+          abs(col("click_us") - col("purchase_us")) <= windowUs)
+      .groupBy(col("purchase_id"))
+      .agg(min(struct(abs(col("click_us") - col("purchase_us")).as("ad"),
+        col("click_us"), col("click_id"))).as("w"))
+    purchases.join(best, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("w.click_id").as("click_id"), col("w.click_us").as("click_us"),
+        (col("w.click_us") - col("purchase_us")).as("delta_us"),
+        col("w.ad").as("abs_delta_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Week-over-week churn: per week, the active-user count and how many
     * of them do NOT appear the following week — the retention
     * complement every growth dashboard tracks. The "absent next week"

@@ -2776,6 +2776,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got((1L, 4L)) == 1L, "one verbatim gram hit in the copy")
   }
 
+  test("nearest click join: closest-either-side wins, equidistant tie takes the earlier click") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nearest-test").toString
+    val base = 1700000000000000L // µs
+    def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+    // purchase at T: clicks at T−30m (id 10) and T+30m (id 11) —
+    // equidistant, earlier click 10 must win; purchase 2 has only a
+    // LATER click at +10m (as-of would miss it); purchase 3 unmatched
+    val rows = Seq(
+      (1L, tsOf(base), 1L, "purchase"), (10L, tsOf(base - 1800000000L), 1L, "click"),
+      (11L, tsOf(base + 1800000000L), 1L, "click"),
+      (2L, tsOf(base), 2L, "purchase"), (20L, tsOf(base + 600000000L), 2L, "click"),
+      (3L, tsOf(base), 3L, "purchase"))
+      .map { case (id, t, u, et) => (id, t, u, et, 1.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.EventAnalytics.nearestClickJoin(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(5))))).toMap
+    assert(got(1L).contains((10L, -1800000000L)),
+      s"equidistant tie must take the earlier click: ${got(1L)}")
+    assert(got(2L).contains((20L, 600000000L)),
+      s"a LATER click within tolerance must match (non-as-of semantics): ${got(2L)}")
+    assert(got(3L).isEmpty, "unmatched purchase survives with NULLs")
+  }
+
   test("user churn: absent-next-week anti join, trailing week excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-churn-test").toString
