@@ -700,6 +700,9 @@ object SparkEntry {
     // benchmark decontamination: verbatim 13-gram overlap against the
     // (broadcast) eval set; source docs are planted ground truth
     "eval_contamination" -> ((s, dir) => Curation.evalContamination(s, dir)),
+    // quality-weighted coin flip: content-hash unit < quality·2^32 —
+    // deterministic, map-side, split-independent (md5 chars 9-16)
+    "quality_resample" -> ((s, dir) => Curation.qualityResample(s, dir)),
     "repetition_stats" -> ((s, dir) => Curation.repetitionStats(s, dir)),
     "corpus_mixture" -> ((s, dir) => Curation.corpusMixture(s, dir)),
     // exact n-per-stratum md5-ranked draw; salted two-phase top-n so no
@@ -2201,6 +2204,26 @@ object SparkEntry {
         |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4
         |WHERE levenshtein(a.key, b.key) <= 10
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // same quality expression as the quality_score oracle; the hex
+    // unit parses via '0x' concat (DuckDB) ≡ conv(,16,10) (Spark)
+    "quality_resample" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source, text,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], x))) AS DOUBLE)
+        |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stop_ratio,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS punct_density
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, source,
+        |    round((len_score + stop_ratio + (1.0 - punct_density)) / 3.0, 6) AS quality,
+        |    CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS unit32
+        |  FROM f)
+        |SELECT doc_id, lang, source, quality, unit32,
+        |  COALESCE(CAST(unit32 AS DOUBLE) < quality * 4294967296.0, FALSE) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
     // same tokenization, same chr(1)-joined 13-grams, same eval-set
     // derivation (three lowest-id long-enough docs)
     "eval_contamination" ->

@@ -383,6 +383,30 @@ object Curation {
       .orderBy(col("lang"), col("source"), col("sample_rank"))
   }
 
+  /** Quality-WEIGHTED deterministic resampling: keep a document with
+    * probability equal to its quality score — the soft alternative to a
+    * hard quality cutoff (low-quality text is down-weighted, not
+    * annihilated; the pattern behind quality-weighted mixture recipes).
+    * The coin flip is the content-hash unit
+    * `md5(text)[9..16] as uint32 < quality · 2³²` — deterministic,
+    * reproducible across runs AND engines, independent of the split
+    * assignment (which consumes md5 chars 1-2), and identical for
+    * byte-identical duplicates. The threshold multiply is ONE double
+    * op over the 6dp-rounded quality, and the uint32 promotes to
+    * double exactly (< 2⁵³), so the keep decision cannot flip between
+    * engines. Null/missing text keeps `keep = false` explicitly.
+    *
+    * Scale shape: pure map-side projection — no shuffle at all. */
+  def qualityResample(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.ops.TextAnalysis.qualityExpr.as("quality"),
+        expr("CAST(conv(substr(md5(text), 9, 8), 16, 10) AS BIGINT)").as("unit32"))
+      .withColumn("keep",
+        coalesce(col("unit32").cast("double") <
+          col("quality") * lit(4294967296.0d), lit(false)))
+      .orderBy(col("doc_id"))
+
   /** Benchmark decontamination (the GPT-3 appendix-C style check): flag
     * every corpus document that contains one of the EVAL SET's 13-token
     * grams verbatim — the external-overlap complement of the

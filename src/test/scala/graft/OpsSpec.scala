@@ -2802,6 +2802,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L).isEmpty, "unmatched purchase survives with NULLs")
   }
 
+  test("quality resample: deterministic coin, keep rate tracks mean quality") {
+    val a = graft.ops.Curation.qualityResample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(5)))
+    val b = graft.ops.Curation.qualityResample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(5)))
+    assert(a.toSeq == b.toSeq, "content-hash coin must be run-deterministic")
+    val meanQ = a.map(_._2).sum / a.length
+    val keepRate = a.count(_._3).toDouble / a.length
+    assert(math.abs(keepRate - meanQ) < 0.2,
+      s"keep rate $keepRate must track mean quality $meanQ")
+    assert(a.filter(_._2 == 0.0).forall(!_._3), "zero-quality docs never keep")
+  }
+
   test("user churn: absent-next-week anti join, trailing week excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-churn-test").toString
