@@ -763,6 +763,14 @@ object SparkEntry {
     // pairwise Pearson over lineitem numerics: one pass, decimal-exact
     // moments, fixed double sequence per pair
     "column_correlations" -> ((s, dir) => Relational.columnCorrelations(s, dir)),
+    // repeat-purchase rate per part: stacked exact aggregates over the
+    // fact join, one-division rate
+    "part_repeat_rate" -> ((s, dir) => Relational.partRepeatRate(s, dir)),
+    // RANK-based top-k WITH TIES (WindowGroupLimit pre-limits)
+    "top_orders_with_ties" -> ((s, dir) => Relational.topOrdersWithTies(s, dir)),
+    // cume_dist without the per-row global window: distinct-value
+    // prefix sums joined back by value
+    "order_value_percentile" -> ((s, dir) => Relational.orderValuePercentile(s, dir)),
     // per-label centroid cosine matrix: map-side per-dim partials,
     // offset-shifted integer means so both engines floor identically
     "label_centroid_sim" -> ((s, dir) =>
@@ -934,6 +942,36 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "column_correlations" -> correlationsOracleSql,
+    "part_repeat_rate" ->
+      """WITH cp AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part,
+        |    count(DISTINCT l_orderkey) AS n_orders
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey, l_partkey)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_buyers,
+        |  CAST(count_if(n_orders > 1) AS BIGINT) AS n_repeat,
+        |  CAST(count_if(n_orders > 1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS repeat_rate
+        |FROM cp GROUP BY part ORDER BY part""".stripMargin,
+    "top_orders_with_ties" ->
+      """SELECT o_orderkey, o_totalprice, price_rank FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    rank() OVER (ORDER BY o_totalprice DESC) AS price_rank
+        |  FROM orders)
+        |WHERE price_rank <= 10
+        |ORDER BY price_rank, o_orderkey""".stripMargin,
+    "order_value_percentile" ->
+      """WITH c AS (
+        |  SELECT o_totalprice, count(*) AS cnt FROM orders GROUP BY o_totalprice),
+        |cc AS (
+        |  SELECT o_totalprice,
+        |    sum(cnt) OVER (ORDER BY o_totalprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c),
+        |n AS (SELECT count(*) AS n FROM orders)
+        |SELECT o.o_orderkey, o.o_totalprice,
+        |  CAST(cc.cum AS DOUBLE) / CAST(n.n AS DOUBLE) AS pctile
+        |FROM orders o JOIN cc ON cc.o_totalprice = o.o_totalprice CROSS JOIN n
+        |ORDER BY o.o_orderkey""".stripMargin,
     "sql_star_join" -> portableSql,
     "sql_exists_agg" -> existsSql,
     "sql_scalar_subquery" -> scalarSubquerySql,

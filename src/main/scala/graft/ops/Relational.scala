@@ -325,6 +325,65 @@ object Relational {
       .orderBy(col("bin"))
   }
 
+  /** Repeat-purchase rate per part: of the customers who ever ordered a
+    * part, the share who ordered it in MORE THAN ONE distinct order —
+    * the retention-style retail metric on the order side. One
+    * orders⋈lineitem equi join (dates are not needed — distinct order
+    * keys suffice), then two stacked exact aggregates: distinct orders
+    * per (customer, part), then buyer/repeat counts per part. Rate is
+    * one IEEE division. Parts with a single buyer are still emitted —
+    * a repeat rate of 0 is information, not noise. */
+  def partRepeatRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCustPart = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    perCustPart.groupBy(col("part"))
+      .agg(count(lit(1)).as("n_buyers"),
+        count(when(col("n_orders") > 1L, 1)).as("n_repeat"))
+      .select(col("part"), col("n_buyers"), col("n_repeat"),
+        (col("n_repeat").cast("double") / col("n_buyers").cast("double")).as("repeat_rate"))
+      .orderBy(col("part"))
+  }
+
+  /** Top-k WITH TIES (the `RANK() <= k` semantic): the top 10 order
+    * values INCLUDING every order tied with the 10th — the report
+    * semantics `row_number`-based top-k silently violates when values
+    * tie at the boundary. Scale note: Catalyst's WindowGroupLimit
+    * rewrites the `rank <= k` filter into per-partition pre-limits, so
+    * the global window never sees more than partitions·k rows — the
+    * same optimization `stratified_sample` composes with. Oracle = the
+    * identical window in SQL. */
+  def topOrdersWithTies(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        rank().over(Window.orderBy(col("o_totalprice").desc)).cast("long").as("price_rank"))
+      .filter(col("price_rank") <= k)
+      .orderBy(col("price_rank"), col("o_orderkey"))
+
+  /** Exact cumulative distribution of order values: pctile =
+    * (#orders with price ≤ this) / n. NOT a per-row `cume_dist` window
+    * (an unpartitioned window funnels the fact table into one task):
+    * the counts aggregate per DISTINCT price first, the prefix sum runs
+    * over that post-aggregation value axis (the `session_concurrency`
+    * difference-array discipline), and rows join their percentile back
+    * by value equi-join. The division is the same single IEEE op
+    * `cum/n` both engines define for cume_dist, so doubles agree. */
+  def orderValuePercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val counts = orders.groupBy(col("o_totalprice")).agg(count(lit(1)).as("c"))
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("o_totalprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = orders.agg(count(lit(1)).as("n"))
+    orders.join(cum.select(col("o_totalprice"), col("cum")), Seq("o_totalprice"))
+      .crossJoin(broadcast(n))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("cum").cast("double") / col("n").cast("double")).as("pctile"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Pairwise Pearson correlations between the lineitem numerics — the
     * statistical-profiling companion of `table_profile` (feature
     * redundancy, pricing-model sanity). ONE pass computes every moment:

@@ -2815,6 +2815,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.filter(_._2 == 0.0).forall(!_._3), "zero-quality docs never keep")
   }
 
+  test("with-ties top-k keeps boundary ties; percentile tops at 1.0 and respects order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ties-test").toString
+    // 9 distinct high values + THREE orders tied at the 10th price
+    val prices = (1 to 9).map(i => 1000.0 - i) ++ Seq(100.0, 100.0, 100.0) ++
+      (1 to 5).map(i => 10.0 + i)
+    prices.zipWithIndex.map { case (p, i) =>
+      (i.toLong, 1L, "O", p, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val top = graft.ops.Relational.topOrdersWithTies(spark, dir).collect()
+    assert(top.length == 12, s"9 + 3 boundary ties must all emit: ${top.length}")
+    assert(top.count(_.getDouble(1) == 100.0) == 3, "all three tied orders kept")
+    val pct = graft.ops.Relational.orderValuePercentile(spark, dir).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(pct.map(_._2).max == 1.0, "largest value has percentile 1.0")
+    assert(pct.filter(_._1 == 100.0).map(_._2).distinct.length == 1,
+      "tied values share one percentile")
+    val sorted = pct.sortBy(_._1)
+    assert(sorted.zip(sorted.tail).forall { case ((_, a), (_, b)) => a <= b },
+      "percentile monotone in value")
+  }
+
   test("user churn: absent-next-week anti join, trailing week excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-churn-test").toString
