@@ -771,6 +771,8 @@ object SparkEntry {
     // cume_dist without the per-row global window: distinct-value
     // prefix sums joined back by value
     "order_value_percentile" -> ((s, dir) => Relational.orderValuePercentile(s, dir)),
+    // ship latency per priority: exact day diffs, nearest-rank P50/P95
+    "ship_latency_stats" -> ((s, dir) => Relational.shipLatencyStats(s, dir)),
     // per-label centroid cosine matrix: map-side per-dim partials,
     // offset-shifted integer means so both engines floor identically
     "label_centroid_sim" -> ((s, dir) =>
@@ -959,6 +961,22 @@ object SparkEntry {
         |  FROM orders)
         |WHERE price_rank <= 10
         |ORDER BY price_rank, o_orderkey""".stripMargin,
+    "ship_latency_stats" ->
+      """WITH l AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lat_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL),
+        |r AS (SELECT priority, lat_days,
+        |        row_number() OVER (PARTITION BY priority ORDER BY lat_days) AS rn,
+        |        count(*) OVER (PARTITION BY priority) AS cnt
+        |      FROM l)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(lat_days) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_days,
+        |  max(CASE WHEN rn = (cnt + 1) // 2 THEN lat_days END) AS p50_days,
+        |  max(CASE WHEN rn = (19 * cnt + 19) // 20 THEN lat_days END) AS p95_days
+        |FROM r GROUP BY priority
+        |ORDER BY priority""".stripMargin,
     "order_value_percentile" ->
       """WITH c AS (
         |  SELECT o_totalprice, count(*) AS cnt FROM orders GROUP BY o_totalprice),

@@ -384,6 +384,32 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Ship-latency distribution per order priority: days from order to
+    * line shipment — n, mean, and nearest-rank P50/P95. Latencies are
+    * EXACT integer day differences; the mean is one division over an
+    * exact BIGINT sum; the percentiles are selected order statistics
+    * (the `value_winsorize` rule — no interpolation). One fact
+    * equi-join, one (priority)-keyed rank window. */
+  def shipLatencyStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val lat = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lat_days"))
+    val grp = Window.partitionBy(col("priority"))
+    val ranked = lat
+      .withColumn("rn", row_number().over(grp.orderBy(col("lat_days"))))
+      .withColumn("cnt", count(lit(1)).over(grp))
+    ranked.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("lat_days")).cast("double") / count(lit(1)).cast("double")).as("mean_days"),
+        max(when(col("rn") === expr("(cnt + 1) DIV 2"), col("lat_days"))).as("p50_days"),
+        max(when(col("rn") === expr("(19 * cnt + 19) DIV 20"), col("lat_days"))).as("p95_days"))
+      .select(col("priority"), col("n"), round(col("mean_days"), 6).as("mean_days"),
+        col("p50_days"), col("p95_days"))
+      .orderBy(col("priority"))
+  }
+
   /** Pairwise Pearson correlations between the lineitem numerics — the
     * statistical-profiling companion of `table_profile` (feature
     * redundancy, pricing-model sanity). ONE pass computes every moment:

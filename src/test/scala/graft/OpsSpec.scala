@@ -2838,6 +2838,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "percentile monotone in value")
   }
 
+  test("ship latency stats: known day-diffs give exact mean and nearest-rank cuts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lat-test").toString
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    (1 to 20).map { i =>
+      (i.toLong, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf(d0.plusDays(i).atStartOfDay()))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1 to 20).map(i => (i.toLong, 1L, "O", 1.0,
+        java.sql.Timestamp.valueOf(d0.atStartOfDay()), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.ops.Relational.shipLatencyStats(spark, dir).collect()
+    assert(r.length == 1)
+    // latencies 1..20: mean 10.5, p50 = rank ceil(20/2)=10 → 10,
+    // p95 = rank ceil(380/20)=19 → 19
+    assert((r.head.getLong(1), r.head.getDouble(2), r.head.getLong(3), r.head.getLong(4)) ==
+      ((20L, 10.5, 10L, 19L)), s"got: ${r.head}")
+  }
+
   test("user churn: absent-next-week anti join, trailing week excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-churn-test").toString
