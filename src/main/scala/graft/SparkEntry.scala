@@ -782,6 +782,9 @@ object SparkEntry {
     "mad_anomalies" -> ((s, dir) => graft.ops.EventAnalytics.madAnomalies(s, dir)),
     // k-anonymity audit over (lang, source, length-bucket) QIs
     "k_anonymity" -> ((s, dir) => graft.ops.DataQuality.kAnonymityReport(s, dir)),
+    // per-source length histograms on group-local integer bounds
+    "doc_length_histogram" -> ((s, dir) =>
+      graft.ops.DataQuality.docLengthHistogram(s, dir)),
     // ANALYZE-style per-column stats: unioned pruned-scan aggregates
     "table_profile" -> ((s, dir) => Relational.tableProfile(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
@@ -2467,6 +2470,19 @@ object SparkEntry {
         |  (w.dev > 0 AND w.dev * 2 > md.mad2 * 7) AS is_anomaly
         |FROM wd w JOIN med2 m2 USING (element) JOIN mad2 md USING (element)
         |ORDER BY element, day""".stripMargin,
+    "doc_length_histogram" ->
+      """WITH d AS (
+        |  SELECT source, n_chars FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |b AS (SELECT source, min(n_chars) AS lo, max(n_chars) AS hi
+        |      FROM d GROUP BY source)
+        |SELECT d.source,
+        |  (d.n_chars - b.lo) * 10 // (b.hi - b.lo + 1) AS bin,
+        |  b.lo + ((d.n_chars - b.lo) * 10 // (b.hi - b.lo + 1)) * (b.hi - b.lo + 1) // 10 AS bin_lo_chars,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM d JOIN b USING (source)
+        |GROUP BY d.source, bin, bin_lo_chars
+        |ORDER BY source, bin""".stripMargin,
     "k_anonymity" ->
       """SELECT lang, source, n_chars // 500 AS len_bucket,
         |  CAST(count(*) AS BIGINT) AS n_docs,

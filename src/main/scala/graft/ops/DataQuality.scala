@@ -38,6 +38,30 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** Per-SOURCE document-length histograms — the grouped form of the
+    * equi-width profile (`value_histogram` bins one global axis; feed
+    * monitoring wants the shape PER upstream source, each on its own
+    * bounds). Binning stays pure integer arithmetic on the exact
+    * n_chars column: `bin = (c − lo_g)·10 DIV (hi_g − lo_g + 1)` with
+    * group-local bounds attached by a broadcast |sources|-row join; a
+    * single-length source degenerates to one bin 0 row. */
+  def docLengthHistogram(spark: SparkSession, sfDir: String, bins: Int = 10): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars"))
+    val bounds = docs.groupBy(col("source"))
+      .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    docs.join(broadcast(bounds), "source")
+      .select(col("source"),
+        expr(s"(n_chars - lo) * $bins DIV (hi - lo + 1)").as("bin"),
+        col("lo"), col("hi"))
+      .groupBy(col("source"), col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("source"), col("bin"),
+        expr(s"lo + bin * (hi - lo + 1) DIV $bins").as("bin_lo_chars"), col("n"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   /** k-anonymity audit over the documents table's quasi-identifiers
     * (lang, source, length bucket): any combination shared by fewer
     * than k documents can single out a contributor when joined with an

@@ -2920,6 +2920,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spikeRow._3 == 60000000L, s"spike mean_micro: ${spikeRow._3}")
   }
 
+  test("doc length histogram: group-local bounds, singleton source degenerates to bin 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dlh-test").toString
+    // source A: lengths 1..10 on local bounds → one per bin;
+    // source B: a single doc → exactly bin 0
+    val docs = (1 to 10).map(i => (i.toLong, "x", "en", "A", i.toLong)) :+
+      ((11L, "y", "en", "B", 500L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.DataQuality.docLengthHistogram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.count(_._1 == "A") == 10 && got.filter(_._1 == "A").forall(_._3 == 1L),
+      s"ten singleton bins on A's local bounds: ${got.toSeq}")
+    assert(got.filter(_._1 == "B").toSeq == Seq(("B", 0L, 1L)),
+      s"single-length source degenerates to bin 0: ${got.toSeq}")
+  }
+
   test("k-anonymity: singleton QI group flags, populous group passes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-kanon-test").toString
