@@ -758,6 +758,8 @@ object SparkEntry {
     // the 3-bucket widening of the attribution banding
     "nearest_click_join" -> ((s, dir) =>
       graft.ops.EventAnalytics.nearestClickJoin(s, dir)),
+    // gaps-and-islands: longest consecutive-day streak per user
+    "user_streaks" -> ((s, dir) => graft.ops.EventAnalytics.userStreaks(s, dir)),
     // 20-bin equi-width histogram, integer-exact binning on cents
     "value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
     // pairwise Pearson over lineitem numerics: one pass, decimal-exact
@@ -2300,6 +2302,21 @@ object SparkEntry {
         |FROM g JOIN ev USING (gram)
         |GROUP BY ev.eval_id, g.doc_id
         |ORDER BY eval_id, doc_id""".stripMargin,
+    "user_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS epoch_day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |i AS (
+        |  SELECT user_id,
+        |    epoch_day - row_number() OVER (
+        |      PARTITION BY user_id ORDER BY epoch_day) AS grp
+        |  FROM d),
+        |s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |      FROM i GROUP BY user_id, grp)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  max(len) AS longest_streak, CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // direct ±window range join + the same (absΔ, click_us, click_id)
     // argmin order; unmatched purchases survive with NULLs
     "nearest_click_join" ->

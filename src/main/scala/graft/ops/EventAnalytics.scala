@@ -468,6 +468,32 @@ object EventAnalytics {
       .orderBy(col("purchase_id"))
   }
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands windowing staple (engagement scoring, habit
+    * metrics): distinct active days minus their per-user row_number
+    * collapse each maximal run to one constant (`day − rn` — the
+    * island key), and one aggregate over the islands yields streak
+    * lengths. Everything is exact integers.
+    *
+    * Scale shape: the corpus reduces to distinct (user, day) in one
+    * shuffle; the row_number window and both aggregates all ride the
+    * user partitioning (ONE Exchange). */
+  def userStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = identifiedEvents(spark, sfDir)
+      .select(col("user_id"), expr("tus DIV 86400000000").as("epoch_day"))
+      .distinct()
+    val islands = days
+      .withColumn("grp", col("epoch_day") - row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("epoch_day"))))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
   /** Week-over-week churn: per week, the active-user count and how many
     * of them do NOT appear the following week — the retention
     * complement every growth dashboard tracks. The "absent next week"

@@ -2860,6 +2860,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((20L, 10.5, 10L, 19L)), s"got: ${r.head}")
   }
 
+  test("user streaks: islands split on gap days, longest run exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-streak-test").toString
+    // user 1 active days 1,2,3, 5,6, 9 → streaks 3,2,1; user 2 day 1 only
+    val days = Seq((1L, 1), (1L, 2), (1L, 3), (1L, 5), (1L, 6), (1L, 9), (2L, 1))
+    days.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, new java.sql.Timestamp(d.toLong * 86400000L + 1000L), u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.EventAnalytics.userStreaks(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((6L, 3L, 3L)), s"6 active days, longest 3, 3 streaks: ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, 1L)))
+  }
+
   test("user churn: absent-next-week anti join, trailing week excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-churn-test").toString
