@@ -787,6 +787,10 @@ object SparkEntry {
     // per-source length histograms on group-local integer bounds
     "doc_length_histogram" -> ((s, dir) =>
       graft.ops.DataQuality.docLengthHistogram(s, dir)),
+    // per-feed scorecard: exact quantized mean quality, PII rate,
+    // mean tokens — one grouped aggregate
+    "source_quality_summary" -> ((s, dir) =>
+      TextAnalysis.sourceQualitySummary(s, dir)),
     // ANALYZE-style per-column stats: unioned pruned-scan aggregates
     "table_profile" -> ((s, dir) => Relational.tableProfile(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
@@ -2487,6 +2491,34 @@ object SparkEntry {
         |  (w.dev > 0 AND w.dev * 2 > md.mad2 * 7) AS is_anomaly
         |FROM wd w JOIN med2 m2 USING (element) JOIN mad2 md USING (element)
         |ORDER BY element, day""".stripMargin,
+    // quality re-derived through the shared expression text, quantized
+    // to 1e-6 BIGINTs before the sum so the mean is order-independent
+    "source_quality_summary" ->
+      """WITH f AS (
+        |  SELECT lang, source,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], x))) AS DOUBLE)
+        |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stop_ratio,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS punct_density,
+        |    CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+        |           + len(regexp_extract_all(text, 'https?://[^ \t\n]+'))
+        |           + len(regexp_extract_all(text, '[0-9]{9,}')) > 0
+        |         THEN 1 ELSE 0 END AS pii,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |q AS (
+        |  SELECT lang, source, pii, n_tok,
+        |    CAST(floor(round((len_score + stop_ratio + (1.0 - punct_density)) / 3.0, 6)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS q6
+        |  FROM f)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(q6) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_quality,
+        |  round(CAST(sum(pii) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pii_rate,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_tokens
+        |FROM q GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     "doc_length_histogram" ->
       """WITH d AS (
         |  SELECT source, n_chars FROM documents

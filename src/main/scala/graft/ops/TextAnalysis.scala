@@ -123,6 +123,32 @@ object TextAnalysis {
       regexp_count(col("text"), lit("https?://[^ \\t\\n]+")) +
       regexp_count(col("text"), lit("[0-9]{9,}"))) > 0
 
+  /** Per-(lang, source) feed scorecard: doc count, EXACT mean quality
+    * (the 6dp quality scores quantize to 1e-6 BIGINTs before summing —
+    * order-independent — then one division), PII hit rate (exact
+    * count_if over the shared regex expression, one division), and
+    * mean token count (exact BIGINT sum, one division). The one-row-
+    * per-feed table a corpus intake review reads first; one grouped
+    * aggregate, map-side partials. */
+  def sourceQualitySummary(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("source"),
+        floor(qualityExpr * lit(1000000.0d) + lit(0.5d)).cast("long").as("q6"),
+        piiFlaggedExpr.cast("long").as("pii"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("q6")).cast("double") / count(lit(1)).cast("double") / lit(1000000.0d))
+          .as("mean_quality"),
+        (sum(col("pii")).cast("double") / count(lit(1)).cast("double")).as("pii_rate"),
+        (sum(col("n_tok")).cast("double") / count(lit(1)).cast("double")).as("mean_tokens"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        round(col("mean_quality"), 6).as("mean_quality"),
+        round(col("pii_rate"), 6).as("pii_rate"),
+        round(col("mean_tokens"), 6).as("mean_tokens"))
+      .orderBy(col("lang"), col("source"))
+
   /** Quality score: a deterministic 0..1 composite of length, mean word
     * length, punctuation density and stopword ratio — the "quality
     * scoring" operator of a training-data pipeline, as one declarative
