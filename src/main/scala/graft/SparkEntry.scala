@@ -741,6 +741,9 @@ object SparkEntry {
     // A-Priori level 3: triple candidates generated ONLY from frequent
     // pairs (broadcast semi-pruned), counted per order
     "part_triples" -> ((s, dir) => graft.ops.Affinity.partTriples(s, dir)),
+    // directed rules a⇒b from the frequent pairs, 10% confidence floor
+    // by exact cross-multiplication
+    "affinity_rules" -> ((s, dir) => graft.ops.Affinity.associationRules(s, dir)),
     // nearest-rank (type-1) p05/p95 winsorization: selected order
     // statistics, no interpolation — clamp decisions hash-verify
     "value_winsorize" -> ((s, dir) => graft.ops.EventAnalytics.valueWinsorize(s, dir)),
@@ -2103,6 +2106,19 @@ object SparkEntry {
         |        JOIN ic ib ON ib.pk = pc.pb
         |        CROSS JOIN tot
         |ORDER BY part_a, part_b""").stripMargin,
+    "affinity_rules" ->
+      (basketCtes + """,
+        |dr AS (SELECT pa AS antecedent, pb AS consequent, n_ab FROM pc
+        |       UNION ALL SELECT pb, pa, n_ab FROM pc)
+        |SELECT dr.antecedent, dr.consequent, dr.n_ab,
+        |  CAST(dr.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+        |  CAST(tot.n_orders * dr.n_ab AS DOUBLE) /
+        |    CAST(ia.n_item * ic2.n_item AS DOUBLE) AS lift
+        |FROM dr JOIN ic ia ON ia.pk = dr.antecedent
+        |        JOIN ic ic2 ON ic2.pk = dr.consequent
+        |        CROSS JOIN tot
+        |WHERE dr.n_ab * 10 >= ia.n_item
+        |ORDER BY antecedent, consequent""").stripMargin,
     // the integer PageRank recursion unrolled as chained CTEs — DuckDB
     // replays the exact BIGINT update (// is floor division, DIV
     // truncates toward zero: identical on the non-negative masses

@@ -92,6 +92,31 @@ object Affinity {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** Directed association RULES from the frequent pairs — the textbook
+    * A-Priori output: both orientations `a ⇒ b` and `b ⇒ a` of every
+    * frequent pair, kept when confidence = n_ab / n_antecedent clears
+    * 10% (decided by exact cross-multiplication `n_ab · 10 >= n_a`, no
+    * IEEE boundary). Confidence and lift are then one division each
+    * over exact BIGINTs. Lift is orientation-symmetric; confidence is
+    * not — which is the point of emitting rules rather than pairs. */
+  def associationRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pairs, itemCounts, totals) = frequentPairs(spark, sfDir)
+    val directed = pairs.select(col("pa").as("antecedent"), col("pb").as("consequent"), col("n_ab"))
+      .union(pairs.select(col("pb").as("antecedent"), col("pa").as("consequent"), col("n_ab")))
+    directed
+      .join(broadcast(itemCounts.select(col("pk").as("antecedent"), col("n_item").as("n_a"))),
+        Seq("antecedent"))
+      .join(broadcast(itemCounts.select(col("pk").as("consequent"), col("n_item").as("n_c"))),
+        Seq("consequent"))
+      .filter(col("n_ab") * lit(10L) >= col("n_a"))
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((col("n_orders") * col("n_ab")).cast("double") /
+          (col("n_a") * col("n_c")).cast("double")).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   /** A-Priori LEVEL 3 — frequent triples, generated the way the
     * algorithm scales: candidates come only from FREQUENT PAIRS (every
     * 2-subset of a frequent triple must be a frequent pair), so the

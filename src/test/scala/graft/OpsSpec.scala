@@ -2964,6 +2964,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == Set(("en", 6L, false), ("fr", 1L, true)), s"got: ${out.toSeq}")
   }
 
+  test("association rules: confidence is directional, the 10% floor cross-multiplies") {
+    val dir = writeBasketFixture()
+    val got = graft.ops.Affinity.associationRules(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // (101,102): n_ab=5, n_101=6, n_102=5 → 102⇒101 confidence 1.0,
+    // 101⇒102 confidence 5/6; 999⇒101 fails the floor (6·10 < 1200)
+    assert(got((102L, 101L)) == ((5L, 1.0)), s"${got.get((102L, 101L))}")
+    assert(got((101L, 102L)) == ((5L, 5.0 / 6.0)), s"${got.get((101L, 102L))}")
+    assert(!got.contains((999L, 101L)),
+      s"filler antecedent must fail the 10% confidence floor: ${got.keySet}")
+    assert(got.contains((101L, 999L)), "6/6 orders with 101 contain 999: confidence 1")
+  }
+
   test("part pagerank: scaled-BIGINT recursion matches a reference replay; hub dominates") {
     import spark.implicits._
     // star graph: hub 500 co-occurs with each leaf in 2 orders; >1000
