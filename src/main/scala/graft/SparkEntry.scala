@@ -298,6 +298,28 @@ object SparkEntry {
       |    OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
       |    OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35))""".stripMargin
 
+  /** Q10 shape (returned-item report): fact-side flag filter + a date
+    * slice on the orders dim, three broadcast-sized dims, then a
+    * revenue-ranked LIMIT. The order is total — revenue derives from an
+    * exact DECIMAL sum (one DOUBLE cast at output, identical in both
+    * engines) and ties break on the unique customer key — so the LIMIT
+    * frontier cannot flip between engines. */
+  val q10ReturnedItemsSql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  round(CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE), 6) AS acctbal,
+      |  n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND l_returnflag = 'R'
+      |  AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
   /** GROUPING SETS with NON-hierarchical sets — `(region)` and
     * `(priority)` side by side, which ROLLUP cannot express: one scan,
     * one Expand, two independent aggregate groupings. Group keys render
@@ -381,6 +403,9 @@ object SparkEntry {
     "sql_order_count_histogram" -> sqlOnViews(q13OrderHistogramSql, "customer", "orders"),
     "sql_promo_revenue" -> sqlOnViews(q14PromoShareSql, "lineitem", "part"),
     "sql_disjunctive_filter" -> sqlOnViews(q19DisjunctiveSql, "lineitem", "part"),
+    // returned-item report (Q10): revenue-ranked LIMIT over a 4-table join
+    "sql_returned_items" -> sqlOnViews(q10ReturnedItemsSql,
+      "customer", "orders", "lineitem", "nation"),
     // -- engine API surface ------------------------------------------------
     "methods_catalog" -> ((s, _) => {
       import s.implicits._
@@ -532,6 +557,7 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "encoding_quality" -> ((s, dir) => TextAnalysis.encodingQuality(s, dir)),
     // distilled bag-of-words LR screen; held-out AUC gated in OpsSpec
     "quality_model_scores" -> ((s, dir) => QualityModel.modelScores(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -661,6 +687,7 @@ object SparkEntry {
     "bucketed_join_revenue" -> ((s, dir) => Relational.bucketedJoinRevenue(s, dir)),
     // PIVOT (Expand-backed wide reshape), enumerated pivot domain
     "revenue_year_pivot" -> ((s, dir) => Relational.revenueByYearPivot(s, dir)),
+    "revenue_unpivot" -> ((s, dir) => Relational.revenueYearUnpivot(s, dir)),
     // per-group top-k: rank window inside the group partition only
     "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
     // exact global ntile(10) WITHOUT a single-task window: range
@@ -1017,6 +1044,7 @@ object SparkEntry {
     "sql_order_count_histogram" -> q13OrderHistogramSql,
     "sql_promo_revenue" -> q14PromoShareSql,
     "sql_disjunctive_filter" -> q19DisjunctiveSql,
+    "sql_returned_items" -> q10ReturnedItemsSql,
     "methods_catalog" ->
       ("SELECT * FROM (VALUES " +
         Methods.reference.zipWithIndex
@@ -1487,6 +1515,22 @@ object SparkEntry {
         |  round(punct_density, 6) AS punct_density,
         |  round((len_score + stop_ratio + (1.0 - punct_density)) / 3.0, 6) AS quality
         |FROM f ORDER BY doc_id""".stripMargin,
+    // length-minus-stripped-length counting is the one regexp
+    // formulation bit-identical between Java regex and RE2
+    "encoding_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, COALESCE(text, '') AS t FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(t) - length(regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_ctrl,
+        |    CAST(length(t) - length(regexp_replace(t, '\x{FFFD}', '', 'g')) AS BIGINT) AS n_fffd,
+        |    CAST(length(t) - length(regexp_replace(t, '[^\x09\x0A\x0D\x20-\x7E]', '', 'g')) AS BIGINT) AS n_nonascii,
+        |    greatest(length(t), 1) AS n
+        |  FROM f)
+        |SELECT doc_id, source, n_ctrl, n_fffd,
+        |  round(CAST(n_nonascii AS DOUBLE) / n, 6) AS nonascii_ratio,
+        |  (n_ctrl = 0 AND n_fffd = 0) AS clean
+        |FROM c ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       """WITH s AS (
         |  SELECT doc_id, lang AS lang_given,
@@ -2899,6 +2943,16 @@ object SparkEntry {
           |JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    // stack-melt of the pivot ≡ the plain tall aggregate
+    "revenue_unpivot" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE year(o_orderdate) BETWEEN 1995 AND 2001
+        |GROUP BY n_name, yr
+        |ORDER BY n_name, yr""".stripMargin,
     "top_orders_per_segment" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,

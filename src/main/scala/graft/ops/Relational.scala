@@ -164,6 +164,22 @@ object Relational {
       .select(col("n_name") +: years.map(y => col(y.toString).as(s"y$y")): _*)
       .orderBy(col("n_name"))
 
+  /** Inverse of [[revenueByYearPivot]] — the UNPIVOT/melt surface: the
+    * wide (nation × year-columns) matrix back to tall (nation, yr,
+    * revenue) rows via a codegen'd `stack` generator. Empty cells (a
+    * nation with no orders that year) are NULL in the pivot and are
+    * dropped here, so the tall form equals the plain grouped aggregate
+    * the oracle computes. Scale shape: the generator runs on the
+    * |nations|-row aggregate output — metadata-sized; the only
+    * corpus-scale work is the pivot's own two-phase aggregate. */
+  def revenueYearUnpivot(spark: SparkSession, sfDir: String,
+      years: Seq[Int] = 1995 to 2001): DataFrame =
+    revenueByYearPivot(spark, sfDir, years)
+      .selectExpr("n_name",
+        s"stack(${years.size}, ${years.map(y => s"${y}L, y$y").mkString(", ")}) AS (yr, revenue)")
+      .filter(col("revenue").isNotNull)
+      .orderBy(col("n_name"), col("yr"))
+
   /** Per-group top-k (top orders per market segment): rank window inside
     * the (already co-partitioned) segment, filter rank ≤ k. One shuffle
     * on the segment key; nothing global — the per-group sort is

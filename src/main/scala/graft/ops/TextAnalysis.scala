@@ -32,6 +32,36 @@ object TextAnalysis {
           / greatest(length(col("text")), lit(1)), 6).as("upper_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Encoding/mojibake screen — the ingest-time byte-hygiene gate a web
+    * corpus needs before any text op trusts `text`: per document the
+    * count of C0 control characters (excluding \t\n\r, which are
+    * legitimate layout), the count of U+FFFD replacement characters (the
+    * scar a lossy decode leaves), the non-ASCII-printable ratio, and a
+    * `clean` verdict (no controls, no replacement chars). Counts come
+    * from the length-minus-stripped-length identity — the one regexp
+    * formulation whose semantics are bit-identical between Spark (Java
+    * regex) and the DuckDB oracle (RE2 with 'g') — and every metric is a
+    * row-local codegen'd expression: no shuffle, no UDF, scan-parallel
+    * at any corpus size. Null text screens as empty (clean, ratio 0);
+    * the planted-mojibake fixture in OpsSpec pins exact counts. */
+  def encodingQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    def stripped(pat: String): Column =
+      (length(t) - length(regexp_replace(t, pat, ""))).cast("bigint")
+    val nCtrl = stripped("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    val nFffd = stripped("\\uFFFD")
+    val nNonAscii = stripped("[^\\x09\\x0A\\x0D\\x20-\\x7E]")
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"), col("source"),
+        nCtrl.as("n_ctrl"),
+        nFffd.as("n_fffd"),
+        round(nNonAscii.cast("double") / greatest(length(t), lit(1)), 6)
+          .as("nonascii_ratio"),
+        (nCtrl === 0 && nFffd === 0).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex tokenization
     * (letter runs / digit runs / single punctuation marks). */
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Multimodal, NearDup, Relational, Similarity}
+import graft.ops.{Multimodal, NearDup, Relational, Similarity, TextAnalysis}
 import graft.streaming.EventIngest
 
 /** Operator-level Spark tests over the sf0.001 testdata (small, fast) —
@@ -773,6 +773,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val auc = (rankSum - pos * (pos + 1) / 2.0) / (pos.toDouble * neg)
     info(f"$dir held-out AUC $auc%.4f over ${holdout.length} docs ($pos pos / $neg neg)")
     assert(auc >= 0.75, f"distilled classifier AUC $auc%.4f below the 0.75 gate")
+  }
+
+  test("encoding quality: planted mojibake counted exactly, null text screens clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc").toString
+    val clean = "plain ascii text with tabs\tand\nnewlines"
+    val ctrl = "bad \u0001byte\u0007and\u0013more" // 3 C0 control chars
+    val fffd = "lossy � decode �� here"       // 3 replacement chars
+    val uni = "café résumé"                   // 3 non-ascii, len 11
+    Seq((1L, "en", "s", clean, clean.length.toLong), (2L, "en", "s", ctrl, ctrl.length.toLong),
+        (3L, "en", "s", fffd, fffd.length.toLong), (4L, "fr", "s", uni, uni.length.toLong),
+        (5L, "en", "s", null.asInstanceOf[String], 0L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.encodingQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(rows(1L) == ((0L, 0L, 0.0, true)), s"clean doc: ${rows(1L)}")
+    assert(rows(2L)._1 == 3L && !rows(2L)._4, s"3 control chars flag: ${rows(2L)}")
+    assert(rows(3L)._2 == 3L && !rows(3L)._4, s"3 replacement chars flag: ${rows(3L)}")
+    // U+FFFD is non-ascii but not a C0 control; accents count toward the ratio
+    assert(rows(4L) == ((0L, 0L, 0.272727, true)),
+      s"accented doc clean with exact ratio: ${rows(4L)}")
+    assert(rows(5L) == ((0L, 0L, 0.0, true)), s"null text screens clean: ${rows(5L)}")
   }
 
   test("substring spans: planted verbatim run recovered with exact offsets") {
