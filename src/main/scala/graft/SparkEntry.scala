@@ -558,6 +558,7 @@ object SparkEntry {
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "encoding_quality" -> ((s, dir) => TextAnalysis.encodingQuality(s, dir)),
+    "term_zipf" -> ((s, dir) => TextAnalysis.termZipf(s, dir)),
     // distilled bag-of-words LR screen; held-out AUC gated in OpsSpec
     "quality_model_scores" -> ((s, dir) => QualityModel.modelScores(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -721,6 +722,7 @@ object SparkEntry {
     "events_user_slice" -> ((s, dir) => graft.ops.EventAnalytics.eventsUserSlice(s, dir)),
     // -- dataset assembly: splits, decontamination, repetition, mixture ----
     "corpus_split" -> ((s, dir) => Curation.corpusSplit(s, dir)),
+    "corpus_shard_plan" -> ((s, dir) => Curation.corpusShardPlan(s, dir)),
     "split_leakage" -> ((s, dir) => Curation.splitLeakage(s, dir)),
     // substring-level decontamination: cross-split winnow-sketch pairs
     "split_substring_leakage" -> ((s, dir) => Curation.splitSubstringLeakage(s, dir)),
@@ -1531,6 +1533,28 @@ object SparkEntry {
         |  round(CAST(n_nonascii AS DOUBLE) / n, 6) AS nonascii_ratio,
         |  (n_ctrl = 0 AND n_fffd = 0) AS clean
         |FROM c ORDER BY doc_id""".stripMargin,
+    // OLS over 12dp-rounded ln values summed as exact DECIMALs — the
+    // identical closed-form double sequence then runs in both engines
+    "term_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents),
+        |f AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+        |top AS (SELECT term, freq FROM f ORDER BY freq DESC, term ASC LIMIT 500),
+        |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank FROM top),
+        |v AS (SELECT
+        |    CAST(round(ln(CAST(rank AS DOUBLE)), 12) AS DECIMAL(18,12)) AS x,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)), 12) AS DECIMAL(18,12)) AS y
+        |  FROM r),
+        |s AS (SELECT count(*) AS cnt, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx FROM v),
+        |d AS (SELECT CAST(cnt AS BIGINT) AS n_terms, CAST(cnt AS DOUBLE) AS n,
+        |    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |    CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx FROM s),
+        |fit AS (SELECT n_terms, n, sx, sy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw FROM d)
+        |SELECT n_terms, round(slope_raw, 6) AS zipf_slope,
+        |  round((sy - slope_raw * sx) / n, 6) AS intercept
+        |FROM fit""".stripMargin,
     "lang_id" ->
       """WITH s AS (
         |  SELECT doc_id, lang AS lang_given,
@@ -2647,6 +2671,22 @@ object SparkEntry {
         |  round(CAST(n_docs AS DOUBLE) / td, 6) AS share_docs,
         |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS share_tokens
         |FROM m CROSS JOIN t ORDER BY lang, source""".stripMargin,
+    // hash-sharded loader manifest: train split only, exact token totals
+    "corpus_shard_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val' ELSE 'test' END AS split,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT CAST(CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 16 AS BIGINT) AS shard,
+        |    doc_id, n_tok
+        |  FROM t WHERE split = 'train')
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / CAST(sum(sum(n_tok)) OVER () AS DOUBLE), 6) AS token_share
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "corpus_resample" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,

@@ -195,6 +195,35 @@ object Curation {
     size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
       .cast("long")
 
+  /** Deterministic training-shard plan — the manifest a distributed
+    * loader consumes to give each data-parallel worker a disjoint,
+    * token-balanced slice of the train split: shard =
+    * md5("shard:" ‖ doc_id) mod `nShards` (salted so shard assignment is
+    * independent of the content-keyed split hash), with per-shard doc
+    * and exact token totals, doc_id bounds, and each shard's token
+    * share. Hash sharding is the 100 TB answer: assignment is a
+    * map-side expression (no shuffle beyond the |nShards|-row
+    * aggregate), rebalancing never moves with corpus growth, and the
+    * law of large numbers bounds skew — the `token_share` column IS the
+    * audit that it did. The share division is the only double op,
+    * applied once to two exact integer sums; the window runs over
+    * `nShards` rows — metadata-sized. */
+  def corpusShardPlan(spark: SparkSession, sfDir: String, nShards: Int = 16): DataFrame = {
+    val shard = conv(substring(
+        md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % nShards
+    val w = Window.partitionBy()
+    docs(spark, sfDir)
+      .select(col("doc_id"), splitExpr.as("split"), bpeTokExpr.as("n_tok"))
+      .filter(col("split") === "train")
+      .groupBy(shard.as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .withColumn("token_share", round(
+        col("total_tokens").cast("double") / sum(col("total_tokens")).over(w), 6))
+      .orderBy(col("shard"))
+  }
+
   def packSequences(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame = {
     val toks = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), splitExpr.as("split"),

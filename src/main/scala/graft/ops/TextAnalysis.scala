@@ -73,6 +73,42 @@ object TextAnalysis {
           .cast("bigint").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Zipf power-law fit over the corpus term-frequency head — the
+    * vocabulary-health scalar next to [[vocabCoverage]]'s table: a
+    * natural-language corpus shows ln(freq) ≈ intercept + slope·ln(rank)
+    * with slope ≈ −1; a slope far from −1 (template spam, boilerplate
+    * floods, synthetic text) is a corpus-level red flag. OLS over the
+    * top-`k` terms (rank ties broken by term so the order is total).
+    *
+    * Scale shape: the only corpus-sized work is the (term, count)
+    * map-side-combined aggregate; head selection is `orderBy.limit(k)`
+    * ⇒ TakeOrderedAndProject (per-partition top-k, never a global
+    * sort), and the rank window + fit run over exactly k rows.
+    * Float posture: each ln() is rounded to 12dp and cast to
+    * DECIMAL(18,12), so Σx, Σy, Σxy, Σx² are EXACT and order-free;
+    * the closed-form slope/intercept arithmetic then runs the identical
+    * IEEE double sequence in both engines, rounded 6dp at output. */
+  def termZipf(spark: SparkSession, sfDir: String, k: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val head = docs(spark, sfDir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc).limit(k)
+    val ranked = head.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("term").asc)))
+    val v = ranked.select(
+      round(log(col("rank").cast("double")), 12).cast("decimal(18,12)").as("x"),
+      round(log(col("freq").cast("double")), 12).cast("decimal(18,12)").as("y"))
+    val s = v.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val (n, sx, sy, sxy, sxx) = (col("n").cast("double"), col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"), col("sxx").cast("double"))
+    val slopeRaw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    s.select(col("n").as("n_terms"),
+      round(slopeRaw, 6).as("zipf_slope"),
+      round((sy - slopeRaw * sx) / n, 6).as("intercept"))
+  }
+
   /** Vocabulary head coverage — the tokenizer-design report: the top-k
     * corpus tokens by frequency (the same BPE-style pre-tokenization
     * regex `token_counts` hash-verifies) with each token's corpus share

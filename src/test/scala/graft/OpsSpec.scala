@@ -775,6 +775,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auc >= 0.75, f"distilled classifier AUC $auc%.4f below the 0.75 gate")
   }
 
+  test("term zipf: head fit has negative power-law slope on natural text") {
+    val r = TextAnalysis.termZipf(spark, sfDir).collect()
+    assert(r.length == 1)
+    // sf0.001's synthetic generator has a ~31-word vocabulary — the
+    // gate is the fit's SIGN and finiteness, not natural-corpus shape
+    assert(r.head.getLong(0) > 10L, s"vocab head present: ${r.head}")
+    val slope = r.head.getDouble(1)
+    assert(slope < 0.0 && slope > -3.0, s"zipfian slope expected, got $slope")
+  }
+
   test("encoding quality: planted mojibake counted exactly, null text screens clean") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-enc").toString
