@@ -764,6 +764,7 @@ object SparkEntry {
     // triangle counting via degree-ordered edge orientation: each
     // triangle found exactly once, wedge fan-out √-bounded on hubs
     "graph_triangles" -> ((s, dir) => graft.ops.Graph.partTriangles(s, dir)),
+    "graph_distances" -> ((s, dir) => graft.ops.Graph.graphDistances(s, dir)),
     // the triangle consumer: local clustering coefficient per node,
     // ONE double division over exact counts
     "graph_clustering" -> ((s, dir) => graft.ops.Graph.clusteringCoefficients(s, dir)),
@@ -2195,6 +2196,19 @@ object SparkEntry {
     // degree-ordered orientation replayed in SQL; ties in the order
     // stats are value-ties, so row_number nondeterminism cannot change
     // which VALUE is selected
+    // the recursive CTE replays the frontier BFS; UNION dedup + the
+    // hop cap bound the recursion, min(dist) recovers first-reach
+    "graph_distances" ->
+      (basketCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |ud AS (SELECT pa AS u, pb AS v FROM pc),
+        |bi AS (SELECT u, v FROM ud UNION ALL SELECT v, u FROM ud),
+        |sd AS (SELECT min(u) AS s FROM ud),
+        |bfs(node, dist) AS (
+        |  SELECT s, CAST(0 AS BIGINT) FROM sd WHERE s IS NOT NULL
+        |  UNION
+        |  SELECT bi.v, bfs.dist + 1 FROM bfs JOIN bi ON bi.u = bfs.node
+        |  WHERE bfs.dist < 6)
+        |SELECT node, min(dist) AS dist FROM bfs GROUP BY node ORDER BY node""").stripMargin,
     "graph_triangles" ->
       (basketCtes + """,
         |ud AS (SELECT pa AS u, pb AS v FROM pc),

@@ -77,4 +77,44 @@ object Graph {
           .as("clustering"))
       .orderBy(col("node"))
   }
+
+  /** Single-source BFS hop distances over the co-occurrence graph —
+    * the traversal tier next to components/PageRank/triangles: every
+    * node reachable from the (deterministic) seed = the graph's minimum
+    * node id, with its exact hop count, capped at `maxHops`.
+    *
+    * Scale design — frontier-expansion BFS, the Pregel formulation:
+    * each round joins only the CURRENT FRONTIER (nodes first reached
+    * last round) against the edge list and anti-joins the visited set,
+    * so a round's shuffle carries |frontier| ids, never the whole
+    * graph; rounds are bounded by `maxHops` (diameter-bounded in
+    * practice — co-occurrence graphs are small-world). Lineage is cut
+    * per round with the same lazy localCheckpoint as
+    * [[Affinity.partPagerank]], and the early-exit probe on an empty
+    * frontier is a count on a frontier-sized frame, not a corpus scan.
+    * Distances are exact BIGINTs; the DuckDB recursive-CTE oracle
+    * replays the whole traversal. */
+  def graphDistances(spark: SparkSession, sfDir: String, maxHops: Int = 6): DataFrame = {
+    import spark.implicits._
+    val edges = Affinity.frequentPairEdges(spark, sfDir)
+    val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
+    val seedRow = edges.agg(min(col("u"))).head()
+    if (seedRow.isNullAt(0)) return Seq.empty[(Long, Long)].toDF("node", "dist")
+    val seed = seedRow.getLong(0)
+    var visited = Seq((seed, 0L)).toDF("node", "dist")
+    var frontier = visited
+    var hop = 1L
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(bidir, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("dist"))
+        .localCheckpoint(eager = false)
+      visited = visited.union(next).localCheckpoint(eager = false)
+      frontier = next
+      hop += 1L
+    }
+    visited.orderBy(col("node"))
+  }
 }

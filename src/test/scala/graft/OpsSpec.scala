@@ -2575,6 +2575,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly the planted triangle, each member once, 204 absent: $got")
   }
 
+  test("graph distances: path graph hops exact, disconnected component unreached") {
+    import spark.implicits._
+    // path 201–202–203–204 from seed 201; {501,502} is a separate
+    // component the BFS must never reach; filler clears the item floor
+    val dir = java.nio.file.Files.createTempDirectory("graft-bfs-test").toString
+    val pairs = Seq((201L, 202L), (202L, 203L), (203L, 204L), (501L, 502L))
+    val star = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(2 * i + 1, 2 * i + 2).flatMap(ok => Seq((ok.toLong, a), (ok.toLong, b)))
+    }
+    val filler = (9 to 1100).map(ok => (ok.toLong, 999L))
+    (star ++ filler).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Graph.graphDistances(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(201L -> 0L, 202L -> 1L, 203L -> 2L, 204L -> 3L),
+      s"exact hop counts from seed 201 only: $got")
+  }
+
   test("clustering coefficients: triangle members 1 or 1/3, pendant node 0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-test").toString
