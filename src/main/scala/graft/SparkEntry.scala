@@ -729,6 +729,8 @@ object SparkEntry {
     // benchmark decontamination: verbatim 13-gram overlap against the
     // (broadcast) eval set; source docs are planted ground truth
     "eval_contamination" -> ((s, dir) => Curation.evalContamination(s, dir)),
+    // rows-only: minhash tier; planted-near-copy fixture is the gate
+    "eval_contamination_fuzzy" -> ((s, dir) => Curation.evalContaminationFuzzy(s, dir)),
     // quality-weighted coin flip: content-hash unit < quality·2^32 —
     // deterministic, map-side, split-independent (md5 chars 9-16)
     "quality_resample" -> ((s, dir) => Curation.qualityResample(s, dir)),

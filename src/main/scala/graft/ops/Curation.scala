@@ -453,6 +453,27 @@ object Curation {
     * pairs reach the two-phase count. Nothing corpus-sized shuffles.
     * (Production swaps the gram STRINGS for 8-byte hashes on the
     * shuffle; strings keep the oracle replay byte-faithful here.) */
+  /** Fuzzy benchmark decontamination — the near-duplicate tier above
+    * [[evalContamination]]'s verbatim 13-gram check: a paraphrased or
+    * lightly-edited benchmark item shares no 13-token run but still
+    * minhashes next to its source. Same deterministic eval set (the
+    * three lowest-id long-enough documents), probed through
+    * [[NearDup.minhashAgainst]] — the broadcast-probe formulation whose
+    * corpus side streams map-side, so the check costs one pass at any
+    * corpus size. The 0.5 floor is deliberately looser than dedup's
+    * 0.95: contamination reviews tolerate false positives, not misses.
+    * Rows-only by design (minhash isn't SQL-expressible); the planted
+    * near-copy fixture in OpsSpec is the correctness gate. */
+  def evalContaminationFuzzy(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val evalIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 13)
+      .orderBy(col("doc_id")).limit(3)
+      .select(col("doc_id").as("eval_id"))
+    NearDup.minhashAgainst(spark, sfDir, evalIds, threshold)
+  }
+
   def evalContamination(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("text").isNotNull)

@@ -239,6 +239,44 @@ object NearDup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** MinHash probe of a SMALL id set against the whole corpus — the
+    * asymmetric sibling of [[minhashCandidates]]'s self-join, built for
+    * benchmark decontamination: the probe side (eval docs) is
+    * benchmark-sized, so its band keys broadcast and the corpus bucket
+    * table STREAMS map-side into the join — no self-join, no salt
+    * needed (salting exists to cap the self-join's bucket²  blowup; a
+    * broadcast probe is linear in the bucket size by construction).
+    * Candidates dedup to bare (eval_id, doc_id) pairs before the
+    * 64-column signature estimate joins, same as the self-join tier.
+    * Output: (eval_id, doc_id, jaccard_est ≥ threshold), self-pairs
+    * excluded. */
+  def minhashAgainst(spark: SparkSession, sfDir: String, evalIds: DataFrame,
+      threshold: Double, ngram: Int = 1): DataFrame = {
+    val bucketed = minhashBuckets(spark, sfDir, ngram)
+    val evalBands = bucketed
+      .join(broadcast(evalIds), bucketed("doc_id") === evalIds("eval_id"))
+      .select(col("eval_id"), col("band")).distinct()
+    val cand = bucketed
+      .join(broadcast(evalBands), Seq("band"))
+      .filter(col("doc_id") =!= col("eval_id"))
+      .select(col("eval_id"), col("doc_id")).distinct()
+    val sigs = minhashSigs(spark, sfDir, ngram)
+    val se = sigs.select(col("doc_id").as("eval_id") +:
+      (0 until MinhashHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sd = sigs.select(col("doc_id") +:
+      (0 until MinhashHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches = (0 until MinhashHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(broadcast(se), "eval_id")
+      .join(sd, "doc_id")
+      .withColumn("jaccard_est", round(matches.cast("double") / MinhashHashes, 4))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("eval_id"), col("doc_id"), col("jaccard_est"))
+      .orderBy(col("eval_id"), col("doc_id"))
+  }
+
   /** Session cache of the salted band-bucket table, keyed like the
     * signature cache: band-key derivation + the bucket-count window +
     * salt assignment is deterministic per corpus and read by BOTH sides

@@ -2575,6 +2575,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly the planted triangle, each member once, 204 absent: $got")
   }
 
+  test("fuzzy eval contamination: verbatim and near copies flag, unrelated doc doesn't") {
+    import spark.implicits._
+    import graft.ops.Curation
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-eval").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 40).map(i => s"tok$i") ++ Seq("edit1", "edit2")).mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    Seq((1L, base), (40L, base), (50L, near), (60L, other))
+      .map { case (id, t) => (id, "en", "s", t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = Curation.evalContaminationFuzzy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // eval set = 3 lowest long-enough ids = {1, 40, 50}; the verbatim
+    // pair is guaranteed (identical signatures ⇒ every band collides)
+    assert(rows.contains((1L, 40L)) && rows((1L, 40L)) == 1.0,
+      s"verbatim copy must flag with est 1.0: $rows")
+    assert(rows.contains((1L, 50L)) && rows((1L, 50L)) >= 0.5,
+      s"near copy (jaccard 0.952) must flag under the fixed hash family: $rows")
+    assert(!rows.keys.exists(_._2 == 60L), s"unrelated doc must not flag: $rows")
+  }
+
   test("graph distances: path graph hops exact, disconnected component unreached") {
     import spark.implicits._
     // path 201–202–203–204 from seed 201; {501,502} is a separate
