@@ -507,6 +507,7 @@ object SparkEntry {
           round(element_at(percentile_approx(col("value"),
             array(lit(0.5), lit(0.99)), lit(10000)), 2), 6).as("p99_approx"))
         .orderBy(col("event_type"))),
+    "heavy_hitters" -> ((s, dir) => graft.ops.Sketches.heavyHitters(s, dir)),
     "value_quantiles" -> ((s, dir) =>
       // exact continuous quantiles (type-7 interpolation) — the same
       // aggregation family as the NN simulation-PI percentiles (R:293)
@@ -1231,6 +1232,15 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  round(avg(value), 6) AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the sketch bounds what is RECOUNTED, not what is reported — the
+    // exact-recount second pass makes the output the brute-force set
+    "heavy_hitters" ->
+      """WITH tot AS (SELECT count(*) AS n_total FROM lineitem)
+        |SELECT l_partkey AS key, count(*) AS n, tot.n_total
+        |FROM lineitem CROSS JOIN tot
+        |GROUP BY l_partkey, tot.n_total
+        |HAVING CAST(count(*) AS DOUBLE) > CAST(tot.n_total AS DOUBLE) * 0.0006
+        |ORDER BY n DESC, key ASC""".stripMargin,
     "value_quantiles" ->
       """SELECT event_type,
         |  round(qs[1], 6) AS p50, round(qs[2], 6) AS p90, round(qs[3], 6) AS p99

@@ -2575,6 +2575,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly the planted triangle, each member once, 204 absent: $got")
   }
 
+  test("heavy hitters: MG + exact recount equals brute force on a skewed fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-test").toString
+    // key 7: 40% of 10k rows; keys 1..6: 1000 each; tail: singletons
+    val rows = Seq.fill(4000)(7L) ++ (1L to 6L).flatMap(Seq.fill(1000)(_)) ++
+      (1000L until 1000L + 0).map(identity)
+    rows.toDF("l_partkey").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Sketches.heavyHitters(spark, dir, phi = 0.05).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 4000L, 1L -> 1000L, 2L -> 1000L, 3L -> 1000L,
+      4L -> 1000L, 5L -> 1000L, 6L -> 1000L),
+      s"exactly the >5% keys with exact counts: $got")
+  }
+
   test("fuzzy eval contamination: verbatim and near copies flag, unrelated doc doesn't") {
     import spark.implicits._
     import graft.ops.Curation
