@@ -690,6 +690,7 @@ object SparkEntry {
     // PIVOT (Expand-backed wide reshape), enumerated pivot domain
     "revenue_year_pivot" -> ((s, dir) => Relational.revenueByYearPivot(s, dir)),
     "revenue_unpivot" -> ((s, dir) => Relational.revenueYearUnpivot(s, dir)),
+    "open_orders_daily" -> ((s, dir) => Relational.openOrdersDaily(s, dir)),
     // per-group top-k: rank window inside the group partition only
     "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
     // exact global ntile(10) WITHOUT a single-task window: range
@@ -3009,6 +3010,27 @@ object SparkEntry {
           |JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    // ±1 sweep deltas + dense-day prefix sum ≡ per-day interval count
+    "open_orders_daily" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+        |    max(CAST(l_shipdate AS DATE)) AS d1
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderkey, o_orderdate),
+        |delta AS (
+        |  SELECT day, sum(c) AS dc FROM (
+        |    SELECT d0 AS day, CAST(1 AS BIGINT) AS c FROM iv
+        |    UNION ALL SELECT d1 + 1, CAST(-1 AS BIGINT) FROM iv) u
+        |  GROUP BY day),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    (SELECT min(day) FROM delta), (SELECT max(day) FROM delta),
+        |    INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT days.day,
+        |  CAST(sum(COALESCE(delta.dc, 0)) OVER (ORDER BY days.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open
+        |FROM days LEFT JOIN delta ON delta.day = days.day
+        |ORDER BY days.day""".stripMargin,
     // stack-melt of the pivot ≡ the plain tall aggregate
     "revenue_unpivot" ->
       """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,

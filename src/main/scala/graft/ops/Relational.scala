@@ -261,6 +261,36 @@ object Relational {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Concurrent open intervals per calendar day (orders "in flight":
+    * o_orderdate ≤ day ≤ last lineitem shipdate) by SWEEP-LINE, the
+    * formulation that survives scale: the naive plan explodes each
+    * interval into its covered days (|orders| × avg-duration rows —
+    * a corpus-squared blowup on long intervals); the sweep instead
+    * emits ±1 DELTA rows per interval, aggregates them to the
+    * |days|-bounded axis, and prefix-sums THAT. The only corpus-scale
+    * shuffles are the per-order endpoint aggregate and the day-keyed
+    * delta combine (8-byte rows); the dense day axis, the generator,
+    * and the cumsum window all run on a ~10³-row metadata frame (the
+    * calendar span), where a single-partition window is free. */
+  def openOrdersDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val iv = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("d0"))
+      .agg(max(to_date(col("l_shipdate"))).as("d1"))
+    val delta = iv.select(col("d0").as("day"), lit(1L).as("c"))
+      .union(iv.select(date_add(col("d1"), 1).as("day"), lit(-1L).as("c")))
+      .groupBy(col("day")).agg(sum(col("c")).as("dc"))
+    val days = delta.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(broadcast(delta), Seq("day"), "left")
+      .select(col("day"), coalesce(col("dc"), lit(0L)).as("dc"))
+      .withColumn("n_open", sum(col("dc")).over(w))
+      .select(col("day"), col("n_open"))
+      .orderBy(col("day"))
+  }
+
   /** Semi/anti joins: customers with vs without orders, per market
     * segment. The distinct key set is broadcast back against customer. */
   def customerOrderCoverage(spark: SparkSession, sfDir: String): DataFrame = {
