@@ -716,6 +716,8 @@ object SparkEntry {
     // Page's CUSUM over daily means: exact-sum reference window, fixed
     // IEEE op sequence, linear-scan recursion (see cusumShifts scaladoc)
     "cusum_shifts" -> ((s, dir) => graft.ops.EventAnalytics.cusumShifts(s, dir)),
+    // rows-only: STL + iterative robust ESD; planted-spike fixture gates
+    "shesd_anomalies" -> ((s, dir) => graft.ops.EventAnalytics.shEsdAnomalies(s, dir)),
     // one-day slice off the time-sorted mirror: answer is layout-free
     // (oracle scans the raw table), the row-group pruning is plan-pinned
     "events_day_slice" -> ((s, dir) => graft.ops.EventAnalytics.eventsDaySlice(s, dir)),

@@ -279,6 +279,93 @@ object EventAnalytics {
     * statistics are windows partitioned per element over the DAY table
     * (bounded by timeline length); the med/mad join is broadcast
     * (|elements| rows). Nothing touches raw events twice. */
+  /** Seasonal-Hybrid ESD point anomalies (the Twitter AnomalyDetection
+    * formulation) over per-element daily means — the seasonal-aware
+    * member of the anomaly suite: EWMA/CUSUM/MAD all mistake a strong
+    * weekly cycle for signal; S-H-ESD first removes the STL seasonal
+    * component ([[graft.models.Stl.decompose]], the same kernel the
+    * forecast family uses) plus the series MEDIAN (median, not trend —
+    * the "hybrid" that keeps a level drift from masking point
+    * anomalies), then runs a generalized ESD test with robust
+    * median/MAD test statistics: iteratively remove the farthest
+    * residual and compare R_i = |x−med|/MAD against the t-derived
+    * critical value λ_i, flagging the largest prefix with R_i > λ_i
+    * (commons-math3 `TDistribution` supplies the quantile — a public
+    * Spark classpath dependency).
+    *
+    * Scale shape: identical to the fit surface — ONE element-keyed
+    * shuffle of (element, day, exact-decimal daily partials); each
+    * group is a ≤|days| array processed sequentially in its executor
+    * (the ESD recursion is inherently ordered, exactly like the model
+    * fits); output is anomaly rows only. Rows-only registered (STL +
+    * iterative t-tests aren't SQL); the planted-spike fixture in
+    * OpsSpec is the gate. */
+  def shEsdAnomalies(spark: SparkSession, sfDir: String, alpha: Double = 0.05,
+      maxFrac: Double = 0.05, period: Int = 7): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val daily = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"), dayCol.cast("string").as("day"), col("value"))
+      .groupBy(col("element"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,4)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .as[(String, String, Double)]
+    def med(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val anomalies = daily.groupByKey(_._1).flatMapGroups { (elem, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      val n = rows.length
+      if (n < 2 * period + 2) Iterator.empty
+      else {
+        val y = rows.map(_._3)
+        val dec = graft.models.Stl.decompose(y, period)
+        val center = med(y)
+        val resid = Array.tabulate(n)(i => y(i) - dec.seasonal(i) - center)
+        val kMax = math.max(1, math.ceil(maxFrac * n).toInt)
+        val active = scala.collection.mutable.ArrayBuffer.range(0, n)
+        val cand = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+        var numAnoms = 0
+        var step = 1
+        var degenerate = false
+        while (step <= kMax && !degenerate) {
+          val vals = active.map(resid).toArray
+          val m0 = med(vals)
+          val mad = 1.4826 * med(vals.map(v => math.abs(v - m0)))
+          if (mad == 0.0 || active.length < 4) degenerate = true
+          else {
+            val (idx, r) = active.map(i => i -> math.abs(resid(i) - m0) / mad)
+              .maxBy { case (i, ri) => (ri, -i) }
+            val nn = active.length
+            val p = 1.0 - alpha / (2.0 * nn)
+            val t = new org.apache.commons.math3.distribution.TDistribution(nn - 2.0)
+              .inverseCumulativeProbability(p)
+            val lambda = (nn - 1.0) * t / math.sqrt((nn - 2.0 + t * t) * nn)
+            cand += ((idx, r))
+            if (r > lambda) numAnoms = step
+            active -= idx
+            step += 1
+          }
+        }
+        cand.take(numAnoms).zipWithIndex.iterator.map { case ((i, r), rank) =>
+          (elem, rows(i)._2, y(i), resid(i), r, (rank + 1).toLong)
+        }
+      }
+    }.toDF("element", "day", "value", "resid", "r_stat", "esd_rank")
+    anomalies
+      .select(col("element"), to_date(col("day")).as("day"),
+        round(col("value"), 6).as("value"), round(col("resid"), 6).as("resid"),
+        round(col("r_stat"), 4).as("r_stat"), col("esd_rank"))
+      .orderBy(col("element"), col("esd_rank"))
+  }
+
   def madAnomalies(spark: SparkSession, sfDir: String, k: Long = 7L): DataFrame = {
     val ev = graft.sources.Tables.events(spark, sfDir)
     val dayCol = ev.schema("ts").dataType match {

@@ -2575,6 +2575,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly the planted triangle, each member once, 204 absent: $got")
   }
 
+  test("shesd: planted spike in a seasonal series is rank-1; clean seasonal stays quiet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shesd-test").toString
+    // 63 days of a strong weekly cycle + small deterministic period-5
+    // jitter (so residual MAD is nonzero); "spiky" adds +40 on day 33 —
+    // EWMA/MAD-style detectors would also fire on the ±6 weekly swing,
+    // S-H-ESD must fire ONLY on the spike
+    val rows = for {
+      el <- Seq("clean", "spiky"); d <- 1 to 63; r <- 1 to 2
+    } yield {
+      val base = 10.0 + 6.0 * math.sin(2.0 * math.Pi * (d % 7) / 7.0) + ((d * 7) % 5) * 0.1
+      val v = if (el == "spiky" && d == 33) base + 40.0 else base
+      ((el.hashCode.toLong * 1000 + d * 10 + r),
+        java.sql.Timestamp.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(d - 1).atTime(12, 0)),
+        1L, el, v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.ops.EventAnalytics.shEsdAnomalies(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(5)))
+    assert(out.forall(_._1 == "spiky"), s"clean seasonal series must not flag: ${out.mkString(",")}")
+    val rank1 = out.filter(_._3 == 1L)
+    assert(rank1.length == 1 && rank1.head._2 == java.time.LocalDate.of(2024, 2, 2),
+      s"the planted spike (day 33 = 2024-02-02) must be the rank-1 anomaly: ${out.mkString(",")}")
+  }
+
   test("heavy hitters: MG + exact recount equals brute force on a skewed fixture") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-hh-test").toString
