@@ -718,6 +718,7 @@ object SparkEntry {
     "cusum_shifts" -> ((s, dir) => graft.ops.EventAnalytics.cusumShifts(s, dir)),
     // rows-only: STL + iterative robust ESD; planted-spike fixture gates
     "shesd_anomalies" -> ((s, dir) => graft.ops.EventAnalytics.shEsdAnomalies(s, dir)),
+    "value_psi" -> ((s, dir) => graft.ops.EventAnalytics.valuePsi(s, dir)),
     // one-day slice off the time-sorted mirror: answer is layout-free
     // (oracle scans the raw table), the row-group pruning is plan-pinned
     "events_day_slice" -> ((s, dir) => graft.ops.EventAnalytics.eventsDaySlice(s, dir)),
@@ -3110,6 +3111,46 @@ object SparkEntry {
     // the CTE mirrors cusumShifts' exact arithmetic: decimal daily
     // sums, one division per mean, quantized-square variance, and the
     // literal recursion order sp + (z − 0.5) — see the scaladoc
+    // reference-half decile edges, add-one-smoothed shares, 12dp-rounded
+    // DECIMAL-summed PSI terms — order-free and ulp-identical
+    "value_psi" ->
+      """WITH base AS (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS day, value
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |piv AS (SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS mid FROM base),
+        |halves AS (
+        |  SELECT element, value,
+        |    CASE WHEN day < mid THEN 'ref' ELSE 'cur' END AS half
+        |  FROM base CROSS JOIN piv),
+        |edges AS (
+        |  SELECT element, list_transform(
+        |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    e -> round(e, 6)) AS eg
+        |  FROM halves WHERE half = 'ref' GROUP BY element),
+        |binned AS (
+        |  SELECT element, half, bin, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT h.element, h.half, len(list_filter(e.eg, b -> h.value > b)) AS bin
+        |    FROM halves h JOIN edges e USING (element)) t
+        |  GROUP BY element, half, bin),
+        |tot AS (SELECT element, half, CAST(sum(n) AS BIGINT) AS n_half
+        |  FROM binned GROUP BY 1, 2),
+        |ab AS (SELECT el.element, t.half, r.range AS bin, t.n_half
+        |  FROM (SELECT DISTINCT element FROM binned) el
+        |  CROSS JOIN range(10) r JOIN tot t ON t.element = el.element),
+        |shares AS (SELECT ab.element, ab.half, ab.bin,
+        |    CAST(COALESCE(b.n, 0) + 1 AS DOUBLE) / CAST(ab.n_half + 10 AS DOUBLE) AS p
+        |  FROM ab LEFT JOIN binned b
+        |    ON b.element = ab.element AND b.half = ab.half AND b.bin = ab.bin),
+        |wide AS (SELECT element, bin,
+        |    max(CASE WHEN half = 'ref' THEN p END) AS p1,
+        |    max(CASE WHEN half = 'cur' THEN p END) AS p2
+        |  FROM shares GROUP BY 1, 2),
+        |terms AS (SELECT element,
+        |    CAST(round((p2 - p1) * ln(p2 / p1), 12) AS DECIMAL(18,12)) AS term
+        |  FROM wide)
+        |SELECT element, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY element ORDER BY element""".stripMargin,
     "cusum_shifts" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type AS element, CAST(ts AS DATE) AS day,

@@ -279,6 +279,66 @@ object EventAnalytics {
     * statistics are windows partitioned per element over the DAY table
     * (bounded by timeline length); the med/mad join is broadcast
     * (|elements| rows). Nothing touches raw events twice. */
+  /** Population Stability Index per event type — the numeric-drift
+    * monitor (the metric-feed sibling of the document tier's
+    * `corpus_drift`): the observation span splits at its midpoint date,
+    * the REFERENCE half defines decile bin edges (exact type-7
+    * percentiles, the same quantile family `value_quantiles`
+    * hash-verifies), and PSI = Σ (p₂−p₁)·ln(p₂/p₁) over the 10 bins
+    * with add-one smoothing (so an emptied bin contributes a finite,
+    * interpretable term instead of ±∞). PSI < 0.1 is stable, > 0.25 is
+    * actionable drift — the thresholds reporting pipelines standardize
+    * on.
+    *
+    * Scale + float posture: bin edges reduce to a 10-double row per
+    * element (broadcast back); binning is a map-side array-lambda
+    * count; the only corpus shuffle carries (element, bin, half)
+    * count partials. Each PSI term is rounded to 12dp and summed as an
+    * exact DECIMAL (order-free, the `term_zipf` trick), then one 6dp
+    * round at output — ulp-identical in DuckDB. */
+  def valuePsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val base = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"), dayCol.as("day"), col("value"))
+    val pivot = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) DIV 2 AS INT))").as("pivot"))
+    val halves = base.crossJoin(broadcast(pivot))
+      .withColumn("half", when(col("day") < col("pivot"), lit("ref")).otherwise(lit("cur")))
+    val edges = halves.filter(col("half") === "ref")
+      .groupBy(col("element"))
+      .agg(expr(
+        "transform(percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), e -> round(e, 6))")
+        .as("edges"))
+    val binned = halves.join(broadcast(edges), Seq("element"))
+      .withColumn("bin", expr("size(filter(edges, b -> value > b))"))
+      .groupBy(col("element"), col("half"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val tot = binned.groupBy(col("element"), col("half")).agg(sum(col("n")).as("n_half"))
+    // densify to all 10 bins so an emptied bin still contributes a term
+    val allBins = binned.select(col("element")).distinct()
+      .crossJoin(spark.range(10).select(col("id").cast("int").as("bin")))
+      .join(tot, Seq("element"))
+    val shares = allBins.join(binned, Seq("element", "half", "bin"), "left")
+      .select(col("element"), col("half"), col("bin"),
+        ((coalesce(col("n"), lit(0L)) + 1L).cast("double") /
+          (col("n_half") + 10L).cast("double")).as("p"))
+    val wide = shares.groupBy(col("element"), col("bin"))
+      .agg(max(when(col("half") === "ref", col("p"))).as("p1"),
+        max(when(col("half") === "cur", col("p"))).as("p2"))
+    wide
+      .select(col("element"),
+        round((col("p2") - col("p1")) * log(col("p2") / col("p1")), 12)
+          .cast("decimal(18,12)").as("term"))
+      .groupBy(col("element"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+      .orderBy(col("element"))
+  }
+
   /** Seasonal-Hybrid ESD point anomalies (the Twitter AnomalyDetection
     * formulation) over per-element daily means — the seasonal-aware
     * member of the anomaly suite: EWMA/CUSUM/MAD all mistake a strong
