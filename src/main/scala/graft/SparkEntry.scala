@@ -606,6 +606,7 @@ object SparkEntry {
     // its 100 TB path: pair scan blocked by the cached KMeans cell
     "semantic_dedup_ivf" -> ((s, dir) => Dedup.semanticDedupIvf(s, dir)),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "hybrid_search" -> ((s, dir) => Similarity.hybridSearch(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     // ADC over the int8 residual code store + exact rerank — the search
@@ -1897,6 +1898,54 @@ object SparkEntry {
         |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size,
         |  lab.vec_id = lab.cluster_id AS keep
         |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
+    // RRF fuses the two independently-verified retrieval tiers by rank
+    // only — two IEEE terms added in written order, no normalization
+    "hybrid_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM t),
+        |st AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM b),
+        |tf AS (
+        |  SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ws) AS w FROM b)
+        |  WHERE w IN ('spark', 'join', 'query')
+        |  GROUP BY doc_id, dl, w),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |        / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / st.avgdl)), 8)
+        |      AS DECIMAL(18,8)) AS contrib
+        |  FROM tf JOIN dfq USING (w) CROSS JOIN st),
+        |lex0 AS (
+        |  SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 6) AS score
+        |  FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_lex
+        |  FROM lex0),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings),
+        |vp AS (
+        |  SELECT b2.vec_id AS doc_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b2.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b2.norm) AS sim_raw
+        |  FROM e a JOIN e b2 ON a.vec_id = 0 AND b2.vec_id <> 0),
+        |vec AS (SELECT doc_id, r_vec FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY sim_raw DESC, doc_id ASC) AS r_vec
+        |    FROM vp) WHERE r_vec <= 50)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+        |  round(COALESCE(1.0 / (60 + l.r_lex), 0.0)
+        |      + COALESCE(1.0 / (60 + v.r_vec), 0.0), 6) AS rrf
+        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
     "cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -78,6 +78,38 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Hybrid retrieval by Reciprocal-Rank Fusion — the composition every
+    * RAG/search pipeline runs on top of the two retrieval tiers this
+    * engine already verifies independently: the BM25 lexical list
+    * ([[TextAnalysis.bm25Search]], fixed query terms) and the embedding
+    * list (exact cosine against the query vector = vec_id 0, the same
+    * doc_id-aligned id space). RRF(d) = Σ_lists 1/(rrfK + rank_d) — the
+    * rank-only fusion that needs NO score normalization between
+    * incomparable scales (BM25 sums vs cosines), which is exactly why
+    * it is the production default. Both input ranks are deterministic
+    * (score-then-id total orders), the fused score is two IEEE terms
+    * added in written order, and the whole operator hash-verifies.
+    *
+    * Scale shape: each tier's own plan does the corpus-scale work
+    * (documented there); the fusion itself is a full-outer join of two
+    * ≤50-row lists — metadata-sized. */
+  def hybridSearch(spark: SparkSession, sfDir: String, k: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    val lex = graft.ops.TextAnalysis.bm25Search(spark, sfDir)
+      .withColumn("r_lex", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val vec = cosineTopK(spark, sfDir, k = 50,
+        queryPred = Some(col("vec_id") === 0L))
+      .select(col("other_id").as("doc_id"), col("rank").as("r_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_vec"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_vec")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Empty result with the top-k schema (vec_id, rank, other_id, sim) —
     * the degenerate-input path for the ANN operators. */
   private def emptyTopK(e: DataFrame): DataFrame =
