@@ -607,6 +607,7 @@ object SparkEntry {
     "semantic_dedup_ivf" -> ((s, dir) => Dedup.semanticDedupIvf(s, dir)),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "hybrid_search" -> ((s, dir) => Similarity.hybridSearch(s, dir)),
+    "label_knn_accuracy" -> ((s, dir) => Similarity.labelKnnAccuracy(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     // ADC over the int8 residual code store + exact rerank — the search
@@ -706,6 +707,8 @@ object SparkEntry {
     // in two hour-buckets, purchases probe one) — never a range join;
     // streaming twin = watermarked stream-stream join, pair-parity-tested
     "click_attribution" -> ((s, dir) => graft.ops.EventAnalytics.clickAttribution(s, dir)),
+    "linear_attribution" -> ((s, dir) => graft.ops.EventAnalytics.linearAttribution(s, dir)),
+    "weekday_profile" -> ((s, dir) => graft.ops.EventAnalytics.weekdayProfile(s, dir)),
     // -- event analytics: retention, funnel, rolling actives ---------------
     "user_retention" -> ((s, dir) => graft.ops.EventAnalytics.userRetention(s, dir)),
     "event_funnel" -> ((s, dir) => graft.ops.EventAnalytics.eventFunnel(s, dir)),
@@ -1854,7 +1857,13 @@ object SparkEntry {
     "plan_gates" ->
       ("SELECT * FROM (VALUES " +
         Seq("ann_ivf_equi_join", "ann_lsh_equi_join",
+          "bfs_frontier_equi_join",
           "bucketed_join_shuffle_free", "disjunctive_filter_stays_equi",
+          "fuzzy_contamination_broadcast_probe",
+          "heavy_hitters_recount_broadcast_semi",
+          "linear_attribution_banded_equi_join",
+          "open_orders_sweep_broadcasts_deltas",
+          "returned_items_all_equi_join",
           "eval_contamination_broadcasts_evalset",
           "events_day_slice_stats_prunable",
           "exists_becomes_semi_join", "fuzzy_key_pairs_equi_join",
@@ -1898,6 +1907,37 @@ object SparkEntry {
         |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size,
         |  lab.vec_id = lab.cluster_id AS keep
         |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
+    // leave-one-out kNN vote over the exact top-5; null-labeled
+    // neighbors consume slots but never vote (labels join after topk)
+    "label_knn_accuracy" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS other_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm) AS sim_raw
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |topk AS (SELECT vec_id, other_id FROM (
+        |  SELECT vec_id, other_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim_raw DESC, other_id ASC) AS rank
+        |  FROM pairs) WHERE rank <= 5),
+        |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |votes AS (
+        |  SELECT t.vec_id, lb.label AS nb_label, count(*) AS v
+        |  FROM topk t JOIN lb ON lb.vec_id = t.other_id GROUP BY 1, 2),
+        |pred AS (SELECT vec_id, nb_label AS pred FROM (
+        |  SELECT vec_id, nb_label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, nb_label ASC) AS rn
+        |  FROM votes) WHERE rn = 1)
+        |SELECT l.label, count(*) AS n,
+        |  CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  round(CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS accuracy
+        |FROM pred p JOIN lb l ON l.vec_id = p.vec_id
+        |GROUP BY l.label ORDER BY l.label""".stripMargin,
     // RRF fuses the two independently-verified retrieval tiers by rank
     // only — two IEEE terms added in written order, no normalization
     "hybrid_search" ->
@@ -2990,6 +3030,33 @@ object SparkEntry {
     // last click = row_number over (tus DESC, id DESC) — the same
     // winner as Spark's max(struct(click_us, click_id)); unattributed
     // purchases survive the LEFT JOIN with NULL click columns
+    // same candidate semantics as last-touch; credit = one division
+    "linear_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT p.event_id AS purchase_id, CAST(count(*) AS BIGINT) AS n_touches,
+        |    min(c.tus) AS first_click_us, max(c.tus) AS last_click_us
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.tus <= p.tus AND p.tus - c.tus < 3600000000
+        |  GROUP BY p.event_id)
+        |SELECT p.event_id AS purchase_id, p.user_id, p.tus AS purchase_us,
+        |  CAST(COALESCE(t.n_touches, 0) AS BIGINT) AS n_touches,
+        |  round(1.0 / CAST(t.n_touches AS DOUBLE), 6) AS credit_each,
+        |  t.first_click_us, t.last_click_us
+        |FROM p LEFT JOIN t ON t.purchase_id = p.event_id
+        |ORDER BY purchase_id""".stripMargin,
+    // ISO weekday profile: Spark weekday()+1 ≡ DuckDB isodow
+    "weekday_profile" ->
+      """SELECT event_type AS element, isodow(CAST(ts AS DATE)) AS dow,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS mean_value
+        |FROM events
+        |WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY element, dow""".stripMargin,
     "click_attribution" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type

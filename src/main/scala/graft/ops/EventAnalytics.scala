@@ -792,6 +792,56 @@ object EventAnalytics {
       .orderBy(col("purchase_id"))
   }
 
+  /** Day-of-week seasonality profile per element — the weekly-cycle
+    * report that justifies the fit surface's frequency-7 default
+    * (R:369's hard-coded 7) with data: per (element, ISO weekday) the
+    * observation count and exact-decimal mean value. One map-side-
+    * combined groupBy over a |elements|×7 key space; the mean is ONE
+    * double division of an exact DECIMAL sum. */
+  def weekdayProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    ev.filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"),
+        (weekday(dayCol) + 1).cast("long").as("dow"), col("value"))
+      .groupBy(col("element"), col("dow"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_value"))
+      .orderBy(col("element"), col("dow"))
+  }
+
+  /** Linear multi-touch attribution — the credit-SPLITTING member of
+    * the attribution family ([[clickAttribution]] = last-touch,
+    * [[nearestClickJoin]] = closest-touch): every click in the hour
+    * before a purchase shares the conversion credit equally
+    * (credit = 1/n_touches, the one IEEE division). Rides the SAME
+    * banded candidate join ([[attributionCandidates]]: clicks
+    * registered in two hour-buckets, purchases probe one, so shuffle
+    * keys are (user, hour) and no pair beyond the window
+    * materializes); the per-purchase touch count is one partial-merged
+    * aggregate. Unattributed purchases survive with 0 touches and NULL
+    * credit — the rows a funnel report needs to see. */
+  def linearAttribution(spark: SparkSession, sfDir: String,
+      windowUs: Long = 3600L * 1000000L): DataFrame = {
+    val ev = identifiedEvents(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("tus").as("purchase_us"))
+    val touches = attributionCandidates(spark, sfDir, windowUs)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        min(col("click_us")).as("first_click_us"), max(col("click_us")).as("last_click_us"))
+    purchases.join(touches, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        round(lit(1.0) / col("n_touches").cast("double"), 6).as("credit_each"),
+        col("first_click_us"), col("last_click_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Concurrent-session load profile: for every hour where the count of
     * simultaneously-open sessions CHANGES, the new count — the classic
     * interval-overlap aggregation ("how many sessions were open at

@@ -117,4 +117,17 @@ object Graph {
     }
     visited.orderBy(col("node"))
   }
+
+  /** One un-checkpointed BFS round for the plan gate: frontier ⋈ edges
+    * expansion + visited anti-join, the join shapes the production loop
+    * hides behind its per-round lineage cuts. */
+  private[ops] def bfsIterationPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Affinity.frequentPairEdges(spark, sfDir)
+    val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val frontier = Seq((0L, 0L)).toDF("node", "dist")
+    frontier.join(bidir, col("node") === col("u"))
+      .select(col("v").as("node")).distinct()
+      .join(frontier, Seq("node"), "left_anti")
+  }
 }

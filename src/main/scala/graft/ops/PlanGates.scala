@@ -84,13 +84,35 @@ object PlanGates {
     // eval-set contamination join must broadcast the benchmark side
     ("snm_pairs_banded_equi_join", "snm_candidates", hashJoinsNoCartesian),
     ("eval_contamination_broadcasts_evalset", "eval_contamination",
-      p => p.contains("BroadcastHashJoin") && noLoops(p)))
+      p => p.contains("BroadcastHashJoin") && noLoops(p)),
+    // round-10 operators: the Q10 report joins all-equi with broadcast
+    // dims; the sweep's day join broadcasts the |days|-bounded delta
+    // table; the MG recount semi-joins the broadcast survivor set; the
+    // fuzzy-contamination probe broadcasts eval bands while the corpus
+    // streams; attribution's banded candidates stay hash-equi; a BFS
+    // round (un-checkpointed, via the dedicated builder — the
+    // production query's plan is LogicalRDDs after the lineage cuts)
+    // expands the frontier by hash joins only
+    ("returned_items_all_equi_join", "sql_returned_items",
+      p => p.contains("BroadcastHashJoin") && noLoops(p)),
+    ("open_orders_sweep_broadcasts_deltas", "open_orders_daily",
+      p => p.contains("BroadcastHashJoin") && noLoops(p)),
+    // (the 1-row crossJoin(broadcast(total)) scalar-attach is a benign
+    // BNLJ, same exemption as part_affinity)
+    ("heavy_hitters_recount_broadcast_semi", "heavy_hitters",
+      p => p.contains("BroadcastHashJoin") && hashJoinsNoCartesian(p)),
+    ("fuzzy_contamination_broadcast_probe", "eval_contamination_fuzzy",
+      p => p.contains("BroadcastHashJoin") && noLoops(p)),
+    ("linear_attribution_banded_equi_join", "linear_attribution",
+      hashJoinsNoCartesian),
+    ("bfs_frontier_equi_join", "__bfs_iteration", hashJoinsNoCartesian))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */
   private val customPlans: Map[String, (SparkSession, String) =>
       org.apache.spark.sql.DataFrame] = Map(
-    "__pagerank_iteration" -> ((s, d) => Affinity.pagerankIterationPlan(s, d)))
+    "__pagerank_iteration" -> ((s, d) => Affinity.pagerankIterationPlan(s, d)),
+    "__bfs_iteration" -> ((s, d) => Graph.bfsIterationPlan(s, d)))
 
   private def noLoops(p: String): Boolean =
     !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")

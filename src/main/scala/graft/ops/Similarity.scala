@@ -78,6 +78,37 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Leave-one-out k-NN label accuracy — the embedding-QUALITY metric a
+    * pipeline runs before trusting a vector column for dedup or
+    * retrieval: each vector's label is predicted by majority vote of
+    * its k nearest neighbors (exact cosine, self excluded; ties break
+    * (votes desc, label asc) so the vote is total), and accuracy is
+    * reported per true label. A collapsed or shuffled embedding space
+    * scores at chance — this one number catches a broken upstream
+    * encoder before any downstream operator consumes its vectors.
+    * Neighbor lists ride [[cosineTopK]]'s plan (the documented exact
+    * tier); votes and accuracy are |vecs|·k-bounded aggregates. */
+  def labelKnnAccuracy(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = cosineTopK(spark, sfDir, k)
+      .join(labels.select(col("vec_id").as("other_id"), col("label").as("nb_label")),
+        Seq("other_id"))
+      .groupBy(col("vec_id"), col("nb_label"))
+      .agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("v").desc, col("nb_label").asc)
+    val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("nb_label").as("pred"))
+    pred.join(labels, Seq("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n").cast("double"), 6))
+      .orderBy(col("label"))
+  }
+
   /** Hybrid retrieval by Reciprocal-Rank Fusion — the composition every
     * RAG/search pipeline runs on top of the two retrieval tiers this
     * engine already verifies independently: the BM25 lexical list
