@@ -563,6 +563,8 @@ object SparkEntry {
     // distilled bag-of-words LR screen; held-out AUC gated in OpsSpec
     "quality_model_scores" -> ((s, dir) => QualityModel.modelScores(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "lang_mismatch" -> ((s, dir) => TextAnalysis.langMismatch(s, dir)),
+    "vocab_oov_rate" -> ((s, dir) => TextAnalysis.vocabOovRate(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "winnow_fingerprints" -> ((s, dir) => TextAnalysis.winnowFingerprints(s, dir)),
     // winnow consumer: df-capped sketch-slot join → substring-overlap pairs
@@ -608,6 +610,9 @@ object SparkEntry {
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "hybrid_search" -> ((s, dir) => Similarity.hybridSearch(s, dir)),
     "label_knn_accuracy" -> ((s, dir) => Similarity.labelKnnAccuracy(s, dir)),
+    // rows-only: driver eigensolve on the d×d Gram partials;
+    // planted-anisotropy fixture gates
+    "embedding_spectrum" -> ((s, dir) => Similarity.embeddingSpectrum(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     // ADC over the int8 residual code store + exact rerank — the search
@@ -693,6 +698,7 @@ object SparkEntry {
     "revenue_year_pivot" -> ((s, dir) => Relational.revenueByYearPivot(s, dir)),
     "revenue_unpivot" -> ((s, dir) => Relational.revenueYearUnpivot(s, dir)),
     "open_orders_daily" -> ((s, dir) => Relational.openOrdersDaily(s, dir)),
+    "rfm_segments" -> ((s, dir) => Relational.rfmSegments(s, dir)),
     // per-group top-k: rank window inside the group partition only
     "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
     // exact global ntile(10) WITHOUT a single-task window: range
@@ -1597,6 +1603,52 @@ object SparkEntry {
         |    {'negscore': -s_fr, 'lang': 'fr'},
         |    {'negscore': -s_zh, 'lang': 'zh'}])[1].lang AS pred_lang
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // langId's CTEs + the per-source disagreement rollup
+    "lang_mismatch" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, lang AS lang_given,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source, lang_given,
+        |    CAST(len(list_filter(w, x -> list_contains(['the','and','of'], x))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(w, x -> list_contains(['der','und','die'], x))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(w, x -> list_contains(['el','que','los'], x))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(w, x -> list_contains(['le','et','les'], x))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(w, x -> list_contains(['de','shi','le'], x))) AS BIGINT) AS s_zh
+        |  FROM s),
+        |pr AS (
+        |  SELECT doc_id, source, lang_given,
+        |    list_sort([
+        |      {'negscore': -s_en, 'lang': 'en'},
+        |      {'negscore': -s_de, 'lang': 'de'},
+        |      {'negscore': -s_es, 'lang': 'es'},
+        |      {'negscore': -s_fr, 'lang': 'fr'},
+        |      {'negscore': -s_zh, 'lang': 'zh'}])[1].lang AS pred_lang
+        |  FROM sc)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pred_lang <> lang_given THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  round(CAST(sum(CASE WHEN pred_lang <> lang_given THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS mismatch_rate
+        |FROM pr GROUP BY source ORDER BY source""".stripMargin,
+    // global head vocabulary (total-ordered top-k), per-feed OOV share
+    "vocab_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT lang, source,
+        |    unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS w
+        |  FROM documents),
+        |head AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS c FROM tok GROUP BY w
+        |    ORDER BY c DESC, w ASC LIMIT 1000)),
+        |j AS (
+        |  SELECT tok.lang, tok.source,
+        |    CASE WHEN head.w IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok LEFT JOIN head ON head.w = tok.w)
+        |SELECT lang, source, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM j GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // same verified-pair CTE as ngram_jaccard, restricted to edges that
     // CROSS the id-keyed base/increment split; exact tier = normalized
     // text equality; precedence exact > near, partner = lowest base id
@@ -3129,6 +3181,32 @@ object SparkEntry {
           |JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    // 6dp-rounded type-7 quintile thresholds make the strict > scoring
+    // compares identical in both engines; recency inverted (recent = 5)
+    "rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey AS c_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+        |  FROM orders GROUP BY 1),
+        |rd AS (SELECT max(last_order) AS ref FROM pc),
+        |base AS (
+        |  SELECT c_custkey, CAST(ref - last_order AS BIGINT) AS recency_days,
+        |    frequency, round(CAST(spend AS DOUBLE), 6) AS monetary
+        |  FROM pc CROSS JOIN rd),
+        |qs AS (SELECT
+        |    list_transform(quantile_cont(recency_days, [0.2,0.4,0.6,0.8]), e -> round(e, 6)) AS rq,
+        |    list_transform(quantile_cont(frequency, [0.2,0.4,0.6,0.8]), e -> round(e, 6)) AS fq,
+        |    list_transform(quantile_cont(monetary, [0.2,0.4,0.6,0.8]), e -> round(e, 6)) AS mq
+        |  FROM base)
+        |SELECT c_custkey, recency_days, frequency, monetary,
+        |  CAST(5 - len(list_filter(rq, t -> recency_days > t)) AS BIGINT) AS r_score,
+        |  CAST(len(list_filter(fq, t -> frequency > t)) + 1 AS BIGINT) AS f_score,
+        |  CAST(len(list_filter(mq, t -> monetary > t)) + 1 AS BIGINT) AS m_score,
+        |  concat(5 - len(list_filter(rq, t -> recency_days > t)),
+        |    len(list_filter(fq, t -> frequency > t)) + 1,
+        |    len(list_filter(mq, t -> monetary > t)) + 1) AS segment
+        |FROM base CROSS JOIN qs ORDER BY c_custkey""".stripMargin,
     // ±1 sweep deltas + dense-day prefix sum ≡ per-day interval count
     "open_orders_daily" ->
       """WITH iv AS (

@@ -261,6 +261,46 @@ object Relational {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** RFM customer segmentation — the classic marketing-analytics shape:
+    * per customer, Recency (days from last order to the corpus's max
+    * order date), Frequency (order count), Monetary (exact DECIMAL
+    * total spend), each scored into quintiles against type-7 global
+    * thresholds (rounded 6dp, so the strict `>` threshold compares are
+    * identical in both engines; recency scores INVERTED — recent = 5).
+    * Segment = the concatenated "rfm" digit string the campaign tools
+    * key on.
+    *
+    * Scale: the per-customer rollup is one orders-side aggregate; the
+    * quintile thresholds reduce |customers| rows to three 4-double
+    * rows broadcast back (the percentile-over-aggregated-axis pattern
+    * `value_quantiles` establishes; the shuffle-pure alternative is
+    * documented at [[orderValuePercentile]]); scoring is a map-side
+    * array-lambda count. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("spend"))
+    val refDate = perCust.agg(max(col("last_order")).as("ref"))
+    val base = perCust.crossJoin(broadcast(refDate))
+      .select(col("c_custkey"),
+        datediff(col("ref"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"),
+        round(col("spend").cast("double"), 6).as("monetary"))
+    val qs = base.agg(
+      expr("transform(percentile(recency_days, array(0.2,0.4,0.6,0.8)), e -> round(e, 6))").as("rq"),
+      expr("transform(percentile(frequency, array(0.2,0.4,0.6,0.8)), e -> round(e, 6))").as("fq"),
+      expr("transform(percentile(monetary, array(0.2,0.4,0.6,0.8)), e -> round(e, 6))").as("mq"))
+    base.crossJoin(broadcast(qs))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+        (lit(5L) - expr("size(filter(rq, t -> recency_days > t))")).as("r_score"),
+        (expr("size(filter(fq, t -> frequency > t))") + 1L).as("f_score"),
+        (expr("size(filter(mq, t -> monetary > t))") + 1L).as("m_score"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Concurrent open intervals per calendar day (orders "in flight":
     * o_orderdate ≤ day ≤ last lineitem shipdate) by SWEEP-LINE, the
     * formulation that survives scale: the naive plan explodes each

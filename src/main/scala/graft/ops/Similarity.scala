@@ -78,6 +78,78 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Covariance spectrum of the embedding space — the third
+    * embedding-hygiene tier after norm stats and outlier screens: the
+    * top eigenvalues of the d×d covariance matrix with each one's
+    * variance share. A healthy encoder spreads variance across many
+    * directions; a COLLAPSED space (anisotropy ≈ 1 — the classic
+    * failure where every output points the same way) makes cosine
+    * similarity meaningless long before any downstream recall gate can
+    * notice. This is the report that catches it at ingest.
+    *
+    * Scale shape — the RowMatrix/Gram-matrix formulation: one pass,
+    * each partition accumulates its own d-vector sum and d×d product
+    * matrix in a local array (a genuine per-partition numeric kernel,
+    * the documented mapPartitions exception), and ≤|partitions| partials
+    * of d² doubles collect to the driver — metadata-sized for any
+    * corpus; NOTHING shuffles. The eigendecomposition runs on the d×d
+    * driver matrix (commons-math3, deterministic for a symmetric
+    * matrix). Rows-only registered (eigensolves aren't SQL); the
+    * planted-anisotropy fixture in OpsSpec is the gate. */
+  def embeddingSpectrum(spark: SparkSession, sfDir: String, topK: Int = 8): DataFrame = {
+    import spark.implicits._
+    val partials = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        var n = 0L; var d = -1
+        var s: Array[Double] = null
+        var p: Array[Double] = null
+        it.foreach { v =>
+          if (d < 0) { d = v.length; s = new Array[Double](d); p = new Array[Double](d * d) }
+          n += 1
+          var i = 0
+          while (i < d) {
+            val xi = v(i).toDouble
+            s(i) += xi
+            var j = i
+            while (j < d) { p(i * d + j) += xi * v(j); j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0L) Iterator.empty else Iterator((n, d, s, p))
+      }.collect()
+    if (partials.isEmpty)
+      return Seq.empty[(Long, Double, Double, Double)]
+        .toDF("component", "eigenvalue", "var_share", "cum_share")
+    val d = partials.head._2
+    val n = partials.map(_._1).sum
+    val s = new Array[Double](d)
+    val p = new Array[Double](d * d)
+    partials.foreach { case (_, _, ps, pp) =>
+      var i = 0
+      while (i < d * d) { p(i) += pp(i); i += 1 }
+      i = 0
+      while (i < d) { s(i) += ps(i); i += 1 }
+    }
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      p(a * d + b) / n - (s(i) / n) * (s(j) / n)
+    }
+    val eig = new org.apache.commons.math3.linear.EigenDecomposition(
+      new org.apache.commons.math3.linear.Array2DRowRealMatrix(cov))
+    val evs = eig.getRealEigenvalues.sorted(Ordering[Double].reverse)
+    val total = evs.sum
+    val rows = evs.take(topK).zipWithIndex.scanLeft((0L, 0.0, 0.0, 0.0)) {
+      case ((_, _, _, cum), (ev, i)) =>
+        ((i + 1).toLong, ev, ev / total, cum + ev / total)
+    }.drop(1)
+    rows.toSeq.map { case (c, ev, sh, cum) =>
+      (c, math.rint(ev * 1e6) / 1e6, math.rint(sh * 1e6) / 1e6, math.rint(cum * 1e6) / 1e6)
+    }.toDF("component", "eigenvalue", "var_share", "cum_share")
+      .orderBy(col("component"))
+  }
+
   /** Leave-one-out k-NN label accuracy — the embedding-QUALITY metric a
     * pipeline runs before trusting a vector column for dedup or
     * retrieval: each vector's label is predicted by majority vote of

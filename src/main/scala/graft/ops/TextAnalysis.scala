@@ -256,6 +256,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-metadata audit — [[langId]]'s consumer: per source feed,
+    * the share of documents whose n-gram-heuristic prediction disagrees
+    * with the declared `lang` column. A feed whose declared language
+    * systematically disagrees with its content (mislabeled scrape,
+    * wrong-language boilerplate) poisons per-language mixture weights
+    * and tokenizer decisions downstream. Rides langId's plan; the
+    * rollup is a |sources|-key aggregate with ONE division. */
+  def langMismatch(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_lang") =!= col("lang_given"), 1L).otherwise(0L)).as("n_mismatch"))
+      .withColumn("mismatch_rate",
+        round(col("n_mismatch").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy(col("source"))
+
+  /** Out-of-vocabulary rate per (lang, source) against the global
+    * top-`vocabSize` token head — the fixed-vocab tokenizer audit
+    * [[vocabCoverage]] sizes and this op stress-tests per feed: a feed
+    * whose OOV share is an outlier will fragment into bytes/unks under
+    * the shared vocabulary. Head selection is the same
+    * TakeOrderedAndProject top-k (count desc, token asc — total order);
+    * membership is a broadcast left join; the rollup carries
+    * (lang, source) counts only. */
+  def vocabOovRate(spark: SparkSession, sfDir: String, vocabSize: Int = 1000): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("lang"), col("source"),
+        explode(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .as("w"))
+    val head = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(vocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(head), Seq("w"), "left")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Document fingerprint: 64-bit polynomial rolling hash of the
     * lowercased, whitespace-normalized text (deterministic, collision-
     * resistant enough for dedup keys). Computed with xxhash64 over the

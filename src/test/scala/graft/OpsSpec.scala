@@ -2575,6 +2575,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly the planted triangle, each member once, 204 absent: $got")
   }
 
+  test("embedding spectrum: planted anisotropy concentrates the top component") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spec-test").toString
+    // dim 0 carries ~400× the variance of dim 1; dims 2-3 are constant
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Seq((i - 20).toFloat, (i % 3) * 0.1f, 1.0f, 0.0f), 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.ops.Similarity.embeddingSpectrum(spark, dir, topK = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 4, s"4 components: ${out.mkString(",")}")
+    assert(out.map(_._2).sameElements(out.map(_._2).sorted.reverse),
+      s"eigenvalues descending: ${out.mkString(",")}")
+    assert(out.head._3 > 0.95, s"planted dominant direction owns the variance: ${out.head}")
+    assert(math.abs(out.last._4 - 1.0) < 1e-6,
+      s"4 components exhaust a rank-2 spectrum: ${out.last}")
+  }
+
   test("shesd: planted spike in a seasonal series is rank-1; clean seasonal stays quiet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-shesd-test").toString
