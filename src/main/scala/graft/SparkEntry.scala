@@ -553,6 +553,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_fingerprint" -> ((s, dir) => Dedup.exactByFingerprint(s, dir)),
     "dup_groups" -> ((s, dir) => Dedup.duplicateGroups(s, dir)),
+    "cross_source_dups" -> ((s, dir) => Dedup.crossSourceDupMatrix(s, dir)),
     "dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
     "curate_corpus" -> ((s, dir) => Dedup.curateCorpus(s, dir)),
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
@@ -1342,6 +1343,44 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // count algebra: within = n(n−1)/2, across = n_a·n_b per norm key —
+    // duplicate pairs are never materialized as rows
+    "cross_source_dups" ->
+      """WITH c AS (
+        |  SELECT md5(regexp_replace(lower(trim(COALESCE(text, ''))), '\s+', ' ', 'g')) AS h,
+        |    source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (SELECT source AS source_a, source AS source_b,
+        |    n * (n - 1) // 2 AS pairs FROM c WHERE n >= 2),
+        |x AS (SELECT a.source AS source_a, b.source AS source_b, a.n * b.n AS pairs
+        |  FROM c a JOIN c b ON a.h = b.h AND a.source < b.source),
+        |ex AS (SELECT source_a, source_b, CAST(sum(pairs) AS BIGINT) AS n_exact_pairs
+        |  FROM (SELECT * FROM w UNION ALL SELECT * FROM x) u GROUP BY 1, 2),
+        |t AS (
+        |  SELECT doc_id, source, lang,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |xx AS (
+        |  SELECT doc_id, source, lang, len(toks) AS n, unnest(toks) AS w FROM t),
+        |jp AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    a.n AS na, b.n AS nb, count(*) AS inter
+        |  FROM xx a JOIN xx b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, 1, 2, 3, 4),
+        |nr AS (
+        |  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_near_pairs
+        |  FROM jp
+        |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.95
+        |  GROUP BY 1, 2)
+        |SELECT COALESCE(ex.source_a, nr.source_a) AS source_a,
+        |  COALESCE(ex.source_b, nr.source_b) AS source_b,
+        |  COALESCE(ex.n_exact_pairs, 0) AS n_exact_pairs,
+        |  COALESCE(nr.n_near_pairs, 0) AS n_near_pairs
+        |FROM ex FULL OUTER JOIN nr
+        |  ON ex.source_a = nr.source_a AND ex.source_b = nr.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "dup_groups" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY text HAVING count(*) > 1

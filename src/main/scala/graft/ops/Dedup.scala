@@ -310,6 +310,55 @@ object Dedup {
     * the exact tier untestable dead code. The modulus is 7, coprime to
     * the test corpus's duplicate-family id stride (20), so planted
     * near-dup families genuinely straddle the split. */
+  /** Cross-source duplication matrix — WHERE the duplicates come from:
+    * for every (source_a ≤ source_b) pair of feeds, the number of
+    * exact-duplicate document pairs (normalized-text equality, the
+    * same norm the exact tier keys on) between them. The report that
+    * turns "8% of the corpus is duplicated" into "feed X mirrors
+    * feed Y" — the decision input for dropping a feed outright.
+    *
+    * Scale design — COUNT ALGEBRA, never pair materialization: a
+    * duplicate group of size g implies C(g,2) pairs, which a naive
+    * pair self-join materializes (quadratic on viral content). Here
+    * the corpus reduces to per-(norm-hash, source) COUNTS first (one
+    * shuffle carrying md5 keys), the within-source cell is the
+    * closed form n(n−1)/2, and the cross-source cell n_a·n_b comes
+    * from a self-join on the norm key whose row count is bounded by
+    * groups×sources — pairs never exist as rows. md5 (not xxhash64)
+    * keys the group so the DuckDB oracle replays it verbatim. */
+  def crossSourceDupMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docs(spark, sfDir)
+      .select(col("source"),
+        md5(regexp_replace(lower(trim(coalesce(col("text"), lit("")))), "\\s+", " ")).as("h"))
+      .groupBy(col("h"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val within = counts.filter(col("n") >= 2L)
+      .select(col("source").as("source_a"), col("source").as("source_b"),
+        expr("n * (n - 1) DIV 2").as("pairs"))
+    val across = counts.as("a")
+      .join(counts.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        (col("a.n") * col("b.n")).as("pairs"))
+    val exactCells = within.unionByName(across)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("pairs")).as("n_exact_pairs"))
+    // near tier: the (lang, source)-blocked jaccard pair table is
+    // diagonal by construction (blocking ⇒ same source) and already
+    // session-cached for the cluster tier — rolled up, not re-derived
+    val src = docs(spark, sfDir).select(col("doc_id"), col("source"))
+    val nearCells = NearDup.blockedJaccard(spark, sfDir, 0.95)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), Seq("doc_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_near_pairs"))
+    exactCells.join(nearCells, Seq("source_a", "source_b"), "full_outer")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
+        coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def dedupIncrement(spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
     val d = docs(spark, sfDir).select(col("doc_id"),
       regexp_replace(lower(trim(coalesce(col("text"), lit("")))), "\\s+", " ").as("norm"),

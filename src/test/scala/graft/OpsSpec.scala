@@ -2575,6 +2575,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly the planted triangle, each member once, 204 absent: $got")
   }
 
+  test("cross-source dup matrix: count algebra matches hand-computed cells") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xsrc-test").toString
+    // norm group "alpha beta": 2 copies in s1 + 1 in s2 → within(s1)=1,
+    // across(s1,s2)=2; group "gamma delta": 2 in s2 → within(s2)=1;
+    // case/whitespace differences must normalize away
+    val rows = Seq(
+      (1L, "en", "s1", "alpha beta"), (2L, "en", "s1", "Alpha  Beta"),
+      (3L, "en", "s2", "alpha beta"),
+      (4L, "en", "s2", "gamma delta"), (5L, "en", "s2", "gamma delta"),
+      (6L, "en", "s1", "unrelated text entirely"))
+      .map { case (id, l, s, t) => (id, l, s, t, t.length.toLong) }
+    rows.toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup.crossSourceDupMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("s1", "s1"))._1 == 1L, s"within-s1 exact cell: $got")
+    assert(got(("s1", "s2"))._1 == 2L, s"cross s1×s2 exact cell: $got")
+    assert(got(("s2", "s2"))._1 == 1L, s"within-s2 exact cell: $got")
+    // the exact copies are also jaccard-1 near pairs WITHIN a source
+    // block; the cross-source cell stays exact-only (blocking)
+    assert(got(("s1", "s2"))._2 == 0L, s"near tier is source-blocked: $got")
+  }
+
   test("embedding spectrum: planted anisotropy concentrates the top component") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-spec-test").toString
