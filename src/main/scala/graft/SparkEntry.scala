@@ -883,6 +883,10 @@ object SparkEntry {
     // complete pair set — the oracle is the plain range join
     "stream_attribution" -> ((s, dir) =>
       graft.streaming.EventIngest.attributionPairsAvailableNow(s, dir)),
+    // bounded custom state (Misra-Gries shards) under AvailableNow;
+    // rows-only — the cross-batch MemoryStream test is the gate
+    "stream_heavy_hitters" -> ((s, dir) =>
+      graft.streaming.EventIngest.heavyHitterStreamAvailableNow(s, dir)),
   )
 
   // ---------------------------------------------------------------------

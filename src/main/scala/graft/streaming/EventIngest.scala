@@ -314,6 +314,89 @@ object EventIngest {
         })
   }
 
+  final case class MgShardState(keys: Array[Long], counts: Array[Long], seq: Long)
+
+  /** Streaming φ-heavy-hitter candidates with CUSTOM bounded state —
+    * the live twin of `ops.Sketches.heavyHitters`' first pass: keys
+    * hash-shard into `nShards` groups, each group carries its own
+    * Misra-Gries counter table (≤ k = ⌈2/φ⌉ entries) across
+    * micro-batches, and after every batch each shard emits its current
+    * survivor set with lower-bound counts and a batch sequence number
+    * (so a reader takes each shard's LATEST emission). The union of
+    * shard survivors is a guaranteed superset of keys with global
+    * share > φ — the same averaging argument as the batch tier, over
+    * shards instead of partitions — and the downstream exact recount is
+    * identical. State is O(k) per shard, never a buffered stream; a
+    * cluster shards the groups by hash exactly like every keyed state
+    * here. */
+  def heavyHitterStream(keys: org.apache.spark.sql.Dataset[Long],
+      phi: Double = 0.01, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val session = keys.sparkSession
+    import session.implicits._
+    val k = math.ceil(2.0 / phi).toInt
+    keys
+      .groupByKey(x => (((x % nShards) + nShards) % nShards).toInt)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (shard: Int, it: Iterator[Long], state: GroupState[MgShardState]) => {
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(s =>
+            s.keys.indices.foreach(i => m.update(s.keys(i), s.counts(i))))
+          it.foreach { x =>
+            m.get(x) match {
+              case Some(c) => m.update(x, c + 1)
+              case None if m.size < k => m.update(x, 1L)
+              case None =>
+                val dead = List.newBuilder[Long]
+                m.foreach { case (key, c) =>
+                  if (c == 1L) dead += key else m.update(key, c - 1)
+                }
+                dead.result().foreach(m.remove)
+            }
+          }
+          val seq = state.getOption.map(_.seq).getOrElse(0L) + 1L
+          val packed = m.toArray.sortBy(_._1)
+          state.update(MgShardState(packed.map(_._1), packed.map(_._2), seq))
+          packed.iterator.map { case (key, lb) => (shard, seq, key, lb) }
+        })
+      .toDF("shard", "seq", "key", "count_lb")
+  }
+
+  /** Driver surface for [[heavyHitterStream]]: one AvailableNow pass of
+    * the stored events' user_id column through the stateful MG shards,
+    * keeping each shard's final (highest-seq) emission — the live
+    * candidate table the batch exact-recount consumes. Rows-only (MG
+    * survivorship isn't SQL); the cross-batch MemoryStream test is the
+    * correctness gate. */
+  def heavyHitterStreamAvailableNow(spark: SparkSession, sfDir: String,
+      phi: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val schema = graft.sources.Tables.eventsRaw(spark, sfDir).schema
+    val evPath = s"$sfDir/events.parquet"
+    val reader = spark.readStream.schema(schema)
+    val raw =
+      if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val keys = raw.filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("long")).as[Long]
+    val sink = "stream_heavy_hitters_sink"
+    spark.catalog.dropTempView(sink)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    val q = heavyHitterStream(keys, phi)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // rank window (not a sink self-join: the memory view's attributes
+    // conflict when joined to itself) keeps each shard's final emission
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("seq").desc)
+    spark.table(sink)
+      .withColumn("rk", rank().over(w)).filter(col("rk") === 1)
+      .select(col("shard"), col("key"), col("count_lb"))
+      .orderBy(col("shard"), col("count_lb").desc, col("key"))
+  }
+
   /** Wire a parquet-directory stream of raw events into the daily
     * aggregate, appending to `outDir` with checkpointing — the live
     * observation-store writer. */

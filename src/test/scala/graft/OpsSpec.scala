@@ -2575,6 +2575,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly the planted triangle, each member once, 204 absent: $got")
   }
 
+  test("streaming heavy hitters: MG state survives batches, survivors cover heavy keys") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    // batch 1: key 7 heavy, noise spread; batch 2: key 9 surges — the
+    // counter table must carry ACROSS micro-batches to see the total
+    val b1 = Seq.fill(300)(7L) ++ (100L to 199L) ++ Seq.fill(80)(9L)
+    val b2 = Seq.fill(220)(9L) ++ (200L to 299L) ++ Seq.fill(50)(7L)
+    val q = EventIngest.heavyHitterStream(mem.toDS(), phi = 0.05, nShards = 4)
+      .writeStream.format("memory").queryName("hh_out").outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val rows = spark.table("hh_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // latest emission per shard = the final counter tables
+      val lastSeq = rows.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).max }
+      val fin = rows.filter(t => t._2 == lastSeq(t._1)).map(t => t._3 -> t._4).toMap
+      val n = (b1.length + b2.length).toDouble
+      // 7: 350 and 9: 300 both exceed phi*n = 52.5 → MUST survive, with
+      // lower-bound counts never exceeding the true counts
+      assert(fin.contains(7L) && fin.contains(9L), s"heavy keys must survive: $fin")
+      assert(fin(7L) <= 350L && fin(9L) <= 300L, s"MG counts are lower bounds: $fin")
+      assert(fin.size <= 4 * math.ceil(2.0 / 0.05).toInt, "state stays bounded")
+      assert(fin.keys.forall(k => k == 7L || k == 9L || k >= 100L), s"no phantom keys: $fin")
+    } finally q.stop()
+  }
+
   test("cross-source dup matrix: count algebra matches hand-computed cells") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-xsrc-test").toString
