@@ -767,6 +767,7 @@ object SparkEntry {
     // SCD2 MERGE: one full-outer join + exploded version structs;
     // null-safe no-op comparator
     "scd2_merge" -> ((s, dir) => graft.ops.Scd.scd2Merge(s, dir)),
+    "scd2_asof" -> ((s, dir) => graft.ops.Scd.scd2AsOf(s, dir)),
     // incremental view maintenance: base build + 2 O(increment)
     // appends + aggregate-sized merge; oracle = full recompute
     "incr_daily_agg" -> ((s, dir) =>
@@ -2360,6 +2361,27 @@ object SparkEntry {
         |  CAST(1 AS INT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
         |FROM customer, mx WHERE c_custkey % 20 = 9
         |) ORDER BY c_custkey, version""".stripMargin,
+    // both epochs derived from FIRST PRINCIPLES (raw snapshot + change
+    // rules), never from the history table — intervals can't self-verify
+    "scd2_asof" ->
+      """WITH mx AS (SELECT max(c_custkey) AS mk FROM customer)
+        |SELECT * FROM (
+        |SELECT CAST(0 AS BIGINT) AS as_of, c_custkey, c_name, c_nationkey,
+        |  c_acctbal, c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), c_custkey, c_name, c_nationkey,
+        |  c_acctbal + 100.0, c_mktsegment
+        |FROM customer WHERE c_custkey % 20 = 3
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), c_custkey, c_name, c_nationkey,
+        |  c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 20 NOT IN (3, 7)
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), c_custkey + mk, 'NEW_' || c_name, c_nationkey,
+        |  c_acctbal, c_mktsegment
+        |FROM customer, mx WHERE c_custkey % 20 = 9
+        |) ORDER BY as_of, c_custkey""".stripMargin,
     // A-Priori pair mining replayed from scratch: same frequent-item
     // cross-multiplication floor, same >= 2 pair floor, each metric ONE
     // double division over exact BIGINT counts/products

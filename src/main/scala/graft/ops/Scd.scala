@@ -101,4 +101,23 @@ object Scd {
     val customer = graft.sources.Tables.table(spark, sfDir, "customer")
     applyScd2(customer, changeBatch(customer))
   }
+
+  /** Point-in-time (time-travel) read of the SCD2 history — the
+    * CONSUMER that justifies keeping versions at all: the dimension as
+    * of epoch 0 (pre-batch) and epoch 1 (post-batch), each
+    * reconstructed by the interval predicate
+    * `valid_from ≤ t < coalesce(valid_to, ∞)`. The epoch-0 read must
+    * equal the raw snapshot byte-for-byte and the epoch-1 read the
+    * merged current state — and the ORACLE derives both from first
+    * principles (raw customer + the change rules), never from the
+    * history table, so a corrupted interval column cannot self-verify.
+    * Map-side filter over the history; no new shuffles. */
+  def scd2AsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = scd2Merge(spark, sfDir)
+    Seq(0L, 1L).map { t =>
+      hist.filter(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .select((lit(t).as("as_of") +: col("c_custkey") +: attrs.map(col)): _*)
+    }.reduce(_ unionByName _).orderBy(col("as_of"), col("c_custkey"))
+  }
 }
