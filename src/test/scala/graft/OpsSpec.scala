@@ -1152,6 +1152,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "lang_id" -> (() => graft.ops.TextAnalysis.langId(spark, dir).count()),
       "pii_scan" -> (() => graft.ops.TextAnalysis.piiScan(spark, dir).count()),
       "fingerprints" -> (() => graft.ops.TextAnalysis.fingerprints(spark, dir).count()),
+      "encoding_quality" -> (() => graft.ops.TextAnalysis.encodingQuality(spark, dir).count()),
       "corpus_split" -> (() => graft.ops.Curation.corpusSplit(spark, dir).count()))
     perDoc.foreach { case (name, run) =>
       val n = try run() catch {
@@ -1184,7 +1185,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vocab" -> (() => graft.ops.TextAnalysis.vocabCoverage(spark, dir).count()),
       // null text drops out of tf but still counts toward N/avgdl —
       // identical on both engines (count(*) vs null-skipping sum)
-      "bm25" -> (() => graft.ops.TextAnalysis.bm25Search(spark, dir).count())
+      "bm25" -> (() => graft.ops.TextAnalysis.bm25Search(spark, dir).count()),
+      // round-10 document operators join the sweep
+      "term_zipf" -> (() => graft.ops.TextAnalysis.termZipf(spark, dir).count()),
+      "vocab_oov" -> (() => graft.ops.TextAnalysis.vocabOovRate(spark, dir).count()),
+      "lang_mismatch" -> (() => graft.ops.TextAnalysis.langMismatch(spark, dir).count()),
+      "shard_plan" -> (() => graft.ops.Curation.corpusShardPlan(spark, dir).count()),
+      "cross_source_dups" -> (() => graft.ops.Dedup.crossSourceDupMatrix(spark, dir).count()),
+      "fuzzy_contamination" -> (() => graft.ops.Curation.evalContaminationFuzzy(spark, dir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null fields: $e")
@@ -1239,7 +1247,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "semantic" -> (() => graft.ops.Dedup.semanticDedup(spark, dir).count()),
       "semantic_ivf" -> (() => graft.ops.Dedup.semanticDedupIvf(spark, dir).count()),
       "near_dup" -> (() => NearDup.embeddingNearDup(spark, dir).count()),
-      "dim_stats" -> (() => Similarity.embeddingDimStats(spark, dir).count())
+      "dim_stats" -> (() => Similarity.embeddingDimStats(spark, dir).count()),
+      "spectrum" -> (() => Similarity.embeddingSpectrum(spark, dir).count()),
+      "knn_accuracy" -> (() => Similarity.labelKnnAccuracy(spark, dir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on a null embedding: $e")
@@ -1276,7 +1286,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fc_croston" -> (() => graft.models.Croston.forecast(spark, edir).count()),
       "demand_classes" -> (() => graft.ops.EventAnalytics.demandClasses(spark, edir).count()),
       "stream_attribution" -> (() =>
-        EventIngest.attributionPairsAvailableNow(spark, edir).count())
+        EventIngest.attributionPairsAvailableNow(spark, edir).count()),
+      // round-10 event operators join the sweep
+      "value_psi" -> (() => graft.ops.EventAnalytics.valuePsi(spark, edir).count()),
+      "shesd" -> (() => graft.ops.EventAnalytics.shEsdAnomalies(spark, edir).count()),
+      "weekday_profile" -> (() => graft.ops.EventAnalytics.weekdayProfile(spark, edir).count()),
+      "linear_attribution" -> (() =>
+        graft.ops.EventAnalytics.linearAttribution(spark, edir).count()),
+      "stream_heavy_hitters" -> (() =>
+        EventIngest.heavyHitterStreamAvailableNow(spark, edir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null event fields: $e")
@@ -2169,7 +2187,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("plan gates: every plan-shape verdict holds") {
     val rows = graft.ops.PlanGates.planGates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
-    assert(rows.length == 25)
+    assert(rows.length == 31)
     val failed = rows.filterNot(_._2).map(_._1)
     assert(failed.isEmpty, s"plan-shape regressions: ${failed.mkString(", ")}")
   }
