@@ -47,7 +47,33 @@ object Affinity {
     * the shared A-Priori core of [[partAffinity]] and [[partPagerank]].
     * Returns (pa, pb, n_ab) with pa < pb, n_ab >= MinPairSupport, plus
     * the broadcastable side tables (item counts, 1-row basket total). */
+  /** Session cache of the mined (pairs, itemCounts, totals) triple —
+    * the basket-mining subtree (distinct-basket build + pruned pair
+    * self-join) is the shared input of EIGHT registered consumers
+    * (affinity, rules, triples, pagerank, triangles, clustering, BFS,
+    * and the plan-gate builders); without the cache each one re-mines
+    * the corpus. Same (appId, corpus) keying and persist discipline as
+    * the minhash/signature caches; `clearCaches` releases it. */
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame, DataFrame)]()
+
+  /** Release the cached pair tables (see `Dedup.clearCaches`). */
+  def clearCaches(): Unit = {
+    pairsCache.values.forEach { case (p, ic, t) =>
+      p.unpersist(); ic.unpersist(); t.unpersist()
+    }
+    pairsCache.clear()
+  }
+
   private def frequentPairs(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    pairsCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir), { _ =>
+      val (p, ic, t) = frequentPairsDirect(spark, sfDir)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (p.persist(lvl), ic.persist(lvl), t.persist(lvl))
+    })
+
+  private def frequentPairsDirect(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val b = baskets(spark, sfDir)
     val totals = b.agg(countDistinct(col("ok")).as("n_orders"))

@@ -586,6 +586,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.Similarity.clearCaches()
     graft.ops.TextAnalysis.clearCaches()
     graft.ops.QualityModel.clearCaches()
+    graft.ops.Affinity.clearCaches()
     val after = (
       graft.ops.Dedup.dupClusters(spark, sfDir).collect().toSeq,
       graft.ops.Dedup.semanticDedup(spark, sfDir).collect().toSeq,
