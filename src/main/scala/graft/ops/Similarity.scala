@@ -60,8 +60,25 @@ object Similarity {
     * `queryPred` restricts the QUERY side only (the neighbor pool stays
     * the full corpus) — the recall-gate query uses it to measure on a
     * deterministic sample without paying the full n² scan. */
+  /** Session cache of the no-predicate exact top-k — the SAME all-pairs
+    * result feeds `cosine_topk`, `label_knn_accuracy`, and any other
+    * full-corpus consumer; without it each one repays the broadcast
+    * BNLJ (measured 4.0 s apiece at sf0.1). Predicate-filtered calls
+    * (the recall-gate 1/5 sample, hybrid_search's single query row)
+    * bypass it — a Column predicate isn't a usable cache key. */
+  private val exactTopKCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+
   def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5,
-      queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    if (queryPred.isEmpty)
+      exactTopKCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir, k),
+        _ => cosineTopKDirect(spark, sfDir, k, None)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else cosineTopKDirect(spark, sfDir, k, queryPred)
+
+  private def cosineTopKDirect(spark: SparkSession, sfDir: String, k: Int,
+      queryPred: Option[org.apache.spark.sql.Column]): DataFrame = {
     val e = emb(spark, sfDir)
     val a = queryPred.foldLeft(e)(_.filter(_))
       .repartition(col("vec_id")).select(col("vec_id"), col("v").as("va"))
@@ -359,6 +376,8 @@ object Similarity {
     pqCodeCache.clear()
     exactSampleCache.values.forEach(df => { df.unpersist(); () })
     exactSampleCache.clear()
+    exactTopKCache.values.forEach(df => { df.unpersist(); () })
+    exactTopKCache.clear()
     ivfCandCache.values.forEach(df => { df.unpersist(); () })
     ivfCandCache.clear()
     lshBucketCache.values.forEach(b => { b.foreach(_.unpersist()); () })
