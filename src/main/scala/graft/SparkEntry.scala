@@ -435,6 +435,13 @@ object SparkEntry {
     // holdout backtest of the closed-form families — forecast, error,
     // and metric all re-derived by the oracle
     "fc_backtest_closed" -> ((s, dir) => graft.engine.Backtest.closedFormBacktest(s, dir)),
+    // split-conformal PIs around NAIVE, calibrated per horizon on the
+    // realized |h-step errors| — distribution-free coverage, oracle
+    // re-derives score ranks end to end
+    "fc_conformal" -> ((s, dir) => graft.engine.Conformal.conformalNaive(s, dir)),
+    // 2-level hierarchy: bottom-up sum of leaf DRIFT forecasts vs the
+    // direct total DRIFT forecast + per-step coherence gap
+    "fc_hierarchical" -> ((s, dir) => graft.engine.Conformal.hierarchicalDrift(s, dir)),
     // -- closed-form forecasts (oracle-checkable model pipeline) -----------
     "fc_naive" -> fcQuery(Methods.NAIVE),
     "fc_drift" -> fcQuery(Methods.DRIFT),
@@ -730,6 +737,9 @@ object SparkEntry {
     // rows-only: STL + iterative robust ESD; planted-spike fixture gates
     "shesd_anomalies" -> ((s, dir) => graft.ops.EventAnalytics.shEsdAnomalies(s, dir)),
     "value_psi" -> ((s, dir) => graft.ops.EventAnalytics.valuePsi(s, dir)),
+    // chi-square homogeneity of the event-type mix between span halves —
+    // the categorical drift test; Wilson–Hilferty closed-form verdict
+    "chi2_drift" -> ((s, dir) => graft.ops.EventAnalytics.chi2Drift(s, dir)),
     // one-day slice off the time-sorted mirror: answer is layout-free
     // (oracle scans the raw table), the row-group pruning is plan-pinned
     "events_day_slice" -> ((s, dir) => graft.ops.EventAnalytics.eventsDaySlice(s, dir)),
@@ -1184,6 +1194,71 @@ object SparkEntry {
          |    sqrt(avg(e_meanf * e_meanf)) FROM err GROUP BY element)
          |SELECT element, method, round(mae, 6) AS mae, round(rmse, 6) AS rmse
          |FROM m ORDER BY element, method""".stripMargin,
+    // per-horizon split-conformal: rank r = min(m, ceil(cov*(m+1))) of the
+    // sorted |h-step errors|; rank selection is value-stable under ties
+    "fc_conformal" ->
+      s"""WITH $obsCte,
+         |tr AS (SELECT element, count(*) AS n, arg_max(value, step) AS last_v
+         |  FROM obs GROUP BY element),
+         |sc AS (
+         |  SELECT o.element, h.step AS step, abs(o2.value - o.value) AS score
+         |  FROM obs o
+         |  JOIN tr t USING (element)
+         |  CROSS JOIN range(1, 15) h(step)
+         |  JOIN obs o2 ON o2.element = o.element AND o2.step = o.step + h.step
+         |  WHERE t.n > 28),
+         |rk AS (SELECT element, step, score,
+         |    row_number() OVER (PARTITION BY element, step ORDER BY score) AS r,
+         |    count(*) OVER (PARTITION BY element, step) AS m
+         |  FROM sc),
+         |q AS (SELECT element, step,
+         |    max(CASE WHEN r = least(m, CAST(ceil(0.8 * (m + 1)) AS BIGINT))
+         |      THEN score END) AS q80,
+         |    max(CASE WHEN r = least(m, CAST(ceil(0.95 * (m + 1)) AS BIGINT))
+         |      THEN score END) AS q95
+         |  FROM rk GROUP BY element, step)
+         |SELECT q.element, 'CONFORMAL_NAIVE' AS method, q.step,
+         |  round(t.last_v - q.q80, 6) AS lower1,
+         |  round(t.last_v - q.q95, 6) AS lower2,
+         |  round(t.last_v, 6) AS mean,
+         |  round(t.last_v + q.q80, 6) AS upper1,
+         |  round(t.last_v + q.q95, 6) AS upper2
+         |FROM q JOIN tr t USING (element)
+         |ORDER BY element, step""".stripMargin,
+    // bottom-up Σ leaf DRIFT vs direct total DRIFT; slopes 9dp-quantized
+    // before the cross-element DECIMAL sum, gap from the rounded columns
+    "fc_hierarchical" ->
+      """WITH daily AS (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |leaf AS (
+        |  SELECT element, count(*) AS n_e,
+        |    arg_max(y, day) AS last_e, arg_min(y, day) AS first_e
+        |  FROM daily GROUP BY element),
+        |leafq AS (
+        |  SELECT element, last_e,
+        |    CAST(round(CAST(last_e - first_e AS DOUBLE) / CAST(n_e - 1 AS DOUBLE), 9)
+        |      AS DECIMAL(18,9)) AS slope_e
+        |  FROM leaf WHERE n_e > 1),
+        |bottom AS (SELECT CAST(count(*) AS BIGINT) AS n_elements,
+        |    sum(last_e) AS sum_last, sum(slope_e) AS sum_slope FROM leafq),
+        |roots AS (SELECT day, sum(y) AS t FROM daily GROUP BY day),
+        |root AS (SELECT count(*) AS n_t, arg_max(t, day) AS last_t,
+        |    arg_min(t, day) AS first_t FROM roots),
+        |rootd AS (SELECT CAST(last_t AS DOUBLE) AS last_t,
+        |    CAST(last_t - first_t AS DOUBLE) / CAST(n_t - 1 AS DOUBLE) AS slope_t
+        |  FROM root),
+        |fc AS (
+        |  SELECT h.step, b.n_elements,
+        |    round(r.last_t + r.slope_t * CAST(h.step AS DOUBLE), 6) AS fc_direct,
+        |    round(CAST(b.sum_last + b.sum_slope * h.step AS DOUBLE), 6) AS fc_bottom_up
+        |  FROM bottom b CROSS JOIN rootd r CROSS JOIN range(1, 8) h(step))
+        |SELECT step, n_elements, fc_direct, fc_bottom_up,
+        |  round(fc_bottom_up - fc_direct, 6) AS gap
+        |FROM fc ORDER BY step""".stripMargin,
     "fc_naive" ->
       s"WITH $statsCte\n${bands("NAIVE", "last_v", "sdd * sqrt(h.step)")}",
     "fc_drift" ->
@@ -3372,6 +3447,49 @@ object SparkEntry {
     // literal recursion order sp + (z − 0.5) — see the scaladoc
     // reference-half decile edges, add-one-smoothed shares, 12dp-rounded
     // DECIMAL-summed PSI terms — order-free and ulp-identical
+    // chi-square homogeneity across span halves; contributions mirror the
+    // Spark arithmetic term-for-term ((o−e)², e = rowtot·coltot/N, ref
+    // cell then cur cell), 12dp-quantized before the DECIMAL total;
+    // verdict compares 6dp-rounded stat vs 6dp-rounded Wilson–Hilferty cube
+    "chi2_drift" ->
+      """WITH base AS (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS day
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |piv AS (SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS mid
+        |  FROM base),
+        |counts AS (
+        |  SELECT element,
+        |    CAST(count(*) FILTER (WHERE day < mid) AS BIGINT) AS n_ref,
+        |    CAST(count(*) FILTER (WHERE day >= mid) AS BIGINT) AS n_cur
+        |  FROM base CROSS JOIN piv GROUP BY element),
+        |tot AS (SELECT element, n_ref, n_cur,
+        |    CAST(sum(n_ref) OVER () AS BIGINT) AS tot_ref,
+        |    CAST(sum(n_cur) OVER () AS BIGINT) AS tot_cur,
+        |    CAST(count(*) OVER () AS BIGINT) AS k
+        |  FROM counts),
+        |terms AS (
+        |  SELECT element, n_ref, n_cur, k,
+        |    CAST(round(
+        |      (CAST(n_ref AS DOUBLE) - CAST(n_ref + n_cur AS DOUBLE) * CAST(tot_ref AS DOUBLE) / CAST(tot_ref + tot_cur AS DOUBLE))
+        |      * (CAST(n_ref AS DOUBLE) - CAST(n_ref + n_cur AS DOUBLE) * CAST(tot_ref AS DOUBLE) / CAST(tot_ref + tot_cur AS DOUBLE))
+        |      / (CAST(n_ref + n_cur AS DOUBLE) * CAST(tot_ref AS DOUBLE) / CAST(tot_ref + tot_cur AS DOUBLE))
+        |      + (CAST(n_cur AS DOUBLE) - CAST(n_ref + n_cur AS DOUBLE) * CAST(tot_cur AS DOUBLE) / CAST(tot_ref + tot_cur AS DOUBLE))
+        |      * (CAST(n_cur AS DOUBLE) - CAST(n_ref + n_cur AS DOUBLE) * CAST(tot_cur AS DOUBLE) / CAST(tot_ref + tot_cur AS DOUBLE))
+        |      / (CAST(n_ref + n_cur AS DOUBLE) * CAST(tot_cur AS DOUBLE) / CAST(tot_ref + tot_cur AS DOUBLE)), 12)
+        |      AS DECIMAL(18,12)) AS contrib_q
+        |  FROM tot WHERE tot_ref > 0 AND tot_cur > 0),
+        |scored AS (
+        |  SELECT element, n_ref, n_cur, contrib_q, k,
+        |    round(CAST(sum(contrib_q) OVER () AS DOUBLE), 6) AS chi2,
+        |    1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE))
+        |      + 1.6448536269514722 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))) AS wh
+        |  FROM terms)
+        |SELECT element, n_ref, n_cur,
+        |  round(CAST(contrib_q AS DOUBLE), 6) AS contrib, chi2,
+        |  k - 1 AS df,
+        |  round(CAST(k - 1 AS DOUBLE) * wh * wh * wh, 6) AS critical_05,
+        |  chi2 > round(CAST(k - 1 AS DOUBLE) * wh * wh * wh, 6) AS drifted
+        |FROM scored ORDER BY element""".stripMargin,
     "value_psi" ->
       """WITH base AS (
         |  SELECT event_type AS element, CAST(ts AS DATE) AS day, value

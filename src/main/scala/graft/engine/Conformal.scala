@@ -1,0 +1,136 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distribution-free forecast intervals and hierarchical reconciliation —
+  * the two post-hoc layers a forecasting service wraps around the
+  * reference's point/parametric families (`TimeSeriesFunctions_GPL_0.5.1.R`
+  * emits Gaussian `forecast()` bands only, R:99-100; nothing in the
+  * reference calibrates them against realized errors or makes multi-series
+  * forecasts add up).
+  *
+  * Both operators are closed-form on purpose (the [[Backtest]] rule):
+  * every number is an algebraic function of the positional series, so the
+  * DuckDB oracle re-derives forecast, score ranks, and reconciled totals
+  * end to end and the driver hash-checks them.
+  */
+object Conformal {
+
+  /** Split-conformal prediction intervals around the NAIVE forecaster,
+    * calibrated PER HORIZON: for each step h, the nonconformity scores
+    * are the realized |h-step-ahead naive errors| `|v(i+h) − v(i)|` over
+    * the whole series, and the band half-width is the conformal quantile
+    * `q = score_(r)` with rank `r = min(m, ⌈cov·(m+1)⌉)`, `m = n − h`
+    * scores. Unlike the Gaussian `sdd·√h` band of `fc_naive`, this
+    * interval has finite-sample marginal coverage ≥ cov under
+    * exchangeability of the scores — no normality assumed, which is the
+    * point for the spiky metric series the reference serves.
+    *
+    * Float/cross-engine posture: the coverage literals (0.8, 0.95) are
+    * the SAME doubles in both engines, so `⌈cov·(m+1)⌉` matches ulp-for-
+    * ulp; rank selection of a sorted list is value-stable under score
+    * ties; the band arithmetic is one add/sub then a 6dp round.
+    *
+    * Scale shape: rides the session-cached series table (one row per
+    * element, ≤10k points — the reference's own R:28 cap); per-series
+    * work is h sorts of ≤n scores inside one task; output is h rows per
+    * element. Same fan-out posture as [[Backtest.closedFormBacktest]].
+    */
+  def conformalNaive(spark: SparkSession, sfDir: String, h: Int = 14): DataFrame = {
+    import spark.implicits._
+    val out = graft.sources.SeriesStore.series(spark, sfDir).flatMap { s =>
+      val v = s.values
+      val n = v.length
+      if (n <= 2 * h) Iterator.empty
+      else {
+        val last = v(n - 1)
+        (1 to h).iterator.map { step =>
+          val m = n - step
+          val scores = new Array[Double](m)
+          var i = 0
+          while (i < m) { scores(i) = math.abs(v(i + step) - v(i)); i += 1 }
+          java.util.Arrays.sort(scores)
+          def q(cov: Double): Double =
+            scores(math.min(m, math.ceil(cov * (m + 1)).toInt) - 1)
+          val q80 = q(0.8); val q95 = q(0.95)
+          (s.element, "CONFORMAL_NAIVE", step.toLong,
+            last - q80, last - q95, last, last + q80, last + q95)
+        }
+      }
+    }.toDF("element", "method", "step", "l1", "l2", "mid", "u1", "u2")
+    out.select(col("element"), col("method"), col("step"),
+        round(col("l1"), 6).as("lower1"), round(col("l2"), 6).as("lower2"),
+        round(col("mid"), 6).as("mean"),
+        round(col("u1"), 6).as("upper1"), round(col("u2"), 6).as("upper2"))
+      .orderBy(col("element"), col("step"))
+  }
+
+  /** Bottom-up hierarchical reconciliation vs the direct total forecast
+    * (the 2-level aggregation hierarchy every metric tree has: per-element
+    * daily series at the leaves, their calendar sum at the root). Each
+    * leaf gets a closed-form DRIFT forecast over its own daily positional
+    * series; the bottom-up total at step i is Σ_e(last_e + slope_e·i);
+    * the direct forecast applies the same DRIFT rule to the summed daily
+    * series. The per-step `gap` between the two is the coherence
+    * diagnostic: zero only when every leaf spans the same calendar —
+    * ragged leaf histories make the aggregate's naive forecast and the
+    * sum of leaf forecasts genuinely disagree, which is why pipelines
+    * reconcile instead of forecasting levels independently.
+    *
+    * Float posture: daily sums accumulate in DECIMAL(18,4) (order-free);
+    * each leaf slope is ONE double division quantized to DECIMAL(18,9)
+    * before the cross-element sum (the `corpus_temperature_mix` trick),
+    * so both engines add identical decimals in any order; the final
+    * step arithmetic is double, rounded 6dp.
+    *
+    * Scale shape: ONE corpus shuffle — the (element, day) partial-sum
+    * aggregate; everything after runs on |elements|- and |days|-bounded
+    * frames (leaf stats via per-element windows, root series |days|
+    * rows, output h rows). Leaf count does not change the shuffle count.
+    */
+  def hierarchicalDrift(spark: SparkSession, sfDir: String, h: Int = 7): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val daily = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"), dayCol.as("day"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .groupBy(col("element"), col("day"))
+      .agg(sum(col("v")).as("y"))
+
+    // leaf stats: positional first/last/n over each element's day-ordered series
+    val leafStats = daily.groupBy(col("element"))
+      .agg(count(lit(1)).as("n_e"),
+        max_by(col("y"), col("day")).as("last_e"),
+        min_by(col("y"), col("day")).as("first_e"))
+      .filter(col("n_e") > 1)
+      .select(col("element"), col("last_e"),
+        round((col("last_e") - col("first_e")).cast("double") /
+          (col("n_e") - lit(1)).cast("double"), 9).cast("decimal(18,9)").as("slope_e"))
+    val bottom = leafStats.agg(count(lit(1)).as("n_elements"),
+      sum(col("last_e")).as("sum_last"), sum(col("slope_e")).as("sum_slope"))
+
+    // root stats: the same DRIFT rule over the cross-element daily totals
+    val rootStats = daily.groupBy(col("day")).agg(sum(col("y")).as("t"))
+      .agg(count(lit(1)).as("n_t"),
+        max_by(col("t"), col("day")).as("last_t"),
+        min_by(col("t"), col("day")).as("first_t"))
+      .select(col("last_t").cast("double").as("last_t"),
+        (col("last_t") - col("first_t")).cast("double") /
+          (col("n_t") - lit(1)).cast("double") as "slope_t")
+
+    bottom.crossJoin(rootStats)
+      .crossJoin(spark.range(1, h + 1).select(col("id").as("step")))
+      .select(col("step"), col("n_elements"),
+        round(col("last_t") + col("slope_t") * col("step").cast("double"), 6)
+          .as("fc_direct"),
+        round((col("sum_last") + col("sum_slope") * col("step")).cast("double"), 6)
+          .as("fc_bottom_up"))
+      .withColumn("gap", round(col("fc_bottom_up") - col("fc_direct"), 6))
+      .orderBy(col("step"))
+  }
+}

@@ -814,6 +814,71 @@ object EventAnalytics {
       .orderBy(col("element"), col("dow"))
   }
 
+  /** Chi-square homogeneity test of the event-type mix between the two
+    * halves of the observation span — the CATEGORICAL member of the
+    * drift suite ([[valuePsi]] monitors the numeric value distribution;
+    * `corpus_drift` reports document-mix deltas without a significance
+    * test). The span splits at its midpoint date (same pivot rule as
+    * PSI); the statistic is the standard two-sample homogeneity form
+    * χ² = Σ_cells (o−e)²/e with e = rowtot·coltot/N over the
+    * |event types| × {ref, cur} table, df = k−1. The 5% critical value
+    * is the Wilson–Hilferty cube approximation
+    * df·(1 − 2/(9df) + z₀.₉₅·√(2/(9df)))³ — closed-form in BOTH engines
+    * (pow-free: an explicit cube), so the drifted verdict is
+    * oracle-checkable, unlike a library quantile.
+    *
+    * Float posture: each cell's (o−e)²/e is double with e derived from
+    * exact integer counts, the ref and cur cells add in fixed order,
+    * and the per-type contribution is 12dp-quantized before the
+    * DECIMAL total (order-free); the verdict compares the 6dp-ROUNDED
+    * statistic to the 6dp-ROUNDED critical value so an ulp cannot flip
+    * it between engines.
+    *
+    * Scale shape: ONE corpus shuffle — the map-side-combined
+    * (element, half) count aggregate; the totals/verdict windows run
+    * over the |event types| frame. */
+  def chi2Drift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val base = ev.filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type").as("element"), dayCol.as("day"))
+    val pivot = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) DIV 2 AS INT))").as("pivot"))
+    val counts = base.crossJoin(broadcast(pivot))
+      .groupBy(col("element"))
+      .agg(count(when(col("day") < col("pivot"), 1)).as("n_ref"),
+        count(when(col("day") >= col("pivot"), 1)).as("n_cur"))
+    val w = Window.partitionBy()
+    val n = (col("tot_ref") + col("tot_cur")).cast("double")
+    def cellTerm(o: Column, colTot: Column): Column = {
+      val e = (col("n_ref") + col("n_cur")).cast("double") * colTot.cast("double") / n
+      (o.cast("double") - e) * (o.cast("double") - e) / e
+    }
+    val dfree = (col("k") - 1).cast("double")
+    val whTerm = lit(1.0) - lit(2.0) / (lit(9.0) * dfree) +
+      lit(1.6448536269514722) * sqrt(lit(2.0) / (lit(9.0) * dfree))
+    counts
+      .withColumn("tot_ref", sum(col("n_ref")).over(w))
+      .withColumn("tot_cur", sum(col("n_cur")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      // a single-day (or single-sided) span has no two halves to
+      // compare — emit nothing rather than 0-expected-count NaNs
+      .filter(col("tot_ref") > 0 && col("tot_cur") > 0)
+      .withColumn("contrib_q",
+        round(cellTerm(col("n_ref"), col("tot_ref")) +
+          cellTerm(col("n_cur"), col("tot_cur")), 12).cast("decimal(18,12)"))
+      .withColumn("chi2", round(sum(col("contrib_q")).over(w).cast("double"), 6))
+      .withColumn("critical_05", round(dfree * whTerm * whTerm * whTerm, 6))
+      .select(col("element"), col("n_ref"), col("n_cur"),
+        round(col("contrib_q").cast("double"), 6).as("contrib"),
+        col("chi2"), (col("k") - 1).as("df"), col("critical_05"),
+        (col("chi2") > col("critical_05")).as("drifted"))
+      .orderBy(col("element"))
+  }
+
   /** Linear multi-touch attribution — the credit-SPLITTING member of
     * the attribution family ([[clickAttribution]] = last-touch,
     * [[nearestClickJoin]] = closest-touch): every click in the hour

@@ -28,6 +28,24 @@ object EventIngest {
     * partitioning or micro-batch arrival order (a double sum's value
     * depends on accumulation order). The average is one double division
     * of that exact sum. */
+  /** Session clone for the AvailableNow micro-batch entries: state-store
+    * instance count — and with it each micro-batch's checkpoint commit
+    * I/O — scales with `spark.sql.shuffle.partitions`, and these
+    * driver-facing replay runs carry KB-scale state per partition, so
+    * the stream executes under a narrower partition count than the
+    * batch session's shuffle width (override:
+    * SPARK_GRAFT_STREAM_PARTS). This is state SIZING, not a local-mode
+    * shortcut: a production deployment sizes stream partitions to state
+    * volume × ingest rate, independently of the batch analytics width,
+    * which is exactly what the cloned session expresses (batch plans in
+    * the parent session are untouched). */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    s
+  }
+
   def dailyAggregate(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 day")
@@ -61,7 +79,8 @@ object EventIngest {
     // dir, glob-filtered); Spark-written stores are a DIRECTORY of
     // part-files (streamable directly)
     val evPath = s"$sfDir/events.parquet"
-    val reader = spark.readStream.schema(schema)
+    val ss = streamSession(spark)
+    val reader = ss.readStream.schema(schema)
     val raw =
       if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
       else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
@@ -75,14 +94,14 @@ object EventIngest {
     }
     val src = raw.select(tsCol.as("ts"), col("event_type"), col("value"))
     val sink = "stream_daily_agg_sink"
-    spark.catalog.dropTempView(sink)
+    ss.catalog.dropTempView(sink)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
     val q = dailyAggregate(src)
       .writeStream.format("memory").queryName(sink).outputMode("append")
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(sink)
+    ss.table(sink)
       .select(col("element"), to_date(col("day_start")).as("day"),
         col("n_obs"), col("sum_value"), col("avg_value"))
       .orderBy(col("element"), col("day"))
@@ -125,7 +144,8 @@ object EventIngest {
   def sessionsAvailableNow(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
     val schema = graft.sources.Tables.eventsRaw(spark, sfDir).schema
     val evPath = s"$sfDir/events.parquet"
-    val reader = spark.readStream.schema(schema)
+    val ss = streamSession(spark)
+    val reader = ss.readStream.schema(schema)
     val raw =
       if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
       else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
@@ -139,14 +159,14 @@ object EventIngest {
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(tsCol.as("ts"), col("user_id"), col("value"))
     val sink = "stream_sessions_sink"
-    spark.catalog.dropTempView(sink)
+    ss.catalog.dropTempView(sink)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ck").toString
     val q = sessionize(src, gapMinutes)
       .writeStream.format("memory").queryName(sink).outputMode("append")
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(sink).orderBy(col("user_id"), col("session_start_us"))
+    ss.table(sink).orderBy(col("user_id"), col("session_start_us"))
   }
 
   /** Streaming exact dedup — the live-ingest guard of the dedup suite
@@ -225,7 +245,8 @@ object EventIngest {
   def attributionPairsAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = graft.sources.Tables.eventsRaw(spark, sfDir).schema
     val evPath = s"$sfDir/events.parquet"
-    val reader = spark.readStream.schema(schema)
+    val ss = streamSession(spark)
+    val reader = ss.readStream.schema(schema)
     val raw =
       if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
       else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
@@ -237,14 +258,14 @@ object EventIngest {
     }
     val src = raw.select(col("event_id"), tsCol.as("ts"), col("user_id"), col("event_type"))
     val sink = "stream_attribution_sink"
-    spark.catalog.dropTempView(sink)
+    ss.catalog.dropTempView(sink)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-attr-ck").toString
     val q = attributionPairs(src)
       .writeStream.format("memory").queryName(sink).outputMode("append")
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(sink).orderBy(col("purchase_id"), col("click_id"))
+    ss.table(sink).orderBy(col("purchase_id"), col("click_id"))
   }
 
   /** Per-element streaming state for [[anomalyStream]]: EWMA mean and
@@ -373,14 +394,15 @@ object EventIngest {
     import spark.implicits._
     val schema = graft.sources.Tables.eventsRaw(spark, sfDir).schema
     val evPath = s"$sfDir/events.parquet"
-    val reader = spark.readStream.schema(schema)
+    val ss = streamSession(spark)
+    val reader = ss.readStream.schema(schema)
     val raw =
       if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
       else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
     val keys = raw.filter(col("user_id").isNotNull)
       .select(col("user_id").cast("long")).as[Long]
     val sink = "stream_heavy_hitters_sink"
-    spark.catalog.dropTempView(sink)
+    ss.catalog.dropTempView(sink)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
     val q = heavyHitterStream(keys, phi)
       .writeStream.format("memory").queryName(sink).outputMode("append")
@@ -391,7 +413,7 @@ object EventIngest {
     // conflict when joined to itself) keeps each shard's final emission
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("seq").desc)
-    spark.table(sink)
+    ss.table(sink)
       .withColumn("rk", rank().over(w)).filter(col("rk") === 1)
       .select(col("shard"), col("key"), col("count_lb"))
       .orderBy(col("shard"), col("count_lb").desc, col("key"))

@@ -1295,12 +1295,111 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "linear_attribution" -> (() =>
         graft.ops.EventAnalytics.linearAttribution(spark, edir).count()),
       "stream_heavy_hitters" -> (() =>
-        EventIngest.heavyHitterStreamAvailableNow(spark, edir).count())
+        EventIngest.heavyHitterStreamAvailableNow(spark, edir).count()),
+      // round-9-closing operators join the sweep
+      "fc_conformal" -> (() => graft.engine.Conformal.conformalNaive(spark, edir).count()),
+      "fc_hierarchical" -> (() => graft.engine.Conformal.hierarchicalDrift(spark, edir).count()),
+      "chi2_drift" -> (() => graft.ops.EventAnalytics.chi2Drift(spark, edir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null event fields: $e")
       }
     }
+  }
+
+  test("conformal naive: linear series collapses both bands to ±h; bands nest on real data") {
+    import spark.implicits._
+    // strictly linear series: every |h-step error| equals h·slope, so the
+    // conformal quantile at ANY coverage is exactly h·slope — the band is
+    // point ± h·slope and the 80/95 bands coincide. Pins the rank
+    // selection (a rank off by one would still land on the same value
+    // only here; the real-data nesting check below catches direction).
+    val dir = java.nio.file.Files.createTempDirectory("graft-conf").toString
+    val t0 = 86400000L * 19000
+    (0 until 40).map(i => (new java.sql.Timestamp(t0 + i * 3600000L), "lin",
+        i.toLong, Option(1L), Some(5.0 + 3.0 * i), "{}"))
+      .toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val rows = graft.engine.Conformal.conformalNaive(spark, dir).collect()
+    assert(rows.length == 14, s"14 steps expected, got ${rows.length}")
+    rows.foreach { r =>
+      val (step, l1, l2, m, u1, u2) = (r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      val last = 5.0 + 3.0 * 39
+      assert(m == last, s"point forecast must be the last value, got $m")
+      assert(l1 == last - 3.0 * step && l2 == l1 && u1 == last + 3.0 * step && u2 == u1,
+        s"linear series: band must be ±${3 * step} at step $step, got [$l1,$l2,$u1,$u2]")
+    }
+    // real corpus: 95% band must contain the 80% band, both contain the point
+    graft.engine.Conformal.conformalNaive(spark, sfDir).collect().foreach { r =>
+      val (l1, l2, m, u1, u2) = (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7))
+      assert(l2 <= l1 && l1 <= m && m <= u1 && u1 <= u2,
+        s"band nesting violated: $l2 $l1 $m $u1 $u2")
+    }
+  }
+
+  test("hierarchical drift: aligned leaves cohere (gap 0), ragged leaves do not") {
+    import spark.implicits._
+    val t0 = 86400000L * 19000
+    def write(rows: Seq[(java.sql.Timestamp, String, Long, Option[Long], Option[Double], String)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-hier").toString
+      rows.toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // both leaves span the same 10 days → drift-of-sum = sum-of-drifts
+    // exactly (up to the 9dp slope quantization), so every gap is ~0
+    val aligned = write((0 until 10).flatMap(d => Seq(
+      (new java.sql.Timestamp(t0 + d * 86400000L), "a", d.toLong * 2, Option(1L), Some(10.0 + d), "{}"),
+      (new java.sql.Timestamp(t0 + d * 86400000L), "b", d.toLong * 2 + 1, Option(1L), Some(50.0 + 2 * d), "{}"))))
+    val ar = graft.engine.Conformal.hierarchicalDrift(spark, aligned).collect()
+    assert(ar.length == 7 && ar.forall(_.getLong(1) == 2L))
+    ar.foreach(r => assert(math.abs(r.getDouble(4)) < 1e-4,
+      s"aligned leaves must reconcile, gap ${r.getDouble(4)}"))
+    // leaf b exists only in the second half → the aggregate's own drift
+    // sees the b-onset jump as trend; the bottom-up sum does not
+    val ragged = write((0 until 10).flatMap(d =>
+      Seq((new java.sql.Timestamp(t0 + d * 86400000L), "a", d.toLong * 2, Option(1L), Some(10.0 + d), "{}")) ++
+      (if (d >= 5) Seq((new java.sql.Timestamp(t0 + d * 86400000L), "b", d.toLong * 2 + 1, Option(1L), Some(100.0), "{}"))
+       else Nil)))
+    val rr = graft.engine.Conformal.hierarchicalDrift(spark, ragged).collect()
+    assert(rr.forall(r => math.abs(r.getDouble(4)) > 1.0),
+      s"ragged leaves must show a coherence gap, got ${rr.map(_.getDouble(4)).mkString(",")}")
+  }
+
+  test("chi2 drift: identical halves score 0, a planted mix shift flags") {
+    import spark.implicits._
+    val t0 = 86400000L * 19000
+    def write(rows: Seq[(java.sql.Timestamp, String, Long, Option[Long], Option[Double], String)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-chi2").toString
+      rows.toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // 10-day span, pivot at day 5: identical per-type counts in both halves
+    val same = write((0 until 10).flatMap(d => (0 until 3).map(i =>
+      (new java.sql.Timestamp(t0 + d * 86400000L), if (i == 0) "x" else "y",
+        (d * 3 + i).toLong, Option(1L), Some(1.0), "{}"))))
+    val sr = graft.ops.EventAnalytics.chi2Drift(spark, same).collect()
+    assert(sr.nonEmpty && sr.forall(r => r.getDouble(4) == 0.0 && !r.getBoolean(7)),
+      "identical halves must score chi2 = 0, drifted = false")
+    // type y: 20/day in the first half, 1/day in the second — strong shift
+    val shifted = write((0 until 10).flatMap { d =>
+      val ys = if (d < 5) 20 else 1
+      (0 until 5).map(i => (new java.sql.Timestamp(t0 + d * 86400000L), "x",
+        (d * 100 + i).toLong, Option(1L), Some(1.0), "{}")) ++
+      (0 until ys).map(i => (new java.sql.Timestamp(t0 + d * 86400000L), "y",
+        (d * 100 + 50 + i).toLong, Option(1L), Some(1.0), "{}"))
+    })
+    val dr = graft.ops.EventAnalytics.chi2Drift(spark, shifted).collect()
+    assert(dr.forall(_.getBoolean(7)), "planted mix shift must flag drifted on every row")
+    assert(dr.head.getDouble(4) > dr.head.getDouble(6),
+      "statistic must clear the critical value")
+    // degenerate single-day span: no halves to compare, empty verdict
+    val oneDay = write((0 until 6).map(i =>
+      (new java.sql.Timestamp(t0), "x", i.toLong, Option(1L), Some(1.0), "{}")))
+    assert(graft.ops.EventAnalytics.chi2Drift(spark, oneDay).count() == 0L)
   }
 
   test("empty and whitespace-only documents score instead of crashing") {
