@@ -268,6 +268,30 @@ object SparkEntry {
     * each cast ONCE to double, one multiply, one division, rounded to
     * 6dp (the Q8 boundary discipline). The date slice must reach the
     * parquet scan as a pushed filter. */
+  /** Q9 shape (product-type profit): 5-table star filtered by a part-name
+    * pattern, profit per (supplier nation, order year). The reference
+    * schema's `ps_supplycost` has no testdata table, so unit cost is
+    * `p_retailprice` — same join/aggregation skeleton, same predicate
+    * classes (LIKE on a dimension, multi-dim group). Amounts accumulate
+    * as exact DECIMAL products (order-free) and cast to double once.
+    * Plan: all four dimension joins broadcast against the fact scan;
+    * the only fact shuffle is the (nation, year) two-phase aggregate. */
+  val q9ProductProfitSql: String =
+    """SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) -
+      |    CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))
+      |      AS amount
+      |  FROM lineitem, part, supplier, orders, nation
+      |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |    AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%widget%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
   val q14PromoShareSql: String =
     """SELECT round(CAST(100 AS DOUBLE) *
       |    CAST(sum(CASE WHEN p_type = 'PROMO'
@@ -402,6 +426,9 @@ object SparkEntry {
     "sql_ship_priority_class" -> sqlOnViews(q12ShipClassSql, "orders", "lineitem"),
     "sql_order_count_histogram" -> sqlOnViews(q13OrderHistogramSql, "customer", "orders"),
     "sql_promo_revenue" -> sqlOnViews(q14PromoShareSql, "lineitem", "part"),
+    // product-type profit by nation x year (Q9 shape): 4 broadcast dims
+    "sql_product_profit" -> sqlOnViews(q9ProductProfitSql,
+      "lineitem", "part", "supplier", "orders", "nation"),
     "sql_disjunctive_filter" -> sqlOnViews(q19DisjunctiveSql, "lineitem", "part"),
     // returned-item report (Q10): revenue-ranked LIMIT over a 4-table join
     "sql_returned_items" -> sqlOnViews(q10ReturnedItemsSql,
@@ -740,6 +767,9 @@ object SparkEntry {
     // chi-square homogeneity of the event-type mix between span halves —
     // the categorical drift test; Wilson–Hilferty closed-form verdict
     "chi2_drift" -> ((s, dir) => graft.ops.EventAnalytics.chi2Drift(s, dir)),
+    // exact two-sample KS over span halves — the binning-free confirm
+    // step for elements the PSI screen flags
+    "ks_drift" -> ((s, dir) => graft.ops.EventAnalytics.ksDrift(s, dir)),
     // one-day slice off the time-sorted mirror: answer is layout-free
     // (oracle scans the raw table), the row-group pruning is plan-pinned
     "events_day_slice" -> ((s, dir) => graft.ops.EventAnalytics.eventsDaySlice(s, dir)),
@@ -1079,6 +1109,7 @@ object SparkEntry {
     "sql_ship_priority_class" -> q12ShipClassSql,
     "sql_order_count_histogram" -> q13OrderHistogramSql,
     "sql_promo_revenue" -> q14PromoShareSql,
+    "sql_product_profit" -> q9ProductProfitSql,
     "sql_disjunctive_filter" -> q19DisjunctiveSql,
     "sql_returned_items" -> q10ReturnedItemsSql,
     "methods_catalog" ->
@@ -2042,6 +2073,7 @@ object SparkEntry {
           "minhash_candidates_equi_join", "nation_volume_all_equi_join",
           "not_exists_becomes_anti_join", "order_histogram_outer_equi_join",
           "pagerank_iterations_equi_join", "part_affinity_equi_join",
+          "product_profit_all_equi_join",
           "promo_share_broadcasts_part", "q1_pricing_filter_pushed",
           "scalar_subquery_decorrelates", "ship_class_matrix_equi_join",
           "shipping_priority_topk_fused",
@@ -3451,6 +3483,42 @@ object SparkEntry {
     // Spark arithmetic term-for-term ((o−e)², e = rowtot·coltot/N, ref
     // cell then cur cell), 12dp-quantized before the DECIMAL total;
     // verdict compares 6dp-rounded stat vs 6dp-rounded Wilson–Hilferty cube
+    // exact KS: duplicates collapse before the cumulative window; every
+    // ECDF step is one division of exact counts; D is an order-free max;
+    // verdict compares 6dp-rounded sides, c(0.05) a shared literal
+    "ks_drift" ->
+      """WITH base AS (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS day, value
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |piv AS (SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS mid
+        |  FROM base),
+        |pts AS (
+        |  SELECT element, value,
+        |    CAST(count(*) FILTER (WHERE day < mid) AS BIGINT) AS c1,
+        |    CAST(count(*) FILTER (WHERE day >= mid) AS BIGINT) AS c2
+        |  FROM base CROSS JOIN piv GROUP BY element, value),
+        |cum AS (
+        |  SELECT element,
+        |    sum(c1) OVER (PARTITION BY element ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (PARTITION BY element ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |    sum(c1) OVER (PARTITION BY element) AS n1,
+        |    sum(c2) OVER (PARTITION BY element) AS n2
+        |  FROM pts),
+        |agg AS (
+        |  SELECT element,
+        |    max(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS d_raw,
+        |    CAST(max(n1) AS BIGINT) AS n_ref, CAST(max(n2) AS BIGINT) AS n_cur
+        |  FROM cum WHERE n1 > 0 AND n2 > 0 GROUP BY element)
+        |SELECT element, n_ref, n_cur, round(d_raw, 6) AS d,
+        |  round(1.3581015157406195 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+        |    / CAST(n_ref * n_cur AS DOUBLE)), 6) AS critical_05,
+        |  round(d_raw, 6) > round(1.3581015157406195 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+        |    / CAST(n_ref * n_cur AS DOUBLE)), 6) AS drifted
+        |FROM agg ORDER BY element""".stripMargin,
     "chi2_drift" ->
       """WITH base AS (
         |  SELECT event_type AS element, CAST(ts AS DATE) AS day

@@ -814,6 +814,64 @@ object EventAnalytics {
       .orderBy(col("element"), col("dow"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov test of the value distribution
+    * between the two halves of the observation span — the EXACT,
+    * binning-free member of the numeric-drift pair ([[valuePsi]] is the
+    * decile-binned screen; KS is the confirmatory statistic a pipeline
+    * runs on the elements PSI flags). D = max |F̂_ref(x) − F̂_cur(x)|
+    * over observed values, computed exactly from cumulative counts; the
+    * 5% verdict compares against the asymptotic critical value
+    * c(0.05)·√((n₁+n₂)/(n₁·n₂)) with c(0.05) = √(−ln(0.025)/2) embedded
+    * as the SAME literal in both engines (a library ln could differ in
+    * the last ulp).
+    *
+    * Float posture: every ECDF step is one division of exact integer
+    * counts; D is a max (order-free); both sides of the verdict are
+    * 6dp-rounded before comparison.
+    *
+    * Scale shape: duplicates collapse FIRST (map-side-combined
+    * groupBy(element, value) — the only corpus shuffle), so the
+    * per-element cumulative window runs over |distinct values per
+    * element|, not raw observations. An exact KS is inherently a
+    * per-element ordered pass; at 100 TB the binned PSI tier screens
+    * and this confirms the flagged elements. */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val base = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"), dayCol.as("day"), col("value"))
+    val pivot = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) DIV 2 AS INT))").as("pivot"))
+    val pts = base.crossJoin(broadcast(pivot))
+      .groupBy(col("element"), col("value"))
+      .agg(count(when(col("day") < col("pivot"), 1)).as("c1"),
+        count(when(col("day") >= col("pivot"), 1)).as("c2"))
+    val wCum = Window.partitionBy(col("element")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wEl = Window.partitionBy(col("element"))
+    val cum = pts
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .withColumn("n1", sum(col("c1")).over(wEl))
+      .withColumn("n2", sum(col("c2")).over(wEl))
+    val agg = cum.filter(col("n1") > 0 && col("n2") > 0)
+      .groupBy(col("element"))
+      .agg(max(abs(col("cum1").cast("double") / col("n1").cast("double")
+          - col("cum2").cast("double") / col("n2").cast("double"))).as("d_raw"),
+        max(col("n1")).as("n_ref"), max(col("n2")).as("n_cur"))
+    val crit = round(lit(1.3581015157406195) *
+      sqrt((col("n_ref") + col("n_cur")).cast("double") /
+        (col("n_ref") * col("n_cur")).cast("double")), 6)
+    agg.select(col("element"), col("n_ref"), col("n_cur"),
+        round(col("d_raw"), 6).as("d"), crit.as("critical_05"),
+        (round(col("d_raw"), 6) > crit).as("drifted"))
+      .orderBy(col("element"))
+  }
+
   /** Chi-square homogeneity test of the event-type mix between the two
     * halves of the observation span — the CATEGORICAL member of the
     * drift suite ([[valuePsi]] monitors the numeric value distribution;

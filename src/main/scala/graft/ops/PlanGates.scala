@@ -64,6 +64,9 @@ object PlanGates {
       p => p.contains("BroadcastHashJoin") && noLoops(p)),
     ("promo_share_broadcasts_part", "sql_promo_revenue",
       p => p.contains("BroadcastHashJoin") && noLoops(p)),
+    // Q9 shape: 4 dimension joins broadcast, never a loop join
+    ("product_profit_all_equi_join", "sql_product_profit",
+      p => p.contains("BroadcastHashJoin") && noLoops(p)),
     // Q13's outer join carries a non-key ON predicate — must stay an
     // equi outer join (the predicate rides the join, not a loop)
     ("order_histogram_outer_equi_join", "sql_order_count_histogram", noLoops),

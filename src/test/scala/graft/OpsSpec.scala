@@ -1299,7 +1299,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // round-9-closing operators join the sweep
       "fc_conformal" -> (() => graft.engine.Conformal.conformalNaive(spark, edir).count()),
       "fc_hierarchical" -> (() => graft.engine.Conformal.hierarchicalDrift(spark, edir).count()),
-      "chi2_drift" -> (() => graft.ops.EventAnalytics.chi2Drift(spark, edir).count())
+      "chi2_drift" -> (() => graft.ops.EventAnalytics.chi2Drift(spark, edir).count()),
+      "ks_drift" -> (() => graft.ops.EventAnalytics.ksDrift(spark, edir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null event fields: $e")
@@ -1400,6 +1401,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val oneDay = write((0 until 6).map(i =>
       (new java.sql.Timestamp(t0), "x", i.toLong, Option(1L), Some(1.0), "{}")))
     assert(graft.ops.EventAnalytics.chi2Drift(spark, oneDay).count() == 0L)
+  }
+
+  test("ks drift: identical halves score D = 0, a disjoint value shift scores D = 1") {
+    import spark.implicits._
+    val t0 = 86400000L * 19000
+    def write(rows: Seq[(java.sql.Timestamp, String, Long, Option[Long], Option[Double], String)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ks").toString
+      rows.toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // same ten values in both halves → the ECDFs coincide everywhere
+    val same = write((0 until 10).flatMap(d => (1 to 10).map(v =>
+      (new java.sql.Timestamp(t0 + d * 86400000L), "x",
+        (d * 10 + v).toLong, Option(1L), Some(v.toDouble), "{}"))))
+    val sr = graft.ops.EventAnalytics.ksDrift(spark, same).collect()
+    assert(sr.length == 1 && sr.head.getDouble(3) == 0.0 && !sr.head.getBoolean(5),
+      s"identical halves must score D = 0: ${sr.mkString}")
+    // disjoint supports → D = 1, far past the 5% critical value. The
+    // midpoint pivot of a 10-day span is day 4 (lo + 9 DIV 2), so the
+    // ref half is days 0-3 and the cur half days 4-9 — the value shift
+    // is planted exactly on that boundary
+    val shifted = write((0 until 10).flatMap(d => (1 to 10).map(v =>
+      (new java.sql.Timestamp(t0 + d * 86400000L), "x", (d * 10 + v).toLong,
+        Option(1L), Some(if (d < 4) v.toDouble else 100.0 + v), "{}"))))
+    val dr = graft.ops.EventAnalytics.ksDrift(spark, shifted).collect()
+    assert(dr.length == 1 && dr.head.getDouble(3) == 1.0 && dr.head.getBoolean(5),
+      s"disjoint halves must score D = 1 and flag: ${dr.mkString}")
+    assert(dr.head.getLong(1) == 40L && dr.head.getLong(2) == 60L)
   }
 
   test("empty and whitespace-only documents score instead of crashing") {
@@ -2287,7 +2317,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("plan gates: every plan-shape verdict holds") {
     val rows = graft.ops.PlanGates.planGates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
-    assert(rows.length == 31)
+    assert(rows.length == 32)
     val failed = rows.filterNot(_._2).map(_._1)
     assert(failed.isEmpty, s"plan-shape regressions: ${failed.mkString(", ")}")
   }
