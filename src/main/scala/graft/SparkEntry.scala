@@ -770,6 +770,9 @@ object SparkEntry {
     // exact two-sample KS over span halves — the binning-free confirm
     // step for elements the PSI screen flags
     "ks_drift" -> ((s, dir) => graft.ops.EventAnalytics.ksDrift(s, dir)),
+    // tie-corrected Mann-Whitney rank-sum over span halves — the
+    // location-shift verdict on the same collapsed-counts shuffle
+    "rank_drift" -> ((s, dir) => graft.ops.EventAnalytics.rankDrift(s, dir)),
     // one-day slice off the time-sorted mirror: answer is layout-free
     // (oracle scans the raw table), the row-group pruning is plan-pinned
     "events_day_slice" -> ((s, dir) => graft.ops.EventAnalytics.eventsDaySlice(s, dir)),
@@ -3483,6 +3486,51 @@ object SparkEntry {
     // Spark arithmetic term-for-term ((o−e)², e = rowtot·coltot/N, ref
     // cell then cur cell), 12dp-quantized before the DECIMAL total;
     // verdict compares 6dp-rounded stat vs 6dp-rounded Wilson–Hilferty cube
+    // tie-corrected MWU: average ranks from cumulative counts (2R1 and
+    // the tie spectrum are exact DECIMAL sums), one shared IEEE sequence
+    // for sigma and z, NULL z on a fully tied corpus
+    "rank_drift" ->
+      """WITH base AS (
+        |  SELECT event_type AS element, CAST(ts AS DATE) AS day, value
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |piv AS (SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS mid
+        |  FROM base),
+        |pts AS (
+        |  SELECT element, value,
+        |    CAST(count(*) FILTER (WHERE day < mid) AS BIGINT) AS c1,
+        |    CAST(count(*) FILTER (WHERE day >= mid) AS BIGINT) AS c2
+        |  FROM base CROSS JOIN piv GROUP BY element, value),
+        |cum AS (
+        |  SELECT element, c1, c2, c1 + c2 AS t,
+        |    sum(c1 + c2) OVER (PARTITION BY element ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (c1 + c2) AS cbelow
+        |  FROM pts),
+        |terms AS (
+        |  SELECT element, c1, c2,
+        |    CAST(c1 AS DECIMAL(19,0)) * CAST(2 * cbelow + t + 1 AS DECIMAL(19,0)) AS r1_term,
+        |    CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))
+        |      - CAST(t AS DECIMAL(19,0)) AS tie_term
+        |  FROM cum),
+        |agg AS (
+        |  SELECT element, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |    sum(r1_term) AS r1x2, sum(tie_term) AS ties
+        |  FROM terms GROUP BY element
+        |  HAVING sum(c1) > 0 AND sum(c2) > 0),
+        |zt AS (
+        |  SELECT element, n1, n2,
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+        |        - CAST(ties AS DOUBLE)
+        |          / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))) AS sigma,
+        |    CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE)
+        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) AS num
+        |  FROM agg)
+        |SELECT element, n1 AS n_ref, n2 AS n_cur,
+        |  CASE WHEN sigma > 0 THEN round(num / (2.0 * sigma), 6) END AS z,
+        |  COALESCE(abs(CASE WHEN sigma > 0 THEN round(num / (2.0 * sigma), 6) END)
+        |    > 1.959963984540054, FALSE) AS shifted
+        |FROM zt ORDER BY element""".stripMargin,
     // exact KS: duplicates collapse before the cumulative window; every
     // ECDF step is one division of exact counts; D is an order-free max;
     // verdict compares 6dp-rounded sides, c(0.05) a shared literal

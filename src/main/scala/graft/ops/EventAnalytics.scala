@@ -872,6 +872,74 @@ object EventAnalytics {
       .orderBy(col("element"))
   }
 
+  /** Tie-corrected Mann–Whitney U (rank-sum) test of the value
+    * distribution between span halves — the LOCATION-shift member of
+    * the drift suite (PSI screens by bins, [[ksDrift]] confirms any
+    * shape change, MWU asks specifically "did the level move?", the
+    * question a metric owner acts on). Rides the SAME collapsed
+    * (element, value, half-counts) table as KS, so the marginal cost is
+    * windows over distinct values.
+    *
+    * Exact-arithmetic derivation (everything integer until the final
+    * z): for a distinct value with c₁+c₂ = t occurrences and C smaller
+    * observations, the shared average rank is C + (t+1)/2, so
+    * 2·R₁ = Σ c₁·(2C + t + 1) is an exact DECIMAL sum;
+    * 2·U₁ = 2·R₁ − n₁(n₁+1). The tie-corrected variance is
+    * σ² = n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))) from the exact tie
+    * spectrum; z = (2U₁ − n₁n₂)/(2σ) in ONE shared IEEE sequence, both
+    * verdict sides 6dp-rounded (|z| vs 1.959963984540054). A fully
+    * tied corpus (σ = 0) yields a NULL z and no flag.
+    *
+    * Scale shape: identical to [[ksDrift]] — the duplicate-collapse
+    * groupBy is the only corpus shuffle; everything downstream runs on
+    * |distinct values per element|. */
+  def rankDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val base = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"), dayCol.as("day"), col("value"))
+    val pivot = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) DIV 2 AS INT))").as("pivot"))
+    val pts = base.crossJoin(broadcast(pivot))
+      .groupBy(col("element"), col("value"))
+      .agg(count(when(col("day") < col("pivot"), 1)).as("c1"),
+        count(when(col("day") >= col("pivot"), 1)).as("c2"))
+    val wCum = Window.partitionBy(col("element")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = col("c1") + col("c2")
+    // products go through DECIMAL(19,0) operands so nothing overflows a
+    // LONG even at petabyte-scale per-element counts (the sketch-table
+    // pattern); sums over those decimals are exact and order-free
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val cum = pts
+      .withColumn("cbelow", sum(t).over(wCum) - t)
+      .withColumn("r1_term",
+        d19(col("c1")) * d19(lit(2) * col("cbelow") + t + 1))
+      .withColumn("tie_term", d19(t) * d19(t) * d19(t) - d19(t))
+    val agg = cum.groupBy(col("element"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("r1_term")).as("r1x2"), sum(col("tie_term")).as("ties"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+    val nn = (col("n1") + col("n2")).cast("double")
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val sigma = sqrt(
+      n1d * n2d / lit(12.0) *
+        ((nn + lit(1.0)) - col("ties").cast("double") / (nn * (nn - lit(1.0)))))
+    val zRaw = (col("r1x2").cast("double")
+      - n1d * (col("n1") + 1).cast("double")
+      - n1d * n2d) / (lit(2.0) * sigma)
+    val z = when(sigma > 0, round(zRaw, 6))
+    agg.select(col("element"), col("n1").as("n_ref"), col("n2").as("n_cur"),
+        z.as("z"),
+        coalesce(abs(z) > lit(1.959963984540054), lit(false)).as("shifted"))
+      .orderBy(col("element"))
+  }
+
   /** Chi-square homogeneity test of the event-type mix between the two
     * halves of the observation span — the CATEGORICAL member of the
     * drift suite ([[valuePsi]] monitors the numeric value distribution;

@@ -1300,7 +1300,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fc_conformal" -> (() => graft.engine.Conformal.conformalNaive(spark, edir).count()),
       "fc_hierarchical" -> (() => graft.engine.Conformal.hierarchicalDrift(spark, edir).count()),
       "chi2_drift" -> (() => graft.ops.EventAnalytics.chi2Drift(spark, edir).count()),
-      "ks_drift" -> (() => graft.ops.EventAnalytics.ksDrift(spark, edir).count())
+      "ks_drift" -> (() => graft.ops.EventAnalytics.ksDrift(spark, edir).count()),
+      "rank_drift" -> (() => graft.ops.EventAnalytics.rankDrift(spark, edir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null event fields: $e")
@@ -1430,6 +1431,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dr.length == 1 && dr.head.getDouble(3) == 1.0 && dr.head.getBoolean(5),
       s"disjoint halves must score D = 1 and flag: ${dr.mkString}")
     assert(dr.head.getLong(1) == 40L && dr.head.getLong(2) == 60L)
+  }
+
+  test("rank drift: hand-computed tie-corrected z pinned; fully tied corpus yields NULL z") {
+    import spark.implicits._
+    val t0 = 86400000L * 19000
+    def write(rows: Seq[(java.sql.Timestamp, String, Long, Option[Long], Option[Double], String)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-mwu").toString
+      rows.toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // 3-day span → pivot at day 1: ref = day 0 values [1,2,2,3], cur =
+    // days 1-2 values [3,3,4,5]. Hand derivation (average ranks over the
+    // pooled 1,2,2,3,3,3,4,5): R1 = 1 + 2.5 + 2.5 + 5 = 11, U1 = 1,
+    // ties Σ(t³−t) = 24 + 6 = 30, σ = √(16/12·(9 − 30/56)) = 3.35942…,
+    // z = (1 − 8)/σ = −2.083692 — a real location shift at 5%.
+    val refVals = Seq(1.0, 2.0, 2.0, 3.0); val curVals = Seq(3.0, 3.0, 4.0, 5.0)
+    val shifted = write(
+      refVals.zipWithIndex.map { case (v, i) =>
+        (new java.sql.Timestamp(t0), "x", i.toLong, Option(1L), Some(v), "{}") } ++
+      curVals.zipWithIndex.map { case (v, i) =>
+        (new java.sql.Timestamp(t0 + (1 + i % 2) * 86400000L), "x", (10 + i).toLong,
+          Option(1L), Some(v), "{}") })
+    val dr = graft.ops.EventAnalytics.rankDrift(spark, shifted).collect()
+    assert(dr.length == 1 && dr.head.getLong(1) == 4L && dr.head.getLong(2) == 4L)
+    assert(dr.head.getDouble(3) == -2.083692 && dr.head.getBoolean(4),
+      s"hand-computed z must match exactly: ${dr.mkString}")
+    // every value identical → zero rank variance → NULL z, no flag
+    val tied = write((0 until 9).map(i =>
+      (new java.sql.Timestamp(t0 + (i / 3) * 86400000L), "x", i.toLong,
+        Option(1L), Some(7.0), "{}")))
+    val tr = graft.ops.EventAnalytics.rankDrift(spark, tied).collect()
+    assert(tr.length == 1 && tr.head.isNullAt(3) && !tr.head.getBoolean(4),
+      s"fully tied corpus must yield NULL z and no flag: ${tr.mkString}")
   }
 
   test("empty and whitespace-only documents score instead of crashing") {
