@@ -773,6 +773,10 @@ object SparkEntry {
     // tie-corrected Mann-Whitney rank-sum over span halves — the
     // location-shift verdict on the same collapsed-counts shuffle
     "rank_drift" -> ((s, dir) => graft.ops.EventAnalytics.rankDrift(s, dir)),
+    // LIVE drift: per-micro-batch PSI vs a frozen first-half reference;
+    // single-pass replay equals batch value_psi bit-for-bit (OpsSpec)
+    "stream_drift" -> ((s, dir) =>
+      graft.streaming.EventIngest.driftMonitorAvailableNow(s, dir)),
     // one-day slice off the time-sorted mirror: answer is layout-free
     // (oracle scans the raw table), the row-group pruning is plan-pinned
     "events_day_slice" -> ((s, dir) => graft.ops.EventAnalytics.eventsDaySlice(s, dir)),

@@ -419,6 +419,152 @@ object EventIngest {
       .orderBy(col("shard"), col("count_lb").desc, col("key"))
   }
 
+  /** Per-element reference distribution for [[driftStream]]: 6dp-rounded
+    * decile edges plus the add-one-smoothed reference bin shares (the
+    * exact quantities `EventAnalytics.valuePsi` derives from the
+    * reference half). */
+  final case class DriftRef(edges: Array[Double], refShares: Array[Double])
+
+  /** Streaming monitor state: just the emission sequence number — the
+    * reference itself is a frozen broadcast, so state stays O(1). */
+  final case class DriftSeq(seq: Long)
+
+  /** Streaming PSI drift monitor — the LIVE member of the drift suite
+    * (`value_psi`/`ks_drift`/`rank_drift`/`chi2_drift` are batch
+    * retrospectives; this scores every arriving micro-batch against a
+    * FROZEN reference distribution as it lands). Each batch's values
+    * bin on the reference decile edges and the add-one-smoothed PSI
+    * against the reference shares is emitted as (element, seq, n, psi)
+    * — arithmetic mirrored OPERATION FOR OPERATION on `valuePsi`
+    * (6dp-rounded edges, (cnt+1)/(n+10) shares, 12dp-quantized terms
+    * summed exactly, 6dp output), so a single-batch replay of the
+    * current half equals the batch PSI bit-for-bit (the stream≡batch
+    * parity gate, proven in OpsSpec).
+    *
+    * Scale shape: the reference is |elements|×19 doubles (broadcast via
+    * closure); per-batch state is one sequence counter per element;
+    * each micro-batch shuffles (element, value) rows once into the
+    * stateful operator — the monitor never buffers history. */
+  def driftStream(values: org.apache.spark.sql.Dataset[(String, Double)],
+      ref: Map[String, DriftRef]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val session = values.sparkSession
+    import session.implicits._
+    values
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (el: String, it: Iterator[(String, Double)], state: GroupState[DriftSeq]) =>
+          ref.get(el) match {
+            case None => Iterator.empty // no frozen reference -> nothing to score
+            case Some(r) =>
+              val counts = new Array[Long](10)
+              var n = 0L
+              it.foreach { case (_, v) =>
+                var bin = 0
+                var i = 0
+                while (i < r.edges.length) { if (v > r.edges(i)) bin += 1; i += 1 }
+                counts(bin) += 1L; n += 1L
+              }
+              val seq = state.getOption.map(_.seq).getOrElse(0L) + 1L
+              state.update(DriftSeq(seq))
+              // the valuePsi float contract: smoothed shares, each term
+              // 12dp-quantized, exact decimal sum, one 6dp round
+              var sum = java.math.BigDecimal.ZERO
+              var b = 0
+              while (b < 10) {
+                val p2 = (counts(b) + 1L).toDouble / (n + 10L).toDouble
+                val p1 = r.refShares(b)
+                val term = (p2 - p1) * math.log(p2 / p1)
+                sum = sum.add(java.math.BigDecimal.valueOf(term)
+                  .setScale(12, java.math.RoundingMode.HALF_UP))
+                b += 1
+              }
+              val psi = java.math.BigDecimal.valueOf(sum.doubleValue())
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              Iterator((el, seq, n, psi))
+          })
+      .toDF("element", "seq", "n_batch", "psi")
+  }
+
+  /** Build the frozen [[DriftRef]] table exactly as `valuePsi` derives
+    * its reference half: 6dp-rounded type-7 decile edges and add-one-
+    * smoothed shares, both from events strictly before the span-midpoint
+    * pivot. Returns (pivot day, per-element reference) — metadata-scale
+    * (|elements|×19 doubles) by construction. */
+  def driftReference(spark: SparkSession, sfDir: String): (java.sql.Date, Map[String, DriftRef]) = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val base = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"), dayCol.as("day"), col("value"))
+    val pivot = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) DIV 2 AS INT))").as("pivot"))
+      .collect()(0).getDate(0) // 1-row metadata probe
+    val refHalf = base.filter(col("day") < lit(pivot))
+    val edges = refHalf.groupBy(col("element"))
+      .agg(expr(
+        "transform(percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), e -> round(e, 6))")
+        .as("edges"))
+    val binned = refHalf.join(broadcast(edges), Seq("element"))
+      .withColumn("bin", expr("size(filter(edges, b -> value > b))"))
+      .groupBy(col("element"), col("bin")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("element"))
+      .agg(map_from_arrays(collect_list(col("bin")), collect_list(col("cnt"))).as("m"))
+    val edgeRows = edges.collect().map(r =>
+      r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    val refMap = binned.collect().map { r =>
+      val el = r.getString(0)
+      val m = r.getMap[Int, Long](1)
+      val n = m.values.sum
+      val shares = (0 until 10).map(b =>
+        (m.getOrElse(b, 0L) + 1L).toDouble / (n + 10L).toDouble).toArray
+      el -> DriftRef(edgeRows(el), shares)
+    }.toMap
+    (pivot, refMap)
+  }
+
+  /** Driver surface for [[driftStream]]: freeze the reference from the
+    * span's first half, stream the SECOND half through the monitor under
+    * `Trigger.AvailableNow`, return per-batch PSI emissions. With the
+    * whole half in one file-source batch the output is exactly one row
+    * per element whose psi equals batch `value_psi` bit-for-bit (parity
+    * proven in OpsSpec); a live deployment sees one row per element per
+    * micro-batch. Rows-only registered (the stateful monitor is not
+    * SQL); the MemoryStream cross-batch test is the behavior gate. */
+  def driftMonitorAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (pivot, refMap) = driftReference(spark, sfDir)
+    val schema = graft.sources.Tables.eventsRaw(spark, sfDir).schema
+    val evPath = s"$sfDir/events.parquet"
+    val ss = streamSession(spark)
+    val reader = ss.readStream.schema(schema)
+    val raw =
+      if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val dayCol = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
+      case _ => to_date(col("ts"))
+    }
+    val src = raw
+      .filter(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("element"), dayCol.as("day"), col("value"))
+      .filter(col("day") >= lit(pivot))
+      .select(col("element"), col("value").cast("double"))
+      .as[(String, Double)]
+    val sink = "stream_drift_sink"
+    ss.catalog.dropTempView(sink)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drift-ck").toString
+    val q = driftStream(src, refMap)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    ss.table(sink).orderBy(col("element"), col("seq"))
+  }
+
   /** Wire a parquet-directory stream of raw events into the daily
     * aggregate, appending to `outDir` with checkpointing — the live
     * observation-store writer. */

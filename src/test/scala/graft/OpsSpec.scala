@@ -2786,6 +2786,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: single-pass replay equals batch value_psi bit-for-bit") {
+    val batch = graft.ops.EventAnalytics.valuePsi(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val stream = EventIngest.driftMonitorAvailableNow(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(stream.nonEmpty && stream.forall(_._2 == 1L),
+      s"one file-source batch => exactly seq 1 per element: ${stream.mkString}")
+    stream.foreach { case (el, _, psi) =>
+      assert(psi == batch(el),
+        s"stream psi for $el must equal batch value_psi: $psi vs ${batch(el)}")
+    }
+    assert(stream.map(_._1).toSet == batch.keySet)
+  }
+
+  test("streaming drift monitor: per-batch PSI stays flat then spikes on a planted shift") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // frozen reference: deciles of 0..99 with uniform smoothed shares
+    val refEdges = (1 to 9).map(i => i * 10.0 - 1.0).toArray
+    val ref = Map("m" -> EventIngest.DriftRef(refEdges,
+      Array.fill(10)((10L + 1L).toDouble / (100L + 10L).toDouble)))
+    val mem = MemoryStream[(String, Double)]
+    val q = EventIngest.driftStream(mem.toDS(), ref)
+      .writeStream.format("memory").queryName("drift_out").outputMode("append").start()
+    try {
+      // batch 1 re-samples the reference distribution; batch 2 collapses
+      // onto the top decile; batch 3 ("q") has no frozen reference
+      mem.addData((0 until 100).map(i => ("m", i.toDouble)): _*)
+      q.processAllAvailable()
+      mem.addData((0 until 100).map(_ => ("m", 99.0)) ++ Seq(("q", 5.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("drift_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.map(t => (t._1, t._2)).toSet == Set(("m", 1L), ("m", 2L)),
+        s"seq must advance per batch and unknown elements stay silent: ${rows.mkString}")
+      val psi = rows.map(t => t._2 -> t._4).toMap
+      assert(psi(1L) == 0.0, s"identical distribution must score PSI 0, got ${psi(1L)}")
+      assert(psi(2L) > 1.0, s"a collapsed distribution must spike PSI, got ${psi(2L)}")
+    } finally q.stop()
+  }
+
   test("cross-source dup matrix: count algebra matches hand-computed cells") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-xsrc-test").toString
