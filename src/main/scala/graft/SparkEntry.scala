@@ -462,6 +462,9 @@ object SparkEntry {
     // holdout backtest of the closed-form families — forecast, error,
     // and metric all re-derived by the oracle
     "fc_backtest_closed" -> ((s, dir) => graft.engine.Backtest.closedFormBacktest(s, dir)),
+    // inverse-MAE weighted combination of the closed-form families —
+    // backtest errors -> weights -> combined forecast, all hash-verified
+    "fc_ensemble" -> ((s, dir) => graft.engine.Backtest.ensembleForecast(s, dir)),
     // split-conformal PIs around NAIVE, calibrated per horizon on the
     // realized |h-step errors| — distribution-free coverage, oracle
     // re-derives score ranks end to end
@@ -1232,6 +1235,49 @@ object SparkEntry {
          |    sqrt(avg(e_meanf * e_meanf)) FROM err GROUP BY element)
          |SELECT element, method, round(mae, 6) AS mae, round(rmse, 6) AS rmse
          |FROM m ORDER BY element, method""".stripMargin,
+    // inverse-MAE ensemble: the backtest MAEs (the hash-verified 6dp
+    // quantities) become weights in ONE fixed-order IEEE sequence —
+    // no aggregation whose order could differ between engines
+    "fc_ensemble" ->
+      s"""WITH $obsCte,
+         |tr AS (SELECT element, count(*) AS n FROM obs GROUP BY element),
+         |st AS (
+         |  SELECT o.element, t.n, t.n - 7 AS ntr,
+         |    arg_max(o.value, o.step) FILTER (WHERE o.step <= t.n - 7) AS last_t,
+         |    arg_min(o.value, o.step) FILTER (WHERE o.step <= t.n - 7) AS first_t,
+         |    avg(o.value) FILTER (WHERE o.step <= t.n - 7) AS mu_t,
+         |    arg_max(o.value, o.step) AS last_v,
+         |    arg_min(o.value, o.step) AS first_v,
+         |    avg(o.value) AS mu
+         |  FROM obs o JOIN tr t USING (element)
+         |  WHERE t.n > 14
+         |  GROUP BY o.element, t.n),
+         |te AS (
+         |  SELECT o.element, o.step - s.ntr AS hh, o.value AS actual,
+         |    s.last_t, s.first_t, s.mu_t, s.ntr
+         |  FROM obs o JOIN st s USING (element)
+         |  WHERE o.step > s.ntr),
+         |m AS (
+         |  SELECT element,
+         |    round(avg(abs(actual - last_t)), 6) AS mae_n,
+         |    round(avg(abs(actual
+         |      - (last_t + (last_t - first_t) / (ntr - 1.0) * hh))), 6) AS mae_d,
+         |    round(avg(abs(actual - mu_t)), 6) AS mae_m
+         |  FROM te GROUP BY element),
+         |w AS (SELECT element,
+         |    1.0 / (mae_n + 1e-9) AS wn,
+         |    1.0 / (mae_d + 1e-9) AS wd,
+         |    1.0 / (mae_m + 1e-9) AS wm
+         |  FROM m)
+         |SELECT s.element, h.step,
+         |  round(w.wn / (w.wn + w.wd + w.wm), 6) AS w_naive,
+         |  round(w.wd / (w.wn + w.wd + w.wm), 6) AS w_drift,
+         |  round(w.wm / (w.wn + w.wd + w.wm), 6) AS w_meanf,
+         |  round((w.wn * s.last_v
+         |       + w.wd * (s.last_v + (s.last_v - s.first_v) / (s.n - 1.0) * h.step)
+         |       + w.wm * s.mu) / (w.wn + w.wd + w.wm), 6) AS forecast
+         |FROM st s JOIN w USING (element) CROSS JOIN range(1, 8) h(step)
+         |ORDER BY s.element, h.step""".stripMargin,
     // per-horizon split-conformal: rank r = min(m, ceil(cov*(m+1))) of the
     // sorted |h-step errors|; rank selection is value-stable under ties
     "fc_conformal" ->

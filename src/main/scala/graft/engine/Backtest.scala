@@ -27,6 +27,60 @@ import org.apache.spark.sql.functions._
   */
 object Backtest {
 
+  /** Inverse-MAE ensemble of the closed-form families — the
+    * accuracy-WEIGHTED combination step that closes the backtest loop
+    * (the reference's HYBRID averages its components equally,
+    * `TimeSeriesFunctions_GPL_0.5.1.R:330`; production combiners weight
+    * by validated error instead). Per element: the [[closedFormBacktest]]
+    * holdout MAEs (6dp-rounded, the hash-verified quantities) become
+    * weights w_m = 1/(mae_m + 1e-9), and the future h-step forecast is
+    * the w-weighted mean of the three full-series closed-form points.
+    * Every weight/combination op is plain double arithmetic in a FIXED
+    * literal order (naive, drift, meanf — no aggregation exists whose
+    * order could differ between engines), so the oracle replays the
+    * identical IEEE sequence. Fully DuckDB-hash-verified end to end:
+    * backtest errors → weights → combined forecast.
+    *
+    * Scale shape: one pass over the session-cached series table;
+    * backtest + forecast arithmetic run in the same task per series;
+    * output is h rows per element. */
+  def ensembleForecast(spark: SparkSession, sfDir: String, h: Int = 7): DataFrame = {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def r6(x: Double): Double = JBD.valueOf(x).setScale(6, RM.HALF_UP).doubleValue()
+    val out = graft.sources.SeriesStore.series(spark, sfDir).flatMap { s =>
+      val v = s.values
+      val n = v.length
+      if (n <= 2 * h) Iterator.empty
+      else {
+        // holdout MAEs — the exact closedFormBacktest quantities
+        val ntr = n - h
+        val lastT = v(ntr - 1); val firstT = v(0)
+        val muT = v.take(ntr).sum / ntr
+        def mae(f: Int => Double): Double =
+          r6((1 to h).map(i => math.abs(v(ntr + i - 1) - f(i))).sum / h)
+        val maeN = mae(_ => lastT)
+        val maeD = mae(i => lastT + (lastT - firstT) / (ntr - 1.0) * i)
+        val maeM = mae(_ => muT)
+        val wN = 1.0 / (maeN + 1.0e-9)
+        val wD = 1.0 / (maeD + 1.0e-9)
+        val wM = 1.0 / (maeM + 1.0e-9)
+        val wSum = wN + wD + wM
+        // full-series closed-form points for the FUTURE steps
+        val last = v(n - 1); val first = v(0)
+        val mu = v.sum / n
+        (1 to h).iterator.map { i =>
+          val fN = last
+          val fD = last + (last - first) / (n - 1.0) * i
+          val fM = mu
+          val fc = (wN * fN + wD * fD + wM * fM) / wSum
+          (s.element, i.toLong, r6(wN / wSum), r6(wD / wSum), r6(wM / wSum), r6(fc))
+        }
+      }
+    }.toDF("element", "step", "w_naive", "w_drift", "w_meanf", "forecast")
+    out.orderBy(col("element"), col("step"))
+  }
+
   def closedFormBacktest(spark: SparkSession, sfDir: String, h: Int = 7): DataFrame = {
     import spark.implicits._
     val out = graft.sources.SeriesStore.series(spark, sfDir).flatMap { s =>

@@ -1467,6 +1467,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fully tied corpus must yield NULL z and no flag: ${tr.mkString}")
   }
 
+  test("ensemble forecast: constant series splits weights equally; trend favors drift") {
+    import spark.implicits._
+    val t0 = 86400000L * 19000
+    def write(vals: Seq[(String, Int, Double)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ens").toString
+      vals.map { case (el, i, v) =>
+        (new java.sql.Timestamp(t0 + i * 3600000L), el, i.toLong, Option(1L), Some(v), "{}") }
+        .toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // constant series: every family backtests to MAE 0 → equal thirds,
+    // and every family forecasts the constant
+    val const = write((0 until 30).map(i => ("c", i, 42.0)))
+    val cr = graft.engine.Backtest.ensembleForecast(spark, const).collect()
+    assert(cr.length == 7)
+    cr.foreach { r =>
+      assert(r.getDouble(2) == 0.333333 && r.getDouble(3) == 0.333333 &&
+        r.getDouble(4) == 0.333333, s"equal thirds expected: $r")
+      assert(r.getDouble(5) == 42.0, s"constant forecast expected: $r")
+    }
+    // strict linear trend: drift backtests to MAE 0 and must dominate;
+    // the combined forecast stays within the three family points
+    val lin = write((0 until 30).map(i => ("l", i, 10.0 + 2.0 * i)))
+    val lr = graft.engine.Backtest.ensembleForecast(spark, lin).collect()
+    lr.foreach { r =>
+      val (step, wn, wd, wm, fc) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(wd > 0.99 && wd > wn && wd > wm, s"drift must dominate on a pure trend: $r")
+      val fD = 68.0 + 2.0 * step
+      val lo = math.min(68.0, math.min(fD, 39.0)); val hi = math.max(68.0, math.max(fD, 39.0))
+      assert(fc >= lo && fc <= hi, s"combined forecast must sit inside the family span: $r")
+      assert(math.abs(fc - fD) < 0.5, s"near-pure drift expected at step $step: $fc vs $fD")
+    }
+  }
+
   test("empty and whitespace-only documents score instead of crashing") {
     // ANSI mode turns x/0 into a runtime error: quality/text_stats used
     // to divide by length(text) and died on empty docs (routine in real
