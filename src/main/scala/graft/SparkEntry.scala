@@ -834,6 +834,9 @@ object SparkEntry {
     // triangle found exactly once, wedge fan-out √-bounded on hubs
     "graph_triangles" -> ((s, dir) => graft.ops.Graph.partTriangles(s, dir)),
     "graph_distances" -> ((s, dir) => graft.ops.Graph.graphDistances(s, dir)),
+    // k-core peeling to fixpoint (throws on non-convergence); oracle
+    // unrolls the identical rounds
+    "graph_kcore" -> ((s, dir) => graft.ops.Graph.kCore(s, dir)),
     // the triangle consumer: local clustering coefficient per node,
     // ONE double division over exact counts
     "graph_clustering" -> ((s, dir) => graft.ops.Graph.clusteringCoefficients(s, dir)),
@@ -1004,6 +1007,30 @@ object SparkEntry {
     * aggregation in a recursive term, and unrolling keeps the replay
     * portable). Every per-iteration SUM is cast back to BIGINT so
     * DuckDB's HUGEINT sum widening cannot leak into the column type. */
+  /** k-core peeling unrolled as chained CTEs (the [[pagerankOracleSql]]
+    * pattern — shrinking-set recursion is not expressible in a standard
+    * recursive term): s0 = all nodes, s_{i+1} = nodes with within-set
+    * degree ≥ k among s_i. `graft.ops.Graph.kCore` runs the identical
+    * `maxRounds` peels and THROWS if not converged, so s_last is the
+    * fixpoint both engines agree on. */
+  private def kcoreOracleSql: String = {
+    // AS MATERIALIZED is load-bearing: each round references its
+    // predecessor TWICE (both join endpoints), so an inlining planner
+    // would re-derive the whole chain 2^rounds times
+    val rounds = (1 to 8).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""s$i AS MATERIALIZED (SELECT bi.u AS n, CAST(count(*) AS BIGINT) AS d
+         |  FROM bi JOIN $prev a ON a.n = bi.u JOIN $prev b ON b.n = bi.v
+         |  GROUP BY bi.u HAVING count(*) >= 2)""".stripMargin
+    }.mkString(",\n")
+    basketCtes + s""",
+      |ud AS (SELECT pa AS u, pb AS v FROM pc),
+      |bi AS MATERIALIZED (SELECT u, v FROM ud UNION ALL SELECT v, u FROM ud),
+      |s0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM bi),
+      |$rounds
+      |SELECT n AS node, d AS core_degree FROM s8 ORDER BY node""".stripMargin
+  }
+
   private def pagerankOracleSql: String = {
     val scale = graft.ops.Affinity.RankScale
     val base = scale * 15L / 100L
@@ -2591,6 +2618,7 @@ object SparkEntry {
         |  SELECT bi.v, bfs.dist + 1 FROM bfs JOIN bi ON bi.u = bfs.node
         |  WHERE bfs.dist < 6)
         |SELECT node, min(dist) AS dist FROM bfs GROUP BY node ORDER BY node""").stripMargin,
+    "graph_kcore" -> kcoreOracleSql,
     "graph_triangles" ->
       (basketCtes + """,
         |ud AS (SELECT pa AS u, pb AS v FROM pc),

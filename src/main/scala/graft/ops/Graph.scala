@@ -118,6 +118,55 @@ object Graph {
     visited.orderBy(col("node"))
   }
 
+  /** k-core of the co-purchase graph — the DECOMPOSITION member of the
+    * graph suite (pagerank ranks, triangles/clustering measure local
+    * density, BFS measures reach; the k-core asks which nodes survive
+    * when the periphery is peeled away, the standard robust-subgraph /
+    * spam-periphery screen). Iterative peeling: drop every node whose
+    * degree WITHIN the surviving set is < k, repeat to fixpoint.
+    * Peeling is monotone (survivors only shrink, and a degree within a
+    * smaller set cannot grow), so an unchanged survivor COUNT proves an
+    * unchanged set — the cheap convergence probe. Rounds are bounded by
+    * `maxRounds` and the loop THROWS on non-convergence (the
+    * `dup_clusters` contract: a silent partial answer is worse than a
+    * loud one); the DuckDB oracle unrolls the same `maxRounds` peels,
+    * so both engines compute the identical fixpoint.
+    *
+    * Scale shape: per round, two hash equi-joins of the edge list
+    * against the survivor set plus one map-side-combined degree
+    * aggregate — shuffle keys are node ids, lineage cut per round with
+    * lazy localCheckpoints exactly like [[graphDistances]]. */
+  def kCore(spark: SparkSession, sfDir: String, k: Int = 2, maxRounds: Int = 8): DataFrame = {
+    import spark.implicits._
+    val edges = Affinity.frequentPairEdges(spark, sfDir)
+    val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
+    var survivors = bidir.select(col("u").as("n"), lit(0L).as("d")).distinct()
+      .localCheckpoint(eager = false)
+    var prevCount = survivors.count()
+    var rounds = 0
+    var converged = prevCount == 0L
+    while (rounds < maxRounds && !converged) {
+      val next = bidir
+        .join(survivors.select(col("n").as("u")), Seq("u"))
+        .join(survivors.select(col("n").as("v")), Seq("v"))
+        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("u").as("n"), col("deg").as("d"))
+        .localCheckpoint(eager = false)
+      val c = next.count()
+      converged = c == prevCount
+      prevCount = c
+      survivors = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"k-core peeling did not converge in $maxRounds rounds")
+    survivors.select(col("n").as("node"), col("d").as("core_degree"))
+      .orderBy(col("node"))
+  }
+
   /** One un-checkpointed BFS round for the plan gate: frontier ⋈ edges
     * expansion + visited anti-join, the join shapes the production loop
     * hides behind its per-round lineage cuts. */

@@ -2794,6 +2794,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly the planted triangle, each member once, 204 absent: $got")
   }
 
+  test("k-core: the planted triangle survives peeling, the pendant chain does not") {
+    import spark.implicits._
+    // triangle {201,202,203} plus a pendant chain 201–204–205: the chain
+    // peels away in two rounds (205 first, then 204), the triangle is
+    // the 2-core with every member at within-core degree 2
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcore-test").toString
+    val pairs = Seq((201L, 202L), (201L, 203L), (202L, 203L), (201L, 204L), (204L, 205L))
+    val star = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(2 * i + 1, 2 * i + 2).flatMap(ok => Seq((ok.toLong, a), (ok.toLong, b)))
+    }
+    val filler = (11 to 1100).map(ok => (ok.toLong, 999L))
+    (star ++ filler).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Graph.kCore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(201L -> 2L, 202L -> 2L, 203L -> 2L),
+      s"2-core must be exactly the triangle at degree 2: $got")
+  }
+
   test("streaming heavy hitters: MG state survives batches, survivors cover heavy keys") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
