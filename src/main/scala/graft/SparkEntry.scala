@@ -898,6 +898,8 @@ object SparkEntry {
       TextAnalysis.sourceQualitySummary(s, dir)),
     // ANALYZE-style per-column stats: unioned pruned-scan aggregates
     "table_profile" -> ((s, dir) => Relational.tableProfile(s, dir)),
+    // per-join-key skew diagnostic: the data behind salt/AQE decisions
+    "join_skew_report" -> ((s, dir) => Relational.joinSkewReport(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -3058,6 +3060,32 @@ object SparkEntry {
         |ORDER BY event_type, day""".stripMargin,
     // numerics print through DECIMAL(18,4) so both engines render
     // identical min/max text; distinct counts are exact
+    // per-column skew profile; entropy terms 12dp-quantized before the
+    // DECIMAL sum, p99 the shared type-7 percentile family
+    "join_skew_report" ->
+      ("SELECT * FROM (" + Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+        s"""SELECT '$c' AS key_col, n_rows, n_keys, max_freq, p99_freq,
+           |  round(CAST(max_freq AS DOUBLE)
+           |    / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_ratio,
+           |  entropy,
+           |  round(CAST(max_freq AS DOUBLE)
+           |    / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) > 16.0 AS skewed
+           |FROM (
+           |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |    CAST(count(*) AS BIGINT) AS n_keys,
+           |    CAST(max(cnt) AS BIGINT) AS max_freq,
+           |    round(quantile_cont(cnt, 0.99), 6) AS p99_freq,
+           |    round(0.0 - CAST(sum(ent) AS DOUBLE), 6) AS entropy
+           |  FROM (
+           |    SELECT cnt,
+           |      CAST(round(CAST(cnt AS DOUBLE) / CAST(nr AS DOUBLE)
+           |        * ln(CAST(cnt AS DOUBLE) / CAST(nr AS DOUBLE)), 12)
+           |        AS DECIMAL(18,12)) AS ent
+           |    FROM (
+           |      SELECT cnt, CAST(sum(cnt) OVER () AS BIGINT) AS nr FROM (
+           |        SELECT count(*) AS cnt FROM lineitem
+           |        WHERE $c IS NOT NULL GROUP BY $c) f0) f1) f2)""".stripMargin
+      }.mkString("\nUNION ALL\n") + ") ORDER BY key_col"),
     "table_profile" ->
       ("""SELECT * FROM (""" +
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>

@@ -680,6 +680,54 @@ object Relational {
     * engines ⇒ rows-only registration; OpsSpec gates the estimate
     * within ±5% of the exact count per column, the `ann_recall_gates`
     * discipline applied to NDV. */
+  /** Join-key skew diagnostic — the report an engineer reads BEFORE
+    * choosing a shuffle strategy (broadcast vs salt vs AQE skew-join)
+    * for each lineitem join key: key cardinality, max and p99 key
+    * frequency, skew ratio (max over mean frequency — the number that
+    * says how hot the hottest reducer runs), and the Shannon entropy of
+    * the key distribution. `skewed` flags ratio > 16, the rule-of-thumb
+    * where a salted or AQE-split join starts winning. This makes the
+    * engine's own salting decisions (documented on the LSH/minhash cap
+    * paths) data-driven instead of folklore.
+    *
+    * Float posture: p99 is the same type-7 percentile family
+    * `value_quantiles` hash-verifies; entropy terms p·ln p are
+    * 12dp-quantized and DECIMAL-summed (order-free); skew ratio is two
+    * divisions in one shared sequence; the flag compares 6dp-rounded
+    * sides.
+    *
+    * Scale shape: per key column, ONE map-side-combined (key, count)
+    * aggregate; the row count rides a 1-row broadcast back onto the
+    * |keys| frame (never an unpartitioned window); the final stats are
+    * one aggregate over |keys| rows. Columns union independently. */
+  def joinSkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    def prof(c: String): DataFrame = {
+      val freq = li.filter(col(c).isNotNull)
+        .groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      val p = col("cnt").cast("double") / col("n_rows").cast("double")
+      freq.crossJoin(broadcast(tot))
+        .select(col("cnt"), col("n_rows"), col("n_keys"),
+          round(p * log(p), 12).cast("decimal(18,12)").as("ent_term"))
+        .groupBy(col("n_rows"), col("n_keys"))
+        .agg(max(col("cnt")).as("max_freq"),
+          round(expr("percentile(cnt, 0.99)"), 6).as("p99_freq"),
+          round(lit(0.0) - sum(col("ent_term")).cast("double"), 6).as("entropy"))
+        .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_freq"), col("p99_freq"),
+          round(col("max_freq").cast("double") /
+            (col("n_rows").cast("double") / col("n_keys").cast("double")), 6)
+            .as("skew_ratio"),
+          col("entropy"))
+        .withColumn("skewed", col("skew_ratio") > lit(16.0))
+    }
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(prof)
+      .reduce(_ unionAll _)
+      .orderBy(col("key_col"))
+  }
+
   def tableProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")
     def prof(c: String) = li.agg(

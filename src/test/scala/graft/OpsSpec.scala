@@ -2794,6 +2794,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly the planted triangle, each member once, 204 absent: $got")
   }
 
+  test("join skew report: a planted hot key flips the flag and crushes entropy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-test").toString
+    // orderkey: 1000 keys once each + one key 1000 times → skew 500x;
+    // partkey/suppkey stay uniform
+    ((1 to 1000).map(i => (i.toLong, (i % 50).toLong, (i % 20).toLong)) ++
+      (1 to 1000).map(_ => (7777L, 1L, 1L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = Relational.joinSkewReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ok = rows("l_orderkey")
+    assert(ok.getLong(3) == 1000L && ok.getBoolean(7),
+      s"hot key must dominate max_freq and flip the flag: $ok")
+    assert(!rows("l_suppkey").getBoolean(7), "uniform key must not flag")
+    // closed form: H = 0.5·ln(2000) + 0.5·ln(2) ≈ 4.147 — far below the
+    // uniform ceiling ln(1001) ≈ 6.909 the same keys would score unskewed
+    assert(math.abs(ok.getDouble(6) - 4.147025) < 1e-5,
+      s"hand-computed entropy expected: ${ok.getDouble(6)}")
+    assert(ok.getDouble(6) < math.log(ok.getLong(2).toDouble) - 2.0,
+      "hot key must crush entropy below the uniform ceiling")
+  }
+
   test("k-core: the planted triangle survives peeling, the pendant chain does not") {
     import spark.implicits._
     // triangle {201,202,203} plus a pendant chain 201–204–205: the chain
