@@ -1301,7 +1301,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fc_hierarchical" -> (() => graft.engine.Conformal.hierarchicalDrift(spark, edir).count()),
       "chi2_drift" -> (() => graft.ops.EventAnalytics.chi2Drift(spark, edir).count()),
       "ks_drift" -> (() => graft.ops.EventAnalytics.ksDrift(spark, edir).count()),
-      "rank_drift" -> (() => graft.ops.EventAnalytics.rankDrift(spark, edir).count())
+      "rank_drift" -> (() => graft.ops.EventAnalytics.rankDrift(spark, edir).count()),
+      "fc_ensemble" -> (() => graft.engine.Backtest.ensembleForecast(spark, edir).count()),
+      "stream_drift" -> (() => EventIngest.driftMonitorAvailableNow(spark, edir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null event fields: $e")
