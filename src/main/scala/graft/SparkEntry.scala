@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Methods
 import graft.engine.Forecaster
-import graft.ops.{Curation, Dedup, Multimodal, NearDup, QualityModel, Relational, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, NearDup, QualityModel, Relational, ScalePatterns, Similarity, TextAnalysis}
 import graft.sources.SeriesStore
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -900,6 +900,31 @@ object SparkEntry {
     "table_profile" -> ((s, dir) => Relational.tableProfile(s, dir)),
     // per-join-key skew diagnostic: the data behind salt/AQE decisions
     "join_skew_report" -> ((s, dir) => Relational.joinSkewReport(s, dir)),
+    // runtime bloom filter prunes the fact scan BEFORE the join
+    // exchange; exact re-join removes false positives, so the result
+    // is the plain join's (hash-matched oracle)
+    "bloom_prune_join" -> ((s, dir) => ScalePatterns.bloomPruneJoin(s, dir)),
+    // explicit salt-and-replicate hot-key join; multiset-identical to
+    // the unsalted join, which is the oracle
+    "salted_skew_join" -> ((s, dir) => ScalePatterns.saltedSkewJoin(s, dir)),
+    // CDC snapshot diff: one full-outer join, null-safe classification
+    "snapshot_diff" -> ((s, dir) => ScalePatterns.snapshotDiff(s, dir)),
+    // single-pass codepoint-entropy quality screen (custom codegen'd
+    // expression - the no-shuffle form of the explode/groupBy plan)
+    "char_entropy" -> ((s, dir) => ScalePatterns.charEntropy(s, dir)),
+    // two-hop runtime-filter cascade: dim predicate bloom-prunes
+    // orders, qualifying orderkeys bloom-prune lineitem
+    "bloom_cascade_revenue" -> ((s, dir) =>
+      ScalePatterns.bloomCascadeRevenue(s, dir)),
+    // positional phrase match - map-side adjacency scan, no posting
+    // self-join
+    "phrase_search" -> ((s, dir) => TextAnalysis.phraseSearch(s, dir)),
+    // adjacent-bigram PMI from exact integer counts (BPE merge-priority
+    // statistic); ordered by bigram text, never by the float
+    "token_pmi" -> ((s, dir) => TextAnalysis.tokenPmi(s, dir)),
+    // time-weighted daily average over irregular events - exact
+    // fixed-point integer products, DECIMAL sums, 2 final IEEE ops
+    "twap_daily" -> ((s, dir) => graft.ops.EventAnalytics.twapDaily(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -3086,6 +3111,150 @@ object SparkEntry {
            |        SELECT count(*) AS cnt FROM lineitem
            |        WHERE $c IS NOT NULL GROUP BY $c) f0) f1) f2)""".stripMargin
       }.mkString("\nUNION ALL\n") + ") ORDER BY key_col"),
+    // the bloom-pruned plan must equal the plain join bit for bit
+    // (false positives are removed by the exact re-join)
+    "bloom_prune_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the salted join is multiset-identical to this unsalted join
+    "salted_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // CDC diff classes derived from the same snapshot + mutation rules
+    "snapshot_diff" ->
+      """WITH old_snap AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS old_status,
+        |    o_totalprice AS old_price
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |), new_snap AS (
+        |  SELECT o_orderkey AS k2,
+        |    CASE WHEN o_orderkey % 17 = 2 THEN 'X' ELSE o_orderstatus END
+        |      AS new_status,
+        |    CASE WHEN o_orderkey % 17 = 3 THEN o_totalprice + 10.0
+        |      ELSE o_totalprice END AS new_price
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '2000-01-01' AND o_orderkey % 23 <> 5
+        |)
+        |SELECT change_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(np - op AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS net_price_delta
+        |FROM (
+        |  SELECT CASE
+        |      WHEN k IS NULL THEN 'added'
+        |      WHEN k2 IS NULL THEN 'removed'
+        |      WHEN old_status IS NOT DISTINCT FROM new_status
+        |        AND old_price IS NOT DISTINCT FROM new_price THEN 'unchanged'
+        |      ELSE 'changed' END AS change_type,
+        |    COALESCE(new_price, 0.0) AS np, COALESCE(old_price, 0.0) AS op
+        |  FROM old_snap FULL OUTER JOIN new_snap ON k = k2
+        |)
+        |GROUP BY change_type ORDER BY change_type""".stripMargin,
+    // char-unnest entropy formulation; 1e-6 quantization absorbs the
+    // sum-order and log-implementation ulps between engines
+    "char_entropy" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, COALESCE(text, '') AS t FROM documents
+        |), chars AS (
+        |  SELECT doc_id, unicode(u.c) AS cp
+        |  FROM base, unnest(string_split(t, '')) AS u(c)
+        |  WHERE u.c <> ''
+        |), freq AS (
+        |  SELECT doc_id, cp, count(*) AS c FROM chars GROUP BY doc_id, cp
+        |), ent AS (
+        |  SELECT doc_id,
+        |    log2(CAST(sum(c) AS DOUBLE))
+        |      - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+        |        / CAST(sum(c) AS DOUBLE) AS h
+        |  FROM freq GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, b.lang, b.source,
+        |  CAST(floor(COALESCE(e.h, 0.0) * 1000000 + 0.5) AS BIGINT)
+        |    AS entropy_q,
+        |  (COALESCE(e.h, 0.0) < 2.0) AS low_entropy
+        |FROM base b LEFT JOIN ent e ON b.doc_id = e.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    // the cascaded bloom plan must equal the plain 3-table join
+    "bloom_cascade_revenue" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // DuckDB replays the adjacency scan with 1-based list indexing
+    // (pos emitted 0-based on both sides)
+    "phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, i - 1 AS pos
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)
+        |  WHERE ts[i] = 'table' AND ts[i + 1] = 'hash'
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exact integer counts; only the final ln is IEEE, 1e-6-quantized
+    "token_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c_w
+        |  FROM toks, unnest(ts) AS t(w) GROUP BY w
+        |), bi AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)
+        |  GROUP BY ts[i], ts[i + 1]
+        |), tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tokens FROM uni),
+        |m AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bigrams FROM bi)
+        |SELECT w1, w2, c_ab, a.c_w AS c_a, b.c_w AS c_b,
+        |  CAST(floor(ln(
+        |    (CAST(c_ab AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) /
+        |      ((CAST(a.c_w AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |        * (CAST(b.c_w AS DOUBLE) / CAST(n_tokens AS DOUBLE))))
+        |    * 1000000 + 0.5) AS BIGINT) AS pmi_q
+        |FROM bi JOIN uni a ON w1 = a.w JOIN uni b ON w2 = b.w, tot, m
+        |WHERE c_ab >= 5
+        |ORDER BY w1, w2""".stripMargin,
+    // fixed-point value x exact-microsecond durations; DECIMAL sums;
+    // lead tie-broken on the unique event_id in both engines
+    "twap_daily" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, "value",
+        |    epoch_us(ts) AS tus,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND "value" IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL
+        |), d AS (
+        |  SELECT event_type, day_num,
+        |    CAST(floor("value" * 10000 + 0.5) AS BIGINT) AS v_q,
+        |    COALESCE(lead(tus) OVER (PARTITION BY event_type, day_num
+        |        ORDER BY tus, event_id),
+        |      (day_num + 1) * 86400000000) - tus AS dur_us
+        |  FROM ev
+        |)
+        |SELECT event_type,
+        |  CAST(DATE '1970-01-01' + to_days(CAST(day_num AS INT)) AS DATE)
+        |    AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(v_q * dur_us AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(sum(CAST(dur_us AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 10000.0 AS twap
+        |FROM d GROUP BY event_type, day_num
+        |ORDER BY event_type, day""".stripMargin,
     "table_profile" ->
       ("""SELECT * FROM (""" +
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>

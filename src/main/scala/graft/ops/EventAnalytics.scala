@@ -1133,4 +1133,51 @@ object EventAnalytics {
         col("event_type"), col("n_events"),
         col("sum_dec").cast("double").as("sum_value"))
       .orderBy(col("day"), col("event_type"))
+
+  /** Time-weighted average value per (event_type, day) — the TWAP-style
+    * statistic that is correct over IRREGULARLY-spaced observations
+    * where the arithmetic mean over-weights bursts: each event's value
+    * holds until the next event of that type that day (the last one
+    * holds to midnight), and the day's average is Σ value·duration /
+    * Σ duration. Exactness contract: value is 4dp-fixed-pointed via
+    * `floor(v·10⁴ + 0.5)` (the engine's round-half-up idiom — both
+    * engines floor identically), each value_q·µs product is one exact
+    * BIGINT (≤ 5.6e6 · 8.64e10 ≈ 4.8e17 < 2⁶³), the sums are exact
+    * DECIMAL(38,0), and only the final two IEEE divisions cross
+    * engines — so the oracle hash-matches with no tolerance. Lead
+    * order tie-breaks on event_id (unique), never on ts alone.
+    *
+    * Scale shape: one shuffle on (event_type, day) for the lead window
+    * + aggregate — the same key the daily rollups already use; output
+    * is |types|·|days| rows. */
+  def twapDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val (tusCol, dayNumCol) = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (expr("ts DIV 1000"), expr(s"ts DIV ${graft.sources.Tables.NanosPerDay}"))
+      case _ => (unix_micros(col("ts")),
+        expr("unix_micros(ts) DIV 86400000000"))
+    }
+    val w = Window.partitionBy(col("event_type"), col("day_num"))
+      .orderBy(col("tus"), col("event_id"))
+    ev.filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"),
+        tusCol.as("tus"), dayNumCol.cast("long").as("day_num"))
+      .withColumn("v_q", floor(col("value") * lit(10000.0d) + lit(0.5d)).cast("long"))
+      .withColumn("dur_us",
+        coalesce(lead(col("tus"), 1).over(w),
+          (col("day_num") + 1) * lit(86400000000L)) - col("tus"))
+      .groupBy(col("event_type"), col("day_num"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("v_q") * col("dur_us")).cast("decimal(38,0)")).as("sum_vw"),
+        sum(col("dur_us").cast("decimal(38,0)")).as("sum_w"))
+      .select(col("event_type"),
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          col("day_num").cast("int")).as("day"),
+        col("n_events"),
+        (col("sum_vw").cast("double") / col("sum_w").cast("double") /
+          lit(10000.0d)).as("twap"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -566,4 +566,78 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Positional phrase search — the retrieval feature BM25's
+    * bag-of-words scoring cannot express: a document matches only
+    * where the query tokens are ADJACENT. The plan is entirely
+    * map-side: tokens are extracted per row and the adjacency scan is
+    * a higher-order `filter` over index positions inside codegen — no
+    * posting-list self-join, no shuffle except the final per-doc
+    * emission (which is already one row per matching doc). At 100 TB
+    * this is a full scan by design (the ad-hoc-query tier); the
+    * standing-query tier would persist the positional postings once
+    * and intersect (the `winnow_fingerprints` store shows that shape).
+    * Positions are 0-based token indices of the phrase's first word.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String,
+      w1: String = "table", w2: String = "hash"): DataFrame = {
+    val ts = regexp_extract_all(lower(coalesce(col("text"), lit(""))),
+      lit("[a-z0-9]+"), lit(0))
+    docs(spark, sfDir)
+      .select(col("doc_id"), ts.as("ts"))
+      // sequence() would flip to a descending step on size<2 — guard it
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        filter(sequence(lit(0), size(col("ts")) - 2),
+          i => element_at(col("ts"), i + 1) === lit(w1) &&
+            element_at(col("ts"), i + 2) === lit(w2)).as("pos"))
+      .filter(size(col("pos")) > 0)
+      .select(col("doc_id"), size(col("pos")).cast("long").as("n_hits"),
+        element_at(col("pos"), 1).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Adjacent-bigram pointwise mutual information — the collocation
+    * statistic a tokenizer-design pass ranks merge candidates by (the
+    * BPE merge priority is exactly "most over-represented adjacent
+    * pair"). PMI = ln((c_ab/M) / ((c_a/N)·(c_b/N))) from exact integer
+    * counts; only the final ln crosses IEEE, quantized at 1e-6 for the
+    * oracle. Output is every bigram with support ≥ `minCount`, ordered
+    * by the bigram text — NEVER ranked by the float (a cross-engine
+    * top-k frontier on a computed double cannot hash-stably tie-break).
+    *
+    * Scale shape: the bigram aggregate's shuffle carries (pair, count)
+    * partials — vocab², not corpus — and the two unigram attachments
+    * broadcast (vocab-sized). The token explode itself is map-side
+    * into partial aggregation, so nothing corpus-sized crosses the
+    * wire. */
+  def tokenPmi(spark: SparkSession, sfDir: String, minCount: Long = 5L): DataFrame = {
+    val ts = regexp_extract_all(lower(coalesce(col("text"), lit(""))),
+      lit("[a-z0-9]+"), lit(0))
+    val toks = docs(spark, sfDir).select(ts.as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val totals = uni.agg(sum(col("c_w")).as("n_tokens"))
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val m = bi.agg(sum(col("c_ab")).as("n_bigrams"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c_w", "c_a")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c_w", "c_b")), "w2")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(m))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        floor(log(
+          (col("c_ab").cast("double") / col("n_bigrams").cast("double")) /
+            ((col("c_a").cast("double") / col("n_tokens").cast("double")) *
+              (col("c_b").cast("double") / col("n_tokens").cast("double"))))
+          * lit(1000000.0d) + lit(0.5d)).cast("long").as("pmi_q"))
+      .orderBy(col("w1"), col("w2"))
+  }
 }

@@ -3501,4 +3501,180 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // mass sanity: ranks are positive and bounded by the total scale
     assert(got.values.forall(v => v > 0L && v < scale))
   }
+
+  test("codepoint entropy: closed-form values through codegen, empty/null handling") {
+    import spark.implicits._
+    val got = Seq("aaaa", "abab", "abcd", "", "aab")
+      .toDF("s")
+      .select(graft.functions.ScaleFunctions.codepoint_entropy(col("s")).as("h"))
+      .collect().map(_.getDouble(0))
+    // H(aaaa)=0, H(abab)=1 bit, H(abcd)=2 bits, H("")=0 by contract,
+    // H(aab) = log2(3) - (2·log2 2)/3
+    val aab = math.log(3.0) / math.log(2.0) - 2.0 / 3.0
+    assert(got(0) == 0.0 && got(1) == 1.0 && got(2) == 2.0 && got(3) == 0.0)
+    assert(math.abs(got(4) - aab) < 1e-12, s"H(aab)=${got(4)} want $aab")
+    // null in → null out (nullIntolerant)
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(graft.functions.ScaleFunctions.codepoint_entropy(col("s")).as("h"))
+      .collect()(0)
+    assert(n.isNullAt(0), "null text must yield null entropy")
+    // the expression and the static helper agree (codegen ≡ eval path)
+    assert(graft.functions.TextEntropy.entropyBits(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abab")) == 1.0)
+  }
+
+  test("bloom_might_contain: zero false negatives, bounded false positives") {
+    import spark.implicits._
+    val keys = (1L to 2000L).toDF("k")
+    val bloom = keys.stat.bloomFilter("k", 2000L, 0.03)
+    val probe = (1L to 6000L).toDF("k")
+      .select(col("k"),
+        graft.functions.ScaleFunctions.bloom_might_contain(bloom, col("k")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((1L to 2000L).forall(probe(_)), "bloom must never reject an inserted key")
+    val fp = (2001L to 6000L).count(probe(_))
+    assert(fp <= 4000 * 0.10, s"false-positive count $fp exceeds 10% of 4000 probes")
+  }
+
+  test("bloom-pruned join equals the plain join exactly") {
+    val pruned = graft.ops.ScalePatterns.bloomPruneJoin(spark, sfDir).collect()
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val plain = spark.read.parquet(s"$sfDir/orders.parquet")
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(pruned.toSeq == plain.toSeq,
+      s"bloom prune changed the result: ${pruned.toSeq} vs ${plain.toSeq}")
+  }
+
+  test("salted join equals the unsalted join exactly") {
+    val salted = graft.ops.ScalePatterns.saltedSkewJoin(spark, sfDir).collect()
+    val plain = graft.sources.Tables.events(spark, sfDir)
+      .join(spark.read.parquet(s"$sfDir/customer.parquet"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .orderBy(col("c_mktsegment")).collect()
+    assert(salted.toSeq == plain.toSeq,
+      s"salting changed the result: ${salted.toSeq} vs ${plain.toSeq}")
+  }
+
+  test("snapshot diff replays the mutation rules (independent Scala replay)") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    val c1 = "1999-01-01"; val c2 = "2000-01-01"
+    val old = orders.filter(_._4 < c1).map(o => o._1 -> ((o._2, o._3))).toMap
+    val neu = orders.filter(o => o._4 < c2 && o._1 % 23 != 5).map { o =>
+      val st = if (o._1 % 17 == 2) "X" else o._2
+      val pr = if (o._1 % 17 == 3) o._3 + 10.0 else o._3
+      o._1 -> ((st, pr))
+    }.toMap
+    val keys = old.keySet ++ neu.keySet
+    val want = keys.toSeq.map { k =>
+      (old.get(k), neu.get(k)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) => if (a == b) "unchanged" else "changed"
+        case _ => sys.error("unreachable")
+      }
+    }.groupBy(identity).map { case (kls, v) => kls -> v.size.toLong }
+    val got = graft.ops.ScalePatterns.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"diff classes: got $got want $want")
+  }
+
+  test("bloom cascade equals the plain 3-table join exactly") {
+    val cascaded = graft.ops.ScalePatterns.bloomCascadeRevenue(spark, sfDir).collect()
+    val dec = "decimal(18,4)"
+    val plain = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .join(spark.read.parquet(s"$sfDir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(s"$sfDir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(cascaded.toSeq == plain.toSeq,
+      s"cascade changed the result: ${cascaded.toSeq} vs ${plain.toSeq}")
+  }
+
+  test("phrase search: planted adjacencies, 0-based positions, no substring match") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase-test").toString
+    Seq(
+      (1L, "x table hash y table hash"),  // hits at token pos 1 and 4
+      (2L, "table x hash"),               // non-adjacent: no hit
+      (3L, "notatable hashy table-hash"), // tokenizes to [notatable,hashy,table,hash]: hit
+      (4L, "table hash"),                 // hit at 0
+      (5L, "")                            // empty: no hit, no crash
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.phraseSearch(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 1L)), 3L -> ((1L, 2L)), 4L -> ((1L, 0L))),
+      s"got $got")
+  }
+
+  test("token PMI: hand-computed counts and quantized value on a tiny corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi-test").toString
+    // 5 docs of "a b", 5 docs of "b a c" →
+    // unigrams: a=10 b=10 c=5, N=25; bigrams: (a,b)=5 (b,a)=5 (a,c)=5, M=15
+    val docs = (1 to 5).map(i => (i.toLong, "a b")) ++
+      (6 to 10).map(i => (i.toLong, "b a c"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalysis.tokenPmi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def pmiQ(cab: Long, ca: Long, cb: Long): Long =
+      math.floor(math.log((cab / 15.0) / ((ca / 25.0) * (cb / 25.0))) * 1e6 + 0.5).toLong
+    assert(got == Map(
+      ("a", "b") -> ((5L, 10L, 10L, pmiQ(5, 10, 10))),
+      ("b", "a") -> ((5L, 10L, 10L, pmiQ(5, 10, 10))),
+      ("a", "c") -> ((5L, 10L, 5L, pmiQ(5, 10, 5)))), s"got $got")
+  }
+
+  test("TWAP: hand-computed step-function average, null rows dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-twap-test").toString
+    val day = "2024-03-01"
+    Seq(
+      (1L, java.sql.Timestamp.valueOf(s"$day 00:00:00"), "buy", Some(10.0)),
+      (2L, java.sql.Timestamp.valueOf(s"$day 12:00:00"), "buy", Some(20.0)),
+      (3L, java.sql.Timestamp.valueOf(s"$day 06:00:00"), "buy", None), // dropped
+      (4L, java.sql.Timestamp.valueOf(s"$day 18:00:00"), "view", Some(4.0))
+    ).toDF("event_id", "ts", "event_type", "value")
+      .withColumn("props", lit(null).cast("string"))
+      .withColumn("user_id", lit(1L))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.EventAnalytics.twapDaily(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // buy: 10 holds 12h, 20 holds 12h → 15; view: 4 holds 6h of 6h → 4
+    assert(got == Map("buy" -> ((2L, 15.0)), "view" -> ((1L, 4.0))), s"got $got")
+  }
+
+  test("char_entropy query: flag consistent with the quantized value, one row per doc") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val rows = graft.ops.ScalePatterns.charEntropy(spark, sfDir).collect()
+    assert(rows.length == docs.toInt, s"${rows.length} rows for $docs docs")
+    rows.foreach { r =>
+      val q = r.getLong(3); val low = r.getBoolean(4)
+      assert(q >= 0L, s"negative entropy for doc ${r.getLong(0)}")
+      assert(low == (q < 2000000L),
+        s"low_entropy flag disagrees with entropy_q=$q for doc ${r.getLong(0)}")
+    }
+  }
 }
