@@ -2167,6 +2167,11 @@ object SparkEntry {
       ("SELECT * FROM (VALUES " +
         Seq("ann_ivf_equi_join", "ann_lsh_equi_join",
           "bfs_frontier_equi_join",
+          "bloom_probe_filters_fact_scan",
+          "bloom_cascade_carries_two_probes",
+          "salted_join_stays_equi", "snapshot_diff_full_outer_equi",
+          "phrase_search_joinless", "char_entropy_joinless_single_pass",
+          "token_pmi_broadcasts_unigrams",
           "bucketed_join_shuffle_free", "disjunctive_filter_stays_equi",
           "fuzzy_contamination_broadcast_probe",
           "heavy_hitters_recount_broadcast_semi",

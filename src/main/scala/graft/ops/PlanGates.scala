@@ -108,7 +108,27 @@ object PlanGates {
       p => p.contains("BroadcastHashJoin") && noLoops(p)),
     ("linear_attribution_banded_equi_join", "linear_attribution",
       hashJoinsNoCartesian),
-    ("bfs_frontier_equi_join", "__bfs_iteration", hashJoinsNoCartesian))
+    ("bfs_frontier_equi_join", "__bfs_iteration", hashJoinsNoCartesian),
+    // shuffle-economy tier: the bloom probes must sit in the plan as
+    // scan-side filters (the expression renders by its prettyName), the
+    // cascade carries BOTH probes, the salted join stays hash-equi, the
+    // CDC diff is one full-outer equi join, and the two map-side text
+    // ops must plan with NO join at all (their whole point). Building
+    // the bloom plans runs the dimension-scale sizing probes — the
+    // documented build-side actions, not a fact-scan execution.
+    ("bloom_probe_filters_fact_scan", "bloom_prune_join",
+      p => p.contains("bloom_might_contain") && hashJoinsNoCartesian(p)),
+    ("bloom_cascade_carries_two_probes", "bloom_cascade_revenue",
+      p => p.sliding("bloom_might_contain".length)
+        .count(_ == "bloom_might_contain") >= 2 && hashJoinsNoCartesian(p)),
+    ("salted_join_stays_equi", "salted_skew_join", hashJoinsNoCartesian),
+    ("snapshot_diff_full_outer_equi", "snapshot_diff",
+      p => p.contains("FullOuter") && noLoops(p)),
+    ("phrase_search_joinless", "phrase_search", p => !p.contains("Join")),
+    ("char_entropy_joinless_single_pass", "char_entropy",
+      p => p.contains("codepoint_entropy") && !p.contains("Join")),
+    ("token_pmi_broadcasts_unigrams", "token_pmi",
+      p => p.contains("BroadcastHashJoin") && hashJoinsNoCartesian(p)))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */
