@@ -1193,7 +1193,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "lang_mismatch" -> (() => graft.ops.TextAnalysis.langMismatch(spark, dir).count()),
       "shard_plan" -> (() => graft.ops.Curation.corpusShardPlan(spark, dir).count()),
       "cross_source_dups" -> (() => graft.ops.Dedup.crossSourceDupMatrix(spark, dir).count()),
-      "fuzzy_contamination" -> (() => graft.ops.Curation.evalContaminationFuzzy(spark, dir).count())
+      "fuzzy_contamination" -> (() => graft.ops.Curation.evalContaminationFuzzy(spark, dir).count()),
+      // shuffle-economy-tier document operators join the sweep (all
+      // three coalesce null text to '' before tokenizing/scoring)
+      "char_entropy" -> (() => graft.ops.ScalePatterns.charEntropy(spark, dir).count()),
+      "phrase_search" -> (() => graft.ops.TextAnalysis.phraseSearch(spark, dir).count()),
+      "token_pmi" -> (() => graft.ops.TextAnalysis.tokenPmi(spark, dir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null fields: $e")
@@ -1303,7 +1308,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ks_drift" -> (() => graft.ops.EventAnalytics.ksDrift(spark, edir).count()),
       "rank_drift" -> (() => graft.ops.EventAnalytics.rankDrift(spark, edir).count()),
       "fc_ensemble" -> (() => graft.engine.Backtest.ensembleForecast(spark, edir).count()),
-      "stream_drift" -> (() => EventIngest.driftMonitorAvailableNow(spark, edir).count())
+      "stream_drift" -> (() => EventIngest.driftMonitorAvailableNow(spark, edir).count()),
+      // shuffle-economy-tier event operator joins the sweep
+      "twap_daily" -> (() => graft.ops.EventAnalytics.twapDaily(spark, edir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null event fields: $e")
