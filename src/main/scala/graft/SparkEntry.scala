@@ -108,6 +108,26 @@ object SparkEntry {
       |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
       |    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
 
+  /** Q2-shaped correlated ARGMIN: per size-filtered part, the
+    * supplier(s) achieving the minimum lineitem price (lineitem is the
+    * store's part-supplier bridge). The correlated min subquery must
+    * decorrelate to an aggregate + equi-join (plan-gated); the equality
+    * probe compares STORED doubles (no arithmetic), so it is exact in
+    * both engines, and DISTINCT collapses same-supplier-same-price
+    * repeat lineitems. */
+  val minCostSupplierSql: String =
+    """SELECT DISTINCT p_partkey, s_name, n_name,
+      |  CAST(l_extendedprice AS DOUBLE) AS min_price
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_size = 15
+      |  AND l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)
+      |ORDER BY p_partkey, s_name""".stripMargin
+
   val dormantCustomersSql: String =
     """SELECT c_nationkey, count(*) AS n_dormant,
       |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_bal
@@ -925,6 +945,21 @@ object SparkEntry {
     // time-weighted daily average over irregular events - exact
     // fixed-point integer products, DECIMAL sums, 2 final IEEE ops
     "twap_daily" -> ((s, dir) => graft.ops.EventAnalytics.twapDaily(s, dir)),
+    // Q2-shaped correlated argmin (decorrelates to agg + equi-join)
+    "sql_min_cost_supplier" -> sqlOnViews(minCostSupplierSql,
+      "part", "lineitem", "supplier", "nation"),
+    // right-to-be-forgotten cascade audit: broadcast tombstone
+    // semi-joins down the FK graph, one count aggregate per table
+    "deletion_audit" -> ((s, dir) => graft.ops.DataQuality.deletionAudit(s, dir)),
+    // functional-dependency profiling: per-FD violation counts at
+    // distinct-value shuffle scale
+    "fd_violations" -> ((s, dir) => graft.ops.DataQuality.fdViolations(s, dir)),
+    // rolling 28d distinct actives via mergeable HLL sketches: one
+    // corpus pass, |days|-row sketch merges (rows-only: sketch
+    // internals are engine-specific; OpsSpec gates est within 5% of
+    // the exact rolling counts)
+    "rolling_mau_sketch" -> ((s, dir) =>
+      graft.ops.EventAnalytics.rollingMauSketch(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -2172,6 +2207,8 @@ object SparkEntry {
           "salted_join_stays_equi", "snapshot_diff_full_outer_equi",
           "phrase_search_joinless", "char_entropy_joinless_single_pass",
           "token_pmi_broadcasts_unigrams",
+          "min_cost_supplier_decorrelates",
+          "deletion_audit_semi_join_cascade",
           "bucketed_join_shuffle_free", "disjunctive_filter_stays_equi",
           "fuzzy_contamination_broadcast_probe",
           "heavy_hitters_recount_broadcast_semi",
@@ -3260,6 +3297,64 @@ object SparkEntry {
         |    / 10000.0 AS twap
         |FROM d GROUP BY event_type, day_num
         |ORDER BY event_type, day""".stripMargin,
+    // the Spark side runs the IDENTICAL text through its own parser —
+    // the check is that Catalyst's decorrelation preserves semantics
+    "sql_min_cost_supplier" -> minCostSupplierSql,
+    // cascade audit re-derived via plain IN-subquery counts
+    "deletion_audit" ->
+      """WITH tomb AS (
+        |  SELECT c_custkey AS del_key FROM customer WHERE c_custkey % 97 = 13
+        |), del_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT del_key FROM tomb)
+        |)
+        |SELECT * FROM (
+        |  SELECT 'customer' AS table_name,
+        |    (SELECT count(*) FROM customer) AS n_before,
+        |    (SELECT count(*) FROM tomb) AS n_deleted,
+        |    (SELECT count(*) FROM customer)
+        |      - (SELECT count(*) FROM tomb) AS n_after
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM del_orders),
+        |    (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_orders)
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)),
+        |    (SELECT count(*) FROM lineitem)
+        |      - (SELECT count(*) FROM lineitem
+        |         WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+        |  UNION ALL
+        |  SELECT 'events',
+        |    (SELECT count(*) FROM events),
+        |    (SELECT count(*) FROM events
+        |     WHERE user_id IN (SELECT del_key FROM tomb)),
+        |    (SELECT count(*) FROM events)
+        |      - (SELECT count(*) FROM events
+        |         WHERE user_id IN (SELECT del_key FROM tomb))
+        |) ORDER BY table_name""".stripMargin,
+    // per-FD distinct-rhs fan-out; the holding FDs are the regression
+    // surface (n_violating = 0 hash-checks like any literal)
+    "fd_violations" ->
+      ("SELECT * FROM (" + Seq(
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("orders", "o_orderkey", "o_orderpriority"),
+        ("lineitem", "l_orderkey", "l_shipdate"),
+        ("documents", "source", "lang")).map { case (t, l, r) =>
+        s"""SELECT '$t.$l->$r' AS fd,
+           |  CAST(count(*) AS BIGINT) AS n_lhs,
+           |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(max(n_rhs) AS BIGINT) AS max_fanout,
+           |  sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (
+           |  SELECT $l, count(DISTINCT $r) AS n_rhs FROM $t
+           |  WHERE $l IS NOT NULL GROUP BY $l)""".stripMargin
+      }.mkString("\nUNION ALL\n") + ") ORDER BY fd"),
     "table_profile" ->
       ("""SELECT * FROM (""" +
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>

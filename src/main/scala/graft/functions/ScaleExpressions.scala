@@ -83,6 +83,68 @@ case class CodepointEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Tokenizer + adjacency scan for the positional phrase search, fused
+  * into one pass over the raw string (`[a-z0-9]+` runs on the
+  * lowercased text, exactly the oracle's `regexp_extract_all`
+  * tokenization). The composed-builtin formulation
+  * (`regexp_extract_all` → `sequence` → higher-order `filter`) was the
+  * whole suite's slowest query at sf0.1 (3.4 s): Spark's higher-order
+  * lambdas evaluate INTERPRETED, one closure call per token index, and
+  * the position array materializes per row. This helper is one static
+  * call per row from inside whole-stage codegen.
+  */
+object TextPhrase {
+  private val Token = java.util.regex.Pattern.compile("[a-z0-9]+")
+
+  /** 0-based token positions where tokens (i, i+1) == (w1, w2). */
+  def phrasePositions(s: UTF8String, w1: String, w2: String): Array[Int] = {
+    val m = Token.matcher(s.toString.toLowerCase(java.util.Locale.ROOT))
+    val out = new scala.collection.mutable.ArrayBuffer[Int](4)
+    var idx = -1
+    var prev: String = null
+    while (m.find()) {
+      idx += 1
+      val cur = m.group()
+      if (idx > 0 && prev == w1 && cur == w2) out += idx - 1
+      prev = cur
+    }
+    out.toArray
+  }
+}
+
+/** phrase_positions(text): array<int> of 0-based first-word token
+  * positions of the (w1, w2) phrase. The phrase words are expression
+  * parameters (plan constants), not children — the probe phrase is
+  * fixed per query. */
+case class PhrasePositions(child: Expression, w1: String, w2: String)
+    extends UnaryExpression {
+  override def prettyName: String = "phrase_positions"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"phrase_positions requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      TextPhrase.phrasePositions(v.asInstanceOf[UTF8String], w1, w2))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w1Ref = ctx.addReferenceObj("phraseW1", w1, "java.lang.String")
+    val w2Ref = ctx.addReferenceObj("phraseW2", w2, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.TextPhrase.phrasePositions($c, $w1Ref, $w2Ref));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** bloom_might_contain(key): the probe side of a runtime semi-join
   * filter. `bits` is a serialized `org.apache.spark.util.sketch
   * .BloomFilter` built over the build side's join keys (a mergeable
@@ -125,6 +187,9 @@ case class BloomMightContain(child: Expression, bits: Array[Byte]) extends Unary
 object ScaleFunctions {
   def codepoint_entropy(text: Column): Column =
     Bridge.column(CodepointEntropy(Bridge.expression(text)))
+
+  def phrase_positions(text: Column, w1: String, w2: String): Column =
+    Bridge.column(PhrasePositions(Bridge.expression(text), w1, w2))
 
   /** Build a key bloom over `keys` (LongType column values already
     * collected as a sketch by `DataFrameStatFunctions.bloomFilter` —

@@ -210,4 +210,71 @@ object DataQuality {
       Check(s"${tc}_null_budget", countIf(col(tc).isNull), budgetOk(20L)))
     tableChecks(df, withText).orderBy("check")
   }
+
+  /** Right-to-be-forgotten propagation audit: a deterministic tombstone
+    * cohort (custkey % 97 == 13 — the store ships no real deletion
+    * feed) is cascaded through the foreign-key graph — customer →
+    * orders → lineitem, plus the events keyed by the same ids — and
+    * the audit reports per table how many rows the cascade removes.
+    * The cascade is pure key-set algebra: each hop is a semi-join of
+    * the child's keys against the PARENT'S deleted keys (broadcast —
+    * the tombstone frontier is cohort-sized, never corpus-sized), and
+    * the counts come from one aggregate per table; no purged copy is
+    * materialized here (a real purge would anti-join-write with the
+    * same predicates, which is why the audit and the purge cannot
+    * disagree). Fully oracle-checkable.
+    */
+  def deletionAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def t(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+    val tomb = t("customer").filter(col("c_custkey") % 97 === 13)
+      .select(col("c_custkey").as("del_key"))
+    val delOrders = t("orders")
+      .join(broadcast(tomb), col("o_custkey") === col("del_key"), "left_semi")
+    val delOrderKeys = delOrders.select(col("o_orderkey").as("del_ok"))
+    def audit(name: String, total: DataFrame, deleted: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_before"))
+        .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
+        .select(lit(name).as("table_name"), col("n_before"), col("n_deleted"),
+          (col("n_before") - col("n_deleted")).as("n_after"))
+    audit("customer", t("customer"),
+        t("customer").join(broadcast(tomb), col("c_custkey") === col("del_key"), "left_semi"))
+      .unionByName(audit("orders", t("orders"), delOrders))
+      .unionByName(audit("lineitem", t("lineitem"),
+        t("lineitem").join(broadcast(delOrderKeys),
+          col("l_orderkey") === col("del_ok"), "left_semi")))
+      .unionByName(audit("events", t("events"),
+        t("events").join(broadcast(tomb), col("user_id") === col("del_key"), "left_semi")))
+      .orderBy(col("table_name"))
+  }
+
+  /** Functional-dependency audit — the profiling step that tells a
+    * modeler which columns actually determine which (before trusting a
+    * join key or denormalizing): for each candidate FD lhs→rhs, the
+    * number of lhs values, how many of them map to MORE than one rhs
+    * (violations), and the worst fan-out. Each FD is one grouped
+    * aggregate whose shuffle carries (lhs, rhs) pairs — distinct-value
+    * scale, not row scale — then a |lhs|-sized rollup; candidates with
+    * composite tables would semi-join first. The verdict column makes
+    * the holding FDs a regression surface: `n_violating = 0` is as
+    * hash-checkable as any literal. */
+  def fdViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def fd(table: String, lhs: String, rhs: String): DataFrame =
+      spark.read.parquet(s"$sfDir/$table.parquet")
+        .filter(col(lhs).isNotNull)
+        .groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("n_rhs"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("n_rhs")).as("max_fanout"))
+        .select(lit(s"$table.$lhs->$rhs").as("fd"), col("n_lhs"),
+          col("n_violating"), col("max_fanout"),
+          (col("n_violating") === 0L).as("holds"))
+    fd("nation", "n_nationkey", "n_regionkey")              // PK-determined: holds
+      .unionByName(fd("customer", "c_nationkey", "c_mktsegment")) // expected violated
+      .unionByName(fd("orders", "o_orderkey", "o_orderpriority")) // PK: holds
+      .unionByName(fd("lineitem", "l_orderkey", "l_shipdate"))    // multi-line: violated
+      .unionByName(fd("documents", "source", "lang"))
+      .orderBy(col("fd"))
+  }
 }

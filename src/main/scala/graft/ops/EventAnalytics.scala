@@ -1180,4 +1180,35 @@ object EventAnalytics {
           lit(10000.0d)).as("twap"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** Rolling 28-day active users via MERGEABLE HLL sketches
+    * (`hll_sketch_agg` / `hll_union_agg`, the Apache DataSketches
+    * functions) — the formulation that makes rolling DISTINCT viable
+    * at 100 TB: the exact plan (`rollingActiveUsers`) must carry every
+    * (user, day) pair into every window it touches, ~windowDays× the
+    * distinct-pair volume; this plan touches the corpus ONCE (one
+    * per-day sketch aggregate, map-side partial-merged), and the
+    * 28-way window union runs over |days| rows of ~KB sketches — the
+    * corpus never re-shuffles, and in production the per-day sketches
+    * persist so each new day costs one day's scan plus a |days|-row
+    * merge. Estimate error at lgK=12 is ~1.6%; OpsSpec gates the
+    * estimates within 5% of the exact rolling counts on the real
+    * store, and the registered query is rows-only (sketch internals
+    * are engine-specific by nature). */
+  def rollingMauSketch(spark: SparkSession, sfDir: String, windowDays: Int = 28): DataFrame = {
+    val perDay = userEvents(spark, sfDir)
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val bounds = perDay.agg(max(col("day")).as("max_day"))
+    perDay
+      .select(explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+        .as("win_day"), col("sk"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("win_day") <= col("max_day"))
+      .groupBy(col("win_day").as("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      .select(col("day"), floor(col("est") + lit(0.5d)).cast("long")
+        .as(s"mau_${windowDays}d_est"))
+      .orderBy(col("day"))
+  }
 }

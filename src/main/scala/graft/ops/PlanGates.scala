@@ -124,11 +124,18 @@ object PlanGates {
     ("salted_join_stays_equi", "salted_skew_join", hashJoinsNoCartesian),
     ("snapshot_diff_full_outer_equi", "snapshot_diff",
       p => p.contains("FullOuter") && noLoops(p)),
-    ("phrase_search_joinless", "phrase_search", p => !p.contains("Join")),
+    ("phrase_search_joinless", "phrase_search",
+      p => p.contains("phrase_positions") && !p.contains("Join")),
     ("char_entropy_joinless_single_pass", "char_entropy",
       p => p.contains("codepoint_entropy") && !p.contains("Join")),
     ("token_pmi_broadcasts_unigrams", "token_pmi",
-      p => p.contains("BroadcastHashJoin") && hashJoinsNoCartesian(p)))
+      p => p.contains("BroadcastHashJoin") && hashJoinsNoCartesian(p)),
+    // the Q2-shaped correlated argmin must decorrelate (agg + equi
+    // join), and the deletion cascade's hops must be semi joins (its
+    // 1-row count crossJoins are the benign scalar-attach BNLJ)
+    ("min_cost_supplier_decorrelates", "sql_min_cost_supplier", noLoops),
+    ("deletion_audit_semi_join_cascade", "deletion_audit",
+      p => p.contains("LeftSemi") && hashJoinsNoCartesian(p)))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */

@@ -580,22 +580,15 @@ object TextAnalysis {
     * Positions are 0-based token indices of the phrase's first word.
     */
   def phraseSearch(spark: SparkSession, sfDir: String,
-      w1: String = "table", w2: String = "hash"): DataFrame = {
-    val ts = regexp_extract_all(lower(coalesce(col("text"), lit(""))),
-      lit("[a-z0-9]+"), lit(0))
+      w1: String = "table", w2: String = "hash"): DataFrame =
     docs(spark, sfDir)
-      .select(col("doc_id"), ts.as("ts"))
-      // sequence() would flip to a descending step on size<2 — guard it
-      .filter(size(col("ts")) >= 2)
       .select(col("doc_id"),
-        filter(sequence(lit(0), size(col("ts")) - 2),
-          i => element_at(col("ts"), i + 1) === lit(w1) &&
-            element_at(col("ts"), i + 2) === lit(w2)).as("pos"))
+        graft.functions.ScaleFunctions.phrase_positions(
+          coalesce(col("text"), lit("")), w1, w2).as("pos"))
       .filter(size(col("pos")) > 0)
       .select(col("doc_id"), size(col("pos")).cast("long").as("n_hits"),
         element_at(col("pos"), 1).cast("long").as("first_pos"))
       .orderBy(col("doc_id"))
-  }
 
   /** Adjacent-bigram pointwise mutual information — the collocation
     * statistic a tokenizer-design pass ranks merge candidates by (the

@@ -2397,7 +2397,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("plan gates: every plan-shape verdict holds") {
     val rows = graft.ops.PlanGates.planGates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
-    assert(rows.length == 39)
+    assert(rows.length == 41)
     val failed = rows.filterNot(_._2).map(_._1)
     assert(failed.isEmpty, s"plan-shape regressions: ${failed.mkString(", ")}")
   }
@@ -3671,6 +3671,71 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
     // buy: 10 holds 12h, 20 holds 12h → 15; view: 4 holds 6h of 6h → 4
     assert(got == Map("buy" -> ((2L, 15.0)), "view" -> ((1L, 4.0))), s"got $got")
+  }
+
+  test("min-cost supplier: every emitted price is the part's true minimum") {
+    val rows = SparkEntry.queries("sql_min_cost_supplier")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "p_size=15 must select parts at sf0.001")
+    val trueMin = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_partkey")).agg(min(col("l_extendedprice")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(3) == trueMin(r.getLong(0)),
+        s"part ${r.getLong(0)}: ${r.getDouble(3)} != ${trueMin(r.getLong(0))}")
+    }
+  }
+
+  test("deletion audit replays the cascade rules (independent Scala replay)") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    val tomb = cust.filter(_ % 97 == 13).toSet
+    val delOrders = orders.filter(o => tomb(o._2)).map(_._1).toSet
+    val want = Map(
+      "customer" -> ((cust.length.toLong, tomb.size.toLong)),
+      "orders" -> ((orders.length.toLong, delOrders.size.toLong)),
+      "lineitem" -> ((items.length.toLong, items.count(delOrders).toLong)),
+      "events" -> ((events.length.toLong, events.count(tomb).toLong)))
+    val got = graft.ops.DataQuality.deletionAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, s"audit: got $got want $want")
+    graft.ops.DataQuality.deletionAudit(spark, sfDir).collect().foreach(r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2), "n_after must reconcile"))
+  }
+
+  test("FD audit: PK-determined FDs hold, multi-line FDs are violated") {
+    val got = graft.ops.DataQuality.fdViolations(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("nation.n_nationkey->n_regionkey")._4, "PK FD must hold")
+    assert(got("orders.o_orderkey->o_orderpriority")._4, "PK FD must hold")
+    assert(!got("lineitem.l_orderkey->l_shipdate")._4,
+      "multi-line orders must violate the shipdate FD")
+    assert(!got("customer.c_nationkey->c_mktsegment")._4,
+      "25 nations x 5 segments cannot be functional")
+    got.values.foreach { case (nLhs, nViol, maxFan, holds) =>
+      assert(holds == (nViol == 0L) && maxFan >= 1L && nViol <= nLhs,
+        s"internal consistency: $nLhs $nViol $maxFan $holds")
+    }
+  }
+
+  test("HLL rolling MAU tracks the exact rolling distinct within 5%") {
+    val exact = graft.ops.EventAnalytics.rollingActiveUsers(spark, sfDir, 28)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val est = graft.ops.EventAnalytics.rollingMauSketch(spark, sfDir, 28)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet, "sketch and exact must cover the same days")
+    est.foreach { case (day, e) =>
+      val x = exact(day)
+      assert(math.abs(e - x) <= math.max(1L, (x * 0.05).toLong),
+        s"day $day: estimate $e vs exact $x drifts past 5%")
+    }
   }
 
   test("char_entropy query: flag consistent with the quantized value, one row per doc") {
