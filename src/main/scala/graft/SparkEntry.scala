@@ -960,6 +960,19 @@ object SparkEntry {
     // the exact rolling counts)
     "rolling_mau_sketch" -> ((s, dir) =>
       graft.ops.EventAnalytics.rollingMauSketch(s, dir)),
+    // CUBE completes the multi-granularity family (rollup + grouping
+    // sets exist): 4 granularities, ONE partial-merged exchange
+    "revenue_cube" -> ((s, dir) => Relational.revenueCube(s, dir)),
+    // declared-vs-predicted language confusion matrix (langId drill-down)
+    "lang_confusion" -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
+    // data-driven seasonal-period detection: the evidence behind the
+    // reference's hard-coded frequency 7 (R:369); exact-integer BSS,
+    // DECIMAL-ranked argmax
+    "dominant_period" -> ((s, dir) =>
+      graft.ops.EventAnalytics.dominantPeriod(s, dir)),
+    // weighted sparse-similarity join: trigram tf-idf cosine over a
+    // df-capped vocabulary (the cap bounds the postings self-join)
+    "tfidf_cosine_pairs" -> ((s, dir) => NearDup.tfidfCosinePairs(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -3355,6 +3368,125 @@ object SparkEntry {
            |  SELECT $l, count(DISTINCT $r) AS n_rhs FROM $t
            |  WHERE $l IS NOT NULL GROUP BY $l)""".stripMargin
       }.mkString("\nUNION ALL\n") + ") ORDER BY fd"),
+    // CUBE with GROUPING disambiguation (grouping_id = gr*2 + gp)
+    "revenue_cube" ->
+      """SELECT
+        |  CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS r_name,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |    ELSE o_orderpriority END AS o_orderpriority,
+        |  CAST(GROUPING(r_name) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+        |    AS grouping_id,
+        |  count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+        |    AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    // langId's argmax scores, aggregated to confusion cells
+    "lang_confusion" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS lang_given,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang_given,
+        |    CAST(len(list_filter(w, x -> list_contains(['the','and','of'], x))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(w, x -> list_contains(['der','und','die'], x))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(w, x -> list_contains(['el','que','los'], x))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(w, x -> list_contains(['le','et','les'], x))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(w, x -> list_contains(['de','shi','le'], x))) AS BIGINT) AS s_zh
+        |  FROM s),
+        |pred AS (
+        |  SELECT COALESCE(lang_given, 'unknown') AS lang_given,
+        |    list_sort([
+        |      {'negscore': -s_en, 'lang': 'en'},
+        |      {'negscore': -s_de, 'lang': 'de'},
+        |      {'negscore': -s_es, 'lang': 'es'},
+        |      {'negscore': -s_fr, 'lang': 'fr'},
+        |      {'negscore': -s_zh, 'lang': 'zh'}])[1].lang AS pred_lang
+        |  FROM sc)
+        |SELECT lang_given, pred_lang, count(*) AS n_docs
+        |FROM pred GROUP BY lang_given, pred_lang
+        |ORDER BY lang_given, pred_lang""".stripMargin,
+    // exact-integer between-phase sum of squares, DECIMAL-ranked argmax
+    "dominant_period" ->
+      """WITH daily AS (
+        |  SELECT event_type AS element,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+        |    CAST(count(*) AS BIGINT) AS n_d
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT element, CAST(sum(n_d) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM daily GROUP BY element
+        |), ph AS (
+        |  SELECT d.element, pp.p, d.day_num % pp.p AS phase,
+        |    CAST(sum(n_d) AS BIGINT) AS s_ph, CAST(count(*) AS BIGINT) AS c_ph
+        |  FROM daily d, (SELECT unnest(range(2, 11)) AS p) pp
+        |  GROUP BY 1, 2, 3
+        |), sc AS (
+        |  SELECT ph.element, p,
+        |    sum(CAST(round(
+        |      CAST((s_ph * c - s * c_ph) * (s_ph * c - s * c_ph) AS DOUBLE)
+        |        / CAST(c_ph AS DOUBLE), 12) AS DECIMAL(30,12))) AS score
+        |  FROM ph JOIN tot ON ph.element = tot.element
+        |  GROUP BY 1, 2
+        |), best AS (
+        |  SELECT element, p, score,
+        |    row_number() OVER (PARTITION BY element
+        |      ORDER BY score DESC, p ASC) AS rn
+        |  FROM sc
+        |)
+        |SELECT element, CAST(p AS BIGINT) AS best_period,
+        |  round(CAST(score AS DOUBLE), 6) AS score, (p = 7) AS is_weekly
+        |FROM best WHERE rn = 1 ORDER BY element""".stripMargin,
+    // trigram tf-idf cosine: 12dp-rounded products into DECIMAL sums,
+    // single IEEE sqrt/divide at the end
+    "tfidf_cosine_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+') AS ws
+        |  FROM documents
+        |), sized AS (
+        |  SELECT doc_id, ws, len(ws) AS dl FROM toks WHERE len(ws) >= 3
+        |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sized),
+        |grams AS (
+        |  SELECT doc_id, dl,
+        |    ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+        |  FROM sized, unnest(range(1, greatest(len(ws) - 1, 1))) AS u(i)
+        |), tf AS (
+        |  SELECT doc_id, dl, g, CAST(count(*) AS BIGINT) AS tf
+        |  FROM grams GROUP BY doc_id, dl, g
+        |), df AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY g
+        |  HAVING count(*) <= 50
+        |), wgt AS (
+        |  SELECT doc_id, tf.g,
+        |    CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)
+        |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS wgt
+        |  FROM tf JOIN df ON tf.g = df.g, nd
+        |), norms AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(sum(CAST(round(wgt * wgt, 12) AS DECIMAL(30,12)))
+        |      AS DOUBLE)) AS nrm
+        |  FROM wgt GROUP BY doc_id
+        |), dots AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(CAST(round(a.wgt * b.wgt, 12) AS DECIMAL(30,12))) AS dot
+        |  FROM wgt a JOIN wgt b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cos
+        |FROM dots
+        |JOIN norms na ON doc_a = na.doc_id
+        |JOIN norms nb ON doc_b = nb.doc_id
+        |WHERE round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "table_profile" ->
       ("""SELECT * FROM (""" +
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>

@@ -1181,6 +1181,50 @@ object EventAnalytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Data-driven seasonal-period detection — the evidence behind the
+    * frequency the reference HARD-CODES to 7 (R:369 and every
+    * `ts(..., frequency=7)` call): for each element's daily activity
+    * counts (an integer-exact series), every candidate period p∈[2,10]
+    * is scored by the between-phase sum of squares
+    * Σ_phase (S_ph·C − S·C_ph)²/C_ph — the variance the phase grouping
+    * explains, computed from BIGINT sums with one exact integer product
+    * per phase (≤(S·C)² ≈ 3.6e9 « 2⁶³), each term 12dp-rounded into a
+    * DECIMAL(30,12) sum (order-free), and the argmax ranked on the
+    * exact DECIMAL with p as tie-break — so the winning period is
+    * hash-stable cross-engine. Shuffles: the daily aggregate (|days|
+    * keys) and a |days|·9-row phase aggregate; totals broadcast. */
+  def dominantPeriod(spark: SparkSession, sfDir: String, maxPeriod: Int = 10): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dayNumCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"ts DIV ${graft.sources.Tables.NanosPerDay}")
+      case _ => expr("unix_micros(ts) DIV 86400000000")
+    }
+    val daily = ev.filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type").as("element"), dayNumCol.as("day_num"))
+      .groupBy(col("element"), col("day_num"))
+      .agg(count(lit(1)).as("n_d"))
+    val tot = daily.groupBy(col("element"))
+      .agg(sum(col("n_d")).as("s"), count(lit(1)).as("c"))
+    val ph = daily
+      .withColumn("p", explode(array((2 to maxPeriod).map(lit(_)): _*)))
+      .groupBy(col("element"), col("p"), (col("day_num") % col("p")).as("phase"))
+      .agg(sum(col("n_d")).as("s_ph"), count(lit(1)).as("c_ph"))
+    val sc = ph.join(broadcast(tot), "element")
+      .withColumn("d", col("s_ph") * col("c") - col("s") * col("c_ph"))
+      .withColumn("term",
+        round((col("d") * col("d")).cast("double") / col("c_ph").cast("double"), 12)
+          .cast("decimal(30,12)"))
+      .groupBy(col("element"), col("p")).agg(sum(col("term")).as("score"))
+    val w = Window.partitionBy(col("element"))
+      .orderBy(col("score").desc, col("p").asc)
+    sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("element"), col("p").cast("long").as("best_period"),
+        round(col("score").cast("double"), 6).as("score"),
+        (col("p") === 7).as("is_weekly"))
+      .orderBy(col("element"))
+  }
+
   /** Rolling 28-day active users via MERGEABLE HLL sketches
     * (`hll_sketch_agg` / `hll_union_agg`, the Apache DataSketches
     * functions) — the formulation that makes rolling DISTINCT viable

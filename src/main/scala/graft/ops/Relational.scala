@@ -560,6 +560,30 @@ object Relational {
         col("n_orders"), round(col("total_price"), 6).as("total_price"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** CUBE completion of the multi-granularity family (ROLLUP in
+    * [[revenueRollup]], non-hierarchical GROUPING SETS in
+    * `sql_grouping_sets`): all four granularities of
+    * (region, priority) in ONE aggregate pass — Spark expands the
+    * grouping sets before the shuffle, so the plan stays a single
+    * partial-merged exchange, not four queries. `grouping()` flags
+    * disambiguate a real NULL from a rolled-up level (the ALL
+    * sentinel), identically in DuckDB via GROUPING(). */
+  def revenueCube(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .join(broadcast(t(spark, sfDir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("total_price"),
+        grouping(col("r_name")).as("gr"), grouping(col("o_orderpriority")).as("gp"))
+      .select(
+        when(col("gr") === 1, lit("ALL")).otherwise(col("r_name")).as("r_name"),
+        when(col("gp") === 1, lit("ALL")).otherwise(col("o_orderpriority"))
+          .as("o_orderpriority"),
+        ((col("gr") * 2) + col("gp")).cast("long").as("grouping_id"),
+        col("n_orders"), round(col("total_price"), 6).as("total_price"))
+      .orderBy(col("r_name"), col("o_orderpriority"))
+
   /** RANGE-frame window (SURVEY.md §2.2-E breadth): trailing-7-day
     * revenue per element. The frame is a true range over days (a gap
     * day shrinks the window), not a 7-ROW frame; the trailing sum

@@ -567,6 +567,19 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Declared-vs-predicted language CONFUSION MATRIX — langMismatch's
+    * drill-down: the per-cell counts that tell a curator WHICH
+    * language pairs the metadata confuses (a high (en→de) cell means
+    * mislabeled feeds, a spread row means the classifier is at
+    * chance). Same langId scores, one extra |langs|²-bounded
+    * aggregate. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .groupBy(coalesce(col("lang_given"), lit("unknown")).as("lang_given"),
+        col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_given"), col("pred_lang"))
+
   /** Positional phrase search — the retrieval feature BM25's
     * bag-of-words scoring cannot express: a document matches only
     * where the query tokens are ADJACENT. The plan is entirely

@@ -3738,6 +3738,68 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("revenue cube: all four granularities reconcile to the grand total") {
+    val rows = graft.ops.Relational.revenueCube(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gids = rows.map(_._3).toSet
+    assert(gids == Set(0L, 1L, 2L, 3L), s"cube must emit 4 granularities: $gids")
+    val grand = rows.filter(_._3 == 3L)
+    assert(grand.length == 1 && grand.head._1 == "ALL" && grand.head._2 == "ALL")
+    val total = grand.head._4
+    Seq(0L, 1L, 2L).foreach { gid =>
+      assert(rows.filter(_._3 == gid).map(_._4).sum == total,
+        s"granularity $gid must reconcile to the grand total $total")
+    }
+  }
+
+  test("language confusion: planted mislabel lands in the right cell, totals reconcile") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-conf-test").toString
+    Seq(
+      (1L, "en", "the cat and the dog of note"),
+      (2L, "en", "der hund und die katze und der vogel"), // German text labeled en
+      (3L, "de", "der und die der und die")
+    ).toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.langConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("en", "en") -> 1L, ("en", "de") -> 1L, ("de", "de") -> 1L),
+      s"got $got")
+  }
+
+  test("dominant period: a planted period-5 activity cycle is detected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-period-test").toString
+    val t0 = 86400000L * 19000
+    // 30 days: 'cycle' spikes every 5th day (10 events vs 1); 'flat' is constant
+    val rows = (0 until 30).flatMap { d =>
+      val nCycle = if (d % 5 == 0) 10 else 1
+      (0 until nCycle).map(i => (new java.sql.Timestamp(t0 + d * 86400000L + i * 1000L),
+        "cycle", (d * 100 + i).toLong, 1L, 1.0, "{}")) ++
+        Seq((new java.sql.Timestamp(t0 + d * 86400000L), "flat",
+          (100000 + d).toLong, 1L, 1.0, "{}"))
+    }
+    rows.toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = graft.ops.EventAnalytics.dominantPeriod(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got("cycle")._1 == 5L, s"planted period 5, got ${got("cycle")}")
+    assert(!got("cycle")._2, "period 5 is not weekly")
+  }
+
+  test("tfidf cosine: identical docs score 1.0, disjoint docs emit no pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfidf-test").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, a), (2L, a), (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = NearDup.tfidfCosinePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L)), s"only the identical pair: ${got.keySet}")
+    assert(got((1L, 2L)) == 1.0, s"identical docs must score 1.0: ${got((1L, 2L))}")
+  }
+
   test("char_entropy query: flag consistent with the quantized value, one row per doc") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val rows = graft.ops.ScalePatterns.charEntropy(spark, sfDir).collect()
