@@ -973,6 +973,9 @@ object SparkEntry {
     // weighted sparse-similarity join: trigram tf-idf cosine over a
     // df-capped vocabulary (the cap bounds the postings self-join)
     "tfidf_cosine_pairs" -> ((s, dir) => NearDup.tfidfCosinePairs(s, dir)),
+    // distributed BPE merge training over the word-frequency-collapsed
+    // corpus; K unrolled steps replayed by a materialized-CTE oracle
+    "bpe_merges" -> ((s, dir) => graft.ops.Bpe.bpeMerges(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -1104,6 +1107,67 @@ object SparkEntry {
       |s0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM bi),
       |$rounds
       |SELECT n AS node, d AS core_degree FROM s8 ORDER BY node""".stripMargin
+  }
+
+  /** BPE merge replay, unrolled one CTE-chain per step (the kcore
+    * idiom — MATERIALIZED is load-bearing: every step references its
+    * predecessor through several window layers, and an inlining
+    * planner would re-derive the chain exponentially). Each step
+    * mirrors `Bpe.bpeMerges` operation-for-operation: overlap-counted
+    * weighted pairs, (count DESC, left, right) top-1, gaps-and-islands
+    * run ids, even-offset non-overlapping merge, position rebuild. */
+  private def bpeOracleSql: String = {
+    val steps = graft.ops.Bpe.Steps
+    val stepCtes = (1 to steps).map { k =>
+      val prev = if (k == 1) "s0" else s"s${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT sym, nxt, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |    FROM $prev) t
+         |  WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+         |t$k AS MATERIALIZED (
+         |  SELECT sym AS pa, nxt AS pb, cnt FROM p$k
+         |  ORDER BY cnt DESC, sym ASC, nxt ASC LIMIT 1),
+         |m$k AS MATERIALIZED (
+         |  SELECT word, n, pos, sym, nxt,
+         |    COALESCE(sym = (SELECT pa FROM t$k)
+         |      AND nxt = (SELECT pb FROM t$k), FALSE) AS m
+         |  FROM (SELECT word, n, pos, sym,
+         |      lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |    FROM $prev) t),
+         |g$k AS MATERIALIZED (
+         |  SELECT *, sum(CASE WHEN m_start THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY word ORDER BY pos) AS grp
+         |  FROM (SELECT *, m AND NOT COALESCE(
+         |      lag(m) OVER (PARTITION BY word ORDER BY pos), FALSE) AS m_start
+         |    FROM m$k) t),
+         |d$k AS MATERIALIZED (
+         |  SELECT *, COALESCE(lag(do_merge)
+         |      OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed
+         |  FROM (SELECT *, m AND (pos - run_start) % 2 = 0 AS do_merge
+         |    FROM (SELECT *, min(CASE WHEN m THEN pos END)
+         |        OVER (PARTITION BY word, grp) AS run_start FROM g$k) t1) t2),
+         |s$k AS MATERIALIZED (
+         |  SELECT word, n,
+         |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         |    CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+         |  FROM d$k WHERE NOT consumed)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to steps).map(k =>
+      s"SELECT $k AS step, pa AS pair_a, pb AS pair_b, cnt AS n_pairs FROM t$k")
+      .mkString("\nUNION ALL\n")
+    val header =
+      """WITH wq AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+')) AS word
+        |    FROM documents) t
+        |  WHERE word <> '' GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, n, i AS pos, substring(word, i, 1) AS sym
+        |  FROM wq, unnest(range(1, length(word) + 1)) AS u(i))""".stripMargin
+    header + ",\n" + stepCtes + "\n" +
+      s"""SELECT CAST(step AS BIGINT) AS step, pair_a, pair_b, n_pairs
+         |FROM ($out) ORDER BY step""".stripMargin
   }
 
   private def pagerankOracleSql: String = {
@@ -2701,6 +2765,7 @@ object SparkEntry {
         |  WHERE bfs.dist < 6)
         |SELECT node, min(dist) AS dist FROM bfs GROUP BY node ORDER BY node""").stripMargin,
     "graph_kcore" -> kcoreOracleSql,
+    "bpe_merges" -> bpeOracleSql,
     "graph_triangles" ->
       (basketCtes + """,
         |ud AS (SELECT pa AS u, pb AS v FROM pc),

@@ -1,0 +1,96 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge TRAINING — the step past
+  * `token_pmi`'s merge-priority statistic: actually learn the first K
+  * merge rules from the corpus (engine extension past the reference
+  * store, `TimeSeriesFunctions_GPL_0.5.1.R:16-40`; the algorithm is
+  * the public Sennrich et al. BPE).
+  *
+  * The scale move is the WORD-FREQUENCY COLLAPSE: one corpus-scale
+  * aggregate reduces the training set to (distinct word, count) —
+  * vocabulary-sized, millions of rows at 100 TB, never corpus-sized —
+  * and every subsequent iteration runs windows and aggregates over
+  * that collapsed table. Pair statistics weight each word's pairs by
+  * its corpus count, exactly like the reference implementation's
+  * dictionary form.
+  *
+  * Merge semantics per step (both engines replay identically):
+  * pair counts include overlapping occurrences ("aaa" contributes
+  * (a,a) twice — the classic counting), the winning pair is
+  * total-ordered by (count DESC, left ASC, right ASC), and the merge
+  * applies LEFT-TO-RIGHT NON-OVERLAPPING: within each maximal run of
+  * consecutive match positions, only even offsets from the run start
+  * merge — a pure window formulation (gaps-and-islands run ids +
+  * offset parity), no sequential scan, no recursion.
+  *
+  * The per-step top-1 pair is a 1-row driver collect (metadata-scale
+  * by design, the same class as the bloom sizing probes); the symbol
+  * table is lineage-cut per iteration like the PageRank loop.
+  */
+object Bpe {
+
+  /** Number of merge rules learned by the registered query (the
+    * oracle unrolls exactly this many steps). */
+  val Steps = 6
+
+  private[graft] def wordCounts(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(lower(trim(coalesce(col("text"), lit("")))), "\\s+"))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** The learned merge table: (step, pair_a, pair_b, n_pairs) with
+    * n_pairs the weighted (overlap-inclusive) pair count at selection
+    * time. Emits fewer than `steps` rows iff the symbol table runs out
+    * of adjacent pairs first. */
+  def bpeMerges(spark: SparkSession, sfDir: String, steps: Int = Steps): DataFrame = {
+    import spark.implicits._
+    var syms = wordCounts(spark, sfDir)
+      .select(col("word"), col("n"),
+        posexplode(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .as(Seq("pos", "sym")))
+      .localCheckpoint()
+    val merges = ArrayBuffer[(Long, String, String, Long)]()
+    var exhausted = false
+    for (k <- 1 to steps if !exhausted) {
+      val w = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(w))
+      val top = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pa, pb, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k.toLong, pa, pb, cnt))
+        val marked = withNext
+          .withColumn("m", coalesce(
+            col("sym") === lit(pa) && col("nxt") === lit(pb), lit(false)))
+          .withColumn("m_start",
+            col("m") && !coalesce(lag(col("m"), 1).over(w), lit(false)))
+          .withColumn("grp", sum(col("m_start").cast("int")).over(w))
+          .withColumn("run_start", min(when(col("m"), col("pos")))
+            .over(Window.partitionBy(col("word"), col("grp"))))
+          .withColumn("do_merge",
+            col("m") && (col("pos") - col("run_start")) % 2 === 0)
+          .withColumn("consumed",
+            coalesce(lag(col("do_merge"), 1).over(w), lit(false)))
+        syms = marked.filter(!col("consumed"))
+          .select(col("word"), col("n"),
+            when(col("do_merge"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"),
+            row_number().over(w).as("pos"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("step", "pair_a", "pair_b", "n_pairs").orderBy(col("step"))
+  }
+}

@@ -1198,7 +1198,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // three coalesce null text to '' before tokenizing/scoring)
       "char_entropy" -> (() => graft.ops.ScalePatterns.charEntropy(spark, dir).count()),
       "phrase_search" -> (() => graft.ops.TextAnalysis.phraseSearch(spark, dir).count()),
-      "token_pmi" -> (() => graft.ops.TextAnalysis.tokenPmi(spark, dir).count())
+      "token_pmi" -> (() => graft.ops.TextAnalysis.tokenPmi(spark, dir).count()),
+      "tfidf_cosine_pairs" -> (() => NearDup.tfidfCosinePairs(spark, dir).count()),
+      "lang_confusion" -> (() => graft.ops.TextAnalysis.langConfusion(spark, dir).count()),
+      "bpe_merges" -> (() => graft.ops.Bpe.bpeMerges(spark, dir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null fields: $e")
@@ -3798,6 +3801,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got.keySet == Set((1L, 2L)), s"only the identical pair: ${got.keySet}")
     assert(got((1L, 2L)) == 1.0, s"identical docs must score 1.0: ${got((1L, 2L))}")
+  }
+
+  test("BPE merges: hand-derived rules on a tiny corpus, overlap counting and run parity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-test").toString
+    // words: aaab ×2, ab ×1.
+    // step 1: (a,a) weighted 2·2=4 (overlap-counted) beats (a,b)=3 → merge
+    //   left-to-right: aaab → [aa, a, b]
+    // step 2: (a,b) = 2+1 = 3 beats (aa,a)=2 → aaab → [aa, ab]; ab → [ab]
+    // step 3: (aa,ab) = 2 → aaab → [aaab]
+    // step 4: no pairs remain → training stops at 3 rules
+    Seq((1L, "aaab ab aaab")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Bpe.bpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)),
+      s"got ${got.toSeq}")
   }
 
   test("char_entropy query: flag consistent with the quantized value, one row per doc") {
