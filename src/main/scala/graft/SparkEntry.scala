@@ -128,6 +128,22 @@ object SparkEntry {
       |    WHERE l2.l_partkey = p_partkey)
       |ORDER BY p_partkey, s_name""".stripMargin
 
+  /** Q16-shaped distinct-supplier count: brand/type/size predicates on
+    * the dimension, a NOT IN exclusion subquery (must plan as an
+    * anti join — it is uncorrelated and the key is non-null), and a
+    * count(DISTINCT) per group; ordered by the count with full-key
+    * tie-breaks so the frontier cannot flip between engines. */
+  val supplierCntSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'SMALL'
+      |  AND p_size IN (1, 5, 15, 25)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   val dormantCustomersSql: String =
     """SELECT c_nationkey, count(*) AS n_dormant,
       |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_bal
@@ -976,6 +992,13 @@ object SparkEntry {
     // distributed BPE merge training over the word-frequency-collapsed
     // corpus; K unrolled steps replayed by a materialized-CTE oracle
     "bpe_merges" -> ((s, dir) => graft.ops.Bpe.bpeMerges(s, dir)),
+    // the merge table's consumer: trained vocabulary applied back to
+    // the corpus as per-(lang, source) compression stats
+    "bpe_token_stats" -> ((s, dir) => graft.ops.Bpe.bpeTokenStats(s, dir)),
+    // Q16 shape: distinct-supplier counts under brand/type/size
+    // predicates with a NOT IN exclusion (anti-join, plan-gated)
+    "sql_supplier_cnt" -> sqlOnViews(supplierCntSql,
+      "part", "lineitem", "supplier"),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -1118,6 +1141,38 @@ object SparkEntry {
     * run ids, even-offset non-overlapping merge, position rebuild. */
   private def bpeOracleSql: String = {
     val steps = graft.ops.Bpe.Steps
+    bpeChainSql + "\n" +
+      s"""SELECT CAST(step AS BIGINT) AS step, pair_a, pair_b, n_pairs
+         |FROM (${(1 to steps).map(k =>
+        s"SELECT $k AS step, pa AS pair_a, pb AS pair_b, cnt AS n_pairs FROM t$k")
+        .mkString("\nUNION ALL\n")}) ORDER BY step""".stripMargin
+  }
+
+  /** bpe_merges' consumer: the trained vocabulary applied back to the
+    * corpus as per-(lang, source) compression stats. */
+  private def bpeTokenStatsOracleSql: String = {
+    val sFinal = s"s${graft.ops.Bpe.Steps}"
+    bpeChainSql + ",\n" +
+      s"""ws AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym
+         |  FROM $sFinal GROUP BY word),
+         |dw AS (
+         |  SELECT doc_id, lang, source, word FROM (
+         |    SELECT doc_id, lang, source,
+         |      unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\\s+')) AS word
+         |    FROM documents) t WHERE word <> '')
+         |SELECT lang, source,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(length(word)) AS DOUBLE)
+         |    / CAST(sum(n_sym) AS DOUBLE), 6) AS chars_per_token
+         |FROM dw JOIN ws USING (word)
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
+  private def bpeChainSql: String = {
+    val steps = graft.ops.Bpe.Steps
     val stepCtes = (1 to steps).map { k =>
       val prev = if (k == 1) "s0" else s"s${k - 1}"
       s"""p$k AS MATERIALIZED (
@@ -1153,9 +1208,6 @@ object SparkEntry {
          |    CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
          |  FROM d$k WHERE NOT consumed)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to steps).map(k =>
-      s"SELECT $k AS step, pa AS pair_a, pb AS pair_b, cnt AS n_pairs FROM t$k")
-      .mkString("\nUNION ALL\n")
     val header =
       """WITH wq AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
@@ -1165,9 +1217,7 @@ object SparkEntry {
         |s0 AS MATERIALIZED (
         |  SELECT word, n, i AS pos, substring(word, i, 1) AS sym
         |  FROM wq, unnest(range(1, length(word) + 1)) AS u(i))""".stripMargin
-    header + ",\n" + stepCtes + "\n" +
-      s"""SELECT CAST(step AS BIGINT) AS step, pair_a, pair_b, n_pairs
-         |FROM ($out) ORDER BY step""".stripMargin
+    header + ",\n" + stepCtes
   }
 
   private def pagerankOracleSql: String = {
@@ -2286,6 +2336,7 @@ object SparkEntry {
           "token_pmi_broadcasts_unigrams",
           "min_cost_supplier_decorrelates",
           "deletion_audit_semi_join_cascade",
+          "supplier_cnt_not_in_anti_join",
           "bucketed_join_shuffle_free", "disjunctive_filter_stays_equi",
           "fuzzy_contamination_broadcast_probe",
           "heavy_hitters_recount_broadcast_semi",
@@ -2766,6 +2817,8 @@ object SparkEntry {
         |SELECT node, min(dist) AS dist FROM bfs GROUP BY node ORDER BY node""").stripMargin,
     "graph_kcore" -> kcoreOracleSql,
     "bpe_merges" -> bpeOracleSql,
+    "bpe_token_stats" -> bpeTokenStatsOracleSql,
+    "sql_supplier_cnt" -> supplierCntSql,
     "graph_triangles" ->
       (basketCtes + """,
         |ud AS (SELECT pa AS u, pb AS v FROM pc),

@@ -52,6 +52,14 @@ object Bpe {
     * of adjacent pairs first. */
   def bpeMerges(spark: SparkSession, sfDir: String, steps: Int = Steps): DataFrame = {
     import spark.implicits._
+    trainState(spark, sfDir, steps)._1
+      .toDF("step", "pair_a", "pair_b", "n_pairs").orderBy(col("step"))
+  }
+
+  /** Training loop shared by the merge table and its consumer: returns
+    * the merge rules AND the final per-word symbol table. */
+  private def trainState(spark: SparkSession, sfDir: String, steps: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     var syms = wordCounts(spark, sfDir)
       .select(col("word"), col("n"),
         posexplode(expr(
@@ -91,6 +99,36 @@ object Bpe {
           .localCheckpoint()
       }
     }
-    merges.toSeq.toDF("step", "pair_a", "pair_b", "n_pairs").orderBy(col("step"))
+    (merges.toSeq, syms)
+  }
+
+  /** The merge table's CONSUMER (no signature tables to nowhere): the
+    * learned rules applied back to the corpus as a tokenizer-quality
+    * report — per (lang, source): documents, word instances, character
+    * mass, the BPE token count under the trained vocabulary, and the
+    * chars-per-token compression ratio (the number a tokenizer team
+    * actually tracks per language). The final symbol table is
+    * vocabulary-sized; the per-word token counts broadcast back onto
+    * the corpus word explode, so the only corpus-scale shuffle is the
+    * (lang, source) aggregate of count partials. */
+  def bpeTokenStats(spark: SparkSession, sfDir: String, steps: Int = Steps): DataFrame = {
+    val perWord = trainState(spark, sfDir, steps)._2
+      .groupBy(col("word")).agg(count(lit(1)).as("n_sym"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(lower(trim(coalesce(col("text"), lit("")))), "\\s+"))
+          .as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(perWord), "word")
+      .groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_chars"), col("n_bpe_tokens"),
+        round(col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy(col("lang"), col("source"))
   }
 }

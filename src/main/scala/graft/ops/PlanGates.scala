@@ -134,6 +134,10 @@ object PlanGates {
     // join), and the deletion cascade's hops must be semi joins (its
     // 1-row count crossJoins are the benign scalar-attach BNLJ)
     ("min_cost_supplier_decorrelates", "sql_min_cost_supplier", noLoops),
+    // Q16's uncorrelated NOT IN must become a (null-aware) hash anti
+    // join, never the quadratic NAAJ-fallback loop
+    ("supplier_cnt_not_in_anti_join", "sql_supplier_cnt",
+      p => p.contains("LeftAnti") && hashJoinsNoCartesian(p)),
     ("deletion_audit_semi_join_cascade", "deletion_audit",
       p => p.contains("LeftSemi") && hashJoinsNoCartesian(p)))
 
