@@ -999,6 +999,10 @@ object SparkEntry {
     // predicates with a NOT IN exclusion (anti-join, plan-gated)
     "sql_supplier_cnt" -> sqlOnViews(supplierCntSql,
       "part", "lineitem", "supplier"),
+    // the spectrum's consumer: PCA whitening applied + verified in one
+    // pass (whitened moments must be mean 0 / var 1 / cross-cov 0;
+    // rows-only - eigensolves aren't SQL; OpsSpec gates the moments)
+    "embedding_whiten" -> ((s, dir) => Similarity.embeddingWhiten(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)

@@ -113,7 +113,12 @@ object Similarity {
     * driver matrix (commons-math3, deterministic for a symmetric
     * matrix). Rows-only registered (eigensolves aren't SQL); the
     * planted-anisotropy fixture in OpsSpec is the gate. */
-  def embeddingSpectrum(spark: SparkSession, sfDir: String, topK: Int = 8): DataFrame = {
+  /** One-pass mean + covariance of the embedding space (the shared
+    * Gram-matrix kernel behind the spectrum report and the whitening
+    * consumer): returns (n, d, mean, cov) or None on an empty/all-null
+    * column. */
+  private[graft] def covarianceStats(spark: SparkSession, sfDir: String)
+      : Option[(Long, Int, Array[Double], Array[Array[Double]])] = {
     import spark.implicits._
     val partials = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(col("embedding").isNotNull)
@@ -136,9 +141,7 @@ object Similarity {
         }
         if (n == 0L) Iterator.empty else Iterator((n, d, s, p))
       }.collect()
-    if (partials.isEmpty)
-      return Seq.empty[(Long, Double, Double, Double)]
-        .toDF("component", "eigenvalue", "var_share", "cum_share")
+    if (partials.isEmpty) return None
     val d = partials.head._2
     val n = partials.map(_._1).sum
     val s = new Array[Double](d)
@@ -149,10 +152,21 @@ object Similarity {
       i = 0
       while (i < d) { s(i) += ps(i); i += 1 }
     }
+    val mean = Array.tabulate(d)(i => s(i) / n)
     val cov = Array.tabulate(d, d) { (i, j) =>
       val (a, b) = if (i <= j) (i, j) else (j, i)
-      p(a * d + b) / n - (s(i) / n) * (s(j) / n)
+      p(a * d + b) / n - mean(i) * mean(j)
     }
+    Some((n, d, mean, cov))
+  }
+
+  def embeddingSpectrum(spark: SparkSession, sfDir: String, topK: Int = 8): DataFrame = {
+    import spark.implicits._
+    val stats = covarianceStats(spark, sfDir)
+    if (stats.isEmpty)
+      return Seq.empty[(Long, Double, Double, Double)]
+        .toDF("component", "eigenvalue", "var_share", "cum_share")
+    val (_, _, _, cov) = stats.get
     val eig = new org.apache.commons.math3.linear.EigenDecomposition(
       new org.apache.commons.math3.linear.Array2DRowRealMatrix(cov))
     val evs = eig.getRealEigenvalues.sorted(Ordering[Double].reverse)
@@ -164,6 +178,90 @@ object Similarity {
     rows.toSeq.map { case (c, ev, sh, cum) =>
       (c, math.rint(ev * 1e6) / 1e6, math.rint(sh * 1e6) / 1e6, math.rint(cum * 1e6) / 1e6)
     }.toDF("component", "eigenvalue", "var_share", "cum_share")
+      .orderBy(col("component"))
+  }
+
+  /** The spectrum's CONSUMER — PCA whitening applied and VERIFIED in
+    * one pass: embeddings are projected onto the top-k eigenvectors
+    * and scaled by 1/√λ, and the report is the whitened moments a
+    * correct whitening must produce — per-component mean ≈ 0,
+    * variance ≈ 1, adjacent cross-covariance ≈ 0. A wrong eigensolve,
+    * a stale mean, or a λ/σ mix-up shows up as a variance that isn't
+    * 1, which the OpsSpec gate (|var−1| ≤ 0.05 on the real store)
+    * catches. Scale shape: the (μ, E, λ) whitening model is
+    * driver-computed from the shared one-pass covariance kernel
+    * (d²-sized, metadata), broadcast into a second mapPartitions
+    * numeric kernel over the corpus — one pass, nothing shuffles,
+    * ≤|partitions| moment partials collect. Rows-only (eigensolves
+    * aren't SQL). */
+  def embeddingWhiten(spark: SparkSession, sfDir: String, topK: Int = 8): DataFrame = {
+    import spark.implicits._
+    val statsOpt = covarianceStats(spark, sfDir)
+    if (statsOpt.isEmpty)
+      return Seq.empty[(Long, Long, Double, Double, Double)]
+        .toDF("component", "n", "mean", "variance", "cross_next")
+    val (_, d, mean, cov) = statsOpt.get
+    val eig = new org.apache.commons.math3.linear.EigenDecomposition(
+      new org.apache.commons.math3.linear.Array2DRowRealMatrix(cov))
+    val order = eig.getRealEigenvalues.zipWithIndex
+      .sortBy { case (ev, _) => -ev }.take(math.min(topK, d))
+    val k = order.length
+    // whitening matrix rows: w_i = e_i / sqrt(λ_i) (λ floored at 1e-12
+    // so a degenerate direction cannot produce infinities)
+    val w = order.map { case (ev, idx) =>
+      val e = eig.getEigenvector(idx).toArray
+      val scale = 1.0 / math.sqrt(math.max(ev, 1e-12))
+      e.map(_ * scale)
+    }
+    val bMean = spark.sparkContext.broadcast(mean)
+    val bW = spark.sparkContext.broadcast(w)
+    val moments = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        val mu = bMean.value; val wm = bW.value
+        val kk = wm.length
+        var n = 0L
+        val s = new Array[Double](kk)
+        val s2 = new Array[Double](kk)
+        val sx = new Array[Double](kk) // y_i · y_{i+1}
+        val y = new Array[Double](kk)
+        it.foreach { v =>
+          n += 1
+          var i = 0
+          while (i < kk) {
+            var acc = 0.0
+            var j = 0
+            val row = wm(i)
+            while (j < mu.length && j < v.length) {
+              acc += row(j) * (v(j).toDouble - mu(j)); j += 1
+            }
+            y(i) = acc
+            s(i) += acc; s2(i) += acc * acc
+            i += 1
+          }
+          i = 0
+          while (i < kk - 1) { sx(i) += y(i) * y(i + 1); i += 1 }
+        }
+        if (n == 0L) Iterator.empty else Iterator((n, s, s2, sx))
+      }.collect()
+    val n = moments.map(_._1).sum
+    val s = new Array[Double](k); val s2 = new Array[Double](k)
+    val sx = new Array[Double](k)
+    moments.foreach { case (_, ps, ps2, psx) =>
+      var i = 0
+      while (i < k) { s(i) += ps(i); s2(i) += ps2(i); sx(i) += psx(i); i += 1 }
+    }
+    (0 until k).map { i =>
+      val m = s(i) / n
+      val variance = s2(i) / n - m * m
+      val cross = if (i < k - 1) {
+        val m2 = s(i + 1) / n
+        sx(i) / n - m * m2
+      } else 0.0
+      ((i + 1).toLong, n, math.rint(m * 1e6) / 1e6,
+        math.rint(variance * 1e6) / 1e6, math.rint(cross * 1e6) / 1e6)
+    }.toDF("component", "n", "mean", "variance", "cross_next")
       .orderBy(col("component"))
   }
 

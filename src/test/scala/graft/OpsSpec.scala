@@ -1258,6 +1258,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "near_dup" -> (() => NearDup.embeddingNearDup(spark, dir).count()),
       "dim_stats" -> (() => Similarity.embeddingDimStats(spark, dir).count()),
       "spectrum" -> (() => Similarity.embeddingSpectrum(spark, dir).count()),
+      "whiten" -> (() => Similarity.embeddingWhiten(spark, dir).count()),
       "knn_accuracy" -> (() => Similarity.labelKnnAccuracy(spark, dir).count())
     ).foreach { case (name, run) =>
       try run() catch {
@@ -2958,6 +2959,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head._3 > 0.95, s"planted dominant direction owns the variance: ${out.head}")
     assert(math.abs(out.last._4 - 1.0) < 1e-6,
       s"4 components exhaust a rank-2 spectrum: ${out.last}")
+  }
+
+  test("embedding whiten: whitened moments are mean 0 / var 1 / cross-cov 0") {
+    // the real store: every reported component must whiten correctly
+    val rows = graft.ops.Similarity.embeddingWhiten(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty, "the store's embeddings must produce components")
+    rows.foreach { case (c, m, v, x) =>
+      assert(math.abs(m) <= 0.01, s"component $c whitened mean $m drifts from 0")
+      assert(math.abs(v - 1.0) <= 0.05, s"component $c whitened variance $v is not 1")
+      assert(math.abs(x) <= 0.05, s"component $c cross-covariance $x is not 0")
+    }
+    // planted anisotropy (same fixture family as the spectrum test):
+    // whitening must equalize the 400x variance ratio to 1/1
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-whiten-test").toString
+    (0 until 40).map { i =>
+      (i.toLong, Seq((i - 20).toFloat, (i % 3) * 0.1f, 1.0f, 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val planted = graft.ops.Similarity.embeddingWhiten(spark, dir, topK = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(planted.size == 2 &&
+      planted.values.forall(v => math.abs(v - 1.0) <= 0.01),
+      s"whitening must equalize the planted 400x anisotropy: $planted")
   }
 
   test("shesd: planted spike in a seasonal series is rank-1; clean seasonal stays quiet") {
