@@ -1003,6 +1003,12 @@ object SparkEntry {
     // pass (whitened moments must be mean 0 / var 1 / cross-cov 0;
     // rows-only - eigensolves aren't SQL; OpsSpec gates the moments)
     "embedding_whiten" -> ((s, dir) => Similarity.embeddingWhiten(s, dir)),
+    // event_transitions' consumer: Markov stationary distribution via
+    // scaled-BIGINT power iteration, unrolled-CTE replay oracle
+    "transition_stationary" -> ((s, dir) =>
+      graft.ops.EventAnalytics.transitionStationary(s, dir)),
+    // percent-of-parent BI drill-down over the region->nation rollup
+    "rollup_shares" -> ((s, dir) => Relational.rollupShares(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -1222,6 +1228,43 @@ object SparkEntry {
         |  SELECT word, n, i AS pos, substring(word, i, 1) AS sym
         |  FROM wq, unnest(range(1, length(word) + 1)) AS u(i))""".stripMargin
     header + ",\n" + stepCtes
+  }
+
+  /** transition_stationary replay: the pagerank idiom on the event
+    * transition matrix — scaled-BIGINT floor arithmetic unrolled one
+    * CTE per power iteration. */
+  private def stationaryOracleSql: String = {
+    val scale = graft.ops.EventAnalytics.StatScale
+    val iters = graft.ops.EventAnalytics.StatIterations
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS (SELECT st.state,
+         |  COALESCE(f$i.im, 0) AS m
+         |  FROM st LEFT JOIN (
+         |    SELECT eg.nxt AS state,
+         |      CAST(sum((pp.m * eg.n_pair) // eg.n_cur) AS BIGINT) AS im
+         |    FROM eg JOIN p${i - 1} pp ON pp.state = eg.cur
+         |    GROUP BY eg.nxt) f$i ON f$i.state = st.state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |s AS (SELECT event_type AS cur,
+       |        lead(event_type, 1) OVER (
+       |          PARTITION BY user_id ORDER BY tus, event_id) AS nxt
+       |      FROM e),
+       |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_pair
+       |      FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+       |t AS (SELECT cur, CAST(sum(n_pair) AS BIGINT) AS n_cur FROM c GROUP BY cur),
+       |eg AS (SELECT c.cur, c.nxt, c.n_pair, t.n_cur FROM c JOIN t USING (cur)),
+       |st AS (SELECT DISTINCT state FROM (
+       |  SELECT cur AS state FROM c UNION ALL SELECT nxt FROM c) u),
+       |nn AS (SELECT count(*) AS n FROM st),
+       |p0 AS (SELECT state, $scale // nn.n AS m FROM st CROSS JOIN nn),
+       |$rounds
+       |SELECT state, CAST(m AS BIGINT) AS mass_scaled,
+       |  CAST(m AS DOUBLE) / $scale.0 AS pi
+       |FROM p$iters
+       |ORDER BY mass_scaled DESC, state""".stripMargin
   }
 
   private def pagerankOracleSql: String = {
@@ -2823,6 +2866,26 @@ object SparkEntry {
     "bpe_merges" -> bpeOracleSql,
     "bpe_token_stats" -> bpeTokenStatsOracleSql,
     "sql_supplier_cnt" -> supplierCntSql,
+    "transition_stationary" -> stationaryOracleSql,
+    // leaf DECIMAL sums, window DECIMAL level totals, double-vs-double
+    // divisions (decimal/decimal would derive engine-specific scales)
+    "rollup_shares" ->
+      """WITH leaf AS (
+        |  SELECT r_name, n_name, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, n_orders,
+        |  round(CAST(rev_dec AS DOUBLE), 6) AS revenue,
+        |  round(CAST(rev_dec AS DOUBLE)
+        |    / CAST(sum(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+        |    AS share_of_region,
+        |  round(CAST(rev_dec AS DOUBLE)
+        |    / CAST(sum(rev_dec) OVER () AS DOUBLE), 6) AS share_of_total
+        |FROM leaf ORDER BY r_name, n_name""".stripMargin,
     "graph_triangles" ->
       (basketCtes + """,
         |ud AS (SELECT pa AS u, pb AS v FROM pc),

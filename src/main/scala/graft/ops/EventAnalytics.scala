@@ -557,18 +557,65 @@ object EventAnalytics {
     * Scale shape: one user-keyed Exchange serves the sequence window;
     * the pair/total aggregates are two-phase over a |types|²-bounded
     * key space. Sequence state never leaves the window operator. */
-  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
-    val seq0 = identifiedEvents(spark, sfDir)
+  private def transitionCounts(spark: SparkSession, sfDir: String): DataFrame =
+    identifiedEvents(spark, sfDir)
       .withColumn("next_type", lead(col("event_type"), 1).over(
         Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))))
       .filter(col("next_type").isNotNull)
-    val counts = seq0.groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+      .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
       .agg(count(lit(1)).as("n_pair"))
+
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = transitionCounts(spark, sfDir)
     val totals = counts.groupBy(col("cur")).agg(sum(col("n_pair")).as("n_cur"))
     counts.join(broadcast(totals), "cur")
       .select(col("cur"), col("nxt"), col("n_pair"), col("n_cur"),
         (col("n_pair").cast("double") / col("n_cur").cast("double")).as("p"))
       .orderBy(col("cur"), col("nxt"))
+  }
+
+  /** Scaled-BIGINT precision of the stationary power iteration (the
+    * PageRank idiom: exact integer mass, floor divisions, replayable
+    * in SQL). Mass × transition-count products stay < 2⁶³ while any
+    * (cur, nxt) pair count stays below ~9.2e6 per scale unit; a
+    * petabyte deployment would widen the intermediates to
+    * DECIMAL(38,0), changing nothing else. */
+  val StatScale = 1000000000000L
+  val StatIterations = 12
+
+  /** Stationary distribution of the event-type Markov chain —
+    * `event_transitions`' consumer: where a user's behavior settles if
+    * the observed transition matrix keeps acting. `StatIterations`
+    * power iterations of π' = π·P entirely in scaled BIGINT:
+    * per-edge mass flow is `(m · n_pair) DIV n_cur` (exact floor), the
+    * incoming sum is a BIGINT aggregate (order-free), so every
+    * iteration is bit-replayable by the unrolled-CTE oracle. States
+    * with no outgoing edges keep receiving but never emit (mass
+    * drains deterministically — reported, not renormalized). The
+    * |types|²-sized edge table and |types|-sized mass vector iterate
+    * with lineage cuts; only the one corpus window/aggregate behind
+    * `transitionCounts` ever touches event rows. */
+  def transitionStationary(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = transitionCounts(spark, sfDir)
+    val totals = counts.groupBy(col("cur")).agg(sum(col("n_pair")).as("n_cur"))
+    val edges = counts.join(totals, "cur").localCheckpoint(eager = false)
+    val states = counts.select(col("cur").as("state"))
+      .union(counts.select(col("nxt").as("state")))
+      .distinct().localCheckpoint(eager = false)
+    val nTab = states.agg(count(lit(1)).as("n"))
+    var pi = states.crossJoin(broadcast(nTab))
+      .select(col("state"), expr(s"$StatScale DIV n").as("m"))
+    for (_ <- 1 to StatIterations) {
+      val contrib = edges.join(pi, col("cur") === col("state"))
+        .select(col("nxt"), expr("(m * n_pair) DIV n_cur").as("c"))
+      val inSum = contrib.groupBy(col("nxt")).agg(sum(col("c")).as("im"))
+      pi = states.join(inSum, col("state") === col("nxt"), "left")
+        .select(col("state"), coalesce(col("im"), lit(0L)).as("m"))
+        .localCheckpoint(eager = false)
+    }
+    pi.select(col("state"), col("m").as("mass_scaled"),
+        (col("m").cast("double") / lit(StatScale.toDouble)).as("pi"))
+      .orderBy(col("mass_scaled").desc, col("state"))
   }
 
   /** NEAREST-in-time join: for each purchase, the same-user click

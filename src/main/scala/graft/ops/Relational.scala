@@ -560,6 +560,39 @@ object Relational {
         col("n_orders"), round(col("total_price"), 6).as("total_price"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Percent-of-parent over the region→nation hierarchy — the BI
+    * drill-down companion to [[revenueRollup]]: each nation's share of
+    * its region and of the grand total. The level sums are DECIMAL
+    * window aggregates over the |nations|-row LEAF aggregate (exact
+    * under any frame order), so the shares are single IEEE divisions
+    * of exact numerators/denominators — hash-stable. The global
+    * window runs over ≤|nations| rows (output-scale), never the
+    * fact table. */
+  def rollupShares(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leaf = t(spark, sfDir, "orders")
+      .join(broadcast(t(spark, sfDir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("rev_dec"))
+    leaf
+      .withColumn("region_dec",
+        sum(col("rev_dec")).over(Window.partitionBy(col("r_name"))))
+      .withColumn("total_dec", sum(col("rev_dec")).over(Window.partitionBy()))
+      .select(col("r_name"), col("n_name"), col("n_orders"),
+        round(col("rev_dec").cast("double"), 6).as("revenue"),
+        // cast each DECIMAL to double BEFORE dividing: decimal/decimal
+        // derives engine-specific result scales, double/double is one
+        // IEEE op identical everywhere
+        round(col("rev_dec").cast("double") / col("region_dec").cast("double"), 6)
+          .as("share_of_region"),
+        round(col("rev_dec").cast("double") / col("total_dec").cast("double"), 6)
+          .as("share_of_total"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** CUBE completion of the multi-granularity family (ROLLUP in
     * [[revenueRollup]], non-hierarchical GROUPING SETS in
     * `sql_grouping_sets`): all four granularities of

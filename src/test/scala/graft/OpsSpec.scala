@@ -3847,6 +3847,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got ${got.toSeq}")
   }
 
+  test("stationary distribution: planted 2-state alternating chain settles at 50/50") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stat-test").toString
+    val t0 = 86400000L * 19000
+    // one user alternating a b a b ... -> P(a->b)=P(b->a)=1; the even
+    // iteration count returns the uniform start exactly: pi = (1/2, 1/2)
+    val rows = (0 until 40).map { i =>
+      (new java.sql.Timestamp(t0 + i * 60000L), if (i % 2 == 0) "a" else "b",
+        i.toLong, 1L, 1.0, "{}")
+    }
+    rows.toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = graft.ops.EventAnalytics.transitionStationary(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val half = graft.ops.EventAnalytics.StatScale / 2
+    assert(got == Map("a" -> half, "b" -> half), s"got $got")
+    // the real store: total stationary mass never exceeds the scale
+    // (floor divisions only drain), every state appears exactly once
+    val real = graft.ops.EventAnalytics.transitionStationary(spark, sfDir).collect()
+    assert(real.map(_.getString(0)).distinct.length == real.length)
+    assert(real.map(_.getLong(1)).sum <= graft.ops.EventAnalytics.StatScale)
+  }
+
+  test("rollup shares: region shares sum to 1, total shares sum to 1") {
+    val rows = graft.ops.Relational.rollupShares(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (region, rs) =>
+      val s = rs.map(_._2).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"region $region shares sum $s")
+    }
+    val t = rows.map(_._3).sum
+    assert(math.abs(t - 1.0) < 1e-4, s"total shares sum $t")
+  }
+
   test("char_entropy query: flag consistent with the quantized value, one row per doc") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val rows = graft.ops.ScalePatterns.charEntropy(spark, sfDir).collect()
