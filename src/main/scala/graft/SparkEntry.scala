@@ -1009,6 +1009,11 @@ object SparkEntry {
       graft.ops.EventAnalytics.transitionStationary(s, dir)),
     // percent-of-parent BI drill-down over the region->nation rollup
     "rollup_shares" -> ((s, dir) => Relational.rollupShares(s, dir)),
+    // inter-event-gap distribution per user (nearest-rank exact
+    // minutes) - the data the sessionization gap should be fit from
+    "user_cadence" -> ((s, dir) => graft.ops.EventAnalytics.userCadence(s, dir)),
+    // backlog aging anchored to the data's own horizon (deterministic)
+    "order_aging" -> ((s, dir) => Relational.orderAging(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -2886,6 +2891,55 @@ object SparkEntry {
         |  round(CAST(rev_dec AS DOUBLE)
         |    / CAST(sum(rev_dec) OVER () AS DOUBLE), 6) AS share_of_total
         |FROM leaf ORDER BY r_name, n_name""".stripMargin,
+    // nearest-rank gap percentiles replayed with the same integer DIV
+    // rank formulas; ties ordered by event_id in both engines
+    "user_cadence" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (
+        |  SELECT user_id, event_id,
+        |    (lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      - tus) // 60000000 AS gap_min
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, gap_min,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY gap_min, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM g WHERE gap_min IS NOT NULL),
+        |s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN gap_min END)
+        |      AS BIGINT) AS median_gap_min,
+        |    CAST(max(CASE WHEN rn = (9 * cnt + 9) // 10 THEN gap_min END)
+        |      AS BIGINT) AS p90_gap_min
+        |  FROM r GROUP BY user_id),
+        |n AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY user_id)
+        |SELECT n.user_id, n.n_events, COALESCE(s.n_gaps, 0) AS n_gaps,
+        |  s.median_gap_min, s.p90_gap_min
+        |FROM n LEFT JOIN s ON n.user_id = s.user_id
+        |ORDER BY n.user_id""".stripMargin,
+    // age bands over exact day diffs vs the data's own max date
+    "order_aging" ->
+      """WITH snap AS (SELECT max(o_orderdate) AS snap_date FROM orders)
+        |SELECT age_bucket, o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS open_value
+        |FROM (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    CASE WHEN datediff('day', o_orderdate, snap_date) <= 30
+        |        THEN '0-030d'
+        |      WHEN datediff('day', o_orderdate, snap_date) <= 90
+        |        THEN '031-090d'
+        |      WHEN datediff('day', o_orderdate, snap_date) <= 365
+        |        THEN '091-365d'
+        |      ELSE '366d+' END AS age_bucket
+        |  FROM orders CROSS JOIN snap)
+        |GROUP BY age_bucket, o_orderstatus
+        |ORDER BY age_bucket, o_orderstatus""".stripMargin,
     "graph_triangles" ->
       (basketCtes + """,
         |ud AS (SELECT pa AS u, pb AS v FROM pc),

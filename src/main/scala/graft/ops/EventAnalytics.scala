@@ -1228,6 +1228,39 @@ object EventAnalytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Per-user activity cadence — the inter-event-gap distribution the
+    * sessionization gap parameter (and any engagement model) should be
+    * fit FROM rather than guessed: for each user, the event count and
+    * the median / p90 gap between consecutive events in exact integer
+    * minutes. Percentiles are nearest-rank selections over the
+    * row-numbered per-user gap frame (the `daily_value_percentiles`
+    * idiom — `rn = ceil(p·n)` via integer DIV), so every reported
+    * value is an actual observed gap, hash-stable cross-engine. One
+    * shuffle on user_id does the ordering window and the aggregate. */
+  def userCadence(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val gaps = identifiedEvents(spark, sfDir)
+      .withColumn("nxt", lead(col("tus"), 1).over(w))
+      .withColumn("gap_min", expr("(nxt - tus) DIV 60000000"))
+    val grp = Window.partitionBy(col("user_id"))
+    val ranked = gaps.filter(col("nxt").isNotNull)
+      .withColumn("rn", row_number().over(grp.orderBy(col("gap_min"), col("event_id"))))
+      .withColumn("cnt", count(lit(1)).over(grp))
+    val stats = ranked.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(when(col("rn") === expr("(cnt + 1) DIV 2"), col("gap_min")))
+          .as("median_gap_min"),
+        max(when(col("rn") === expr("(9 * cnt + 9) DIV 10"), col("gap_min")))
+          .as("p90_gap_min"))
+    identifiedEvents(spark, sfDir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .join(stats, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        col("median_gap_min"), col("p90_gap_min"))
+      .orderBy(col("user_id"))
+  }
+
   /** Data-driven seasonal-period detection — the evidence behind the
     * frequency the reference HARD-CODES to 7 (R:369 and every
     * `ts(..., frequency=7)` call): for each element's daily activity

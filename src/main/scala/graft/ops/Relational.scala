@@ -560,6 +560,24 @@ object Relational {
         col("n_orders"), round(col("total_price"), 6).as("total_price"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Order-backlog aging report — ages anchored to the data's own
+    * horizon (`max(o_orderdate)`, a 1-row broadcast) so the report is
+    * deterministic and oracle-checkable, never wall-clock-dependent.
+    * Buckets are closed-form CASE bands over exact day diffs; one
+    * partial-merged aggregate on the (bucket, status) key. */
+  def orderAging(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val snap = orders.agg(max(col("o_orderdate")).as("snap_date"))
+    val age = datediff(col("snap_date"), col("o_orderdate"))
+    orders.crossJoin(broadcast(snap))
+      .select(col("o_orderstatus"), col("o_totalprice"),
+        when(age <= 30, "0-030d").when(age <= 90, "031-090d")
+          .when(age <= 365, "091-365d").otherwise("366d+").as("age_bucket"))
+      .groupBy(col("age_bucket"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("open_value"))
+      .orderBy(col("age_bucket"), col("o_orderstatus"))
+  }
+
   /** Percent-of-parent over the region→nation hierarchy — the BI
     * drill-down companion to [[revenueRollup]]: each nation's share of
     * its region and of the grand total. The level sums are DECIMAL

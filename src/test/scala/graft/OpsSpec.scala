@@ -1313,8 +1313,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rank_drift" -> (() => graft.ops.EventAnalytics.rankDrift(spark, edir).count()),
       "fc_ensemble" -> (() => graft.engine.Backtest.ensembleForecast(spark, edir).count()),
       "stream_drift" -> (() => EventIngest.driftMonitorAvailableNow(spark, edir).count()),
-      // shuffle-economy-tier event operator joins the sweep
-      "twap_daily" -> (() => graft.ops.EventAnalytics.twapDaily(spark, edir).count())
+      // shuffle-economy-tier event operators join the sweep
+      "twap_daily" -> (() => graft.ops.EventAnalytics.twapDaily(spark, edir).count()),
+      "dominant_period" -> (() =>
+        graft.ops.EventAnalytics.dominantPeriod(spark, edir).count()),
+      "transition_stationary" -> (() =>
+        graft.ops.EventAnalytics.transitionStationary(spark, edir).count()),
+      "user_cadence" -> (() => graft.ops.EventAnalytics.userCadence(spark, edir).count()),
+      "rolling_mau_sketch" -> (() =>
+        graft.ops.EventAnalytics.rollingMauSketch(spark, edir).count())
     ).foreach { case (name, run) =>
       try run() catch {
         case e: Throwable => fail(s"$name threw on null event fields: $e")
