@@ -1014,6 +1014,11 @@ object SparkEntry {
     "user_cadence" -> ((s, dir) => graft.ops.EventAnalytics.userCadence(s, dir)),
     // backlog aging anchored to the data's own horizon (deterministic)
     "order_aging" -> ((s, dir) => Relational.orderAging(s, dir)),
+    // JSON-lines source tier: explicit-schema read of the JSONL mirror,
+    // hash-checked against the SAME aggregate over the parquet store -
+    // the text round-trip must lose nothing
+    "events_from_json" -> ((s, dir) =>
+      graft.sources.JsonStore.dailyFromJson(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -2940,6 +2945,16 @@ object SparkEntry {
         |  FROM orders CROSS JOIN snap)
         |GROUP BY age_bucket, o_orderstatus
         |ORDER BY age_bucket, o_orderstatus""".stripMargin,
+    // the parity oracle runs over the PARQUET store: the JSONL tier
+    // must reproduce it bit-for-bit
+    "events_from_json" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY event_type, CAST(ts AS DATE)
+        |ORDER BY event_type, day""".stripMargin,
     "graph_triangles" ->
       (basketCtes + """,
         |ud AS (SELECT pa AS u, pb AS v FROM pc),

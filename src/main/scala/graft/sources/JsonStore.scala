@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSON-lines tier of the source surface — the text-format ingest path
+  * a deployment actually receives feeds in (the reference's own source
+  * is Elasticsearch JSON documents,
+  * `TimeSeriesFunctions_GPL_0.5.1.R:23-40`; this is that wire format as
+  * a Spark file source). The mirror is derived from the parquet store
+  * once per (app, corpus) under the standard freshness rule, and the
+  * reader applies an EXPLICIT schema — at 100 TB, schema inference is a
+  * full extra pass over the text before the first real job, so a
+  * production reader always ships its schema.
+  *
+  * Exactness contract: `ts` travels as the epoch-nanos LONG (integers
+  * round-trip JSON exactly; an ISO timestamp string would re-open the
+  * µs/ns truncation class), doubles round-trip via Spark's
+  * shortest-representation writer, and strings are JSON-escaped by the
+  * writer — so a query over the JSONL mirror must equal the same query
+  * over parquet bit-for-bit, which is exactly what the
+  * `events_from_json` oracle (plain SQL over the PARQUET store) checks.
+  */
+object JsonStore {
+
+  private val builds = new java.util.concurrent.ConcurrentHashMap[(String, String), Unit]()
+
+  private def ident(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9_]", "_").replaceAll("^_+", "")
+
+  private def path(sfDir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
+      ident(sfDir) + "/events_jsonl"
+
+  /** The explicit reader schema (ts = epoch-nanos LONG). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Write (or reuse) the JSONL mirror for one corpus. */
+  def ensureJsonl(spark: SparkSession, sfDir: String): Unit =
+    builds.computeIfAbsent((spark.sparkContext.applicationId, sfDir), _ => {
+      val p = path(sfDir)
+      if (!LayoutStore.mirrorFresh(sfDir, p)) {
+        // Tables.events normalizes ts to epoch-nanos LONG for every
+        // store generation, so the JSON carries integers
+        Tables.events(spark, sfDir)
+          .select(col("event_id"), col("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .write.mode(SaveMode.Overwrite).json(p)
+      }
+    })
+
+  /** Events read back from the JSONL mirror with the explicit schema
+    * (no inference pass). */
+  def eventsFromJson(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureJsonl(spark, sfDir)
+    spark.read.schema(EventSchema).json(path(sfDir))
+  }
+
+  /** The registered parity query: per-(type, day) counts and
+    * decimal-exact value sums off the JSON tier — hash-checked against
+    * the same aggregate over the PARQUET store (the oracle), proving
+    * the text round-trip loses nothing. */
+  def dailyFromJson(spark: SparkSession, sfDir: String): DataFrame =
+    eventsFromJson(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        expr(s"CAST(ts DIV ${Tables.NanosPerDay} AS INT)").as("day_num"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("event_type"),
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")), col("day_num")).as("day"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("event_type"), col("day"))
+}

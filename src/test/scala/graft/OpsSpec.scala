@@ -3889,6 +3889,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(t - 1.0) < 1e-4, s"total shares sum $t")
   }
 
+  test("JSONL source tier round-trips the events store row-for-row") {
+    val pq = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect().map(_.toSeq).toSet
+    val js = graft.sources.JsonStore.eventsFromJson(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect().map(_.toSeq).toSet
+    assert(js == pq,
+      s"JSON round-trip lost rows: pq=${pq.size} json=${js.size}, " +
+        s"diff sample=${(pq -- js).take(2)} / ${(js -- pq).take(2)}")
+  }
+
   test("char_entropy query: flag consistent with the quantized value, one row per doc") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val rows = graft.ops.ScalePatterns.charEntropy(spark, sfDir).collect()
