@@ -1019,6 +1019,10 @@ object SparkEntry {
     // the text round-trip must lose nothing
     "events_from_json" -> ((s, dir) =>
       graft.sources.JsonStore.dailyFromJson(s, dir)),
+    // CSV sibling: RFC-4180 quoting of the embedded-JSON props column
+    // is part of what the parity hash proves
+    "events_from_csv" -> ((s, dir) =>
+      graft.sources.JsonStore.dailyFromCsv(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -2948,6 +2952,14 @@ object SparkEntry {
     // the parity oracle runs over the PARQUET store: the JSONL tier
     // must reproduce it bit-for-bit
     "events_from_json" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY event_type, CAST(ts AS DATE)
+        |ORDER BY event_type, day""".stripMargin,
+    "events_from_csv" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,
         |  count(*) AS n_events,
         |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

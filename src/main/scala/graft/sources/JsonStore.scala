@@ -63,12 +63,38 @@ object JsonStore {
     spark.read.schema(EventSchema).json(path(sfDir))
   }
 
-  /** The registered parity query: per-(type, day) counts and
-    * decimal-exact value sums off the JSON tier — hash-checked against
-    * the same aggregate over the PARQUET store (the oracle), proving
-    * the text round-trip loses nothing. */
-  def dailyFromJson(spark: SparkSession, sfDir: String): DataFrame =
-    eventsFromJson(spark, sfDir)
+  private def csvPath(sfDir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
+      ident(sfDir) + "/events_csv"
+
+  /** CSV sibling of the JSONL mirror — same freshness rule, same
+    * explicit schema, same exactness contract. The `props` column
+    * carries embedded JSON (quotes + commas), so the writer's RFC-4180
+    * quoting/escaping is part of what the parity check proves. */
+  def ensureCsv(spark: SparkSession, sfDir: String): Unit =
+    builds.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir + "#csv"), _ => {
+        val p = csvPath(sfDir)
+        if (!LayoutStore.mirrorFresh(sfDir, p)) {
+          Tables.events(spark, sfDir)
+            .select(col("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+            .write.mode(SaveMode.Overwrite)
+            .option("header", "true").option("escape", "\"")
+            .csv(p)
+        }
+      })
+
+  /** Events read back from the CSV mirror with the explicit schema. */
+  def eventsFromCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureCsv(spark, sfDir)
+    spark.read.schema(EventSchema)
+      .option("header", "true").option("escape", "\"")
+      .csv(csvPath(sfDir))
+  }
+
+  private def dailyOf(events: DataFrame): DataFrame =
+    events
       .filter(col("event_type").isNotNull && col("ts").isNotNull)
       .groupBy(col("event_type"),
         expr(s"CAST(ts DIV ${Tables.NanosPerDay} AS INT)").as("day_num"))
@@ -78,4 +104,14 @@ object JsonStore {
         date_add(lit(java.sql.Date.valueOf("1970-01-01")), col("day_num")).as("day"),
         col("n_events"), col("sum_value"))
       .orderBy(col("event_type"), col("day"))
+
+  /** The registered parity queries: per-(type, day) counts and
+    * decimal-exact value sums off each text tier — hash-checked
+    * against the same aggregate over the PARQUET store (the oracle),
+    * proving the round-trip loses nothing. */
+  def dailyFromJson(spark: SparkSession, sfDir: String): DataFrame =
+    dailyOf(eventsFromJson(spark, sfDir))
+
+  def dailyFromCsv(spark: SparkSession, sfDir: String): DataFrame =
+    dailyOf(eventsFromCsv(spark, sfDir))
 }

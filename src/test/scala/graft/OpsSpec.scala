@@ -3899,6 +3899,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(js == pq,
       s"JSON round-trip lost rows: pq=${pq.size} json=${js.size}, " +
         s"diff sample=${(pq -- js).take(2)} / ${(js -- pq).take(2)}")
+    // CSV sibling: RFC-4180 quoting of the embedded-JSON props included
+    val cs = graft.sources.JsonStore.eventsFromCsv(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect().map(_.toSeq).toSet
+    assert(cs == pq,
+      s"CSV round-trip lost rows: pq=${pq.size} csv=${cs.size}, " +
+        s"diff sample=${(pq -- cs).take(2)} / ${(cs -- pq).take(2)}")
   }
 
   test("char_entropy query: flag consistent with the quantized value, one row per doc") {
