@@ -1023,6 +1023,9 @@ object SparkEntry {
     // is part of what the parity hash proves
     "events_from_csv" -> ((s, dir) =>
       graft.sources.JsonStore.dailyFromCsv(s, dir)),
+    // media-tier cluster resolution: CC over the perceptual-hash pair
+    // graph (shared large/small-star machinery), recursive-CTE oracle
+    "media_dup_clusters" -> ((s, dir) => Multimodal.mediaDupClusters(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -2637,6 +2640,42 @@ object SparkEntry {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the dhash pair set replayed + closed with a recursive CTE (the
+    // dup_clusters idiom over the media universe)
+    "media_dup_clusters" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id, COALESCE(text, '') AS txt, length(COALESCE(text, '')) AS len
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) <> 1),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len = 0 THEN list_transform(generate_series(0, 71), k -> 0)
+        |         ELSE list_transform(generate_series(0, 71),
+        |           k -> ascii(substr(txt, CAST(1 + (k * len) // 72 AS INT), 1)))
+        |    END AS grid
+        |  FROM m),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(generate_series(0, 62),
+        |      j -> CASE WHEN grid[CAST((j // 8) * 9 + (j % 8) + 1 AS INT)] >
+        |                     grid[CAST((j // 8) * 9 + (j % 8) + 2 AS INT)]
+        |                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS dhash
+        |  FROM g),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 7),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM m
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY cluster_id)
+        |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+        |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
     "media_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes
@@ -3735,6 +3774,7 @@ object SparkEntry {
         |    CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)
         |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS wgt
         |  FROM tf JOIN df ON tf.g = df.g, nd
+        |  WHERE df < n_docs
         |), norms AS (
         |  SELECT doc_id,
         |    sqrt(CAST(sum(CAST(round(wgt * wgt, 12) AS DECIMAL(30,12)))

@@ -151,6 +151,33 @@ object Multimodal {
     NearDup.bandedHammingPairs(sigs, maxHamming, bands = 8, cap = 512)
   }
 
+  /** Perceptual-duplicate CLUSTER resolution — the media tier's
+    * counterpart of the text tier's `dup_clusters` (a pair table
+    * without cluster resolution can't drive a keep-one-per-group
+    * purge): connected components over the banded-hamming pair graph
+    * via the shared alternating large/small-star machinery
+    * (`Dedup.starContract` — O(log² n) rounds at any diameter, loud
+    * failure on non-convergence), labels = component-min doc_id,
+    * singleton media label themselves. The component edges are
+    * id-pairs only; nothing payload-sized shuffles. Fully
+    * oracle-checkable: the dhash pair set is SQL-replayed and closed
+    * with a recursive CTE. */
+  def mediaDupClusters(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame = {
+    val pairs = mediaNearDup(spark, sfDir, maxHamming)
+      .select(col("doc_b").as("u"), col("doc_a").as("v")) // doc_a < doc_b ⇒ u > v
+    val roots = Dedup.starContract(pairs)
+      .groupBy(col("u").as("doc_id")).agg(min(col("v")).as("root"))
+    val lab = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter((col("doc_id") % 3).cast("int") =!= 1)
+      .select(col("doc_id"))
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    val sz = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    lab.join(sz, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Uniform frame sampling for the video rows: up to `maxFrames`
     * frame indices per clip at even spacing — the frame-sample stage a
     * video pipeline runs before per-frame decode/embedding (sampling

@@ -731,7 +731,14 @@ object NearDup {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
+    // df = N terms carry zero information (idf = 0): they contribute
+    // nothing to dot or norms, and a document made ENTIRELY of them
+    // would have a zero norm — the 0/0 cosine the null-text sweep
+    // caught. Excluding them by the integer predicate (df < N) keeps
+    // every surviving pair's cosine bit-identical and removes the
+    // degenerate division in both engines.
     val wgt = tf.join(df, "g").crossJoin(broadcast(nDocs))
+      .filter(col("df") < col("n_docs"))
       .select(col("doc_id"), col("g"),
         (col("tf").cast("double") / col("dl").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double"))).as("wgt"))
