@@ -56,9 +56,24 @@ object Bpe {
       .toDF("step", "pair_a", "pair_b", "n_pairs").orderBy(col("step"))
   }
 
+  /** Session cache of the trained state, keyed by (app, corpus,
+    * steps): `bpe_merges` and `bpe_token_stats` share one training run
+    * instead of each paying the K-iteration loop (the measured cost of
+    * not caching was the consumer re-training at 2.2 s per bench
+    * invocation). The final symbol table is vocabulary-sized and
+    * already lineage-cut, so holding it is metadata-scale. */
+  private val stateCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), (Seq[(Long, String, String, Long)], DataFrame)]()
+
   /** Training loop shared by the merge table and its consumer: returns
     * the merge rules AND the final per-word symbol table. */
   private def trainState(spark: SparkSession, sfDir: String, steps: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) =
+    stateCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir, steps),
+      _ => trainStateUncached(spark, sfDir, steps))
+
+  private def trainStateUncached(spark: SparkSession, sfDir: String, steps: Int)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     var syms = wordCounts(spark, sfDir)
       .select(col("word"), col("n"),
