@@ -1026,6 +1026,17 @@ object SparkEntry {
     // media-tier cluster resolution: CC over the perceptual-hash pair
     // graph (shared large/small-star machinery), recursive-CTE oracle
     "media_dup_clusters" -> ((s, dir) => Multimodal.mediaDupClusters(s, dir)),
+    // OLS slope of mean monthly ship latency per priority (term_zipf
+    // float discipline: 12dp-rounded moments, DECIMAL sums)
+    "latency_trend" -> ((s, dir) => Relational.latencyTrend(s, dir)),
+    // Herfindahl supplier-concentration index per part type
+    "supplier_hhi" -> ((s, dir) => Relational.supplierHhi(s, dir)),
+    // consecutive-order gap histogram per recency band
+    "repurchase_intervals" -> ((s, dir) =>
+      Relational.repurchaseIntervals(s, dir)),
+    // Shannon entropy of each source's language mix (12dp DECIMAL terms)
+    "lang_entropy_by_source" -> ((s, dir) =>
+      TextAnalysis.langEntropyBySource(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -2676,6 +2687,90 @@ object SparkEntry {
         |       FROM lab GROUP BY cluster_id)
         |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    // the same 12dp-rounded DECIMAL moment sums + one IEEE slope
+    "latency_trend" ->
+      """WITH monthly AS (
+        |  SELECT o_orderpriority,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+        |    CAST(round(
+        |      CAST(sum(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 12) AS DECIMAL(18,12)) AS y,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate)
+        |      AS DECIMAL(18,12)) AS x
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+        |  GROUP BY o_orderpriority,
+        |    year(o_orderdate) * 12 + month(o_orderdate)
+        |), s AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM monthly GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n AS n_months,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS days_per_month,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) > 0.0 AS slowing
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
+    // shares are IEEE divisions of exact DECIMAL revenues; squares
+    // 12dp-rounded into the DECIMAL HHI sum
+    "supplier_hhi" ->
+      """WITH by_supp AS (
+        |  SELECT p_type, l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_type, l_suppkey
+        |), by_type AS (
+        |  SELECT p_type, sum(rev) AS tot,
+        |    CAST(count(*) AS BIGINT) AS n_suppliers
+        |  FROM by_supp GROUP BY p_type
+        |), sq AS (
+        |  SELECT s.p_type, t.n_suppliers,
+        |    CAST(round((CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE))
+        |      * (CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)), 12)
+        |      AS DECIMAL(18,12)) AS sq
+        |  FROM by_supp s JOIN by_type t ON s.p_type = t.p_type)
+        |SELECT p_type, n_suppliers,
+        |  round(CAST(sum(sq) AS DOUBLE), 6) AS hhi,
+        |  round(CAST(sum(sq) AS DOUBLE), 6) > 0.25 AS concentrated
+        |FROM sq GROUP BY p_type, n_suppliers
+        |ORDER BY p_type""".stripMargin,
+    "repurchase_intervals" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    datediff('day', o_orderdate,
+        |      lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey)) AS gap_days
+        |  FROM orders)
+        |SELECT CASE WHEN gap_days <= 7 THEN '0-007d'
+        |    WHEN gap_days <= 30 THEN '008-030d'
+        |    WHEN gap_days <= 90 THEN '031-090d'
+        |    ELSE '091d+' END AS gap_bucket,
+        |  count(*) AS n_gaps,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM g WHERE gap_days IS NOT NULL
+        |GROUP BY 1 ORDER BY gap_bucket""".stripMargin,
+    // the join_skew_report entropy idiom over each source's lang mix
+    "lang_entropy_by_source" ->
+      """WITH c AS (
+        |  SELECT source, COALESCE(lang, 'unknown') AS lang,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, COALESCE(lang, 'unknown')
+        |), t AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_langs
+        |  FROM c GROUP BY source)
+        |SELECT c.source, t.n_docs, t.n_langs,
+        |  round(0.0 - CAST(sum(CAST(round(
+        |    (CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE)), 12)
+        |    AS DECIMAL(18,12))) AS DOUBLE), 6) AS lang_entropy
+        |FROM c JOIN t ON c.source = t.source
+        |GROUP BY c.source, t.n_docs, t.n_langs
+        |ORDER BY c.source""".stripMargin,
     "media_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes

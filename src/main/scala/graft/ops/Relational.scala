@@ -560,6 +560,91 @@ object Relational {
         col("n_orders"), round(col("total_price"), 6).as("total_price"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Shipping-latency TREND per priority class — the "is fulfilment
+    * getting slower" report: OLS slope of mean monthly latency (days
+    * between order and ship date) over the month index. The term_zipf
+    * float discipline: monthly means are single IEEE divisions of
+    * exact integer day/count sums, 12dp-rounded into DECIMAL moment
+    * sums (order-free), and the closed-form slope is one shared IEEE
+    * sequence — hash-stable. Shuffles: the (priority, month) aggregate
+    * of count partials; the regression runs over |priorities|·|months|
+    * rows. */
+  def latencyTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy(col("o_orderpriority"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+      .agg(sum(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+        .as("sum_days"), count(lit(1)).as("n_items"))
+      .select(col("o_orderpriority"), col("mi"),
+        round(col("sum_days").cast("double") / col("n_items").cast("double"), 12)
+          .cast("decimal(18,12)").as("y"),
+        col("mi").cast("decimal(18,12)").as("x"))
+    val s = monthly.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val (n, sx, sy, sxy, sxx) = (col("n").cast("double"), col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"), col("sxx").cast("double"))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    s.select(col("o_orderpriority"), col("n").as("n_months"),
+        round(slope, 6).as("days_per_month"),
+        (round(slope, 6) > 0.0d).as("slowing"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Supplier-concentration Herfindahl index per part type — the
+    * sourcing-risk report: HHI = Σ (supplier revenue share)², each
+    * share one IEEE division of exact DECIMAL revenue sums, each
+    * square 12dp-rounded into the DECIMAL HHI sum (order-free). The
+    * flag applies the standard 0.25 "highly concentrated" screen.
+    * Two partial-merged aggregates: (type, supplier) revenue, then the
+    * |types|-keyed rollup. */
+  def supplierHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySupp = t(spark, sfDir, "lineitem")
+      .join(broadcast(t(spark, sfDir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
+    val byType = bySupp.groupBy(col("p_type"))
+      .agg(sum(col("rev")).as("tot"), count(lit(1)).as("n_suppliers"))
+    bySupp.join(broadcast(byType), "p_type")
+      .select(col("p_type"), col("n_suppliers"),
+        round((col("rev").cast("double") / col("tot").cast("double")) *
+          (col("rev").cast("double") / col("tot").cast("double")), 12)
+          .cast("decimal(18,12)").as("sq"))
+      .groupBy(col("p_type"), col("n_suppliers"))
+      .agg(sum(col("sq")).as("hhi_dec"))
+      .select(col("p_type"), col("n_suppliers"),
+        round(col("hhi_dec").cast("double"), 6).as("hhi"),
+        (round(col("hhi_dec").cast("double"), 6) > 0.25d).as("concentrated"))
+      .orderBy(col("p_type"))
+  }
+
+  /** Repurchase-interval histogram — the retention economics view of
+    * the orders fact: consecutive-order gaps per customer (lead over
+    * the (custkey, date, orderkey) order — the unique key breaks date
+    * ties deterministically), banded into the standard recency
+    * buckets. One shuffle on custkey; the histogram is
+    * |buckets|-sized. */
+  def repurchaseIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = t(spark, sfDir, "orders")
+      .withColumn("nxt", lead(col("o_orderdate"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("nxt"), col("o_orderdate")).cast("long").as("gap_days"))
+    gaps
+      .select(col("o_custkey"),
+        when(col("gap_days") <= 7, "0-007d").when(col("gap_days") <= 30, "008-030d")
+          .when(col("gap_days") <= 90, "031-090d").otherwise("091d+").as("gap_bucket"))
+      .groupBy(col("gap_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("gap_bucket"))
+  }
+
   /** Order-backlog aging report — ages anchored to the data's own
     * horizon (`max(o_orderdate)`, a 1-row broadcast) so the report is
     * deterministic and oracle-checkable, never wall-clock-dependent.

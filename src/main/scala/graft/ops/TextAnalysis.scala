@@ -580,6 +580,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang_given"), col("pred_lang"))
 
+  /** Language-mix diversity per source — Shannon entropy of each
+    * feed's declared-language distribution (the one number that says
+    * "monolingual feed" vs "mixed crawl" when planning per-language
+    * budgets). Terms are 12dp-rounded into a DECIMAL sum (the
+    * join_skew_report entropy idiom), so the double is order-free;
+    * null langs count as their own class. |sources|×|langs|-bounded
+    * aggregates only. */
+  def langEntropyBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docs(spark, sfDir)
+      .groupBy(col("source"), coalesce(col("lang"), lit("unknown")).as("lang"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_langs"))
+    counts.join(broadcast(totals), "source")
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round((col("c").cast("double") / col("n_docs").cast("double")) *
+          log(col("c").cast("double") / col("n_docs").cast("double")), 12)
+          .cast("decimal(18,12)").as("term"))
+      .groupBy(col("source"), col("n_docs"), col("n_langs"))
+      .agg(sum(col("term")).as("ent_dec"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round(-col("ent_dec").cast("double"), 6).as("lang_entropy"))
+      .orderBy(col("source"))
+  }
+
   /** Positional phrase search — the retrieval feature BM25's
     * bag-of-words scoring cannot express: a document matches only
     * where the query tokens are ADJACENT. The plan is entirely

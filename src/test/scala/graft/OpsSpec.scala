@@ -3908,6 +3908,71 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"diff sample=${(pq -- cs).take(2)} / ${(cs -- pq).take(2)}")
   }
 
+  test("latency trend: a perfectly linear planted latency has slope exactly 1.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-trend-test").toString
+    // month k (1..6): one order whose single lineitem ships k days later
+    val orders = (1 to 6).map(k => (k.toLong, 1L, "O", 10.0,
+      java.sql.Timestamp.valueOf(f"2024-$k%02d-01 00:00:00"), "1-URGENT"))
+    orders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority").write.parquet(s"$dir/orders.parquet")
+    (1 to 6).map(k => (k.toLong, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+      java.sql.Timestamp.valueOf(f"2024-$k%02d-0${k + 1}%d 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Relational.latencyTrend(spark, dir).collect()
+    assert(got.length == 1 && got(0).getDouble(2) == 1.0 && got(0).getBoolean(3),
+      s"planted +1 day/month: ${got.toSeq}")
+  }
+
+  test("supplier HHI: a sole supplier scores exactly 1.0 and flags concentrated") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hhi-test").toString
+    Seq((1L, "solo", "Brand#1", "MONO", 1, 1.0),
+        (2L, "duo", "Brand#1", "DUO", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    Seq((1L, 1L, 7L, 1, 1.0, 100.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, 2L, 7L, 1, 1.0, 50.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (3L, 2L, 8L, 1, 1.0, 50.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Relational.supplierHhi(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got("MONO") == ((1L, 1.0, true)), s"${got("MONO")}")
+    assert(got("DUO") == ((2L, 0.5, true)), s"50/50 split HHI: ${got("DUO")}")
+  }
+
+  test("repurchase intervals: bucket totals reconcile with per-customer gap counts") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val wantGaps = orders.map(n => math.max(0L, n - 1)).sum
+    val got = graft.ops.Relational.repurchaseIntervals(spark, sfDir).collect()
+    assert(got.map(_.getLong(1)).sum == wantGaps,
+      s"gap total must be sum(orders-1) per customer: ${got.toSeq} vs $wantGaps")
+  }
+
+  test("language entropy per source: single-lang is 0, 50/50 mix is ln 2") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lent-test").toString
+    Seq((1L, "en", "mono", "x"), (2L, "en", "mono", "y"),
+        (3L, "en", "mix", "x"), (4L, "de", "mix", "y"))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.langEntropyBySource(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("mono") == 0.0, s"${got("mono")}")
+    assert(math.abs(got("mix") - math.log(2.0)) < 1e-6, s"${got("mix")}")
+  }
+
   test("char_entropy query: flag consistent with the quantized value, one row per doc") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val rows = graft.ops.ScalePatterns.charEntropy(spark, sfDir).collect()
