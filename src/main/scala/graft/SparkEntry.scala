@@ -1037,6 +1037,9 @@ object SparkEntry {
     // Shannon entropy of each source's language mix (12dp DECIMAL terms)
     "lang_entropy_by_source" -> ((s, dir) =>
       TextAnalysis.langEntropyBySource(s, dir)),
+    // cluster-size histogram off the session-cached dedup labels: the
+    // one-table summary a dedup run is judged by
+    "dup_cluster_histogram" -> ((s, dir) => Dedup.dupClusterHistogram(s, dir)),
     // the scale tier: HLL++ NDV, one pass, mergeable partials; accuracy
     // gated ±5% vs the exact profile in OpsSpec (rows-only: sketches
     // are engine-specific)
@@ -1866,6 +1869,34 @@ object SparkEntry {
         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
         |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    // the same recursive closure, rolled up to the size histogram
+    "dup_cluster_histogram" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, lang, source, len(toks) AS n, unnest(toks) AS w FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM x a JOIN x b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        |  HAVING round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) >= 0.95),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY cluster_id)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+        |  CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_dropped_by_dedup
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // the composed curation pipeline: quality >= 0.5 AND no PII AND
     // min-doc_id representative among each near-dup cluster's SURVIVING
     // members — every stage's oracle fused

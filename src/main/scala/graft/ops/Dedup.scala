@@ -190,6 +190,24 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The one-table summary a dedup RUN is judged by — the cluster-size
+    * histogram: how many components of each size, how many documents
+    * they hold, and how many would be dropped by keep-one-per-cluster
+    * (size − 1 each). A healthy crawl is dominated by singletons; a few
+    * giant cliques mean a boilerplate family (and explain any pair-level
+    * recall loss from the LSH salt cap, which splits exactly those).
+    * Rides the session-cached labels — two |clusters|-scale aggregates,
+    * nothing touches text. */
+  def dupClusterHistogram(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.95): DataFrame =
+    clusterLabels(spark, sfDir, threshold)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"),
+        (count(lit(1)) * (col("cluster_size") - 1)).as("n_dropped_by_dedup"))
+      .orderBy(col("cluster_size"))
+
   /** The composed curation pipeline — what a training-data run actually
     * executes over 100 TB: quality filter → PII screen → one-per-near-
     * dup-cluster dedup, in one declarative plan (cluster labels reused

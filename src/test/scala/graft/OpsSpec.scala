@@ -3973,6 +3973,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got("mix") - math.log(2.0)) < 1e-6, s"${got("mix")}")
   }
 
+  test("dup cluster histogram reconciles with the corpus and the label table") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val rows = graft.ops.Dedup.dupClusterHistogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum == docs, s"histogram docs must cover the corpus: ${rows.toSeq}")
+    rows.foreach { case (size, nc, nd, dropped) =>
+      assert(nd == nc * size && dropped == nd - nc,
+        s"per-row identity broken: ($size, $nc, $nd, $dropped)")
+    }
+  }
+
   test("char_entropy query: flag consistent with the quantized value, one row per doc") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val rows = graft.ops.ScalePatterns.charEntropy(spark, sfDir).collect()
