@@ -505,6 +505,10 @@ object SparkEntry {
     // realized |h-step errors| — distribution-free coverage, oracle
     // re-derives score ranks end to end
     "fc_conformal" -> ((s, dir) => graft.engine.Conformal.conformalNaive(s, dir)),
+    // the conformal layer widened over the whole closed-form registry
+    // (NAIVE/DRIFT/MEANF/SNAIVE) — per-family prefix-forecast scores,
+    // same rank rule, fully oracle-replayed
+    "fc_conformal_all" -> ((s, dir) => graft.engine.Conformal.conformalClosed(s, dir)),
     // 2-level hierarchy: bottom-up sum of leaf DRIFT forecasts vs the
     // direct total DRIFT forecast + per-step coherence gap
     "fc_hierarchical" -> ((s, dir) => graft.engine.Conformal.hierarchicalDrift(s, dir)),
@@ -1603,6 +1607,84 @@ object SparkEntry {
          |  round(t.last_v + q.q95, 6) AS upper2
          |FROM q JOIN tr t USING (element)
          |ORDER BY element, step""".stripMargin,
+    // conformal over all four closed-form families: per-family prefix
+    // forecasts re-derived in SQL; MEANF prefix means ride an exact
+    // DECIMAL(18,6) cumulative sum (order-free — the window engine's
+    // reassociation cannot move them), every other score is a pinned
+    // IEEE op sequence
+    "fc_conformal_all" ->
+      s"""WITH $obsCte,
+         |tr AS (SELECT element, count(*) AS n,
+         |    arg_max(value, step) AS last_v, arg_min(value, step) AS first_v,
+         |    avg(value) AS mu
+         |  FROM obs GROUP BY element),
+         |ok AS (SELECT * FROM tr WHERE n > 28),
+         |pre AS (
+         |  SELECT element, step, value,
+         |    sum(CAST(value AS DECIMAL(18,6)))
+         |      OVER (PARTITION BY element ORDER BY step) AS ds
+         |  FROM obs),
+         |sc AS (
+         |  SELECT o.element, h.step, 'CONFORMAL_NAIVE' AS method,
+         |    abs(o2.value - o.value) AS score
+         |  FROM pre o JOIN ok USING (element) CROSS JOIN range(1, 15) h(step)
+         |  JOIN pre o2 ON o2.element = o.element AND o2.step = o.step + h.step
+         |  UNION ALL
+         |  SELECT o.element, h.step, 'CONFORMAL_DRIFT',
+         |    abs(o2.value
+         |      - (o.value + (o.value - k.first_v) / (o.step - 1.0) * h.step))
+         |  FROM pre o JOIN ok k USING (element) CROSS JOIN range(1, 15) h(step)
+         |  JOIN pre o2 ON o2.element = o.element AND o2.step = o.step + h.step
+         |  WHERE o.step >= 2
+         |  UNION ALL
+         |  SELECT o.element, h.step, 'CONFORMAL_MEANF',
+         |    abs(o2.value - CAST(o.ds AS DOUBLE) / o.step)
+         |  FROM pre o JOIN ok USING (element) CROSS JOIN range(1, 15) h(step)
+         |  JOIN pre o2 ON o2.element = o.element AND o2.step = o.step + h.step
+         |  UNION ALL
+         |  SELECT o2.element, h.step, 'CONFORMAL_SNAIVE',
+         |    abs(o2.value - o.value)
+         |  FROM pre o JOIN ok k USING (element) CROSS JOIN range(1, 15) h(step)
+         |  JOIN pre o2 ON o2.element = o.element
+         |    AND o2.step = o.step
+         |      + least(k.n, $Freq) * ((h.step - 1) // least(k.n, $Freq) + 1)
+         |  WHERE o2.step > h.step),
+         |rk AS (SELECT element, method, step, score,
+         |    row_number() OVER (PARTITION BY element, method, step
+         |      ORDER BY score) AS r,
+         |    count(*) OVER (PARTITION BY element, method, step) AS m
+         |  FROM sc),
+         |q AS (SELECT element, method, step,
+         |    max(CASE WHEN r = least(m, CAST(ceil(0.8 * (m + 1)) AS BIGINT))
+         |      THEN score END) AS q80,
+         |    max(CASE WHEN r = least(m, CAST(ceil(0.95 * (m + 1)) AS BIGINT))
+         |      THEN score END) AS q95
+         |  FROM rk GROUP BY element, method, step),
+         |mids AS (
+         |  SELECT k.element, 'CONFORMAL_NAIVE' AS method, h.step,
+         |    k.last_v AS mid
+         |  FROM ok k CROSS JOIN range(1, 15) h(step)
+         |  UNION ALL
+         |  SELECT k.element, 'CONFORMAL_DRIFT', h.step,
+         |    k.last_v + (k.last_v - k.first_v) / (k.n - 1.0) * h.step
+         |  FROM ok k CROSS JOIN range(1, 15) h(step)
+         |  UNION ALL
+         |  SELECT k.element, 'CONFORMAL_MEANF', h.step, k.mu
+         |  FROM ok k CROSS JOIN range(1, 15) h(step)
+         |  UNION ALL
+         |  SELECT k.element, 'CONFORMAL_SNAIVE', h.step, c.value
+         |  FROM ok k CROSS JOIN range(1, 15) h(step)
+         |  JOIN obs c ON c.element = k.element
+         |    AND c.step = k.n - least(k.n, $Freq)
+         |      + ((h.step - 1) % least(k.n, $Freq)) + 1)
+         |SELECT m.element, m.method, m.step,
+         |  round(m.mid - q.q80, 6) AS lower1,
+         |  round(m.mid - q.q95, 6) AS lower2,
+         |  round(m.mid, 6) AS mean,
+         |  round(m.mid + q.q80, 6) AS upper1,
+         |  round(m.mid + q.q95, 6) AS upper2
+         |FROM mids m JOIN q USING (element, method, step)
+         |ORDER BY element, method, step""".stripMargin,
     // bottom-up Σ leaf DRIFT vs direct total DRIFT; slopes 9dp-quantized
     // before the cross-element DECIMAL sum, gap from the rounded columns
     "fc_hierarchical" ->
@@ -3659,12 +3741,14 @@ object SparkEntry {
         |        / CAST(sum(c) AS DOUBLE) AS h
         |  FROM freq GROUP BY doc_id
         |)
-        |SELECT b.doc_id, b.lang, b.source,
-        |  CAST(floor(COALESCE(e.h, 0.0) * 1000000 + 0.5) AS BIGINT)
-        |    AS entropy_q,
-        |  (COALESCE(e.h, 0.0) < 2.0) AS low_entropy
-        |FROM base b LEFT JOIN ent e ON b.doc_id = e.doc_id
-        |ORDER BY b.doc_id""".stripMargin,
+        |SELECT doc_id, lang, source, entropy_q,
+        |  (entropy_q < 2000000) AS low_entropy
+        |FROM (
+        |  SELECT b.doc_id, b.lang, b.source,
+        |    CAST(floor(COALESCE(e.h, 0.0) * 1000000 + 0.5) AS BIGINT)
+        |      AS entropy_q
+        |  FROM base b LEFT JOIN ent e ON b.doc_id = e.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // the cascaded bloom plan must equal the plain 3-table join
     "bloom_cascade_revenue" ->
       """SELECT o_orderpriority, count(*) AS n_items,
@@ -3862,7 +3946,8 @@ object SparkEntry {
         |), sc AS (
         |  SELECT ph.element, p,
         |    sum(CAST(round(
-        |      CAST((s_ph * c - s * c_ph) * (s_ph * c - s * c_ph) AS DOUBLE)
+        |      CAST(CAST(s_ph * c - s * c_ph AS HUGEINT)
+        |           * CAST(s_ph * c - s * c_ph AS HUGEINT) AS DOUBLE)
         |        / CAST(c_ph AS DOUBLE), 12) AS DECIMAL(30,12))) AS score
         |  FROM ph JOIN tot ON ph.element = tot.element
         |  GROUP BY 1, 2

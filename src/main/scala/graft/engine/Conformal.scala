@@ -66,6 +66,119 @@ object Conformal {
       .orderBy(col("element"), col("step"))
   }
 
+  /** Split-conformal intervals over ALL four closed-form families —
+    * [[conformalNaive]] widened from NAIVE to {NAIVE, DRIFT, MEANF,
+    * SNAIVE}: the reference's Gaussian bands (R:99-100) assume
+    * normality for every method; this layer replaces each family's
+    * parametric band with the distribution-free conformal quantile of
+    * that family's OWN realized h-step errors, so the calibration
+    * story covers the whole closed-form registry, not one member.
+    *
+    * Per family F and horizon step h, the nonconformity scores are the
+    * all-origin prefix-forecast errors `|v(i+h) − F̂_i(h)|`:
+    *  - NAIVE:  F̂_i(h) = v(i)                            (i ≥ 1)
+    *  - DRIFT:  F̂_i(h) = v(i) + h·(v(i)−v(1))/(i−1)      (i ≥ 2)
+    *  - MEANF:  F̂_i(h) = mean(v[1..i])                   (i ≥ 1)
+    *  - SNAIVE: F̂_i(h) = v(i+h − m'·⌈h/m'⌉), m' = min(freq, n)
+    *            (valid where the lagged index ≥ 1)
+    * and the band half-width is the conformal quantile at rank
+    * `min(m, ⌈cov·(m+1)⌉)` of the sorted scores, exactly as in
+    * [[conformalNaive]]. The band centers are the families' full-series
+    * point forecasts (the same arithmetic `fc_naive`..`fc_snaive`
+    * hash-verify).
+    *
+    * Cross-engine float posture: NAIVE/SNAIVE scores are one raw-double
+    * subtraction; DRIFT is four IEEE ops in a pinned order — all
+    * bit-identical in any engine. MEANF's running prefix mean is the
+    * one reassociation hazard (a cumulative double sum is a left fold
+    * here but a segment tree in DuckDB's window engine), so the prefix
+    * sums accumulate EXACT DECIMAL(18,6)-quantized observations —
+    * order-free by construction — and re-enter double arithmetic with
+    * one correctly-rounded divide. Quantizing the observations at 6dp
+    * is the operator's documented semantic for this family.
+    *
+    * Scale shape: identical to [[conformalNaive]] — rides the session
+    * series table, per-series work is (families × h) sorts of ≤n scores
+    * inside one executor task, output is families·h rows per element.
+    */
+  def conformalClosed(spark: SparkSession, sfDir: String,
+      h: Int = 14, freq: Int = 7): DataFrame = {
+    import spark.implicits._
+    val out = graft.sources.SeriesStore.series(spark, sfDir).flatMap { s =>
+      val v = s.values
+      val n = v.length
+      if (n <= 2 * h) Iterator.empty
+      else {
+        val mp = math.min(freq, n)
+        // exact-decimal prefix sums of the 6dp-quantized observations
+        val pre = new Array[java.math.BigDecimal](n + 1)
+        pre(0) = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < n) {
+          pre(i + 1) = pre(i).add(new java.math.BigDecimal(v(i))
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
+        val last = v(n - 1)
+        val first = v(0)
+        val mu = graft.core.Stats.mean(v)
+        def band(method: String, step: Int, mid: Double, scores: Array[Double]) = {
+          java.util.Arrays.sort(scores)
+          val m = scores.length
+          def q(cov: Double): Double =
+            scores(math.min(m, math.ceil(cov * (m + 1)).toInt) - 1)
+          val q80 = q(0.8); val q95 = q(0.95)
+          (s.element, method, step.toLong,
+            mid - q80, mid - q95, mid, mid + q80, mid + q95)
+        }
+        (1 to h).iterator.flatMap { step =>
+          val naive = band("CONFORMAL_NAIVE", step, last,
+            Array.tabulate(n - step)(i0 => math.abs(v(i0 + step) - v(i0))))
+          val drift = {
+            val scores = new Array[Double](n - step - 1)
+            var i1 = 2 // 1-based origin; i=1 has no slope sample
+            while (i1 <= n - step) {
+              val f = v(i1 - 1) + (v(i1 - 1) - first) / (i1 - 1.0) * step
+              scores(i1 - 2) = math.abs(v(i1 + step - 1) - f)
+              i1 += 1
+            }
+            band("CONFORMAL_DRIFT", step,
+              last + (last - first) / (n - 1.0) * step, scores)
+          }
+          val meanf = {
+            val scores = new Array[Double](n - step)
+            var i1 = 1
+            while (i1 <= n - step) {
+              val mI = pre(i1).doubleValue / i1
+              scores(i1 - 1) = math.abs(v(i1 + step - 1) - mI)
+              i1 += 1
+            }
+            band("CONFORMAL_MEANF", step, mu, scores)
+          }
+          val snaive = {
+            val k = (step - 1) / mp + 1
+            val lagTotal = mp * k
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+            var t = step + 1 // 1-based target index; origin t-step >= 1
+            while (t <= n) {
+              val lag = t - lagTotal
+              if (lag >= 1) buf += math.abs(v(t - 1) - v(lag - 1))
+              t += 1
+            }
+            band("CONFORMAL_SNAIVE", step,
+              v(n - mp + ((step - 1) % mp)), buf.toArray)
+          }
+          Iterator(naive, drift, meanf, snaive)
+        }
+      }
+    }.toDF("element", "method", "step", "l1", "l2", "mid", "u1", "u2")
+    out.select(col("element"), col("method"), col("step"),
+        round(col("l1"), 6).as("lower1"), round(col("l2"), 6).as("lower2"),
+        round(col("mid"), 6).as("mean"),
+        round(col("u1"), 6).as("upper1"), round(col("u2"), 6).as("upper2"))
+      .orderBy(col("element"), col("method"), col("step"))
+  }
+
   /** Bottom-up hierarchical reconciliation vs the direct total forecast
     * (the 2-level aggregation hierarchy every metric tree has: per-element
     * daily series at the leaves, their calendar sum at the root). Each

@@ -65,6 +65,17 @@ object Bpe {
   private val stateCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int), (Seq[(Long, String, String, Long)], DataFrame)]()
 
+  /** Release the trained-state cache (the resident-service release
+    * contract every other session cache honors — see
+    * `Dedup.clearCaches`). The held symbol tables are localCheckpointed
+    * DataFrames whose blocks live in executor block memory; dropping
+    * the references lets the ContextCleaner reclaim the checkpoint
+    * RDDs once no plan holds them. */
+  def clearCaches(): Unit = {
+    stateCache.values.forEach(v => v._2.unpersist())
+    stateCache.clear()
+  }
+
   /** Training loop shared by the merge table and its consumer: returns
     * the merge rules AND the final per-word symbol table. */
   private def trainState(spark: SparkSession, sfDir: String, steps: Int)

@@ -1292,8 +1292,13 @@ object EventAnalytics {
       .agg(sum(col("n_d")).as("s_ph"), count(lit(1)).as("c_ph"))
     val sc = ph.join(broadcast(tot), "element")
       .withColumn("d", col("s_ph") * col("c") - col("s") * col("c_ph"))
+      // square in DECIMAL(19,0)², exact up to (38,0): a LONG d wraps
+      // silently past 2^63 under non-ANSI Spark while DuckDB errors —
+      // the widening keeps both engines exact for ANY long d (same
+      // move as transitionStationary's widening note)
       .withColumn("term",
-        round((col("d") * col("d")).cast("double") / col("c_ph").cast("double"), 12)
+        round((col("d").cast("decimal(19,0)") * col("d").cast("decimal(19,0)"))
+          .cast("double") / col("c_ph").cast("double"), 12)
           .cast("decimal(30,12)"))
       .groupBy(col("element"), col("p")).agg(sum(col("term")).as("score"))
     val w = Window.partitionBy(col("element"))

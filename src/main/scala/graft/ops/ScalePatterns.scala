@@ -108,16 +108,34 @@ object ScalePatterns {
     * side. Exact joins after each probe erase the blooms' false
     * positives — the result is the plain 3-table join's, hash-matched.
     */
+  /** Session cache of the cascade's qualifying-orders build side: it
+    * seeds the second bloom (two dimension-scale actions) and then
+    * replays as the join's build side, so it must be persisted — and
+    * persisted tables must answer to the release contract
+    * (`clearCaches`), not live unaccounted in the CacheManager for the
+    * session's lifetime. */
+  private val qualOrdersCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** Release the cached cascade build sides (see `Dedup.clearCaches`
+    * for the resident-service contract). */
+  def clearCaches(): Unit = {
+    qualOrdersCache.values.forEach(_.unpersist())
+    qualOrdersCache.clear()
+  }
+
   def bloomCascadeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = t(spark, sfDir, "customer")
       .filter(col("c_mktsegment") === lit("BUILDING"))
       .select(col("c_custkey"))
     val custBloom = dim.stat.bloomFilter("c_custkey", math.max(dim.count(), 1L), 0.03)
-    val qualOrders = t(spark, sfDir, "orders")
-      .filter(ScaleFunctions.bloom_might_contain(custBloom, col("o_custkey")))
-      .join(dim, col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"), col("o_orderpriority"))
-      .cache()
+    val qualOrders = qualOrdersCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir),
+      _ => t(spark, sfDir, "orders")
+        .filter(ScaleFunctions.bloom_might_contain(custBloom, col("o_custkey")))
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val orderBloom = qualOrders.stat.bloomFilter("o_orderkey",
       math.max(qualOrders.count(), 1L), 0.03)
     val dec = "decimal(18,4)"
@@ -190,14 +208,17 @@ object ScalePatterns {
     * shuffle; the quantized value (1e-6 resolution, the engine's
     * standard float-compare discipline) is DuckDB-checkable against a
     * char-unnest formulation. `low_entropy` (< 2 bits/char) is the
-    * repetitive-boilerplate flag a curation pass drops on. */
+    * repetitive-boilerplate flag a curation pass drops on; it derives
+    * from the QUANTIZED value (`entropy_q < 2_000_000`), not the raw
+    * double — an ulp of log-implementation drift between engines near
+    * the 2.0 boundary must not be able to flip the flag. */
   def charEntropy(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         ScaleFunctions.codepoint_entropy(coalesce(col("text"), lit("")))
           .as("h"))
       .select(col("doc_id"), col("lang"), col("source"),
-        floor(col("h") * lit(1000000.0d) + lit(0.5d)).cast("long").as("entropy_q"),
-        (col("h") < 2.0d).as("low_entropy"))
+        floor(col("h") * lit(1000000.0d) + lit(0.5d)).cast("long").as("entropy_q"))
+      .withColumn("low_entropy", col("entropy_q") < lit(2000000L))
       .orderBy(col("doc_id"))
 }

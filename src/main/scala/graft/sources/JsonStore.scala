@@ -64,8 +64,20 @@ object JsonStore {
   }
 
   private def csvPath(sfDir: String): String =
+    // _v2 layout: explicit null sentinel (see [[CsvNullSentinel]]); the
+    // version suffix keeps a pre-sentinel mirror from ever being read
+    // back with the new options
     sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
-      ident(sfDir) + "/events_csv"
+      ident(sfDir) + "/events_csv_v2"
+
+  /** CSV null sentinel: Spark's default maps BOTH null and '' to an
+    * empty field, so an empty-string `props`/`event_type` would
+    * round-trip as NULL — silently breaking bit-for-bit parity (and
+    * dropping the row from any `IS NOT NULL`-guarded aggregate). A
+    * distinct sentinel on writer AND reader keeps null and ''
+    * distinguishable (the `\N` convention is the MySQL/Hive text-format
+    * standard). `emptyValue` pins ''-round-tripping explicitly. */
+  val CsvNullSentinel = "\\N"
 
   /** CSV sibling of the JSONL mirror — same freshness rule, same
     * explicit schema, same exactness contract. The `props` column
@@ -81,6 +93,8 @@ object JsonStore {
               col("user_id"), col("event_type"), col("value"), col("props"))
             .write.mode(SaveMode.Overwrite)
             .option("header", "true").option("escape", "\"")
+            .option("nullValue", CsvNullSentinel)
+            .option("emptyValue", "\"\"")
             .csv(p)
         }
       })
@@ -90,6 +104,8 @@ object JsonStore {
     ensureCsv(spark, sfDir)
     spark.read.schema(EventSchema)
       .option("header", "true").option("escape", "\"")
+      .option("nullValue", CsvNullSentinel)
+      .option("emptyValue", "")
       .csv(csvPath(sfDir))
   }
 

@@ -580,18 +580,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Dedup.dupClusters(spark, sfDir).collect().toSeq,
       graft.ops.Dedup.semanticDedup(spark, sfDir).collect().toSeq,
       graft.ops.TextAnalysis.winnowOverlap(spark, sfDir).collect().toSeq,
-      Similarity.ivfTopK(spark, sfDir).collect().toSeq)
+      Similarity.ivfTopK(spark, sfDir).collect().toSeq,
+      graft.ops.Bpe.bpeMerges(spark, sfDir).collect().toSeq,
+      graft.ops.ScalePatterns.bloomCascadeRevenue(spark, sfDir).collect().toSeq)
     graft.ops.Dedup.clearCaches()
     graft.ops.NearDup.clearCaches()
     graft.ops.Similarity.clearCaches()
     graft.ops.TextAnalysis.clearCaches()
     graft.ops.QualityModel.clearCaches()
     graft.ops.Affinity.clearCaches()
+    graft.ops.Bpe.clearCaches()
+    graft.ops.ScalePatterns.clearCaches()
     val after = (
       graft.ops.Dedup.dupClusters(spark, sfDir).collect().toSeq,
       graft.ops.Dedup.semanticDedup(spark, sfDir).collect().toSeq,
       graft.ops.TextAnalysis.winnowOverlap(spark, sfDir).collect().toSeq,
-      Similarity.ivfTopK(spark, sfDir).collect().toSeq)
+      Similarity.ivfTopK(spark, sfDir).collect().toSeq,
+      graft.ops.Bpe.bpeMerges(spark, sfDir).collect().toSeq,
+      graft.ops.ScalePatterns.bloomCascadeRevenue(spark, sfDir).collect().toSeq)
     assert(before == after, "recomputed results must equal the cached ones")
   }
 
@@ -3906,6 +3912,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cs == pq,
       s"CSV round-trip lost rows: pq=${pq.size} csv=${cs.size}, " +
         s"diff sample=${(pq -- cs).take(2)} / ${(cs -- pq).take(2)}")
+  }
+
+  test("CSV mirror keeps NULL and empty string distinguishable") {
+    // Spark's default CSV writes both null and '' as an empty field, so
+    // without the \N sentinel an empty-string props/event_type comes
+    // back NULL — silently dropping the row from IS NOT NULL-guarded
+    // aggregates. The generator happens to emit no empty strings; this
+    // fixture plants them so the parity contract is load-bearing.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-null").toString
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    Seq(
+      (1L, ts, 10L, "view", 1.5, Some("""{"k":"v"}""")),
+      (2L, ts, 11L, "view", 2.5, Some("")),   // EMPTY props, not null
+      (3L, ts, 12L, "", 3.5, None),            // empty type, NULL props
+      (4L, ts, 13L, null.asInstanceOf[String], 4.5, Some("x")))
+      .map { case (i, t, u, e, v, p) => (i, t, u, e, v, p.orNull) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val pq = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect().map(_.toSeq).toSet
+    val cs = graft.sources.JsonStore.eventsFromCsv(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect().map(_.toSeq).toSet
+    assert(cs == pq,
+      s"null/empty must round-trip bit-for-bit: pq=$pq csv=$cs")
+    val byId = cs.map(s => s.head -> s).toMap
+    assert(byId(2L)(5) == "", "empty-string props must stay ''")
+    assert(byId(3L)(5) == null, "null props must stay NULL")
+    assert(byId(3L)(3) == "", "empty-string event_type must stay ''")
+    assert(byId(4L)(3) == null, "null event_type must stay NULL")
   }
 
   test("latency trend: a perfectly linear planted latency has slope exactly 1.0") {
