@@ -523,6 +523,9 @@ object SparkEntry {
     // z/p forecast — the first fit family beyond the closed forms whose
     // whole recursion is DuckDB hash-verified
     "fc_croston" -> ((s, dir) => graft.models.Croston.forecast(s, dir)),
+    // bias-corrected intermittent-demand variants (SBA/SBJ) beside the
+    // classic ratio — one constant multiply over the same recursions
+    "fc_croston_sba" -> ((s, dir) => graft.models.Croston.forecastVariants(s, dir)),
     // Syntetos–Boylan ADI/CV² quadrants: every class decision an exact
     // cross-multiplication — routes series between Croston and the
     // continuous families
@@ -1092,6 +1095,51 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. Shared fragments:
   // ---------------------------------------------------------------------
+
+  /** Shared recursive-CTE replay of the Croston SES recursions
+    * (`graft.models.Croston`): daily decimal-exact demand, calendar-
+    * densified, the z/p state recursion at α = 0.1. Callers append a
+    * final SELECT over `fin(element, z, p)` — the classic ratio and
+    * the SBA/SBJ bias-corrected variants differ only there. */
+  private def crostonRecursionCte(finalSelect: String): String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type AS element, CAST(ts AS DATE) AS day,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS s
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY event_type, CAST(ts AS DATE)),
+      |spine AS (
+      |  SELECT element, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT element, min(day) AS mn, max(day) AS mx FROM daily GROUP BY element)),
+      |obs AS (
+      |  SELECT sp.element, sp.day,
+      |    COALESCE(CAST(d.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS x,
+      |    row_number() OVER (PARTITION BY sp.element ORDER BY sp.day) AS step
+      |  FROM spine sp LEFT JOIN daily d ON d.element = sp.element AND d.day = sp.day),
+      |rec AS (
+      |  SELECT element, step, x,
+      |    CASE WHEN x > 0 THEN x END AS z,
+      |    CASE WHEN x > 0 THEN CAST(1.0 AS DOUBLE) END AS p,
+      |    CASE WHEN x > 0 THEN 1 ELSE 2 END AS q
+      |  FROM obs WHERE step = 1
+      |  UNION ALL
+      |  SELECT o.element, o.step, o.x,
+      |    CASE WHEN o.x > 0 THEN
+      |      CASE WHEN r.z IS NULL THEN o.x
+      |           ELSE r.z + CAST(0.1 AS DOUBLE) * (o.x - r.z) END
+      |    ELSE r.z END,
+      |    CASE WHEN o.x > 0 THEN
+      |      CASE WHEN r.z IS NULL THEN CAST(r.q AS DOUBLE)
+      |           ELSE r.p + CAST(0.1 AS DOUBLE) * (CAST(r.q AS DOUBLE) - r.p) END
+      |    ELSE r.p END,
+      |    CASE WHEN o.x > 0 THEN 1 ELSE r.q + 1 END
+      |  FROM rec r JOIN obs o ON o.element = r.element AND o.step = r.step + 1),
+      |fin AS (
+      |  SELECT r.element, r.z, r.p
+      |  FROM rec r JOIN (SELECT element, max(step) AS ms FROM rec GROUP BY element) m
+      |    ON m.element = r.element AND r.step = m.ms
+      |  WHERE r.z IS NOT NULL)
+      |""".stripMargin + finalSelect
 
   /** The searchElement scan: per-element step numbering, 10k cap (R:28). */
   private val obsCte =
@@ -3288,47 +3336,24 @@ object SparkEntry {
         |ORDER BY part_a, part_b, part_c""").stripMargin,
     // the Croston recursion replayed literally: same densified zero
     // days, same s + 0.1·(obs − s) order, same pre-update interval
-    "fc_croston" ->
-      """WITH RECURSIVE daily AS (
-        |  SELECT event_type AS element, CAST(ts AS DATE) AS day,
-        |    sum(CAST(value AS DECIMAL(18,4))) AS s
-        |  FROM events
-        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-        |  GROUP BY event_type, CAST(ts AS DATE)),
-        |spine AS (
-        |  SELECT element, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
-        |  FROM (SELECT element, min(day) AS mn, max(day) AS mx FROM daily GROUP BY element)),
-        |obs AS (
-        |  SELECT sp.element, sp.day,
-        |    COALESCE(CAST(d.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS x,
-        |    row_number() OVER (PARTITION BY sp.element ORDER BY sp.day) AS step
-        |  FROM spine sp LEFT JOIN daily d ON d.element = sp.element AND d.day = sp.day),
-        |rec AS (
-        |  SELECT element, step, x,
-        |    CASE WHEN x > 0 THEN x END AS z,
-        |    CASE WHEN x > 0 THEN CAST(1.0 AS DOUBLE) END AS p,
-        |    CASE WHEN x > 0 THEN 1 ELSE 2 END AS q
-        |  FROM obs WHERE step = 1
-        |  UNION ALL
-        |  SELECT o.element, o.step, o.x,
-        |    CASE WHEN o.x > 0 THEN
-        |      CASE WHEN r.z IS NULL THEN o.x
-        |           ELSE r.z + CAST(0.1 AS DOUBLE) * (o.x - r.z) END
-        |    ELSE r.z END,
-        |    CASE WHEN o.x > 0 THEN
-        |      CASE WHEN r.z IS NULL THEN CAST(r.q AS DOUBLE)
-        |           ELSE r.p + CAST(0.1 AS DOUBLE) * (CAST(r.q AS DOUBLE) - r.p) END
-        |    ELSE r.p END,
-        |    CASE WHEN o.x > 0 THEN 1 ELSE r.q + 1 END
-        |  FROM rec r JOIN obs o ON o.element = r.element AND o.step = r.step + 1),
-        |fin AS (
-        |  SELECT r.element, r.z, r.p
-        |  FROM rec r JOIN (SELECT element, max(step) AS ms FROM rec GROUP BY element) m
-        |    ON m.element = r.element AND r.step = m.ms
-        |  WHERE r.z IS NOT NULL)
-        |SELECT element, CAST(s.step AS BIGINT) AS step, round(z / p, 6) AS mean
+    "fc_croston" -> crostonRecursionCte(
+      """SELECT element, CAST(s.step AS BIGINT) AS step, round(z / p, 6) AS mean
         |FROM fin CROSS JOIN generate_series(1, 7) AS s(step)
-        |ORDER BY element, step""".stripMargin,
+        |ORDER BY element, step""".stripMargin),
+    // same recursion, three variants: classic ratio, SBA (1 - a/2),
+    // SBJ (1 - a/(2-a)) — constants written as the identical double
+    // expressions in both engines
+    "fc_croston_sba" -> crostonRecursionCte(
+      """SELECT element, v.variant, CAST(s.step AS BIGINT) AS step,
+        |  CASE v.variant
+        |    WHEN 'CROSTON' THEN round(z / p, 6)
+        |    WHEN 'SBA' THEN round((1.0 - CAST(0.1 AS DOUBLE) / 2.0) * (z / p), 6)
+        |    ELSE round((1.0 - CAST(0.1 AS DOUBLE) / (2.0 - CAST(0.1 AS DOUBLE)))
+        |      * (z / p), 6)
+        |  END AS mean
+        |FROM fin CROSS JOIN generate_series(1, 7) AS s(step)
+        |CROSS JOIN (VALUES ('CROSTON'), ('SBA'), ('SBJ')) AS v(variant)
+        |ORDER BY element, variant, step""".stripMargin),
     // HUGEINT replay of the exact quadrant cross-multiplications; the
     // adi/cv2 doubles are one division each over the same integers
     "demand_classes" ->

@@ -30,7 +30,44 @@ object Croston {
   val Alpha = 0.1
   val Horizon = 7
 
-  def forecast(spark: SparkSession, sfDir: String): DataFrame = {
+  def forecast(spark: SparkSession, sfDir: String): DataFrame =
+    rates(spark, sfDir)
+      .crossJoin(spark.range(1, Horizon + 1).select(col("id").as("step")))
+      .select(col("element"), col("step"),
+        round(col("z") / col("p"), 6).as("mean"))
+      .orderBy(col("element"), col("step"))
+
+  /** Bias-corrected Croston variants — the standard intermittent-demand
+    * set (Syntetos-Boylan Approximation and the Shale-Boylan-Johnston
+    * correction) next to the classic ratio: Croston's z/p is biased
+    * upward because E[1/p] > 1/E[p]; SBA multiplies by (1 − α/2)
+    * (Syntetos & Boylan 2005), SBJ by (1 − α/(2−α)) (Shale, Boylan &
+    * Johnston 2006, the Poisson-arrival correction). Both are ONE
+    * constant multiply over the same SES recursions, so the oracle
+    * replays them exactly; the classic ratio is emitted alongside so
+    * the bias correction is visible in one frame. */
+  def forecastVariants(spark: SparkSession, sfDir: String): DataFrame = {
+    val fSba = 1.0 - Alpha / 2.0
+    val fSbj = 1.0 - Alpha / (2.0 - Alpha)
+    rates(spark, sfDir)
+      .crossJoin(spark.range(1, Horizon + 1).select(col("id").as("step")))
+      .select(col("element"), col("step"),
+        explode(array(
+          struct(lit("CROSTON").as("variant"),
+            round(col("z") / col("p"), 6).as("mean")),
+          struct(lit("SBA").as("variant"),
+            round(lit(fSba) * (col("z") / col("p")), 6).as("mean")),
+          struct(lit("SBJ").as("variant"),
+            round(lit(fSbj) * (col("z") / col("p")), 6).as("mean")))).as("v"))
+      .select(col("element"), col("v.variant").as("variant"),
+        col("step"), col("v.mean").as("mean"))
+      .orderBy(col("element"), col("variant"), col("step"))
+  }
+
+  /** The shared smoothed (demand-size z, interval p) state behind every
+    * variant: SES recursions at [[Alpha]] over the densified calendar
+    * demand series (one row per element). */
+  private def rates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, sfDir)
     val dayCol = ev.schema("ts").dataType match {
@@ -48,7 +85,7 @@ object Croston {
     val densified = spine.join(daily, Seq("element", "day"), "left")
       .select(col("element"), col("day"),
         coalesce(col("s").cast("double"), lit(0.0d)).as("x"))
-    val rates = densified
+    densified
       .select(col("element"), col("day").cast("string").as("day_s"), col("x"))
       .as[(String, String, Double)]
       .repartition(col("element"))
@@ -74,10 +111,5 @@ object Croston {
         out.iterator
       }
       .toDF("element", "z", "p")
-    rates
-      .crossJoin(spark.range(1, Horizon + 1).select(col("id").as("step")))
-      .select(col("element"), col("step"),
-        round(col("z") / col("p"), 6).as("mean"))
-      .orderBy(col("element"), col("step"))
   }
 }

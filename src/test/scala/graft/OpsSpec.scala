@@ -3237,6 +3237,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 7 && out.forall(_._2 == expected),
       s"flat z/p forecast at $expected: ${out.toSeq}")
     assert(out.map(_._1).sorted.toSeq == (1L to 7L), "7 horizon steps")
+    // bias-corrected variants: one constant multiply over the same z/p
+    val variants = graft.models.Croston.forecastVariants(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(variants.size == 21, "3 variants x 7 steps")
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1L to 7L).foreach { s =>
+      assert(variants(("CROSTON", s)) == expected, "classic variant = fc_croston")
+      assert(variants(("SBA", s)) == q6((1.0 - 0.1 / 2.0) * (z / p)),
+        s"SBA = (1 - a/2) z/p: ${variants(("SBA", s))}")
+      assert(variants(("SBJ", s)) == q6((1.0 - 0.1 / (2.0 - 0.1)) * (z / p)),
+        s"SBJ = (1 - a/(2-a)) z/p: ${variants(("SBJ", s))}")
+      assert(variants(("SBJ", s)) <= variants(("SBA", s)) &&
+        variants(("SBA", s)) <= variants(("CROSTON", s)),
+        "bias corrections shrink a positive forecast monotonically")
+    }
   }
 
   test("demand classes: planted quadrants land where Syntetos–Boylan puts them") {
