@@ -116,6 +116,8 @@ object NearDup {
     minhashSigCache.clear()
     minhashBucketCache.values.forEach(df => { df.unpersist(); () })
     minhashBucketCache.clear()
+    trigramTfCache.values.forEach(df => { df.unpersist(); () })
+    trigramTfCache.clear()
   }
 
   private def blockedJaccardDirect(spark: SparkSession, sfDir: String, threshold: Double,
@@ -711,24 +713,40 @@ object NearDup {
     * (order-free, ulp-absorbing); norms and the final divide are then
     * single deterministic IEEE ops, and the cosine rounds to 6dp
     * before the threshold compare. */
+  /** Session cache of the per-document trigram tf frame: the operator
+    * consumes it FOUR times (df counts, weights for norms, and both
+    * sides of the postings self-join), and without persistence each
+    * use replays the corpus-scale posexplode + window lineage — the
+    * measured bulk of the exact weighted tier's cost. The frame is
+    * vocabulary×doc-sized (ids + 8-char grams + two ints), far smaller
+    * than the exploded token stream it collapses. */
+  private val trigramTfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def trigramTf(spark: SparkSession, sfDir: String): DataFrame =
+    trigramTfCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir), _ => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          split(lower(trim(coalesce(col("text"), lit("")))), "\\s+").as("ws"))
+        .select(col("doc_id"), col("ws"), size(col("ws")).as("dl"))
+        .filter(col("dl") >= 3)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val grams = toks
+        .select(col("doc_id"), col("dl"), posexplode(col("ws")).as(Seq("pos", "w0")))
+        .select(col("doc_id"), col("dl"), col("pos"), concat_ws(" ",
+          col("w0"), lead(col("w0"), 1).over(w), lead(col("w0"), 2).over(w)).as("g"),
+          lead(col("w0"), 2).over(w).isNotNull.as("full"))
+        .filter(col("full"))
+      grams.groupBy(col("doc_id"), col("dl"), col("g"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   def tfidfCosinePairs(spark: SparkSession, sfDir: String,
       dfCap: Int = 50, minCos: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"),
-        split(lower(trim(coalesce(col("text"), lit("")))), "\\s+").as("ws"))
-      .select(col("doc_id"), col("ws"), size(col("ws")).as("dl"))
-      .filter(col("dl") >= 3)
-    val nDocs = toks.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = toks
-      .select(col("doc_id"), col("dl"), posexplode(col("ws")).as(Seq("pos", "w0")))
-      .select(col("doc_id"), col("dl"), col("pos"), concat_ws(" ",
-        col("w0"), lead(col("w0"), 1).over(w), lead(col("w0"), 2).over(w)).as("g"),
-        lead(col("w0"), 2).over(w).isNotNull.as("full"))
-      .filter(col("full"))
-    val tf = grams.groupBy(col("doc_id"), col("dl"), col("g"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = trigramTf(spark, sfDir)
+    val nDocs = tf.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
     val df = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
     // df = N terms carry zero information (idf = 0): they contribute
