@@ -701,6 +701,11 @@ object SparkEntry {
     "ann_ivf_pq_topk" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     // recall verdicts for the approximate paths, hash-checked vs TRUE
     "ann_recall_gates" -> ((s, dir) => Similarity.recallGates(s, dir)),
+    // verdict tripwires for the sketch/streaming/spectral/model-based
+    // rows-only surface (HLL, MG, streaming PSI, S-H-ESD, AUC, IVF
+    // agreement, whitening identities, perceptual media twins)
+    "sketch_stream_gates" -> ((s, dir) =>
+      graft.ops.SketchStreamGates.gates(s, dir)),
     // plan-SHAPE tripwire: pushdown/broadcast/zero-Exchange/no-cartesian
     // verdicts over the registered queries' physical plans
     "plan_gates" -> ((s, dir) => graft.ops.PlanGates.planGates(s, dir)),
@@ -2595,6 +2600,13 @@ object SparkEntry {
           "triangles_equi_join")
           .map(c => s"('$c', TRUE)").mkString(", ") +
         ") AS t(check_name, ok) ORDER BY check_name"),
+    // literal-TRUE verdict oracle generated from the same metric list
+    // the query emits — any failed invariant hash-mismatches
+    "sketch_stream_gates" ->
+      ("SELECT * FROM (VALUES " +
+        graft.ops.SketchStreamGates.Metrics.sorted
+          .map(m => s"('$m', TRUE)").mkString(", ") +
+        ") AS t(metric, ok) ORDER BY metric"),
     "ann_recall_gates" ->
       """SELECT 'ann_ivf_recall_at_5' AS metric, CAST(0.9 AS DOUBLE) AS floor, TRUE AS ok
         |UNION ALL SELECT 'ann_lsh_recall_at_5', CAST(0.9 AS DOUBLE), TRUE

@@ -1,0 +1,299 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-surface regression tripwires for the remaining rows-only
+  * operators — the `fit_quality_gates` / `ann_recall_gates` pattern
+  * applied to the sketch / streaming / spectral / model-based surface:
+  * each approximate or engine-specific operator whose registered query
+  * has no DuckDB oracle gets its defining invariant distilled to one
+  * (metric, ok) verdict row checked against a literal-TRUE oracle. A
+  * silent numeric regression — an HLL drifting past its error bound, a
+  * Misra-Gries shard dropping a guaranteed-heavy key, a streaming PSI
+  * diverging from its batch twin, an AUC collapse — now hash-mismatches
+  * in the driver's correctness check instead of hiding behind a
+  * rows-only record.
+  *
+  * Two invariant styles:
+  *  - **vs-exact on the real store**: the approximate tier is compared
+  *    against its exact counterpart on the corpus under test (HLL MAU
+  *    vs exact rolling distinct, HLL++ NDV vs COUNT DISTINCT, MG
+  *    candidates vs exact heavy keys, IVF-blocked dedup keep-set vs the
+  *    unblocked pair graph, streaming PSI vs `value_psi`, held-out AUC
+  *    vs the rule screen, whitened/spectral moment identities).
+  *  - **planted fixtures**: operators whose decisive behavior needs
+  *    known ground truth (S-H-ESD's seasonal-spike separation, the
+  *    fuzzy-contamination near-copy floor, the perceptual media tier —
+  *    whose real-store result is legitimately EMPTY at small SF, so an
+  *    empty-returning broken implementation would otherwise pass) run
+  *    against tiny deterministic fixtures with exact expected output.
+  *    This closes the round-9 verdict's `media_near_dup` vacuity gap.
+  *
+  * Scale shape: every vs-exact check reuses the session-cached state
+  * its operators already share (quantizer, CC labels, LR model), and
+  * all verdict reductions happen on metadata-scale frames (days,
+  * columns, elements, components); the planted fixtures are O(100)
+  * rows. The collected quantities are the verdict booleans only. */
+object SketchStreamGates {
+
+  /** The gated metrics, in output (= lexicographic) order; the oracle
+    * literal-TRUE table is generated from this list. */
+  val Metrics: Seq[String] = Seq(
+    "fuzzy_contamination_planted",
+    "hll_mau_within_5pct",
+    "hll_profile_ndv_within_5pct",
+    "media_near_dup_planted",
+    "mg_stream_covers_exact",
+    "psi_stream_equals_batch",
+    "quality_model_auc_holdout",
+    "semantic_ivf_keepset_agreement",
+    "shesd_planted_spike_rank1",
+    "spectrum_descending_exhaustive",
+    "whiten_moments_identity")
+
+  def gates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("fuzzy_contamination_planted", fuzzyContaminationPlanted(spark)),
+      ("hll_mau_within_5pct", hllMauWithin5pct(spark, sfDir)),
+      ("hll_profile_ndv_within_5pct", hllProfileNdv(spark, sfDir)),
+      ("media_near_dup_planted", mediaNearDupPlanted(spark)),
+      ("mg_stream_covers_exact", mgStreamCoversExact(spark, sfDir)),
+      ("psi_stream_equals_batch", psiStreamEqualsBatch(spark, sfDir)),
+      ("quality_model_auc_holdout", qualityModelAuc(spark, sfDir)),
+      ("semantic_ivf_keepset_agreement", semanticIvfAgreement(spark, sfDir)),
+      ("shesd_planted_spike_rank1", shesdPlantedSpike(spark)),
+      ("spectrum_descending_exhaustive", spectrumInvariants(spark, sfDir)),
+      ("whiten_moments_identity", whitenMoments(spark, sfDir)))
+      .toDF("metric", "ok")
+      .orderBy(col("metric"))
+  }
+
+  // ---- planted fixtures --------------------------------------------------
+
+  private def plantedDocsDir(spark: SparkSession,
+      rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate-docs").toString
+    rows.toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** The near-copy floor of the fuzzy decontamination tier: a verbatim
+    * copy of an eval doc must flag at est 1.0 (identical signatures ⇒
+    * every band collides — recall 1 by construction), a 2-token edit
+    * (jaccard 0.952) must flag ≥ 0.5 under the fixed hash family, and
+    * an unrelated doc must not flag. */
+  private def fuzzyContaminationPlanted(spark: SparkSession): Boolean = {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 40).map(i => s"tok$i") ++ Seq("edit1", "edit2")).mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val dir = plantedDocsDir(spark, Seq(
+      (1L, "en", "s", base, base.length.toLong),
+      (40L, "en", "s", base, base.length.toLong),
+      (50L, "en", "s", near, near.length.toLong),
+      (60L, "en", "s", other, other.length.toLong)))
+    val rows = Curation.evalContaminationFuzzy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.get((1L, 40L)).contains(1.0) &&
+      rows.get((1L, 50L)).exists(_ >= 0.5) &&
+      !rows.keys.exists(_._2 == 60L)
+  }
+
+  /** The perceptual (dHash) media tier on planted twins: three visual
+    * docs share a strictly-DEscending 72-char payload (all 63 gradient
+    * bits set), one carries the ascending mirror (all bits clear) and
+    * one a null payload (empty grid — also all clear), and two AUDIO
+    * rows duplicate the twin payload to prove the kind filter excludes
+    * them. Expected pair set is exact: the descending trio pairwise at
+    * hamming 0, plus (ascending, null) at hamming 0. */
+  private def mediaNearDupPlanted(spark: SparkSession): Boolean = {
+    val desc = (0 until 72).map(i => (126 - i).toChar).mkString
+    val asc = desc.reverse
+    val dir = plantedDocsDir(spark, Seq(
+      (0L, "en", "s", desc, 72L),
+      (3L, "en", "s", desc, 72L),
+      (6L, "en", "s", desc, 72L),
+      (1L, "en", "s", desc, 72L), // audio (1 % 3 == 1) — must be excluded
+      (4L, "en", "s", desc, 72L), // audio
+      (9L, "en", "s", asc, 72L),
+      (12L, "en", "s", null, 0L)))
+    val got = Multimodal.mediaNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got == Set((0L, 3L), (0L, 6L), (3L, 6L), (9L, 12L))
+  }
+
+  /** S-H-ESD's defining separation, on the OpsSpec planted fixture: a
+    * +40 spike on day 33 of a strong weekly cycle must be the single
+    * rank-1 anomaly, and the identical clean seasonal series must not
+    * flag at all (the invariant EWMA/MAD-class detectors fail). */
+  private def shesdPlantedSpike(spark: SparkSession): Boolean = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate-shesd").toString
+    val rows = for {
+      el <- Seq("clean", "spiky"); d <- 1 to 63; r <- 1 to 2
+    } yield {
+      val base = 10.0 + 6.0 * math.sin(2.0 * math.Pi * (d % 7) / 7.0) + ((d * 7) % 5) * 0.1
+      val v = if (el == "spiky" && d == 33) base + 40.0 else base
+      (el.hashCode.toLong * 1000 + d * 10 + r,
+        java.sql.Timestamp.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(d - 1).atTime(12, 0)),
+        1L, el, v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.shEsdAnomalies(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(5)))
+    val rank1 = out.filter(_._3 == 1L)
+    out.forall(_._1 == "spiky") &&
+      rank1.length == 1 && rank1.head._2 == java.time.LocalDate.of(2024, 2, 2)
+  }
+
+  // ---- vs-exact on the real store ----------------------------------------
+
+  /** HLL rolling MAU within ±5% of the exact rolling distinct, every
+    * day covered by both sides. */
+  private def hllMauWithin5pct(spark: SparkSession, sfDir: String): Boolean = {
+    val ex = EventAnalytics.rollingActiveUsers(spark, sfDir, 28)
+      .select(col("day"), col("active_28d").as("ex"))
+    val est = EventAnalytics.rollingMauSketch(spark, sfDir, 28)
+      .select(col("day"), col("mau_28d_est").as("est"))
+    val bad = ex.join(est, Seq("day"), "full_outer")
+      .filter(col("ex").isNull || col("est").isNull ||
+        abs(col("est") - col("ex")) >
+          greatest(lit(1L), floor(col("ex") * lit(0.05d)).cast("long")))
+      .count()
+    bad == 0L
+  }
+
+  /** HLL++ NDV within ±5% of exact COUNT DISTINCT for every profiled
+    * column. */
+  private def hllProfileNdv(spark: SparkSession, sfDir: String): Boolean = {
+    val cols7 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val exact = li.agg(countDistinct(col(cols7.head)).as(cols7.head),
+        cols7.tail.map(c => countDistinct(col(c)).as(c)): _*)
+      .collect()(0)
+    val exactByCol = cols7.zipWithIndex.map { case (c, i) => c -> exact.getLong(i) }.toMap
+    val approx = Relational.tableProfileApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    cols7.forall { c =>
+      approx.get(c).exists { nd =>
+        val ex = exactByCol(c)
+        math.abs(nd - ex) <= math.max(1L, (ex * 0.05).toLong)
+      }
+    }
+  }
+
+  /** Misra-Gries stream candidates must cover every exact heavy key
+    * (freq > φN guarantees survival in ≥1 shard by pigeonhole + the MG
+    * error bound), and every reported lower bound must actually be a
+    * lower bound of the exact count. */
+  private def mgStreamCoversExact(spark: SparkSession, sfDir: String,
+      phi: Double = 0.01): Boolean = {
+    val exact = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id").cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = exact.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+    if (n == 0L) return true // vacuous only on an empty store
+    val lb = graft.streaming.EventIngest.heavyHitterStreamAvailableNow(spark, sfDir, phi)
+      .groupBy(col("key")).agg(sum(col("count_lb")).as("lb"))
+    val joined = exact.join(lb, Seq("key"), "left")
+    val missingHeavy = joined
+      .filter(col("cnt").cast("double") > lit(n * phi) && col("lb").isNull)
+      .count()
+    val overCount = joined.filter(col("lb") > col("cnt")).count()
+    missingHeavy == 0L && overCount == 0L
+  }
+
+  /** The streaming PSI monitor's single-pass replay must equal the
+    * batch `value_psi` bit-for-bit, element set identical, one batch
+    * (seq 1) per element. */
+  private def psiStreamEqualsBatch(spark: SparkSession, sfDir: String): Boolean = {
+    val batch = EventAnalytics.valuePsi(spark, sfDir)
+      .select(col("element"), col("psi").as("psi_b"))
+    val stream = graft.streaming.EventIngest.driftMonitorAvailableNow(spark, sfDir)
+      .select(col("element"), col("seq"), col("psi").as("psi_s"))
+    val bad = batch.join(stream, Seq("element"), "full_outer")
+      .filter(col("psi_b").isNull || col("psi_s").isNull ||
+        col("seq") =!= 1L || col("psi_s") =!= col("psi_b"))
+      .count()
+    bad == 0L
+  }
+
+  /** Held-out Mann-Whitney AUC (tie-corrected) of the distilled
+    * classifier against the rule screen on documents the fit never
+    * saw, gated at the OpsSpec floor 0.75. */
+  private def qualityModelAuc(spark: SparkSession, sfDir: String): Boolean = {
+    val heur = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"), (col("quality") >= 0.5d).as("pos"))
+    val holdout = QualityModel.modelScores(spark, sfDir)
+      .filter(!col("in_train"))
+      .select(col("doc_id"), col("quality_prob"))
+      .join(heur, "doc_id")
+    val ranked = holdout
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("quality_prob"), col("doc_id"))))
+      .withColumn("ar", avg(col("rn")).over(Window.partitionBy(col("quality_prob"))))
+    val agg = ranked.agg(
+      sum(when(col("pos"), col("ar"))).as("rank_sum"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+      count(lit(1)).as("n")).collect()(0)
+    val nPos = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val n = agg.getLong(2)
+    val nNeg = n - nPos
+    if (nPos == 0L || nNeg == 0L) return false // degenerate screen = not ok
+    val rankSum = agg.getDouble(0)
+    val auc = (rankSum - nPos * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+    auc >= 0.75
+  }
+
+  /** IVF-cell-blocked semantic dedup must label every vector and its
+    * keep-set must agree (Jaccard ≥ 0.9) with the exact unblocked
+    * path's. */
+  private def semanticIvfAgreement(spark: SparkSession, sfDir: String): Boolean = {
+    val ex = Dedup.semanticDedup(spark, sfDir)
+      .select(col("vec_id"), col("keep").as("keep_ex"))
+    val ivf = Dedup.semanticDedupIvf(spark, sfDir)
+      .select(col("vec_id"), col("keep").as("keep_ivf"))
+    val agg = ex.join(ivf, Seq("vec_id"), "full_outer")
+      .agg(
+        sum(when(col("keep_ex").isNull || col("keep_ivf").isNull, 1L)
+          .otherwise(0L)).as("unlabeled"),
+        sum(when(col("keep_ex") && col("keep_ivf"), 1L).otherwise(0L)).as("inter"),
+        sum(when(col("keep_ex") || col("keep_ivf"), 1L).otherwise(0L)).as("uni"))
+      .collect()(0)
+    val unlabeled = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val inter = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val uni = if (agg.isNullAt(2)) 0L else agg.getLong(2)
+    unlabeled == 0L && (uni == 0L || inter.toDouble / uni >= 0.9)
+  }
+
+  /** Spectral sanity on the real store: eigenvalues non-negative and
+    * descending, cumulative variance share monotone and ≤ 1. */
+  private def spectrumInvariants(spark: SparkSession, sfDir: String): Boolean = {
+    val out = Similarity.embeddingSpectrum(spark, sfDir).collect()
+      .map(r => (r.getDouble(1), r.getDouble(3)))
+    out.nonEmpty &&
+      out.forall(_._1 >= -1e-9) &&
+      out.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) >= w(1) - 1e-9) &&
+      out.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1) + 1e-9) &&
+      out.last._2 <= 1.0 + 1e-9
+  }
+
+  /** Whitening identity on the real store: every reported component's
+    * whitened moments are mean 0 / var 1 / cross-cov 0 within the
+    * OpsSpec tolerances. */
+  private def whitenMoments(spark: SparkSession, sfDir: String): Boolean = {
+    val rows = Similarity.embeddingWhiten(spark, sfDir).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    rows.nonEmpty && rows.forall { case (m, v, x) =>
+      math.abs(m) <= 0.01 && math.abs(v - 1.0) <= 0.05 && math.abs(x) <= 0.05
+    }
+  }
+}

@@ -572,6 +572,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted.count(_._2) <= 3, "the tight cluster must stay mostly unflagged")
   }
 
+  test("sketch/stream gates: every verdict row TRUE, metric set exact") {
+    val rows = graft.ops.SketchStreamGates.gates(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1))
+    assert(rows.map(_._1).toSeq ==
+      graft.ops.SketchStreamGates.Metrics.sorted,
+      s"metric set must match the declared list: ${rows.map(_._1).toSeq}")
+    rows.foreach { case (m, ok) => assert(ok, s"gate $m must hold on the store") }
+  }
+
   test("session caches release and rebuild cleanly across clearCaches") {
     // the resident-service contract: a long-lived session churning
     // corpus snapshots must be able to drop every persisted table and
