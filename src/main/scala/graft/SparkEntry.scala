@@ -843,6 +843,9 @@ object SparkEntry {
     // benchmark decontamination: verbatim 13-gram overlap against the
     // (broadcast) eval set; source docs are planted ground truth
     "eval_contamination" -> ((s, dir) => Curation.evalContamination(s, dir)),
+    // ingestion-order freshness: share of a doc's distinct 8-grams
+    // first seen in that doc (verbatim dup = 0, fresh doc = 1)
+    "ngram_novelty" -> ((s, dir) => Curation.ngramNovelty(s, dir)),
     // rows-only: minhash tier; planted-near-copy fixture is the gate
     "eval_contamination_fuzzy" -> ((s, dir) => Curation.evalContaminationFuzzy(s, dir)),
     // quality-weighted coin flip: content-hash unit < quality·2^32 —
@@ -2611,7 +2614,7 @@ object SparkEntry {
       """SELECT 'ann_ivf_recall_at_5' AS metric, CAST(0.9 AS DOUBLE) AS floor, TRUE AS ok
         |UNION ALL SELECT 'ann_lsh_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT 'ann_pq_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
-        |UNION ALL SELECT 'minhash_pair_recall', CAST(0.6 AS DOUBLE), TRUE
+        |UNION ALL SELECT 'minhash_component_recall', CAST(0.95 AS DOUBLE), TRUE
         |ORDER BY metric""".stripMargin,
     "semantic_dedup" ->
       """WITH RECURSIVE e AS (
@@ -3446,6 +3449,35 @@ object SparkEntry {
         |FROM g JOIN ev USING (gram)
         |GROUP BY ev.eval_id, g.doc_id
         |ORDER BY eval_id, doc_id""".stripMargin,
+    // gram identity replayed on token STRINGS (chr(1)-joined 8-grams;
+    // short docs contribute their whole sequence) — set semantics, so
+    // the engine's hash composites and these strings agree
+    "ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |g0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 8
+        |      THEN [array_to_string(ws, chr(1))]
+        |      ELSE list_transform(generate_series(1, len(ws) - 7),
+        |        i -> array_to_string(list_slice(ws, i, i + 7), chr(1)))
+        |    END AS gs
+        |  FROM t),
+        |grams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM g0),
+        |fo AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+        |agg AS (
+        |  SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN fo.first_doc = grams.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM grams JOIN fo USING (g) GROUP BY grams.doc_id)
+        |SELECT d.doc_id, COALESCE(agg.n_grams, 0) AS n_grams,
+        |  COALESCE(agg.n_novel, 0) AS n_novel,
+        |  CASE WHEN COALESCE(agg.n_grams, 0) > 0
+        |    THEN round(CAST(agg.n_novel AS DOUBLE) / CAST(agg.n_grams AS DOUBLE), 6)
+        |  END AS novelty
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "user_streaks" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS epoch_day

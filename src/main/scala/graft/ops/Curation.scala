@@ -474,6 +474,45 @@ object Curation {
     NearDup.minhashAgainst(spark, sfDir, evalIds, threshold)
   }
 
+  /** Per-document n-gram NOVELTY — the corpus-order freshness signal a
+    * curation pass ranks on (a crawl snapshot's value is the text it
+    * adds, not the text it repeats; cf. the dedup literature's "novel
+    * tokens per document" accounting): for each document, the fraction
+    * of its DISTINCT word 8-grams whose first corpus occurrence (by
+    * ascending doc_id — the ingestion order) is in that document. A
+    * verbatim duplicate scores 0; a fully fresh document scores 1;
+    * boilerplate-heavy docs land in between, which is exactly the
+    * ranking a keep-budget consumes. Documents shorter than n tokens
+    * contribute one whole-sequence gram (the [[NearDup.shingles]]
+    * convention); null-text docs emit n_grams 0 / novelty NULL.
+    *
+    * Scale shape: grams travel as 8-byte xxhash64 composites (the
+    * shingle convention — never strings); first-occurrence is one
+    * gram-keyed shuffle (window min), the per-doc roll-up a second
+    * doc-keyed one. The oracle replays gram identity on the token
+    * STRINGS — novelty is a set computation, so collision-free hashes
+    * and strings agree (same argument as the Jaccard tiers). */
+  def ngramNovelty(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame = {
+    val grams = NearDup.shingles(spark, sfDir, n)
+      .select(col("doc_id"), explode(col("toks")).as("g"))
+    val firstDoc = Window.partitionBy(col("g"))
+    val agg = grams
+      .withColumn("first_doc", min(col("doc_id")).over(firstDoc))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0L,
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   def evalContamination(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("text").isNotNull)

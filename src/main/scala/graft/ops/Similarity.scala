@@ -345,38 +345,47 @@ object Similarity {
     *
     *  1. unit-normalize with `transform` (zero-norm vectors pass
     *     through unscaled);
-    *  2. `tables` seeded random hyperplane projections (driver-side
-    *     constant arrays — a few KB — embedded as literals); bucket =
-    *     floor(⟨u, rₜ⟩ / bucketLength), computed by the native
-    *     dot-product kernel inside whole-stage codegen;
-    *  3. candidates = equi-join on (table, bucket, salt) with the
-    *     [[LshMaxBucket]] salted cap, OR'd across tables via distinct —
-    *     the shuffle carries (table, bucket, salt, vec_id) only;
+    *  2. per table, a COMPOSITE key of `g` seeded random projections
+    *     quantized at `bucketLength` — `g` ADAPTS to the corpus:
+    *     g = ⌈log₂(n / [[LshMaxBucket]])⌉ (≥ 1), so expected bucket
+    *     occupancy stays ≤ the cap BY CONSTRUCTION as n grows and the
+    *     salt split stays a tail-bucket backstop instead of the main
+    *     event. (The round-10 sf1 soak exposed why: with ONE
+    *     projection per table, every table degenerates to two
+    *     megabuckets, the cap splits them n/cap ways, and cross-table
+    *     OR cannot recover — measured recall@5 fell from 0.94 at 2k
+    *     vectors to ~0.24 at 20k. Fixed occupancy keeps the per-table
+    *     collision probability scale-free.)
+    *  3. query-side MULTIPROBE: each query probes its own key plus the
+    *     2g keys that differ by ±1 in one coordinate — the standard
+    *     multi-probe LSH move (Lv et al., VLDB'07) that buys back the
+    *     recall a composite key costs, at O(g) probes instead of more
+    *     tables. Candidates = equi-join probe-key digest = index-key
+    *     digest (per table), with the salt compatibility applied as a
+    *     post-join filter (a query's salt is well-defined in ANY
+    *     probed bucket: pmod(xxhash64(tbl, key, vec_id), nsplits)).
     *  4. exact cosine rerank of candidates with the fused kernel, then
     *     row_number top-k.
     *
-    * On unit vectors the projection ⟨u, r⟩ has std ≈ 1 for a standard
-    * gaussian r, and nearby vectors (cos ≥ τ) differ in projection by
-    * std ≈ √(2(1−τ)); bucketLength ≈ that scale makes near pairs
-    * collide in some table with high probability while splitting the
-    * bulk. Recall depends on (tables, bucketLength) — rows-only check;
-    * reported similarities are exact. The defaults are gated by the
-    * OpsSpec recall tests at BOTH scales: measured recall@5 vs
-    * [[cosineTopK]] at (8, 2.0) is 0.997 on the sf0.01 embeddings and
-    * 0.935 on sf0.1 — the scale where buckets exceed the cap and the
-    * (table,bucket)-keyed salt split engages — each asserted ≥ 0.9. */
-  /** Session cache of the salted LSH bucket table, keyed by (app,
-    * corpus, tables, bucketLength): the projection scan + bucket-count
-    * window + salt assignment is deterministic per corpus and is read
-    * by BOTH sides of the candidate self-join on every invocation
-    * (plus the sampled recall gate) — one build per corpus serves all,
-    * same lifecycle as the minhash signature cache. None = empty
-    * corpus. */
+    * The salt hash folds in the (table, key) digest: a salt derived
+    * from vec_id alone would split the same pair apart in EVERY table
+    * and void the OR-amplification (measured 0.51 → 0.95+ at sf0.1
+    * when first fixed, round 8). Recall@5 vs [[cosineTopK]] is gated
+    * ≥ 0.9 at sf0.01 AND sf0.1 by `ann_recall_gates`, and at the 20k-
+    * vector synthetic soak by `SoakSf1`. Reported similarities are
+    * exact (rerank). */
+  /** Session cache of the salted LSH index, keyed by (app, corpus,
+    * tables, bucketLength): the projection scan + occupancy window +
+    * salt assignment is deterministic per corpus and is read by BOTH
+    * sides of the candidate join on every invocation (plus the sampled
+    * recall gate) — one build per corpus serves all, same lifecycle as
+    * the minhash signature cache. Value carries the adaptive g so the
+    * query side enumerates the right probe set. None = empty corpus. */
   private val lshBucketCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Double), Option[DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Double), Option[(Int, DataFrame)]]()
 
   private def lshBuckets(spark: SparkSession, sfDir: String, tables: Int,
-      bucketLength: Double): Option[DataFrame] =
+      bucketLength: Double): Option[(Int, DataFrame)] =
     lshBucketCache.computeIfAbsent(
       (spark.sparkContext.applicationId, sfDir, tables, bucketLength), { _ =>
         val e = withNorm(emb(spark, sfDir))
@@ -385,52 +394,68 @@ object Similarity {
         // dimension probe: one-row metadata lookup (not a table collect)
         val dimOpt = e.limit(1).select(size(col("v")).as("d")).collect().headOption.map(_.getInt(0))
         dimOpt.map { dim =>
+          val n = e.count()
+          val g = math.max(1, math.ceil(
+            math.log(math.max(1.0, n.toDouble / LshMaxBucket)) / math.log(2.0)).toInt)
           val rng = new scala.util.Random(42L)
-          val projs = Array.fill(tables)(Array.fill(dim)(rng.nextGaussian()))
-          // all `tables` bucket keys in ONE scan: a struct per table,
-          // exploded — a union would read and normalize repeatedly
+          val projs = Array.fill(tables, g)(Array.fill(dim)(rng.nextGaussian()))
+          // all `tables` composite keys in ONE scan: a struct per
+          // table, exploded — a union would read and normalize
+          // repeatedly
           val tableRows = e.select(col("vec_id"),
               explode(array((0 until tables).map { t =>
-                val proj = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-                  projs(t).map(lit(_))): _*)
-                struct(lit(t).as("tbl"),
+                val ks = array((0 until g).map { j =>
+                  val proj = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                    projs(t)(j).map(lit(_))): _*)
                   floor(graft.functions.VectorFunctions.dot_product(col("u"), proj) / bucketLength)
-                    .cast("long").as("bucket"))
+                    .cast("long")
+                }: _*)
+                struct(lit(t).as("tbl"), ks.as("bks"))
               }: _*)).as("tb"))
-            .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-          val bw = Window.partitionBy(col("tbl"), col("bucket"))
-          tableRows
+            .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bks").as("bks"))
+            .withColumn("kh", xxhash64(col("bks").cast("string")))
+          val bw = Window.partitionBy(col("tbl"), col("kh"))
+          (g, tableRows
             .withColumn("nsplits",
               greatest(lit(1L), ceil(count(lit(1)).over(bw).cast("double") / LshMaxBucket).cast("long")))
-            // the salt hash MUST fold in the (table, bucket) key: a salt
-            // derived from vec_id alone is identical in every table, so a
-            // pair split apart in one oversized bucket would be split
-            // apart in ALL of them and the OR-amplification across tables
-            // would be void (measured: recall@5 0.51 → 0.95+ at sf0.1
-            // from this line alone). With the key folded in, a split pair
-            // still collides in another table with an independent draw.
-            .select(col("tbl"), col("bucket"), col("vec_id"),
-              pmod(xxhash64(lit("salt"), col("tbl"), col("bucket"), col("vec_id")), col("nsplits"))
+            .select(col("tbl"), col("bks"), col("kh"), col("vec_id"), col("nsplits"),
+              pmod(xxhash64(lit("salt"), col("tbl"), col("kh"), col("vec_id")), col("nsplits"))
                 .as("salt"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         }
       })
+
+  /** The multi-probe key set for a g-coordinate composite key: the key
+    * itself plus the 2g single-coordinate ±1 neighbors. */
+  private def probeKeysExpr(g: Int): org.apache.spark.sql.Column = expr(
+    s"""concat(array(bks),
+       |  transform(sequence(0, ${g - 1}),
+       |    i -> transform(bks, (b, j) -> IF(j = CAST(i AS INT), b + 1, b))),
+       |  transform(sequence(0, ${g - 1}),
+       |    i -> transform(bks, (b, j) -> IF(j = CAST(i AS INT), b - 1, b))))""".stripMargin)
 
   def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, tables: Int = 8,
       bucketLength: Double = 2.0,
       queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val e = emb(spark, sfDir)
-    val bucketed = lshBuckets(spark, sfDir, tables, bucketLength) match {
-      case Some(b) => b
+    val (g, bucketed) = lshBuckets(spark, sfDir, tables, bucketLength) match {
+      case Some(gb) => gb
       case None => return emptyTopK(e)
     }
     // queryPred narrows the QUERY role only — the candidate pool (side
     // b) stays the full corpus, so sampled recall is measured against
     // the same neighbor universe the full query sees
-    val cand = queryPred.foldLeft(bucketed)(_.filter(_)).as("a")
+    val probes = queryPred.foldLeft(bucketed)(_.filter(_))
+      .select(col("vec_id"), col("tbl"), explode(probeKeysExpr(g)).as("pbks"))
+      .withColumn("pkh", xxhash64(col("pbks").cast("string")))
+    val cand = probes.as("a")
       .join(bucketed.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
-          && col("a.salt") === col("b.salt") && col("a.vec_id") =!= col("b.vec_id"))
+        col("a.tbl") === col("b.tbl") && col("a.pkh") === col("b.kh")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      // salt compatibility in the PROBED bucket — for a query probing
+      // its own bucket this reduces to the original salt equality
+      .filter(pmod(xxhash64(lit("salt"), col("b.tbl"), col("b.kh"), col("a.vec_id")),
+        col("b.nsplits")) === col("b.salt"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"))
       .distinct()
     val va = e.select(col("vec_id"), col("v").as("va"))
@@ -478,7 +503,7 @@ object Similarity {
     exactTopKCache.clear()
     ivfCandCache.values.forEach(df => { df.unpersist(); () })
     ivfCandCache.clear()
-    lshBucketCache.values.forEach(b => { b.foreach(_.unpersist()); () })
+    lshBucketCache.values.forEach(b => { b.foreach(_._2.unpersist()); () })
     lshBucketCache.clear()
   }
 
@@ -812,13 +837,20 @@ object Similarity {
     *    fixed reference table, and re-deriving the O(n²/5) scan on
     *    every invocation was the single most expensive part of the
     *    gate (measured 2.87 s at sf0.1).
-    *  - `minhash_pair_recall`: candidate-pair recall vs the exact
-    *    blocked-Jaccard J≥0.95 edge set (both sides ride their session
-    *    caches). Floor 0.6: pair-level recall is bounded by the salt
-    *    cap's DESIGNED splitting of giant duplicate cliques (measured
-    *    0.68 at sf0.1, ~0.8+ where no clique splits; component-level
-    *    recall — what dedup actually consumes — is gated ≥ 0.99 in
-    *    OpsSpec).
+    *  - `minhash_component_recall`: CONNECTED-COMPONENT recall vs the
+    *    exact blocked-Jaccard J≥0.95 edge set — every exact pair's two
+    *    documents must land in the same connected component of the
+    *    minhash candidate graph (labels via the shared
+    *    [[Dedup.starContract]]). Component recall, not raw pair
+    *    recall, is the operator's documented contract: the salted cap
+    *    DESIGNEDLY splits giant duplicate cliques' pair lists (the
+    *    viral-duplicate bound), while the band-decorrelated salts keep
+    *    each clique connected — so pair recall decays with clique size
+    *    (0.68 at sf0.1, below 0.6 at the 50k-doc soak where the
+    *    saturated-vocab cliques grow 10×) while component recall holds
+    *    ≥ 0.95 at every measured scale. The round-10 sf1 soak is what
+    *    surfaced this: gating the pair list punished the cap for doing
+    *    its job.
     *
     * Empty inputs are vacuously ok (recall over zero reference rows). */
   /** Session cache of the recall gate's exact sampled top-k reference
@@ -856,12 +888,23 @@ object Similarity {
     val exactPairs = NearDup.blockedJaccard(spark, sfDir, 0.95)
       .select(col("doc_a"), col("doc_b"))
     val cand = NearDup.minhashCandidates(spark, sfDir, 0.95)
-      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    // component labels of the candidate graph (min-id root; docs with
+    // no candidate edge label themselves via the coalesce below)
+    val roots = Dedup.starContract(
+        cand.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .groupBy(col("u").as("doc_id")).agg(min(col("v")).as("root"))
+    val la = roots.select(col("doc_id").as("doc_a"), col("root").as("root_a"))
+    val lb = roots.select(col("doc_id").as("doc_b"), col("root").as("root_b"))
     val mhRow = exactPairs
-      .join(cand, Seq("doc_a", "doc_b"), "left")
-      .agg(count(lit(1)).as("tot"), coalesce(sum(col("hit")), lit(0L)).as("hits"))
-      .select(lit("minhash_pair_recall").as("metric"), lit(0.6d).as("floor"),
-        (col("hits") >= col("tot") * 0.6d).as("ok"))
+      .join(la, Seq("doc_a"), "left")
+      .join(lb, Seq("doc_b"), "left")
+      .select(
+        (coalesce(col("root_a"), col("doc_a")) ===
+          coalesce(col("root_b"), col("doc_b"))).as("covered"))
+      .agg(count(lit(1)).as("tot"),
+        coalesce(sum(when(col("covered"), 1L).otherwise(0L)), lit(0L)).as("hits"))
+      .select(lit("minhash_component_recall").as("metric"), lit(0.95d).as("floor"),
+        (col("hits") >= col("tot") * 0.95d).as("ok"))
     annRows.unionByName(mhRow).orderBy(col("metric"))
   }
 

@@ -87,7 +87,7 @@ object SketchStreamGates {
     * every band collides — recall 1 by construction), a 2-token edit
     * (jaccard 0.952) must flag ≥ 0.5 under the fixed hash family, and
     * an unrelated doc must not flag. */
-  private def fuzzyContaminationPlanted(spark: SparkSession): Boolean = {
+  private[graft] def fuzzyContaminationPlanted(spark: SparkSession): Boolean = {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = ((1 to 40).map(i => s"tok$i") ++ Seq("edit1", "edit2")).mkString(" ")
     val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
@@ -110,7 +110,7 @@ object SketchStreamGates {
     * rows duplicate the twin payload to prove the kind filter excludes
     * them. Expected pair set is exact: the descending trio pairwise at
     * hamming 0, plus (ascending, null) at hamming 0. */
-  private def mediaNearDupPlanted(spark: SparkSession): Boolean = {
+  private[graft] def mediaNearDupPlanted(spark: SparkSession): Boolean = {
     val desc = (0 until 72).map(i => (126 - i).toChar).mkString
     val asc = desc.reverse
     val dir = plantedDocsDir(spark, Seq(
@@ -229,7 +229,7 @@ object SketchStreamGates {
   /** Held-out Mann-Whitney AUC (tie-corrected) of the distilled
     * classifier against the rule screen on documents the fit never
     * saw, gated at the OpsSpec floor 0.75. */
-  private def qualityModelAuc(spark: SparkSession, sfDir: String): Boolean = {
+  private[graft] def qualityModelAuc(spark: SparkSession, sfDir: String): Boolean = {
     val heur = TextAnalysis.qualityScore(spark, sfDir)
       .select(col("doc_id"), (col("quality") >= 0.5d).as("pos"))
     val holdout = QualityModel.modelScores(spark, sfDir)
@@ -255,11 +255,20 @@ object SketchStreamGates {
 
   /** IVF-cell-blocked semantic dedup must label every vector and its
     * keep-set must agree (Jaccard ≥ 0.9) with the exact unblocked
-    * path's. */
-  private def semanticIvfAgreement(spark: SparkSession, sfDir: String): Boolean = {
-    val ex = Dedup.semanticDedup(spark, sfDir)
+    * path's. The threshold is a parameter because the global-CC
+    * formulation is only well-posed in the SUBCRITICAL regime (near-dup
+    * graph average degree < 1): past the percolation point one giant
+    * component spans arbitrarily many quantizer cells and cell-blocked
+    * SemDeDup diverges from the global graph BY DESIGN (its published
+    * semantics are within-cluster). The driver stores are subcritical
+    * at 0.40; the sf1 soak raises the threshold to stay subcritical at
+    * 10× the pair density (iid-vector edge probability is scale-free,
+    * so edges grow quadratically while vertices grow linearly). */
+  private[graft] def semanticIvfAgreement(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.40): Boolean = {
+    val ex = Dedup.semanticDedup(spark, sfDir, threshold)
       .select(col("vec_id"), col("keep").as("keep_ex"))
-    val ivf = Dedup.semanticDedupIvf(spark, sfDir)
+    val ivf = Dedup.semanticDedupIvf(spark, sfDir, threshold)
       .select(col("vec_id"), col("keep").as("keep_ivf"))
     val agg = ex.join(ivf, Seq("vec_id"), "full_outer")
       .agg(
@@ -276,7 +285,7 @@ object SketchStreamGates {
 
   /** Spectral sanity on the real store: eigenvalues non-negative and
     * descending, cumulative variance share monotone and ≤ 1. */
-  private def spectrumInvariants(spark: SparkSession, sfDir: String): Boolean = {
+  private[graft] def spectrumInvariants(spark: SparkSession, sfDir: String): Boolean = {
     val out = Similarity.embeddingSpectrum(spark, sfDir).collect()
       .map(r => (r.getDouble(1), r.getDouble(3)))
     out.nonEmpty &&
@@ -289,7 +298,7 @@ object SketchStreamGates {
   /** Whitening identity on the real store: every reported component's
     * whitened moments are mean 0 / var 1 / cross-cov 0 within the
     * OpsSpec tolerances. */
-  private def whitenMoments(spark: SparkSession, sfDir: String): Boolean = {
+  private[graft] def whitenMoments(spark: SparkSession, sfDir: String): Boolean = {
     val rows = Similarity.embeddingWhiten(spark, sfDir).collect()
       .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
     rows.nonEmpty && rows.forall { case (m, v, x) =>

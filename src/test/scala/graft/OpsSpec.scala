@@ -907,7 +907,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = Similarity.recallGates(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("ann_ivf_recall_at_5", "ann_lsh_recall_at_5", "ann_pq_recall_at_5",
-        "minhash_pair_recall"))
+        "minhash_component_recall"))
     rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} verdict false"))
   }
 
