@@ -572,6 +572,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted.count(_._2) <= 3, "the tight cluster must stay mostly unflagged")
   }
 
+  test("ngram novelty: duplicate scores 0, fresh 1, overlap exact; null/short handled") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")            // 5 grams, all first
+    val b = a                                                   // verbatim dup -> 0
+    val c = ((1 to 8).map(i => s"w$i") ++ (1 to 8).map(i => s"x$i")).mkString(" ")
+    val e = "p q r"                                             // <8 tokens: 1 whole-seq gram
+    Seq((1L, Option(a)), (2L, Option(b)), (3L, Option(c)),
+      (4L, Option.empty[String]), (5L, Option(e)))
+      .map { case (id, t) => (id, "en", "s", t.orNull, t.map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Curation.ngramNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got(1L) == ((5L, 5L, 1.0)), s"fresh doc fully novel: ${got(1L)}")
+    assert(got(2L) == ((5L, 0L, 0.0)), s"verbatim dup scores 0: ${got(2L)}")
+    // c: gram 1 lies inside a's first 8 tokens (seen), grams 2-9 carry
+    // an x-token each (novel) -> 8/9
+    assert(got(3L)._1 == 9L && got(3L)._2 == 8L &&
+      math.abs(got(3L)._3 - 8.0 / 9.0) < 1e-6, s"overlap doc: ${got(3L)}")
+    assert(got(4L)._1 == 0L && got(4L)._3.isNaN, s"null text: ${got(4L)}")
+    assert(got(5L) == ((1L, 1L, 1.0)), s"short doc whole-seq gram: ${got(5L)}")
+  }
+
   test("sketch/stream gates: every verdict row TRUE, metric set exact") {
     val rows = graft.ops.SketchStreamGates.gates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
