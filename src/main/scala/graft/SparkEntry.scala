@@ -2579,6 +2579,7 @@ object SparkEntry {
           "phrase_search_joinless", "char_entropy_joinless_single_pass",
           "token_pmi_broadcasts_unigrams",
           "min_cost_supplier_decorrelates",
+          "ngram_novelty_equi_join", "tfidf_reuses_cached_tf",
           "deletion_audit_semi_join_cascade",
           "supplier_cnt_not_in_anti_join",
           "bucketed_join_shuffle_free", "disjunctive_filter_stays_equi",

@@ -139,7 +139,15 @@ object PlanGates {
     ("supplier_cnt_not_in_anti_join", "sql_supplier_cnt",
       p => p.contains("LeftAnti") && hashJoinsNoCartesian(p)),
     ("deletion_audit_semi_join_cascade", "deletion_audit",
-      p => p.contains("LeftSemi") && hashJoinsNoCartesian(p)))
+      p => p.contains("LeftSemi") && hashJoinsNoCartesian(p)),
+    // round-10: the weighted-cosine tier must READ its session-cached
+    // trigram tf frame (InMemoryTableScan in all four consuming
+    // subplans — the cache actually engaging is a plan property), and
+    // the novelty roll-up forms first-occurrence + per-doc joins as
+    // hash equi joins over gram hashes, never a loop
+    ("tfidf_reuses_cached_tf", "tfidf_cosine_pairs",
+      p => p.contains("InMemoryTableScan") && hashJoinsNoCartesian(p)),
+    ("ngram_novelty_equi_join", "ngram_novelty", hashJoinsNoCartesian))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */
