@@ -101,6 +101,27 @@ object SoakSf1 {
     raw.map(x => (x / norm).toFloat)
   }
 
+  /** Events at 10× sf0.1 (1M rows / 30 days / ~15k users, driver
+    * schema): values are per-id seeded folded gaussians; user_id 7 is a
+    * PLANTED HEAVY HITTER carrying 2% of the stream (the driver stores
+    * have no key above φ = 1%, so their MG-coverage check is vacuous on
+    * the heavy side — the soak makes it bite), and every 9973rd row
+    * carries a null user_id to keep the null filters honest. */
+  private val EventTypes: Array[String] =
+    Array("click", "view", "purchase", "signup", "error")
+
+  private def eventRow(id: Long): (Long, java.sql.Timestamp, java.lang.Long, String, Double, String) = {
+    val rng = new java.util.Random(id * 6364136223846793005L + 1442695040888963407L)
+    val ts = new java.sql.Timestamp(1704067200000L + (id % (30L * 86400000L)))
+    val user: java.lang.Long =
+      if (id % 9973 == 0) null
+      else if (rng.nextDouble() < 0.02) java.lang.Long.valueOf(7L)
+      else java.lang.Long.valueOf(10L + (rng.nextInt(15000)).toLong)
+    val et = EventTypes(rng.nextInt(EventTypes.length))
+    val value = math.abs(rng.nextGaussian()) * 25.0 + (id % 7) * 3.0
+    (id, ts, user, et, math.rint(value * 100.0) / 100.0, "{}")
+  }
+
   def ensureCorpus(spark: SparkSession, dir: String,
       nDocs: Long = 50000L, nVecs: Long = 20000L): Unit = {
     import spark.implicits._
@@ -119,6 +140,12 @@ object SoakSf1 {
         (id, embedding(id), (id % 10).toInt)
       }.toDF("vec_id", "embedding", "label")
         .write.mode("overwrite").parquet(vecsPath)
+    }
+    val evPath = s"$dir/events.parquet"
+    if (!new java.io.File(evPath, "_SUCCESS").isFile) {
+      spark.range(1000000L).as[Long].map(eventRow)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(evPath)
     }
   }
 
@@ -163,6 +190,19 @@ object SoakSf1 {
       },
       "whiten_moments_identity" -> timed("whiten_moments_identity") {
         graft.ops.SketchStreamGates.whitenMoments(spark, dir)
+      },
+      // the events tier at 1M rows: MG coverage now has a REAL heavy
+      // key (the driver stores have none above phi), streaming PSI must
+      // stay bit-equal to batch at 10x the bin mass, HLL MAU error must
+      // hold at 10x the daily cardinality
+      "mg_stream_covers_exact" -> timed("mg_stream_covers_exact") {
+        graft.ops.SketchStreamGates.mgStreamCoversExact(spark, dir)
+      },
+      "psi_stream_equals_batch" -> timed("psi_stream_equals_batch") {
+        graft.ops.SketchStreamGates.psiStreamEqualsBatch(spark, dir)
+      },
+      "hll_mau_within_5pct" -> timed("hll_mau_within_5pct") {
+        graft.ops.SketchStreamGates.hllMauWithin5pct(spark, dir)
       })
     val all = ann.toSeq ++ extra
     all.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }

@@ -97,6 +97,16 @@ object Conformal {
     * one correctly-rounded divide. Quantizing the observations at 6dp
     * is the operator's documented semantic for this family.
     *
+    * SES and CROSTON are deliberately NOT in this set: their prefix
+    * forecasts are per-origin STATE RECURSIONS, so an oracle replay
+    * needs one recursion per (origin, element) — O(n²) recursive-CTE
+    * or per-prefix list_reduce work that the 10k-point series cap
+    * (R:28) puts far past the driver's oracle budget, and the closed
+    * forms that would avoid it (powers of (1−α) over a windowed sum)
+    * overflow IEEE range beyond ~2k points. Their Gaussian bands stay
+    * covered by fc_ses / fc_croston's exact oracles and the
+    * fit-quality gates.
+    *
     * Scale shape: identical to [[conformalNaive]] — rides the session
     * series table, per-series work is (families × h) sorts of ≤n scores
     * inside one executor task, output is families·h rows per element.

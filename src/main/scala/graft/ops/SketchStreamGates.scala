@@ -172,7 +172,7 @@ object SketchStreamGates {
 
   /** HLL rolling MAU within ±5% of the exact rolling distinct, every
     * day covered by both sides. */
-  private def hllMauWithin5pct(spark: SparkSession, sfDir: String): Boolean = {
+  private[graft] def hllMauWithin5pct(spark: SparkSession, sfDir: String): Boolean = {
     val ex = EventAnalytics.rollingActiveUsers(spark, sfDir, 28)
       .select(col("day"), col("active_28d").as("ex"))
     val est = EventAnalytics.rollingMauSketch(spark, sfDir, 28)
@@ -209,7 +209,7 @@ object SketchStreamGates {
     * (freq > φN guarantees survival in ≥1 shard by pigeonhole + the MG
     * error bound), and every reported lower bound must actually be a
     * lower bound of the exact count. */
-  private def mgStreamCoversExact(spark: SparkSession, sfDir: String,
+  private[graft] def mgStreamCoversExact(spark: SparkSession, sfDir: String,
       phi: Double = 0.01): Boolean = {
     val exact = graft.sources.Tables.events(spark, sfDir)
       .filter(col("user_id").isNotNull)
@@ -230,7 +230,7 @@ object SketchStreamGates {
   /** The streaming PSI monitor's single-pass replay must equal the
     * batch `value_psi` bit-for-bit, element set identical, one batch
     * (seq 1) per element. */
-  private def psiStreamEqualsBatch(spark: SparkSession, sfDir: String): Boolean = {
+  private[graft] def psiStreamEqualsBatch(spark: SparkSession, sfDir: String): Boolean = {
     val batch = EventAnalytics.valuePsi(spark, sfDir)
       .select(col("element"), col("psi").as("psi_b"))
     val stream = graft.streaming.EventIngest.driftMonitorAvailableNow(spark, sfDir)
