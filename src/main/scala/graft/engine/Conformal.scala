@@ -111,76 +111,89 @@ object Conformal {
     * series table, per-series work is (families × h) sorts of ≤n scores
     * inside one executor task, output is families·h rows per element.
     */
+  /** One conformal band row: (method, step, lower1, lower2, mean,
+    * upper1, upper2) — shared by the Dataset plan and the calibration
+    * harness. */
+  final case class ClosedBand(method: String, step: Long,
+      lower1: Double, lower2: Double, mean: Double,
+      upper1: Double, upper2: Double)
+
+  /** The per-series conformal math of [[conformalClosed]], exposed so
+    * the empirical-coverage calibration harness can drive it on seeded
+    * replicates exactly as the engine does. Empty for n ≤ 2h. */
+  def closedBands(v: Array[Double], h: Int, freq: Int): Seq[ClosedBand] = {
+    val n = v.length
+    if (n <= 2 * h) return Seq.empty
+    val mp = math.min(freq, n)
+    // exact-decimal prefix sums of the 6dp-quantized observations
+    val pre = new Array[java.math.BigDecimal](n + 1)
+    pre(0) = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      pre(i + 1) = pre(i).add(new java.math.BigDecimal(v(i))
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    val last = v(n - 1)
+    val first = v(0)
+    val mu = graft.core.Stats.mean(v)
+    def band(method: String, step: Int, mid: Double, scores: Array[Double]) = {
+      java.util.Arrays.sort(scores)
+      val m = scores.length
+      def q(cov: Double): Double =
+        scores(math.min(m, math.ceil(cov * (m + 1)).toInt) - 1)
+      val q80 = q(0.8); val q95 = q(0.95)
+      ClosedBand(method, step.toLong,
+        mid - q80, mid - q95, mid, mid + q80, mid + q95)
+    }
+    (1 to h).flatMap { step =>
+      val naive = band("CONFORMAL_NAIVE", step, last,
+        Array.tabulate(n - step)(i0 => math.abs(v(i0 + step) - v(i0))))
+      val drift = {
+        val scores = new Array[Double](n - step - 1)
+        var i1 = 2 // 1-based origin; i=1 has no slope sample
+        while (i1 <= n - step) {
+          val f = v(i1 - 1) + (v(i1 - 1) - first) / (i1 - 1.0) * step
+          scores(i1 - 2) = math.abs(v(i1 + step - 1) - f)
+          i1 += 1
+        }
+        band("CONFORMAL_DRIFT", step,
+          last + (last - first) / (n - 1.0) * step, scores)
+      }
+      val meanf = {
+        val scores = new Array[Double](n - step)
+        var i1 = 1
+        while (i1 <= n - step) {
+          val mI = pre(i1).doubleValue / i1
+          scores(i1 - 1) = math.abs(v(i1 + step - 1) - mI)
+          i1 += 1
+        }
+        band("CONFORMAL_MEANF", step, mu, scores)
+      }
+      val snaive = {
+        val k = (step - 1) / mp + 1
+        val lagTotal = mp * k
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var t = step + 1 // 1-based target index; origin t-step >= 1
+        while (t <= n) {
+          val lag = t - lagTotal
+          if (lag >= 1) buf += math.abs(v(t - 1) - v(lag - 1))
+          t += 1
+        }
+        band("CONFORMAL_SNAIVE", step,
+          v(n - mp + ((step - 1) % mp)), buf.toArray)
+      }
+      Seq(naive, drift, meanf, snaive)
+    }
+  }
+
   def conformalClosed(spark: SparkSession, sfDir: String,
       h: Int = 14, freq: Int = 7): DataFrame = {
     import spark.implicits._
+    val f = freq
     val out = graft.sources.SeriesStore.series(spark, sfDir).flatMap { s =>
-      val v = s.values
-      val n = v.length
-      if (n <= 2 * h) Iterator.empty
-      else {
-        val mp = math.min(freq, n)
-        // exact-decimal prefix sums of the 6dp-quantized observations
-        val pre = new Array[java.math.BigDecimal](n + 1)
-        pre(0) = java.math.BigDecimal.ZERO
-        var i = 0
-        while (i < n) {
-          pre(i + 1) = pre(i).add(new java.math.BigDecimal(v(i))
-            .setScale(6, java.math.RoundingMode.HALF_UP))
-          i += 1
-        }
-        val last = v(n - 1)
-        val first = v(0)
-        val mu = graft.core.Stats.mean(v)
-        def band(method: String, step: Int, mid: Double, scores: Array[Double]) = {
-          java.util.Arrays.sort(scores)
-          val m = scores.length
-          def q(cov: Double): Double =
-            scores(math.min(m, math.ceil(cov * (m + 1)).toInt) - 1)
-          val q80 = q(0.8); val q95 = q(0.95)
-          (s.element, method, step.toLong,
-            mid - q80, mid - q95, mid, mid + q80, mid + q95)
-        }
-        (1 to h).iterator.flatMap { step =>
-          val naive = band("CONFORMAL_NAIVE", step, last,
-            Array.tabulate(n - step)(i0 => math.abs(v(i0 + step) - v(i0))))
-          val drift = {
-            val scores = new Array[Double](n - step - 1)
-            var i1 = 2 // 1-based origin; i=1 has no slope sample
-            while (i1 <= n - step) {
-              val f = v(i1 - 1) + (v(i1 - 1) - first) / (i1 - 1.0) * step
-              scores(i1 - 2) = math.abs(v(i1 + step - 1) - f)
-              i1 += 1
-            }
-            band("CONFORMAL_DRIFT", step,
-              last + (last - first) / (n - 1.0) * step, scores)
-          }
-          val meanf = {
-            val scores = new Array[Double](n - step)
-            var i1 = 1
-            while (i1 <= n - step) {
-              val mI = pre(i1).doubleValue / i1
-              scores(i1 - 1) = math.abs(v(i1 + step - 1) - mI)
-              i1 += 1
-            }
-            band("CONFORMAL_MEANF", step, mu, scores)
-          }
-          val snaive = {
-            val k = (step - 1) / mp + 1
-            val lagTotal = mp * k
-            val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
-            var t = step + 1 // 1-based target index; origin t-step >= 1
-            while (t <= n) {
-              val lag = t - lagTotal
-              if (lag >= 1) buf += math.abs(v(t - 1) - v(lag - 1))
-              t += 1
-            }
-            band("CONFORMAL_SNAIVE", step,
-              v(n - mp + ((step - 1) % mp)), buf.toArray)
-          }
-          Iterator(naive, drift, meanf, snaive)
-        }
-      }
+      closedBands(s.values, h, f).map(b =>
+        (s.element, b.method, b.step, b.lower1, b.lower2, b.mean, b.upper1, b.upper2))
     }.toDF("element", "method", "step", "l1", "l2", "mid", "u1", "u2")
     out.select(col("element"), col("method"), col("step"),
         round(col("l1"), 6).as("lower1"), round(col("l2"), 6).as("lower2"),

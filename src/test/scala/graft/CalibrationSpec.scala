@@ -155,6 +155,40 @@ object Calibration {
 
   def runSetup(s: Setup): Coverage =
     measure(Families.byMethod(s.method), s.proc, s.m, s.n, s.h, s.reps, seed0 = 0xCA11B8L + s.method.hashCode)
+
+  /** Coverage of the SPLIT-CONFORMAL bands (`Conformal.closedBands`) for
+    * one family on seeded replicates — the distribution-free layer's
+    * finite-sample guarantee (coverage ≥ cov under exchangeable scores)
+    * measured empirically, exactly as [[measure]] does for the Gaussian
+    * bands. */
+  def measureConformal(method: String, proc: String, m: Int, n: Int, h: Int,
+      reps: Int, seed0: Long): Coverage = {
+    val packed = java.util.stream.IntStream.range(0, reps).parallel().mapToLong { rep =>
+      val (train, future) = simulate(proc, n, h, seed0 + rep.toLong * 1000003L)
+      val bands = graft.engine.Conformal.closedBands(train, h, m)
+        .filter(_.method == method)
+      var in80 = 0L
+      var in95 = 0L
+      bands.foreach { b =>
+        val v = future(b.step.toInt - 1)
+        if (v >= b.lower1 && v <= b.upper1) in80 += 1
+        if (v >= b.lower2 && v <= b.upper2) in95 += 1
+      }
+      (in80 << 32) | in95
+    }.sum()
+    val draws = reps * h
+    Coverage((packed >>> 32).toDouble / draws, (packed & 0xffffffffL).toDouble / draws, reps, draws)
+  }
+
+  /** Conformal scenarios: the same matched processes as the Gaussian
+    * setups; the conformal guarantee is distribution-free, so coverage
+    * must hold HERE too — and a broken score definition (wrong lag,
+    * off-by-one origin, mis-ranked quantile) undershoots loudly. */
+  val conformalSetups: Seq[(String, String, Int)] = Seq(
+    ("CONFORMAL_NAIVE", "rw", 1),
+    ("CONFORMAL_DRIFT", "rw_drift", 1),
+    ("CONFORMAL_MEANF", "iid", 1),
+    ("CONFORMAL_SNAIVE", "srw", 7))
 }
 
 /** Asserts every deterministic family's empirical 80/95 coverage sits in
@@ -172,6 +206,18 @@ class CalibrationSpec extends AnyFunSuite {
         s"${s.method} 80% band empirical coverage ${c.c80} outside [${s.lo80}, ${s.hi80}]")
       assert(c.c95 >= s.lo95 && c.c95 <= s.hi95,
         s"${s.method} 95% band empirical coverage ${c.c95} outside [${s.lo95}, ${s.hi95}]")
+    }
+  }
+
+  for ((method, proc, m) <- conformalSetups) {
+    test(s"$method conformal coverage on '$proc' honors the distribution-free guarantee") {
+      val c = measureConformal(method, proc, m, n = 150, h = 6, reps = 300,
+        seed0 = 0xC0F0A1L + method.hashCode)
+      info(s"$method: $c")
+      assert(c.c80 >= 0.70 && c.c80 <= 0.92,
+        s"$method 80% conformal coverage ${c.c80} outside [0.70, 0.92]")
+      assert(c.c95 >= 0.88 && c.c95 <= 0.995,
+        s"$method 95% conformal coverage ${c.c95} outside [0.88, 0.995]")
     }
   }
 }
