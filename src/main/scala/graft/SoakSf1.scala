@@ -203,6 +203,32 @@ object SoakSf1 {
       },
       "hll_mau_within_5pct" -> timed("hll_mau_within_5pct") {
         graft.ops.SketchStreamGates.hllMauWithin5pct(spark, dir)
+      },
+      // exact substring tier at 50k docs: every planted verbatim copy
+      // (id % 200 == 199 copies its predecessor) with >= k tokens must
+      // be recovered as ONE maximal whole-document span — a dropped
+      // gram, broken diagonal-islands window or over-eager hot-gram
+      // cap fragments or loses the span
+      "substring_planted_span_recall" -> timed("substring_planted_span_recall") {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            size(split(lower(trim(col("text"))), "\\s+")).as("ntok"),
+            col("text"))
+        val expected = docs
+          .filter(col("doc_id") % 200 === 199 && col("text").isNotNull &&
+            col("ntok") >= 16)
+          .select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"),
+            col("ntok"))
+        val spans = graft.ops.NearDup.substringSpans(spark, dir)
+          .filter(col("a_start") === 1 && col("b_start") === 1)
+          .select(col("doc_a"), col("doc_b"), col("span_tokens"))
+        val nExpected = expected.count()
+        val missing = expected
+          .join(spans, Seq("doc_a", "doc_b"), "left")
+          .filter(col("span_tokens").isNull || col("span_tokens") =!= col("ntok"))
+          .count()
+        println(s"[soak] substring: $nExpected planted whole-doc copies, $missing missed")
+        nExpected > 0 && missing == 0
       })
     val all = ann.toSeq ++ extra
     all.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
