@@ -184,9 +184,99 @@ case class BloomMightContain(child: Expression, bits: Array[Byte]) extends Unary
     copy(child = newChild)
 }
 
+/** Fused rolling-hash winnowing sketch: the bottom-`size` xxhash64
+  * values over all k-char windows of a string, plus the window count —
+  * one static call per row. The composed-builtin formulation
+  * (`sequence` → higher-order `transform` → `array_sort` → `slice`)
+  * pays one INTERPRETED closure call per character-window (the
+  * `phrase_search` lesson again — measured 2.4 s at sf0.1 for ~1.5M
+  * window hashes) and materializes the full window-hash array per row;
+  * this kernel keeps a `size`-slot insertion buffer and never
+  * allocates beyond it. Hash identity is preserved exactly:
+  * `XxHash64Function.hash(substringSQL(i, k), seed 42)` is
+  * byte-for-byte what `xxhash64(substring(txt, i, k))` computes, so
+  * sketches (and every downstream overlap pair) are unchanged. */
+object TextWinnow {
+  def sketchRow(s: UTF8String, k: Int, size: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = s.numChars()
+    val nw = math.max(n - k + 1, 1)
+    // one boundary walk: byte offset of every character start, so each
+    // window hashes its raw byte range in place — no per-window
+    // UTF8String allocation, no Any-boxing through the hash dispatch
+    // (hash identity: xxhash64(substring(txt,i,k)) IS XXH64 seed 42
+    // over exactly these bytes)
+    val starts = new Array[Int](n + 1)
+    var bi = 0
+    var ci = 0
+    while (ci < n) {
+      starts(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(s.getByte(bi))
+      ci += 1
+    }
+    starts(n) = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val buf = new Array[Long](math.min(nw, size))
+    var filled = 0
+    var i = 0
+    while (i < nw) {
+      val b0 = starts(i)
+      val b1 = starts(math.min(i + k, n))
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + b0, b1 - b0, 42L)
+      if (filled < buf.length) {
+        var pos = filled
+        while (pos > 0 && buf(pos - 1) > h) { buf(pos) = buf(pos - 1); pos -= 1 }
+        buf(pos) = h
+        filled += 1
+      } else if (buf.length > 0 && h < buf(buf.length - 1)) {
+        var pos = buf.length - 1
+        while (pos > 0 && buf(pos - 1) > h) { buf(pos) = buf(pos - 1); pos -= 1 }
+        buf(pos) = h
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf), nw.toLong))
+  }
+}
+
+/** winnow_sketch(text, k, size): struct<hashes: array<long>,
+  * n_windows: long> — null-intolerant; (k, size) are plan constants. */
+case class WinnowSketch(child: Expression, k: Int, sketchSize: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "winnow_sketch"
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("hashes",
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("n_windows", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_sketch requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextWinnow.sketchRow(v.asInstanceOf[UTF8String], k, sketchSize)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextWinnow.sketchRow($c, $k, $sketchSize);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ScaleFunctions {
   def codepoint_entropy(text: Column): Column =
     Bridge.column(CodepointEntropy(Bridge.expression(text)))
+
+  def winnow_sketch(text: Column, k: Int, sketchSize: Int): Column =
+    Bridge.column(WinnowSketch(Bridge.expression(text), k, sketchSize))
 
   def phrase_positions(text: Column, w1: String, w2: String): Column =
     Bridge.column(PhrasePositions(Bridge.expression(text), w1, w2))

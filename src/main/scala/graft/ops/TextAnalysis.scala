@@ -373,11 +373,17 @@ object TextAnalysis {
     docs(spark, sfDir)
       .select(col("doc_id"),
         regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("txt"))
-      .withColumn("windows",
-        expr(s"transform(sequence(1, greatest(length(txt) - ${k - 1}, 1)), i -> xxhash64(substring(txt, i, $k)))"))
-      .select(col("doc_id"),
-        posexplode(slice(array_sort(col("windows")), 1, sketchSize)),
-        size(col("windows")).cast("long").as("n_windows"))
+      // fused bottom-k kernel (graft.functions.WinnowSketch): hash
+      // identity with the composed-builtin formulation is exact (see
+      // its scaladoc); the interpreted per-window lambda cost is gone.
+      // The explode(array(..)) funnel pins ONE kernel evaluation —
+      // projecting two fields out of a non-foldable struct would
+      // otherwise re-evaluate it per field (measured 2×)
+      .select(col("doc_id"), explode(array(
+        graft.functions.ScaleFunctions.winnow_sketch(col("txt"), k, sketchSize)))
+        .as("ws"))
+      .select(col("doc_id"), posexplode(col("ws.hashes")),
+        col("ws.n_windows").as("n_windows"))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col").as("window_hash"), col("n_windows"))
       .orderBy(col("doc_id"), col("rank"))
