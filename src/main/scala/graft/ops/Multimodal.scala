@@ -127,7 +127,27 @@ object Multimodal {
     * pins this. Empty payloads hash to 0 (identical empty media IS
     * identical). Audio rows are excluded (dHash is a visual
     * fingerprint). */
-  def mediaNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame = {
+  /** Session cache of the perceptual pair table, keyed (app, corpus,
+    * radius): `media_near_dup` and `media_dup_clusters` both consume
+    * it, and the grid/signature expressions are interpreted per-cell
+    * lambdas worth computing once per corpus (the established
+    * signature-cache lifecycle — see `Dedup.clearCaches`). */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+
+  /** Release the cached pair tables (resident-service contract). */
+  def clearCaches(): Unit = {
+    pairCache.values.forEach(df => { df.unpersist(); () })
+    pairCache.clear()
+  }
+
+  def mediaNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame =
+    pairCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir, maxHamming),
+      _ => mediaNearDupDirect(spark, sfDir, maxHamming)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def mediaNearDupDirect(spark: SparkSession, sfDir: String, maxHamming: Int): DataFrame = {
     val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter((col("doc_id") % 3).cast("int") =!= 1) // audio rows out
       .withColumn("txt", coalesce(col("text"), lit("")))

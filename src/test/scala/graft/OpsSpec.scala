@@ -625,6 +625,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.Affinity.clearCaches()
     graft.ops.Bpe.clearCaches()
     graft.ops.ScalePatterns.clearCaches()
+    graft.ops.Multimodal.clearCaches()
+    graft.ops.SketchStreamGates.clearCaches()
     val after = (
       graft.ops.Dedup.dupClusters(spark, sfDir).collect().toSeq,
       graft.ops.Dedup.semanticDedup(spark, sfDir).collect().toSeq,
