@@ -125,29 +125,54 @@ object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Literal-string / literal-int argument extraction for the SQL
+    * builders whose expressions take plan constants (probe phrase,
+    * sketch geometry). */
+  private def litString(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a string literal argument, got $other")
+  }
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal argument, got $other")
+  }
+
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("codepoint_entropy"),
+      new ExpressionInfo(classOf[CodepointEntropy].getName, "codepoint_entropy"),
+      (args: Seq[Expression]) => CodepointEntropy(args(0))),
+    (FunctionIdentifier("phrase_positions"),
+      new ExpressionInfo(classOf[PhrasePositions].getName, "phrase_positions"),
+      (args: Seq[Expression]) => PhrasePositions(args(0),
+        litString(args(1), "phrase_positions"), litString(args(2), "phrase_positions"))),
+    (FunctionIdentifier("winnow_sketch"),
+      new ExpressionInfo(classOf[WinnowSketch].getName, "winnow_sketch"),
+      (args: Seq[Expression]) => WinnowSketch(args(0),
+        litInt(args(1), "winnow_sketch"), litInt(args(2), "winnow_sketch"))))
 
   /** Register into a live session (SQL name + Column API both work). */
   def register(spark: SparkSession): Unit =
     functions.foreach { case (ident, info, builder) =>
       Bridge.registerFunction(spark, ident.funcName, info, builder)
     }
+
+  /** Inject the same registry through `spark.sql.extensions`. */
+  def injectAll(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
-    ext.injectFunction((FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorFunctions.injectAll(ext)
 }

@@ -85,6 +85,27 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(2).getDouble(1) == -1.0)
   }
 
+  test("SQL registration: text kernels callable from spark.sql") {
+    VectorFunctions.register(spark)
+    // entropy: 'aabb' -> 1 bit/char; phrase positions; winnow sketch
+    val e = spark.sql("SELECT codepoint_entropy('aabb')").head().getDouble(0)
+    assert(math.abs(e - 1.0) < 1e-12, s"entropy of aabb is 1 bit/char: $e")
+    val p = spark.sql("SELECT phrase_positions('big data big data', 'big', 'data')")
+      .head().getSeq[Int](0)
+    assert(p == Seq(0, 2), s"phrase at token positions 0 and 2: $p")
+    val w = spark.sql(
+      "SELECT ws.n_windows, size(ws.hashes) FROM (SELECT winnow_sketch('abcdefghij', 8, 4) AS ws)")
+      .head()
+    assert(w.getLong(0) == 3L && w.getInt(1) == 3L,
+      s"10 chars -> 3 8-char windows, sketch holds all 3: $w")
+    // SQL result must equal the Column-API kernel bit-for-bit
+    val viaSql = spark.sql("SELECT winnow_sketch('abcdefghij', 8, 4).hashes").head().getSeq[Long](0)
+    val viaCol = spark.range(1)
+      .select(graft.functions.ScaleFunctions.winnow_sketch(lit("abcdefghij"), 8, 4).getField("hashes"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaCol)
+  }
+
   test("nulls propagate; type mismatch is a clean analysis error") {
     import spark.implicits._
     val withNull = Seq((Array(1.0), Option.empty[Array[Double]])).toDF("a", "b")
