@@ -229,8 +229,19 @@ object NNar {
       while (j < h) {
         val s = sims(j)
         java.util.Arrays.sort(s)
-        l1(j) = quantile(s, 0.10); l2(j) = quantile(s, 0.025)
-        u1(j) = quantile(s, 0.90); u2(j) = quantile(s, 0.975)
+        // clamp the sim quantiles to CONTAIN the deterministic point
+        // path: a saturating network responds asymmetrically to the
+        // Gaussian innovations, so on skewed series the no-noise
+        // iterate can drift outside the simulated quantiles (first
+        // seen on the sf0.1 store's 128-point fit slices — the
+        // sf0.01-only check never hit it). The engine's band contract
+        // (lower2 ≤ lower1 ≤ mean ≤ upper1 ≤ upper2, the invariant
+        // every consumer of R:99-101's 5-column table assumes) is
+        // restored by widening, never narrowing, the affected side.
+        l1(j) = math.min(quantile(s, 0.10), mean(j))
+        l2(j) = math.min(quantile(s, 0.025), mean(j))
+        u1(j) = math.max(quantile(s, 0.90), mean(j))
+        u2(j) = math.max(quantile(s, 0.975), mean(j))
         j += 1
       }
       Forecasts(l1, l2, mean, u1, u2)
