@@ -118,6 +118,8 @@ object NearDup {
     minhashBucketCache.clear()
     trigramTfCache.values.forEach(df => { df.unpersist(); () })
     trigramTfCache.clear()
+    spanCache.values.forEach(df => { df.unpersist(); () })
+    spanCache.clear()
   }
 
   private def blockedJaccardDirect(spark: SparkSession, sfDir: String, threshold: Double,
@@ -486,8 +488,23 @@ object NearDup {
     * Hash-composition exactness argument is [[shingles]]'s: collisions
     * p ≈ d²/2⁶⁵, and the string-built oracle hash-verifies at test
     * scale. */
+  /** Session cache of the maximal-span table, keyed (app, corpus, k,
+    * dfCap): three registered consumers (`substring_dedup`,
+    * `substring_dup_coverage`, `split_substring_leakage`) and the sf1
+    * soak all start from the same positional-gram join — one build per
+    * corpus serves all (the signature-cache lifecycle). */
+  private val spanCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), DataFrame]()
+
   def substringSpans(spark: SparkSession, sfDir: String, k: Int = 16,
-      dfCap: Int = SpanDfCap): DataFrame = {
+      dfCap: Int = SpanDfCap): DataFrame =
+    spanCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir, k, dfCap),
+      _ => substringSpansDirect(spark, sfDir, k, dfCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def substringSpansDirect(spark: SparkSession, sfDir: String, k: Int,
+      dfCap: Int): DataFrame = {
     val base = docs(spark, sfDir)
       .select(col("doc_id"),
         expr("transform(split(lower(trim(text)), '\\\\s+'), w -> xxhash64(w))").as("th"))
