@@ -506,9 +506,10 @@ object SparkEntry {
     // re-derives score ranks end to end
     "fc_conformal" -> ((s, dir) => graft.engine.Conformal.conformalNaive(s, dir)),
     // the conformal layer widened over the whole closed-form registry
-    // (NAIVE/DRIFT/MEANF/SNAIVE) — per-family prefix-forecast scores,
-    // same rank rule, fully oracle-replayed
-    "fc_conformal_all" -> ((s, dir) => graft.engine.Conformal.conformalClosed(s, dir)),
+    // (NAIVE/DRIFT/MEANF/SNAIVE/SES on the positional series, CROSTON/
+    // SBA on the calendar demand series) — per-family prefix-forecast
+    // scores, same rank rule, fully oracle-replayed
+    "fc_conformal_all" -> ((s, dir) => graft.engine.Conformal.conformalAll(s, dir)),
     // 2-level hierarchy: bottom-up sum of leaf DRIFT forecasts vs the
     // direct total DRIFT forecast + per-step coherence gap
     "fc_hierarchical" -> ((s, dir) => graft.engine.Conformal.hierarchicalDrift(s, dir)),
@@ -526,6 +527,10 @@ object SparkEntry {
     // bias-corrected intermittent-demand variants (SBA/SBJ) beside the
     // classic ratio — one constant multiply over the same recursions
     "fc_croston_sba" -> ((s, dir) => graft.models.Croston.forecastVariants(s, dir)),
+    // Teunter-Syntetos-Babai: demand-probability smoothing every period
+    // (obsolescence decay), sizes on demand days only, forecast p·z —
+    // the standard set's third member, recursion fully oracle-replayed
+    "fc_croston_tsb" -> ((s, dir) => graft.models.Croston.forecastTsb(s, dir)),
     // Syntetos–Boylan ADI/CV² quadrants: every class decision an exact
     // cross-multiplication — routes series between Croston and the
     // continuous families
@@ -1149,6 +1154,47 @@ object SparkEntry {
       |  WHERE r.z IS NOT NULL)
       |""".stripMargin + finalSelect
 
+  /** The TSB recursion replayed literally: same densified spine as the
+    * croston CTE, but the probability state updates at EVERY step
+    * (`p + 0.1·(d − p)`, d = 1 on demand days) while the size state
+    * keeps the croston demand-day-only update. */
+  private def tsbRecursionCte(finalSelect: String): String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type AS element, CAST(ts AS DATE) AS day,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS s
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY event_type, CAST(ts AS DATE)),
+      |spine AS (
+      |  SELECT element, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT element, min(day) AS mn, max(day) AS mx FROM daily GROUP BY element)),
+      |obs AS (
+      |  SELECT sp.element, sp.day,
+      |    COALESCE(CAST(d.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS x,
+      |    row_number() OVER (PARTITION BY sp.element ORDER BY sp.day) AS step
+      |  FROM spine sp LEFT JOIN daily d ON d.element = sp.element AND d.day = sp.day),
+      |rec AS (
+      |  SELECT element, step, x,
+      |    CASE WHEN x > 0 THEN x END AS z,
+      |    CASE WHEN x > 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS p
+      |  FROM obs WHERE step = 1
+      |  UNION ALL
+      |  SELECT o.element, o.step, o.x,
+      |    CASE WHEN o.x > 0 THEN
+      |      CASE WHEN r.z IS NULL THEN o.x
+      |           ELSE r.z + CAST(0.1 AS DOUBLE) * (o.x - r.z) END
+      |    ELSE r.z END,
+      |    r.p + CAST(0.1 AS DOUBLE) *
+      |      ((CASE WHEN o.x > 0 THEN CAST(1.0 AS DOUBLE)
+      |             ELSE CAST(0.0 AS DOUBLE) END) - r.p)
+      |  FROM rec r JOIN obs o ON o.element = r.element AND o.step = r.step + 1),
+      |fin AS (
+      |  SELECT r.element, r.z, r.p
+      |  FROM rec r JOIN (SELECT element, max(step) AS ms FROM rec GROUP BY element) m
+      |    ON m.element = r.element AND r.step = m.ms
+      |  WHERE r.z IS NOT NULL)
+      |""".stripMargin + finalSelect
+
   /** The searchElement scan: per-element step numbering, 10k cap (R:28). */
   private val obsCte =
     """obs AS (
@@ -1669,7 +1715,7 @@ object SparkEntry {
     // reassociation cannot move them), every other score is a pinned
     // IEEE op sequence
     "fc_conformal_all" ->
-      s"""WITH $obsCte,
+      s"""WITH RECURSIVE $obsCte,
          |tr AS (SELECT element, count(*) AS n,
          |    arg_max(value, step) AS last_v, arg_min(value, step) AS first_v,
          |    avg(value) AS mu
@@ -1680,6 +1726,54 @@ object SparkEntry {
          |    sum(CAST(value AS DECIMAL(18,6)))
          |      OVER (PARTITION BY element ORDER BY step) AS ds
          |  FROM obs),
+         |lvv AS MATERIALIZED (
+         |  SELECT element, list(value ORDER BY step) AS vs, count(*) AS n
+         |  FROM obs GROUP BY element),
+         |slv AS (
+         |  SELECT element, 1 AS step, vs[1] AS level FROM lvv
+         |  UNION ALL
+         |  SELECT r.element, r.step + 1,
+         |    CAST(0.3 AS DOUBLE) * l.vs[r.step + 1] + CAST(0.7 AS DOUBLE) * r.level
+         |  FROM slv r JOIN lvv l USING (element) WHERE r.step < l.n),
+         |cdaily AS (
+         |  SELECT event_type AS element, CAST(ts AS DATE) AS day,
+         |    sum(CAST(value AS DECIMAL(18,4))) AS s
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+         |  GROUP BY event_type, CAST(ts AS DATE)),
+         |cspine AS (
+         |  SELECT element, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM (SELECT element, min(day) AS mn, max(day) AS mx FROM cdaily GROUP BY element)),
+         |cobs AS MATERIALIZED (
+         |  SELECT sp.element, sp.day,
+         |    COALESCE(CAST(d.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS x,
+         |    row_number() OVER (PARTITION BY sp.element ORDER BY sp.day) AS step
+         |  FROM cspine sp LEFT JOIN cdaily d ON d.element = sp.element AND d.day = sp.day),
+         |ck AS (SELECT element, count(*) AS n FROM cobs
+         |  GROUP BY element HAVING count(*) > 14),
+         |crec AS (
+         |  SELECT element, step, x,
+         |    CASE WHEN x > 0 THEN x END AS z,
+         |    CASE WHEN x > 0 THEN CAST(1.0 AS DOUBLE) END AS p,
+         |    CASE WHEN x > 0 THEN 1 ELSE 2 END AS q
+         |  FROM cobs WHERE step = 1
+         |  UNION ALL
+         |  SELECT o.element, o.step, o.x,
+         |    CASE WHEN o.x > 0 THEN
+         |      CASE WHEN r.z IS NULL THEN o.x
+         |           ELSE r.z + CAST(0.1 AS DOUBLE) * (o.x - r.z) END
+         |    ELSE r.z END,
+         |    CASE WHEN o.x > 0 THEN
+         |      CASE WHEN r.z IS NULL THEN CAST(r.q AS DOUBLE)
+         |           ELSE r.p + CAST(0.1 AS DOUBLE) * (CAST(r.q AS DOUBLE) - r.p) END
+         |    ELSE r.p END,
+         |    CASE WHEN o.x > 0 THEN 1 ELSE r.q + 1 END
+         |  FROM crec r JOIN cobs o ON o.element = r.element AND o.step = r.step + 1),
+         |cfin AS (
+         |  SELECT r.element, r.z, r.p
+         |  FROM crec r JOIN (SELECT element, max(step) AS ms FROM crec GROUP BY element) m
+         |    ON m.element = r.element AND r.step = m.ms
+         |  WHERE r.z IS NOT NULL),
          |sc AS (
          |  SELECT o.element, h.step, 'CONFORMAL_NAIVE' AS method,
          |    abs(o2.value - o.value) AS score
@@ -1704,7 +1798,24 @@ object SparkEntry {
          |  JOIN pre o2 ON o2.element = o.element
          |    AND o2.step = o.step
          |      + least(k.n, $Freq) * ((h.step - 1) // least(k.n, $Freq) + 1)
-         |  WHERE o2.step > h.step),
+         |  WHERE o2.step > h.step
+         |  UNION ALL
+         |  SELECT r.element, h.step, 'CONFORMAL_SES',
+         |    abs(o2.value - r.level)
+         |  FROM slv r JOIN ok USING (element) CROSS JOIN range(1, 15) h(step)
+         |  JOIN pre o2 ON o2.element = r.element AND o2.step = r.step + h.step
+         |  UNION ALL
+         |  SELECT r.element, h.step, 'CONFORMAL_CROSTON',
+         |    abs(o2.x - (r.z / r.p))
+         |  FROM crec r JOIN ck USING (element) CROSS JOIN range(1, 8) h(step)
+         |  JOIN cobs o2 ON o2.element = r.element AND o2.step = r.step + h.step
+         |  WHERE r.z IS NOT NULL
+         |  UNION ALL
+         |  SELECT r.element, h.step, 'CONFORMAL_SBA',
+         |    abs(o2.x - (1.0 - CAST(0.1 AS DOUBLE) / 2.0) * (r.z / r.p))
+         |  FROM crec r JOIN ck USING (element) CROSS JOIN range(1, 8) h(step)
+         |  JOIN cobs o2 ON o2.element = r.element AND o2.step = r.step + h.step
+         |  WHERE r.z IS NOT NULL),
          |rk AS (SELECT element, method, step, score,
          |    row_number() OVER (PARTITION BY element, method, step
          |      ORDER BY score) AS r,
@@ -1732,7 +1843,19 @@ object SparkEntry {
          |  FROM ok k CROSS JOIN range(1, 15) h(step)
          |  JOIN obs c ON c.element = k.element
          |    AND c.step = k.n - least(k.n, $Freq)
-         |      + ((h.step - 1) % least(k.n, $Freq)) + 1)
+         |      + ((h.step - 1) % least(k.n, $Freq)) + 1
+         |  UNION ALL
+         |  SELECT k.element, 'CONFORMAL_SES', h.step, sf.level
+         |  FROM ok k CROSS JOIN range(1, 15) h(step)
+         |  JOIN (SELECT element, arg_max(level, step) AS level
+         |        FROM slv GROUP BY element) sf ON sf.element = k.element
+         |  UNION ALL
+         |  SELECT f.element, 'CONFORMAL_CROSTON', h.step, f.z / f.p
+         |  FROM cfin f JOIN ck USING (element) CROSS JOIN range(1, 8) h(step)
+         |  UNION ALL
+         |  SELECT f.element, 'CONFORMAL_SBA', h.step,
+         |    (1.0 - CAST(0.1 AS DOUBLE) / 2.0) * (f.z / f.p)
+         |  FROM cfin f JOIN ck USING (element) CROSS JOIN range(1, 8) h(step))
          |SELECT m.element, m.method, m.step,
          |  round(m.mid - q.q80, 6) AS lower1,
          |  round(m.mid - q.q95, 6) AS lower2,
@@ -3370,6 +3493,12 @@ object SparkEntry {
         |FROM fin CROSS JOIN generate_series(1, 7) AS s(step)
         |CROSS JOIN (VALUES ('CROSTON'), ('SBA'), ('SBJ')) AS v(variant)
         |ORDER BY element, variant, step""".stripMargin),
+    // TSB: unconditional probability smoothing + demand-day size
+    // smoothing, forecast one multiply at 6dp
+    "fc_croston_tsb" -> tsbRecursionCte(
+      """SELECT element, CAST(s.step AS BIGINT) AS step, round(z * p, 6) AS mean
+        |FROM fin CROSS JOIN generate_series(1, 7) AS s(step)
+        |ORDER BY element, step""".stripMargin),
     // HUGEINT replay of the exact quadrant cross-multiplications; the
     // adi/cv2 doubles are one division each over the same integers
     "demand_classes" ->
@@ -3380,24 +3509,41 @@ object SparkEntry {
         |  FROM events
         |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
         |  GROUP BY event_type, CAST(ts AS DATE)),
+        |stp AS (
+        |  SELECT element, min(day) AS mn,
+        |    CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS np
+        |  FROM daily GROUP BY element),
         |st AS (
-        |  SELECT element,
-        |    CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS n_periods,
-        |    CAST(count(*) FILTER (WHERE s > 0) AS BIGINT) AS nd,
-        |    CAST(sum(q) FILTER (WHERE s > 0) AS HUGEINT) AS sq,
-        |    CAST(sum(CAST(q AS HUGEINT) * q) FILTER (WHERE s > 0) AS HUGEINT) AS sqq
-        |  FROM daily GROUP BY element)
+        |  SELECT d.element, s2.np AS n_periods,
+        |    CAST(count(*) FILTER (WHERE d.s > 0) AS BIGINT) AS nd,
+        |    CAST(sum(d.q) FILTER (WHERE d.s > 0) AS HUGEINT) AS sq,
+        |    CAST(sum(CAST(d.q AS HUGEINT) * d.q) FILTER (WHERE d.s > 0) AS HUGEINT) AS sqq,
+        |    CAST(count(*) FILTER (WHERE d.s > 0
+        |      AND date_diff('day', s2.mn, d.day) <= (s2.np - 1) // 2) AS BIGINT) AS nd_early,
+        |    CAST(count(*) FILTER (WHERE d.s > 0
+        |      AND date_diff('day', s2.mn, d.day) > (s2.np - 1) // 2) AS BIGINT) AS nd_late
+        |  FROM daily d JOIN stp s2 USING (element)
+        |  GROUP BY d.element, s2.np),
+        |cls AS (
+        |  SELECT element, n_periods, nd, sq, sqq, nd_early, nd_late,
+        |    CASE WHEN n_periods * 100 < 132 * nd THEN
+        |      CASE WHEN 100 * (nd * sqq - sq * sq) < 49 * (sq * sq)
+        |           THEN 'smooth' ELSE 'erratic' END
+        |    ELSE
+        |      CASE WHEN 100 * (nd * sqq - sq * sq) < 49 * (sq * sq)
+        |           THEN 'intermittent' ELSE 'lumpy' END
+        |    END AS demand_class
+        |  FROM st)
         |SELECT element, n_periods, nd AS n_demands,
         |  round(CAST(n_periods AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS adi,
         |  round(CAST(nd * sqq - sq * sq AS DOUBLE) / CAST(sq * sq AS DOUBLE), 6) AS cv2,
-        |  CASE WHEN n_periods * 100 < 132 * nd THEN
-        |    CASE WHEN 100 * (nd * sqq - sq * sq) < 49 * (sq * sq)
-        |         THEN 'smooth' ELSE 'erratic' END
-        |  ELSE
-        |    CASE WHEN 100 * (nd * sqq - sq * sq) < 49 * (sq * sq)
-        |         THEN 'intermittent' ELSE 'lumpy' END
-        |  END AS demand_class
-        |FROM st ORDER BY element""".stripMargin,
+        |  demand_class,
+        |  (nd_late * 2 < nd_early) AS obsolescence_risk,
+        |  CASE WHEN nd_late * 2 < nd_early THEN 'TSB'
+        |       WHEN demand_class = 'intermittent' THEN 'CROSTON'
+        |       WHEN demand_class = 'lumpy' THEN 'SBA'
+        |       ELSE 'SES' END AS recommended
+        |FROM cls ORDER BY element""".stripMargin,
     // plain row_number replay of the deterministic (key, doc_id) total
     // order; the banded pair formation must equal this direct window
     "snm_candidates" ->

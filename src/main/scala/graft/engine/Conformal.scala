@@ -66,9 +66,9 @@ object Conformal {
       .orderBy(col("element"), col("step"))
   }
 
-  /** Split-conformal intervals over ALL four closed-form families —
+  /** Split-conformal intervals over the closed-form families —
     * [[conformalNaive]] widened from NAIVE to {NAIVE, DRIFT, MEANF,
-    * SNAIVE}: the reference's Gaussian bands (R:99-100) assume
+    * SNAIVE, SES}: the reference's Gaussian bands (R:99-100) assume
     * normality for every method; this layer replaces each family's
     * parametric band with the distribution-free conformal quantile of
     * that family's OWN realized h-step errors, so the calibration
@@ -81,6 +81,8 @@ object Conformal {
     *  - MEANF:  F̂_i(h) = mean(v[1..i])                   (i ≥ 1)
     *  - SNAIVE: F̂_i(h) = v(i+h − m'·⌈h/m'⌉), m' = min(freq, n)
     *            (valid where the lagged index ≥ 1)
+    *  - SES:    F̂_i(h) = ℓ_i, ℓ_1 = v(1), ℓ_i = 0.3·v_i + 0.7·ℓ_{i-1}
+    *            (the literal `Ses.fit` recursion, read at every prefix)
     * and the band half-width is the conformal quantile at rank
     * `min(m, ⌈cov·(m+1)⌉)` of the sorted scores, exactly as in
     * [[conformalNaive]]. The band centers are the families' full-series
@@ -97,15 +99,17 @@ object Conformal {
     * one correctly-rounded divide. Quantizing the observations at 6dp
     * is the operator's documented semantic for this family.
     *
-    * SES and CROSTON are deliberately NOT in this set: their prefix
-    * forecasts are per-origin STATE RECURSIONS, so an oracle replay
-    * needs one recursion per (origin, element) — O(n²) recursive-CTE
-    * or per-prefix list_reduce work that the 10k-point series cap
-    * (R:28) puts far past the driver's oracle budget, and the closed
-    * forms that would avoid it (powers of (1−α) over a windowed sum)
-    * overflow IEEE range beyond ~2k points. Their Gaussian bands stay
-    * covered by fc_ses / fc_croston's exact oracles and the
-    * fit-quality gates.
+    * SES joined the set in round 11: its per-origin forecast is NOT a
+    * fresh recursion per origin — it is the single forward level
+    * recursion `ℓ_i = 0.3·v_i + 0.7·ℓ_{i-1}` (the literal `Ses.fit`
+    * op order) read out at every prefix, so ONE O(n) pass yields all
+    * origins and the oracle replays it as ONE recursive CTE emitting
+    * every step's level (the earlier "O(n²) per-origin" concern
+    * confused re-fitting with reading the running state). CROSTON and
+    * SBA get the same treatment over the CALENDAR demand series in
+    * [[intermittentBands]] — their (z, p) recursions likewise carry
+    * all origins in one pass, already replayed step-by-step by the
+    * fc_croston oracle's recursive CTE.
     *
     * Scale shape: identical to [[conformalNaive]] — rides the session
     * series table, per-series work is (families × h) sorts of ≤n scores
@@ -137,15 +141,12 @@ object Conformal {
     val last = v(n - 1)
     val first = v(0)
     val mu = graft.core.Stats.mean(v)
-    def band(method: String, step: Int, mid: Double, scores: Array[Double]) = {
-      java.util.Arrays.sort(scores)
-      val m = scores.length
-      def q(cov: Double): Double =
-        scores(math.min(m, math.ceil(cov * (m + 1)).toInt) - 1)
-      val q80 = q(0.8); val q95 = q(0.95)
-      ClosedBand(method, step.toLong,
-        mid - q80, mid - q95, mid, mid + q80, mid + q95)
-    }
+    // SES running levels at every prefix (Ses.fit's literal op order —
+    // the oracle's recursive CTE replays the identical IEEE sequence)
+    val lvl = new Array[Double](n)
+    lvl(0) = v(0)
+    var li = 1
+    while (li < n) { lvl(li) = 0.3 * v(li) + 0.7 * lvl(li - 1); li += 1 }
     (1 to h).flatMap { step =>
       val naive = band("CONFORMAL_NAIVE", step, last,
         Array.tabulate(n - step)(i0 => math.abs(v(i0 + step) - v(i0))))
@@ -183,7 +184,78 @@ object Conformal {
         band("CONFORMAL_SNAIVE", step,
           v(n - mp + ((step - 1) % mp)), buf.toArray)
       }
-      Seq(naive, drift, meanf, snaive)
+      val ses = band("CONFORMAL_SES", step, lvl(n - 1),
+        Array.tabulate(n - step)(i0 => math.abs(v(i0 + step) - lvl(i0))))
+      Seq(naive, drift, meanf, snaive, ses).flatten
+    }
+  }
+
+  /** Conformal quantile band, or None when a family has no valid
+    * nonconformity score in this regime (e.g. SNAIVE whenever every
+    * seasonal lag falls before the series start — freq ≥ n is a
+    * reachable public-parameter regime). The skip mirrors the oracle's
+    * inner join, which emits no row for a score-less (family, step). */
+  private def band(method: String, step: Int, mid: Double,
+      scores: Array[Double]): Option[ClosedBand] = {
+    if (scores.isEmpty) return None
+    java.util.Arrays.sort(scores)
+    val m = scores.length
+    def q(cov: Double): Double =
+      scores(math.min(m, math.ceil(cov * (m + 1)).toInt) - 1)
+    val q80 = q(0.8); val q95 = q(0.95)
+    Some(ClosedBand(method, step.toLong,
+      mid - q80, mid - q95, mid, mid + q80, mid + q95))
+  }
+
+  /** Split-conformal bands for the INTERMITTENT-demand families —
+    * CROSTON and SBA over a densified calendar demand series `x`
+    * (exact-zero gap days, the `fc_croston` convention): the forward
+    * (z, p) SES recursions (graft.models.Croston's literal op order —
+    * interval update BEFORE size update, pre-update run counter) carry
+    * every origin's state in one pass; the per-origin forecast read
+    * out at origin i is z_i/p_i (flat in h), SBA multiplies by the
+    * (1 − α/2) bias constant. Scores for step h are
+    * |x(i+h) − forecast_i| over origins that have seen ≥1 demand; the
+    * band center is the full-series forecast. Origins before the first
+    * demand have no forecast and contribute no score — mirrored by the
+    * oracle's `z IS NOT NULL` filter. Empty for n ≤ 2h or for a series
+    * with no demand at all. */
+  def intermittentBands(x: Array[Double], h: Int): Seq[ClosedBand] = {
+    val n = x.length
+    if (n <= 2 * h) return Seq.empty
+    val alpha = graft.models.Croston.Alpha
+    val fSba = 1.0 - alpha / 2.0
+    val zs = new Array[Double](n)
+    val ps = new Array[Double](n)
+    val ok = new Array[Boolean](n)
+    var z = Double.NaN; var p = Double.NaN; var q = 1L
+    var i = 0
+    while (i < n) {
+      if (x(i) > 0.0) {
+        p = if (z.isNaN) q.toDouble else p + alpha * (q.toDouble - p)
+        z = if (z.isNaN) x(i) else z + alpha * (x(i) - z)
+        q = 1L
+      } else q += 1L
+      zs(i) = z; ps(i) = p; ok(i) = !z.isNaN
+      i += 1
+    }
+    if (!ok(n - 1)) return Seq.empty
+    val midCro = zs(n - 1) / ps(n - 1)
+    val midSba = fSba * (zs(n - 1) / ps(n - 1))
+    (1 to h).flatMap { step =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val bufS = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var j = 0
+      while (j + step < n) {
+        if (ok(j)) {
+          buf += math.abs(x(j + step) - zs(j) / ps(j))
+          bufS += math.abs(x(j + step) - fSba * (zs(j) / ps(j)))
+        }
+        j += 1
+      }
+      Seq(
+        band("CONFORMAL_CROSTON", step, midCro, buf.toArray),
+        band("CONFORMAL_SBA", step, midSba, bufS.toArray)).flatten
     }
   }
 
@@ -201,6 +273,54 @@ object Conformal {
         round(col("u1"), 6).as("upper1"), round(col("u2"), 6).as("upper2"))
       .orderBy(col("element"), col("method"), col("step"))
   }
+
+  /** [[intermittentBands]] over the per-element densified calendar
+    * demand series — the CROSTON/SBA members of the conformal registry.
+    * Scale shape: the (element, day) aggregate is the one corpus
+    * shuffle (shared with fc_croston); each element's calendar series
+    * (|days| rows, bounded by the store's calendar span, not its event
+    * count) is buffered in one task for the band math. */
+  def conformalIntermittent(spark: SparkSession, sfDir: String,
+      h: Int = graft.models.Croston.Horizon): DataFrame = {
+    import spark.implicits._
+    val out = graft.models.Croston.densifiedDaily(spark, sfDir)
+      .select(col("element"), col("day").cast("string").as("day_s"), col("x"))
+      .as[(String, String, Double)]
+      .repartition(col("element"))
+      .sortWithinPartitions(col("element"), col("day_s"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long, Double, Double, Double, Double, Double)]
+        var cur: String = null
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+        def flush(): Unit = if (cur != null) {
+          intermittentBands(buf.toArray, h).foreach(b =>
+            out += ((cur, b.method, b.step,
+              b.lower1, b.lower2, b.mean, b.upper1, b.upper2)))
+          buf.clear()
+        }
+        for ((el, _, x) <- it) {
+          if (el != cur) { flush(); cur = el }
+          buf += x
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("element", "method", "step", "l1", "l2", "mid", "u1", "u2")
+    out.select(col("element"), col("method"), col("step"),
+        round(col("l1"), 6).as("lower1"), round(col("l2"), 6).as("lower2"),
+        round(col("mid"), 6).as("mean"),
+        round(col("u1"), 6).as("upper1"), round(col("u2"), 6).as("upper2"))
+  }
+
+  /** The full conformal registry — the positional-series families of
+    * [[conformalClosed]] (NAIVE/DRIFT/MEANF/SNAIVE/SES at h = 14) plus
+    * the calendar intermittent families of [[conformalIntermittent]]
+    * (CROSTON/SBA at h = 7), one frame, one output contract. */
+  def conformalAll(spark: SparkSession, sfDir: String): DataFrame =
+    conformalClosed(spark, sfDir)
+      .unionAll(conformalIntermittent(spark, sfDir))
+      .orderBy(col("element"), col("method"), col("step"))
 
   /** Bottom-up hierarchical reconciliation vs the direct total forecast
     * (the 2-level aggregation hierarchy every metric tree has: per-element

@@ -64,11 +64,62 @@ object Croston {
       .orderBy(col("element"), col("variant"), col("step"))
   }
 
-  /** The shared smoothed (demand-size z, interval p) state behind every
-    * variant: SES recursions at [[Alpha]] over the densified calendar
-    * demand series (one row per element). */
-  private def rates(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Teunter–Syntetos–Babai (TSB, 2011) — the third member of the
+    * standard intermittent-demand set next to Croston and SBA, and the
+    * one that handles OBSOLESCENCE: Croston's interval estimate freezes
+    * after the last demand (a product that stops selling keeps its old
+    * forecast forever), while TSB smooths the demand PROBABILITY on
+    * EVERY period — `d_t = 1{x_t > 0}`, `p ← p + α·(d_t − p)` — so a
+    * dying stream decays the forecast toward zero geometrically. Sizes
+    * smooth only on demand days exactly as Croston (`z ← z + α·(x − z)`)
+    * and the forecast is the product `p·z`, flat over the horizon.
+    *
+    * Same exactness contract as the Croston/SBA recursions: both state
+    * updates are the literal IEEE sequence at the shared [[Alpha]], the
+    * forecast is one multiply rounded at 6dp, and the oracle replays
+    * the recursion step-for-step as a recursive CTE (the probability
+    * branch updates at every spine day, which the oracle mirrors with
+    * an unconditional `p + 0.1·(d − p)` term). */
+  def forecastTsb(spark: SparkSession, sfDir: String): DataFrame =
+    tsbStates(spark, sfDir)
+      .crossJoin(spark.range(1, Horizon + 1).select(col("id").as("step")))
+      .select(col("element"), col("step"),
+        round(col("z") * col("p"), 6).as("mean"))
+      .orderBy(col("element"), col("step"))
+
+  /** Final (z, p) TSB state per element: z = smoothed demand size
+    * (demand days only), p = smoothed demand probability (every day).
+    * Elements with no demand at all emit nothing (no size estimate
+    * exists — the croston convention). */
+  private def tsbStates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    densifiedDaily(spark, sfDir)
+      .select(col("element"), col("day").cast("string").as("day_s"), col("x"))
+      .as[(String, String, Double)]
+      .repartition(col("element"))
+      .sortWithinPartitions(col("element"), col("day_s"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+        var cur: String = null
+        var z = Double.NaN; var p = Double.NaN
+        def flush(): Unit =
+          if (cur != null && !z.isNaN) out += ((cur, z, p))
+        for ((el, _, x) <- it) {
+          if (el != cur) { flush(); cur = el; z = Double.NaN; p = Double.NaN }
+          val d = if (x > 0.0) 1.0 else 0.0
+          p = if (p.isNaN) d else p + Alpha * (d - p)
+          if (x > 0.0) z = if (z.isNaN) x else z + Alpha * (x - z)
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("element", "z", "p")
+  }
+
+  /** The densified calendar demand series every intermittent-demand
+    * consumer shares: per-element daily decimal-exact totals on a
+    * gap-free day spine (absent days = exact zero demand). */
+  private[graft] def densifiedDaily(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = graft.sources.Tables.events(spark, sfDir)
     val dayCol = ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => graft.sources.Tables.tsDay("ts")
@@ -82,9 +133,17 @@ object Croston {
     val spine = daily.groupBy(col("element"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("element"), explode(sequence(col("d0"), col("d1"))).as("day"))
-    val densified = spine.join(daily, Seq("element", "day"), "left")
+    spine.join(daily, Seq("element", "day"), "left")
       .select(col("element"), col("day"),
         coalesce(col("s").cast("double"), lit(0.0d)).as("x"))
+  }
+
+  /** The shared smoothed (demand-size z, interval p) state behind every
+    * variant: SES recursions at [[Alpha]] over the densified calendar
+    * demand series (one row per element). */
+  private def rates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val densified = densifiedDaily(spark, sfDir)
     densified
       .select(col("element"), col("day").cast("string").as("day_s"), col("x"))
       .as[(String, String, Double)]

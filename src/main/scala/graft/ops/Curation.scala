@@ -487,17 +487,24 @@ object Curation {
     * convention); null-text docs emit n_grams 0 / novelty NULL.
     *
     * Scale shape: grams travel as 8-byte xxhash64 composites (the
-    * shingle convention — never strings); first-occurrence is one
-    * gram-keyed shuffle (window min), the per-doc roll-up a second
-    * doc-keyed one. The oracle replays gram identity on the token
+    * shingle convention — never strings); first-occurrence is a
+    * `groupBy(g).agg(min)` + equi-join back — NOT `min().over(
+    * partitionBy(g))`: the window formulation buffers every hot gram's
+    * full row list in one task (a corpus-universal boilerplate 8-gram
+    * on a viral-duplicate corpus becomes a straggler at 100 TB), while
+    * the aggregate gets map-side partial merge and AQE skew-splitting
+    * for free and the join stays a plain hash equi-join (plan-gated by
+    * `ngram_novelty_equi_join`). The per-doc roll-up is a second
+    * doc-keyed shuffle. The oracle replays gram identity on the token
     * STRINGS — novelty is a set computation, so collision-free hashes
     * and strings agree (same argument as the Jaccard tiers). */
   def ngramNovelty(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame = {
     val grams = NearDup.shingles(spark, sfDir, n)
       .select(col("doc_id"), explode(col("toks")).as("g"))
-    val firstDoc = Window.partitionBy(col("g"))
+    val firstDocs = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
     val agg = grams
-      .withColumn("first_doc", min(col("doc_id")).over(firstDoc))
+      .join(firstDocs, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))

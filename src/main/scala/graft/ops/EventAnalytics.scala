@@ -734,7 +734,16 @@ object EventAnalytics {
     * `CV² ≥ 0.49` ⇔ `100·(nd·Σq² − (Σq)²) ≥ 49·(Σq)²` over DECIMAL-
     * exact sums of the 1e-4-quantized daily demands — so no IEEE
     * boundary can flip a quadrant between engines. The reported adi
-    * and cv2 doubles are each ONE division over the exact operands. */
+    * and cv2 doubles are each ONE division over the exact operands.
+    *
+    * Routing (round 11): each quadrant carries its standard method —
+    * smooth/erratic → SES, intermittent → CROSTON, lumpy → SBA — and
+    * an OBSOLESCENCE screen overrides to TSB: when the calendar's late
+    * half holds fewer than half the early half's demand days
+    * (`2·nd_late < nd_early`, exact integer counts split at the
+    * integer midpoint day), the stream is dying and TSB's per-period
+    * probability decay is the published answer (Teunter–Syntetos–
+    * Babai 2011). */
   def demandClasses(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = graft.sources.Tables.events(spark, sfDir)
     val dayCol = ev.schema("ts").dataType match {
@@ -747,26 +756,44 @@ object EventAnalytics {
       .groupBy(col("element"), col("day"))
       .agg(sum(col("value").cast("decimal(18,4)")).as("s"))
       .withColumn("q", expr("CAST(s * 10000 AS DECIMAL(19,0))"))
-    val stats = daily.groupBy(col("element"))
+    // the (element, day) frame is |elements|x|days| — metadata-scale, so
+    // the min/max window re-read costs nothing and keeps one aggregation
+    val w = Window.partitionBy(col("element"))
+    val windowed = daily
+      .withColumn("mn", min(col("day")).over(w))
+      .withColumn("np_w",
+        (datediff(max(col("day")).over(w), min(col("day")).over(w)) + 1).cast("long"))
+      .withColumn("is_late",
+        datediff(col("day"), col("mn")).cast("long") > expr("(np_w - 1) DIV 2"))
+    val stats = windowed.groupBy(col("element"))
       .agg(
-        (datediff(max(col("day")), min(col("day"))) + 1)
-          .cast("long").as("n_periods"),
+        first(col("np_w")).as("n_periods"),
         count(when(col("s") > 0, 1)).as("nd"),
         sum(when(col("s") > 0, col("q"))).cast("decimal(19,0)").as("sq"),
         sum(when(col("s") > 0, col("q") * col("q")).cast("decimal(27,0)"))
-          .cast("decimal(27,0)").as("sqq"))
+          .cast("decimal(27,0)").as("sqq"),
+        count(when(col("s") > 0 && !col("is_late"), 1)).as("nd_early"),
+        count(when(col("s") > 0 && col("is_late"), 1)).as("nd_late"))
     stats
       .withColumn("num",
         expr("CAST(nd AS DECIMAL(10,0)) * sqq - CAST(sq * sq AS DECIMAL(38,0))"))
       .withColumn("den", expr("CAST(sq * sq AS DECIMAL(38,0))"))
-      .select(col("element"), col("n_periods"), col("nd").as("n_demands"),
-        round(col("n_periods").cast("double") / col("nd").cast("double"), 6).as("adi"),
-        round(col("num").cast("double") / col("den").cast("double"), 6).as("cv2"),
+      .withColumn("demand_class",
         when(expr("n_periods * 100 < 132 * nd"),
           when(expr("100 * num < 49 * den"), lit("smooth")).otherwise(lit("erratic")))
           .otherwise(
-            when(expr("100 * num < 49 * den"), lit("intermittent")).otherwise(lit("lumpy")))
-          .as("demand_class"))
+            when(expr("100 * num < 49 * den"), lit("intermittent")).otherwise(lit("lumpy"))))
+      .withColumn("obsolescence_risk", expr("nd_late * 2 < nd_early"))
+      .select(col("element"), col("n_periods"), col("nd").as("n_demands"),
+        round(col("n_periods").cast("double") / col("nd").cast("double"), 6).as("adi"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("cv2"),
+        col("demand_class"),
+        col("obsolescence_risk"),
+        when(col("obsolescence_risk"), lit("TSB"))
+          .when(col("demand_class") === "intermittent", lit("CROSTON"))
+          .when(col("demand_class") === "lumpy", lit("SBA"))
+          .otherwise(lit("SES"))
+          .as("recommended"))
       .orderBy(col("element"))
   }
 

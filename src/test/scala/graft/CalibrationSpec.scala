@@ -98,6 +98,12 @@ object Calibration {
             r.nextGaussian()
           t += 1
         }
+      case "intermittent" => // Bernoulli(0.3) demand days, lognormal-ish sizes -> CROSTON/SBA/TSB
+        var t = 0
+        while (t < total) {
+          y(t) = if (r.nextDouble() < 0.3) 5.0 * math.exp(0.4 * r.nextGaussian()) else 0.0
+          t += 1
+        }
       case other => throw new IllegalArgumentException(s"unknown process: $other")
     }
     (y.take(n), y.drop(n))
@@ -165,7 +171,11 @@ object Calibration {
       reps: Int, seed0: Long): Coverage = {
     val packed = java.util.stream.IntStream.range(0, reps).parallel().mapToLong { rep =>
       val (train, future) = simulate(proc, n, h, seed0 + rep.toLong * 1000003L)
-      val bands = graft.engine.Conformal.closedBands(train, h, m)
+      val bander: (Array[Double], Int) => Seq[graft.engine.Conformal.ClosedBand] =
+        if (method == "CONFORMAL_CROSTON" || method == "CONFORMAL_SBA")
+          graft.engine.Conformal.intermittentBands
+        else graft.engine.Conformal.closedBands(_, _, m)
+      val bands = bander(train, h)
         .filter(_.method == method)
       var in80 = 0L
       var in95 = 0L
@@ -188,7 +198,10 @@ object Calibration {
     ("CONFORMAL_NAIVE", "rw", 1),
     ("CONFORMAL_DRIFT", "rw_drift", 1),
     ("CONFORMAL_MEANF", "iid", 1),
-    ("CONFORMAL_SNAIVE", "srw", 7))
+    ("CONFORMAL_SNAIVE", "srw", 7),
+    ("CONFORMAL_SES", "ann", 1),
+    ("CONFORMAL_CROSTON", "intermittent", 1),
+    ("CONFORMAL_SBA", "intermittent", 1))
 }
 
 /** Asserts every deterministic family's empirical 80/95 coverage sits in

@@ -597,6 +597,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == ((1L, 1L, 1.0)), s"short doc whole-seq gram: ${got(5L)}")
   }
 
+  test("ngram novelty viral-duplicate corpus: hot gram correct, no window buffer") {
+    import spark.implicits._
+    // every doc repeats ONE universal 8-gram (the viral-boilerplate
+    // regime where a window-over-gram first-occurrence would buffer the
+    // whole corpus in a single task) plus one private gram
+    val dir = java.nio.file.Files.createTempDirectory("graft-viral").toString
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    (0L until 200L).map(id =>
+        (id, "en", "s", s"$boiler u${id}a u${id}b u${id}c u${id}d u${id}e u${id}f u${id}g u${id}h",
+          1L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.Curation.ngramNovelty(spark, dir)
+    // the first-occurrence pass must be an aggregate + equi-join, never
+    // a gram-partitioned window (single-task hot-gram buffer at scale)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "ngram_novelty must not use a window over grams")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 0 owns the boilerplate gram's first occurrence: all 9 grams
+    // novel; every later doc re-sees it: 8 of 9 novel
+    assert(got(0L) == ((9L, 9L)), s"doc 0: ${got(0L)}")
+    (1L until 200L).foreach(id =>
+      assert(got(id) == ((9L, 8L)), s"doc $id: ${got(id)}"))
+  }
+
   test("sketch/stream gates: every verdict row TRUE, metric set exact") {
     val rows = graft.ops.SketchStreamGates.gates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
