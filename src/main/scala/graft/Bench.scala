@@ -59,9 +59,13 @@ object Bench {
     // 2000-char output capture, and round 8's "compact" line recurred the
     // same failure once the embedded per-query map grew past ~1.9k chars
     // at 84 queries — so the contract line now carries only scalars.
+    // the per-query map in bench_queries carries best-of-2 MINIMA (the
+    // steady-state numbers; cross-round comparisons must diff these,
+    // not the raw first pass) — stated explicitly via the trailing
+    // stat field so a reader of the captured tail can't mistake them
     println(s"""{"detail":"bench_raw","raw_first_pass":$raw,"raw_total":${r4(rawTotal)},"runs":$runs}""")
-    println(s"""{"detail":"bench_queries","queries":$qs}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"detail":"bench_queries","queries":$qs,"stat":"min_of_2"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","stat":"min_of_2"}""")
     spark.stop()
   }
 }

@@ -112,7 +112,13 @@ object SoakSf1 {
 
   private def eventRow(id: Long): (Long, java.sql.Timestamp, java.lang.Long, String, Double, String) = {
     val rng = new java.util.Random(id * 6364136223846793005L + 1442695040888963407L)
-    val ts = new java.sql.Timestamp(1704067200000L + (id % (30L * 86400000L)))
+    // id * 2592 ms: 1M ids spread EXACTLY across the 30-day window
+    // (round-11 fix — `id % window` with id < 1e6 put all 1M events in
+    // one ~17-minute slice of day 1, silently voiding the events-tier
+    // soak: PSI's ref half was empty and the 28-day MAU degenerated to
+    // a single-day distinct; the span gate below now makes that regime
+    // impossible to reintroduce)
+    val ts = new java.sql.Timestamp(1704067200000L + (id * 2592L) % (30L * 86400000L))
     val user: java.lang.Long =
       if (id % 9973 == 0) null
       else if (rng.nextDouble() < 0.02) java.lang.Long.valueOf(7L)
@@ -194,7 +200,15 @@ object SoakSf1 {
       // the events tier at 1M rows: MG coverage now has a REAL heavy
       // key (the driver stores have none above phi), streaming PSI must
       // stay bit-equal to batch at 10x the bin mass, HLL MAU error must
-      // hold at 10x the daily cardinality
+      // hold at 10x the daily cardinality. The span gate FIRST: the
+      // PSI/MAU checks are vacuous on a one-day store (the round-10
+      // generator bug), so a multi-day calendar is itself a gate
+      "events_span_full_month" -> timed("events_span_full_month") {
+        val nDays = spark.read.parquet(s"$dir/events.parquet")
+          .select(to_date(col("ts")).as("day")).distinct().count()
+        println(s"[soak] events span $nDays distinct days")
+        nDays >= 29
+      },
       "mg_stream_covers_exact" -> timed("mg_stream_covers_exact") {
         graft.ops.SketchStreamGates.mgStreamCoversExact(spark, dir)
       },
@@ -234,6 +248,42 @@ object SoakSf1 {
     all.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
     val fails = all.count(!_._2)
     println(s"[soak] ${all.size - fails}/${all.size} gates green at sf1 scale")
+
+    // ---- timed perf tier (round-11): the heaviest registered queries
+    // at sf0.1 AND the 10x synthetic corpus, best-of-2 per (query, SF)
+    // per the round-2 steal protocol. The quantity under test is the
+    // sf0.1 -> sf1 scaling RATIO: every real bug of rounds 8-10 was
+    // only-visible-at-scale, and perf shape (skew, cap engagement,
+    // superlinear joins) is the dimension the recall gates don't cover.
+    // Ratios land in BASELINE.md; anything >> 10x on a 10x corpus needs
+    // a named explanation or a fix.
+    if (args.length < 2 || args(1) != "--no-perf") {
+      val sf01 = "/root/testdata/sf0.1"
+      val have01 = new java.io.File(sf01).isDirectory
+      if (have01) graft.sources.SeriesStore.ensurePartitioned(spark, sf01)
+      graft.sources.SeriesStore.ensurePartitioned(spark, dir)
+      val perfQueries = Seq(
+        "fc_hybrid", "fc_arima", "tfidf_cosine_pairs", "stream_attribution",
+        "curate_corpus", "eval_contamination", "cosine_topk", "ann_lsh_topk",
+        "ann_ivf_topk", "ann_ivf_pq_topk", "minhash_candidates",
+        "substring_dedup", "semantic_dedup_ivf", "dup_clusters",
+        "user_sessions", "stream_sessions", "winnow_fingerprints")
+      def best2(name: String, d: String): Double = {
+        def once(): Double = {
+          val s = System.nanoTime()
+          SparkEntry.queries(name)(spark, d).count()
+          (System.nanoTime() - s) / 1e9
+        }
+        math.min(once(), once())
+      }
+      println(f"[perf] ${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
+      perfQueries.foreach { name =>
+        val t10 = best2(name, dir)
+        val t01 = if (have01) best2(name, sf01) else Double.NaN
+        val ratio = if (have01) t10 / t01 else Double.NaN
+        println(f"[perf] $name%-24s $t01%8.2f $t10%8.2f $ratio%7.2f")
+      }
+    }
     spark.stop()
     if (fails > 0) sys.exit(1)
   }

@@ -422,6 +422,34 @@ object SparkEntry {
       |GROUP BY o_year
       |ORDER BY o_year""".stripMargin
 
+  /** The custom Catalyst kernels driven through SQL TEXT — round 10
+    * registered `codepoint_entropy` / `phrase_positions` /
+    * `winnow_sketch` / `cosine_sim` on the SQL surface (live registry +
+    * extensions injection, `functions/VectorExpressions.scala`) and
+    * verified SQL ≡ Column-API bit-equality in ScalaTest; this query
+    * puts that surface inside the DRIVER's correctness harness: the
+    * entropy/phrase/cosine columns hash against a same-semantics DuckDB
+    * oracle, and the winnow struct (seeded hashing — not SQL-
+    * expressible) is null-safe-compared against the Column-API kernel
+    * in the same frame, oracle literal-TRUE. A broken FunctionBuilder
+    * (wrong literal extraction, swapped args) hash-mismatches here. */
+  private val textKernelsSql =
+    """SELECT doc_id, entropy_q, n_phrase, cos_next, txt,
+      |  winnow_sketch(txt, 8, 4) AS ws_sql
+      |FROM (
+      |  SELECT d.doc_id,
+      |    CAST(floor(codepoint_entropy(COALESCE(d.text, '')) * 1000000 + 0.5) AS BIGINT)
+      |      AS entropy_q,
+      |    CAST(size(phrase_positions(COALESCE(d.text, ''), 'table', 'hash')) AS BIGINT)
+      |      AS n_phrase,
+      |    round(cosine_sim(CAST(e1.embedding AS ARRAY<DOUBLE>),
+      |      CAST(e2.embedding AS ARRAY<DOUBLE>)), 4) AS cos_next,
+      |    regexp_replace(lower(trim(COALESCE(d.text, ''))), '\\s+', ' ') AS txt
+      |  FROM documents d
+      |  LEFT JOIN embeddings e1 ON e1.vec_id = d.doc_id AND e1.embedding IS NOT NULL
+      |  LEFT JOIN embeddings e2 ON e2.vec_id = d.doc_id + 1 AND e2.embedding IS NOT NULL
+      |)""".stripMargin
+
   private def sqlOnViews(sql: String, tables: String*): (SparkSession, String) => DataFrame =
     (s, dir) => {
       tables.foreach(t =>
@@ -469,6 +497,18 @@ object SparkEntry {
     // returned-item report (Q10): revenue-ranked LIMIT over a 4-table join
     "sql_returned_items" -> sqlOnViews(q10ReturnedItemsSql,
       "customer", "orders", "lineitem", "nation"),
+    // the custom codegen kernels through SQL TEXT (live function
+    // registry); winnow compared null-safe against the Column-API path
+    "sql_text_kernels" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      Seq("documents", "embeddings").foreach(t =>
+        s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+      s.sql(textKernelsSql)
+        .withColumn("winnow_ok", col("ws_sql") <=>
+          graft.functions.ScaleFunctions.winnow_sketch(col("txt"), 8, 4))
+        .drop("ws_sql", "txt")
+        .orderBy(col("doc_id"))
+    }),
     // -- engine API surface ------------------------------------------------
     "methods_catalog" -> ((s, _) => {
       import s.implicits._
@@ -1404,11 +1444,18 @@ object SparkEntry {
        |ORDER BY mass_scaled DESC, state""".stripMargin
   }
 
+  /** AS MATERIALIZED is load-bearing at sf0.1 (round-11 fix): without
+    * it DuckDB inlines each iteration's references — `e`/`dg` re-derive
+    * the whole A-Priori pair chain inside EVERY iteration and the
+    * 10-deep operator tree exhausted memory at the full-scale
+    * cross-check. Materializing the edge/degree tables once and each
+    * power iteration as a temp result (the bpe_merges / graph_kcore
+    * idiom) keeps the replay linear in iterations. */
   private def pagerankOracleSql: String = {
     val scale = graft.ops.Affinity.RankScale
     val base = scale * 15L / 100L
     val iters = (1 to graft.ops.Affinity.Iterations).map { i =>
-      s"""r$i AS (SELECT d0.src AS part,
+      s"""r$i AS MATERIALIZED (SELECT d0.src AS part,
          |  ($base // nn.n) + (85 * COALESCE(i$i.m, 0)) // 100 AS r
          |  FROM dg d0 CROSS JOIN nn
          |  LEFT JOIN (SELECT e.dst AS part,
@@ -1418,11 +1465,11 @@ object SparkEntry {
          |             GROUP BY e.dst) i$i ON i$i.part = d0.src)""".stripMargin
     }.mkString(",\n")
     basketCtes + s""",
-      |e AS (SELECT pa AS src, pb AS dst FROM pc
+      |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pc
       |      UNION ALL SELECT pb, pa FROM pc),
-      |dg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-      |nn AS (SELECT count(*) AS n FROM dg),
-      |r0 AS (SELECT dg.src AS part, $scale // nn.n AS r FROM dg CROSS JOIN nn),
+      |dg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      |nn AS MATERIALIZED (SELECT count(*) AS n FROM dg),
+      |r0 AS MATERIALIZED (SELECT dg.src AS part, $scale // nn.n AS r FROM dg CROSS JOIN nn),
       |$iters
       |SELECT part, r AS rank_scaled,
       |  CAST(r AS DOUBLE) / $scale.0 AS rank
@@ -3990,6 +4037,52 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
         |  CAST(min(pos) AS BIGINT) AS first_pos
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the SQL-surface kernel drive: entropy/phrase replayed with the
+    // char_entropy/phrase_search oracle idioms, cosine with the
+    // cosine_topk explicit-double formulation, winnow literal-TRUE
+    // (null-safe-compared against the Column API inside the query)
+    "sql_text_kernels" ->
+      """WITH base AS (
+        |  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+        |), chars AS (
+        |  SELECT doc_id, unicode(u.c) AS cp
+        |  FROM base, unnest(string_split(t, '')) AS u(c)
+        |  WHERE u.c <> ''
+        |), freq AS (
+        |  SELECT doc_id, cp, count(*) AS c FROM chars GROUP BY doc_id, cp
+        |), ent AS (
+        |  SELECT doc_id,
+        |    log2(CAST(sum(c) AS DOUBLE))
+        |      - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+        |        / CAST(sum(c) AS DOUBLE) AS h
+        |  FROM freq GROUP BY doc_id
+        |), toks AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), ph AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)
+        |  WHERE ts[i] = 'table' AND ts[i + 1] = 'hash'
+        |  GROUP BY doc_id
+        |), emb AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |)
+        |SELECT b.doc_id,
+        |  CAST(floor(COALESCE(ent.h, 0.0) * 1000000 + 0.5) AS BIGINT) AS entropy_q,
+        |  COALESCE(ph.n, CAST(0 AS BIGINT)) AS n_phrase,
+        |  round(list_sum(list_transform(list_zip(e1.embedding, e2.embedding),
+        |    s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (e1.norm * e2.norm), 4)
+        |    AS cos_next,
+        |  TRUE AS winnow_ok
+        |FROM base b
+        |LEFT JOIN ent ON ent.doc_id = b.doc_id
+        |LEFT JOIN ph ON ph.doc_id = b.doc_id
+        |LEFT JOIN emb e1 ON e1.vec_id = b.doc_id
+        |LEFT JOIN emb e2 ON e2.vec_id = b.doc_id + 1
+        |ORDER BY b.doc_id""".stripMargin,
     // exact integer counts; only the final ln is IEEE, 1e-6-quantized
     "token_pmi" ->
       """WITH toks AS (

@@ -147,7 +147,12 @@ object Multimodal {
       _ => mediaNearDupDirect(spark, sfDir, maxHamming)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  private def mediaNearDupDirect(spark: SparkSession, sfDir: String, maxHamming: Int): DataFrame = {
+  /** The uncached pair computation — also the entry point for planted
+    * throwaway fixtures (SketchStreamGates), which must NOT enter the
+    * session pairCache: a resident service churning corpus snapshots
+    * would otherwise accumulate one persisted frame per fixture dir
+    * until a global clearCaches. */
+  private[ops] def mediaNearDupDirect(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame = {
     val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter((col("doc_id") % 3).cast("int") =!= 1) // audio rows out
       .withColumn("txt", coalesce(col("text"), lit("")))

@@ -49,6 +49,7 @@ object SketchStreamGates {
     "psi_stream_equals_batch",
     "quality_model_auc_holdout",
     "semantic_ivf_keepset_agreement",
+    "semantic_subcritical_degree",
     "shesd_planted_spike_rank1",
     "spectrum_descending_exhaustive",
     "whiten_moments_identity")
@@ -58,7 +59,7 @@ object SketchStreamGates {
     * vs-exact members re-derive exact rolling distinct counts, two
     * streaming lifecycles and a planted STL fit on every invocation
     * (the bench times every query twice — measured 17.9 s/pass at
-    * sf0.1 uncached). The cached value is the 11 collected booleans,
+    * sf0.1 uncached). The cached value is the 12 collected booleans,
     * not a persisted plan. */
   private val verdictCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(String, Boolean)]]()
@@ -83,19 +84,32 @@ object SketchStreamGates {
       ("psi_stream_equals_batch", psiStreamEqualsBatch(spark, sfDir)),
       ("quality_model_auc_holdout", qualityModelAuc(spark, sfDir)),
       ("semantic_ivf_keepset_agreement", semanticIvfAgreement(spark, sfDir)),
+      ("semantic_subcritical_degree", semanticSubcriticalDegree(spark, sfDir)),
       ("shesd_planted_spike_rank1", shesdPlantedSpike(spark)),
       ("spectrum_descending_exhaustive", spectrumInvariants(spark, sfDir)),
       ("whiten_moments_identity", whitenMoments(spark, sfDir)))
 
   // ---- planted fixtures --------------------------------------------------
 
-  private def plantedDocsDir(spark: SparkSession,
-      rows: Seq[(Long, String, String, String, Long)]): String = {
+  /** Write a throwaway documents fixture, run `body` on it, and delete
+    * the dir in a finally (round-11 hygiene: a resident service
+    * churning corpus snapshots must not accumulate fixture dirs). */
+  private def withPlantedDocs[A](spark: SparkSession,
+      rows: Seq[(Long, String, String, String, Long)])(body: String => A): A = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-gate-docs").toString
-    rows.toDF("doc_id", "lang", "source", "text", "n_chars")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    dir
+    try {
+      rows.toDF("doc_id", "lang", "source", "text", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      body(dir)
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 
   /** The near-copy floor of the fuzzy decontamination tier: a verbatim
@@ -107,16 +121,17 @@ object SketchStreamGates {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = ((1 to 40).map(i => s"tok$i") ++ Seq("edit1", "edit2")).mkString(" ")
     val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
-    val dir = plantedDocsDir(spark, Seq(
+    withPlantedDocs(spark, Seq(
       (1L, "en", "s", base, base.length.toLong),
       (40L, "en", "s", base, base.length.toLong),
       (50L, "en", "s", near, near.length.toLong),
-      (60L, "en", "s", other, other.length.toLong)))
-    val rows = Curation.evalContaminationFuzzy(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    rows.get((1L, 40L)).contains(1.0) &&
-      rows.get((1L, 50L)).exists(_ >= 0.5) &&
-      !rows.keys.exists(_._2 == 60L)
+      (60L, "en", "s", other, other.length.toLong))) { dir =>
+      val rows = Curation.evalContaminationFuzzy(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      rows.get((1L, 40L)).contains(1.0) &&
+        rows.get((1L, 50L)).exists(_ >= 0.5) &&
+        !rows.keys.exists(_._2 == 60L)
+    }
   }
 
   /** The perceptual (dHash) media tier on planted twins: three visual
@@ -129,17 +144,20 @@ object SketchStreamGates {
   private[graft] def mediaNearDupPlanted(spark: SparkSession): Boolean = {
     val desc = (0 until 72).map(i => (126 - i).toChar).mkString
     val asc = desc.reverse
-    val dir = plantedDocsDir(spark, Seq(
+    withPlantedDocs(spark, Seq(
       (0L, "en", "s", desc, 72L),
       (3L, "en", "s", desc, 72L),
       (6L, "en", "s", desc, 72L),
       (1L, "en", "s", desc, 72L), // audio (1 % 3 == 1) — must be excluded
       (4L, "en", "s", desc, 72L), // audio
       (9L, "en", "s", asc, 72L),
-      (12L, "en", "s", null, 0L)))
-    val got = Multimodal.mediaNearDup(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    got == Set((0L, 3L), (0L, 6L), (3L, 6L), (9L, 12L))
+      (12L, "en", "s", null, 0L))) { dir =>
+      // the DIRECT path, not the session pairCache: a throwaway fixture
+      // must never persist a frame keyed to its temp dir
+      val got = Multimodal.mediaNearDupDirect(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == Set((0L, 3L), (0L, 6L), (3L, 6L), (9L, 12L))
+    }
   }
 
   /** S-H-ESD's defining separation, on the OpsSpec planted fixture: a
@@ -149,23 +167,25 @@ object SketchStreamGates {
   private def shesdPlantedSpike(spark: SparkSession): Boolean = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-gate-shesd").toString
-    val rows = for {
-      el <- Seq("clean", "spiky"); d <- 1 to 63; r <- 1 to 2
-    } yield {
-      val base = 10.0 + 6.0 * math.sin(2.0 * math.Pi * (d % 7) / 7.0) + ((d * 7) % 5) * 0.1
-      val v = if (el == "spiky" && d == 33) base + 40.0 else base
-      (el.hashCode.toLong * 1000 + d * 10 + r,
-        java.sql.Timestamp.valueOf(
-          java.time.LocalDate.of(2024, 1, 1).plusDays(d - 1).atTime(12, 0)),
-        1L, el, v, "{}")
-    }
-    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val out = EventAnalytics.shEsdAnomalies(spark, dir).collect()
-      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(5)))
-    val rank1 = out.filter(_._3 == 1L)
-    out.forall(_._1 == "spiky") &&
-      rank1.length == 1 && rank1.head._2 == java.time.LocalDate.of(2024, 2, 2)
+    try {
+      val rows = for {
+        el <- Seq("clean", "spiky"); d <- 1 to 63; r <- 1 to 2
+      } yield {
+        val base = 10.0 + 6.0 * math.sin(2.0 * math.Pi * (d % 7) / 7.0) + ((d * 7) % 5) * 0.1
+        val v = if (el == "spiky" && d == 33) base + 40.0 else base
+        (el.hashCode.toLong * 1000 + d * 10 + r,
+          java.sql.Timestamp.valueOf(
+            java.time.LocalDate.of(2024, 1, 1).plusDays(d - 1).atTime(12, 0)),
+          1L, el, v, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = EventAnalytics.shEsdAnomalies(spark, dir).collect()
+        .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(5)))
+      val rank1 = out.filter(_._3 == 1L)
+      out.forall(_._1 == "spiky") &&
+        rank1.length == 1 && rank1.head._2 == java.time.LocalDate.of(2024, 2, 2)
+    } finally deleteRecursively(new java.io.File(dir))
   }
 
   // ---- vs-exact on the real store ----------------------------------------
@@ -297,6 +317,34 @@ object SketchStreamGates {
     val inter = if (agg.isNullAt(1)) 0L else agg.getLong(1)
     val uni = if (agg.isNullAt(2)) 0L else agg.getLong(2)
     unlabeled == 0L && (uni == 0L || inter.toDouble / uni >= 0.9)
+  }
+
+  /** The percolation precondition behind [[semanticIvfAgreement]],
+    * surfaced as its own driver-gated verdict (round-10 analysis,
+    * round-11 gate): global-connected-component semantic dedup is only
+    * well-posed while the cosine≥threshold graph is SUBCRITICAL —
+    * average degree 2E/V < 1 (Erdős–Rényi giant-component threshold).
+    * Past it one giant component spans arbitrarily many quantizer
+    * cells and cell-blocked SemDeDup diverges from the global graph BY
+    * DESIGN, so a corpus drifting supercritical at the default 0.40
+    * threshold must FLAG in the driver's correctness check rather than
+    * silently degrade. The edge count is the exact unblocked pair scan
+    * at the corpus under test (driver-SF-sized; the soak pins the
+    * regime at 10× with its own raised threshold). */
+  private[graft] def semanticSubcriticalDegree(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.40): Boolean = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val nV = e.count()
+    if (nV == 0L) return true // empty space has no graph to percolate
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val nE = a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .filter(round(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")), 4)
+        >= threshold)
+      .count()
+    2.0 * nE.toDouble < nV.toDouble
   }
 
   /** Spectral sanity on the real store: eigenvalues non-negative and
