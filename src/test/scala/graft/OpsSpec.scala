@@ -1363,6 +1363,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "event_transitions" -> (() => graft.ops.EventAnalytics.eventTransitions(spark, edir).count()),
       "user_churn" -> (() => graft.ops.EventAnalytics.userChurn(spark, edir).count()),
       "fc_croston" -> (() => graft.models.Croston.forecast(spark, edir).count()),
+      "fc_croston_tsb" -> (() => graft.models.Croston.forecastTsb(spark, edir).count()),
+      "fc_conformal_all" -> (() => graft.engine.Conformal.conformalAll(spark, edir).count()),
       "demand_classes" -> (() => graft.ops.EventAnalytics.demandClasses(spark, edir).count()),
       "stream_attribution" -> (() =>
         EventIngest.attributionPairsAvailableNow(spark, edir).count()),
@@ -1428,6 +1430,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(l2 <= l1 && l1 <= m && m <= u1 && u1 <= u2,
         s"band nesting violated: $l2 $l1 $m $u1 $u2")
     }
+  }
+
+  test("closedBands: freq >= n omits SNAIVE instead of indexing an empty score array") {
+    // every seasonal lag falls before the series start -> zero SNAIVE
+    // scores; the family must be skipped (mirroring the oracle's inner
+    // join), not crash on scores(-1)
+    val v = Array.tabulate(40)(i => 10.0 + i)
+    val bands = graft.engine.Conformal.closedBands(v, h = 3, freq = 60)
+    val methods = bands.map(_.method).toSet
+    assert(!methods.contains("CONFORMAL_SNAIVE"),
+      s"SNAIVE must be absent when no lag is in range: $methods")
+    assert(methods == Set("CONFORMAL_NAIVE", "CONFORMAL_DRIFT",
+      "CONFORMAL_MEANF", "CONFORMAL_SES"), s"other families intact: $methods")
+    assert(bands.count(_.method == "CONFORMAL_SES") == 3, "SES at every step")
+    // sanity at a seasonal freq: all five families present
+    val full = graft.engine.Conformal.closedBands(v, h = 3, freq = 7)
+    assert(full.map(_.method).toSet.size == 5, "five families at freq 7")
   }
 
   test("hierarchical drift: aligned leaves cohere (gap 0), ragged leaves do not") {
@@ -3317,6 +3336,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TSB: probability smooths every period, forecast decays after demand stops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsb-test").toString
+    // same fixture as the croston test (demands 5, 8, 3 on days 1, 4, 6)
+    // plus a DYING element: all demand in the first 3 of 12 days — the
+    // obsolescence regime croston freezes on and TSB decays on
+    val m = Seq((1, "m", 5.0), (4, "m", 8.0), (6, "m", 3.0))
+    val dying = Seq((1, "dying", 10.0), (2, "dying", 10.0), (3, "dying", 10.0),
+      (12, "dying", 0.0)) // day-12 zero-value row only extends the calendar
+    (m ++ dying).zipWithIndex.map { case ((d, el, v), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00"), 1L, el, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.models.Croston.forecastTsb(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // hand replay, literal IEEE order: p updates EVERY day, z on demand
+    var z = 5.0; var p = 1.0
+    p = p + 0.1 * (0.0 - p)                          // day 2
+    p = p + 0.1 * (0.0 - p)                          // day 3
+    p = p + 0.1 * (1.0 - p); z = z + 0.1 * (8.0 - z) // day 4
+    p = p + 0.1 * (0.0 - p)                          // day 5
+    p = p + 0.1 * (1.0 - p); z = z + 0.1 * (3.0 - z) // day 6
+    val expected = BigDecimal(z * p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1L to 7L).foreach(s => assert(out(("m", s)) == expected,
+      s"TSB flat z·p forecast: ${out(("m", s))} vs $expected"))
+    // the dying stream: 9 demand-free days decay p by 0.9^9 — the TSB
+    // forecast must sit far below croston's frozen-interval forecast
+    val cro = graft.models.Croston.forecast(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out(("dying", 1L)) < 0.5 * cro(("dying", 1L)),
+      s"TSB decays on obsolescence: tsb=${out(("dying", 1L))} croston=${cro(("dying", 1L))}")
+  }
+
   test("demand classes: planted quadrants land where Syntetos–Boylan puts them") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sbclass-test").toString
@@ -3330,10 +3382,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = graft.ops.EventAnalytics.demandClasses(spark, dir).collect()
-      .map(r => r.getString(0) -> ((r.getDouble(3), r.getString(5)))).toMap
-    assert(got("smooth") == ((1.0, "smooth")), s"daily constant demand: ${got("smooth")}")
-    val (adi, cls) = got("lumpy")
-    assert(adi == 2.5 && cls == "lumpy", s"sparse erratic demand: ${got("lumpy")}")
+      .map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getString(5), r.getBoolean(6), r.getString(7)))).toMap
+    assert(got("smooth") == ((1.0, "smooth", false, "SES")),
+      s"daily constant demand: ${got("smooth")}")
+    val (adi, cls, risk, rec) = got("lumpy")
+    assert(adi == 2.5 && cls == "lumpy" && !risk && rec == "SBA",
+      s"sparse erratic demand: ${got("lumpy")}")
+  }
+
+  test("demand classes: a dying stream flags obsolescence and routes to TSB") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-obsolete-test").toString
+    // demand days 1-5 then silence through day 20 (calendar extended by
+    // a zero-value row): early half 5 demand days, late half 0 — the
+    // exact-integer screen (2·nd_late < nd_early) must flag and route
+    // to TSB regardless of quadrant
+    val rows = (1 to 5).map(d => (d, 7.0 + d)) :+ ((20, 0.0))
+    rows.zipWithIndex.map { case ((d, v), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00"), 1L, "fade", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.EventAnalytics.demandClasses(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getBoolean(6), "obsolescence must flag")
+    assert(r(0).getString(7) == "TSB", s"routing must be TSB: ${r(0)}")
   }
 
   test("sorted-neighborhood: prefix-variant docs pair, banded set equals the direct window") {
