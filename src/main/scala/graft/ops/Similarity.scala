@@ -443,6 +443,37 @@ object Similarity {
        |    i -> transform(bks, (b, j) ->
        |      b + IF(j = CAST(i AS INT), element_at(bdirs, j + 1), CAST(0 AS BIGINT)))))""".stripMargin)
 
+  /** Session cache of the LSH candidate pair set, keyed by (app,
+    * corpus, tables, bucketLength) — the [[ivfCandCache]] lifecycle
+    * applied to the banded tier: the probe-join + salt filter +
+    * distinct over tables·(g+1) probe rows per vector is the dominant
+    * per-invocation cost (measured 33.6 s WARM at the 20k-vector sf1
+    * soak with only the buckets cached — the deduped pair table itself
+    * is ~16 bytes/pair and serves lshTopK and the recall gates alike,
+    * a queryPred being a filter on the query id column). */
+  private val lshCandCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Double), DataFrame]()
+
+  private def lshCandidates(spark: SparkSession, sfDir: String, tables: Int,
+      bucketLength: Double, g: Int, bucketed: DataFrame): DataFrame =
+    lshCandCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir, tables, bucketLength), { _ =>
+        val probes = bucketed
+          .select(col("vec_id"), col("tbl"), explode(probeKeysExpr(g)).as("pbks"))
+          .withColumn("pkh", xxhash64(col("pbks").cast("string")))
+        probes.as("a")
+          .join(bucketed.as("b"),
+            col("a.tbl") === col("b.tbl") && col("a.pkh") === col("b.kh")
+              && col("a.vec_id") =!= col("b.vec_id"))
+          // salt compatibility in the PROBED bucket — for a query probing
+          // its own bucket this reduces to the original salt equality
+          .filter(pmod(xxhash64(lit("salt"), col("b.tbl"), col("b.kh"), col("a.vec_id")),
+            col("b.nsplits")) === col("b.salt"))
+          .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
   def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, tables: Int = 8,
       bucketLength: Double = 2.0,
       queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
@@ -451,24 +482,15 @@ object Similarity {
       case Some(gb) => gb
       case None => return emptyTopK(e)
     }
-    // queryPred narrows the QUERY role only — the candidate pool (side
-    // b) stays the full corpus, so sampled recall is measured against
-    // the same neighbor universe the full query sees
-    val probes = queryPred.foldLeft(bucketed)(_.filter(_))
-      .select(col("vec_id"), col("tbl"), explode(probeKeysExpr(g)).as("pbks"))
-      .withColumn("pkh", xxhash64(col("pbks").cast("string")))
-    val cand = probes.as("a")
-      .join(bucketed.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.pkh") === col("b.kh")
-          && col("a.vec_id") =!= col("b.vec_id"))
-      // salt compatibility in the PROBED bucket — for a query probing
-      // its own bucket this reduces to the original salt equality
-      .filter(pmod(xxhash64(lit("salt"), col("b.tbl"), col("b.kh"), col("a.vec_id")),
-        col("b.nsplits")) === col("b.salt"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"))
-      .distinct()
-    val va = e.select(col("vec_id"), col("v").as("va"))
-    val vb = e.select(col("vec_id").as("other_id"), col("v").as("vb"))
+    // queryPred narrows the QUERY role only — on the cached pair table
+    // that is a filter on the query id column (the candidate pool side
+    // keeps every vector, so sampled recall is measured against the
+    // same neighbor universe the full query sees)
+    val cand = queryPred.foldLeft(
+      lshCandidates(spark, sfDir, tables, bucketLength, g, bucketed))(_.filter(_))
+    // explicit broadcast vector attaches (see ivfTopK's rationale)
+    val va = broadcast(e.select(col("vec_id"), col("v").as("va")))
+    val vb = broadcast(e.select(col("vec_id").as("other_id"), col("v").as("vb")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
     cand
       .join(va, "vec_id")
@@ -514,6 +536,8 @@ object Similarity {
     ivfCandCache.clear()
     lshBucketCache.values.forEach(b => { b.foreach(_._2.unpersist()); () })
     lshBucketCache.clear()
+    lshCandCache.values.forEach(df => { df.unpersist(); () })
+    lshCandCache.clear()
     recallVerdictCache.clear()
   }
 
@@ -658,8 +682,14 @@ object Similarity {
     // that is a filter on the query id column (the candidate pool side
     // keeps every vector)
     val cand = queryPred.foldLeft(ivfCandidates(spark, sfDir, nlist, nprobe))(_.filter(_))
-    val va = q.assigned.select(col("vec_id"), col("v").as("va"))
-    val vb = q.assigned.select(col("vec_id").as("other_id"), col("v").as("vb"))
+    // explicit broadcast on both vector attaches: the candidate frame is
+    // O(n·nprobe/nlist · n) pairs and must NEVER be exchanged/sorted
+    // with arrays attached (the stats-borderline SMJ the sf1 perf tier
+    // caught on the PQ twin). At cluster scale the same attach rides a
+    // bucketed (co-partitioned) store; broadcast is the single-node
+    // expression of "the id→vector map is the cheap side".
+    val va = broadcast(q.assigned.select(col("vec_id"), col("v").as("va")))
+    val vb = broadcast(q.assigned.select(col("vec_id").as("other_id"), col("v").as("vb")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
     cand
       .join(va, "vec_id")
@@ -802,19 +832,27 @@ object Similarity {
     // candidate generation: the session-cached ids-only pair table
     // shared with ivfTopK (identical plan — see ivfCandidates)
     val cand = queryPred.foldLeft(ivfCandidates(spark, sfDir, nlist, nprobe))(_.filter(_))
-    // approximate pass: query true vector × candidate reconstruction
-    val va = q.assigned.select(col("vec_id"), col("v").as("va"))
+    // approximate pass: query true vector × candidate reconstruction.
+    // BOTH attaches are explicitly broadcast (the vectorAttach rule):
+    // round-11's sf1 perf tier caught the decoded store's CACHED size
+    // estimate (~10.6 MB at 20k vectors) tipping just past the
+    // auto-broadcast threshold while va stayed under — the optimizer
+    // then sort-merge-joined the ~68M-pair candidate frame WITH the
+    // query arrays already attached (a ~35 GB shuffle + sort: 112 s
+    // where ivfTopK's all-broadcast twin took 3.3 s). An explicit hint
+    // keeps the plan shape deterministic instead of stats-borderline.
+    val va = broadcast(q.assigned.select(col("vec_id"), col("v").as("va")))
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("approx_sim").desc, col("other_id").asc)
     val shortlist = cand
       .join(va, "vec_id")
-      .join(decoded, "other_id")
+      .join(broadcast(decoded), "other_id")
       .withColumn("approx_sim",
         graft.functions.VectorFunctions.cosine_sim(col("va"), col("recon")))
       .select(col("vec_id"), col("other_id"), col("approx_sim"))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= rerank)
       .select(col("vec_id"), col("other_id"))
-    val vb = q.assigned.select(col("vec_id").as("other_id"), col("v").as("vb"))
+    val vb = broadcast(q.assigned.select(col("vec_id").as("other_id"), col("v").as("vb")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
     shortlist
       .join(va, "vec_id")
