@@ -2771,7 +2771,10 @@ object SparkEntry {
           "shipping_priority_topk_fused",
           "snm_pairs_banded_equi_join",
           "star_join_broadcasts_dims", "top_orders_no_global_sort",
-          "triangles_equi_join")
+          "triangles_equi_join",
+          "ann_ivf_scoring_broadcast_attach",
+          "ann_pq_scoring_broadcast_attach",
+          "ann_lsh_scoring_broadcast_attach")
           .map(c => s"('$c', TRUE)").mkString(", ") +
         ") AS t(check_name, ok) ORDER BY check_name"),
     // literal-TRUE verdict oracle generated from the same metric list

@@ -147,7 +147,19 @@ object PlanGates {
     // hash equi joins over gram hashes, never a loop
     ("tfidf_reuses_cached_tf", "tfidf_cosine_pairs",
       p => p.contains("InMemoryTableScan") && hashJoinsNoCartesian(p)),
-    ("ngram_novelty_equi_join", "ngram_novelty", hashJoinsNoCartesian))
+    ("ngram_novelty_equi_join", "ngram_novelty", hashJoinsNoCartesian),
+    // round-11: the ANN scoring joins must attach vectors by BROADCAST
+    // and never sort-merge — the sf1 perf tier caught the PQ decode
+    // store's cached size estimate tipping past the auto-broadcast
+    // threshold, which sort-merge-joined the candidate frame WITH
+    // arrays attached (~35 GB exchange+sort, a 27× regression invisible
+    // at the driver SFs). The attach is hinted now; these rows pin it
+    ("ann_ivf_scoring_broadcast_attach", "ann_ivf_topk",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+    ("ann_pq_scoring_broadcast_attach", "ann_ivf_pq_topk",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+    ("ann_lsh_scoring_broadcast_attach", "ann_lsh_topk",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */
