@@ -1802,7 +1802,9 @@ object SparkEntry {
          |  SELECT element, step, x,
          |    CASE WHEN x > 0 THEN x END AS z,
          |    CASE WHEN x > 0 THEN CAST(1.0 AS DOUBLE) END AS p,
-         |    CASE WHEN x > 0 THEN 1 ELSE 2 END AS q
+         |    CASE WHEN x > 0 THEN 1 ELSE 2 END AS q,
+         |    CASE WHEN x > 0 THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(0.0 AS DOUBLE) END AS tp
          |  FROM cobs WHERE step = 1
          |  UNION ALL
          |  SELECT o.element, o.step, o.x,
@@ -1814,10 +1816,13 @@ object SparkEntry {
          |      CASE WHEN r.z IS NULL THEN CAST(r.q AS DOUBLE)
          |           ELSE r.p + CAST(0.1 AS DOUBLE) * (CAST(r.q AS DOUBLE) - r.p) END
          |    ELSE r.p END,
-         |    CASE WHEN o.x > 0 THEN 1 ELSE r.q + 1 END
+         |    CASE WHEN o.x > 0 THEN 1 ELSE r.q + 1 END,
+         |    r.tp + CAST(0.1 AS DOUBLE) *
+         |      ((CASE WHEN o.x > 0 THEN CAST(1.0 AS DOUBLE)
+         |             ELSE CAST(0.0 AS DOUBLE) END) - r.tp)
          |  FROM crec r JOIN cobs o ON o.element = r.element AND o.step = r.step + 1),
          |cfin AS (
-         |  SELECT r.element, r.z, r.p
+         |  SELECT r.element, r.z, r.p, r.tp
          |  FROM crec r JOIN (SELECT element, max(step) AS ms FROM crec GROUP BY element) m
          |    ON m.element = r.element AND r.step = m.ms
          |  WHERE r.z IS NOT NULL),
@@ -1862,6 +1867,12 @@ object SparkEntry {
          |    abs(o2.x - (1.0 - CAST(0.1 AS DOUBLE) / 2.0) * (r.z / r.p))
          |  FROM crec r JOIN ck USING (element) CROSS JOIN range(1, 8) h(step)
          |  JOIN cobs o2 ON o2.element = r.element AND o2.step = r.step + h.step
+         |  WHERE r.z IS NOT NULL
+         |  UNION ALL
+         |  SELECT r.element, h.step, 'CONFORMAL_TSB',
+         |    abs(o2.x - r.z * r.tp)
+         |  FROM crec r JOIN ck USING (element) CROSS JOIN range(1, 8) h(step)
+         |  JOIN cobs o2 ON o2.element = r.element AND o2.step = r.step + h.step
          |  WHERE r.z IS NOT NULL),
          |rk AS (SELECT element, method, step, score,
          |    row_number() OVER (PARTITION BY element, method, step
@@ -1902,6 +1913,9 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT f.element, 'CONFORMAL_SBA', h.step,
          |    (1.0 - CAST(0.1 AS DOUBLE) / 2.0) * (f.z / f.p)
+         |  FROM cfin f JOIN ck USING (element) CROSS JOIN range(1, 8) h(step)
+         |  UNION ALL
+         |  SELECT f.element, 'CONFORMAL_TSB', h.step, f.z * f.tp
          |  FROM cfin f JOIN ck USING (element) CROSS JOIN range(1, 8) h(step))
          |SELECT m.element, m.method, m.step,
          |  round(m.mid - q.q80, 6) AS lower1,

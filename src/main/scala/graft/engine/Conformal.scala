@@ -208,18 +208,19 @@ object Conformal {
   }
 
   /** Split-conformal bands for the INTERMITTENT-demand families —
-    * CROSTON and SBA over a densified calendar demand series `x`
+    * CROSTON, SBA, and TSB over a densified calendar demand series `x`
     * (exact-zero gap days, the `fc_croston` convention): the forward
-    * (z, p) SES recursions (graft.models.Croston's literal op order —
-    * interval update BEFORE size update, pre-update run counter) carry
-    * every origin's state in one pass; the per-origin forecast read
-    * out at origin i is z_i/p_i (flat in h), SBA multiplies by the
-    * (1 − α/2) bias constant. Scores for step h are
-    * |x(i+h) − forecast_i| over origins that have seen ≥1 demand; the
-    * band center is the full-series forecast. Origins before the first
-    * demand have no forecast and contribute no score — mirrored by the
-    * oracle's `z IS NOT NULL` filter. Empty for n ≤ 2h or for a series
-    * with no demand at all. */
+    * state recursions (graft.models.Croston's literal op orders —
+    * croston's interval update BEFORE size update with the pre-update
+    * run counter; TSB's probability update EVERY period) carry every
+    * origin's state in one pass; the per-origin forecast read out at
+    * origin i is z_i/p_i (croston, flat in h), ×(1 − α/2) for SBA, and
+    * z_i·π_i for TSB (π the smoothed demand probability). Scores for
+    * step h are |x(i+h) − forecast_i| over origins that have seen ≥1
+    * demand; the band center is the full-series forecast. Origins
+    * before the first demand have no forecast and contribute no
+    * score — mirrored by the oracle's `z IS NOT NULL` filter. Empty
+    * for n ≤ 2h or for a series with no demand at all. */
   def intermittentBands(x: Array[Double], h: Int): Seq[ClosedBand] = {
     val n = x.length
     if (n <= 2 * h) return Seq.empty
@@ -227,8 +228,10 @@ object Conformal {
     val fSba = 1.0 - alpha / 2.0
     val zs = new Array[Double](n)
     val ps = new Array[Double](n)
+    val pts = new Array[Double](n) // TSB smoothed demand probability
     val ok = new Array[Boolean](n)
     var z = Double.NaN; var p = Double.NaN; var q = 1L
+    var pt = Double.NaN
     var i = 0
     while (i < n) {
       if (x(i) > 0.0) {
@@ -236,26 +239,32 @@ object Conformal {
         z = if (z.isNaN) x(i) else z + alpha * (x(i) - z)
         q = 1L
       } else q += 1L
-      zs(i) = z; ps(i) = p; ok(i) = !z.isNaN
+      val d = if (x(i) > 0.0) 1.0 else 0.0
+      pt = if (pt.isNaN) d else pt + alpha * (d - pt)
+      zs(i) = z; ps(i) = p; pts(i) = pt; ok(i) = !z.isNaN
       i += 1
     }
     if (!ok(n - 1)) return Seq.empty
     val midCro = zs(n - 1) / ps(n - 1)
     val midSba = fSba * (zs(n - 1) / ps(n - 1))
+    val midTsb = zs(n - 1) * pts(n - 1)
     (1 to h).flatMap { step =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
       val bufS = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val bufT = scala.collection.mutable.ArrayBuffer.empty[Double]
       var j = 0
       while (j + step < n) {
         if (ok(j)) {
           buf += math.abs(x(j + step) - zs(j) / ps(j))
           bufS += math.abs(x(j + step) - fSba * (zs(j) / ps(j)))
+          bufT += math.abs(x(j + step) - zs(j) * pts(j))
         }
         j += 1
       }
       Seq(
         band("CONFORMAL_CROSTON", step, midCro, buf.toArray),
-        band("CONFORMAL_SBA", step, midSba, bufS.toArray)).flatten
+        band("CONFORMAL_SBA", step, midSba, bufS.toArray),
+        band("CONFORMAL_TSB", step, midTsb, bufT.toArray)).flatten
     }
   }
 
@@ -275,7 +284,8 @@ object Conformal {
   }
 
   /** [[intermittentBands]] over the per-element densified calendar
-    * demand series — the CROSTON/SBA members of the conformal registry.
+    * demand series — the CROSTON/SBA/TSB members of the conformal
+    * registry.
     * Scale shape: the (element, day) aggregate is the one corpus
     * shuffle (shared with fc_croston); each element's calendar series
     * (|days| rows, bounded by the store's calendar span, not its event
@@ -316,7 +326,7 @@ object Conformal {
   /** The full conformal registry — the positional-series families of
     * [[conformalClosed]] (NAIVE/DRIFT/MEANF/SNAIVE/SES at h = 14) plus
     * the calendar intermittent families of [[conformalIntermittent]]
-    * (CROSTON/SBA at h = 7), one frame, one output contract. */
+    * (CROSTON/SBA/TSB at h = 7), one frame, one output contract. */
   def conformalAll(spark: SparkSession, sfDir: String): DataFrame =
     conformalClosed(spark, sfDir)
       .unionAll(conformalIntermittent(spark, sfDir))

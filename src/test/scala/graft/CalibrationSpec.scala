@@ -172,7 +172,7 @@ object Calibration {
     val packed = java.util.stream.IntStream.range(0, reps).parallel().mapToLong { rep =>
       val (train, future) = simulate(proc, n, h, seed0 + rep.toLong * 1000003L)
       val bander: (Array[Double], Int) => Seq[graft.engine.Conformal.ClosedBand] =
-        if (method == "CONFORMAL_CROSTON" || method == "CONFORMAL_SBA")
+        if (method.startsWith("CONFORMAL_CROSTON") || method == "CONFORMAL_SBA" || method == "CONFORMAL_TSB")
           graft.engine.Conformal.intermittentBands
         else graft.engine.Conformal.closedBands(_, _, m)
       val bands = bander(train, h)
@@ -201,7 +201,8 @@ object Calibration {
     ("CONFORMAL_SNAIVE", "srw", 7),
     ("CONFORMAL_SES", "ann", 1),
     ("CONFORMAL_CROSTON", "intermittent", 1),
-    ("CONFORMAL_SBA", "intermittent", 1))
+    ("CONFORMAL_SBA", "intermittent", 1),
+    ("CONFORMAL_TSB", "intermittent", 1))
 }
 
 /** Asserts every deterministic family's empirical 80/95 coverage sits in
