@@ -52,6 +52,7 @@ object SketchStreamGates {
     "semantic_subcritical_degree",
     "shesd_planted_spike_rank1",
     "spectrum_descending_exhaustive",
+    "stream_state_rocksdb_parity",
     "whiten_moments_identity")
 
   /** Session cache of the computed verdict rows, keyed by (app,
@@ -87,6 +88,7 @@ object SketchStreamGates {
       ("semantic_subcritical_degree", semanticSubcriticalDegree(spark, sfDir)),
       ("shesd_planted_spike_rank1", shesdPlantedSpike(spark)),
       ("spectrum_descending_exhaustive", spectrumInvariants(spark, sfDir)),
+      ("stream_state_rocksdb_parity", rocksdbStateParity(spark)),
       ("whiten_moments_identity", whitenMoments(spark, sfDir)))
 
   // ---- planted fixtures --------------------------------------------------
@@ -345,6 +347,67 @@ object SketchStreamGates {
         >= threshold)
       .count()
     2.0 * nE.toDouble < nV.toDouble
+  }
+
+  /** Provider-independence of the streaming engine's STATE layer: the
+    * same watermarked daily-aggregate lifecycle over a planted events
+    * fixture must emit bit-identical watermark-closed rows under the
+    * default heap-backed provider and under RocksDB (the at-scale,
+    * disk-backed config `SPARK_GRAFT_STATE_STORE=rocksdb` selects —
+    * state bounded by executor-local disk instead of heap, O(delta)
+    * changelog commits instead of full-snapshot uploads). The RocksDB
+    * run must also PROVE engagement: its checkpoint has to contain
+    * RocksDB artifacts (changelog/zip files) and the heap run must not
+    * — a misconfigured provider silently falling back to the default
+    * would otherwise pass the parity half trivially. Fixture is O(100)
+    * rows; both lifecycles run on a 4-partition clone session. */
+  private[graft] def rocksdbStateParity(spark: SparkSession): Boolean = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate-state").toString
+    try {
+      val t0 = 86400000L * 19700 // fixed UTC day boundary
+      val rows = for { d <- 0 until 10; i <- 0 until 20 } yield
+        (new java.sql.Timestamp(t0 + d * 86400000L + i * 60000L),
+          "el" + (i % 3), (d * 20 + i) * 0.25)
+      rows.toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events")
+      def run(provider: String): (Seq[String], Boolean) = {
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        graft.streaming.EventIngest.applyStateStore(ss, provider)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-gate-ck").toString
+        try {
+          val sink = s"state_parity_$provider"
+          ss.catalog.dropTempView(sink)
+          val src = ss.readStream
+            .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+            .parquet(s"$dir/events")
+          val q = graft.streaming.EventIngest.dailyAggregate(src)
+            .writeStream.format("memory").queryName(sink).outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val got = ss.table(sink)
+            .select(col("element"), col("day_start").cast("string"),
+              col("n_obs"), col("sum_value"), col("avg_value"))
+            .collect().map(_.toSeq.mkString("|")).toSeq.sorted
+          (got, hasRocksArtifacts(new java.io.File(s"$ckpt/state")))
+        } finally deleteRecursively(new java.io.File(ckpt))
+      }
+      val (heapRows, heapArts) = run("hdfs")
+      val (rocksRows, rocksArts) = run("rocksdb")
+      heapRows.nonEmpty && heapRows == rocksRows && rocksArts && !heapArts
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
+  /** RocksDB checkpoint artifacts (`.changelog` deltas / `.zip`
+    * snapshots) anywhere under `dir` — the heap provider writes
+    * `.delta`/`.snapshot` instead, so this separates the two. */
+  private def hasRocksArtifacts(dir: java.io.File): Boolean = {
+    val children = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+    children.exists(f =>
+      (f.isFile && (f.getName.endsWith(".changelog") || f.getName.endsWith(".zip"))) ||
+        (f.isDirectory && hasRocksArtifacts(f)))
   }
 
   /** Spectral sanity on the real store: eigenvalues non-negative and

@@ -43,8 +43,34 @@ object EventIngest {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    applyStateStore(s, sys.props.getOrElse("graft.stream.stateStore",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")))
     s
   }
+
+  /** Select the streaming state-store provider for a stream session.
+    * The default (`"hdfs"`) is Spark's HDFSBackedStateStoreProvider —
+    * every keyed state entry lives in executor HEAP, which is right for
+    * the KB-scale driver replays but caps total state at aggregate
+    * executor memory. `"rocksdb"` selects the disk-backed RocksDB
+    * provider with changelog checkpointing — the at-scale posture: state
+    * spills to executor-local SSD (bounded by disk, not heap), and each
+    * micro-batch commits an O(delta) changelog instead of re-uploading
+    * full snapshots, so checkpoint I/O tracks the update rate rather
+    * than the state size. Every stateful operator here (windowed/session
+    * aggregation, stream-stream join, dropDuplicatesWithinWatermark,
+    * flatMapGroupsWithState) runs unchanged on either provider; the
+    * `stream_state_rocksdb_parity` gate pins bit-identical results. */
+  private[graft] def applyStateStore(s: SparkSession, provider: String): Unit =
+    provider.toLowerCase match {
+      case "rocksdb" =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+      case _ => () // Spark default: HDFSBackedStateStoreProvider
+    }
 
   def dailyAggregate(events: DataFrame): DataFrame =
     events

@@ -4184,4 +4184,92 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"low_entropy flag disagrees with entropy_q=$q for doc ${r.getLong(0)}")
     }
   }
+
+  /** RocksDB checkpoint artifacts anywhere under `dir` (changelog
+    * deltas / zip snapshots — the heap provider writes .delta/.snapshot
+    * instead). */
+  private def rocksArtifacts(dir: java.io.File): Boolean = {
+    val cs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+    cs.exists(f =>
+      (f.isFile && (f.getName.endsWith(".changelog") || f.getName.endsWith(".zip"))) ||
+        (f.isDirectory && rocksArtifacts(f)))
+  }
+
+  test("custom flatMapGroupsWithState state survives micro-batches on RocksDB, bit-equal to the heap provider") {
+    import spark.implicits._
+    val t0 = 86400000L * 19000
+    def run(provider: String): (Set[(Double, Double, Boolean)], Boolean) = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      EventIngest.applyStateStore(ss, provider)
+      implicit val sq = ss.sqlContext
+      import ss.implicits._
+      val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+      def ev(i: Int, v: Double) = ("a", new java.sql.Timestamp(t0 + i * 1000L), v)
+      mem.addData((1 to 20).map(i => ev(i, 10.0 + (if (i % 2 == 0) 0.1 else -0.1))): _*)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-rocks-$provider").toString
+      val sink = s"rocks_anom_$provider"
+      val q = EventIngest.anomalyStream(
+          mem.toDF().toDF("event_type", "ts", "value"), alpha = 0.1, zThreshold = 3.0)
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        // batch 2 scores against state carried across the batch boundary
+        mem.addData(ev(21, 1000.0), ev(22, 10.0))
+        q.processAllAvailable()
+        val rows = ss.table(sink).select("value", "zscore", "isAnomaly").collect()
+          .map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2))).toSet
+        (rows, rocksArtifacts(new java.io.File(s"$ckpt/state")))
+      } finally q.stop()
+    }
+    val (heapRows, heapArts) = run("hdfs")
+    val (rocksRows, rocksArts) = run("rocksdb")
+    assert(heapRows.size == 22 && heapRows == rocksRows,
+      s"provider parity broken: ${heapRows.diff(rocksRows)} vs ${rocksRows.diff(heapRows)}")
+    assert(rocksArts, "RocksDB run left no RocksDB checkpoint artifacts — provider not engaged")
+    assert(!heapArts, "heap run unexpectedly produced RocksDB artifacts")
+    assert(rocksRows.exists(r => r._1 == 1000.0 && r._3), "spike must flag on RocksDB state")
+  }
+
+  test("file-source stream resumes from its checkpoint: run 2 reads only new files, parquet sink stays exactly-once") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ck"
+    val t0 = 86400000L * 19600
+    def land(days: Range): Unit =
+      days.flatMap(d => (0 until 10).map(i =>
+          (new java.sql.Timestamp(t0 + d * 86400000L + i * 60000L), s"el${i % 2}", d + i * 0.5)))
+        .toDF("ts", "event_type", "value").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    def runOnce(): Long = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val src = ss.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE").parquet(inDir)
+      val q = EventIngest.dailyAggregate(src)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    land(0 until 10)
+    assert(runOnce() == 100L, "run 1 must ingest the first file's 100 events")
+    land(10 until 20)
+    val in2 = runOnce()
+    assert(in2 == 100L,
+      s"run 2 must process ONLY the new file (100 rows), reprocessed: read $in2")
+    val out = spark.read.parquet(outDir)
+    val n = out.count()
+    assert(n == out.select("element", "day_start").distinct().count(),
+      "a (element, day) window was emitted twice across the restart — sink not exactly-once")
+    // run 1 closes days 0..7 (wm = day9+9min − 1d), run 2 closes 8..17: 18 days × 2 elements
+    assert(n == 36L, s"watermark-closed set wrong across restart: $n rows")
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(del)
+      f.delete(); ()
+    }
+    del(new java.io.File(root))
+  }
 }
