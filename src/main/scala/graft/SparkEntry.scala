@@ -891,6 +891,15 @@ object SparkEntry {
     // ingestion-order freshness: share of a doc's distinct 8-grams
     // first seen in that doc (verbatim dup = 0, fresh doc = 1)
     "ngram_novelty" -> ((s, dir) => Curation.ngramNovelty(s, dir)),
+    // CCNet/RefinedWeb line-level dedup family: per-source normalized
+    // lines in >= 3 distinct docs (site-chrome census) ...
+    "boilerplate_lines" -> ((s, dir) => Curation.boilerplateLines(s, dir)),
+    // ... and the cleaning pass: drop those lines, re-join each doc's
+    // surviving raw lines in original order
+    "line_dedup_clean" -> ((s, dir) => Curation.lineDedupClean(s, dir)),
+    // piiScan's cleaning counterpart: <EMAIL>/<URL>/<NUM> rewrite with
+    // contract-fixed replacement order (emails -> urls -> digit runs)
+    "pii_redact" -> ((s, dir) => TextAnalysis.piiRedact(s, dir)),
     // rows-only: minhash tier; planted-near-copy fixture is the gate
     "eval_contamination_fuzzy" -> ((s, dir) => Curation.evalContaminationFuzzy(s, dir)),
     // quality-weighted coin flip: content-hash unit < quality·2^32 —
@@ -3689,6 +3698,58 @@ object SparkEntry {
         |  END AS novelty
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // line-level dedup family: lines = '\n'-split raw text (0-based
+    // pos), identity = whitespace-normalized lowercase form, corpus-
+    // global (CCNet count>1); reconstruction re-joins kept RAW lines
+    // in original order
+    "boilerplate_lines" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(u.line)), '\s+', ' ', 'g') AS norm
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |        FROM documents WHERE text IS NOT NULL) t,
+        |    unnest(ls) AS u(line))
+        |SELECT norm AS line,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM l GROUP BY norm
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY line""".stripMargin,
+    "line_dedup_clean" ->
+      """WITH l AS (
+        |  SELECT doc_id, u.i - 1 AS pos, ls[u.i] AS line,
+        |    regexp_replace(lower(trim(ls[u.i])), '\s+', ' ', 'g') AS norm
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |        FROM documents WHERE text IS NOT NULL) t,
+        |    unnest(range(1, len(ls) + 1)) AS u(i)),
+        |f AS (SELECT norm, count(DISTINCT doc_id) AS n_docs
+        |      FROM l GROUP BY norm),
+        |agg AS (
+        |  SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN f.n_docs < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_kept,
+        |    COALESCE(string_agg(CASE WHEN f.n_docs < 2 THEN l.line END,
+        |      chr(10) ORDER BY l.pos), '') AS clean_text
+        |  FROM l JOIN f USING (norm) GROUP BY l.doc_id)
+        |SELECT d.doc_id, COALESCE(agg.n_lines, 0) AS n_lines,
+        |  COALESCE(agg.n_kept, 0) AS n_kept, agg.clean_text
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // same three RE2-safe patterns as pii_scan; replacement order is
+    // the contract: emails, then urls, then long digit runs
+    "pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_longnums,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g') AS redacted
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "user_streaks" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS epoch_day

@@ -538,4 +538,82 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
       .orderBy(col("eval_id"), col("doc_id"))
   }
+
+  /** One row per physical LINE of every document: (doc_id, 0-based
+    * position, raw line, whitespace-normalized lowercase form). The
+    * shared scan under the line-level dedup family (the CCNet /
+    * RefinedWeb pass that strips site chrome — nav bars, cookie
+    * banners, footers — repeated verbatim across pages). Splitting on
+    * '\n' keeps the raw line byte-exact for reconstruction; the
+    * NORMALIZED form is the corpus-GLOBAL dedup identity (CCNet
+    * removes any paragraph whose shard-global count exceeds 1 — a
+    * banner syndicated across feeds is still chrome), so whitespace-
+    * only variations of a banner count as one line. On a newline-free
+    * corpus (the driver store) each document is its own single line
+    * and the family degrades to exact full-text frequency — still
+    * meaningful, and the multi-line path is pinned by a planted
+    * fixture in OpsSpec. */
+  private def docLines(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("norm", regexp_replace(lower(trim(col("line"))), "\\s+", " "))
+
+  /** Boilerplate-line census: normalized lines occurring in at least
+    * `minDocs` DISTINCT documents corpus-wide, with their doc
+    * frequency and total occurrence count.
+    *
+    * Scale shape: one norm-keyed aggregate with map-side partial
+    * counts — the doc-frequency table is bounded by DISTINCT lines,
+    * never by occurrences, so a banner repeated on a billion pages
+    * costs one partial-merged row (the same hot-key argument as
+    * [[ngramNovelty]]'s groupBy-then-join). No window over the line
+    * key anywhere in the family. */
+  def boilerplateLines(spark: SparkSession, sfDir: String, minDocs: Int = 2): DataFrame =
+    docLines(spark, sfDir)
+      .groupBy(col("norm"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("norm").as("line"), col("n_docs"), col("n_occurrences"))
+      .orderBy(col("line"))
+
+  /** Line-level dedup with reconstruction — the cleaning pass itself:
+    * every line whose normalized form reaches `minDocs` distinct docs
+    * within its source is dropped, and each document's SURVIVING raw
+    * lines are re-joined with '\n' in their original order. Emits
+    * (doc_id, n_lines, n_kept, clean_text); a document that was pure
+    * boilerplate comes back with n_kept 0 and an empty clean_text
+    * (the downstream length filter removes it), and null-text docs
+    * pass through with 0/0/NULL.
+    *
+    * Plan: the [[docLines]] scan → the bounded doc-frequency
+    * aggregate → one hash equi-join back on norm (AQE
+    * skew-splittable; the df side carries only the 2-column count
+    * table) → one doc_id-keyed shuffle where `array_sort(collect_list
+    * (struct(pos, line)))` restores order without a window —
+    * collect_list drops the NULL structs the keep-filter produces, so
+    * the kept-line concat needs no second scan. Per-doc state is the
+    * document's own line list — the same bound as holding the text. */
+  def lineDedupClean(spark: SparkSession, sfDir: String, minDocs: Int = 2): DataFrame = {
+    val lines = docLines(spark, sfDir)
+    val freq = lines.groupBy(col("norm"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val agg = lines.join(freq, Seq("norm"))
+      .withColumn("keep", col("n_docs") < minDocs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, line) END)), x -> x.line)"),
+          "\n").as("clean_text"))
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -4272,4 +4272,65 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     del(new java.io.File(root))
   }
+
+  test("line-level dedup: planted banner stripped, order kept, whitespace variants one identity, no window") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lines").toString
+    val banner = "COOKIE Notice  accept all"        // normalizes to one identity
+    val bannerVar = "cookie notice ACCEPT   ALL"    // whitespace/case variant
+    val docs = Seq(
+      (1L, s"$banner\nunique first body\nshared footer"),
+      (2L, s"$bannerVar\nsecond body line\nshared footer"),
+      (3L, s"third body only\nanother private line"),
+      (4L, banner),                                 // pure boilerplate
+      (5L, null.asInstanceOf[String]))
+    docs.map { case (id, t) =>
+        (id, "en", "s" + (id % 2), t, Option(t).map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val census = graft.ops.Curation.boilerplateLines(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // identity is corpus-global and normalized: 3 distinct docs carry
+    // the banner (two sources, one as a whitespace/case variant)
+    assert(census("cookie notice accept all") == ((3L, 3L)), s"census: $census")
+    assert(census("shared footer") == ((2L, 2L)), s"census: $census")
+    assert(census.size == 2, s"private lines must not appear: $census")
+
+    val clean = graft.ops.Curation.lineDedupClean(spark, dir)
+    assert(!clean.queryExecution.executedPlan.toString.contains("Window"),
+      "line dedup must not use a window over the line key")
+    val got = clean.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 1L, "unique first body")), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((3L, 1L, "second body line")), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((2L, 2L, "third body only\nanother private line")),
+      s"doc 3 must keep BOTH lines in original order: ${got(3L)}")
+    assert(got(4L) == ((1L, 0L, "")), s"pure-boilerplate doc empties: ${got(4L)}")
+    assert(got(5L) == ((0L, 0L, null)), s"null text passes through: ${got(5L)}")
+  }
+
+  test("pii redact: entities rewritten in contract order, counts match scan, clean text untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (1L, "contact bob@example.com or see https://ex.com/a?id=1234567890 ref 9876543210 end"),
+      (2L, "plain text with short 1234 number"),
+      (3L, null.asInstanceOf[String]))
+      .map { case (id, t) => (id, "en", "s", t, Option(t).map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalysis.piiRedact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((1L, 1L, 2L)),
+      s"counts: $r1")
+    // the URL's digit run disappears INTO <URL> (url pass precedes the
+    // digit pass), the bare run becomes <NUM>
+    assert(r1.getString(4) == "contact <EMAIL> or see <URL> ref <NUM> end",
+      s"redacted: ${r1.getString(4)}")
+    assert(got(2L).getString(4) == "plain text with short 1234 number",
+      "clean text must be byte-identical")
+    assert(got(3L).isNullAt(4), "null text stays null")
+  }
 }
