@@ -2797,7 +2797,8 @@ object SparkEntry {
           "triangles_equi_join",
           "ann_ivf_scoring_broadcast_attach",
           "ann_pq_scoring_broadcast_attach",
-          "ann_lsh_scoring_broadcast_attach")
+          "ann_lsh_scoring_broadcast_attach",
+          "line_dedup_no_window_equi_join")
           .map(c => s"('$c', TRUE)").mkString(", ") +
         ") AS t(check_name, ok) ORDER BY check_name"),
     // literal-TRUE verdict oracle generated from the same metric list

@@ -159,7 +159,13 @@ object PlanGates {
     ("ann_pq_scoring_broadcast_attach", "ann_ivf_pq_topk",
       p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
     ("ann_lsh_scoring_broadcast_attach", "ann_lsh_topk",
-      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")))
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+    // round-11 continuation: the line-dedup reconstruction must form
+    // its doc-frequency pass as aggregate + hash equi-join — a window
+    // over the line key would buffer a viral banner's every occurrence
+    // in one task (the ngram_novelty lesson applied to lines)
+    ("line_dedup_no_window_equi_join", "line_dedup_clean",
+      p => !p.contains("Window") && hashJoinsNoCartesian(p)))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */
