@@ -218,6 +218,41 @@ object SoakSf1 {
       "hll_mau_within_5pct" -> timed("hll_mau_within_5pct") {
         graft.ops.SketchStreamGates.hllMauWithin5pct(spark, dir)
       },
+      // line-dedup tier at 50k multi-line docs (its OWN corpus — the
+      // main store is newline-free by the driver schema, so this is
+      // the only place the multi-line path runs at scale): three
+      // banner lines planted in EVERY document (50k-occurrence hot
+      // keys, the viral regime the no-Window plan shape exists for)
+      // around two id-unique private lines. The census must find
+      // exactly the three banners and the reconstruction must return
+      // every document's two private lines in original order.
+      "line_dedup_viral_banner" -> timed("line_dedup_viral_banner") {
+        import spark.implicits._
+        val lineDir = s"$dir/line_corpus"
+        val path = s"$lineDir/documents.parquet"
+        if (!new java.io.File(path, "_SUCCESS").isFile) {
+          spark.range(50000L).as[Long].map { id =>
+            val t = s"BANNER ONE\nbanner two here\nprivate $id alpha\n" +
+              s"BANNER THREE\nprivate $id beta"
+            (id, "en", s"src${id % 20}", t, t.length.toLong)
+          }.toDF("doc_id", "lang", "source", "text", "n_chars")
+            .write.mode("overwrite").parquet(path)
+        }
+        val census = graft.ops.Curation.boilerplateLines(spark, lineDir)
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        val censusOk = census.length == 3 &&
+          census.forall { case (_, (nd, no)) => nd == 50000L && no == 50000L } &&
+          census.map(_._1).sorted.sameElements(
+            Array("banner one", "banner three", "banner two here"))
+        val bad = graft.ops.Curation.lineDedupClean(spark, lineDir)
+          .filter(col("n_lines") =!= 5L || col("n_kept") =!= 2L ||
+            col("clean_text") =!= concat(
+              lit("private "), col("doc_id"), lit(" alpha\nprivate "),
+              col("doc_id"), lit(" beta")))
+          .count()
+        println(s"[soak] line_dedup: census ok=$censusOk, $bad/50000 docs wrong")
+        censusOk && bad == 0
+      },
       // exact substring tier at 50k docs: every planted verbatim copy
       // (id % 200 == 199 copies its predecessor) with >= k tokens must
       // be recovered as ONE maximal whole-document span — a dropped
