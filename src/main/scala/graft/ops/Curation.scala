@@ -616,4 +616,39 @@ object Curation {
         col("clean_text"))
       .orderBy(col("doc_id"))
   }
+
+  /** SERVE-side line cleaning against a PRECOMPUTED census — the
+    * lambda-architecture half of the family: [[boilerplateLines]] runs
+    * as a periodic batch pass over the full corpus (doc frequency is
+    * global by nature), and this function applies its output to any
+    * document frame — a batch slice or a streaming micro-batch inside
+    * `foreachBatch` (see `EventIngest.lineCleanAvailableNow`). Same
+    * normalization, same order-preserving reconstruction as
+    * [[lineDedupClean]]; a line is dropped iff its normalized form is
+    * in the census.
+    *
+    * The census is BROADCAST: it holds only lines already found in ≥
+    * minDocs distinct documents — at serve time a deployment caps it
+    * to the top-N by doc frequency (the tail of barely-duplicated
+    * lines carries no cleaning value), so the broadcast is a bounded
+    * dictionary, not a corpus-scale table. Per input row the work is
+    * one hash probe per line — no shuffle except the per-doc
+    * reassembly, which foreachBatch scopes to the micro-batch. */
+  def cleanWithCensus(docs: DataFrame, census: DataFrame): DataFrame = {
+    val lines = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("norm", regexp_replace(lower(trim(col("line"))), "\\s+", " "))
+    val boiler = broadcast(
+      census.select(col("line").as("norm")).distinct()
+        .withColumn("is_boiler", lit(true)))
+    lines.join(boiler, Seq("norm"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN is_boiler IS NULL THEN struct(pos, line) END)), x -> x.line)"),
+          "\n").as("clean_text"))
+  }
 }

@@ -394,8 +394,16 @@ object SketchStreamGates {
           (got, hasRocksArtifacts(new java.io.File(s"$ckpt/state")))
         } finally deleteRecursively(new java.io.File(ckpt))
       }
-      val (heapRows, heapArts) = run("hdfs")
-      val (rocksRows, rocksArts) = run("rocksdb")
+      // the two lifecycles are independent (own cloned session, own
+      // checkpoint, own memory sink) — run them CONCURRENTLY so the
+      // gate pays one streaming-lifecycle latency, not two (this is
+      // the most expensive verdict row's whole cost)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.DurationInt
+      val both = Future.sequence(Seq(Future(run("hdfs")), Future(run("rocksdb"))))
+      val Seq((heapRows, heapArts), (rocksRows, rocksArts)) =
+        Await.result(both, 10.minutes)
       heapRows.nonEmpty && heapRows == rocksRows && rocksArts && !heapArts
     } finally deleteRecursively(new java.io.File(dir))
   }

@@ -229,6 +229,40 @@ object EventIngest {
         && !graft.ops.TextAnalysis.piiFlaggedExpr)
       .withColumn("split", graft.ops.Curation.splitExpr))
 
+  /** Streaming line-dedup SERVE — the ingest-time application of the
+    * batch boilerplate census (`Curation.boilerplateLines`, refreshed
+    * periodically; doc frequency is global by nature so the census
+    * itself stays a batch pass): documents stream in from `docsDir`,
+    * each micro-batch is cleaned by `Curation.cleanWithCensus` (one
+    * broadcast hash probe per line, per-doc reassembly scoped to the
+    * micro-batch — no cross-batch state at all), and the cleaned rows
+    * append to a parquet sink exactly-once under the checkpoint. This
+    * is `foreachBatch` used the way a production pipeline uses it: a
+    * batch-only transformation (broadcast join + aggregate with no
+    * event-time) lifted onto a stream without inventing stateful
+    * semantics it doesn't need. Runs under AvailableNow and returns
+    * the sink contents. */
+  def lineCleanAvailableNow(spark: SparkSession, docsDir: String,
+      census: DataFrame, outDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lineclean-ck").toString
+    val src = ss.readStream
+      .schema("doc_id LONG, lang STRING, source STRING, text STRING, n_chars LONG")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(docsDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Curation.cleanWithCensus(batch, census)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** STREAM-STREAM join tier: live click→purchase attribution pairs —
     * every (purchase, click-by-same-user-within-the-hour-before) match,
     * emitted as both sides arrive. The join predicate is user equality

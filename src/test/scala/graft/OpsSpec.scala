@@ -4310,6 +4310,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == ((0L, 0L, null)), s"null text passes through: ${got(5L)}")
   }
 
+  test("streaming line-clean serve: foreachBatch + broadcast census equals the batch cleaner") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lcstream").toString
+    val banner = "cookie notice accept all"
+    (0L until 40L).map { id =>
+        val t =
+          if (id % 7 == 0) null.asInstanceOf[String]
+          else s"$banner\nbody $id one\nshared footer\nbody $id two"
+        (id, if (t == null) null else "en", s"s${id % 3}", t,
+          Option(t).map(_.length.toLong).getOrElse(0L))
+      }.toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(2).write.parquet(s"$dir/documents.parquet")
+    val census = graft.ops.Curation.boilerplateLines(spark, dir)
+    val expected = graft.ops.Curation.lineDedupClean(spark, dir)
+      .filter(col("n_lines") > 0) // serve path passes only non-null texts
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val got = EventIngest.lineCleanAvailableNow(
+        spark, s"$dir/documents.parquet", census, s"$dir/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(expected.nonEmpty && got == expected,
+      s"stream-served cleaning must equal batch: missing ${expected.diff(got).take(3)}, extra ${got.diff(expected).take(3)}")
+    assert(got.forall { case (id, nl, nk, ct) =>
+      nl == 4L && nk == 2L && ct == s"body $id one\nbody $id two" },
+      "every served doc must keep exactly its two private lines in order")
+  }
+
   test("pii redact: entities rewritten in contract order, counts match scan, clean text untouched") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
