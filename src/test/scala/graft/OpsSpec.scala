@@ -4336,6 +4336,106 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every served doc must keep exactly its two private lines in order")
   }
 
+  test("line dedup property: random multi-line corpora match an independent in-memory reference") {
+    import spark.implicits._
+    // reference normalization mirrors the op EXACTLY: Spark trim()
+    // strips SPACES only (not tabs), then \s+ collapses — so the
+    // reference strips spaces by hand rather than using String.trim
+    def stripSp(s: String) = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    def norm(l: String) =
+      stripSp(l).toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val pool = Seq("Cookie Notice Accept All", "shared footer line",
+      "subscribe to our newsletter", "terms of service apply", "nav home about")
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rng = new java.util.Random(seed)
+      def perturb(s: String): String = {
+        val cased = s.map(c => if (rng.nextBoolean()) c.toUpper else c.toLower)
+        val spaced = cased.replace(" ", if (rng.nextBoolean()) "  " else " ")
+        " " * rng.nextInt(3) + spaced + " " * rng.nextInt(3)
+      }
+      val docs: Seq[(Long, String)] = (0L until 30L).map { id =>
+        if (rng.nextInt(10) == 0) (id, null)
+        else {
+          val n = 1 + rng.nextInt(6)
+          val lines = (0 until n).map { i =>
+            if (rng.nextDouble() < 0.4) perturb(pool(rng.nextInt(pool.size)))
+            else s"unique line $id-$i ${rng.nextInt(1000)}"
+          }
+          (id, lines.mkString("\n"))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-lprop$seed").toString
+      docs.map { case (id, t) =>
+          (id, "en", "s", t, Option(t).map(_.length.toLong).getOrElse(0L)) }
+        .toDF("doc_id", "lang", "source", "text", "n_chars")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      // in-memory reference
+      val split: Map[Long, Array[String]] = docs.collect {
+        case (id, t) if t != null => id -> t.split("\n", -1)
+      }.toMap
+      val df: Map[String, Set[Long]] = split.toSeq
+        .flatMap { case (id, ls) => ls.map(l => norm(l) -> id) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val refCensus = df.filter(_._2.size >= 2).map { case (k, ids) =>
+        k -> (ids.size.toLong,
+          split.toSeq.map(_._2.count(l => norm(l) == k)).sum.toLong)
+      }
+      val refClean: Map[Long, (Long, Long, String)] = docs.map { case (id, t) =>
+        if (t == null) id -> ((0L, 0L, null: String))
+        else {
+          val ls = split(id)
+          val kept = ls.filter(l => df(norm(l)).size < 2)
+          id -> ((ls.length.toLong, kept.length.toLong, kept.mkString("\n")))
+        }
+      }.toMap
+      val gotCensus = graft.ops.Curation.boilerplateLines(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(gotCensus == refCensus, s"seed $seed census: got $gotCensus vs $refCensus")
+      val gotClean = graft.ops.Curation.lineDedupClean(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3)))).toMap
+      assert(gotClean == refClean,
+        s"seed $seed clean mismatch: ${gotClean.toSet.diff(refClean.toSet).take(3)}")
+    }
+  }
+
+  test("pii redact property: no residual entities after redaction, planted counts exact") {
+    import spark.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val url = "https?://[^ \\t\\n]+"
+    val num = "[0-9]{9,}"
+    for (seed <- Seq(21L, 22L)) {
+      val rng = new java.util.Random(seed)
+      val docs = (0L until 25L).map { id =>
+        val nE = rng.nextInt(3); val nU = rng.nextInt(3); val nN = rng.nextInt(3)
+        val toks = Seq.fill(nE)(s"user${rng.nextInt(99)}@site${rng.nextInt(9)}.com") ++
+          Seq.fill(nU)(s"https://host${rng.nextInt(9)}.org/p/${rng.nextInt(999)}x") ++
+          Seq.fill(nN)((100000000L + rng.nextInt(1000000)).toString) ++
+          Seq.fill(3 + rng.nextInt(5))(s"word${rng.nextInt(50)}")
+        val text = new scala.util.Random(rng.nextLong()).shuffle(toks).mkString(" ")
+        (id, text, nE.toLong, nU.toLong, nN.toLong)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-pprop$seed").toString
+      docs.map { case (id, t, _, _, _) => (id, "en", "s", t, t.length.toLong) }
+        .toDF("doc_id", "lang", "source", "text", "n_chars")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val got = graft.ops.TextAnalysis.piiRedact(spark, dir)
+        .withColumn("res_e", regexp_count(col("redacted"), lit(email)))
+        .withColumn("res_u", regexp_count(col("redacted"), lit(url)))
+        .withColumn("res_n", regexp_count(col("redacted"), lit(num)))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getInt(5), r.getInt(6), r.getInt(7)))).toMap
+      docs.foreach { case (id, _, nE, nU, nN) =>
+        val (ge, gu, gn, re, ru, rn) = got(id)
+        assert((ge, gu, gn) == ((nE, nU, nN)),
+          s"seed $seed doc $id planted counts: got ($ge,$gu,$gn) want ($nE,$nU,$nN)")
+        assert((re, ru, rn) == ((0, 0, 0)),
+          s"seed $seed doc $id residual entities after redaction: ($re,$ru,$rn)")
+      }
+    }
+  }
+
   test("pii redact: entities rewritten in contract order, counts match scan, clean text untouched") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
