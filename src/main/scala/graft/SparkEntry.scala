@@ -3706,7 +3706,7 @@ object SparkEntry {
     "boilerplate_lines" ->
       """WITH l AS (
         |  SELECT doc_id,
-        |    regexp_replace(lower(trim(u.line)), '\s+', ' ', 'g') AS norm
+        |    trim(regexp_replace(lower(u.line), '\s+', ' ', 'g')) AS norm
         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
         |        FROM documents WHERE text IS NOT NULL) t,
         |    unnest(ls) AS u(line))
@@ -3719,7 +3719,7 @@ object SparkEntry {
     "line_dedup_clean" ->
       """WITH l AS (
         |  SELECT doc_id, u.i - 1 AS pos, ls[u.i] AS line,
-        |    regexp_replace(lower(trim(ls[u.i])), '\s+', ' ', 'g') AS norm
+        |    trim(regexp_replace(lower(ls[u.i]), '\s+', ' ', 'g')) AS norm
         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
         |        FROM documents WHERE text IS NOT NULL) t,
         |    unnest(range(1, len(ls) + 1)) AS u(i)),

@@ -558,7 +558,13 @@ object Curation {
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-      .withColumn("norm", regexp_replace(lower(trim(col("line"))), "\\s+", " "))
+      // collapse BEFORE trimming: after \s+ → ' ' every residual edge
+      // whitespace is a plain space, so the space-only trim() strips
+      // it — a CRLF corpus's trailing '\r' or a tab-indented banner
+      // gets the same identity as its clean form (trim-first would
+      // leave a trailing space in the norm)
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("line")), "\\s+", " ")))
 
   /** Boilerplate-line census: normalized lines occurring in at least
     * `minDocs` DISTINCT documents corpus-wide, with their doc
@@ -639,7 +645,8 @@ object Curation {
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-      .withColumn("norm", regexp_replace(lower(trim(col("line"))), "\\s+", " "))
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("line")), "\\s+", " ")))
     val boiler = broadcast(
       census.select(col("line").as("norm")).distinct()
         .withColumn("is_boiler", lit(true)))

@@ -4338,12 +4338,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("line dedup property: random multi-line corpora match an independent in-memory reference") {
     import spark.implicits._
-    // reference normalization mirrors the op EXACTLY: Spark trim()
-    // strips SPACES only (not tabs), then \s+ collapses — so the
-    // reference strips spaces by hand rather than using String.trim
+    // reference normalization mirrors the op EXACTLY: lower, collapse
+    // \s+ to one space, THEN strip spaces (Spark trim() is space-only,
+    // which suffices because the collapse already turned any edge
+    // whitespace into plain spaces)
     def stripSp(s: String) = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
     def norm(l: String) =
-      stripSp(l).toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+      stripSp(l.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " "))
     val pool = Seq("Cookie Notice Accept All", "shared footer line",
       "subscribe to our newsletter", "terms of service apply", "nav home about")
     for (seed <- Seq(11L, 12L, 13L)) {
@@ -4351,7 +4352,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       def perturb(s: String): String = {
         val cased = s.map(c => if (rng.nextBoolean()) c.toUpper else c.toLower)
         val spaced = cased.replace(" ", if (rng.nextBoolean()) "  " else " ")
-        " " * rng.nextInt(3) + spaced + " " * rng.nextInt(3)
+        // edge whitespace includes tab and CR (a CRLF corpus's '\r'
+        // lands at line end after the '\n' split) — all must collapse
+        // to the same identity as the clean form
+        val edges = Seq("", " ", "\t", "\r")
+        edges(rng.nextInt(4)) + " " * rng.nextInt(3) + spaced +
+          " " * rng.nextInt(3) + edges(rng.nextInt(4))
       }
       val docs: Seq[(Long, String)] = (0L until 30L).map { id =>
         if (rng.nextInt(10) == 0) (id, null)
