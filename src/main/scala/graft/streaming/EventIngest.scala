@@ -251,16 +251,21 @@ object EventIngest {
       .option("pathGlobFilter", "*.parquet")
       .parquet(docsDir)
     val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is AT-LEAST-ONCE: a batch that fails after a
+        // partial append replays under the SAME batchId on restart, so
+        // the write must be idempotent — one overwritten directory per
+        // batchId (the standard foreachBatch exactly-once recipe; the
+        // built-in file sink gets this from its commit log instead)
         graft.ops.Curation.cleanWithCensus(batch, census)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    spark.read.parquet(outDir).drop("batch")
   }
 
   /** STREAM-STREAM join tier: live click→purchase attribution pairs —
