@@ -1092,6 +1092,10 @@ object SparkEntry {
     // is part of what the parity hash proves
     "events_from_csv" -> ((s, dir) =>
       graft.sources.JsonStore.dailyFromCsv(s, dir)),
+    // ORC sibling (columnar): parity pins the writer/reader type
+    // mapping; the read path keeps vectorized scans + pushdown
+    "events_from_orc" -> ((s, dir) =>
+      graft.sources.JsonStore.dailyFromOrc(s, dir)),
     // media-tier cluster resolution: CC over the perceptual-hash pair
     // graph (shared large/small-star machinery), recursive-CTE oracle
     "media_dup_clusters" -> ((s, dir) => Multimodal.mediaDupClusters(s, dir)),
@@ -3468,6 +3472,14 @@ object SparkEntry {
         |GROUP BY event_type, CAST(ts AS DATE)
         |ORDER BY event_type, day""".stripMargin,
     "events_from_csv" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY event_type, CAST(ts AS DATE)
+        |ORDER BY event_type, day""".stripMargin,
+    "events_from_orc" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,
         |  count(*) AS n_events,
         |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

@@ -130,4 +130,38 @@ object JsonStore {
 
   def dailyFromCsv(spark: SparkSession, sfDir: String): DataFrame =
     dailyOf(eventsFromCsv(spark, sfDir))
+
+  private def orcPath(sfDir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
+      ident(sfDir) + "/events_orc"
+
+  /** ORC sibling — the second COLUMNAR format of the source surface
+    * (the Hive-ecosystem interchange format Spark supports natively).
+    * Unlike the text tiers there is no serialization round-trip to
+    * prove; the parity hash pins the writer/reader TYPE MAPPING
+    * (LONG/DOUBLE/STRING survive exactly, nulls stay nulls) and the
+    * read path keeps everything the parquet scan has — vectorized
+    * batched reads, predicate pushdown into ORC stripe/row-group
+    * statistics, column pruning — so a deployment whose lake speaks
+    * ORC gets the same plans this engine ships for parquet. */
+  def ensureOrc(spark: SparkSession, sfDir: String): Unit =
+    builds.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir + "#orc"), _ => {
+        val p = orcPath(sfDir)
+        if (!LayoutStore.mirrorFresh(sfDir, p)) {
+          Tables.events(spark, sfDir)
+            .select(col("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+            .write.mode(SaveMode.Overwrite).orc(p)
+        }
+      })
+
+  /** Events read back from the ORC mirror with the explicit schema. */
+  def eventsFromOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureOrc(spark, sfDir)
+    spark.read.schema(EventSchema).orc(orcPath(sfDir))
+  }
+
+  def dailyFromOrc(spark: SparkSession, sfDir: String): DataFrame =
+    dailyOf(eventsFromOrc(spark, sfDir))
 }

@@ -4063,6 +4063,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cs == pq,
       s"CSV round-trip lost rows: pq=${pq.size} csv=${cs.size}, " +
         s"diff sample=${(pq -- cs).take(2)} / ${(cs -- pq).take(2)}")
+    // ORC sibling: columnar type mapping (no text round-trip to prove)
+    val oc = graft.sources.JsonStore.eventsFromOrc(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect().map(_.toSeq).toSet
+    assert(oc == pq,
+      s"ORC round-trip lost rows: pq=${pq.size} orc=${oc.size}, " +
+        s"diff sample=${(pq -- oc).take(2)} / ${(oc -- pq).take(2)}")
   }
 
   test("CSV mirror keeps NULL and empty string distinguishable") {
