@@ -587,34 +587,48 @@ object EventAnalytics {
     * `event_transitions`' consumer: where a user's behavior settles if
     * the observed transition matrix keeps acting. `StatIterations`
     * power iterations of π' = π·P entirely in scaled BIGINT:
-    * per-edge mass flow is `(m · n_pair) DIV n_cur` (exact floor), the
-    * incoming sum is a BIGINT aggregate (order-free), so every
-    * iteration is bit-replayable by the unrolled-CTE oracle. States
-    * with no outgoing edges keep receiving but never emit (mass
-    * drains deterministically — reported, not renormalized). The
-    * |types|²-sized edge table and |types|-sized mass vector iterate
-    * with lineage cuts; only the one corpus window/aggregate behind
-    * `transitionCounts` ever touches event rows. */
+    * per-edge mass flow is `(m · n_pair) / n_cur` (exact floor on
+    * non-negative longs — SQL DIV semantics), the incoming sum is
+    * order-free integer addition, so every iteration is bit-replayable
+    * by the unrolled-CTE oracle. States with no outgoing edges keep
+    * receiving but never emit (mass drains deterministically —
+    * reported, not renormalized).
+    *
+    * Scale posture: the ONLY corpus-scale work is the one user_id
+    * window + grouped aggregate behind [[transitionCounts]]. Its
+    * output — the (cur, nxt) edge table — is |event types|² rows and
+    * the mass vector |event types|, both CATALOG-bounded (an event
+    * taxonomy is tens of values at any corpus size), so the power
+    * iteration runs driver-side over the collected counts: the d×d
+    * eigensolve-on-driver idiom ([[Similarity]]'s spectral ops) rather
+    * than 12 rounds of |types|-row distributed jobs whose cost is pure
+    * scheduling latency (measured ~2 s of ~150 ms jobs at sf0.1,
+    * independent of data size). The arithmetic is identical — floor
+    * divisions on the same longs — so the oracle replay and every
+    * invariant are unchanged. */
   def transitionStationary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val counts = transitionCounts(spark, sfDir)
     val totals = counts.groupBy(col("cur")).agg(sum(col("n_pair")).as("n_cur"))
-    val edges = counts.join(totals, "cur").localCheckpoint(eager = false)
-    val states = counts.select(col("cur").as("state"))
-      .union(counts.select(col("nxt").as("state")))
-      .distinct().localCheckpoint(eager = false)
-    val nTab = states.agg(count(lit(1)).as("n"))
-    var pi = states.crossJoin(broadcast(nTab))
-      .select(col("state"), expr(s"$StatScale DIV n").as("m"))
+    // |types|²-bounded collect — metadata-scale by construction
+    val edges = counts.join(totals, "cur")
+      .select(col("cur"), col("nxt"), col("n_pair"), col("n_cur"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val states = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = states.length.toLong
+    var mass: Map[String, Long] = states.map(_ -> StatScale / n).toMap
     for (_ <- 1 to StatIterations) {
-      val contrib = edges.join(pi, col("cur") === col("state"))
-        .select(col("nxt"), expr("(m * n_pair) DIV n_cur").as("c"))
-      val inSum = contrib.groupBy(col("nxt")).agg(sum(col("c")).as("im"))
-      pi = states.join(inSum, col("state") === col("nxt"), "left")
-        .select(col("state"), coalesce(col("im"), lit(0L)).as("m"))
-        .localCheckpoint(eager = false)
+      val in = scala.collection.mutable.HashMap.empty[String, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (cur, nxt, nPair, nCur) =>
+        in(nxt) += mass(cur) * nPair / nCur
+      }
+      mass = states.map(s => s -> in(s)).toMap
     }
-    pi.select(col("state"), col("m").as("mass_scaled"),
-        (col("m").cast("double") / lit(StatScale.toDouble)).as("pi"))
+    states.toSeq
+      .map(s => (s, mass(s), mass(s).toDouble / StatScale.toDouble))
+      .toDF("state", "mass_scaled", "pi")
       .orderBy(col("mass_scaled").desc, col("state"))
   }
 
