@@ -4343,6 +4343,78 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every served doc must keep exactly its two private lines in order")
   }
 
+  test("sessionization + streaks property: random event corpora match independent references") {
+    import spark.implicits._
+    val gapUs = 30L * 60L * 1000000L
+    for (seed <- Seq(31L, 32L, 33L)) {
+      val rng = new java.util.Random(seed)
+      val t0 = 86400000L * 19500 // ms, UTC midnight
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(java.sql.Timestamp, String, Long, java.lang.Long, Double, String)]
+      var eid = 0L
+      for (u <- 1L to 15L; _ <- 0 until (5 + rng.nextInt(12))) {
+        val day = rng.nextInt(10)
+        val ms = t0 + day * 86400000L + rng.nextInt(86400000)
+        def add(m: Long): Unit = {
+          rows += ((new java.sql.Timestamp(m), "click", eid,
+            java.lang.Long.valueOf(u), (rng.nextInt(10000)) / 100.0, "{}"))
+          eid += 1
+        }
+        add(ms)
+        rng.nextInt(4) match {
+          case 0 => add(ms)                    // exact-timestamp collision
+          case 1 => add(ms + gapUs / 1000L)    // exactly prev+gap: MERGES
+          case 2 => add(ms + gapUs / 1000L + 1L) // 1 ms past the gap: SPLITS
+          case _ => ()
+        }
+      }
+      rows += ((null, "click", eid, java.lang.Long.valueOf(99L), 1.0, "{}")); eid += 1
+      rows += ((new java.sql.Timestamp(t0), "click", eid, null, 1.0, "{}"))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-sessprop$seed").toString
+      rows.toSeq.toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+
+      // in-memory references over (user, micros, value)
+      val evs = rows.collect { case (ts, _, _, u, v, _) if ts != null && u != null =>
+        (u.longValue(), ts.getTime * 1000L, v) }.toSeq
+      val refSessions = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val sorted = es.map(e => (e._2, e._3)).sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+        var (start, last, n) = (sorted.head._1, sorted.head._1, 1L)
+        var sum = BigDecimal(sorted.head._2).setScale(4)
+        for ((t, v) <- sorted.tail) {
+          if (t <= last + gapUs) { last = t; n += 1; sum += BigDecimal(v).setScale(4) }
+          else {
+            out += ((u, start, last + gapUs, n, sum.toDouble))
+            start = t; last = t; n = 1L; sum = BigDecimal(v).setScale(4)
+          }
+        }
+        out += ((u, start, last + gapUs, n, sum.toDouble))
+        out.toSeq
+      }.toSet
+      val gotSessions = Relational.userSessions(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(gotSessions == refSessions,
+        s"seed $seed sessions: missing ${refSessions.diff(gotSessions).take(2)}, " +
+          s"extra ${gotSessions.diff(refSessions).take(2)}")
+
+      val refStreaks = evs.map(e => (e._1, e._2 / 86400000000L)).distinct
+        .groupBy(_._1).map { case (u, ds) =>
+          val days = ds.map(_._2).sorted
+          val runs = scala.collection.mutable.ArrayBuffer(1L)
+          days.sliding(2).foreach {
+            case Seq(a, b) => if (b == a + 1) runs(runs.length - 1) += 1 else runs += 1L
+            case _ => ()
+          }
+          u -> ((days.length.toLong, runs.max, runs.length.toLong))
+        }
+      val gotStreaks = graft.ops.EventAnalytics.userStreaks(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(gotStreaks == refStreaks,
+        s"seed $seed streaks mismatch: ${gotStreaks.toSet.diff(refStreaks.toSet).take(3)}")
+    }
+  }
+
   test("line dedup property: random multi-line corpora match an independent in-memory reference") {
     import spark.implicits._
     // reference normalization mirrors the op EXACTLY: lower, collapse
