@@ -4412,6 +4412,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
       assert(gotStreaks == refStreaks,
         s"seed $seed streaks mismatch: ${gotStreaks.toSet.diff(refStreaks.toSet).take(3)}")
+
+      // concurrency sweep-line over the SAME reference sessions: hour
+      // deltas (+1 at start hour, -1 at (end-1) DIV hour + 1), net != 0,
+      // running prefix sum
+      val hourUs = 3600L * 1000000L
+      val refConc = {
+        val deltas = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+        refSessions.foreach { case (_, s, e, _, _) =>
+          deltas(s / hourUs) += 1L
+          deltas((e - 1) / hourUs + 1) -= 1L
+        }
+        val hs = deltas.toSeq.filter(_._2 != 0L).sortBy(_._1)
+        var run = 0L
+        hs.map { case (h, net) => run += net; (h * hourUs, net, run) }.toSet
+      }
+      val gotConc = graft.ops.EventAnalytics.sessionConcurrency(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotConc == refConc,
+        s"seed $seed concurrency: missing ${refConc.diff(gotConc).take(2)}, " +
+          s"extra ${gotConc.diff(refConc).take(2)}")
     }
   }
 
