@@ -4435,6 +4435,86 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("twap property: random intra-day streams match an independent step-function reference") {
+    import spark.implicits._
+    for (seed <- Seq(41L, 42L)) {
+      val rng = new java.util.Random(seed)
+      val t0ms = 86400000L * 19800
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(java.sql.Timestamp, String, Long, java.lang.Long, Double, String)]
+      var eid = 0L
+      for (ty <- Seq("a", "b"); day <- 0 until 3; _ <- 0 until (3 + rng.nextInt(8))) {
+        val ms = t0ms + day * 86400000L + rng.nextInt(86400000)
+        val v = rng.nextInt(100000) / 100.0
+        rows += ((new java.sql.Timestamp(ms), ty, eid, java.lang.Long.valueOf(1L), v, "{}"))
+        eid += 1
+        if (rng.nextInt(3) == 0) { // same-timestamp pair: earlier id gets duration 0
+          rows += ((new java.sql.Timestamp(ms), ty, eid, java.lang.Long.valueOf(1L),
+            rng.nextInt(100000) / 100.0, "{}"))
+          eid += 1
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-twapprop$seed").toString
+      rows.toSeq.toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      val ref = rows.groupBy(r => (r._2, r._1.getTime * 1000L / 86400000000L)).map {
+        case ((ty, day), es) =>
+          val sorted = es.map(r => (r._1.getTime * 1000L, r._3,
+            math.floor(r._5 * 10000.0 + 0.5).toLong)).sortBy(e => (e._1, e._2))
+          val endUs = (day + 1) * 86400000000L
+          var (sumVw, sumW) = (BigInt(0), BigInt(0))
+          sorted.zipWithIndex.foreach { case ((tus, _, vq), i) =>
+            val nxt = if (i + 1 < sorted.length) sorted(i + 1)._1 else endUs
+            sumVw += BigInt(vq) * (nxt - tus); sumW += BigInt(nxt - tus)
+          }
+          (ty, day) -> ((sorted.length.toLong,
+            sumVw.toDouble / sumW.toDouble / 10000.0))
+      }
+      val got = graft.ops.EventAnalytics.twapDaily(spark, dir).collect()
+        .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.keySet == ref.keySet, s"seed $seed day/type sets differ")
+      ref.foreach { case (k, (n, tw)) =>
+        assert(got(k)._1 == n, s"seed $seed $k count: ${got(k)._1} vs $n")
+        assert(math.abs(got(k)._2 - tw) < 1e-9, s"seed $seed $k twap: ${got(k)._2} vs $tw")
+      }
+    }
+  }
+
+  test("open-orders sweep property: random order/lineitem intervals match a day-scan reference") {
+    import spark.implicits._
+    for (seed <- Seq(51L, 52L)) {
+      val rng = new java.util.Random(seed)
+      val orders = (1L to 40L).map { ok =>
+        (ok, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000L + rng.nextInt(20))))
+      }
+      // 0-3 lineitems per order; orders with none must vanish (inner join)
+      val lines = orders.flatMap { case (ok, d0) =>
+        (0 until rng.nextInt(4)).map { _ =>
+          (ok, java.sql.Date.valueOf(d0.toLocalDate.plusDays(rng.nextInt(15))))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-openprop$seed").toString
+      orders.toDF("o_orderkey", "o_orderdate")
+        .coalesce(1).write.parquet(s"$dir/orders.parquet")
+      lines.toDF("l_orderkey", "l_shipdate")
+        .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+      val intervals = orders.flatMap { case (ok, d0) =>
+        val ship = lines.filter(_._1 == ok).map(_._2.toLocalDate.toEpochDay)
+        if (ship.isEmpty) None
+        else Some((d0.toLocalDate.toEpochDay, ship.max))
+      }
+      val lo = math.min(intervals.map(_._1).min, intervals.map(_._2 + 1).min)
+      val hi = math.max(intervals.map(_._1).max, intervals.map(_._2 + 1).max)
+      val ref = (lo to hi).map { day =>
+        day -> intervals.count { case (a, b) => a <= day && day <= b }.toLong
+      }.toMap
+      val got = Relational.openOrdersDaily(spark, dir).collect()
+        .map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1)).toMap
+      assert(got == ref,
+        s"seed $seed open-orders: ${got.toSet.diff(ref.toSet).take(3)} vs ref ${ref.toSet.diff(got.toSet).take(3)}")
+    }
+  }
+
   test("line dedup property: random multi-line corpora match an independent in-memory reference") {
     import spark.implicits._
     // reference normalization mirrors the op EXACTLY: lower, collapse
