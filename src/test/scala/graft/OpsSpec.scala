@@ -4435,6 +4435,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("retention property: random cohorts match an independent matrix reference") {
+    import spark.implicits._
+    for (seed <- Seq(61L, 62L)) {
+      val rng = new java.util.Random(seed)
+      val t0ms = 86400000L * 19900
+      val rows = (1L to 20L).flatMap { u =>
+        (0 until (1 + rng.nextInt(8))).map { _ =>
+          val day = rng.nextInt(12)
+          (new java.sql.Timestamp(t0ms + day * 86400000L + rng.nextInt(86400000)),
+            "c", u * 1000 + rng.nextInt(1000), java.lang.Long.valueOf(u),
+            1.0, "{}")
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-retprop$seed").toString
+      rows.toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      val userDays: Map[Long, Set[Long]] = rows
+        .groupBy(_._4.longValue())
+        .map { case (u, es) => u -> es.map(_._1.getTime / 86400000L).toSet }
+      val ref = userDays.toSeq
+        .flatMap { case (_, ds) => val c = ds.min; ds.map(d => (c, d - c)) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val refWithRate = ref.map { case ((c, off), n) =>
+        (c, off) -> ((n, n.toDouble / ref((c, 0L)).toDouble))
+      }
+      val got = graft.ops.EventAnalytics.userRetention(spark, dir).collect()
+        .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == refWithRate,
+        s"seed $seed retention: ${got.toSet.diff(refWithRate.toSet).take(3)} vs " +
+          s"${refWithRate.toSet.diff(got.toSet).take(3)}")
+    }
+  }
+
   test("twap property: random intra-day streams match an independent step-function reference") {
     import spark.implicits._
     for (seed <- Seq(41L, 42L)) {
