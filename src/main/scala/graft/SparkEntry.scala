@@ -891,8 +891,8 @@ object SparkEntry {
     // ingestion-order freshness: share of a doc's distinct 8-grams
     // first seen in that doc (verbatim dup = 0, fresh doc = 1)
     "ngram_novelty" -> ((s, dir) => Curation.ngramNovelty(s, dir)),
-    // CCNet/RefinedWeb line-level dedup family: per-source normalized
-    // lines in >= 3 distinct docs (site-chrome census) ...
+    // CCNet/RefinedWeb line-level dedup family: corpus-global
+    // normalized lines in >= 2 distinct docs (site-chrome census) ...
     "boilerplate_lines" -> ((s, dir) => Curation.boilerplateLines(s, dir)),
     // ... and the cleaning pass: drop those lines, re-join each doc's
     // surviving raw lines in original order
@@ -3718,7 +3718,7 @@ object SparkEntry {
     "boilerplate_lines" ->
       """WITH l AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(lower(u.line), '\s+', ' ', 'g')) AS norm
+        |    trim(regexp_replace(lower(u.line), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
         |        FROM documents WHERE text IS NOT NULL) t,
         |    unnest(ls) AS u(line))
@@ -3731,7 +3731,7 @@ object SparkEntry {
     "line_dedup_clean" ->
       """WITH l AS (
         |  SELECT doc_id, u.i - 1 AS pos, ls[u.i] AS line,
-        |    trim(regexp_replace(lower(ls[u.i]), '\s+', ' ', 'g')) AS norm
+        |    trim(regexp_replace(lower(ls[u.i]), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
         |        FROM documents WHERE text IS NOT NULL) t,
         |    unnest(range(1, len(ls) + 1)) AS u(i)),

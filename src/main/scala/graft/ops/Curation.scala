@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** The line-identity whitespace class, spelled out rather than \s:
+    * Java regex \s = [ \t\n\x0B\f\r] but RE2 (DuckDB) \s has no \x0B,
+    * so a document containing a vertical tab would get a DIFFERENT
+    * dedup identity in each engine. Both the ops here and their DuckDB
+    * oracles (SparkEntry.oracleSql) use this exact class — \t/\n/\x0B/
+    * \f/\r are regex escapes both engines parse identically. */
+  private[graft] final val LineWs = "[ \\t\\n\\x0B\\f\\r]+"
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
@@ -558,13 +566,17 @@ object Curation {
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-      // collapse BEFORE trimming: after \s+ → ' ' every residual edge
-      // whitespace is a plain space, so the space-only trim() strips
-      // it — a CRLF corpus's trailing '\r' or a tab-indented banner
-      // gets the same identity as its clean form (trim-first would
-      // leave a trailing space in the norm)
+      // collapse BEFORE trimming: after whitespace → ' ' every
+      // residual edge whitespace is a plain space, so the space-only
+      // trim() strips it — a CRLF corpus's trailing '\r' or a
+      // tab-indented banner gets the same identity as its clean form
+      // (trim-first would leave a trailing space in the norm).
+      // EXPLICIT class, not \s: Java's \s includes vertical tab
+      // (\x0B) while RE2 (the oracle engine) does not — the dedup
+      // IDENTITY must be the same byte set in every engine that
+      // replays it, so the class is spelled out on both sides
       .withColumn("norm",
-        trim(regexp_replace(lower(col("line")), "\\s+", " ")))
+        trim(regexp_replace(lower(col("line")), LineWs, " ")))
 
   /** Boilerplate-line census: normalized lines occurring in at least
     * `minDocs` DISTINCT documents corpus-wide, with their doc
@@ -646,16 +658,26 @@ object Curation {
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("norm",
-        trim(regexp_replace(lower(col("line")), "\\s+", " ")))
+        trim(regexp_replace(lower(col("line")), LineWs, " ")))
     val boiler = broadcast(
       census.select(col("line").as("norm")).distinct()
         .withColumn("is_boiler", lit(true)))
-    lines.join(boiler, Seq("norm"), "left")
+    val agg = lines.join(boiler, Seq("norm"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("is_boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
         array_join(expr(
           "transform(array_sort(collect_list(CASE WHEN is_boiler IS NULL THEN struct(pos, line) END)), x -> x.line)"),
           "\n").as("clean_text"))
+    // rejoin the input frame so null-text documents survive as
+    // (0, 0, NULL) — the serve sink must be a COMPLETE copy of the
+    // corpus slice it cleaned, exactly like the batch lineDedupClean
+    // (a cleaner that silently drops rows is a lossy cleaner)
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("clean_text"))
   }
 }

@@ -610,10 +610,23 @@ object EventAnalytics {
     import spark.implicits._
     val counts = transitionCounts(spark, sfDir)
     val totals = counts.groupBy(col("cur")).agg(sum(col("n_pair")).as("n_cur"))
-    // |types|²-bounded collect — metadata-scale by construction
-    val edges = counts.join(totals, "cur")
+    // |types|²-bounded collect — metadata-scale by construction, but
+    // GUARDED: the bound rests on event_type being a catalog-scale
+    // taxonomy. A store with free-form high-cardinality types must
+    // fail loudly here, not OOM the driver — the limit(N+1) caps what
+    // CollectLimitExec ships to the driver, and seeing row N+1 proves
+    // the taxonomy broke the contract. (2²⁰ edges ≈ a dense 1k-state
+    // matrix — far above any real event catalog.)
+    val maxEdges = 1 << 20
+    val collected = counts.join(totals, "cur")
       .select(col("cur"), col("nxt"), col("n_pair"), col("n_cur"))
+      .limit(maxEdges + 1)
       .collect()
+    require(collected.length <= maxEdges,
+      s"transitionStationary: > $maxEdges (cur, nxt) edges — event_type is not " +
+        "catalog-scale here; the driver-side eigensolve contract does not apply. " +
+        "Run the distributed iteration over the edge table instead.")
+    val edges = collected
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val states = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
     val n = states.length.toLong

@@ -264,8 +264,23 @@ object EventIngest {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir).drop("batch")
+    try q.awaitTermination()
+    finally deleteRecursively(new java.io.File(ckpt)) // one-shot run: the checkpoint has no replay value
+    // an empty source yields ZERO micro-batches, so foreachBatch never
+    // fires and the sink directory is never created — return an empty
+    // frame with the serve schema instead of letting the read throw
+    val out = new java.io.File(outDir)
+    if (!out.exists() || !out.listFiles().exists(_.getName.startsWith("batch=")))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, n_lines LONG, n_kept LONG, clean_text STRING"))
+    else spark.read.parquet(outDir).drop("batch")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
   }
 
   /** STREAM-STREAM join tier: live click→purchase attribution pairs —

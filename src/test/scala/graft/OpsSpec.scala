@@ -4330,17 +4330,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.toDF("doc_id", "lang", "source", "text", "n_chars")
       .coalesce(2).write.parquet(s"$dir/documents.parquet")
     val census = graft.ops.Curation.boilerplateLines(spark, dir)
+    // the serve sink is a COMPLETE copy of the corpus slice: null-text
+    // docs come back as (0, 0, NULL), exactly like batch lineDedupClean
     val expected = graft.ops.Curation.lineDedupClean(spark, dir)
-      .filter(col("n_lines") > 0) // serve path passes only non-null texts
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     val got = EventIngest.lineCleanAvailableNow(
         spark, s"$dir/documents.parquet", census, s"$dir/out")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(expected.nonEmpty && got == expected,
       s"stream-served cleaning must equal batch: missing ${expected.diff(got).take(3)}, extra ${got.diff(expected).take(3)}")
+    assert(got.count { case (_, nl, nk, ct) => nl == 0L && nk == 0L && ct == null } == 6,
+      "all 6 null-text docs must survive as (0, 0, NULL)")
     assert(got.forall { case (id, nl, nk, ct) =>
-      nl == 4L && nk == 2L && ct == s"body $id one\nbody $id two" },
-      "every served doc must keep exactly its two private lines in order")
+      ct == null || (nl == 4L && nk == 2L && ct == s"body $id one\nbody $id two") },
+      "every served non-null doc must keep exactly its two private lines in order")
   }
 
   test("sessionization + streaks property: random event corpora match independent references") {
