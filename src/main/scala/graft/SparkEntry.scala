@@ -677,7 +677,10 @@ object SparkEntry {
     // -- dedup / text analysis (north-star extensions, SURVEY.md §2.3) -----
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_fingerprint" -> ((s, dir) => Dedup.exactByFingerprint(s, dir)),
-    "dup_groups" -> ((s, dir) => Dedup.duplicateGroups(s, dir)),
+    // over the seeded corpus (Dedup.seededDocs): the sf0.01 slice has
+    // no natural exact duplicates, so the raw query hash-matched an
+    // empty result — planted mirrors make the gate exercise real groups
+    "dup_groups" -> ((s, dir) => Dedup.duplicateGroupsSeeded(s, dir)),
     "cross_source_dups" -> ((s, dir) => Dedup.crossSourceDupMatrix(s, dir)),
     "dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
     "curate_corpus" -> ((s, dir) => Dedup.curateCorpus(s, dir)),
@@ -814,7 +817,9 @@ object SparkEntry {
     "media_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     // perceptual dedup: dHash over the stub luma grid + banded hamming
     // join — integer-exact, so the whole pipeline is oracle-verified
-    "media_near_dup" -> ((s, dir) => Multimodal.mediaNearDup(s, dir)),
+    // seeded corpus: mirrored payloads land at hamming 0, so the gate
+    // checks the dHash pipeline on real pairs at every check scale
+    "media_near_dup" -> ((s, dir) => Multimodal.mediaNearDupSeeded(s, dir)),
     "asof_daily_value" -> ((s, dir) => Relational.asofDailySpine(s, dir)),
     // fact-to-fact join + selective broadcast dim, top-k via
     // TakeOrderedAndProject (Q3 shape)
@@ -893,7 +898,8 @@ object SparkEntry {
     "ngram_novelty" -> ((s, dir) => Curation.ngramNovelty(s, dir)),
     // CCNet/RefinedWeb line-level dedup family: corpus-global
     // normalized lines in >= 2 distinct docs (site-chrome census) ...
-    "boilerplate_lines" -> ((s, dir) => Curation.boilerplateLines(s, dir)),
+    // seeded corpus: every mirrored doc's lines reach 2 distinct docs
+    "boilerplate_lines" -> ((s, dir) => Curation.boilerplateLinesSeeded(s, dir)),
     // ... and the cleaning pass: drop those lines, re-join each doc's
     // surviving raw lines in original order
     "line_dedup_clean" -> ((s, dir) => Curation.lineDedupClean(s, dir)),
@@ -1128,7 +1134,9 @@ object SparkEntry {
     // at test scale), which IS SQL-expressible even though xxhash64 isn't
     "dedup_fingerprint_keepset" -> ((s, dir) =>
       Dedup.exactByFingerprint(s, dir).select(col("doc_id")).orderBy(col("doc_id"))),
-    "source_overlap" -> ((s, dir) => Curation.sourceOverlap(s, dir)),
+    // seeded corpus: planted cross-source mirrors keep the pair-count
+    // combination math non-vacuous at the driver's check scale
+    "source_overlap" -> ((s, dir) => Curation.sourceOverlapSeeded(s, dir)),
     // the per-stage survivor "data card": raw -> quality -> pii -> dedup
     "curation_funnel" -> ((s, dir) => Dedup.curationFunnel(s, dir)),
     // tokenizer-design report: top-k token types + cumulative coverage
@@ -2174,9 +2182,17 @@ object SparkEntry {
         |FROM ex FULL OUTER JOIN nr
         |  ON ex.source_a = nr.source_a AND ex.source_b = nr.source_b
         |ORDER BY source_a, source_b""".stripMargin,
+    // the seeded CTE replays Dedup.seededDocs verbatim (same modulus,
+    // id shift, and literal source)
     "dup_groups" ->
-      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
-        |FROM documents GROUP BY text HAVING count(*) > 1
+      """WITH seeded AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang,
+        |    'planted_mirror' AS source, n_chars
+        |  FROM documents WHERE doc_id % 97 = 3)
+        |SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM seeded GROUP BY text HAVING count(*) > 1
         |ORDER BY keeper_id""".stripMargin,
     // transitive closure of the unigram-jaccard edges via a recursive
     // CTE — the oracle for the engine's iterative label propagation
@@ -3007,9 +3023,14 @@ object SparkEntry {
     // the pigeonhole guarantee (radius 7 = bands−1, no bucket splits at
     // oracle scale); 63 comparison bits (1<<63 is checked-overflow here)
     "media_near_dup" ->
-      """WITH m AS (
+      """WITH seeded AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 97 = 3),
+        |m AS (
         |  SELECT doc_id, COALESCE(text, '') AS txt, length(COALESCE(text, '')) AS len
-        |  FROM documents WHERE CAST(doc_id % 3 AS INT) <> 1),
+        |  FROM seeded WHERE CAST(doc_id % 3 AS INT) <> 1),
         |g AS (
         |  SELECT doc_id,
         |    CASE WHEN len = 0 THEN list_transform(generate_series(0, 71), k -> 0)
@@ -3716,11 +3737,16 @@ object SparkEntry {
     // global (CCNet count>1); reconstruction re-joins kept RAW lines
     // in original order
     "boilerplate_lines" ->
-      """WITH l AS (
+      """WITH seeded AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 97 = 3),
+        |l AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(lower(u.line), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
-        |        FROM documents WHERE text IS NOT NULL) t,
+        |        FROM seeded WHERE text IS NOT NULL) t,
         |    unnest(ls) AS u(line))
         |SELECT norm AS line,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -4510,10 +4536,16 @@ object SparkEntry {
     // the naive pair-join formulation — same counts as the engine's
     // per-fingerprint combination math, tractable at oracle scale
     "source_overlap" ->
-      """WITH g AS (
+      """WITH seeded AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text,
+        |    'planted_mirror' AS source
+        |  FROM documents WHERE doc_id % 97 = 3),
+        |g AS (
         |  SELECT doc_id, source,
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
-        |  FROM documents)
+        |  FROM seeded)
         |SELECT least(a.source, b.source) AS source_a,
         |  greatest(a.source, b.source) AS source_b,
         |  count(*) AS n_dup_pairs

@@ -118,9 +118,19 @@ object Curation {
     * fingerprint: cross pairs = c_a·c_b, same-source pairs = C(c,2).
     * The heavy shuffle carries (8-byte fp, source, count) — bounded by
     * distinct texts, never by pair count. */
-  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    sourceOverlap(docs(spark, sfDir))
+
+  /** Driver-gate registration over [[Dedup.seededDocs]]: the planted
+    * cross-source mirrors guarantee the per-round hash check exercises
+    * the count-combination math even when the corpus slice has no
+    * natural cross-source duplication. */
+  def sourceOverlapSeeded(spark: SparkSession, sfDir: String): DataFrame =
+    sourceOverlap(Dedup.seededDocs(spark, sfDir))
+
+  def sourceOverlap(docFrame: DataFrame): DataFrame = {
     val fp = xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-    val cnt = docs(spark, sfDir)
+    val cnt = docFrame
       .select(col("source"), fp.as("fp"))
       .groupBy(col("fp"), col("source"))
       .agg(count(lit(1)).as("c"))
@@ -562,7 +572,10 @@ object Curation {
     * meaningful, and the multi-line path is pinned by a planted
     * fixture in OpsSpec. */
   private def docLines(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+    docLines(docs(spark, sfDir))
+
+  private def docLines(docFrame: DataFrame): DataFrame =
+    docFrame
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
@@ -589,7 +602,16 @@ object Curation {
     * [[ngramNovelty]]'s groupBy-then-join). No window over the line
     * key anywhere in the family. */
   def boilerplateLines(spark: SparkSession, sfDir: String, minDocs: Int = 2): DataFrame =
-    docLines(spark, sfDir)
+    boilerplateLines(docLines(spark, sfDir), minDocs)
+
+  /** Driver-gate registration over [[Dedup.seededDocs]]: every line of
+    * a mirrored document reaches 2 distinct docs by construction, so
+    * the census gate always has real rows to hash-check. */
+  def boilerplateLinesSeeded(spark: SparkSession, sfDir: String): DataFrame =
+    boilerplateLines(docLines(Dedup.seededDocs(spark, sfDir)), minDocs = 2)
+
+  private def boilerplateLines(lines: DataFrame, minDocs: Int): DataFrame =
+    lines
       .groupBy(col("norm"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))

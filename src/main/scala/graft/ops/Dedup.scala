@@ -13,6 +13,26 @@ object Dedup {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** The corpus plus DETERMINISTIC planted duplicates: every document
+    * with doc_id ≡ 3 (mod 97) is mirrored under a fresh id (+1e6) and
+    * the synthetic source 'planted_mirror'. The dedup-family driver
+    * gates run over this frame so their one hash-checked row per round
+    * exercises REAL grouping/joining logic even on a corpus slice with
+    * no natural duplicates (the sf0.01 store has none — a census over
+    * it proves only that empty in = empty out). The plant is a pure
+    * projection both engines express identically (same modulus, same
+    * id shift, same literal source), so the oracle replays it verbatim;
+    * ~1% density keeps the seeded frame scan-shaped, not join-shaped.
+    * Ops that consume the RAW corpus (exact dedup keep-sets, cluster
+    * resolution, funnels) are untouched — seeding is per-query scoped,
+    * never a corpus mutation. */
+  private[ops] def seededDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    d.unionByName(d.filter(col("doc_id") % 97 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"),
+        lit("planted_mirror").as("source"), col("n_chars")))
+  }
+
   /** Exact dedup with deterministic survivor choice: keep the lowest
     * doc_id per identical text. `groupBy` + `min_by` instead of a
     * row_number window: partial aggregation collapses duplicate groups
@@ -43,7 +63,15 @@ object Dedup {
   /** Duplicate-group summary: how many exact copies each surviving text
     * has (count > 1 ⇒ was duplicated). */
   def duplicateGroups(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+    duplicateGroups(docs(spark, sfDir))
+
+  /** The driver-gate registration: same operator over [[seededDocs]],
+    * so the per-round hash check always sees real duplicate groups. */
+  def duplicateGroupsSeeded(spark: SparkSession, sfDir: String): DataFrame =
+    duplicateGroups(seededDocs(spark, sfDir))
+
+  def duplicateGroups(docFrame: DataFrame): DataFrame =
+    docFrame
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)

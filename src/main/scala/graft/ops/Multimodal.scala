@@ -147,13 +147,28 @@ object Multimodal {
       _ => mediaNearDupDirect(spark, sfDir, maxHamming)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Driver-gate registration over [[Dedup.seededDocs]]: the mirrored
+    * payloads land at hamming 0 by construction, so the per-round gate
+    * hash-checks the full grid → dHash → banded-join pipeline on real
+    * pairs (the raw sf0.01 slice has none). Cached under its own key —
+    * the raw pair table (`mediaDupClusters`' input) is a different
+    * corpus. */
+  def mediaNearDupSeeded(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame =
+    pairCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir + "#seeded", maxHamming),
+      _ => mediaNearDupOver(Dedup.seededDocs(spark, sfDir), maxHamming)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** The uncached pair computation — also the entry point for planted
     * throwaway fixtures (SketchStreamGates), which must NOT enter the
     * session pairCache: a resident service churning corpus snapshots
     * would otherwise accumulate one persisted frame per fixture dir
     * until a global clearCaches. */
-  private[ops] def mediaNearDupDirect(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame = {
-    val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private[ops] def mediaNearDupDirect(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame =
+    mediaNearDupOver(spark.read.parquet(s"$sfDir/documents.parquet"), maxHamming)
+
+  private[ops] def mediaNearDupOver(docFrame: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = docFrame
       .filter((col("doc_id") % 3).cast("int") =!= 1) // audio rows out
       .withColumn("txt", coalesce(col("text"), lit("")))
       .withColumn("len", length(col("txt")))
