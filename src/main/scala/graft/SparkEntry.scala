@@ -1070,6 +1070,12 @@ object SparkEntry {
     // the merge table's consumer: trained vocabulary applied back to
     // the corpus as per-(lang, source) compression stats
     "bpe_token_stats" -> ((s, dir) => graft.ops.Bpe.bpeTokenStats(s, dir)),
+    // rows-only: the production-vocabulary path — up to 64 merges in
+    // <= 8 distributed rounds via rank-ordered NON-INTERACTING batch
+    // acceptance (disjoint symbol sets => simultaneous apply equals
+    // sequential apply); perRoundCap=1 degenerates to the exact loop,
+    // pinned against bpe_merges in OpsSpec
+    "bpe_merges_batched" -> ((s, dir) => graft.ops.Bpe.bpeMergesBatched(s, dir)),
     // Q16 shape: distinct-supplier counts under brand/type/size
     // predicates with a NOT IN exclusion (anti-join, plan-gated)
     "sql_supplier_cnt" -> sqlOnViews(supplierCntSql,

@@ -74,6 +74,7 @@ object Bpe {
   def clearCaches(): Unit = {
     stateCache.values.forEach(v => v._2.unpersist())
     stateCache.clear()
+    batchedCache.clear()
   }
 
   /** Training loop shared by the merge table and its consumer: returns
@@ -126,6 +127,116 @@ object Bpe {
       }
     }
     (merges.toSeq, syms)
+  }
+
+  /** BATCHED merge selection — the production-vocabulary path. The
+    * top-1-per-iteration loop above is the textbook algorithm and the
+    * oracle anchor, but its driver round-trip count is O(#merges): a
+    * 30k-merge vocabulary would mean 30k distributed jobs of pure
+    * scheduling latency. This variant learns MANY merges per
+    * distributed round with the standard non-interacting batch trick:
+    *
+    *  1. count pairs once (same weighted, overlap-inclusive counts),
+    *  2. collect the top candidate slice to the driver (bounded:
+    *     `candidates` rows of (sym, nxt, cnt) — metadata-scale),
+    *  3. accept candidates in rank order (cnt DESC, sym, nxt), greedily
+    *     skipping any pair that SHARES A SYMBOL with an already-accepted
+    *     pair of this round,
+    *  4. apply every accepted merge in ONE window pass.
+    *
+    * Disjoint symbol sets make simultaneous application EXACTLY equal
+    * to sequential application: two matches of different accepted pairs
+    * can never be adjacent (adjacency at positions p, p+1 forces
+    * b_i = a_j, a shared symbol), so each maximal match run involves one
+    * pair and the run-parity logic applies unchanged. What batching
+    * changes vs the sequential textbook loop is only selection
+    * VISIBILITY: counts refresh once per round, not per merge — the
+    * standard, documented batched-BPE approximation. With
+    * `perRoundCap = 1` the loop degenerates to the exact algorithm
+    * (pinned against [[bpeMerges]] in OpsSpec).
+    *
+    * Emits (round, step, pair_a, pair_b, n_pairs): `round` = the
+    * distributed round that learned the rule, `step` = global rule
+    * order, `n_pairs` = the weighted count at that round's selection
+    * time. */
+  def bpeMergesBatched(spark: SparkSession, sfDir: String,
+      targetMerges: Int = 64, maxRounds: Int = 8,
+      perRoundCap: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    batchedCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir, targetMerges, maxRounds, perRoundCap),
+      _ => trainBatchedUncached(spark, sfDir, targetMerges, maxRounds, perRoundCap))
+      .toDF("round", "step", "pair_a", "pair_b", "n_pairs")
+      .orderBy(col("step"))
+  }
+
+  private val batchedCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int, Int), Seq[(Long, Long, String, String, Long)]]()
+
+  private def trainBatchedUncached(spark: SparkSession, sfDir: String,
+      targetMerges: Int, maxRounds: Int, perRoundCap: Int)
+      : Seq[(Long, Long, String, String, Long)] = {
+    var syms = wordCounts(spark, sfDir)
+      .select(col("word"), col("n"),
+        posexplode(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .as(Seq("pos", "sym")))
+      .localCheckpoint()
+    val merges = ArrayBuffer[(Long, Long, String, String, Long)]()
+    var round = 0
+    var exhausted = false
+    while (merges.size < targetMerges && round < maxRounds && !exhausted) {
+      round += 1
+      val w = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(w))
+      // candidate slice: enough rank-ordered rows that the greedy
+      // disjointness filter can fill the round even when hot symbols
+      // cluster at the top (each acceptance blocks only pairs touching
+      // its 2 symbols)
+      val want = math.min(perRoundCap, targetMerges - merges.size)
+      val cand = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
+        .limit(math.max(64, want * 8)).collect()
+      if (cand.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val accepted = ArrayBuffer[(String, String, Long)]()
+        val it = cand.iterator
+        while (accepted.size < want && it.hasNext) {
+          val r = it.next()
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (!used(a) && !used(b)) {
+            accepted += ((a, b, r.getLong(2)))
+            used += a; used += b
+          }
+        }
+        accepted.foreach { case (a, b, c) =>
+          merges += ((round.toLong, merges.size + 1L, a, b, c))
+        }
+        val isMatch = accepted.map { case (a, b, _) =>
+          col("sym") === lit(a) && col("nxt") === lit(b)
+        }.reduce(_ || _)
+        val marked = withNext
+          .withColumn("m", coalesce(isMatch, lit(false)))
+          .withColumn("m_start",
+            col("m") && !coalesce(lag(col("m"), 1).over(w), lit(false)))
+          .withColumn("grp", sum(col("m_start").cast("int")).over(w))
+          .withColumn("run_start", min(when(col("m"), col("pos")))
+            .over(Window.partitionBy(col("word"), col("grp"))))
+          .withColumn("do_merge",
+            col("m") && (col("pos") - col("run_start")) % 2 === 0)
+          .withColumn("consumed",
+            coalesce(lag(col("do_merge"), 1).over(w), lit(false)))
+        syms = marked.filter(!col("consumed"))
+          .select(col("word"), col("n"),
+            when(col("do_merge"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"),
+            row_number().over(w).as("pos"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
   }
 
   /** The merge table's CONSUMER (no signature tables to nowhere): the

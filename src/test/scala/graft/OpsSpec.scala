@@ -4009,6 +4009,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(
       (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)),
       s"got ${got.toSeq}")
+    // perRoundCap=1 degenerates the batched trainer to the exact
+    // textbook loop — same rules, same counts, one round per rule
+    val batched1 = graft.ops.Bpe.bpeMergesBatched(spark, dir,
+        targetMerges = 3, maxRounds = 8, perRoundCap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(batched1.toSeq == Seq(
+      (1L, 1L, "a", "a", 4L), (2L, 2L, "a", "b", 3L), (3L, 3L, "aa", "ab", 2L)),
+      s"cap=1 batched must equal the exact loop: ${batched1.toSeq}")
+  }
+
+  test("batched BPE: >= 64 merges in <= 8 rounds, rounds non-interacting, cap=1 equals exact on the store") {
+    // the production path's contract: a real vocabulary's worth of
+    // merges in O(rounds), not O(merges), driver round-trips
+    val rows = graft.ops.Bpe.bpeMergesBatched(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.length >= 64, s"expected >= 64 merges, got ${rows.length}")
+    assert(rows.map(_._1).max <= 8L, s"rounds used: ${rows.map(_._1).max}")
+    assert(rows.map(_._2).toSeq == (1L to rows.length).toSeq, "steps must be dense rank order")
+    // within a round accepted pairs share no symbol — the invariant
+    // that makes simultaneous application equal sequential application
+    rows.groupBy(_._1).foreach { case (round, rs) =>
+      val syms = rs.flatMap(r => Seq(r._3, r._4))
+      assert(syms.distinct.length == syms.length || rs.exists(r => r._3 == r._4),
+        s"round $round accepted interacting pairs: ${rs.map(r => (r._3, r._4)).toSeq}")
+      // (a, a) self-pairs are the one legal repeat; recheck precisely:
+      val perPair = rs.map(r => Set(r._3, r._4)).toSeq
+      perPair.combinations(2).foreach { pair =>
+        val (x, y) = (pair.head, pair(1))
+        assert(x.intersect(y).isEmpty, s"round $round pairs share symbols: $x vs $y")
+      }
+    }
+    // cap=1 over the real store replays the exact loop's first 6 rules
+    val exact = graft.ops.Bpe.bpeMerges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val cap1 = graft.ops.Bpe.bpeMergesBatched(spark, sfDir,
+        targetMerges = 6, maxRounds = 6, perRoundCap = 1).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(cap1.toSeq == exact.toSeq,
+      s"cap=1 batched must equal the exact loop on the store: ${cap1.toSeq} vs ${exact.toSeq}")
   }
 
   test("stationary distribution: planted 2-state alternating chain settles at 50/50") {
