@@ -550,6 +550,11 @@ object SparkEntry {
     // SBA on the calendar demand series) — per-family prefix-forecast
     // scores, same rank rule, fully oracle-replayed
     "fc_conformal_all" -> ((s, dir) => graft.engine.Conformal.conformalAll(s, dir)),
+    // rows-only: the conformal layer over the FIT families (ARIMA/ETS/
+    // THETA) via rolling-origin refit backtest errors per horizon —
+    // optimizer internals aren't SQL-expressible; coverage is gated in
+    // CalibrationSpec, structure (nesting/finiteness/centers) in OpsSpec
+    "fc_conformal_fit" -> ((s, dir) => graft.engine.Conformal.conformalFit(s, dir)),
     // 2-level hierarchy: bottom-up sum of leaf DRIFT forecasts vs the
     // direct total DRIFT forecast + per-step coherence gap
     "fc_hierarchical" -> ((s, dir) => graft.engine.Conformal.hierarchicalDrift(s, dir)),

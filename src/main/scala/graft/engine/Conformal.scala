@@ -323,6 +323,97 @@ object Conformal {
         round(col("u1"), 6).as("upper1"), round(col("u2"), 6).as("upper2"))
   }
 
+  /** Split-conformal bands around the FIT families (ARIMA / ETS /
+    * THETA) — the conformal registry extended past the closed-form
+    * recursions to the optimizer-backed models, completing the
+    * calibration story over the reference's own method set (the
+    * closed-form families each expose an all-origins state recursion;
+    * the fit families do not, so their per-origin forecasts come from
+    * ROLLING-ORIGIN REFITS — the `cvts` pattern the HYBRID family
+    * already pays per fold, R:359).
+    *
+    * Per method F and horizon step s, the nonconformity scores are the
+    * per-horizon backtest errors `|y(o+s) − F̂_o(s)|` over the last
+    * `origins` forecast origins o (train = the prefix up to o, refit
+    * per origin through the family's own public `fit`); the band
+    * half-width is the conformal quantile at rank `min(m, ⌈cov·(m+1)⌉)`
+    * of the sorted scores — the identical rank rule as
+    * [[conformalNaive]] — and the band center is the FULL-series fit's
+    * point forecast (the same mean `fc_arima`/`fc_ets`/`fc_theta`
+    * emit). With the default m = 24 scores the finite-sample marginal
+    * guarantee is 20/25 = 0.80 for the 80% band and 24/25 = 0.96 ≥
+    * 0.95 for the 95% band, measured empirically in CalibrationSpec.
+    *
+    * Cost posture: the series is capped to its trailing [[FitSliceLen]]
+    * observations (the FitGates cost rule — structural fits on a slice
+    * long enough that every seasonality branch engages), so each
+    * (element, method) task pays `origins + 1` bounded fits; a fit that
+    * fails to produce finite forecasts contributes no scores for its
+    * origin (and no band if the center itself is non-finite). */
+  def fitConformalBands(y: Array[Double], h: Int, freq: Int,
+      methods: Seq[String], origins: Int = 24): Seq[ClosedBand] = {
+    val v = if (y.length > FitSliceLen) y.takeRight(FitSliceLen) else y
+    val n = v.length
+    val minTrain = math.max(16, 2 * freq)
+    val k = math.min(origins, n - h - minTrain)
+    if (k < 8) return Seq.empty
+    methods.flatMap { method =>
+      val fam = Families.byMethod(method)
+      val center = fam.fit(v, freq).forecast(h).mean
+      if (!center.forall(java.lang.Double.isFinite)) Seq.empty
+      else {
+        // scores(s) = the k backtest errors for horizon step s+1
+        val scores = Array.fill(h)(scala.collection.mutable.ArrayBuffer.empty[Double])
+        var o = n - h - k + 1
+        while (o <= n - h) {
+          val fc = fam.fit(v.take(o), freq).forecast(h).mean
+          var s = 0
+          while (s < h) {
+            val f = fc(s)
+            if (java.lang.Double.isFinite(f))
+              scores(s) += math.abs(v(o + s) - f)
+            s += 1
+          }
+          o += 1
+        }
+        (1 to h).flatMap(step =>
+          band(s"CONFORMAL_$method", step, center(step - 1),
+            scores(step - 1).toArray))
+      }
+    }
+  }
+
+  /** Trailing-window cap for the refit loop — mirrors
+    * `FitGates.SliceLen`'s rationale but leaves room for the `origins`
+    * backtest prefix on top of every seasonality branch's minimum. */
+  val FitSliceLen = 256
+
+  /** [[fitConformalBands]] over the series store: the registered
+    * `fc_conformal_fit` surface (rows-only — refit selection and
+    * optimizer internals are not SQL-expressible; coverage is gated in
+    * CalibrationSpec, structure in OpsSpec). Fan-out shape is
+    * FitGates': one (element, method) refit loop per task, fits
+    * bounded by [[FitSliceLen]]. */
+  def conformalFit(spark: SparkSession, sfDir: String,
+      h: Int = 14, freq: Int = 7): DataFrame = {
+    import spark.implicits._
+    val f = freq
+    val methodsList = Seq(graft.core.Methods.ARIMA, graft.core.Methods.ETS,
+      graft.core.Methods.THETA)
+    val crossed = graft.sources.SeriesStore.series(spark, sfDir)
+      .flatMap(s => methodsList.map(m => (m, s.element, s.values)))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val out = crossed.flatMap { case (m, el, v) =>
+      fitConformalBands(v, h, f, Seq(m)).map(b =>
+        (el, b.method, b.step, b.lower1, b.lower2, b.mean, b.upper1, b.upper2))
+    }.toDF("element", "method", "step", "l1", "l2", "mid", "u1", "u2")
+    out.select(col("element"), col("method"), col("step"),
+        round(col("l1"), 6).as("lower1"), round(col("l2"), 6).as("lower2"),
+        round(col("mid"), 6).as("mean"),
+        round(col("u1"), 6).as("upper1"), round(col("u2"), 6).as("upper2"))
+      .orderBy(col("element"), col("method"), col("step"))
+  }
+
   /** The full conformal registry — the positional-series families of
     * [[conformalClosed]] (NAIVE/DRIFT/MEANF/SNAIVE/SES at h = 14) plus
     * the calendar intermittent families of [[conformalIntermittent]]

@@ -171,9 +171,13 @@ object Calibration {
       reps: Int, seed0: Long): Coverage = {
     val packed = java.util.stream.IntStream.range(0, reps).parallel().mapToLong { rep =>
       val (train, future) = simulate(proc, n, h, seed0 + rep.toLong * 1000003L)
+      val fitFams = Set("CONFORMAL_ARIMA", "CONFORMAL_ETS", "CONFORMAL_THETA")
       val bander: (Array[Double], Int) => Seq[graft.engine.Conformal.ClosedBand] =
         if (method.startsWith("CONFORMAL_CROSTON") || method == "CONFORMAL_SBA" || method == "CONFORMAL_TSB")
           graft.engine.Conformal.intermittentBands
+        else if (fitFams(method))
+          (y, hh) => graft.engine.Conformal.fitConformalBands(
+            y, hh, m, Seq(method.stripPrefix("CONFORMAL_")))
         else graft.engine.Conformal.closedBands(_, _, m)
       val bands = bander(train, h)
         .filter(_.method == method)
@@ -194,15 +198,21 @@ object Calibration {
     * setups; the conformal guarantee is distribution-free, so coverage
     * must hold HERE too — and a broken score definition (wrong lag,
     * off-by-one origin, mis-ranked quantile) undershoots loudly. */
-  val conformalSetups: Seq[(String, String, Int)] = Seq(
-    ("CONFORMAL_NAIVE", "rw", 1),
-    ("CONFORMAL_DRIFT", "rw_drift", 1),
-    ("CONFORMAL_MEANF", "iid", 1),
-    ("CONFORMAL_SNAIVE", "srw", 7),
-    ("CONFORMAL_SES", "ann", 1),
-    ("CONFORMAL_CROSTON", "intermittent", 1),
-    ("CONFORMAL_SBA", "intermittent", 1),
-    ("CONFORMAL_TSB", "intermittent", 1))
+  val conformalSetups: Seq[(String, String, Int, Int)] = Seq(
+    ("CONFORMAL_NAIVE", "rw", 1, 300),
+    ("CONFORMAL_DRIFT", "rw_drift", 1, 300),
+    ("CONFORMAL_MEANF", "iid", 1, 300),
+    ("CONFORMAL_SNAIVE", "srw", 7, 300),
+    ("CONFORMAL_SES", "ann", 1, 300),
+    ("CONFORMAL_CROSTON", "intermittent", 1, 300),
+    ("CONFORMAL_SBA", "intermittent", 1, 300),
+    ("CONFORMAL_TSB", "intermittent", 1, 300),
+    // fit families pay origins+1 refits per replicate (the rolling-
+    // origin scheme), so replicate counts are cost-scaled like the
+    // Gaussian setups' optimizer-heavy rows
+    ("CONFORMAL_ARIMA", "ar1", 1, 40),
+    ("CONFORMAL_ETS", "aan", 1, 60),
+    ("CONFORMAL_THETA", "ann", 1, 120))
 }
 
 /** Asserts every deterministic family's empirical 80/95 coverage sits in
@@ -223,9 +233,9 @@ class CalibrationSpec extends AnyFunSuite {
     }
   }
 
-  for ((method, proc, m) <- conformalSetups) {
+  for ((method, proc, m, reps) <- conformalSetups) {
     test(s"$method conformal coverage on '$proc' honors the distribution-free guarantee") {
-      val c = measureConformal(method, proc, m, n = 150, h = 6, reps = 300,
+      val c = measureConformal(method, proc, m, n = 150, h = 6, reps = reps,
         seed0 = 0xC0F0A1L + method.hashCode)
       info(s"$method: $c")
       assert(c.c80 >= 0.70 && c.c80 <= 0.92,

@@ -1432,6 +1432,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("conformal fit families: full method-step grid, nested finite bands, centers equal the full fits") {
+    val rows = graft.engine.Conformal.conformalFit(spark, sfDir).collect()
+    assert(rows.nonEmpty, "conformalFit produced no bands on the store")
+    val byElM = rows.groupBy(r => (r.getString(0), r.getString(1)))
+    val methods = rows.map(_.getString(1)).distinct.sorted
+    assert(methods.toSeq == Seq("CONFORMAL_ARIMA", "CONFORMAL_ETS", "CONFORMAL_THETA"),
+      s"methods: ${methods.toSeq}")
+    byElM.foreach { case ((el, m), rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to 14L).toSeq,
+        s"($el, $m): steps ${rs.map(_.getLong(2)).sorted.toSeq}")
+    }
+    rows.foreach { r =>
+      val vals = (3 to 7).map(r.getDouble)
+      assert(vals.forall(java.lang.Double.isFinite), s"non-finite band: $r")
+      val Seq(l1, l2, m, u1, u2) = vals
+      assert(l2 <= l1 && l1 <= m && m <= u1 && u1 <= u2,
+        s"band nesting violated: $r")
+    }
+    // the band CENTER is the family's own full-series point forecast
+    // (on the FitSliceLen trailing window the refit loop uses)
+    val series = graft.sources.SeriesStore.series(spark, sfDir).collect()
+    val s0 = series.minBy(_.element)
+    val v = s0.values.takeRight(graft.engine.Conformal.FitSliceLen)
+    for (m <- Seq(graft.core.Methods.ARIMA, graft.core.Methods.ETS, graft.core.Methods.THETA)) {
+      val want = graft.engine.Families.byMethod(m).fit(v, 7).forecast(14).mean
+        .map(x => java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      val got = rows.filter(r => r.getString(0) == s0.element &&
+          r.getString(1) == s"CONFORMAL_$m")
+        .sortBy(_.getLong(2)).map(_.getDouble(5))
+      assert(got.toSeq == want.toSeq,
+        s"${s0.element}/$m center mismatch: ${got.toSeq} vs ${want.toSeq}")
+    }
+  }
+
   test("closedBands: freq >= n omits SNAIVE instead of indexing an empty score array") {
     // every seasonal lag falls before the series start -> zero SNAIVE
     // scores; the family must be skipped (mirroring the oracle's inner
