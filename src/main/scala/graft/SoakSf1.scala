@@ -155,6 +155,113 @@ object SoakSf1 {
     }
   }
 
+  /** The planted-skew corpus + its three gates (see the call site for
+    * the contract). Both join gates run with broadcast disabled so the
+    * skew machinery — AQE's split on the sort-merge path, explicit
+    * salting as the a-priori form — is what actually carries the hot
+    * key. AQE's detection thresholds are scaled to this corpus's
+    * shuffle sizes (a cluster scales them to its own); the salted
+    * comparison and the probe flag use production values untouched. */
+  private def timedSkewTier(spark: SparkSession, dir: String): Seq[(String, Boolean)] = {
+    import spark.implicits._
+    val skewDir = s"$dir/skew_corpus"
+    val evPath = s"$skewDir/events.parquet"
+    if (!new java.io.File(evPath, "_SUCCESS").isFile) {
+      spark.range(2000000L).as[Long].map { id =>
+        val rng = new java.util.Random(id * 0x9E3779B97F4A7C15L + 3L)
+        val ts = new java.sql.Timestamp(1704067200000L + (id * 1296L) % (30L * 86400000L))
+        val user: java.lang.Long =
+          if (rng.nextDouble() < 0.10) java.lang.Long.valueOf(7L)
+          else java.lang.Long.valueOf(10L + rng.nextInt(15000).toLong)
+        (id, ts, user, EventTypes(rng.nextInt(EventTypes.length)),
+          math.rint(math.abs(rng.nextGaussian()) * 2500.0) / 100.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(evPath)
+    }
+    val cuPath = s"$skewDir/customer.parquet"
+    if (!new java.io.File(cuPath, "_SUCCESS").isFile) {
+      val segs = Array("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      spark.range(20000L).as[Long].map { id =>
+        (id, s"cust$id", id % 25, 100.0 + (id % 997).toDouble, segs((id % 5).toInt))
+      }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").parquet(cuPath)
+    }
+    def timed[A](name: String)(f: => A): A = {
+      val s = System.nanoTime()
+      val r = f
+      println(f"[soak] $name%-32s ${(System.nanoTime() - s) / 1e9}%7.1f s")
+      r
+    }
+    val probeOk = timed("skew_probe_flags_hot_key") {
+      val p = graft.ops.Relational.keySkewProfile(
+        graft.sources.Tables.events(spark, skewDir).select(col("user_id")), "user_id")
+        .collect().head
+      val ratio = p.getAs[Double]("skew_ratio")
+      println(f"[soak] skew probe: ratio $ratio%.1f, flagged ${p.getAs[Boolean]("skewed")}")
+      p.getAs[Boolean]("skewed") && ratio > 16.0
+    }
+    val conf = spark.conf
+    val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedThresh = conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val savedAdvisory = conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val savedFactor = conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val (aqeOk, saltOk) =
+      try {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128k")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        val ev = graft.sources.Tables.events(spark, skewDir)
+          .select(col("user_id"), col("value"))
+        val cust = graft.sources.Tables.table(spark, skewDir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        def agg(joined: org.apache.spark.sql.DataFrame) = joined
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            count_distinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+          .orderBy(col("c_mktsegment"))
+        val a = timed("aqe_skew_split_engages") {
+          // no count_distinct here: a distinct aggregate REUSES the
+          // join's hash partitioning on user_id, so OptimizeSkewedJoin
+          // (correctly) declines to split rather than add a shuffle —
+          // the gate targets the vanilla join+agg shape where the
+          // split is free
+          val plain = ev.join(cust, col("user_id") === col("c_custkey"))
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+          plain.collect()
+          val plan = plain.queryExecution.executedPlan.toString
+          val engaged = plan.contains("skew=true")
+          println(s"[soak] aqe skew engaged=$engaged (plan has skew=true)")
+          if (!engaged) println(plan.linesIterator.take(40).mkString("\n"))
+          engaged
+        }
+        val s = timed("salted_join_equals_plain_no_broadcast") {
+          val plainRows = agg(ev.join(cust, col("user_id") === col("c_custkey")))
+            .collect().map(r =>
+              (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+          val saltedRows = graft.ops.ScalePatterns.saltedSkewJoin(spark, skewDir)
+            .collect().map(r =>
+              (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+          val same = saltedRows == plainRows
+          if (!same) println(s"[soak] salted mismatch: $saltedRows vs $plainRows")
+          same
+        }
+        (a, s)
+      } finally {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", savedThresh)
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", savedAdvisory)
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", savedFactor)
+      }
+    Seq(
+      "skew_probe_flags_hot_key" -> probeOk,
+      "aqe_skew_split_engages" -> aqeOk,
+      "salted_join_equals_plain_no_broadcast" -> saltOk)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -166,6 +273,13 @@ object SoakSf1 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(dir).mkdirs()
+    // dev loop: `--skew-only` runs just the planted-skew tier
+    if (args.length >= 2 && args(1) == "--skew-only") {
+      val gates = timedSkewTier(spark, dir)
+      gates.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
+      spark.stop()
+      sys.exit(if (gates.forall(_._2)) 0 else 1)
+    }
     val t0 = System.nanoTime()
     ensureCorpus(spark, dir)
     println(f"[soak] corpus ready in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -279,7 +393,23 @@ object SoakSf1 {
         println(s"[soak] substring: $nExpected planted whole-doc copies, $missing missed")
         nExpected > 0 && missing == 0
       })
-    val all = ann.toSeq ++ extra
+    // ---- planted-skew tier (round-12): one user carrying ~10% of a
+    // 2M-event stream joined against a 15k-customer profile — the
+    // regime where one reducer runs 1500x the mean. Two gates, both
+    // run BROADCAST-INELIGIBLE (autoBroadcastJoinThreshold = -1, the
+    // 100 TB fact-to-large-dim reality) so the skew machinery is
+    // actually on the hook:
+    //  1. AQE's skew split must ENGAGE on the sort-merge path —
+    //     proven causally by `skew=true` in the executed plan, with
+    //     the detection thresholds scaled to the corpus the way a
+    //     cluster config scales them to its shuffle sizes;
+    //  2. the explicit salting pattern (`salted_skew_join`) must
+    //     reproduce the plain join's aggregate EXACTLY, with the
+    //     engine's own >16-ratio probe (`Relational.keySkewProfile`,
+    //     the joinSkewReport flag) driving the decision — the probe
+    //     that flags is the probe that ships.
+    val skewGates = timedSkewTier(spark, dir)
+    val all = ann.toSeq ++ extra ++ skewGates
     all.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
     val fails = all.count(!_._2)
     println(s"[soak] ${all.size - fails}/${all.size} gates green at sf1 scale")
@@ -292,6 +422,7 @@ object SoakSf1 {
     // superlinear joins) is the dimension the recall gates don't cover.
     // Ratios land in BASELINE.md; anything >> 10x on a 10x corpus needs
     // a named explanation or a fix.
+    var scalingFails = 0
     if (args.length < 2 || args(1) != "--no-perf") {
       val sf01 = "/root/testdata/sf0.1"
       val have01 = new java.io.File(sf01).isDirectory
@@ -303,6 +434,16 @@ object SoakSf1 {
         "ann_ivf_topk", "ann_ivf_pq_topk", "minhash_candidates",
         "substring_dedup", "semantic_dedup_ivf", "dup_clusters",
         "user_sessions", "stream_sessions", "winnow_fingerprints")
+      // ---- scaling_gates (round-12): the ratios are ENFORCED, not
+      // reported — a 10x corpus may cost at most ~1.2x-linear (ceiling
+      // 12), except LSH whose multiprobe schedule grows log n BY DESIGN
+      // (its recall gate is the other side of that contract; measured
+      // 9.2x in round 11, ceiling 16 leaves steal headroom without
+      // admitting a quadratic regression). Sub-second absolute time on
+      // the 10x corpus passes outright: ratios of two tiny numbers are
+      // steal noise, and a query that finishes in <= 1 s at sf1 cannot
+      // be a scale bottleneck.
+      val ceilings = Map("ann_lsh_topk" -> 16.0).withDefault(_ => 12.0)
       def best2(name: String, d: String): Double = {
         def once(): Double = {
           val s = System.nanoTime()
@@ -311,15 +452,19 @@ object SoakSf1 {
         }
         math.min(once(), once())
       }
-      println(f"[perf] ${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
+      println(f"[perf] ${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s  scaling gate")
       perfQueries.foreach { name =>
         val t10 = best2(name, dir)
         val t01 = if (have01) best2(name, sf01) else Double.NaN
         val ratio = if (have01) t10 / t01 else Double.NaN
-        println(f"[perf] $name%-24s $t01%8.2f $t10%8.2f $ratio%7.2f")
+        val ok = !have01 || t10 <= 1.0 || ratio <= ceilings(name)
+        if (!ok) scalingFails += 1
+        println(f"[perf] $name%-24s $t01%8.2f $t10%8.2f $ratio%7.2f  " +
+          s"${if (ok) "PASS" else "FAIL"} (ceiling ${ceilings(name)})")
       }
+      println(s"[soak] scaling_gates: ${perfQueries.size - scalingFails}/${perfQueries.size} within ceiling")
     }
     spark.stop()
-    if (fails > 0) sys.exit(1)
+    if (fails + scalingFails > 0) sys.exit(1)
   }
 }

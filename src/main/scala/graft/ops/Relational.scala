@@ -862,30 +862,35 @@ object Relational {
     * one aggregate over |keys| rows. Columns union independently. */
   def joinSkewReport(spark: SparkSession, sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")
-    def prof(c: String): DataFrame = {
-      val freq = li.filter(col(c).isNotNull)
-        .groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
-      val tot = freq.agg(sum(col("cnt")).as("n_rows"),
-        count(lit(1)).as("n_keys"))
-      val p = col("cnt").cast("double") / col("n_rows").cast("double")
-      freq.crossJoin(broadcast(tot))
-        .select(col("cnt"), col("n_rows"), col("n_keys"),
-          round(p * log(p), 12).cast("decimal(18,12)").as("ent_term"))
-        .groupBy(col("n_rows"), col("n_keys"))
-        .agg(max(col("cnt")).as("max_freq"),
-          round(expr("percentile(cnt, 0.99)"), 6).as("p99_freq"),
-          round(lit(0.0) - sum(col("ent_term")).cast("double"), 6).as("entropy"))
-        .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
-          col("max_freq"), col("p99_freq"),
-          round(col("max_freq").cast("double") /
-            (col("n_rows").cast("double") / col("n_keys").cast("double")), 6)
-            .as("skew_ratio"),
-          col("entropy"))
-        .withColumn("skewed", col("skew_ratio") > lit(16.0))
-    }
-    Seq("l_orderkey", "l_partkey", "l_suppkey").map(prof)
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(c => keySkewProfile(li, c))
       .reduce(_ unionAll _)
       .orderBy(col("key_col"))
+  }
+
+  /** The per-key-column probe behind [[joinSkewReport]], exposed on any
+    * frame so the skew soak can run the SAME flag (>16 max/mean ratio)
+    * that drives the engine's salting decisions against a planted-skew
+    * corpus — the probe that gates is the probe that ships. */
+  def keySkewProfile(df: DataFrame, c: String): DataFrame = {
+    val freq = df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    val p = col("cnt").cast("double") / col("n_rows").cast("double")
+    freq.crossJoin(broadcast(tot))
+      .select(col("cnt"), col("n_rows"), col("n_keys"),
+        round(p * log(p), 12).cast("decimal(18,12)").as("ent_term"))
+      .groupBy(col("n_rows"), col("n_keys"))
+      .agg(max(col("cnt")).as("max_freq"),
+        round(expr("percentile(cnt, 0.99)"), 6).as("p99_freq"),
+        round(lit(0.0) - sum(col("ent_term")).cast("double"), 6).as("entropy"))
+      .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
+        col("max_freq"), col("p99_freq"),
+        round(col("max_freq").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")), 6)
+          .as("skew_ratio"),
+        col("entropy"))
+      .withColumn("skewed", col("skew_ratio") > lit(16.0))
   }
 
   def tableProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {

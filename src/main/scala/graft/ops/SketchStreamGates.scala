@@ -52,6 +52,7 @@ object SketchStreamGates {
     "semantic_subcritical_degree",
     "shesd_planted_spike_rank1",
     "spectrum_descending_exhaustive",
+    "stream_state_provider_pinned",
     "stream_state_rocksdb_parity",
     "whiten_moments_identity")
 
@@ -60,8 +61,8 @@ object SketchStreamGates {
     * vs-exact members re-derive exact rolling distinct counts, two
     * streaming lifecycles and a planted STL fit on every invocation
     * (the bench times every query twice — measured 17.9 s/pass at
-    * sf0.1 uncached). The cached value is the 12 collected booleans,
-    * not a persisted plan. */
+    * sf0.1 uncached). The cached value is the collected verdict
+    * booleans, not a persisted plan. */
   private val verdictCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(String, Boolean)]]()
 
@@ -88,6 +89,7 @@ object SketchStreamGates {
       ("semantic_subcritical_degree", semanticSubcriticalDegree(spark, sfDir)),
       ("shesd_planted_spike_rank1", shesdPlantedSpike(spark)),
       ("spectrum_descending_exhaustive", spectrumInvariants(spark, sfDir)),
+      ("stream_state_provider_pinned", providerSwitchPinned(spark)),
       ("stream_state_rocksdb_parity", rocksdbStateParity(spark)),
       ("whiten_moments_identity", whitenMoments(spark, sfDir)))
 
@@ -405,6 +407,73 @@ object SketchStreamGates {
       val Seq((heapRows, heapArts), (rocksRows, rocksArts)) =
         Await.result(both, 10.minutes)
       heapRows.nonEmpty && heapRows == rocksRows && rocksArts && !heapArts
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
+  /** Checkpoint-restart under a SWITCHED state-store provider — the
+    * lifecycle failure mode the parity gate can't see: an operator
+    * establishes its checkpoint under the heap provider, stops, and is
+    * restarted with the session asking for RocksDB. Spark persists
+    * `STATE_STORE_PROVIDER_CLASS` in the offset log's metadata and
+    * RESTORES it on restart (OffsetSeqMetadata's relevant-conf list),
+    * so the pinned semantics is: THE CHECKPOINT WINS — the restarted
+    * query silently continues on the original provider rather than
+    * refusing or (worst) reading heap-format state files as RocksDB.
+    * The gate proves all three faces of that contract:
+    *  1. the restart succeeds and continues the first run's state —
+    *     first-run rows + restart rows = exactly a fresh full
+    *     lifecycle's rows (no loss, no double emission);
+    *  2. the checkpoint still holds ONLY heap artifacts afterwards
+    *     (the RocksDB ask was ignored, not half-applied);
+    *  3. the first run emitted rows at all (a vacuous pass is
+    *     impossible). */
+  private[graft] def providerSwitchPinned(spark: SparkSession): Boolean = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate-pswitch").toString
+    try {
+      val t0 = 86400000L * 19700 // fixed UTC day boundary
+      def mkRows(days: Range): Seq[(java.sql.Timestamp, String, Double)] =
+        for { d <- days; i <- 0 until 20 } yield
+          (new java.sql.Timestamp(t0 + d * 86400000L + i * 60000L),
+            "el" + (i % 3), (d * 20 + i) * 0.25)
+      def writeBatch(rows: Seq[(java.sql.Timestamp, String, Double)], name: String): Unit =
+        rows.toDF("ts", "event_type", "value")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/in/$name")
+      // a MEMORY sink refuses checkpoint recovery outright, so the
+      // restart contract needs the fault-tolerant FILE sink — its
+      // _spark_metadata commit log is also how we read back exactly
+      // the committed rows of each lifecycle
+      def run(provider: String, out: String, ckpt: String): Seq[String] = {
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        graft.streaming.EventIngest.applyStateStore(ss, provider)
+        val src = ss.readStream
+          .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+          .option("pathGlobFilter", "*.parquet")
+          .option("recursiveFileLookup", "true")
+          .parquet(s"$dir/in")
+        val q = graft.streaming.EventIngest.dailyAggregate(src)
+          .select(col("element"), col("day_start").cast("string").as("day_start"),
+            col("n_obs"), col("sum_value"), col("avg_value"))
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.read.parquet(out).collect().map(_.toSeq.mkString("|")).toSeq
+      }
+      val ckpt = s"$dir/ck"
+      val out = s"$dir/out"
+      writeBatch(mkRows(0 until 10), "a")
+      val first = run("hdfs", out, ckpt)
+      writeBatch(mkRows(10 until 15), "b")
+      // same checkpoint + sink, switched provider ask; the sink dir is
+      // cumulative, so the restart's own emission is cum minus first
+      val cum = run("rocksdb", out, ckpt)
+      val fresh = run("hdfs", s"$dir/out_fresh", s"$dir/ck_fresh") // full data, fresh lifecycle
+      val noRocks = !hasRocksArtifacts(new java.io.File(s"$ckpt/state"))
+      first.nonEmpty && cum.size > first.size &&
+        cum.sorted == fresh.sorted && noRocks
     } finally deleteRecursively(new java.io.File(dir))
   }
 

@@ -4420,6 +4420,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every served non-null doc must keep exactly its two private lines in order")
   }
 
+  test("streaming line-clean serve runs under the RocksDB state-store config") {
+    // the at-scale posture (SPARK_GRAFT_STATE_STORE=rocksdb) must carry
+    // the serve sink too: the path is stateless foreachBatch, so the
+    // provider class rides along without state files — the pin is that
+    // the lifecycle completes and matches batch under that config
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lcrocks").toString
+    (0L until 12L).map { id =>
+        val t = if (id % 5 == 0) null.asInstanceOf[String]
+          else s"shared banner line\nonly $id here"
+        (id, "en", "s0", t, Option(t).map(_.length.toLong).getOrElse(0L))
+      }.toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val census = graft.ops.Curation.boilerplateLines(spark, dir)
+    val expected = graft.ops.Curation.lineDedupClean(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    System.setProperty("graft.stream.stateStore", "rocksdb")
+    try {
+      val got = EventIngest.lineCleanAvailableNow(
+          spark, s"$dir/documents.parquet", census, s"$dir/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(expected.nonEmpty && got == expected,
+        s"RocksDB-config serve must equal batch: missing ${expected.diff(got).take(3)}, extra ${got.diff(expected).take(3)}")
+    } finally System.clearProperty("graft.stream.stateStore")
+  }
+
+  test("checkpoint restart under a switched state-store provider: checkpoint wins, state continues") {
+    // Spark persists STATE_STORE_PROVIDER_CLASS in the offset log and
+    // restores it on restart — the gate proves the restarted query
+    // continues the original provider's state (first + resumed rows ==
+    // a fresh full lifecycle) and leaves no RocksDB artifacts behind
+    assert(graft.ops.SketchStreamGates.providerSwitchPinned(spark),
+      "provider-switch restart must continue cleanly on the checkpointed provider")
+  }
+
   test("sessionization + streaks property: random event corpora match independent references") {
     import spark.implicits._
     val gapUs = 30L * 60L * 1000000L
