@@ -162,7 +162,9 @@ object SoakSf1 {
     * key. AQE's detection thresholds are scaled to this corpus's
     * shuffle sizes (a cluster scales them to its own); the salted
     * comparison and the probe flag use production values untouched. */
-  private def timedSkewTier(spark: SparkSession, dir: String): Seq[(String, Boolean)] = {
+  /** Builds (once) the planted-skew corpus: 2M events with user 7
+    * carrying ~10%, plus a 20k-row customer profile. Returns its dir. */
+  private def ensureSkewCorpus(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     val skewDir = s"$dir/skew_corpus"
     val evPath = s"$skewDir/events.parquet"
@@ -186,6 +188,11 @@ object SoakSf1 {
       }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .write.mode("overwrite").parquet(cuPath)
     }
+    skewDir
+  }
+
+  private def timedSkewTier(spark: SparkSession, dir: String): Seq[(String, Boolean)] = {
+    val skewDir = ensureSkewCorpus(spark, dir)
     def timed[A](name: String)(f: => A): A = {
       val s = System.nanoTime()
       val r = f
@@ -262,6 +269,63 @@ object SoakSf1 {
       "salted_join_equals_plain_no_broadcast" -> saltOk)
   }
 
+  /** Spill-survival gate: the 100 TB posture says a partition larger
+    * than memory must SPILL and still produce exact answers, but local
+    * soaks never organically hit that wall — so force it where it
+    * actually happens at scale: on the SKEWED partition. A per-user
+    * running-sum window runs over the planted-skew corpus with the
+    * WindowExec buffer thresholds dropped to 4k/8k rows — user 7's
+    * ~200k-event partition is then the ONE group that outgrows the
+    * in-memory buffer and takes the external-sorter disk path, while
+    * the 15k normal users (~130 rows each) stay in the plain array
+    * (tiny thresholds on EVERY group were tried first and drown the
+    * JVM in per-group sorter allocations). The gate demands (a) the
+    * spill machinery ENGAGED — task metrics report spilled bytes —
+    * and (b) a DECIMAL-exact digest of the windowed output (per-user
+    * row count + sum of prefix sums) is IDENTICAL to the unpressured
+    * run's. A spill path that loses, duplicates, or reorders rows
+    * fails loudly here. */
+  private def timedSpillGate(spark: SparkSession, dir: String): Seq[(String, Boolean)] = {
+    import org.apache.spark.sql.expressions.Window
+    val skewDir = ensureSkewCorpus(spark, dir)
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    val t0 = System.nanoTime()
+    def digest(ss: SparkSession): Array[String] = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      graft.sources.Tables.events(ss, skewDir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("run_sum",
+          sum(col("value").cast("decimal(18,4)")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("run_sum")).as("sum_prefix")) // exact DECIMAL, order-free
+        .collect().map(_.toSeq.mkString("|")).sorted
+    }
+    val base = digest(spark)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4096")
+    ss.conf.set("spark.sql.windowExec.buffer.spill.threshold", "8192")
+    spark.sparkContext.addSparkListener(listener)
+    val ok = try {
+      val pressured = digest(ss)
+      Thread.sleep(2000) // listener bus is async; let task-end events drain
+      val engaged = spilled.get() > 0L
+      val same = pressured.sameElements(base)
+      println(f"[soak] spill gate: ${spilled.get() / 1024.0 / 1024.0}%.1f MiB spilled, " +
+        s"engaged=$engaged, exact=$same over ${base.length} users")
+      base.nonEmpty && engaged && same
+    } finally spark.sparkContext.removeSparkListener(listener)
+    println(f"[soak] ${"spill_path_exact_under_pressure"}%-32s ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+    Seq("spill_path_exact_under_pressure" -> ok)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -270,15 +334,28 @@ object SoakSf1 {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the spill gate forces thousands of tiny spill files; the
+      // async read-ahead path races file close/delete in this JVM
+      // (NativeThreadSet AIOOBE) — plain buffered reads are exact
+      .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(dir).mkdirs()
-    // dev loop: `--skew-only` runs just the planted-skew tier
-    if (args.length >= 2 && args(1) == "--skew-only") {
-      val gates = timedSkewTier(spark, dir)
+    // dev loops: `--skew-only` / `--spill-only` / `--perf-only` run
+    // just that tier against an already-built (or lazily built) corpus
+    if (args.length >= 2 && (args(1) == "--skew-only" || args(1) == "--spill-only")) {
+      val gates =
+        if (args(1) == "--skew-only") timedSkewTier(spark, dir)
+        else timedSpillGate(spark, dir) // builds its own skew corpus
       gates.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
       spark.stop()
       sys.exit(if (gates.forall(_._2)) 0 else 1)
+    }
+    if (args.length >= 2 && args(1) == "--perf-only") {
+      ensureCorpus(spark, dir)
+      val n = timedPerfTier(spark, dir)
+      spark.stop()
+      sys.exit(if (n > 0) 1 else 0)
     }
     val t0 = System.nanoTime()
     ensureCorpus(spark, dir)
@@ -409,7 +486,8 @@ object SoakSf1 {
     //     the joinSkewReport flag) driving the decision — the probe
     //     that flags is the probe that ships.
     val skewGates = timedSkewTier(spark, dir)
-    val all = ann.toSeq ++ extra ++ skewGates
+    val spillGates = timedSpillGate(spark, dir)
+    val all = ann.toSeq ++ extra ++ skewGates ++ spillGates
     all.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
     val fails = all.count(!_._2)
     println(s"[soak] ${all.size - fails}/${all.size} gates green at sf1 scale")
@@ -422,18 +500,41 @@ object SoakSf1 {
     // superlinear joins) is the dimension the recall gates don't cover.
     // Ratios land in BASELINE.md; anything >> 10x on a 10x corpus needs
     // a named explanation or a fix.
-    var scalingFails = 0
-    if (args.length < 2 || args(1) != "--no-perf") {
+    val scalingFails =
+      if (args.length >= 2 && args(1) == "--no-perf") 0
+      else timedPerfTier(spark, dir)
+    spark.stop()
+    if (fails + scalingFails > 0) sys.exit(1)
+  }
+
+  /** The sf0.1-vs-sf1 timed tier with its enforced scaling_gates;
+    * returns the number of queries breaching their ceiling. */
+  private def timedPerfTier(spark: SparkSession, dir: String): Int = {
+    {
+      var scalingFails = 0
       val sf01 = "/root/testdata/sf0.1"
       val have01 = new java.io.File(sf01).isDirectory
       if (have01) graft.sources.SeriesStore.ensurePartitioned(spark, sf01)
       graft.sources.SeriesStore.ensurePartitioned(spark, dir)
+      // the widened round-12 set adds every remaining pair-generating
+      // or iterative family that runs on documents/embeddings/events
+      // (the soak corpus's tables): banded simhash, sorted-neighborhood,
+      // pigeonhole fuzzy keys, the BM25 postings join, line dedup's
+      // census+reconstruction, batched BPE rounds, first-occurrence
+      // novelty, and the streaming MG sketch. Deliberately absent:
+      // embedding_near_dup — the EXACT per-label pair tier whose
+      // documented scale path IS semantic_dedup_ivf (already gated);
+      // gating the exact baseline on linearity would punish it for
+      // being exact.
       val perfQueries = Seq(
         "fc_hybrid", "fc_arima", "tfidf_cosine_pairs", "stream_attribution",
         "curate_corpus", "eval_contamination", "cosine_topk", "ann_lsh_topk",
         "ann_ivf_topk", "ann_ivf_pq_topk", "minhash_candidates",
         "substring_dedup", "semantic_dedup_ivf", "dup_clusters",
-        "user_sessions", "stream_sessions", "winnow_fingerprints")
+        "user_sessions", "stream_sessions", "winnow_fingerprints",
+        "bm25_search", "line_dedup_clean", "simhash_hamming_pairs",
+        "snm_candidates", "bpe_merges_batched", "ngram_novelty",
+        "fuzzy_key_pairs", "stream_heavy_hitters")
       // ---- scaling_gates (round-12): the ratios are ENFORCED, not
       // reported — a 10x corpus may cost at most ~1.2x-linear (ceiling
       // 12), except LSH whose multiprobe schedule grows log n BY DESIGN
@@ -463,8 +564,7 @@ object SoakSf1 {
           s"${if (ok) "PASS" else "FAIL"} (ceiling ${ceilings(name)})")
       }
       println(s"[soak] scaling_gates: ${perfQueries.size - scalingFails}/${perfQueries.size} within ceiling")
+      scalingFails
     }
-    spark.stop()
-    if (fails + scalingFails > 0) sys.exit(1)
   }
 }
