@@ -911,6 +911,16 @@ object SparkEntry {
     // piiScan's cleaning counterpart: <EMAIL>/<URL>/<NUM> rewrite with
     // contract-fixed replacement order (emails -> urls -> digit runs)
     "pii_redact" -> ((s, dir) => TextAnalysis.piiRedact(s, dir)),
+    // Gopher Rules (Rae et al. 2021 A1.1): word-count / mean-word-
+    // length / symbol-ratio / alpha-fraction / stopword-hit battery;
+    // pure map stage; one planted all-rules-pass doc keeps the flag
+    // branch non-vacuous on the synthetic vocabulary
+    "gopher_quality_flags" -> ((s, dir) => Curation.gopherQualityFlags(s, dir)),
+    // C4 line rules (Raffel et al. 2020 2.2): first-failing-rule
+    // classification (badword > brace > short > no terminal punct),
+    // keep = >= 3 surviving lines; planted line fixture covers every
+    // branch the single-line punctuation-free corpus cannot
+    "c4_line_filters" -> ((s, dir) => Curation.c4LineFilters(s, dir)),
     // rows-only: minhash tier; planted-near-copy fixture is the gate
     "eval_contamination_fuzzy" -> ((s, dir) => Curation.evalContaminationFuzzy(s, dir)),
     // quality-weighted coin flip: content-hash unit < quality·2^32 —
@@ -2829,7 +2839,9 @@ object SparkEntry {
           "ann_ivf_scoring_broadcast_attach",
           "ann_pq_scoring_broadcast_attach",
           "ann_lsh_scoring_broadcast_attach",
-          "line_dedup_no_window_equi_join")
+          "line_dedup_no_window_equi_join",
+          "gopher_flags_pure_map",
+          "c4_filters_single_agg_no_join")
           .map(c => s"('$c', TRUE)").mkString(", ") +
         ") AS t(check_name, ok) ORDER BY check_name"),
     // literal-TRUE verdict oracle generated from the same metric list
@@ -3800,6 +3812,90 @@ object SparkEntry {
         |    '[0-9]{9,}', '<NUM>', 'g') AS redacted
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // the seeded CTE replays Curation.gopherFixtureText via the same
+    // repeat() literal; flag comparisons use the UNROUNDED ratios
+    // (single IEEE divisions of exact integer counts) exactly like
+    // the Spark plan, so the booleans cannot flip between engines
+    "gopher_quality_flags" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT 9000101 AS doc_id,
+        |    repeat('the quick brown fox jumps over the lazy dog and runs to the edge of the field with great joy ', 3) AS text,
+        |    'en' AS lang, 'planted_fixture' AS source),
+        |f AS (
+        |  SELECT doc_id, lang, source, text,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+        |      x -> x <> '') AS ws
+        |  FROM seeded WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS DOUBLE)
+        |      / len(ws) AS mean_word_len,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |      + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+        |      AS DOUBLE) / len(ws) AS symbol_ratio,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |      / len(ws) AS alpha_frac,
+        |    CAST(len(list_intersect(list_distinct(ws),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits
+        |  FROM f)
+        |SELECT doc_id, lang, source, n_words,
+        |  round(mean_word_len, 6) AS mean_word_len,
+        |  round(symbol_ratio, 6) AS symbol_ratio,
+        |  round(alpha_frac, 6) AS alpha_frac,
+        |  n_stop_hits,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop_hits >= 2) AS gopher_keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // the planted VALUES list replays Curation.c4FixtureLines verbatim;
+    // rule precedence (badword > brace > short > no_punct) mirrors the
+    // Spark CASE order, last char via the engine-portable
+    // substr(t, length(t), 1) form
+    "c4_line_filters" ->
+      """WITH corpus_lines AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |  FROM documents WHERE text IS NOT NULL),
+        |planted(doc_id, line) AS (VALUES
+        |  (9000001, 'This is a perfectly fine sentence with enough words.'),
+        |  (9000001, 'Short line.'),
+        |  (9000001, 'Click here to read our cookie policy now.'),
+        |  (9000001, 'function() { return 42; }'),
+        |  (9000001, 'A line without terminal punctuation here indeed'),
+        |  (9000001, 'Another good sentence that carries more than five words.'),
+        |  (9000002, 'The first of three complete sentences sits here.'),
+        |  (9000002, 'Is this a question with enough words here?'),
+        |  (9000002, 'What a wonderful surprise this truly is!'),
+        |  (9000003, 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'),
+        |  (9000003, 'Enable javascript to continue browsing this site today.'),
+        |  (9000003, 'Read the terms of use before you proceed further.'),
+        |  (9000004, 'He said "the last character is a double quote."')),
+        |lines AS (
+        |  SELECT * FROM corpus_lines
+        |  UNION ALL SELECT CAST(doc_id AS BIGINT), line FROM planted),
+        |cls AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN lower(line) LIKE '%lorem ipsum%' OR lower(line) LIKE '%javascript%'
+        |        OR lower(line) LIKE '%cookie policy%' OR lower(line) LIKE '%terms of use%'
+        |        THEN 'badword'
+        |      WHEN line LIKE '%{%' THEN 'brace'
+        |      WHEN len(list_filter(regexp_split_to_array(trim(line), '[ \t\n\x0B\f\r]+'),
+        |        x -> x <> '')) < 5 THEN 'short'
+        |      WHEN substr(trim(line), length(trim(line)), 1) NOT IN ('.', '!', '?', '"')
+        |        THEN 'no_punct'
+        |      ELSE 'kept' END AS cls
+        |  FROM lines)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN cls = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(sum(CASE WHEN cls = 'no_punct' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_punct,
+        |  CAST(sum(CASE WHEN cls = 'brace' THEN 1 ELSE 0 END) AS BIGINT) AS n_brace,
+        |  CAST(sum(CASE WHEN cls = 'badword' THEN 1 ELSE 0 END) AS BIGINT) AS n_badword,
+        |  (sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) >= 3) AS c4_keep
+        |FROM cls GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "user_streaks" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS epoch_day

@@ -702,4 +702,144 @@ object Curation {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         col("clean_text"))
   }
+
+  /** Gopher-rule document filter (Rae et al. 2021 §A1.1, the published
+    * heuristic battery every large text pipeline runs before training):
+    * per document — word count bounds [50, 100k], mean word length
+    * bounds [3, 10], symbol-to-word ratio (# and ... occurrences)
+    * ≤ 0.1, ≥ 80% of words containing an alphabetic character, and at
+    * least 2 DISTINCT hits among the 8 canonical English stopwords.
+    * Emits each raw signal plus the composite keep flag so downstream
+    * resampling can re-threshold without recomputing.
+    *
+    * Scale: a PURE MAP stage — every signal is a codegen'd expression
+    * over the row's own text (no shuffle before the presentation
+    * sort), so it rides whatever partitioning the corpus already has;
+    * at 100 TB this is scan-bound by construction. Flag comparisons
+    * use the UNROUNDED ratios: each is one IEEE division of exact
+    * integer counts, so the booleans agree bit-for-bit cross-engine;
+    * the reported ratios are 6dp-rounded for presentation only. */
+  def gopherQualityFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+    val planted = base.sparkSession.range(1)
+      .select(lit(9000101L).as("doc_id"), lit(gopherFixtureText).as("text"),
+        lit("en").as("lang"), lit("planted_fixture").as("source"),
+        length(lit(gopherFixtureText)).cast("long").as("n_chars"))
+    gopherQualityFlags(base.unionByName(planted))
+  }
+
+  /** One document passing EVERY Gopher rule — the sf corpus's
+    * synthetic vocabulary tops out at one distinct stopword hit, so
+    * without this row the keep flag would be constant-false at the
+    * driver's check scale (the vacuous-gate trap). The identical
+    * repeat() literal lives in the SQL oracle. */
+  private[ops] val gopherFixtureText: String =
+    "the quick brown fox jumps over the lazy dog and runs to the edge of the field with great joy " * 3
+
+  private def gopherQualityFlags(docFrame: DataFrame): DataFrame = {
+    val words = filter(split(trim(org.apache.spark.sql.functions.lower(col("text"))), LineWs),
+      x => x =!= lit(""))
+    val nWords = size(words).cast("long")
+    // total word chars = text with ALL whitespace removed (same class)
+    val wordChars = length(regexp_replace(col("text"), LineWs, "")).cast("long")
+    val meanLen = wordChars.cast("double") / nWords.cast("double")
+    val nHash = (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val nEllipsis = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nWords.cast("double")
+    val alphaFrac = size(filter(words, x => x.rlike("[a-z]")))
+      .cast("double") / nWords.cast("double")
+    val stopHits = size(array_intersect(array_distinct(words),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
+      .cast("long")
+    docFrame
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"),
+        nWords.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(symbolRatio, 6).as("symbol_ratio"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        stopHits.as("n_stop_hits"),
+        (nWords.between(50L, 100000L) &&
+          meanLen >= 3.0 && meanLen <= 10.0 &&
+          symbolRatio <= 0.1 && alphaFrac >= 0.8 &&
+          stopHits >= 2L).as("gopher_keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The deterministic planted fixture for [[c4LineFilters]]: the
+    * sf-corpus documents are single-line and punctuation-free, so the
+    * corpus alone exercises exactly one rule branch; these literal
+    * (doc_id, line) rows cover every other branch (kept lines ending
+    * in each terminal mark, short lines, braces, each bad-word
+    * phrase) and the SQL oracle carries the identical VALUES list.
+    * Planted at the LINE level so neither engine needs multi-line
+    * string literals. */
+  private[ops] val c4FixtureLines: Seq[(Long, String)] = Seq(
+    9000001L -> "This is a perfectly fine sentence with enough words.",
+    9000001L -> "Short line.",
+    9000001L -> "Click here to read our cookie policy now.",
+    9000001L -> "function() { return 42; }",
+    9000001L -> "A line without terminal punctuation here indeed",
+    9000001L -> "Another good sentence that carries more than five words.",
+    9000002L -> "The first of three complete sentences sits here.",
+    9000002L -> "Is this a question with enough words here?",
+    9000002L -> "What a wonderful surprise this truly is!",
+    9000003L -> "Lorem ipsum dolor sit amet, consectetur adipiscing elit.",
+    9000003L -> "Enable javascript to continue browsing this site today.",
+    9000003L -> "Read the terms of use before you proceed further.",
+    9000004L -> "He said \"the last character is a double quote.\"")
+
+  /** C4-rule line filter (Raffel et al. 2020 §2.2): classify every
+    * line of every document by its FIRST failing rule in a fixed
+    * precedence — bad-word phrase (lorem ipsum / javascript / cookie
+    * policy / terms of use) > curly brace > short (< 5 words) > no
+    * terminal punctuation (. ! ? ") — and keep the rest; a document
+    * survives when ≥ 3 lines are kept (C4's three-sentence floor).
+    * Emits per-document counters for every rule so the filter is
+    * auditable, plus the keep flag.
+    *
+    * Scale: split + explode + classify are map-side; the only shuffle
+    * is the per-doc counter aggregation (partial-merged map-side), so
+    * the plan is the same one-Exchange shape as [[repetitionStats]].
+    * Registered over the corpus ∪ [[c4FixtureLines]] so the driver
+    * gate exercises every branch at every SF (the seeded-gate pattern
+    * of [[Dedup.seededDocs]]). */
+  def c4LineFilters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val corpusLines = docs(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+    val planted = c4FixtureLines.toDF("doc_id", "line")
+    c4LineFilters(corpusLines.unionByName(planted))
+  }
+
+  private def c4LineFilters(lines: DataFrame): DataFrame = {
+    val low = org.apache.spark.sql.functions.lower(col("line"))
+    val t = trim(col("line"))
+    val nWords = size(filter(split(t, LineWs), x => x =!= lit("")))
+    // last char via substr(t, length(t), 1): negative-index substr
+    // differs between engines (Spark counts from the end, DuckDB
+    // follows PostgreSQL), the explicit form is identical in both
+    val cls = when(low.contains("lorem ipsum") || low.contains("javascript") ||
+        low.contains("cookie policy") || low.contains("terms of use"), "badword")
+      .when(col("line").contains("{"), "brace")
+      .when(nWords < 5, "short")
+      .when(!expr("substr(trim(line), length(trim(line)), 1)")
+        .isin(".", "!", "?", "\""), "no_punct")
+      .otherwise("kept")
+    lines
+      .select(col("doc_id"), cls.as("cls"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("cls") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cls") === "short", 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("cls") === "no_punct", 1L).otherwise(0L)).as("n_no_punct"),
+        sum(when(col("cls") === "brace", 1L).otherwise(0L)).as("n_brace"),
+        sum(when(col("cls") === "badword", 1L).otherwise(0L)).as("n_badword"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_short"),
+        col("n_no_punct"), col("n_brace"), col("n_badword"),
+        (col("n_kept") >= 3L).as("c4_keep"))
+      .orderBy(col("doc_id"))
+  }
 }

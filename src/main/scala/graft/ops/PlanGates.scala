@@ -165,7 +165,17 @@ object PlanGates {
     // over the line key would buffer a viral banner's every occurrence
     // in one task (the ngram_novelty lesson applied to lines)
     ("line_dedup_no_window_equi_join", "line_dedup_clean",
-      p => !p.contains("Window") && hashJoinsNoCartesian(p)))
+      p => !p.contains("Window") && hashJoinsNoCartesian(p)),
+    // round-12: the published-heuristic document filters must stay
+    // shuffle-minimal — Gopher's battery is a PURE MAP stage (no join,
+    // no aggregate; the only Exchange is the presentation sort), and
+    // the C4 line classifier aggregates once on doc_id with no join
+    // and no window (every rule decision is made line-local, map-side)
+    ("gopher_flags_pure_map", "gopher_quality_flags",
+      p => !p.contains("Join") && !p.contains("HashAggregate")),
+    ("c4_filters_single_agg_no_join", "c4_line_filters",
+      p => !p.contains("Join") && !p.contains("Window") &&
+        p.contains("HashAggregate")))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */

@@ -2531,7 +2531,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("plan gates: every plan-shape verdict holds") {
     val rows = graft.ops.PlanGates.planGates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
-    assert(rows.length == 48)
+    assert(rows.length == 50)
     val failed = rows.filterNot(_._2).map(_._1)
     assert(failed.isEmpty, s"plan-shape regressions: ${failed.mkString(", ")}")
   }
@@ -4789,5 +4789,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L).getString(4) == "plain text with short 1234 number",
       "clean text must be byte-identical")
     assert(got(3L).isNullAt(4), "null text stays null")
+  }
+
+  test("C4 line filter: planted fixture docs hit every rule branch, counters partition n_lines") {
+    val rows = graft.ops.Curation.c4LineFilters(spark, sfDir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // (n_lines, n_kept, n_short, n_no_punct, n_brace, n_badword, keep)
+    def tup(id: Long) = {
+      val r = byId(id)
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getBoolean(7))
+    }
+    assert(tup(9000001L) == ((6L, 2L, 1L, 1L, 1L, 1L, false)), s"mixed doc: ${tup(9000001L)}")
+    assert(tup(9000002L) == ((3L, 3L, 0L, 0L, 0L, 0L, true)), s"clean doc: ${tup(9000002L)}")
+    assert(tup(9000003L) == ((3L, 0L, 0L, 0L, 0L, 3L, false)), s"badword doc: ${tup(9000003L)}")
+    assert(tup(9000004L) == ((1L, 1L, 0L, 0L, 0L, 0L, false)),
+      s"terminal double-quote keeps the line: ${tup(9000004L)}")
+    // every line lands in exactly one class; corpus docs are all
+    // single-line and punctuation-free so they classify no_punct
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4) +
+        r.getLong(5) + r.getLong(6), s"partition: $r")
+    }
+    val corpus = rows.filter(_.getLong(0) < 9000000L)
+    assert(corpus.nonEmpty && corpus.forall(r => r.getLong(4) == r.getLong(1)),
+      "sf corpus lines are punctuation-free => all no_punct")
+  }
+
+  test("Gopher flags: planted doc passes every rule, corpus fails on stopword diversity") {
+    val rows = graft.ops.Curation.gopherQualityFlags(spark, sfDir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val p = byId(9000101L)
+    assert(p.getLong(3) == 60L, s"planted n_words: ${p.getLong(3)}")
+    assert(p.getLong(7) == 5L, s"planted distinct stop hits: ${p.getLong(7)}")
+    assert(p.getBoolean(8), "planted doc must pass all five Gopher rules")
+    val corpus = rows.filter(_.getLong(0) < 9000000L)
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getLong(7) <= 1L, "synthetic vocabulary carries at most 'the'")
+      assert(!r.getBoolean(8), "corpus docs fail the stopword-diversity rule")
+      assert(r.getDouble(6) == 1.0, "all-alphabetic words => alpha_frac 1.0")
+      assert(r.getDouble(5) == 0.0, "no # or ... in the corpus")
+    }
   }
 }
