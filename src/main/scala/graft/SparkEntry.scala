@@ -3828,6 +3828,7 @@ object SparkEntry {
         |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
         |      x -> x <> '') AS ws
         |  FROM seeded WHERE text IS NOT NULL),
+        |fw AS (SELECT * FROM f WHERE len(ws) > 0),
         |s AS (
         |  SELECT doc_id, lang, source,
         |    CAST(len(ws) AS BIGINT) AS n_words,
@@ -3840,7 +3841,7 @@ object SparkEntry {
         |      / len(ws) AS alpha_frac,
         |    CAST(len(list_intersect(list_distinct(ws),
         |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits
-        |  FROM f)
+        |  FROM fw)
         |SELECT doc_id, lang, source, n_words,
         |  round(mean_word_len, 6) AS mean_word_len,
         |  round(symbol_ratio, 6) AS symbol_ratio,

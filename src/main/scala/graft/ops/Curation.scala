@@ -754,6 +754,12 @@ object Curation {
       .cast("long")
     docFrame
       .filter(col("text").isNotNull)
+      // zero-word documents have no defined signals (every ratio is
+      // 0/0); excluding them is the contract rather than emitting
+      // engine-dependent NaN/NULL — the length filter upstream of any
+      // real pipeline drops them anyway
+      .filter(size(filter(split(trim(org.apache.spark.sql.functions.lower(col("text"))),
+        LineWs), x => x =!= lit(""))) > 0)
       .select(col("doc_id"), col("lang"), col("source"),
         nWords.as("n_words"),
         round(meanLen, 6).as("mean_word_len"),

@@ -4816,6 +4816,89 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sf corpus lines are punctuation-free => all no_punct")
   }
 
+  test("Gopher + C4 property: random mixed corpora match independent references") {
+    import spark.implicits._
+    val ws = "[ \t\n\f\r]+"
+    val stop8 = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    val phrases = Seq("lorem ipsum", "javascript", "cookie policy", "terms of use")
+    val vocab = Seq("alpha", "bravo", "x9", "42", "the", "and", "of", "zz#zz",
+      "dots...", "mid#dle", "a", "entropy", "seventeenletters!", "q")
+    for (seed <- Seq(71L, 72L, 73L)) {
+      val rng = new java.util.Random(seed)
+      val docs = (1L to 40L).map { id =>
+        val nLines = 1 + rng.nextInt(5)
+        val lines = (0 until nLines).map { _ =>
+          val nw = rng.nextInt(9) // 0..8 words, so short AND long lines occur
+          val base = (0 until nw).map(_ => vocab(rng.nextInt(vocab.size)))
+            .mkString(if (rng.nextBoolean()) " " else "\t ")
+          val decorated = rng.nextInt(6) match {
+            case 0 => base + "."
+            case 1 => base + "?"
+            case 2 => base + " { x }"
+            case 3 => base + " " + phrases(rng.nextInt(phrases.size)) + " tail."
+            case 4 => "  " + base // leading spaces, no terminal punct
+            case _ => base
+          }
+          decorated
+        }
+        (id, lines.mkString("\n"))
+      } :+ ((41L, "")) :+ ((42L, " \t\n ")) // empty + whitespace-only docs
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-filtprop$seed").toString
+      docs.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("prop").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+      // ---- independent Gopher reference (planted doc filtered out)
+      def words(t: String): Seq[String] =
+        t.toLowerCase.split(ws, -1).toSeq.filter(_.nonEmpty)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val gotG = graft.ops.Curation.gopherQualityFlags(spark, dir).collect()
+        .filter(_.getLong(0) < 9000000L)
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getLong(7), r.getBoolean(8)))).toMap
+      val refG = docs.filter(d => words(d._2).nonEmpty).map { case (id, t) =>
+        val w = words(t)
+        val n = w.size.toDouble
+        val wordChars = t.replaceAll(ws, "").length.toDouble
+        val nHash = t.count(_ == '#').toDouble
+        val nEll = ((t.length - t.replace("...", "").length) / 3).toDouble
+        val meanLen = wordChars / n
+        val sym = (nHash + nEll) / n
+        val alpha = w.count(_.exists(c => c >= 'a' && c <= 'z')) / n
+        val hits = w.toSet.intersect(stop8).size.toLong
+        val keep = w.size >= 50 && w.size <= 100000 && meanLen >= 3.0 &&
+          meanLen <= 10.0 && sym <= 0.1 && alpha >= 0.8 && hits >= 2
+        id -> ((w.size.toLong, r6(meanLen), r6(sym), r6(alpha), hits, keep))
+      }.toMap
+      assert(gotG == refG, s"gopher mismatch at seed $seed: " +
+        s"${(gotG.toSet diff refG.toSet).take(3)} vs ${(refG.toSet diff gotG.toSet).take(3)}")
+
+      // ---- independent C4 reference (fixture docs filtered out)
+      def cls(line: String): String = {
+        val low = line.toLowerCase
+        if (phrases.exists(low.contains)) "badword"
+        else if (line.contains("{")) "brace"
+        else if (line.trim.split(ws, -1).count(_.nonEmpty) < 5) "short"
+        else if (!Set('.', '!', '?', '"').contains(line.trim.last)) "no_punct"
+        else "kept"
+      }
+      val gotC = graft.ops.Curation.c4LineFilters(spark, dir).collect()
+        .filter(_.getLong(0) < 9000000L)
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+      val refC = docs.map { case (id, t) =>
+        val cs = t.split("\n", -1).toSeq.map(cls)
+        def c(k: String) = cs.count(_ == k).toLong
+        id -> ((cs.size.toLong, c("kept"), c("short"), c("no_punct"),
+          c("brace"), c("badword"), c("kept") >= 3L))
+      }.toMap
+      assert(gotC == refC, s"c4 mismatch at seed $seed: " +
+        s"${(gotC.toSet diff refC.toSet).take(3)} vs ${(refC.toSet diff gotC.toSet).take(3)}")
+    }
+  }
+
   test("Gopher flags: planted doc passes every rule, corpus fails on stopword diversity") {
     val rows = graft.ops.Curation.gopherQualityFlags(spark, sfDir).collect()
     val byId = rows.map(r => r.getLong(0) -> r).toMap
