@@ -921,6 +921,11 @@ object SparkEntry {
     // keep = >= 3 surviving lines; planted line fixture covers every
     // branch the single-line punctuation-free corpus cannot
     "c4_line_filters" -> ((s, dir) => Curation.c4LineFilters(s, dir)),
+    // Gopher repetition battery: dup-line fraction/chars + the max
+    // character coverage of any word {2,3,4}-gram (max COVERAGE, never
+    // the arg-max gram, so ties are harmless cross-engine), flags at
+    // the published ceilings
+    "gopher_repetition_flags" -> ((s, dir) => Curation.gopherRepetitionFlags(s, dir)),
     // rows-only: minhash tier; planted-near-copy fixture is the gate
     "eval_contamination_fuzzy" -> ((s, dir) => Curation.evalContaminationFuzzy(s, dir)),
     // quality-weighted coin flip: content-hash unit < quality·2^32 —
@@ -2841,7 +2846,8 @@ object SparkEntry {
           "ann_lsh_scoring_broadcast_attach",
           "line_dedup_no_window_equi_join",
           "gopher_flags_pure_map",
-          "c4_filters_single_agg_no_join")
+          "c4_filters_single_agg_no_join",
+          "gopher_repetition_no_window")
           .map(c => s"('$c', TRUE)").mkString(", ") +
         ") AS t(check_name, ok) ORDER BY check_name"),
     // literal-TRUE verdict oracle generated from the same metric list
@@ -3850,6 +3856,79 @@ object SparkEntry {
         |  (n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
         |   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop_hits >= 2) AS gopher_keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    // every ratio is one IEEE division of exact BIGINTs; thresholds
+    // CAST to DOUBLE so no DECIMAL comparison path diverges; the gram
+    // tiers take max(cnt * gram_word_chars) directly — no arg-max
+    "gopher_repetition_flags" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+        |      x -> x <> '') AS ws,
+        |    CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS BIGINT)
+        |      AS word_chars
+        |  FROM d),
+        |bw AS (SELECT * FROM b WHERE len(ws) > 0),
+        |lc AS (
+        |  SELECT doc_id, line, count(*) AS cnt, CAST(length(line) AS BIGINT) AS len
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d)
+        |  GROUP BY doc_id, line),
+        |la AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_lines,
+        |    CAST(sum(cnt * len) AS BIGINT) AS line_chars,
+        |    CAST(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS BIGINT)
+        |      AS dup_line_chars
+        |  FROM lc GROUP BY doc_id),
+        |g2 AS (
+        |  SELECT doc_id, max(cnt * glen) AS cover2 FROM (
+        |    SELECT doc_id, g, count(*) AS cnt,
+        |      CAST(length(g) - 1 AS BIGINT) AS glen FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+        |        i -> array_to_string(list_slice(ws, i, i + 1), chr(1)))) AS g
+        |      FROM bw WHERE len(ws) >= 2)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, max(cnt * glen) AS cover3 FROM (
+        |    SELECT doc_id, g, count(*) AS cnt,
+        |      CAST(length(g) - 2 AS BIGINT) AS glen FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |        i -> array_to_string(list_slice(ws, i, i + 2), chr(1)))) AS g
+        |      FROM bw WHERE len(ws) >= 3)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |g4 AS (
+        |  SELECT doc_id, max(cnt * glen) AS cover4 FROM (
+        |    SELECT doc_id, g, count(*) AS cnt,
+        |      CAST(length(g) - 3 AS BIGINT) AS glen FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 3),
+        |        i -> array_to_string(list_slice(ws, i, i + 3), chr(1)))) AS g
+        |      FROM bw WHERE len(ws) >= 4)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |j AS (
+        |  SELECT bw.doc_id, bw.word_chars, la.n_lines, la.n_distinct_lines,
+        |    la.line_chars, la.dup_line_chars, g2.cover2, g3.cover3, g4.cover4
+        |  FROM bw LEFT JOIN la USING (doc_id) LEFT JOIN g2 USING (doc_id)
+        |    LEFT JOIN g3 USING (doc_id) LEFT JOIN g4 USING (doc_id)),
+        |f AS (
+        |  SELECT doc_id, n_lines,
+        |    CAST(1 AS DOUBLE) - CAST(n_distinct_lines AS DOUBLE) / n_lines AS dup_line_frac,
+        |    CASE WHEN line_chars > 0
+        |      THEN CAST(COALESCE(dup_line_chars, 0) AS DOUBLE) / line_chars
+        |      ELSE CAST(0 AS DOUBLE) END AS dup_line_char_frac,
+        |    CAST(COALESCE(cover2, 0) AS DOUBLE) / word_chars AS t2,
+        |    CAST(COALESCE(cover3, 0) AS DOUBLE) / word_chars AS t3,
+        |    CAST(COALESCE(cover4, 0) AS DOUBLE) / word_chars AS t4
+        |  FROM j)
+        |SELECT doc_id, n_lines,
+        |  round(dup_line_frac, 6) AS dup_line_frac,
+        |  round(dup_line_char_frac, 6) AS dup_line_char_frac,
+        |  round(t2, 6) AS top2gram_char_frac,
+        |  round(t3, 6) AS top3gram_char_frac,
+        |  round(t4, 6) AS top4gram_char_frac,
+        |  (dup_line_frac <= CAST(0.30 AS DOUBLE) AND dup_line_char_frac <= CAST(0.20 AS DOUBLE)
+        |   AND t2 <= CAST(0.20 AS DOUBLE) AND t3 <= CAST(0.18 AS DOUBLE)
+        |   AND t4 <= CAST(0.16 AS DOUBLE)) AS repetition_keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     // the planted VALUES list replays Curation.c4FixtureLines verbatim;
     // rule precedence (badword > brace > short > no_punct) mirrors the
     // Spark CASE order, last char via the engine-portable

@@ -773,6 +773,85 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-rule REPETITION battery (Rae et al. 2021 §A1.1, the
+    * signals [[repetitionStats]]' trigram screen doesn't carry):
+    * per document —
+    *   - dup_line_frac: 1 − distinct/total raw lines,
+    *   - dup_line_char_frac: characters sitting on a line whose exact
+    *     text occurs more than once IN THIS DOC (each occurrence
+    *     counted) / total line characters,
+    *   - top{2,3,4}gram_char_frac: the character share of the single
+    *     most-covering word n-gram — max over grams of
+    *     occurrences × gram-word-chars, divided by the doc's total
+    *     word chars. Computing the MAX COVERAGE directly (never the
+    *     arg-max gram) keeps ties harmless cross-engine.
+    * Flags use Gopher's published ceilings (0.30 / 0.20 / 0.20 /
+    * 0.18 / 0.16); repetition_keep is their conjunction.
+    *
+    * Scale: lines and n-grams explode map-side and aggregate on
+    * (doc_id, gram) — partial-merged, bounded by each doc's own
+    * content, never corpus-global state; the per-doc roll-ups then
+    * share one doc_id Exchange shape. Every ratio is ONE IEEE
+    * division of exact BIGINTs, so the flag booleans can't flip
+    * between engines; reported fractions are 6dp presentation
+    * rounding. Documents with zero words are excluded (the
+    * [[gopherQualityFlags]] contract); a doc with fewer than n words
+    * has no n-gram and reports 0 for that tier. */
+  def gopherRepetitionFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).filter(col("text").isNotNull)
+    val lowWords = filter(split(trim(org.apache.spark.sql.functions.lower(col("text"))),
+      LineWs), x => x =!= lit(""))
+    val base = d
+      .select(col("doc_id"), lowWords.as("ws"),
+        length(regexp_replace(col("text"), LineWs, "")).cast("long").as("word_chars"))
+      .filter(size(col("ws")) > 0)
+    // line census per doc: counts and characters of exact raw lines
+    val lineAgg = d
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("line")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_lines"),
+        count(lit(1)).as("n_distinct_lines"),
+        sum(col("cnt") * col("len")).as("line_chars"),
+        sum(when(col("cnt") > 1, col("cnt") * col("len")).otherwise(0L))
+          .as("dup_line_chars"))
+    // per (doc, n): the maximum character coverage of any word n-gram
+    def topGramCover(n: Int): DataFrame = base
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> array_join(slice(ws, i, $n), chr(1)))")).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt") * (length(col("g")) - lit(n - 1))).as(s"cover$n"))
+    val joined = base.select(col("doc_id"), col("word_chars"))
+      .join(lineAgg, Seq("doc_id"), "left")
+      .join(topGramCover(2), Seq("doc_id"), "left")
+      .join(topGramCover(3), Seq("doc_id"), "left")
+      .join(topGramCover(4), Seq("doc_id"), "left")
+    def frac(num: Column, den: Column): Column =
+      coalesce(num, lit(0L)).cast("double") / den.cast("double")
+    val dupLine = lit(1.0) - col("n_distinct_lines").cast("double") / col("n_lines").cast("double")
+    val dupLineChar = when(col("line_chars") > 0L,
+      frac(col("dup_line_chars"), col("line_chars"))).otherwise(lit(0.0))
+    val t2 = frac(col("cover2"), col("word_chars"))
+    val t3 = frac(col("cover3"), col("word_chars"))
+    val t4 = frac(col("cover4"), col("word_chars"))
+    joined.select(col("doc_id"),
+      col("n_lines"),
+      round(dupLine, 6).as("dup_line_frac"),
+      round(dupLineChar, 6).as("dup_line_char_frac"),
+      round(t2, 6).as("top2gram_char_frac"),
+      round(t3, 6).as("top3gram_char_frac"),
+      round(t4, 6).as("top4gram_char_frac"),
+      (dupLine <= 0.30 && dupLineChar <= 0.20 &&
+        t2 <= 0.20 && t3 <= 0.18 && t4 <= 0.16).as("repetition_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The deterministic planted fixture for [[c4LineFilters]]: the
     * sf-corpus documents are single-line and punctuation-free, so the
     * corpus alone exercises exactly one rule branch; these literal

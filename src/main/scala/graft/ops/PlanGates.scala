@@ -175,7 +175,13 @@ object PlanGates {
       p => !p.contains("Join") && !p.contains("HashAggregate")),
     ("c4_filters_single_agg_no_join", "c4_line_filters",
       p => !p.contains("Join") && !p.contains("Window") &&
-        p.contains("HashAggregate")))
+        p.contains("HashAggregate")),
+    // the repetition battery's line/gram tiers aggregate on
+    // (doc_id, key) — partial-merged, bounded by each doc's own
+    // content — and rejoin per-doc as hash equi-joins; a window over
+    // the gram key (the viral-boilerplate trap) must never appear
+    ("gopher_repetition_no_window", "gopher_repetition_flags",
+      p => !p.contains("Window") && hashJoinsNoCartesian(p)))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */

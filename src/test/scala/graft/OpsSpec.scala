@@ -543,7 +543,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("embedding outlier screen: z-scores centered per cell, planted outlier flagged") {
     import spark.implicits._
     val rows = Similarity.embeddingOutliers(spark, sfDir).collect()
-    assert(rows.length == 500)
+    assert(rows.length == 510)
     rows.foreach { r =>
       assert(java.lang.Double.isFinite(r.getDouble(4)), "z finite")
       assert(r.getBoolean(5) ==
@@ -2531,7 +2531,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("plan gates: every plan-shape verdict holds") {
     val rows = graft.ops.PlanGates.planGates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
-    assert(rows.length == 50)
+    assert(rows.length == 51)
     val failed = rows.filterNot(_._2).map(_._1)
     assert(failed.isEmpty, s"plan-shape regressions: ${failed.mkString(", ")}")
   }
@@ -4896,6 +4896,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.toMap
       assert(gotC == refC, s"c4 mismatch at seed $seed: " +
         s"${(gotC.toSet diff refC.toSet).take(3)} vs ${(refC.toSet diff gotC.toSet).take(3)}")
+
+      // ---- independent Gopher-repetition reference
+      val gotR = graft.ops.Curation.gopherRepetitionFlags(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)))).toMap
+      val refR = docs.filter(d => words(d._2).nonEmpty).map { case (id, t) =>
+        val lines = t.split("\n", -1).toSeq
+        val lc = lines.groupBy(identity).toSeq
+          .map { case (l, os) => (l.length.toLong, os.size.toLong) }
+        val nLines = lines.size.toLong
+        val lineChars = lc.map { case (len, cnt) => len * cnt }.sum
+        val dupChars = lc.collect { case (len, cnt) if cnt > 1 => len * cnt }.sum
+        val w = words(t)
+        val wordChars = t.replaceAll(ws, "").length.toLong
+        def cover(n: Int): Long =
+          if (w.size < n) 0L
+          else w.sliding(n).toSeq.map(_.mkString("\u0001"))
+            .groupBy(identity).map { case (g, os) =>
+              os.size.toLong * (g.length - (n - 1)) }.max
+        val dupLine = 1.0 - lc.size.toDouble / nLines
+        val dupLineChar = if (lineChars > 0) dupChars.toDouble / lineChars else 0.0
+        val (t2, t3, t4) = (cover(2).toDouble / wordChars,
+          cover(3).toDouble / wordChars, cover(4).toDouble / wordChars)
+        val keep = dupLine <= 0.30 && dupLineChar <= 0.20 &&
+          t2 <= 0.20 && t3 <= 0.18 && t4 <= 0.16
+        id -> ((nLines, r6(dupLine), r6(dupLineChar), r6(t2), r6(t3), r6(t4), keep))
+      }.toMap
+      assert(gotR == refR, s"repetition mismatch at seed $seed: " +
+        s"${(gotR.toSet diff refR.toSet).take(3)} vs ${(refR.toSet diff gotR.toSet).take(3)}")
     }
   }
 
