@@ -543,7 +543,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("embedding outlier screen: z-scores centered per cell, planted outlier flagged") {
     import spark.implicits._
     val rows = Similarity.embeddingOutliers(spark, sfDir).collect()
-    assert(rows.length == 510)
+    assert(rows.length == 500)
     rows.foreach { r =>
       assert(java.lang.Double.isFinite(r.getDouble(4)), "z finite")
       assert(r.getBoolean(5) ==
@@ -654,6 +654,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.ScalePatterns.clearCaches()
     graft.ops.Multimodal.clearCaches()
     graft.ops.SketchStreamGates.clearCaches()
+    graft.ops.Curation.clearCaches()
     val after = (
       graft.ops.Dedup.dupClusters(spark, sfDir).collect().toSeq,
       graft.ops.Dedup.semanticDedup(spark, sfDir).collect().toSeq,
@@ -4842,7 +4843,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           decorated
         }
         (id, lines.mkString("\n"))
-      } :+ ((41L, "")) :+ ((42L, " \t\n ")) // empty + whitespace-only docs
+      } :+ ((41L, "")) :+ ((42L, " \t\n ")) :+
+        ((43L, null: String)) // empty + whitespace-only + null docs
       val dir = java.nio.file.Files.createTempDirectory(s"graft-filtprop$seed").toString
       docs.toDF("doc_id", "text")
         .select(col("doc_id"), col("text"), lit("en").as("lang"),
@@ -4858,7 +4860,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(_.getLong(0) < 9000000L)
         .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4), r.getDouble(5),
           r.getDouble(6), r.getLong(7), r.getBoolean(8)))).toMap
-      val refG = docs.filter(d => words(d._2).nonEmpty).map { case (id, t) =>
+      val refG = docs.filter(d => d._2 != null && words(d._2).nonEmpty).map { case (id, t) =>
         val w = words(t)
         val n = w.size.toDouble
         val wordChars = t.replaceAll(ws, "").length.toDouble
@@ -4888,7 +4890,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(_.getLong(0) < 9000000L)
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
-      val refC = docs.map { case (id, t) =>
+      val refC = docs.filter(_._2 != null).map { case (id, t) =>
         val cs = t.split("\n", -1).toSeq.map(cls)
         def c(k: String) = cs.count(_ == k).toLong
         id -> ((cs.size.toLong, c("kept"), c("short"), c("no_punct"),
@@ -4901,7 +4903,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val gotR = graft.ops.Curation.gopherRepetitionFlags(spark, dir).collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
           r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)))).toMap
-      val refR = docs.filter(d => words(d._2).nonEmpty).map { case (id, t) =>
+      val refR = docs.filter(d => d._2 != null && words(d._2).nonEmpty).map { case (id, t) =>
         val lines = t.split("\n", -1).toSeq
         val lc = lines.groupBy(identity).toSeq
           .map { case (l, os) => (l.length.toLong, os.size.toLong) }
