@@ -32,6 +32,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // window-quality calibration: a fixed single-threaded spin loop
+    // timed before and after the passes. Its nominal cost is a machine
+    // constant, so the measured ms quantify hypervisor steal DIRECTLY
+    // — independent of any query — letting a reader normalize totals
+    // across windows mechanically instead of inferring from raw−min.
+    def spinMs(): Double = {
+      var x = 0x9e3779b97f4a7c15L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 800000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    val spinBefore = spinMs()
     val firstPass = SparkEntry.queries.map { case (name, fn) => name -> timeOne(fn) }
     // this VM sees bursty hypervisor CPU steal: a burst can tax whichever
     // query happens to be running by 5-10×. A threshold-gated retime
@@ -69,7 +82,8 @@ object Bench {
     // clock attributable to hypervisor-steal bursts rather than plan
     // cost. Judges compare `value` (minima) across rounds and read
     // `steal_estimate` to see how noisy the window was.
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","stat":"min_of_2","raw_total":${r4(rawTotal)},"steal_estimate":${r4(rawTotal - total)}}""")
+    val spinAfter = spinMs()
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","stat":"min_of_2","raw_total":${r4(rawTotal)},"steal_estimate":${r4(rawTotal - total)},"spin_ms_before":${r4(spinBefore)},"spin_ms_after":${r4(spinAfter)}}""")
     // The driver's artifact keeps only the last ~2000 bytes of stdout —
     // ~74 of 243 per-query times survive, so round-over-round per-query
     // diffing was blind to two thirds of the suite. The COMPLETE
@@ -79,6 +93,7 @@ object Bench {
     fileBody ++= "{\n"
     fileBody ++= s""" "sf": "$sfDir", "stat": "min_of_2", "n_queries": ${results.size},\n"""
     fileBody ++= s""" "total": ${r4(total)}, "raw_total": ${r4(rawTotal)}, "steal_estimate": ${r4(rawTotal - total)},\n"""
+    fileBody ++= s""" "spin_ms_before": ${r4(spinBefore)}, "spin_ms_after": ${r4(spinAfter)},\n"""
     fileBody ++= " \"queries\": {\n"
     fileBody ++= results.toSeq.sortBy(_._1).map { case (k, (best, first, _)) =>
       s"""  "$k": {"min": ${r4(best)}, "first": ${r4(first)}}"""
