@@ -655,6 +655,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.Multimodal.clearCaches()
     graft.ops.SketchStreamGates.clearCaches()
     graft.ops.Curation.clearCaches()
+    graft.engine.Conformal.clearCaches()
     val after = (
       graft.ops.Dedup.dupClusters(spark, sfDir).collect().toSeq,
       graft.ops.Dedup.semanticDedup(spark, sfDir).collect().toSeq,
