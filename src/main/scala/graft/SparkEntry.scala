@@ -742,6 +742,10 @@ object SparkEntry {
     // its 100 TB path: pair scan blocked by the cached KMeans cell
     "semantic_dedup_ivf" -> ((s, dir) => Dedup.semanticDedupIvf(s, dir)),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    // contrastive-training consumer: per-anchor top-k SEMI-HARD
+    // negatives — cosine in [0.15, 0.40): informative but below the
+    // semantic near-dup threshold; ranked hardest-first
+    "hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "hybrid_search" -> ((s, dir) => Similarity.hybridSearch(s, dir)),
     "label_knn_accuracy" -> ((s, dir) => Similarity.labelKnnAccuracy(s, dir)),
     // rows-only: driver eigensolve on the d×d Gram partials;
@@ -2980,6 +2984,28 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim_raw DESC, other_id ASC) AS rank
         |  FROM pairs)
         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // same dot/norm arithmetic as cosine_topk; the band predicate runs
+    // on the UNROUNDED cosine in both engines
+    "hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS other_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm) AS sim_raw
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |banded AS (
+        |  SELECT vec_id, other_id, sim_raw FROM pairs
+        |  WHERE sim_raw >= CAST(0.15 AS DOUBLE) AND sim_raw < CAST(0.40 AS DOUBLE))
+        |SELECT vec_id AS anchor_id, CAST(rank AS BIGINT) AS rank,
+        |  other_id AS negative_id, round(sim_raw, 4) AS sim
+        |FROM (
+        |  SELECT vec_id, other_id, sim_raw,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim_raw DESC, other_id ASC) AS rank
+        |  FROM banded)
+        |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
     // additivity identity: the recomposed STL must equal the raw series
     "stl_recompose" ->
       s"WITH $obsCte SELECT element, step, round(value, 4) AS y_rec FROM obs ORDER BY element, step",

@@ -77,6 +77,41 @@ object Similarity {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else cosineTopKDirect(spark, sfDir, k, queryPred)
 
+  /** Hard-negative mining for contrastive training — per anchor, the
+    * top-k SEMI-HARD negatives: neighbors whose cosine lies in
+    * [lo, hi), ranked hardest (most similar) first. The band is the
+    * op's semantics: ≥ hi is the near-duplicate regime
+    * ([[graft.ops.Dedup.semanticDedup]]'s 0.40 threshold — a positive
+    * candidate, poison as a negative), below lo the pair is so
+    * unrelated the gradient signal is noise (this corpus's pairwise
+    * cosine is median ≈ 0, p95 ≈ 0.21). Emitting the rank lets a
+    * curriculum consume "hardest first".
+    *
+    * Exact tier rides [[cosineTopK]]'s broadcast-scored plan (vectors
+    * never shuffle; the band filter runs before the per-anchor rank
+    * window so the window sorts only in-band rows). The 100 TB path is
+    * the same band filter over [[ivfTopK]]'s cell-blocked candidates —
+    * semi-hard neighbors are by construction NEAR neighbors, exactly
+    * what the IVF probe surfaces. Band comparisons use the UNROUNDED
+    * cosine (one IEEE expression shared with the oracle), so membership
+    * cannot flip between engines. */
+  def hardNegatives(spark: SparkSession, sfDir: String, k: Int = 5,
+      lo: Double = 0.15, hi: Double = 0.40): DataFrame = {
+    val e = emb(spark, sfDir)
+    val a = e.repartition(col("vec_id")).select(col("vec_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("other_id"), col("v").as("vb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
+    a.join(broadcast(b), col("vec_id") =!= col("other_id"))
+      .withColumn("sim_raw", graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
+      .filter(col("sim_raw") >= lo && col("sim_raw") < hi)
+      .select(col("vec_id"), col("other_id"), col("sim_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id").as("anchor_id"), col("rank").cast("long").as("rank"),
+        col("other_id").as("negative_id"), round(col("sim_raw"), 4).as("sim"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
   private def cosineTopKDirect(spark: SparkSession, sfDir: String, k: Int,
       queryPred: Option[org.apache.spark.sql.Column]): DataFrame = {
     val e = emb(spark, sfDir)

@@ -4818,6 +4818,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sf corpus lines are punctuation-free => all no_punct")
   }
 
+  test("hard negatives: band membership, hardest-first contiguous ranks, dup-regime excluded") {
+    val rows = Similarity.hardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byAnchor = rows.groupBy(_.getLong(0))
+    byAnchor.foreach { case (a, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"ranks contiguous for anchor $a")
+      val sims = sorted.map(_.getDouble(3))
+      assert(sims.sameElements(sims.sorted.reverse), s"hardest-first for $a")
+      sims.foreach(s => assert(s >= 0.1499 && s < 0.4001, s"band: $s"))
+      sorted.foreach(r => assert(r.getLong(2) != a, "a vector is not its own negative"))
+      assert(sorted.length <= 5)
+    }
+    // independent reference: brute-force the band + rank in plain Scala
+    // for three anchors and demand the exact same (negative, rank) list
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    byAnchor.keys.take(3).foreach { a =>
+      val ref = vecs.toSeq.filter(_._1 != a)
+        .map { case (id, v) => (id, cos(vecs(a), v)) }
+        .filter { case (_, s) => s >= 0.15 && s < 0.40 }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      val got = byAnchor(a).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      assert(got == ref, s"anchor $a: $got vs $ref")
+    }
+  }
+
   test("Gopher + C4 property: random mixed corpora match independent references") {
     import spark.implicits._
     val ws = "[ \t\n\f\r]+"
