@@ -746,6 +746,10 @@ object SparkEntry {
     // negatives — cosine in [0.15, 0.40): informative but below the
     // semantic near-dup threshold; ranked hardest-first
     "hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
+    // rows-only (seeded KMeans): the 100 TB cell-blocked path for the
+    // band miner; per-anchor agreement vs the exact tier gated >= 0.9
+    // at BOTH scales in OpsSpec (measured 0.9948 / 0.9201)
+    "hard_negatives_ivf" -> ((s, dir) => Similarity.hardNegativesIvf(s, dir)),
     "hybrid_search" -> ((s, dir) => Similarity.hybridSearch(s, dir)),
     "label_knn_accuracy" -> ((s, dir) => Similarity.labelKnnAccuracy(s, dir)),
     // rows-only: driver eigensolve on the d×d Gram partials;

@@ -112,6 +112,42 @@ object Similarity {
       .orderBy(col("anchor_id"), col("rank"))
   }
 
+  /** The 100 TB path for [[hardNegatives]]: the identical band + rank
+    * over [[ivfCandidates]]'s cell-blocked multiprobe pairs instead of
+    * the all-pairs broadcast scan. Semi-hard negatives are by
+    * construction NEAR neighbors, which is exactly the population the
+    * IVF probe surfaces — but the band's lower edge sits farther from
+    * the anchor than top-k recall's, so its per-anchor agreement with
+    * the exact tier is measured and gated in OpsSpec rather than
+    * assumed from the recall@5 gates. Same candidate cache, same
+    * pinned-broadcast vector attach, same (id, id, double) shuffle
+    * shape as [[ivfTopK]]. */
+  def hardNegativesIvf(spark: SparkSession, sfDir: String, k: Int = 5,
+      lo: Double = 0.15, hi: Double = 0.40,
+      nlist: Int = 0, nprobe: Int = 12): DataFrame = {
+    val q = coarseQuantizer(spark, sfDir, nlist) match {
+      case Some(cq) => cq
+      case None => return emptyTopK(emb(spark, sfDir))
+        .select(col("vec_id").as("anchor_id"), col("rank"),
+          col("other_id").as("negative_id"), col("sim"))
+    }
+    val cand = ivfCandidates(spark, sfDir, nlist, nprobe)
+    val va = broadcast(q.assigned.select(col("vec_id"), col("v").as("va")))
+    val vb = broadcast(q.assigned.select(col("vec_id").as("other_id"), col("v").as("vb")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
+    cand
+      .join(va, "vec_id")
+      .join(vb, "other_id")
+      .withColumn("sim_raw", graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
+      .filter(col("sim_raw") >= lo && col("sim_raw") < hi)
+      .select(col("vec_id"), col("other_id"), col("sim_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id").as("anchor_id"), col("rank").cast("long").as("rank"),
+        col("other_id").as("negative_id"), round(col("sim_raw"), 4).as("sim"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
   private def cosineTopKDirect(spark: SparkSession, sfDir: String, k: Int,
       queryPred: Option[org.apache.spark.sql.Column]): DataFrame = {
     val e = emb(spark, sfDir)

@@ -4853,6 +4853,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hard negatives IVF path: per-anchor agreement with the exact band tier") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.hardNegatives(spark, sfDir))
+    val ivf = pairs(Similarity.hardNegativesIvf(spark, sfDir))
+    assert(exact.nonEmpty)
+    val agree = ivf.intersect(exact).size.toDouble / exact.size
+    info(f"hard-negative IVF agreement at sf0.001: $agree%.4f (${ivf.size} ivf vs ${exact.size} exact)")
+    assert(agree >= 0.9, f"IVF semi-hard agreement $agree%.4f below the 0.9 gate")
+    // and at sf0.1 — the regime where cells multiply (auto nlist 45)
+    // and a boundary-crossing band pair has real chances to be missed
+    val dir01 = "/root/testdata/sf0.1"
+    if (new java.io.File(dir01).isDirectory) {
+      val exact01 = pairs(Similarity.hardNegatives(spark, dir01))
+      val ivf01 = pairs(Similarity.hardNegativesIvf(spark, dir01))
+      val agree01 = ivf01.intersect(exact01).size.toDouble / exact01.size
+      info(f"hard-negative IVF agreement at sf0.1: $agree01%.4f (${exact01.size} exact)")
+      assert(agree01 >= 0.9, f"IVF semi-hard agreement $agree01%.4f below the 0.9 gate at sf0.1")
+    }
+  }
+
   test("Gopher + C4 property: random mixed corpora match independent references") {
     import spark.implicits._
     val ws = "[ \t\n\f\r]+"
