@@ -571,7 +571,12 @@ object SoakSf1 {
         "user_sessions", "stream_sessions", "winnow_fingerprints",
         "bm25_search", "line_dedup_clean", "simhash_hamming_pairs",
         "snm_candidates", "bpe_merges_batched", "ngram_novelty",
-        "fuzzy_key_pairs", "stream_heavy_hitters")
+        "fuzzy_key_pairs", "stream_heavy_hitters",
+        // round-12 additions: the gram-exploding repetition battery and
+        // the cell-blocked band miner (rides the shared IVF candidate
+        // cache; its exact all-pairs twin is deliberately absent — the
+        // same exactness exemption as embedding_near_dup)
+        "gopher_repetition_flags", "hard_negatives_ivf")
       // ---- scaling_gates (round-12): the ratios are ENFORCED, not
       // reported — a 10x corpus may cost at most ~1.2x-linear (ceiling
       // 12), except LSH whose multiprobe schedule grows log n BY DESIGN
