@@ -2222,7 +2222,7 @@ object SparkEntry {
       """WITH seeded AS (
         |  SELECT doc_id, text, lang, source, n_chars FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text, lang,
+        |  SELECT doc_id + 2199023255552 AS doc_id, text, lang,
         |    'planted_mirror' AS source, n_chars
         |  FROM documents WHERE doc_id % 97 = 3)
         |SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -3085,7 +3085,7 @@ object SparkEntry {
       """WITH seeded AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  SELECT doc_id + 2199023255552 AS doc_id, text
         |  FROM documents WHERE doc_id % 97 = 3),
         |m AS (
         |  SELECT doc_id, COALESCE(text, '') AS txt, length(COALESCE(text, '')) AS len
@@ -3799,7 +3799,7 @@ object SparkEntry {
       """WITH seeded AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  SELECT doc_id + 2199023255552 AS doc_id, text
         |  FROM documents WHERE doc_id % 97 = 3),
         |l AS (
         |  SELECT doc_id,
@@ -4756,12 +4756,12 @@ object SparkEntry {
       """WITH seeded AS (
         |  SELECT doc_id, text, source FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text,
+        |  SELECT doc_id + 2199023255552 AS doc_id, text,
         |    'planted_mirror' AS source
         |  FROM documents WHERE doc_id % 97 = 3),
         |g AS (
         |  SELECT doc_id, source,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm
         |  FROM seeded)
         |SELECT least(a.source, b.source) AS source_a,
         |  greatest(a.source, b.source) AS source_b,

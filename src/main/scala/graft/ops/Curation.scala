@@ -16,9 +16,15 @@ object Curation {
   /** The line-identity whitespace class, spelled out rather than \s:
     * Java regex \s = [ \t\n\x0B\f\r] but RE2 (DuckDB) \s has no \x0B,
     * so a document containing a vertical tab would get a DIFFERENT
-    * dedup identity in each engine. Both the ops here and their DuckDB
-    * oracles (SparkEntry.oracleSql) use this exact class — \t/\n/\x0B/
-    * \f/\r are regex escapes both engines parse identically. */
+    * dedup identity in each engine. Every op whose output is an
+    * IDENTITY (line dedup, the source_overlap fingerprint, the Gopher/
+    * C4 batteries) uses this exact class in BOTH engines — \t/\n/\x0B/
+    * \f/\r are regex escapes both parse identically. Token-COUNT ops
+    * (mixture/packing/zipf word splits) still use \s+ on both sides: a
+    * \x0B there shifts a count by one in one engine, a benign, corpus-
+    * absent divergence, where an identity split is a wrong dedup
+    * class; migrating them is deliberate per-op work, not a blanket
+    * rewrite. */
   private[graft] final val LineWs = "[ \\t\\n\\x0B\\f\\r]+"
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -129,7 +135,11 @@ object Curation {
     sourceOverlap(Dedup.seededDocs(spark, sfDir))
 
   def sourceOverlap(docFrame: DataFrame): DataFrame = {
-    val fp = xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    // the explicit class, not \s: this is a seeded DRIVER GATE, so a
+    // \x0B-bearing doc normalizing differently in the two engines
+    // would false-fail the round (the line-identity lesson applied to
+    // the fingerprint identity)
+    val fp = xxhash64(regexp_replace(lower(trim(col("text"))), LineWs, " "))
     val cnt = docFrame
       .select(col("source"), fp.as("fp"))
       .groupBy(col("fp"), col("source"))
@@ -737,8 +747,7 @@ object Curation {
     "the quick brown fox jumps over the lazy dog and runs to the edge of the field with great joy " * 3
 
   private def gopherQualityFlags(docFrame: DataFrame): DataFrame = {
-    val words = filter(split(trim(org.apache.spark.sql.functions.lower(col("text"))), LineWs),
-      x => x =!= lit(""))
+    val words = col("ws")
     val nWords = size(words).cast("long")
     // total word chars = text with ALL whitespace removed (same class)
     val wordChars = length(regexp_replace(col("text"), LineWs, "")).cast("long")
@@ -754,12 +763,16 @@ object Curation {
       .cast("long")
     docFrame
       .filter(col("text").isNotNull)
+      // tokenize ONCE: the zero-word guard and every word-derived
+      // signal read the same materialized array, so each document pays
+      // one regex split on this scan-bound map stage, not two
+      .withColumn("ws", filter(split(trim(org.apache.spark.sql.functions.lower(col("text"))),
+        LineWs), x => x =!= lit("")))
       // zero-word documents have no defined signals (every ratio is
       // 0/0); excluding them is the contract rather than emitting
       // engine-dependent NaN/NULL — the length filter upstream of any
       // real pipeline drops them anyway
-      .filter(size(filter(split(trim(org.apache.spark.sql.functions.lower(col("text"))),
-        LineWs), x => x =!= lit(""))) > 0)
+      .filter(size(col("ws")) > 0)
       .select(col("doc_id"), col("lang"), col("source"),
         nWords.as("n_words"),
         round(meanLen, 6).as("mean_word_len"),

@@ -26,10 +26,18 @@ object Dedup {
     * Ops that consume the RAW corpus (exact dedup keep-sets, cluster
     * resolution, funnels) are untouched — seeding is per-query scoped,
     * never a corpus mutation. */
+  /** Mirror ids live at doc_id + 2⁴¹: a LOW offset (the original +1e6)
+    * collides with genuine ids on any ≥1M-doc corpus — exactly the
+    * scale these gates claim to design for — silently merging a mirror
+    * with an unrelated real document in a way the oracle (which replays
+    * the same arithmetic) could never detect. 2⁴¹ leaves headroom for
+    * ~2.2e12 real documents while staying well inside Long. */
+  private[ops] val MirrorOffset: Long = 1L << 41
+
   private[ops] def seededDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     d.unionByName(d.filter(col("doc_id") % 97 === 3)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"),
+      .select((col("doc_id") + MirrorOffset).as("doc_id"), col("text"), col("lang"),
         lit("planted_mirror").as("source"), col("n_chars")))
   }
 
