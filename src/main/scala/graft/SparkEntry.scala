@@ -457,6 +457,24 @@ object SparkEntry {
       s.sql(sql)
     }
 
+  /** SEEDED-ROW CONTRACT for registered surfaces. A handful of queries
+    * (dup_groups, media_near_dup, boilerplate_lines, source_overlap,
+    * gopher_quality_flags, c4_line_filters, contamination tiers) run
+    * over the corpus UNION deterministic planted rows so the driver's
+    * per-round hash check exercises real grouping/joining logic even at
+    * a scale with no natural duplicates — otherwise each gate would be
+    * 0-row-vacuous (the round-11 finding). The planted rows are
+    * mechanically identifiable and a non-gate consumer filters them out
+    * by EITHER tag:
+    *   - `source IN ('planted_mirror', 'planted_fixture')` where the
+    *     source column survives the query, or
+    *   - any doc_id ≥ 2⁴¹ (`Dedup.MirrorOffset` = `Curation
+    *     .FixtureIdBase`) — all synthetic ids live above that base, and
+    *     mirror provenance is recoverable as `doc_id − 2⁴¹`.
+    * Every op with a seeded registration also keeps its unseeded public
+    * method (e.g. [[graft.ops.Dedup.exact]], `Multimodal
+    * .mediaNearDupDirect`) — seeding is per-query scoped, never a
+    * corpus mutation. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_star_join" -> ((s, dir) => {
       Seq("orders", "customer", "nation", "region").foreach(t =>
@@ -3856,7 +3874,7 @@ object SparkEntry {
       """WITH seeded AS (
         |  SELECT doc_id, text, lang, source FROM documents
         |  UNION ALL
-        |  SELECT 9000101 AS doc_id,
+        |  SELECT 2199023255653 AS doc_id,
         |    repeat('the quick brown fox jumps over the lazy dog and runs to the edge of the field with great joy ', 3) AS text,
         |    'en' AS lang, 'planted_fixture' AS source),
         |f AS (
@@ -3968,19 +3986,19 @@ object SparkEntry {
         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
         |  FROM documents WHERE text IS NOT NULL),
         |planted(doc_id, line) AS (VALUES
-        |  (9000001, 'This is a perfectly fine sentence with enough words.'),
-        |  (9000001, 'Short line.'),
-        |  (9000001, 'Click here to read our cookie policy now.'),
-        |  (9000001, 'function() { return 42; }'),
-        |  (9000001, 'A line without terminal punctuation here indeed'),
-        |  (9000001, 'Another good sentence that carries more than five words.'),
-        |  (9000002, 'The first of three complete sentences sits here.'),
-        |  (9000002, 'Is this a question with enough words here?'),
-        |  (9000002, 'What a wonderful surprise this truly is!'),
-        |  (9000003, 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'),
-        |  (9000003, 'Enable javascript to continue browsing this site today.'),
-        |  (9000003, 'Read the terms of use before you proceed further.'),
-        |  (9000004, 'He said "the last character is a double quote."')),
+        |  (2199023255553, 'This is a perfectly fine sentence with enough words.'),
+        |  (2199023255553, 'Short line.'),
+        |  (2199023255553, 'Click here to read our cookie policy now.'),
+        |  (2199023255553, 'function() { return 42; }'),
+        |  (2199023255553, 'A line without terminal punctuation here indeed'),
+        |  (2199023255553, 'Another good sentence that carries more than five words.'),
+        |  (2199023255554, 'The first of three complete sentences sits here.'),
+        |  (2199023255554, 'Is this a question with enough words here?'),
+        |  (2199023255554, 'What a wonderful surprise this truly is!'),
+        |  (2199023255555, 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'),
+        |  (2199023255555, 'Enable javascript to continue browsing this site today.'),
+        |  (2199023255555, 'Read the terms of use before you proceed further.'),
+        |  (2199023255556, 'He said "the last character is a double quote."')),
         |lines AS (
         |  SELECT * FROM corpus_lines
         |  UNION ALL SELECT CAST(doc_id AS BIGINT), line FROM planted),

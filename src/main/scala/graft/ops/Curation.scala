@@ -729,10 +729,20 @@ object Curation {
     * use the UNROUNDED ratios: each is one IEEE division of exact
     * integer counts, so the booleans agree bit-for-bit cross-engine;
     * the reported ratios are 6dp-rounded for presentation only. */
+  /** Planted-fixture ids live ABOVE [[Dedup.MirrorOffset]] (2⁴¹), the
+    * same headroom rule as the dedup mirrors: a low literal (the
+    * original 9000101) collides with genuine doc_ids on any ≥9M-doc
+    * corpus, silently merging fixture and real rows — and because the
+    * oracle replays the same literal, the hash check could never see
+    * it. Everything ≥ this base is synthetic by contract; consumers
+    * filtering planted rows out test `doc_id < FixtureIdBase` (or the
+    * `source = 'planted_fixture'` tag where the column survives). */
+  private[graft] val FixtureIdBase: Long = Dedup.MirrorOffset
+
   def gopherQualityFlags(spark: SparkSession, sfDir: String): DataFrame = {
     val base = docs(spark, sfDir)
     val planted = base.sparkSession.range(1)
-      .select(lit(9000101L).as("doc_id"), lit(gopherFixtureText).as("text"),
+      .select(lit(FixtureIdBase + 101L).as("doc_id"), lit(gopherFixtureText).as("text"),
         lit("en").as("lang"), lit("planted_fixture").as("source"),
         length(lit(gopherFixtureText)).cast("long").as("n_chars"))
     gopherQualityFlags(base.unionByName(planted))
@@ -889,20 +899,20 @@ object Curation {
     * phrase) and the SQL oracle carries the identical VALUES list.
     * Planted at the LINE level so neither engine needs multi-line
     * string literals. */
-  private[ops] val c4FixtureLines: Seq[(Long, String)] = Seq(
-    9000001L -> "This is a perfectly fine sentence with enough words.",
-    9000001L -> "Short line.",
-    9000001L -> "Click here to read our cookie policy now.",
-    9000001L -> "function() { return 42; }",
-    9000001L -> "A line without terminal punctuation here indeed",
-    9000001L -> "Another good sentence that carries more than five words.",
-    9000002L -> "The first of three complete sentences sits here.",
-    9000002L -> "Is this a question with enough words here?",
-    9000002L -> "What a wonderful surprise this truly is!",
-    9000003L -> "Lorem ipsum dolor sit amet, consectetur adipiscing elit.",
-    9000003L -> "Enable javascript to continue browsing this site today.",
-    9000003L -> "Read the terms of use before you proceed further.",
-    9000004L -> "He said \"the last character is a double quote.\"")
+  private[graft] val c4FixtureLines: Seq[(Long, String)] = Seq(
+    (FixtureIdBase + 1L) -> "This is a perfectly fine sentence with enough words.",
+    (FixtureIdBase + 1L) -> "Short line.",
+    (FixtureIdBase + 1L) -> "Click here to read our cookie policy now.",
+    (FixtureIdBase + 1L) -> "function() { return 42; }",
+    (FixtureIdBase + 1L) -> "A line without terminal punctuation here indeed",
+    (FixtureIdBase + 1L) -> "Another good sentence that carries more than five words.",
+    (FixtureIdBase + 2L) -> "The first of three complete sentences sits here.",
+    (FixtureIdBase + 2L) -> "Is this a question with enough words here?",
+    (FixtureIdBase + 2L) -> "What a wonderful surprise this truly is!",
+    (FixtureIdBase + 3L) -> "Lorem ipsum dolor sit amet, consectetur adipiscing elit.",
+    (FixtureIdBase + 3L) -> "Enable javascript to continue browsing this site today.",
+    (FixtureIdBase + 3L) -> "Read the terms of use before you proceed further.",
+    (FixtureIdBase + 4L) -> "He said \"the last character is a double quote.\"")
 
   /** C4-rule line filter (Raffel et al. 2020 §2.2): classify every
     * line of every document by its FIRST failing rule in a fixed

@@ -14,8 +14,9 @@ object Dedup {
     spark.read.parquet(s"$sfDir/documents.parquet")
 
   /** The corpus plus DETERMINISTIC planted duplicates: every document
-    * with doc_id ≡ 3 (mod 97) is mirrored under a fresh id (+1e6) and
-    * the synthetic source 'planted_mirror'. The dedup-family driver
+    * with doc_id ≡ 3 (mod 97) is mirrored under a fresh id
+    * (doc_id + [[MirrorOffset]]) and the synthetic source
+    * 'planted_mirror'. The dedup-family driver
     * gates run over this frame so their one hash-checked row per round
     * exercises REAL grouping/joining logic even on a corpus slice with
     * no natural duplicates (the sf0.01 store has none — a census over
@@ -464,6 +465,11 @@ object Dedup {
   def semanticDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.40): DataFrame =
     semanticLabelCache.computeIfAbsent(
       (spark.sparkContext.applicationId, sfDir, threshold, "exact"), _ => {
+        // loud cardinality guard (Similarity.ExactTierMaxRows): the
+        // unblocked pair scan is the verification baseline, not a path
+        // anyone should run on a corpus the IVF tier exists for
+        Similarity.requireExactTier(
+          Similarity.corpusCount(spark, sfDir), "semanticDedup")
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
           // same "not a point in the vector space" rule as Similarity.emb:
           // a null embedding can neither match nor be kept as a survivor

@@ -594,6 +594,15 @@ object NearDup {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+    // the label blocking bounds the pair count at Σ|block|², so the
+    // honest cardinality guard is on the LARGEST block — a corpus whose
+    // biggest label cluster exceeds the exact-tier ceiling needs the
+    // LSH/IVF path regardless of its total size (one cheap aggregate,
+    // same loud-failure contract as Similarity.requireExactTier)
+    val maxBlock = e.groupBy(col("label")).count()
+      .agg(org.apache.spark.sql.functions.max(col("count"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    Similarity.requireExactTier(maxBlock, "embeddingNearDup (largest label block)")
     val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
     val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, Seq("label"))

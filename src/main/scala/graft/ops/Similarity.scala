@@ -69,6 +69,36 @@ object Similarity {
   private val exactTopKCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
 
+  /** Hard ceiling for the exact O(n²) tiers (`cosine_topk`,
+    * `hard_negatives`, `Dedup.semanticDedup`, `NearDup
+    * .embeddingNearDup`'s largest label block). These are by documented
+    * policy the reference baselines the recall/agreement gates compare
+    * against — exempt from scaling ceilings — but nothing stopped a
+    * caller from pointing the all-pairs broadcast join at a 10M-vector
+    * corpus (the round-12 verdict's second caution). 2¹⁷ = 131072 rows
+    * is where the broadcast build side stops being metadata-scale
+    * (131072 × 64-dim × 8 B ≈ 67 MB — the last comfortable broadcast
+    * size) and the pair count (~8.6e9) stops being a baseline anyone
+    * should compute exactly; past it, the IVF/LSH tiers are the
+    * supported path. The check follows `EventAnalytics
+    * .transitionStationary`'s `maxEdges` precedent: loud, mechanical,
+    * and cheap (one cached count per (app, corpus)). */
+  val ExactTierMaxRows: Long = 131072L
+
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  private[ops] def corpusCount(spark: SparkSession, sfDir: String): Long =
+    countCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir),
+      _ => java.lang.Long.valueOf(emb(spark, sfDir).count())).longValue()
+
+  private[ops] def requireExactTier(n: Long, op: String): Unit =
+    require(n <= ExactTierMaxRows,
+      s"$op is the exact O(n^2) baseline tier and refuses $n vectors " +
+        s"(limit ${ExactTierMaxRows}): the all-pairs scan stops being a " +
+        "verification baseline at this scale - use the IVF/LSH tier " +
+        "(ivfTopK / hardNegativesIvf / semanticDedupIvf / lshTopK)")
+
   def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5,
       queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame =
     if (queryPred.isEmpty)
@@ -115,6 +145,7 @@ object Similarity {
   private def hardNegativesDirect(spark: SparkSession, sfDir: String, k: Int,
       lo: Double, hi: Double,
       queryPred: Option[org.apache.spark.sql.Column]): DataFrame = {
+    requireExactTier(corpusCount(spark, sfDir), "hardNegatives")
     val e = emb(spark, sfDir)
     // queryPred narrows the ANCHOR role only (the negative pool stays
     // the full corpus) — the sf1 soak's sampled agreement gate uses it
@@ -155,7 +186,7 @@ object Similarity {
     * both ≥ 0.9 at 20k vectors. */
   def hardNegativesIvf(spark: SparkSession, sfDir: String, k: Int = 5,
       lo: Double = 0.15, hi: Double = 0.40,
-      nlist: Int = 0, nprobe: Int = 12,
+      nlist: Int = 0, nprobe: Int = 0,
       queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val q = coarseQuantizer(spark, sfDir, nlist) match {
       case Some(cq) => cq
@@ -183,6 +214,7 @@ object Similarity {
 
   private def cosineTopKDirect(spark: SparkSession, sfDir: String, k: Int,
       queryPred: Option[org.apache.spark.sql.Column]): DataFrame = {
+    requireExactTier(corpusCount(spark, sfDir), "cosineTopK")
     val e = emb(spark, sfDir)
     val a = queryPred.foldLeft(e)(_.filter(_))
       .repartition(col("vec_id")).select(col("vec_id"), col("v").as("va"))
@@ -736,10 +768,33 @@ object Similarity {
   private val ivfCandCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), DataFrame]()
 
+  /** Probe-schedule auto-tune: `nprobe ≤ 0` resolves to
+    * max(12, ⌈2.5·√nlist⌉). A FIXED nprobe while the auto quantizer
+    * grows nlist as √n shrinks probe coverage as n^(-1/2) — measured as
+    * the hard-negative pair-identity decay to 0.38 at the 20k-vector
+    * soak's 141 cells (12 probes = 8.5% of the space), the first
+    * symptom of the recall cliff the round-12 verdict flagged. Growing
+    * nprobe as √nlist (the same adaptive shape as LSH's
+    * g = ⌈log₂(n/512)⌉) slows coverage shrinkage to n^(-1/4) while
+    * keeping the candidate volume sub-quadratic at
+    * O(n · nprobe/nlist · n) = O(n^(7/4)) under nlist = √n — fixed-
+    * fraction coverage would make the tier O(n²) again, i.e. not an
+    * index. Resolved values: 12 probes at sf0.01 (22 cells — the
+    * historical default, so sf0.01 candidates are bit-identical), 17
+    * at sf0.1 (45 cells, 38% coverage vs the old 27%), 30 at the
+    * 20k-vector soak (141 cells, 21% vs 8.5%), 45 at the 100k soak
+    * tier (316 cells, 14%). Recall@5 ≥ 0.9 is gated at every one of
+    * those scales. */
+  private[ops] def autoNprobe(nlist: Int): Int =
+    math.max(12, math.ceil(2.5 * math.sqrt(nlist.toDouble)).toInt)
+
   /** Full (no query filter) IVF candidate pairs — see [[ivfCandCache]].
-    * Requires a fitted quantizer (caller guards the empty corpus). */
+    * Requires a fitted quantizer (caller guards the empty corpus).
+    * `nprobe ≤ 0` = auto ([[autoNprobe]] of the FITTED nlist). */
   private def ivfCandidates(spark: SparkSession, sfDir: String, nlist: Int,
-      nprobe: Int): DataFrame =
+      nprobe0: Int): DataFrame = {
+    val fitted = coarseQuantizer(spark, sfDir, nlist).get.centroids.length
+    val nprobe = if (nprobe0 > 0) nprobe0 else autoNprobe(fitted)
     ivfCandCache.computeIfAbsent(
       (spark.sparkContext.applicationId, sfDir, math.max(nlist, 0), nprobe), { _ =>
         val q = coarseQuantizer(spark, sfDir, nlist).get
@@ -777,8 +832,9 @@ object Similarity {
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
+  }
 
-  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 0, nprobe: Int = 12,
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 0, nprobe: Int = 0,
       queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val q = coarseQuantizer(spark, sfDir, nlist) match {
       case Some(cq) => cq
@@ -928,7 +984,7 @@ object Similarity {
     * rows-only registration; the `ann_recall_gates` verdict row pins it
     * in the driver's correctness surface. */
   def ivfPqTopK(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 0,
-      nprobe: Int = 12, rerank: Int = 30,
+      nprobe: Int = 0, rerank: Int = 30,
       queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val q = coarseQuantizer(spark, sfDir, nlist) match {
       case Some(cq) => cq

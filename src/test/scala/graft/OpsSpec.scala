@@ -4802,18 +4802,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
         r.getLong(6), r.getBoolean(7))
     }
-    assert(tup(9000001L) == ((6L, 2L, 1L, 1L, 1L, 1L, false)), s"mixed doc: ${tup(9000001L)}")
-    assert(tup(9000002L) == ((3L, 3L, 0L, 0L, 0L, 0L, true)), s"clean doc: ${tup(9000002L)}")
-    assert(tup(9000003L) == ((3L, 0L, 0L, 0L, 0L, 3L, false)), s"badword doc: ${tup(9000003L)}")
-    assert(tup(9000004L) == ((1L, 1L, 0L, 0L, 0L, 0L, false)),
-      s"terminal double-quote keeps the line: ${tup(9000004L)}")
+    assert(tup(graft.ops.Curation.FixtureIdBase + 1L) == ((6L, 2L, 1L, 1L, 1L, 1L, false)), s"mixed doc: ${tup(graft.ops.Curation.FixtureIdBase + 1L)}")
+    assert(tup(graft.ops.Curation.FixtureIdBase + 2L) == ((3L, 3L, 0L, 0L, 0L, 0L, true)), s"clean doc: ${tup(graft.ops.Curation.FixtureIdBase + 2L)}")
+    assert(tup(graft.ops.Curation.FixtureIdBase + 3L) == ((3L, 0L, 0L, 0L, 0L, 3L, false)), s"badword doc: ${tup(graft.ops.Curation.FixtureIdBase + 3L)}")
+    assert(tup(graft.ops.Curation.FixtureIdBase + 4L) == ((1L, 1L, 0L, 0L, 0L, 0L, false)),
+      s"terminal double-quote keeps the line: ${tup(graft.ops.Curation.FixtureIdBase + 4L)}")
     // every line lands in exactly one class; corpus docs are all
     // single-line and punctuation-free so they classify no_punct
     rows.foreach { r =>
       assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4) +
         r.getLong(5) + r.getLong(6), s"partition: $r")
     }
-    val corpus = rows.filter(_.getLong(0) < 9000000L)
+    val corpus = rows.filter(_.getLong(0) < graft.ops.Curation.FixtureIdBase)
     assert(corpus.nonEmpty && corpus.forall(r => r.getLong(4) == r.getLong(1)),
       "sf corpus lines are punctuation-free => all no_punct")
   }
@@ -4914,7 +4914,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val gotG = graft.ops.Curation.gopherQualityFlags(spark, dir).collect()
-        .filter(_.getLong(0) < 9000000L)
+        .filter(_.getLong(0) < graft.ops.Curation.FixtureIdBase)
         .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4), r.getDouble(5),
           r.getDouble(6), r.getLong(7), r.getBoolean(8)))).toMap
       val refG = docs.filter(d => d._2 != null && words(d._2).nonEmpty).map { case (id, t) =>
@@ -4944,7 +4944,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         else "kept"
       }
       val gotC = graft.ops.Curation.c4LineFilters(spark, dir).collect()
-        .filter(_.getLong(0) < 9000000L)
+        .filter(_.getLong(0) < graft.ops.Curation.FixtureIdBase)
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
       val refC = docs.filter(_._2 != null).map { case (id, t) =>
@@ -4990,11 +4990,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("Gopher flags: planted doc passes every rule, corpus fails on stopword diversity") {
     val rows = graft.ops.Curation.gopherQualityFlags(spark, sfDir).collect()
     val byId = rows.map(r => r.getLong(0) -> r).toMap
-    val p = byId(9000101L)
+    val p = byId(graft.ops.Curation.FixtureIdBase + 101L)
     assert(p.getLong(3) == 60L, s"planted n_words: ${p.getLong(3)}")
     assert(p.getLong(7) == 5L, s"planted distinct stop hits: ${p.getLong(7)}")
     assert(p.getBoolean(8), "planted doc must pass all five Gopher rules")
-    val corpus = rows.filter(_.getLong(0) < 9000000L)
+    val corpus = rows.filter(_.getLong(0) < graft.ops.Curation.FixtureIdBase)
     assert(corpus.nonEmpty)
     corpus.foreach { r =>
       assert(r.getLong(7) <= 1L, "synthetic vocabulary carries at most 'the'")
