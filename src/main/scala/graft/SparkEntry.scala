@@ -573,6 +573,16 @@ object SparkEntry {
     // optimizer internals aren't SQL-expressible; coverage is gated in
     // CalibrationSpec, structure (nesting/finiteness/centers) in OpsSpec
     "fc_conformal_fit" -> ((s, dir) => graft.engine.Conformal.conformalFit(s, dir)),
+    // the other SEVEN reference methods' conformal bands (rows-only —
+    // optimizer internals aren't SQL; coverage is the hash-checked
+    // gate below); shares the session-cached ten-method table
+    "fc_conformal_ext" -> ((s, dir) => graft.engine.Conformal.conformalFitExt(s, dir)),
+    // prequential out-of-sample coverage of the 80/95% conformal bands
+    // for ALL TEN reference methods, pooled over (element, step,
+    // held-out origin) — literal-TRUE verdict oracle, so a calibration
+    // regression fails the driver harness, not just sbt test
+    "conformal_coverage_gates" -> ((s, dir) =>
+      graft.engine.Conformal.conformalCoverageGates(s, dir)),
     // 2-level hierarchy: bottom-up sum of leaf DRIFT forecasts vs the
     // direct total DRIFT forecast + per-step coherence gap
     "fc_hierarchical" -> ((s, dir) => graft.engine.Conformal.hierarchicalDrift(s, dir)),
@@ -2881,6 +2891,13 @@ object SparkEntry {
     "sketch_stream_gates" ->
       ("SELECT * FROM (VALUES " +
         graft.ops.SketchStreamGates.Metrics.sorted
+          .map(m => s"('$m', TRUE)").mkString(", ") +
+        ") AS t(metric, ok) ORDER BY metric"),
+    // literal-TRUE verdict oracle from the same metric list the query
+    // emits (the sketch_stream_gates discipline)
+    "conformal_coverage_gates" ->
+      ("SELECT * FROM (VALUES " +
+        graft.engine.Conformal.CoverageGateMetrics.sorted
           .map(m => s"('$m', TRUE)").mkString(", ") +
         ") AS t(metric, ok) ORDER BY metric"),
     "ann_recall_gates" ->

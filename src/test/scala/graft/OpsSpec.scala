@@ -1469,6 +1469,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("conformal ext + coverage gates: all ten reference methods banded, every gate ok") {
+    // the extension surface carries exactly the seven non-fc_conformal_fit
+    // reference methods, full step grids, nested finite bands
+    val ext = graft.engine.Conformal.conformalFitExt(spark, sfDir).collect()
+    val extMethods = ext.map(_.getString(1)).distinct.sorted.toSeq
+    assert(extMethods == Seq("CONFORMAL_ARIMA_FORCE_SEASONALITY",
+      "CONFORMAL_BAGGEDETS", "CONFORMAL_ETSDAMPED", "CONFORMAL_HYBRID",
+      "CONFORMAL_NN", "CONFORMAL_PROPHET", "CONFORMAL_STL"), s"methods: $extMethods")
+    ext.groupBy(r => (r.getString(0), r.getString(1))).foreach { case ((el, m), rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to 14L).toSeq,
+        s"($el, $m): steps ${rs.map(_.getLong(2)).sorted.toSeq}")
+    }
+    ext.foreach { r =>
+      val vals = (3 to 7).map(r.getDouble)
+      assert(vals.forall(java.lang.Double.isFinite), s"non-finite band: $r")
+      val Seq(l1, l2, m, u1, u2) = vals
+      assert(l2 <= l1 && l1 <= m && m <= u1 && u1 <= u2, s"band nesting violated: $r")
+    }
+    // the driver-facing verdict: 10 methods x 2 bands + the
+    // completeness row, every ok TRUE on the real store
+    val gates = graft.engine.Conformal.conformalCoverageGates(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1))
+    assert(gates.length == 21, s"gate rows: ${gates.length}")
+    assert(gates.map(_._1).sorted.toSeq ==
+      graft.engine.Conformal.CoverageGateMetrics.sorted, "metric list drift")
+    val bad = gates.filter(!_._2)
+    assert(bad.isEmpty, s"coverage gates failing: ${bad.map(_._1).toSeq}")
+  }
+
   test("closedBands: freq >= n omits SNAIVE instead of indexing an empty score array") {
     // every seasonal lag falls before the series start -> zero SNAIVE
     // scores; the family must be skipped (mirroring the oracle's inner
