@@ -155,6 +155,91 @@ object SoakSf1 {
     }
   }
 
+  /** IVF cell-balance ceiling: max cell occupancy over mean occupancy
+    * across ALLOCATED cells. KMeans on the manifold corpus measures
+    * ~3-5; a degenerate quantizer (all mass in few cells — the IVF
+    * analogue of join skew) blows far past it (all-in-one-cell = nlist
+    * ≈ 141-316 here). 8 leaves honest fit-to-fit variance headroom
+    * without admitting a hot-cell latency cliff. */
+  val CellBalanceCeiling = 8.0
+
+  private def cellBalanceGate(spark: SparkSession, corpusDir: String,
+      label: String): Boolean = {
+    val rows = graft.ops.Similarity.cellBalanceReport(spark, corpusDir).collect()
+    if (rows.isEmpty) return false
+    val r = rows.head
+    val ratio = r.getAs[Double]("balance_ratio")
+    println(f"[soak] $label: ${r.getAs[Long]("n_cells")} cells, " +
+      f"${r.getAs[Long]("n_occupied")} occupied, max ${r.getAs[Long]("max_occ")}, " +
+      f"mean ${r.getAs[Double]("mean_occ")}%.1f, ratio $ratio%.2f (ceiling $CellBalanceCeiling)")
+    r.getAs[Long]("n_occupied") > 0 && ratio <= CellBalanceCeiling
+  }
+
+  /** 100k-vector ANN tier (round-13): the auto-scaled probe schedule
+    * under test where it matters — 316 cells, autoNprobe = 45 (14%
+    * coverage; the FIXED nprobe = 12 this replaced would cover 3.8%).
+    * Gates are SAMPLED (1/50 anchors — 2000 queries against the full
+    * 100k pool): the exact references run as predicate-pushed
+    * broadcast scans and the IVF side builds a sampled UNCACHED
+    * candidate plan (the full 100k pair table is ~2.8e9 pairs and must
+    * never materialize for a gate). Same three contracts as the 20k
+    * tier: top-k recall, mined-negative hardness + slot fill, and the
+    * quantizer's cell balance. */
+  private def timedAnn100kTier(spark: SparkSession, dir: String): Seq[(String, Boolean)] = {
+    import spark.implicits._
+    val annDir = s"$dir/ann100k"
+    val vecsPath = s"$annDir/embeddings.parquet"
+    if (!new java.io.File(vecsPath, "_SUCCESS").isFile) {
+      spark.range(100000L).as[Long].map { id =>
+        (id, embedding(id), (id % 10).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(vecsPath)
+    }
+    def timed[A](name: String)(f: => A): A = {
+      val s = System.nanoTime()
+      val r = f
+      println(f"[soak] $name%-32s ${(System.nanoTime() - s) / 1e9}%7.1f s")
+      r
+    }
+    val sample = Some(col("vec_id") % 50 === 0)
+    val recallOk = timed("ann100k_ivf_recall_at_5") {
+      val exact = graft.ops.Similarity.cosineTopK(spark, annDir, 5, sample)
+        .select(col("vec_id"), col("other_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = graft.ops.Similarity.ivfTopK(spark, annDir, queryPred = sample)
+        .select(col("vec_id"), col("other_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = ivf.intersect(exact).size.toDouble / exact.size
+      println(f"[soak] ann100k recall@5: $recall%.4f over ${exact.size} exact pairs")
+      exact.nonEmpty && recall >= 0.9
+    }
+    val hardOk = timed("ann100k_hard_negative_hardness") {
+      def byAnchor(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("anchor_id"), col("negative_id"), col("sim")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+      val exact = byAnchor(graft.ops.Similarity.hardNegatives(spark, annDir, queryPred = sample))
+      val ivf = byAnchor(graft.ops.Similarity.hardNegativesIvf(spark, annDir, queryPred = sample))
+      val common = exact.keySet.intersect(ivf.keySet)
+      val hardness = common.toSeq.map { a =>
+        val e = exact(a).map(_._3); val v = ivf(a).map(_._3)
+        (v.sum / v.length) / (e.sum / e.length)
+      }
+      val meanHardness = if (hardness.isEmpty) 0.0 else hardness.sum / hardness.length
+      val slotFill = ivf.map(_._2.length).sum.toDouble /
+        math.max(1, exact.map(_._2.length).sum)
+      println(f"[soak] ann100k hardness ratio: $meanHardness%.4f over ${common.size} anchors, slot fill $slotFill%.4f")
+      common.nonEmpty && meanHardness >= 0.9 && slotFill >= 0.9
+    }
+    val balanceOk = timed("ann100k_cell_balance") {
+      cellBalanceGate(spark, annDir, "ann100k cell balance")
+    }
+    Seq(
+      "ann100k_ivf_recall_at_5" -> recallOk,
+      "ann100k_hard_negative_hardness" -> hardOk,
+      "ann100k_cell_balance" -> balanceOk)
+  }
+
   /** The planted-skew corpus + its three gates (see the call site for
     * the contract). Both join gates run with broadcast disabled so the
     * skew machinery — AQE's split on the sort-merge path, explicit
@@ -362,6 +447,12 @@ object SoakSf1 {
       spark.stop()
       sys.exit(if (n > 0) 1 else 0)
     }
+    if (args.length >= 2 && args(1) == "--ann100k-only") {
+      val gates = timedAnn100kTier(spark, dir)
+      gates.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
+      spark.stop()
+      sys.exit(if (gates.forall(_._2)) 0 else 1)
+    }
     val t0 = System.nanoTime()
     ensureCorpus(spark, dir)
     println(f"[soak] corpus ready in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -491,6 +582,12 @@ object SoakSf1 {
       // be recovered as ONE maximal whole-document span — a dropped
       // gram, broken diagonal-islands window or over-eager hot-gram
       // cap fragments or loses the span
+      // the quantizer's cell balance at the 20k corpus — the IVF
+      // analogue of the join-skew probe (round-13 verdict ask #7); the
+      // planted-degenerate negative lives in OpsSpec
+      "ivf_cell_balance" -> timed("ivf_cell_balance") {
+        cellBalanceGate(spark, dir, "ivf cell balance (20k)")
+      },
       "substring_planted_span_recall" -> timed("substring_planted_span_recall") {
         val docs = spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"),
@@ -527,9 +624,10 @@ object SoakSf1 {
     //     engine's own >16-ratio probe (`Relational.keySkewProfile`,
     //     the joinSkewReport flag) driving the decision — the probe
     //     that flags is the probe that ships.
+    val annScaleGates = timedAnn100kTier(spark, dir)
     val skewGates = timedSkewTier(spark, dir)
     val spillGates = timedSpillGate(spark, dir)
-    val all = ann.toSeq ++ extra ++ skewGates ++ spillGates
+    val all = ann.toSeq ++ extra ++ annScaleGates ++ skewGates ++ spillGates
     all.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
     val fails = all.count(!_._2)
     println(s"[soak] ${all.size - fails}/${all.size} gates green at sf1 scale")

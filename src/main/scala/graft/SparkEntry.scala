@@ -861,6 +861,15 @@ object SparkEntry {
     // seeded corpus: mirrored payloads land at hamming 0, so the gate
     // checks the dHash pipeline on real pairs at every check scale
     "media_near_dup" -> ((s, dir) => Multimodal.mediaNearDupSeeded(s, dir)),
+    // REAL image decode (round-13): binary-file source → javax.imageio
+    // → block-mean luma grid → dHash, on the deterministic PNG fixture
+    // store. Rows-only (PNG internals aren't SQL)...
+    "media_real_features" -> ((s, dir) => graft.ops.MediaDecode.mediaRealFeatures(s, dir)),
+    // ...with the whole real-bytes pipeline pinned by literal-TRUE
+    // verdict rows: decoded dims/grids equal the generator arithmetic,
+    // planted re-encoded dups land at hamming 0, and the banded join
+    // EQUALS a local brute-force over expected signatures
+    "media_decode_gates" -> ((s, dir) => graft.ops.MediaDecode.mediaDecodeGates(s, dir)),
     "asof_daily_value" -> ((s, dir) => Relational.asofDailySpine(s, dir)),
     // fact-to-fact join + selective broadcast dim, top-k via
     // TakeOrderedAndProject (Q3 shape)
@@ -2893,6 +2902,17 @@ object SparkEntry {
         graft.ops.SketchStreamGates.Metrics.sorted
           .map(m => s"('$m', TRUE)").mkString(", ") +
         ") AS t(metric, ok) ORDER BY metric"),
+    // literal-TRUE verdict rows for the real-decode pipeline (dims,
+    // grid round-trip, planted dups, banded ≡ brute force)
+    "media_decode_gates" ->
+      """SELECT * FROM (VALUES
+        |  ('media_decode_count', TRUE),
+        |  ('media_decode_dims', TRUE),
+        |  ('media_decode_grid_roundtrip', TRUE),
+        |  ('media_real_exact_dups_hamming0', TRUE),
+        |  ('media_real_near_dups_found', TRUE),
+        |  ('media_real_pairs_match_bruteforce', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
     // literal-TRUE verdict oracle from the same metric list the query
     // emits (the sketch_stream_gates discipline)
     "conformal_coverage_gates" ->

@@ -194,8 +194,7 @@ object Similarity {
         .select(col("vec_id").as("anchor_id"), col("rank"),
           col("other_id").as("negative_id"), col("sim"))
     }
-    val cand = queryPred.foldLeft(
-      ivfCandidates(spark, sfDir, nlist, nprobe))(_.filter(_))
+    val cand = ivfCandidatesFor(spark, sfDir, nlist, nprobe, queryPred)
     val va = broadcast(q.assigned.select(col("vec_id"), col("v").as("va")))
     val vb = broadcast(q.assigned.select(col("vec_id").as("other_id"), col("v").as("vb")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
@@ -706,6 +705,42 @@ object Similarity {
       }
     })
 
+  /** IVF cell-occupancy balance — hot cells are the IVF tier's join
+    * skew (the `join_skew_report` pattern applied to the quantizer): a
+    * degenerate coarse quantizer that piles the corpus into a few cells
+    * turns every probe into a near-full scan, and that failure shows up
+    * as a latency cliff long after the fit, so the soak gates it
+    * mechanically instead. Reports, for the fitted quantizer:
+    * (n_cells allocated, n_occupied, n_vectors, max_occ, mean_occ over
+    * ALLOCATED cells, balance_ratio = max/mean). The mean is over
+    * allocated — not merely occupied — cells on purpose: the
+    * all-vectors-in-one-cell degenerate case has a perfectly "balanced"
+    * occupied set of size 1, and only the allocated denominator exposes
+    * it (ratio = nlist). One groupBy over ~√n cells; the corpus never
+    * shuffles (the assignment table is the session-cached one). */
+  def cellBalanceReport(spark: SparkSession, sfDir: String, nlist: Int = 0): DataFrame =
+    coarseQuantizer(spark, sfDir, nlist) match {
+      case Some(q) => cellBalanceOver(q.assigned, q.centroids.length)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long, Long, Double, Double)].toDF(
+          "n_cells", "n_occupied", "n_vectors", "max_occ", "mean_occ", "balance_ratio")
+    }
+
+  /** The balance computation over any (…, cell) assignment frame with
+    * an explicit allocated-cell count — exposed so the soak's
+    * planted-degenerate-quantizer negative test can drive it without
+    * fitting a real KMeans into a corner. */
+  private[graft] def cellBalanceOver(assigned: DataFrame, nCells: Int): DataFrame =
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("n_occupied"), sum(col("occ")).as("n_vectors"),
+        max(col("occ")).as("max_occ"))
+      .select(lit(nCells.toLong).as("n_cells"), col("n_occupied"), col("n_vectors"),
+        col("max_occ"),
+        round(col("n_vectors").cast("double") / nCells, 4).as("mean_occ"),
+        round(col("max_occ").cast("double") /
+          (col("n_vectors").cast("double") / nCells), 4).as("balance_ratio"))
+
   /** The cached coarse quantizer's (vec_id, v, cell) assignment table —
     * the cell blocking other ops build on (semantic dedup's 100 TB
     * path). None on an empty corpus. */
@@ -788,15 +823,49 @@ object Similarity {
   private[ops] def autoNprobe(nlist: Int): Int =
     math.max(12, math.ceil(2.5 * math.sqrt(nlist.toDouble)).toInt)
 
-  /** Full (no query filter) IVF candidate pairs — see [[ivfCandCache]].
-    * Requires a fitted quantizer (caller guards the empty corpus).
-    * `nprobe ≤ 0` = auto ([[autoNprobe]] of the FITTED nlist). */
+  /** IVF candidate pairs, query-sample-aware. `nprobe ≤ 0` = auto
+    * ([[autoNprobe]] of the FITTED nlist). Requires a fitted quantizer
+    * (caller guards the empty corpus).
+    *
+    * Routing: a NO-predicate call builds (or reads) the session-cached
+    * full pair table — the all-KNN batch shape every registered query
+    * consumes. A predicate call reuses that cached table as a filter
+    * when it already exists, but when it does NOT, the predicate is
+    * pushed to the QUERY side of the probe join and the plan runs
+    * UNCACHED: a sampled gate must never force materializing the full
+    * n·nprobe·(2n/nlist) pair set (at the 100k-vector soak that is
+    * ~2.8e9 pairs — the sampled plan is 1/50th of it). Pool side keeps
+    * every vector either way, so sampled recall is measured against
+    * the same neighbor universe the full query sees. */
+  private def ivfCandidatesFor(spark: SparkSession, sfDir: String, nlist: Int,
+      nprobe0: Int, queryPred: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val fitted = coarseQuantizer(spark, sfDir, nlist).get.centroids.length
+    val nprobe = if (nprobe0 > 0) nprobe0 else autoNprobe(fitted)
+    val key = (spark.sparkContext.applicationId, sfDir, math.max(nlist, 0), nprobe)
+    queryPred match {
+      case None => ivfCandidates(spark, sfDir, nlist, nprobe)
+      case Some(p) if ivfCandCache.containsKey(key) =>
+        ivfCandCache.get(key).filter(p)
+      case Some(p) =>
+        ivfCandidatesPlan(spark, sfDir, nlist, nprobe, Some(p))
+    }
+  }
+
+  /** The session-cached FULL pair table — see [[ivfCandCache]]. */
   private def ivfCandidates(spark: SparkSession, sfDir: String, nlist: Int,
       nprobe0: Int): DataFrame = {
     val fitted = coarseQuantizer(spark, sfDir, nlist).get.centroids.length
     val nprobe = if (nprobe0 > 0) nprobe0 else autoNprobe(fitted)
     ivfCandCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, sfDir, math.max(nlist, 0), nprobe), { _ =>
+      (spark.sparkContext.applicationId, sfDir, math.max(nlist, 0), nprobe),
+      _ => ivfCandidatesPlan(spark, sfDir, nlist, nprobe, None)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The candidate-pair plan itself (no caching, no persist). */
+  private def ivfCandidatesPlan(spark: SparkSession, sfDir: String, nlist: Int,
+      nprobe: Int, queryPred: Option[org.apache.spark.sql.Column]): DataFrame = {
+    {
         val q = coarseQuantizer(spark, sfDir, nlist).get
         // nprobe nearest centroids per vector: literal-centroid distance
         // structs → array_sort → slice → explode
@@ -808,7 +877,9 @@ object Similarity {
             lit(i).as("cell"))
         }.toIndexedSeq: _*)
         val np = math.min(nprobe, q.centroids.length)
-        val probes = q.assigned
+        // a query-side predicate prunes BEFORE the probe explode: the
+        // sampled plan fans out only the sampled vectors' probes
+        val probes = queryPred.foldLeft(q.assigned)(_.filter(_))
           .withColumn("probe", explode(slice(array_sort(distStructs), 1, np)))
           .select(col("vec_id"), col("probe.cell").as("cell"))
         // multi-assignment on the DATABASE side: each vector is indexed
@@ -830,8 +901,7 @@ object Similarity {
           .filter(col("vec_id") =!= col("other_id"))
           .select(col("vec_id"), col("other_id"))
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+    }
   }
 
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 0, nprobe: Int = 0,
@@ -840,10 +910,9 @@ object Similarity {
       case Some(cq) => cq
       case None => return emptyTopK(emb(spark, sfDir))
     }
-    // queryPred narrows the QUERY role only — on the cached pair table
-    // that is a filter on the query id column (the candidate pool side
-    // keeps every vector)
-    val cand = queryPred.foldLeft(ivfCandidates(spark, sfDir, nlist, nprobe))(_.filter(_))
+    // queryPred narrows the QUERY role only (the candidate pool side
+    // keeps every vector) — see ivfCandidatesFor's routing
+    val cand = ivfCandidatesFor(spark, sfDir, nlist, nprobe, queryPred)
     // explicit broadcast on both vector attaches: the candidate frame is
     // O(n·nprobe/nlist · n) pairs and must NEVER be exchanged/sorted
     // with arrays attached (the stats-borderline SMJ the sf1 perf tier
@@ -992,8 +1061,8 @@ object Similarity {
     }
     val decoded = pqDecoded(spark, sfDir, nlist).get
     // candidate generation: the session-cached ids-only pair table
-    // shared with ivfTopK (identical plan — see ivfCandidates)
-    val cand = queryPred.foldLeft(ivfCandidates(spark, sfDir, nlist, nprobe))(_.filter(_))
+    // shared with ivfTopK (identical plan — see ivfCandidatesFor)
+    val cand = ivfCandidatesFor(spark, sfDir, nlist, nprobe, queryPred)
     // approximate pass: query true vector × candidate reconstruction.
     // BOTH attaches are explicitly broadcast (the vectorAttach rule):
     // round-11's sf1 perf tier caught the decoded store's CACHED size

@@ -4882,6 +4882,80 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("real media decode: every verdict gate ok, dims vary with the id arithmetic") {
+    val gates = graft.ops.MediaDecode.mediaDecodeGates(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(gates.size == 6)
+    val bad = gates.filter(!_._2).keys.toSeq
+    assert(bad.isEmpty, s"failing media decode gates: $bad")
+    // the features surface reads real PNG headers: three distinct
+    // heights (56/64/72) and a constant 9-block width must come back
+    val feats = graft.ops.MediaDecode.mediaRealFeatures(spark, sfDir).collect()
+    assert(feats.length == graft.ops.MediaDecode.NumImages)
+    assert(feats.map(_.getLong(3)).distinct.sorted.toSeq == Seq(56L, 64L, 72L),
+      "decoded heights")
+    assert(feats.forall(_.getLong(2) == 72L), "decoded width")
+    assert(feats.forall(_.getLong(1) > 0L), "real byte counts")
+  }
+
+  test("cell balance report: real quantizer balanced, planted degenerate quantizer flagged") {
+    import spark.implicits._
+    // real store: the fitted quantizer's ratio sits under the soak
+    // ceiling and every allocated cell count is coherent
+    val r = graft.ops.Similarity.cellBalanceReport(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_vectors") > 0)
+    assert(r.getAs[Long]("n_occupied") <= r.getAs[Long]("n_cells"))
+    assert(r.getAs[Long]("max_occ") >= r.getAs[Long]("n_vectors") / r.getAs[Long]("n_cells"))
+    info(f"real-store balance ratio: ${r.getAs[Double]("balance_ratio")}%.2f")
+    assert(r.getAs[Double]("balance_ratio") <= 8.0,
+      s"real quantizer busts the soak ceiling: $r")
+    // planted DEGENERATE quantizer: 100 vectors piled into one of 16
+    // allocated cells — the occupied set alone looks perfectly
+    // "balanced" (one cell, ratio 1 against occupied-mean), and only
+    // the allocated-cell denominator exposes it: ratio = 16
+    val degenerate = spark.range(100).select(col("id").as("vec_id"), lit(0).as("cell"))
+    val d = graft.ops.Similarity.cellBalanceOver(degenerate, nCells = 16).collect().head
+    assert(d.getAs[Long]("n_occupied") == 1L)
+    assert(d.getAs[Double]("balance_ratio") == 16.0, s"degenerate ratio: $d")
+    assert(d.getAs[Double]("balance_ratio") > 8.0, "the soak gate must flag this")
+  }
+
+  test("exact O(n^2) tiers refuse an over-threshold corpus loudly") {
+    import spark.implicits._
+    // a corpus one row past ExactTierMaxRows (tiny d=2 vectors keeps the
+    // parquet write cheap); the guard must fire BEFORE any pair scan
+    val n = graft.ops.Similarity.ExactTierMaxRows + 1
+    val dir = java.nio.file.Files.createTempDirectory("graft-guard").toString
+    spark.range(n).select(col("id").as("vec_id"),
+        array((col("id") % 7).cast("float"), lit(1.0f)).as("embedding"),
+        (col("id") % 3).cast("int").as("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.cosineTopK(spark, dir).count()
+    }
+    assert(ex.getMessage.contains("ivf"), s"guard message should point at the scale tier: ${ex.getMessage}")
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.hardNegatives(spark, dir).count()
+    }
+    assert(ex2.getMessage.contains("exact O(n^2)"), ex2.getMessage)
+    val ex3 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.semanticDedup(spark, dir).count()
+    }
+    assert(ex3.getMessage.contains("semanticDedup"), ex3.getMessage)
+    // embeddingNearDup guards its LARGEST LABEL BLOCK: 3 labels of ~43k
+    // rows each stay under the ceiling, so it must still RUN here...
+    assert(graft.ops.NearDup.embeddingNearDup(spark, dir, threshold = 2.0).count() == 0L)
+    // ...and refuse when one block exceeds it (all rows one label)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-guard2").toString
+    spark.range(n).select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(1.0f)).as("embedding"), lit(0).as("label"))
+      .write.parquet(s"$dir2/embeddings.parquet")
+    val ex4 = intercept[IllegalArgumentException] {
+      graft.ops.NearDup.embeddingNearDup(spark, dir2).count()
+    }
+    assert(ex4.getMessage.contains("label block"), ex4.getMessage)
+  }
+
   test("hard negatives IVF path: per-anchor agreement with the exact band tier") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
