@@ -240,6 +240,45 @@ object SoakSf1 {
       "ann100k_cell_balance" -> balanceOk)
   }
 
+  /** BPE at production-vocabulary scale (round-13 verdict ask #4): the
+    * main soak corpus's 30-word vocabulary exhausts at ~150 possible
+    * merges (a word of length L yields L−1 at most), so this tier
+    * builds its own 6k-word corpus and drives the BATCHED trainer to
+    * 1024 merges COLD. The quantity under test is the round count:
+    * accepts-per-round grow with the live symbol inventory (each
+    * acceptance blocks only its 2 symbols), so the driver round trips
+    * must stay far below the merge count — the gate bounds them at 32
+    * (the sequential textbook loop would pay 1024 collects) and the
+    * wall clock at 180 s cold; step numbering must be gapless. */
+  private def bpe1kGate(spark: SparkSession, dir: String): Boolean = {
+    import spark.implicits._
+    val bpeDir = s"$dir/bpe_corpus"
+    val path = s"$bpeDir/documents.parquet"
+    if (!new java.io.File(path, "_SUCCESS").isFile) {
+      def vocabWord(k: Int): String = {
+        val r = new java.util.Random(k * 2654435761L + 99L)
+        val len = 4 + r.nextInt(7)
+        (0 until len).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+      }
+      spark.range(20000L).as[Long].map { id =>
+        val rng = new java.util.Random(id * 7919L + 5L)
+        val t = (0 until 40).map(_ => vocabWord(rng.nextInt(6000))).mkString(" ")
+        (id, "en", s"src${id % 20}", t, t.length.toLong)
+      }.toDF("doc_id", "lang", "source", "text", "n_chars")
+        .write.mode("overwrite").parquet(path)
+    }
+    graft.ops.Bpe.clearCaches()
+    val t0 = System.nanoTime()
+    val merges = graft.ops.Bpe.bpeMergesBatched(spark, bpeDir,
+      targetMerges = 1024, maxRounds = 32).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rounds = if (merges.isEmpty) 0L else merges.map(_.getLong(0)).max
+    val steps = merges.map(_.getLong(1))
+    println(f"[soak] bpe 1k: ${merges.length} merges in $rounds rounds, $secs%.1f s cold")
+    merges.length >= 1024 && rounds <= 32 && secs <= 180.0 &&
+      steps.sorted.toSeq == (1L to merges.length.toLong)
+  }
+
   /** The planted-skew corpus + its three gates (see the call site for
     * the contract). Both join gates run with broadcast disabled so the
     * skew machinery — AQE's split on the sort-merge path, explicit
@@ -447,6 +486,12 @@ object SoakSf1 {
       spark.stop()
       sys.exit(if (n > 0) 1 else 0)
     }
+    if (args.length >= 2 && args(1) == "--bpe-only") {
+      val ok = bpe1kGate(spark, dir)
+      println(s"[soak] ${if (ok) "PASS" else "FAIL"} bpe_1k_merges")
+      spark.stop()
+      sys.exit(if (ok) 0 else 1)
+    }
     if (args.length >= 2 && args(1) == "--ann100k-only") {
       val gates = timedAnn100kTier(spark, dir)
       gates.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
@@ -587,6 +632,10 @@ object SoakSf1 {
       // planted-degenerate negative lives in OpsSpec
       "ivf_cell_balance" -> timed("ivf_cell_balance") {
         cellBalanceGate(spark, dir, "ivf cell balance (20k)")
+      },
+      // BPE at production-vocabulary scale (round-13 verdict ask #4)
+      "bpe_1k_merges" -> timed("bpe_1k_merges") {
+        bpe1kGate(spark, dir)
       },
       "substring_planted_span_recall" -> timed("substring_planted_span_recall") {
         val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -138,22 +138,34 @@ object Bpe {
     *
     *  1. count pairs once (same weighted, overlap-inclusive counts),
     *  2. collect the top candidate slice to the driver (bounded:
-    *     `candidates` rows of (sym, nxt, cnt) — metadata-scale),
+    *     ≤ 8·want rows of (sym, nxt, cnt) — metadata-scale at any
+    *     production vocabulary),
     *  3. accept candidates in rank order (cnt DESC, sym, nxt), greedily
-    *     skipping any pair that SHARES A SYMBOL with an already-accepted
-    *     pair of this round,
+    *     skipping any pair that CHAINS with an already-accepted pair of
+    *     this round — its right symbol is some accepted pair's left, or
+    *     its left is some accepted pair's right,
     *  4. apply every accepted merge in ONE window pass.
     *
-    * Disjoint symbol sets make simultaneous application EXACTLY equal
-    * to sequential application: two matches of different accepted pairs
-    * can never be adjacent (adjacency at positions p, p+1 forces
-    * b_i = a_j, a shared symbol), so each maximal match run involves one
-    * pair and the run-parity logic applies unchanged. What batching
-    * changes vs the sequential textbook loop is only selection
-    * VISIBILITY: counts refresh once per round, not per merge — the
-    * standard, documented batched-BPE approximation. With
-    * `perRoundCap = 1` the loop degenerates to the exact algorithm
-    * (pinned against [[bpeMerges]] in OpsSpec).
+    * Chain exclusion is the EXACT interaction condition, not a coarse
+    * proxy: two matches of different accepted pairs can only touch by
+    * being adjacent (positions p, p+1 then p+1, p+2), which forces
+    * b_i = a_j — precisely the blocked relation — so matches of
+    * different pairs never overlap, every maximal match run involves
+    * one pair (the run-parity logic applies unchanged), and applying
+    * one accepted merge can neither create nor destroy another's match
+    * (the merged symbol is new to the round). Simultaneous application
+    * is therefore EXACTLY sequential application. Round 13 relaxed the
+    * earlier all-symbols-disjoint rule to this (left-left and
+    * right-right sharing is harmless — "th"+"sh" coexist; "th"+"he"
+    * still block on the chained h): at a 6k-word vocabulary the
+    * disjoint rule averaged 27 accepts/round and stalled at 868
+    * merges in 32 rounds; chain exclusion reaches 1024 well inside
+    * the soak's 32-round gate. What batching changes vs the
+    * sequential textbook loop is only selection VISIBILITY: counts
+    * refresh once per round, not per merge — the standard, documented
+    * batched-BPE approximation. With `perRoundCap = 1` the loop
+    * degenerates to the exact algorithm (pinned against [[bpeMerges]]
+    * in OpsSpec).
     *
     * Emits (round, step, pair_a, pair_b, n_pairs): `round` = the
     * distributed round that learned the rule, `step` = global rule
@@ -200,23 +212,42 @@ object Bpe {
         .limit(math.max(64, want * 8)).collect()
       if (cand.isEmpty) exhausted = true
       else {
-        val used = scala.collection.mutable.HashSet.empty[String]
+        // chain exclusion: a new (a, b) is safe iff b is no accepted
+        // left AND a is no accepted right (the adjacency argument) —
+        // plus the string-keyed corner: neither member may EQUAL a
+        // symbol another accepted merge produces this round (its
+        // concat), and the new concat may not be a symbol an accepted
+        // pair consumes; otherwise sequential application would see
+        // matches the simultaneous pass cannot.
+        val lefts = scala.collection.mutable.HashSet.empty[String]
+        val rights = scala.collection.mutable.HashSet.empty[String]
+        val concats = scala.collection.mutable.HashSet.empty[String]
         val accepted = ArrayBuffer[(String, String, Long)]()
         val it = cand.iterator
         while (accepted.size < want && it.hasNext) {
           val r = it.next()
           val (a, b) = (r.getString(0), r.getString(1))
-          if (!used(a) && !used(b)) {
+          val cc = a + b
+          if (!lefts.contains(b) && !rights.contains(a) &&
+              !concats.contains(a) && !concats.contains(b) &&
+              !lefts.contains(cc) && !rights.contains(cc)) {
             accepted += ((a, b, r.getLong(2)))
-            used += a; used += b
+            lefts += a; rights += b; concats += cc
           }
         }
         accepted.foreach { case (a, b, c) =>
           merges += ((round.toLong, merges.size + 1L, a, b, c))
         }
-        val isMatch = accepted.map { case (a, b, _) =>
-          col("sym") === lit(a) && col("nxt") === lit(b)
-        }.reduce(_ || _)
+        // a SET-membership match, not a reduce(_||_) disjunction: at
+        // production batch sizes (hundreds of accepts per round) the
+        // Or-tree is deep enough to overflow the Column-conversion
+        // stack, while In/InSet over a composite key stays flat and
+        // whole-stage-codegen'd. A NUL separator can't occur inside a
+        // symbol (symbols come from whitespace-split words), so the
+        // composite key is collision-free.
+        val keys = accepted.map { case (a, b, _) => a + "\u0000" + b }
+        val isMatch = col("nxt").isNotNull &&
+          concat(col("sym"), lit("\u0000"), col("nxt")).isin(keys.toSeq: _*)
         val marked = withNext
           .withColumn("m", coalesce(isMatch, lit(false)))
           .withColumn("m_start",

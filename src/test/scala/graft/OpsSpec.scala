@@ -4093,17 +4093,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length >= 64, s"expected >= 64 merges, got ${rows.length}")
     assert(rows.map(_._1).max <= 8L, s"rounds used: ${rows.map(_._1).max}")
     assert(rows.map(_._2).toSeq == (1L to rows.length).toSeq, "steps must be dense rank order")
-    // within a round accepted pairs share no symbol — the invariant
-    // that makes simultaneous application equal sequential application
+    // within a round, accepted pairs must not CHAIN (round-13 relaxed
+    // the all-symbols-disjoint rule to the exact interaction
+    // condition): no pair's right symbol may be another's left — the
+    // only relation that lets two matches be adjacent — and no pair
+    // may consume or produce another's merged concat
     rows.groupBy(_._1).foreach { case (round, rs) =>
-      val syms = rs.flatMap(r => Seq(r._3, r._4))
-      assert(syms.distinct.length == syms.length || rs.exists(r => r._3 == r._4),
-        s"round $round accepted interacting pairs: ${rs.map(r => (r._3, r._4)).toSeq}")
-      // (a, a) self-pairs are the one legal repeat; recheck precisely:
-      val perPair = rs.map(r => Set(r._3, r._4)).toSeq
-      perPair.combinations(2).foreach { pair =>
-        val (x, y) = (pair.head, pair(1))
-        assert(x.intersect(y).isEmpty, s"round $round pairs share symbols: $x vs $y")
+      val pairs = rs.map(r => (r._3, r._4))
+      val lefts = pairs.map(_._1).toSet
+      val rights = pairs.map(_._2).toSet
+      val concats = pairs.map(p => p._1 + p._2).toSet
+      pairs.foreach { case (a, b) =>
+        // self-chain (a, a) is the one legal case — single-pair runs
+        // are what the parity logic exists for
+        assert(!lefts.contains(b) || a == b,
+          s"round $round: right symbol '$b' chains into an accepted left")
+        assert(!rights.contains(a) || a == b,
+          s"round $round: left symbol '$a' chains into an accepted right")
+        assert(!concats.contains(a) && !concats.contains(b),
+          s"round $round: ($a,$b) consumes another pair's merged symbol")
+        assert(!lefts.contains(a + b) && !rights.contains(a + b),
+          s"round $round: ($a,$b) produces a symbol another pair consumes")
       }
     }
     // cap=1 over the real store replays the exact loop's first 6 rules
