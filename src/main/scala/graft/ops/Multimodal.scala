@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque BINARY columns with typed metadata, and per-batch feature
   * extraction runs as a batched partition transform — the same schema /
   * partitioning / batch shape a real decoder (image resize, audio
-  * feature, video frame-sample) would use. The decode kernel itself is a
-  * clearly-marked DETERMINISTIC STUB (no codec libraries in this
-  * environment): it derives fake dimensions from the payload bytes, so
-  * the full pipeline is testable end-to-end and oracle-checkable.
+  * feature, video frame-sample) would use. The decode kernel in THIS
+  * file is a clearly-marked DETERMINISTIC STUB deriving fake dimensions
+  * from the payload bytes, which keeps the full pipeline oracle-
+  * checkable in plain SQL; the REAL decode tier lives in
+  * [[MediaDecode]] (round 13): actual PNG bytes from a binary-file
+  * source, decoded with `javax.imageio` into the same luma-grid/dHash
+  * contracts and pinned by `media_decode_gates`. The two tiers share
+  * the operator shapes on purpose — swap the source, keep the plan.
   *
   * At 100 TB the payload column dominates storage: every transform here
   * projects metadata before shuffling, and the batched iterator keeps
