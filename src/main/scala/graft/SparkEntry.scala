@@ -577,7 +577,7 @@ object SparkEntry {
     // optimizer internals aren't SQL; coverage is the hash-checked
     // gate below); shares the session-cached ten-method table
     "fc_conformal_ext" -> ((s, dir) => graft.engine.Conformal.conformalFitExt(s, dir)),
-    // prequential out-of-sample coverage of the 80/95% conformal bands
+    // interleaved out-of-sample coverage of the 80/95% conformal bands
     // for ALL TEN reference methods, pooled over (element, step,
     // held-out origin) — literal-TRUE verdict oracle, so a calibration
     // regression fails the driver harness, not just sbt test

@@ -376,10 +376,10 @@ object Conformal {
 
   /** Core of the fit-conformal surface for ONE method: rolling-origin
     * refits over the trailing `sliceLen` observations, per-step bands
-    * via [[band]], plus the LOO coverage counters. The heavy families
+    * via [[band]], plus the interleaved coverage counters. The heavy families
     * (NN/TBATS/HYBRID/…) run fewer origins over a shorter slice — the
     * FitGates cost rule; the conformal rank arithmetic keeps its
-    * finite-sample guarantee at any m, and the LOO expectation stays
+    * finite-sample guarantee at any m, and the coverage expectation stays
     * inside the CalibrationSpec gates down to m = 12. */
   private[graft] def fitConformalRows(y: Array[Double], h: Int, freq: Int,
       method: String, origins: Int, sliceLen: Int): Seq[(ClosedBand, CovCount)] = {
@@ -543,7 +543,7 @@ object Conformal {
 
   /** Hash-checked empirical-coverage verdict rows (round-12 verdict
     * ask #6 — the `fit_quality_gates` pattern applied to calibration):
-    * per reference method, the prequential out-of-sample coverage of
+    * per reference method, the INTERLEAVED out-of-sample coverage of
     * the 80% and 95% conformal bands pooled over every (element, step,
     * held-out origin) trial, gated inside the CalibrationSpec bounds
     * ([0.70, 0.92] / [0.88, 0.995]), plus a non-vacuity row demanding
@@ -554,9 +554,14 @@ object Conformal {
   /** The gate's metric names — the literal-TRUE oracle is generated
     * from this same list (the `sketch_stream_gates` discipline). */
   val CoverageGateMetrics: Seq[String] =
-    FitConfBudget.map(_._1).flatMap(m =>
-      Seq(s"conformal_${m.toLowerCase}_cov80", s"conformal_${m.toLowerCase}_cov95")) :+
-      "conformal_all_ten_methods"
+    FitConfBudget.map(_._1).flatMap { m =>
+      // Locale.ROOT: the query side lowers with Spark's locale-
+      // independent lower(); a tr_TR default locale would dotless-ı
+      // the oracle's ARIMA/HYBRID names and hash-mismatch with zero
+      // engine regression (the Bench r4 lesson)
+      val low = m.toLowerCase(java.util.Locale.ROOT)
+      Seq(s"conformal_${low}_cov80", s"conformal_${low}_cov95")
+    } :+ "conformal_all_ten_methods"
 
   def conformalCoverageGates(spark: SparkSession, sfDir: String): DataFrame = {
     val pooled = conformalFitFull(spark, sfDir)

@@ -46,9 +46,15 @@ object MediaDecode {
   val GridRows = 8
 
   /** Pattern provenance: exact dups (≡8) and near dups (≡7) derive
-    * from the predecessor's pattern AND dimensions. */
+    * from the predecessor's pattern AND dimensions — TRANSITIVELY, so
+    * an id ≡ 8 (whose predecessor is itself the ≡ 7 near-dup) resolves
+    * to the same base as that predecessor and the re-encoded duplicate
+    * really is pixel-identical (the round-13 review caught the
+    * non-transitive version giving the "exact duplicate" a different
+    * HEIGHT than its predecessor: dims diverged at id − 1 vs id − 2,
+    * and the dHash-only gate couldn't see it). */
   def patternBase(id: Long): Long =
-    if (id % 10 == 7 || id % 10 == 8) id - 1 else id
+    if (id % 10 == 7 || id % 10 == 8) patternBase(id - 1) else id
 
   /** Image dims vary with the id (all multiples of the block size, so
     * the decoded block means are exact integers): width 72 = 9 blocks
@@ -91,7 +97,7 @@ object MediaDecode {
     * is corpus-independent); `_SUCCESS` marks completion. Driver-side
     * loop: 240 tiny files is ingest-time administration, not query
     * cost (the same rule as the bucketed/sorted store mirrors). */
-  def mediaDir: String = "spark-warehouse/graft_media"
+  def mediaDir: String = "spark-warehouse/graft_media_v2"
 
   def ensureMediaStore(): String = synchronized {
     val dir = new File(mediaDir)
@@ -217,8 +223,11 @@ object MediaDecode {
     }
     val gridOk = rows.forall(d => d.grid.sameElements(blockGrays(d.media_id)))
     // distributed pair set over the decoded signatures (the same banded
-    // join the stub tier ships)
-    val sigs = decoded(spark).toDF().select(col("media_id").as("doc_id"), col("sig"))
+    // join the stub tier ships) — built from the ALREADY-collected
+    // decode, not a second binaryFile scan (the round-13 review caught
+    // the gate paying the full ImageIO pass twice per invocation)
+    val sigs = spark.createDataFrame(
+      rows.toIndexedSeq.map(d => (d.media_id, d.sig))).toDF("doc_id", "sig")
     val got = NearDup.bandedHammingPairs(sigs, maxHamming, bands = 8, cap = 512)
       .select(col("doc_a"), col("doc_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -228,8 +237,14 @@ object MediaDecode {
       (a, sa) <- expSigs; (b, sb) <- expSigs if a < b
       if java.lang.Long.bitCount(sa ^ sb) <= maxHamming
     } yield (a, b)).toSet
+    // re-encoded duplicates must be PIXEL-identical, not merely
+    // dHash-identical: same dims, same grid, same signature, and the
+    // banded join must surface the pair at hamming 0
     val exactOk = (0L until NumImages).filter(_ % 10 == 8).forall { id =>
-      got.contains((id - 1, id)) && byId(id).sig == byId(id - 1).sig
+      got.contains((id - 1, id)) && byId(id).sig == byId(id - 1).sig &&
+        byId(id).width == byId(id - 1).width &&
+        byId(id).height == byId(id - 1).height &&
+        byId(id).grid.sameElements(byId(id - 1).grid)
     }
     // a one-block edit moves AT MOST 2 dHash bits (its two horizontal
     // comparisons) — and can legitimately move 0 when both neighbor

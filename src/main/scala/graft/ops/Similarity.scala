@@ -659,6 +659,10 @@ object Similarity {
   /** Release the cached quantizers (see `Dedup.clearCaches` for why a
     * long-lived session needs the twin). */
   def clearCaches(): Unit = {
+    // the guard's corpus counts too: a resident service that rewrites a
+    // store and invalidates its caches must re-count, or the exact-tier
+    // guard decides on the OLD cardinality (review finding, round 13)
+    countCache.clear()
     quantizerCache.values.forEach(q => { q.foreach(_.assigned.unpersist()); () })
     quantizerCache.clear()
     pqCodeCache.values.forEach(c => { c.foreach(_.unpersist()); () })

@@ -4953,8 +4953,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex3.getMessage.contains("semanticDedup"), ex3.getMessage)
     // embeddingNearDup guards its LARGEST LABEL BLOCK: 3 labels of ~43k
-    // rows each stay under the ceiling, so it must still RUN here...
-    assert(graft.ops.NearDup.embeddingNearDup(spark, dir, threshold = 2.0).count() == 0L)
+    // rows each stay under the ceiling, so the call must NOT throw —
+    // the guard's aggregate runs eagerly at plan-construction time, so
+    // a non-throwing call plus a schema check proves it without paying
+    // the ~5.7e9-row zero-survivor pair scan (review finding)
+    assert(graft.ops.NearDup.embeddingNearDup(spark, dir, threshold = 2.0)
+      .columns.toSeq == Seq("vec_a", "vec_b", "cosine"))
     // ...and refuse when one block exceeds it (all rows one label)
     val dir2 = java.nio.file.Files.createTempDirectory("graft-guard2").toString
     spark.range(n).select(col("id").as("vec_id"),
