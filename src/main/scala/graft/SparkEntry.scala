@@ -779,6 +779,10 @@ object SparkEntry {
     // at BOTH scales in OpsSpec (measured 0.9948 / 0.9201)
     "hard_negatives_ivf" -> ((s, dir) => Similarity.hardNegativesIvf(s, dir)),
     "hybrid_search" -> ((s, dir) => Similarity.hybridSearch(s, dir)),
+    // IR-metric evaluation of the exact retrieval tier (nDCG@5 / MRR /
+    // P@5 with label-match relevance) — exact BIGINT DCG weights, one
+    // IEEE division per output number, fully oracle-checked
+    "retrieval_quality" -> ((s, dir) => Similarity.retrievalQuality(s, dir)),
     "label_knn_accuracy" -> ((s, dir) => Similarity.labelKnnAccuracy(s, dir)),
     // rows-only: driver eigensolve on the d×d Gram partials;
     // planted-anisotropy fixture gates
@@ -3043,6 +3047,60 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim_raw DESC, other_id ASC) AS rank
         |  FROM pairs)
         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // same exact top-5 as cosine_topk, then label-match relevance and
+    // the SAME BIGINT weight literals as the Spark plan (generated from
+    // Similarity.dcgWeights so they cannot drift); every aggregate is
+    // exact integer math, one IEEE division per output number
+    "retrieval_quality" -> {
+      val w = graft.ops.Similarity.dcgWeights(5)
+      val wVals = w.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      val idcgVals = w.scanLeft(0L)(_ + _).drop(1).zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS other_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm) AS sim_raw
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |topk AS (
+        |  SELECT vec_id, other_id, rank FROM (
+        |    SELECT vec_id, other_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim_raw DESC, other_id ASC) AS rank
+        |    FROM pairs)
+        |  WHERE rank <= 5),
+        |w(rank, wt) AS (VALUES $wVals),
+        |idcg(m, s) AS (VALUES $idcgVals),
+        |lab AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM lab GROUP BY label),
+        |rel AS (
+        |  SELECT t.vec_id, q.label, t.rank,
+        |    CASE WHEN n.label = q.label THEN 1 ELSE 0 END AS relc
+        |  FROM topk t JOIN lab q ON t.vec_id = q.vec_id
+        |  LEFT JOIN lab n ON t.other_id = n.vec_id),
+        |pq AS (
+        |  SELECT rel.vec_id, rel.label,
+        |    CAST(sum(relc * w.wt) AS BIGINT) AS dcg,
+        |    min(CASE WHEN relc = 1 THEN rel.rank END) AS first_rel,
+        |    CAST(sum(relc) AS BIGINT) AS hits
+        |  FROM rel JOIN w ON rel.rank = w.rank
+        |  GROUP BY rel.vec_id, rel.label),
+        |pq2 AS (
+        |  SELECT pq.*, COALESCE(1000000 // first_rel, 0) AS rr6,
+        |    i.s AS idcg_s
+        |  FROM pq JOIN sizes USING (label)
+        |  JOIN idcg i ON i.m = least(sizes.n_label - 1, 5)
+        |  WHERE sizes.n_label > 1)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_queries,
+        |  round(CAST(sum(dcg) AS DOUBLE) / CAST(count(*) * max(idcg_s) AS DOUBLE), 6) AS mean_ndcg,
+        |  round(CAST(sum(rr6) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE), 6) AS mrr,
+        |  round(CAST(sum(hits) AS DOUBLE) / CAST(count(*) * 5 AS DOUBLE), 6) AS p_at_k
+        |FROM pq2 GROUP BY label ORDER BY label""".stripMargin
+    },
     // same dot/norm arithmetic as cosine_topk; the band predicate runs
     // on the UNROUNDED cosine in both engines
     "hard_negatives" ->

@@ -431,6 +431,74 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Rank-position DCG weights and their prefix sums, quantized ONCE to
+    * exact integers (w_i = round(1e6 / log2(i+1))): nDCG needs
+    * irrational per-rank weights, and summing doubles across ranks or
+    * queries is the classic cross-engine reassociation hazard — so the
+    * weights become BIGINT literals shared verbatim by the Spark plan
+    * and the DuckDB oracle, every aggregate stays exact integer math,
+    * and only ONE IEEE division happens per output number. */
+  private[graft] def dcgWeights(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Retrieval-quality evaluation of the exact cosine tier — the IR
+    * metrics a similarity-search pipeline reports before trusting its
+    * index (and the ground-truth the ANN tiers' recall gates chase):
+    * per label, over every labeled vector as a query against the
+    * cached [[cosineTopK]] top-k,
+    *   - `mean_ndcg`: label-match DCG@k over the label's ideal DCG
+    *     (all queries of a label share n_same = |label| − 1, so the
+    *     label mean is (Σ dcg) / (n·idcg) — exact BIGINTs, one divide),
+    *   - `mrr`: mean reciprocal rank of the first same-label neighbor
+    *     (reciprocals as exact 1e6 DIV rank integers; 0 when none),
+    *   - `p_at_k`: same-label precision over the top k.
+    * Null-labeled neighbors occupy ranks but are never relevant (the
+    * labelKnnAccuracy convention); labels with a single member have no
+    * possible relevant neighbor and are excluded (idcg 0). Scale
+    * shape: rides the session-cached exact top-k (the documented
+    * baseline tier — this IS its evaluation harness); everything after
+    * is |vecs|·k-bounded joins and one label-keyed aggregate. */
+  def retrievalQuality(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val w = dcgWeights(k)
+    val wArr = array(w.map(lit(_)): _*)
+    val idcgArr = array(w.scanLeft(0L)(_ + _).drop(1).map(lit(_)): _*)
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("label").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val rel = cosineTopK(spark, sfDir, k)
+      .join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("other_id"), col("label").as("nb_label")),
+        Seq("other_id"), "left")
+      .withColumn("rel", (col("nb_label") === col("label")).cast("int"))
+      .withColumn("relc", coalesce(col("rel"), lit(0)))
+    val perQuery = rel.groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(col("relc").cast("long") *
+          element_at(wArr, col("rank").cast("int"))).as("dcg"),
+        min(when(col("relc") === 1, col("rank"))).as("first_rel"),
+        sum(col("relc").cast("long")).as("hits"))
+      .withColumn("rr6", coalesce(
+        expr("CAST(1000000 AS BIGINT) DIV first_rel"), lit(0L)))
+    perQuery
+      .join(broadcast(sizes), Seq("label"))
+      .filter(col("n_label") > 1) // a singleton label has no possible hit
+      .withColumn("idcg",
+        element_at(idcgArr, least(col("n_label") - 1, lit(k.toLong)).cast("int")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("dcg")).as("sdcg"), max(col("idcg")).as("idcg"),
+        sum(col("rr6")).as("srr"), sum(col("hits")).as("shits"))
+      .select(col("label"), col("n_queries"),
+        round(col("sdcg").cast("double") /
+          (col("n_queries") * col("idcg")).cast("double"), 6).as("mean_ndcg"),
+        round(col("srr").cast("double") /
+          (col("n_queries") * lit(1000000L)).cast("double"), 6).as("mrr"),
+        round(col("shits").cast("double") /
+          (col("n_queries") * lit(k.toLong)).cast("double"), 6).as("p_at_k"))
+      .orderBy(col("label"))
+  }
+
   /** Hybrid retrieval by Reciprocal-Rank Fusion — the composition every
     * RAG/search pipeline runs on top of the two retrieval tiers this
     * engine already verifies independently: the BM25 lexical list

@@ -4908,6 +4908,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.forall(_.getLong(1) > 0L), "real byte counts")
   }
 
+  test("retrieval quality: independent in-memory IR reference reproduces nDCG/MRR/P@5") {
+    val got = Similarity.retrievalQuality(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.nonEmpty)
+    // plain-Scala reference: brute-force cosine top-5, label relevance,
+    // the same integer weight table
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull).collect()
+    val vecs = rows.map(r => r.getLong(0) -> r.getSeq[Float](
+      r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    val labs = rows.filter(!_.isNullAt(2)).map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val w = Similarity.dcgWeights(5)
+    val idcg = w.scanLeft(0L)(_ + _).drop(1)
+    val labelSizes = labs.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = labs.toSeq.filter { case (_, l) => labelSizes(l) > 1 }
+      .groupBy(_._2).map { case (label, qs) =>
+        var sdcg = 0L; var srr = 0L; var shits = 0L
+        qs.foreach { case (q, _) =>
+          val top = vecs.toSeq.filter(_._1 != q)
+            .map { case (id, v) => (id, cos(vecs(q), v)) }
+            .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+          val rels = top.zipWithIndex.map { case (id, i) =>
+            (i, labs.get(id).contains(label)) }
+          sdcg += rels.collect { case (i, true) => w(i) }.sum
+          srr += rels.find(_._2).map(p => 1000000L / (p._1 + 1)).getOrElse(0L)
+          shits += rels.count(_._2)
+        }
+        val n = qs.size.toLong
+        val ideal = idcg(math.min(labelSizes(label) - 1, 5L).toInt - 1)
+        label -> ((n, r6(sdcg.toDouble / (n * ideal)),
+          r6(srr.toDouble / (n * 1000000L)), r6(shits.toDouble / (n * 5L))))
+      }
+    assert(got == ref, s"IR metrics diverge: ${got.toSeq.sortBy(_._1).take(3)} vs ${ref.toSeq.sortBy(_._1).take(3)}")
+  }
+
   test("cell balance report: real quantizer balanced, planted degenerate quantizer flagged") {
     import spark.implicits._
     // real store: the fitted quantizer's ratio sits under the soak
