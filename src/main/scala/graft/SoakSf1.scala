@@ -202,8 +202,28 @@ object SoakSf1 {
       r
     }
     val sample = Some(col("vec_id") % 50 === 0)
+    // ONE exact broadcast scan for the sampled anchors, persisted, and
+    // BOTH exact references (unbanded top-5 for recall, banded top-5
+    // for hardness) derived from it — Similarity's cosineTopK and
+    // hardNegatives would each pay the 2000×100k scored scan; the
+    // tie-break/rounding here replicates their exact expressions
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.read.parquet(s"$annDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val scored = ev.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("v").as("va"))
+      .join(broadcast(ev.select(col("vec_id").as("other_id"), col("v").as("vb"))),
+        col("vec_id") =!= col("other_id"))
+      .withColumn("sim_raw",
+        graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
+      .select(col("vec_id"), col("other_id"), col("sim_raw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w5 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim_raw").desc, col("other_id").asc)
     val recallOk = timed("ann100k_ivf_recall_at_5") {
-      val exact = graft.ops.Similarity.cosineTopK(spark, annDir, 5, sample)
+      val exact = scored.withColumn("rank", row_number().over(w5))
+        .filter(col("rank") <= 5)
         .select(col("vec_id"), col("other_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val ivf = graft.ops.Similarity.ivfTopK(spark, annDir, queryPred = sample)
@@ -218,7 +238,12 @@ object SoakSf1 {
         .select(col("anchor_id"), col("negative_id"), col("sim")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .groupBy(_._1)
-      val exact = byAnchor(graft.ops.Similarity.hardNegatives(spark, annDir, queryPred = sample))
+      val exact = byAnchor(scored
+        .filter(col("sim_raw") >= 0.15 && col("sim_raw") < 0.40)
+        .withColumn("rank", row_number().over(w5))
+        .filter(col("rank") <= 5)
+        .select(col("vec_id").as("anchor_id"), col("other_id").as("negative_id"),
+          round(col("sim_raw"), 4).as("sim")))
       val ivf = byAnchor(graft.ops.Similarity.hardNegativesIvf(spark, annDir, queryPred = sample))
       val common = exact.keySet.intersect(ivf.keySet)
       val hardness = common.toSeq.map { a =>
@@ -231,6 +256,7 @@ object SoakSf1 {
       println(f"[soak] ann100k hardness ratio: $meanHardness%.4f over ${common.size} anchors, slot fill $slotFill%.4f")
       common.nonEmpty && meanHardness >= 0.9 && slotFill >= 0.9
     }
+    scored.unpersist()
     val balanceOk = timed("ann100k_cell_balance") {
       cellBalanceGate(spark, annDir, "ann100k cell balance")
     }
