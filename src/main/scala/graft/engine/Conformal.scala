@@ -422,7 +422,11 @@ object Conformal {
     * held-out error is one Bernoulli coverage trial against it. */
   private def splitCoverage(scoresByOrigin: Array[Double]): CovCount = {
     val k = scoresByOrigin.length
-    if (k < 6) return CovCount(0L, 0L, 0L)
+    // k >= 12 guarantees kc >= 8 under the 1-in-3 interleave, so the
+    // per-trial cov95 expectation kc/(kc+1) >= 8/9 = 0.889 stays above
+    // the 0.88 gate floor — shorter series would pool trials whose
+    // EXPECTED coverage already violates the gate (ADVICE r13).
+    if (k < 12) return CovCount(0L, 0L, 0L)
     val cal = Array.newBuilder[Double]
     val test = Array.newBuilder[Double]
     var i = 0
@@ -433,7 +437,7 @@ object Conformal {
     val calArr = cal.result()
     val testArr = test.result()
     val kc = calArr.length
-    if (kc < 4 || testArr.isEmpty) return CovCount(0L, 0L, 0L)
+    if (kc < 8 || testArr.isEmpty) return CovCount(0L, 0L, 0L)
     java.util.Arrays.sort(calArr)
     def q(cov: Double): Double =
       calArr(math.min(kc, math.ceil(cov * (kc + 1)).toInt) - 1)
@@ -456,7 +460,7 @@ object Conformal {
   /** Trailing-window cap for the EXPENSIVE families' refit loops
     * (NN's restart ensemble, BAGGEDETS's replicate bag, HYBRID's
     * 6-component CV): every seasonality branch still engages
-    * (96 ≥ 3·freq + NN's 4·freq lag structure) and the `origins = 16`
+    * (96 ≥ 3·freq + NN's 4·freq lag structure) and the `origins = 20`
     * backtest prefix fits above the 2·freq minimum train. */
   val HeavyFitSliceLen = 96
 

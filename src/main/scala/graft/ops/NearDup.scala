@@ -607,9 +607,15 @@ object NearDup {
     // corpus) like Similarity's corpusCount: this is a registered query
     // the bench times twice, and an eager aggregate job per call would
     // put the guard itself on the benchmarked surface (review finding)
+    // null labels never survive the equi-join (and null embeddings never
+    // produce a pair), so the guard counts only rows that can actually
+    // generate work — a corpus dominated by unlabeled vectors must not
+    // be refused for its null block (ADVICE r13)
     val maxBlock = maxBlockCache.computeIfAbsent(
       (spark.sparkContext.applicationId, sfDir),
-      _ => java.lang.Long.valueOf(e.groupBy(col("label")).count()
+      _ => java.lang.Long.valueOf(e
+        .filter(col("label").isNotNull && col("v").isNotNull)
+        .groupBy(col("label")).count()
         .agg(org.apache.spark.sql.functions.max(col("count"))).collect()
         .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
         .getOrElse(0L))).longValue()

@@ -916,10 +916,13 @@ object Similarity {
     val key = (spark.sparkContext.applicationId, sfDir, math.max(nlist, 0), nprobe)
     queryPred match {
       case None => ivfCandidates(spark, sfDir, nlist, nprobe)
-      case Some(p) if ivfCandCache.containsKey(key) =>
-        ivfCandCache.get(key).filter(p)
       case Some(p) =>
-        ivfCandidatesPlan(spark, sfDir, nlist, nprobe, Some(p))
+        // single get, not containsKey-then-get: a concurrent
+        // clearCaches() between the two calls would NPE (ADVICE r13)
+        Option(ivfCandCache.get(key)) match {
+          case Some(cached) => cached.filter(p)
+          case None => ivfCandidatesPlan(spark, sfDir, nlist, nprobe, Some(p))
+        }
     }
   }
 
