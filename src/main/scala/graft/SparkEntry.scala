@@ -2907,12 +2907,17 @@ object SparkEntry {
           .map(m => s"('$m', TRUE)").mkString(", ") +
         ") AS t(metric, ok) ORDER BY metric"),
     // literal-TRUE verdict rows for the real-decode pipeline (dims,
-    // grid round-trip, planted dups, banded ≡ brute force)
+    // grid round-trip, planted dups, banded ≡ brute force, plus the
+    // round-14 lossy/corrupt tiers: exact quarantine of the planted
+    // undecodable blobs, JPEG dims-from-headers, JPEG dHash stability)
     "media_decode_gates" ->
       """SELECT * FROM (VALUES
         |  ('media_decode_count', TRUE),
         |  ('media_decode_dims', TRUE),
         |  ('media_decode_grid_roundtrip', TRUE),
+        |  ('media_jpeg_dhash_stable', TRUE),
+        |  ('media_jpeg_dims_from_headers', TRUE),
+        |  ('media_quarantine_exact', TRUE),
         |  ('media_real_exact_dups_hamming0', TRUE),
         |  ('media_real_near_dups_found', TRUE),
         |  ('media_real_pairs_match_bruteforce', TRUE)) AS t(metric, ok)

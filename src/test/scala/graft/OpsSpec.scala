@@ -4895,17 +4895,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("real media decode: every verdict gate ok, dims vary with the id arithmetic") {
     val gates = graft.ops.MediaDecode.mediaDecodeGates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    assert(gates.size == 6)
+    assert(gates.size == 9)
     val bad = gates.filter(!_._2).keys.toSeq
     assert(bad.isEmpty, s"failing media decode gates: $bad")
-    // the features surface reads real PNG headers: three distinct
-    // heights (56/64/72) and a constant 9-block width must come back
+    // the features surface reads real PNG/JPEG headers: three distinct
+    // heights (56/64/72) and a constant 9-block width must come back on
+    // every decodable row; the three planted corrupt blobs surface as
+    // quarantine rows (null dims/sig, non-null decode_error)
     val feats = graft.ops.MediaDecode.mediaRealFeatures(spark, sfDir).collect()
-    assert(feats.length == graft.ops.MediaDecode.NumImages)
-    assert(feats.map(_.getLong(3)).distinct.sorted.toSeq == Seq(56L, 64L, 72L),
+    assert(feats.length == graft.ops.MediaDecode.NumImages +
+      graft.ops.MediaDecode.NumJpegTwins + graft.ops.MediaDecode.CorruptIds.size)
+    val (quar, okRows) = feats.partition(r => !r.isNullAt(5))
+    assert(quar.map(_.getLong(0)).sorted.toSeq == graft.ops.MediaDecode.CorruptIds,
+      "quarantine ids")
+    assert(quar.forall(r => r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)),
+      "quarantine rows carry null dims/sig")
+    assert(okRows.map(_.getLong(3)).distinct.sorted.toSeq == Seq(56L, 64L, 72L),
       "decoded heights")
-    assert(feats.forall(_.getLong(2) == 72L), "decoded width")
-    assert(feats.forall(_.getLong(1) > 0L), "real byte counts")
+    assert(okRows.forall(_.getLong(2) == 72L), "decoded width")
+    assert(feats.forall(_.getLong(1) >= 0L), "real byte counts")
   }
 
   test("retrieval quality: independent in-memory IR reference reproduces nDCG/MRR/P@5") {
