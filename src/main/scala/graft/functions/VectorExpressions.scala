@@ -114,6 +114,100 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = newLeft, right = newRight)
 }
 
+/** nearest_cells(v) = the `nprobe` centroid indices nearest to `v` by
+  * squared L2, ascending by (distance, index) — the IVF probe-selection
+  * kernel. The centroid matrix rides along as a PLAN CONSTANT (a codegen
+  * reference object), replacing the literal-expression formulation that
+  * built `nlist` structs × `d` literal leaves: at the 1M-vector tier's
+  * nlist ≈ 1000 that tree is ~10⁵ Catalyst nodes — minutes of analysis
+  * and a guaranteed codegen fallback — while this expression is one
+  * node and one fused primitive loop regardless of nlist.
+  *
+  * Bit-compatibility contract (OpsSpec property-tests it): distances
+  * accumulate (x−c)² strictly in index order — the same IEEE sequence
+  * as `aggregate(zip_with(v, c, (x,cc) -> (x-cc)*(x-cc)), 0D, +)` — and
+  * the bounded insertion sort orders exactly like `array_sort` on
+  * (dist, cell) structs: ascending distance, lower cell first on ties. */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "nearest_cells"
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  private def np: Int = math.min(nprobe, centroids.length)
+
+  override def nullSafeEval(v: Any): Any = {
+    val xa = v.asInstanceOf[ArrayData]
+    val m = np
+    val bd = Array.fill(m)(Double.PositiveInfinity)
+    val bc = new Array[Int](m)
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(xa.numElements(), cen.length)
+      var s = 0.0
+      var j = 0
+      while (j < n) { val d = xa.getDouble(j) - cen(j); s += d * d; j += 1 }
+      if (s < bd(m - 1)) { // strict: ties keep the earlier (lower) cell
+        var p = m - 1
+        while (p > 0 && s < bd(p - 1)) { bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1 }
+        bd(p) = s; bc(p) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cenRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val cen = ctx.freshName("cen")
+      val bd = ctx.freshName("bd")
+      val bc = ctx.freshName("bc")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val p = ctx.freshName("p")
+      val row = ctx.freshName("row")
+      s"""
+         |final double[][] $cen = $cenRef;
+         |final double[] $bd = new double[$np];
+         |final int[] $bc = new int[$np];
+         |java.util.Arrays.fill($bd, Double.POSITIVE_INFINITY);
+         |for (int $c = 0; $c < $cen.length; $c++) {
+         |  final double[] $row = $cen[$c];
+         |  final int $n = java.lang.Math.min($a.numElements(), $row.length);
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    final double $d = $a.getDouble($j) - $row[$j];
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bd[$np - 1]) {
+         |    int $p = $np - 1;
+         |    while ($p > 0 && $s < $bd[$p - 1]) {
+         |      $bd[$p] = $bd[$p - 1]; $bc[$p] = $bc[$p - 1]; $p--;
+         |    }
+         |    $bd[$p] = $s; $bc[$p] = $c;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bc);
+       """.stripMargin
+    })
+  }
+
+  // the centroid matrix is a plan constant, not a child — only `child`
+  // participates in tree transforms
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API facade + registration. `GraftExtensions` is the
   * `spark.sql.extensions` entry point; `register` injects into an
   * already-built session (idempotent). */
@@ -124,6 +218,11 @@ object VectorFunctions {
 
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-API only (the centroid matrix is a Scala-side plan
+    * constant; there is no SQL-literal syntax for double[][]). */
+  def nearest_cells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    Bridge.column(NearestCells(Bridge.expression(v), centroids, nprobe))
 
   /** Literal-string / literal-int argument extraction for the SQL
     * builders whose expressions take plan constants (probe phrase,

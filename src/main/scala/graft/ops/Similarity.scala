@@ -767,10 +767,24 @@ object Similarity {
         val nl =
           if (nlist > 0) math.min(nlist.toLong, n).toInt
           else math.min(math.min(4096L, n), math.max(4L, math.round(math.sqrt(n.toDouble)))).toInt
+        // past the exact-tier ceiling the quantizer trains on a seeded
+        // deterministic HASH SAMPLE (the standard IVF practice — a coarse
+        // quantizer needs cluster GEOMETRY, not every point): KMeans cost
+        // is O(n·k·d·iters) and at 1M vectors × k=1000 a full fit is
+        // ~50× the sample's for no measurable recall gain (the 1M soak
+        // tier gates recall@5/cell balance ON the sampled fit). Corpora
+        // at or below the ceiling fit on everything, bit-identical to
+        // every prior round. Assignment always covers the FULL corpus.
+        val fitInput =
+          if (n <= ExactTierMaxRows) e
+          else {
+            val keepOneIn = math.ceil(n.toDouble / ExactTierMaxRows).toLong
+            e.filter(pmod(xxhash64(col("vec_id")), lit(keepOneIn)) === 0L)
+          }
         val km = new org.apache.spark.ml.clustering.KMeans()
           .setK(nl).setSeed(42L).setMaxIter(10)
           .setFeaturesCol("features").setPredictionCol("cell")
-        val model = km.fit(e)
+        val model = km.fit(fitInput)
         val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Some(CoarseQuantizer(n, model.clusterCenters.map(_.toArray), assigned))
@@ -830,17 +844,11 @@ object Similarity {
   private[ops] def probedAssignments(spark: SparkSession, sfDir: String,
       nprobe: Int, nlist: Int = 0): Option[DataFrame] =
     coarseQuantizer(spark, sfDir, nlist).map { q =>
-      val distStructs = array(q.centroids.zipWithIndex.map { case (c, i) =>
-        val carr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit(_))): _*)
-        struct(
-          aggregate(zip_with(col("v"), carr, (x, cc) => { val d = x - cc; d * d }),
-            lit(0.0d), (acc, e) => acc + e).as("dist"),
-          lit(i).as("cell"))
-      }.toIndexedSeq: _*)
       val np = math.min(nprobe, q.centroids.length)
       q.assigned
-        .withColumn("probe", explode(slice(array_sort(distStructs), 1, np)))
-        .select(col("vec_id"), col("v"), col("probe.cell").as("cell"))
+        .withColumn("cell", explode(
+          graft.functions.VectorFunctions.nearest_cells(col("v"), q.centroids, np)))
+        .select(col("vec_id"), col("v"), col("cell"))
     }
 
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path:
@@ -942,21 +950,17 @@ object Similarity {
       nprobe: Int, queryPred: Option[org.apache.spark.sql.Column]): DataFrame = {
     {
         val q = coarseQuantizer(spark, sfDir, nlist).get
-        // nprobe nearest centroids per vector: literal-centroid distance
-        // structs → array_sort → slice → explode
-        val distStructs = array(q.centroids.zipWithIndex.map { case (c, i) =>
-          val carr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit(_))): _*)
-          struct(
-            aggregate(zip_with(col("v"), carr, (x, cc) => { val d = x - cc; d * d }),
-              lit(0.0d), (acc, e) => acc + e).as("dist"),
-            lit(i).as("cell"))
-        }.toIndexedSeq: _*)
+        // nprobe nearest centroids per vector: one codegen'd
+        // [[graft.functions.NearestCells]] kernel (bit-identical to the
+        // literal-struct array_sort formulation it replaced — which at
+        // the 1M tier's nlist ≈ 1000 built a ~10⁵-node Catalyst tree)
         val np = math.min(nprobe, q.centroids.length)
         // a query-side predicate prunes BEFORE the probe explode: the
         // sampled plan fans out only the sampled vectors' probes
         val probes = queryPred.foldLeft(q.assigned)(_.filter(_))
-          .withColumn("probe", explode(slice(array_sort(distStructs), 1, np)))
-          .select(col("vec_id"), col("probe.cell").as("cell"))
+          .withColumn("cell", explode(
+            graft.functions.VectorFunctions.nearest_cells(col("v"), q.centroids, np)))
+          .select(col("vec_id"), col("cell"))
         // multi-assignment on the DATABASE side: each vector is indexed
         // under its 2 nearest cells, so a neighbor sitting just across
         // its own cell's boundary is still reachable from the query's

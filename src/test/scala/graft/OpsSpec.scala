@@ -134,6 +134,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree >= (exact.size * 0.5).toInt, s"partial-probe agreement $agree/${exact.size}")
   }
 
+  test("nearest_cells kernel is bit-identical to the literal array_sort formulation") {
+    // the codegen'd probe-selection expression replaced a literal
+    // (dist, cell)-struct array_sort tree (round 14 — at nlist ≈ 1000
+    // that tree is ~10⁵ Catalyst nodes); this is the bit-compatibility
+    // property: same IEEE accumulation order, same (dist, cell)
+    // tie-break, over randomized vectors INCLUDING planted exact ties
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(4242)
+    val d = 16
+    val centroids = Array.fill(23)(Array.fill(d)(rng.nextGaussian()))
+    // plant a duplicate centroid so the (dist, cell) tie-break actually
+    // fires: cells 7 and 19 are identical
+    centroids(19) = centroids(7).clone()
+    val vecs = (0 until 200).map { i =>
+      if (i % 17 == 0) (i.toLong, centroids(7).toSeq) // exact tie hit
+      else (i.toLong, Array.fill(d)(rng.nextGaussian()).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val np = 6
+    val fast = df.select(col("vec_id"),
+        graft.functions.VectorFunctions.nearest_cells(col("v"), centroids, np).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val distStructs = array(centroids.zipWithIndex.map { case (c, i) =>
+      val carr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit(_))): _*)
+      struct(
+        aggregate(zip_with(col("v"), carr, (x, cc) => { val dd = x - cc; dd * dd }),
+          lit(0.0d), (acc, e) => acc + e).as("dist"),
+        lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val refMap = df
+      .withColumn("slices", slice(array_sort(distStructs), 1, np))
+      .select(col("vec_id"), expr("transform(slices, s -> s.cell)").as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(fast == refMap, "nearest_cells diverged from the literal formulation")
+    // the tie rows really did rank both duplicate cells, in index order
+    val tieRow = fast(0L)
+    assert(tieRow.indexOf(7) >= 0 && tieRow.indexOf(19) == tieRow.indexOf(7) + 1,
+      s"tie-break order: $tieRow")
+  }
+
   test("ANN recall@5 vs exact cosine top-k stays above the 0.9 gate (sf0.01)") {
     // the scaladocs of lshTopK/ivfTopK promise tunable recall — this is
     // the measurement: mean per-query |approx∩exact|/5 on the sf0.01
