@@ -376,6 +376,30 @@ final class Engine(spark: SparkSession, baseDir: String) {
 
   val models = new ModelStore(spark, s"$baseDir/forecastModels")
   val cache = new ForecastCache(spark, s"$baseDir/forecastsCache")
+  val stamps = new StampStore(spark, s"$baseDir/observationStamps")
+
+  /** Ingest→cache invalidation (round-14 engine extension, OFF by
+    * default). The reference's cache validity is horizon-only
+    * (R:64-82): after new observations arrive it serves the stale
+    * forecast until someone deletes the model by hand, and the default
+    * `false` faithfully preserves that. With `true`, a saved model (and
+    * its cache) is valid only while the observation store's effective
+    * series window matches the [[StampStore]] stamp recorded at train
+    * time — a streamed append ([[graft.streaming.EventIngest.start]])
+    * flips the next `forecast()` back to branch (c). Cost when on: one
+    * pushed-down count/max aggregate per forecast call; when off: zero
+    * extra reads (the stamp is still RECORDED at train time, so the
+    * flag can be enabled later without a mass retrain). */
+  @volatile var invalidateOnIngest: Boolean = false
+
+  /** The effective observation window's identity for `name`: row count
+    * and max event time over the capped, null-filtered series window —
+    * exactly the data a fit sees. */
+  private def observationStamp(name: String, sfDir: String): (Long, Long) = {
+    val r = graft.sources.SeriesStore.observations(spark, sfDir, Seq(name))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("t")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 
   /** `getAvailableMethods()` (R:12-14). */
   def availableMethods: Seq[String] = Methods.reference
@@ -416,7 +440,13 @@ final class Engine(spark: SparkSession, baseDir: String) {
   /** The generic `forecastXWrapper` (R:104-124 / 143-163 / 182-202 / ...). */
   def forecast(name: String, sfDir: String, method: String, frequency: Int, horizon: Int): DataFrame = {
     val index = indexName(sfDir)
-    if (models.exists(name, index, method)) {
+    // reference-faithful mode never touches the stamp (R:64-82 parity);
+    // invalidation mode treats a stamp mismatch as "no model": both the
+    // saved params and the cache predate the ingest, so branch (c) runs
+    val stampNow = if (invalidateOnIngest) Some(observationStamp(name, sfDir)) else None
+    val modelUsable = models.exists(name, index, method) &&
+      stampNow.forall { case (n, t) => stamps.matches(name, index, method, n, t) }
+    if (modelUsable) {
       if (cache.isValid(name, index, method, horizon)) {
         cache.loadSliced(name, index, method, horizon) // (a) pure slice, no math
       } else {
@@ -427,9 +457,14 @@ final class Engine(spark: SparkSession, baseDir: String) {
         pts
       }
     } else {
-      // (c) full train; training itself warms a cacheLength-step cache
+      // (c) full train; training itself warms a cacheLength-step cache.
+      // The observation stamp is recorded unconditionally (one tiny agg
+      // per train) so invalidateOnIngest can be enabled on an existing
+      // store without forcing a mass retrain.
       val model = fitOne(name, sfDir, method, frequency, horizon)
       models.save(name, index, method, model.params)
+      val (n, t) = stampNow.getOrElse(observationStamp(name, sfDir))
+      stamps.save(name, index, method, n, t)
       cache.save(name, index, method, pointsDF(name, method, model, cacheLength))
       val pts = pointsDF(name, method, model, horizon)
       if (horizon > cacheLength) cache.save(name, index, method, pts)

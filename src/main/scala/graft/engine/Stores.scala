@@ -55,6 +55,29 @@ final class ModelStore(spark: SparkSession, baseDir: String)
   }
 }
 
+/** Observation-store stamp recorded at train time (round-14 engine
+  * extension — the signal [[graft.streaming.EventIngest]]'s scaladoc
+  * promises): `(n_obs, max_ts)` of the EFFECTIVE series window (the
+  * oldest-`MaxSeriesLength` capped, null-filtered observation set the
+  * fit actually saw). `Engine.invalidateOnIngest` compares the current
+  * window against this stamp; a streamed append that changes the
+  * window invalidates both the model and its cache. Two longs per
+  * (name, index, method) — metadata-scale by construction. */
+final class StampStore(spark: SparkSession, baseDir: String)
+    extends KeyedStore(spark, baseDir) {
+  import spark.implicits._
+
+  def save(name: String, index: String, method: String, nObs: Long, maxTs: Long): Unit =
+    Seq((nObs, maxTs)).toDF("n_obs", "max_ts")
+      .write.mode(SaveMode.Overwrite).parquet(path(name, index, method))
+
+  def matches(name: String, index: String, method: String, nObs: Long, maxTs: Long): Boolean =
+    exists(name, index, method) && {
+      spark.read.parquet(path(name, index, method))
+        .as[(Long, Long)].head() == ((nObs, maxTs))
+    }
+}
+
 /** The forecast cache (R:9, validity R:64-82, slice-on-hit R:110).
   * Payload = the long-form ForecastPoint contract; validity is
   * `max(step) >= horizon`, the long-form equivalent of the reference's

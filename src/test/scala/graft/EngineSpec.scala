@@ -102,6 +102,84 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ingest→cache invalidation: a streamed append flips forecast() to branch (c); parity mode serves stale") {
+    // round-14 extension (round-13 verdict ask #3). Two engines over the
+    // same mutable store: the parity engine (flag off, R:64-82) must keep
+    // serving the pre-append cache; the invalidation engine must detect
+    // the changed observation window and retrain. Branch detection uses
+    // the sentinel trick: overwrite the cache after training — a served
+    // sentinel proves branch (a), a non-sentinel answer after the append
+    // proves the cache (and model) were invalidated.
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-ingest-store").toString
+    val stage = Files.createTempDirectory("graft-ingest-stage").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    val name = "metric"
+    val epoch0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def eventRows(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map { i =>
+        (i.toLong, epoch0.plusSeconds(i.toLong * 3600), // strictly increasing
+          null.asInstanceOf[java.lang.Long], name, 10.0 + (i % 5).toDouble, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // the store is STREAM-maintained from the start (the file sink's
+    // _spark_metadata log owns the directory's file listing — mixing a
+    // batch-written seed with streamed appends would shadow the seed),
+    // so both the seed batch and the later append ride the same
+    // checkpointed AvailableNow writer — the live observation-store
+    // shape of EventIngest.start
+    def streamAppend(batch: org.apache.spark.sql.DataFrame, batchDir: String): Unit = {
+      batch.write.mode("overwrite").parquet(batchDir)
+      val q = spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(stage + "/*")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", s"$store/events.parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    streamAppend(eventRows(0 until 40), s"$stage/b0")
+
+    val parity = new Engine(spark, Files.createTempDirectory("graft-ing-par").toString)
+    val invalidating = new Engine(spark, Files.createTempDirectory("graft-ing-inv").toString)
+    invalidating.invalidateOnIngest = true
+    val idx = parity.indexName(store)
+
+    Seq(parity, invalidating).foreach { eng =>
+      eng.forecast(name, store, Methods.SES, 7, 7).collect()
+      val sentinels = (1 to 14).map(st =>
+        graft.core.ForecastPoint(name, Methods.SES, st, -1, -2, 987.654, 2, 1)).toDF()
+      eng.cache.save(name, idx, Methods.SES, sentinels)
+      // pre-append: BOTH engines serve the cache (stamp matches)
+      val hit = eng.forecast(name, store, Methods.SES, 7, 5).collect()
+      assert(hit.forall(_.getAs[Double]("mean") == 987.654),
+        "pre-append call must be a cache hit in both modes")
+    }
+
+    // the streamed append: new raw events land in the observation store
+    // through the same checkpointed writer
+    streamAppend(eventRows(40 until 55), s"$stage/b1")
+
+    // parity engine: reference-faithful STALE serve (R:64-82 — horizon-
+    // only validity; new data changes nothing until manual deletion)
+    val stale = parity.forecast(name, store, Methods.SES, 7, 5).collect()
+    assert(stale.forall(_.getAs[Double]("mean") == 987.654),
+      "parity mode must serve the stale cache after ingest")
+
+    // invalidation engine: stamp mismatch ⇒ branch (c) — sentinels gone,
+    // a REAL SES forecast over the 55-point series comes back, and the
+    // new stamp covers the appended window
+    val fresh = invalidating.forecast(name, store, Methods.SES, 7, 5).collect()
+    assert(fresh.length == 5)
+    assert(fresh.forall(_.getAs[Double]("mean") != 987.654),
+      "invalidation mode must retrain after a streamed append")
+    // max ts of the FULL 55-row window, in the engine's epoch-nanos
+    // contract: id 54 at epoch0 + 54 h
+    val maxNanos = (epoch0.getEpochSecond + 54L * 3600L) * 1000000000L
+    assert(invalidating.stamps.matches(name, idx, Methods.SES, 55L, maxNanos),
+      "retrain records the post-append observation stamp")
+  }
+
   test("availableMethods mirrors the reference registry byte-for-byte (R:6-7)") {
     val eng = new Engine(spark, Files.createTempDirectory("graft-engine2").toString)
     assert(eng.availableMethods == Seq("ARIMA", "ARIMA_FORCE_SEASONALITY", "THETA", "ETS",
