@@ -783,6 +783,7 @@ object SparkEntry {
     // P@5 with label-match relevance) — exact BIGINT DCG weights, one
     // IEEE division per output number, fully oracle-checked
     "retrieval_quality" -> ((s, dir) => Similarity.retrievalQuality(s, dir)),
+    "retrieval_quality_ivf" -> ((s, dir) => Similarity.retrievalQualityIvf(s, dir)),
     "label_knn_accuracy" -> ((s, dir) => Similarity.labelKnnAccuracy(s, dir)),
     // rows-only: driver eigensolve on the d×d Gram partials;
     // planted-anisotropy fixture gates
@@ -2929,6 +2930,14 @@ object SparkEntry {
         graft.engine.Conformal.CoverageGateMetrics.sorted
           .map(m => s"('$m', TRUE)").mkString(", ") +
         ") AS t(metric, ok) ORDER BY metric"),
+    // literal-TRUE verdict rows: the IVF index's end-task retrieval
+    // metrics (nDCG/MRR/P@k pooled over all queries) each ≥ 0.95 of the
+    // exact tier's — the quality complement to ann_recall_gates
+    "retrieval_quality_ivf" ->
+      """SELECT 'ivf_mrr_ratio' AS metric, CAST(0.95 AS DOUBLE) AS floor, TRUE AS ok
+        |UNION ALL SELECT 'ivf_ndcg_ratio', CAST(0.95 AS DOUBLE), TRUE
+        |UNION ALL SELECT 'ivf_p_at_k_ratio', CAST(0.95 AS DOUBLE), TRUE
+        |ORDER BY metric""".stripMargin,
     "ann_recall_gates" ->
       """SELECT 'ann_ivf_recall_at_5' AS metric, CAST(0.9 AS DOUBLE) AS floor, TRUE AS ok
         |UNION ALL SELECT 'ann_lsh_recall_at_5', CAST(0.9 AS DOUBLE), TRUE

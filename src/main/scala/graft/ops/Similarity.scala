@@ -458,7 +458,14 @@ object Similarity {
     * shape: rides the session-cached exact top-k (the documented
     * baseline tier — this IS its evaluation harness); everything after
     * is |vecs|·k-bounded joins and one label-keyed aggregate. */
-  def retrievalQuality(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+  def retrievalQuality(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    retrievalQualityOver(spark, sfDir, cosineTopK(spark, sfDir, k), k)
+
+  /** The metric pipeline over ANY (vec_id, rank, other_id, sim) top-k
+    * frame — shared by the exact tier's [[retrievalQuality]] and the
+    * [[retrievalQualityIvf]] end-task gate. */
+  private def retrievalQualityOver(spark: SparkSession, sfDir: String,
+      topk: DataFrame, k: Int): DataFrame = {
     val w = dcgWeights(k)
     val wArr = array(w.map(lit(_)): _*)
     val idcgArr = array(w.scanLeft(0L)(_ + _).drop(1).map(lit(_)): _*)
@@ -466,7 +473,7 @@ object Similarity {
       .filter(col("label").isNotNull && col("embedding").isNotNull)
       .select(col("vec_id"), col("label").cast("long").as("label"))
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
-    val rel = cosineTopK(spark, sfDir, k)
+    val rel = topk
       .join(labels, Seq("vec_id"))
       .join(labels.select(col("vec_id").as("other_id"), col("label").as("nb_label")),
         Seq("other_id"), "left")
@@ -497,6 +504,47 @@ object Similarity {
         round(col("shits").cast("double") /
           (col("n_queries") * lit(k.toLong)).cast("double"), 6).as("p_at_k"))
       .orderBy(col("label"))
+  }
+
+  /** End-task quality of the IVF index (round-14, verdict ask #6): the
+    * recall@5 gates measure WHICH neighbors the index returns; this
+    * gate measures whether the METRICS a user actually reports (nDCG@k,
+    * MRR, P@k — [[retrievalQuality]]) survive the approximation. Each
+    * corpus-level metric (query-weighted mean over labels, exactly the
+    * mean over all individual queries) must stay ≥ [[IvfQualityFloor]]
+    * of the exact tier's. Ratios can legitimately EXCEED 1 — when the
+    * index misses an irrelevant high-rank neighbor, a relevant one
+    * moves up — so the gate is one-sided. Verdict rows (metric, floor,
+    * ok) with a literal-TRUE oracle, the ann_recall_gates discipline;
+    * collected rows are session-cached (deterministic per corpus, and
+    * the bench times every query twice). */
+  val IvfQualityFloor = 0.95
+
+  private val ivfQualityCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[(String, Double, Boolean)]]()
+
+  def retrievalQualityIvf(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val rows = ivfQualityCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir), _ => {
+        def pooled(topk: DataFrame): (Double, Double, Double) = {
+          val per = retrievalQualityOver(spark, sfDir, topk, k).collect()
+          val n = per.map(_.getAs[Long]("n_queries")).sum.toDouble
+          def mean(c: String): Double =
+            if (n == 0) 0.0
+            else per.map(r => r.getAs[Long]("n_queries") * r.getAs[Double](c)).sum / n
+          (mean("mean_ndcg"), mean("mrr"), mean("p_at_k"))
+        }
+        val (en, em, ep) = pooled(cosineTopK(spark, sfDir, k))
+        val (vn, vm, vp) = pooled(ivfTopK(spark, sfDir, k))
+        def gate(name: String, exact: Double, ivf: Double) =
+          (name, IvfQualityFloor, exact == 0.0 || ivf / exact >= IvfQualityFloor)
+        Array(
+          gate("ivf_ndcg_ratio", en, vn),
+          gate("ivf_mrr_ratio", em, vm),
+          gate("ivf_p_at_k_ratio", ep, vp))
+      })
+    rows.toSeq.toDF("metric", "floor", "ok").orderBy(col("metric"))
   }
 
   /** Hybrid retrieval by Reciprocal-Rank Fusion — the composition every
@@ -748,6 +796,7 @@ object Similarity {
     lshCandCache.values.forEach(df => { df.unpersist(); () })
     lshCandCache.clear()
     recallVerdictCache.clear()
+    ivfQualityCache.clear()
   }
 
   /** Fit (or fetch) the seeded coarse quantizer. `nlist ≤ 0` auto-tunes
