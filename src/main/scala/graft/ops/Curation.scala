@@ -739,7 +739,16 @@ object Curation {
     * `source = 'planted_fixture'` tag where the column survives). */
   private[graft] val FixtureIdBase: Long = Dedup.MirrorOffset
 
-  def gopherQualityFlags(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The PUBLIC registration: the Gopher battery over the corpus as-is
+    * (round-14 name split — the seeded fixture moved to
+    * [[gopherQualityFlagsSeeded]] under the `_gate` name). */
+  def gopherQualityFlags(spark: SparkSession, sfDir: String): DataFrame =
+    gopherQualityFlags(docs(spark, sfDir))
+
+  /** Driver-gate registration: the corpus plus one planted fixture row
+    * passing EVERY Gopher rule (see [[gopherFixtureText]]), so the keep
+    * flag is never constant-false at the driver's check scale. */
+  def gopherQualityFlagsSeeded(spark: SparkSession, sfDir: String): DataFrame = {
     val base = docs(spark, sfDir)
     val planted = base.sparkSession.range(1)
       .select(lit(FixtureIdBase + 101L).as("doc_id"), lit(gopherFixtureText).as("text"),
