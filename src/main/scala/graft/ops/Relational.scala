@@ -782,12 +782,18 @@ object Relational {
     evRaw
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), tCol.as("t"), col("value"))
+      // bounds from MIN/MAX aggregates, not w.start/w.end: identical
+      // values, but a consumer filter on a w-derived column is pushed
+      // below MergingSessions by Catalyst and splits straddling
+      // sessions — see EventIngest.sessionize's scaladoc (measured,
+      // round-14 soak)
       .groupBy(col("user_id"), session_window(col("t"), s"$gapMinutes minutes").as("w"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"),
+        min(col("t")).as("first_t"), max(col("t")).as("last_t"))
       .select(col("user_id"),
-        unix_micros(col("w.start")).as("session_start_us"),
-        unix_micros(col("w.end")).as("session_end_us"),
+        unix_micros(col("first_t")).as("session_start_us"),
+        (unix_micros(col("last_t")) + gapMinutes * 60000000L).as("session_end_us"),
         col("n_events"),
         col("sum_dec").cast("double").as("sum_value"))
       .orderBy(col("user_id"), col("session_start_us"))

@@ -2337,6 +2337,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"batch ${batch.size} vs stream ${stream.size}; diff ${(batch diff stream).take(3)}")
   }
 
+  test("session bound filters survive Catalyst pushdown (aggregate-derived bounds)") {
+    // round-14 regression, found by the 1M soak: a filter on a
+    // w.end-derived column is pushed BELOW MergingSessions (Catalyst
+    // treats grouping expressions as stable, but the merge rewrites
+    // them), evaluating on per-event pre-merge windows — it split every
+    // session whose neighbor events straddled the cutoff. Sessions now
+    // derive bounds from min/max AGGREGATES, which no filter can cross.
+    // Fixture: two events 20 min apart (30-min gap ⇒ ONE session whose
+    // end lies past the cutoff; the first event's pre-merge window end
+    // does NOT). Under the old shape the filter kept a phantom
+    // single-event session; the correct answer is zero rows.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-push").toString
+    val t0 = 1700000000000L // ms
+    Seq(
+      (1L, new java.sql.Timestamp(t0), 5L, "a", 1.0, "{}"),
+      (2L, new java.sql.Timestamp(t0 + 20L * 60000L), 5L, "a", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val sessions = Relational.userSessions(spark, dir)
+    val all = sessions.collect()
+    assert(all.length == 1 && all.head.getLong(3) == 2L, s"must merge: ${all.toSeq}")
+    val endUs = all.head.getLong(2)
+    assert(endUs == (t0 + 20L * 60000L + 30L * 60000L) * 1000L,
+      "session end = last event + gap")
+    // cutoff between the first event's pre-merge window end and the
+    // true merged end: the filtered result must be EMPTY (the session
+    // is still open at the cutoff), not a phantom split
+    val cutoff = (t0 + 35L * 60000L) * 1000L
+    val closed = sessions.filter(col("session_end_us") <= cutoff).collect()
+    assert(closed.isEmpty,
+      s"filter pushed below the session merge resurrected a split: ${closed.toSeq}")
+    // and a cutoff past the true end keeps the merged session intact
+    val later = sessions.filter(col("session_end_us") <= endUs).collect()
+    assert(later.length == 1 && later.head.getLong(3) == 2L)
+  }
+
   test("streaming sessions equal the batch sessions filtered to the watermark-closed set") {
     // parity on the real store: AvailableNow's emitted set must be
     // exactly the batch gaps-and-islands sessions whose end clears the
