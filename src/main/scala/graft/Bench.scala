@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Minimal JSON string escaping: a corpus path (or, defensively, a
+    * query name) containing a quote/backslash/control char must not
+    * produce an invalid artifact that breaks round-over-round diff
+    * tooling. Package-visible for the unit test. */
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -59,15 +70,6 @@ object Bench {
     // Locale.ROOT: a comma decimal separator from the platform locale
     // would silently break the JSON
     def r4(x: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
-    // minimal JSON string escaping: a corpus path (or, defensively, a
-    // query name) containing a quote or backslash must not produce an
-    // invalid artifact that breaks round-over-round diff tooling
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     def jmap(f: ((String, (Double, Double, Int))) => String) =
       results.map(f).mkString("{", ",", "}")
     val qs = jmap { case (k, (best, _, _)) => jstr(k) + ":" + r4(best) }

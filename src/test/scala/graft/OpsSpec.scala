@@ -25,6 +25,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("bench JSON string escaping survives quotes, backslashes, and control chars") {
+    // ADVICE carryover (round 13 #7): a corpus path with a quote or
+    // backslash must produce a VALID artifact line
+    assert(graft.Bench.jstr("plain") == "\"plain\"")
+    assert(graft.Bench.jstr("""a"b\c""") == """"a\"b\\c"""")
+    assert(graft.Bench.jstr("t\tn\n") == "\"t\\u0009n\\u000a\"")
+    // round-trips through a real JSON parser (the driver's view) —
+    // Jackson rides Spark's classpath
+    val tricky = "/tmp/we\"ird\\dir"
+    val line = s"""{"sf":${graft.Bench.jstr(tricky)}}"""
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("sf").asText() == tricky, s"round-trip: $line")
+  }
+
   test("blockedJaccard pairs are symmetric-free, thresholded, and block-local") {
     val rows = NearDup.blockedJaccard(spark, sfDir, 0.9).collect()
     rows.foreach { r =>
