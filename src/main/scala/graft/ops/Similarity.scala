@@ -806,8 +806,48 @@ object Similarity {
     * cannot be asked for more clusters than rows; an empty corpus yields
     * None). The array→VectorUDT bridge is MLlib's own `array_to_vector`
     * (codegen-friendly, no Scala UDF). */
+  /** On-disk location of the persisted IVF index for (corpus, nlist
+    * key) — the ingest-time index store (round 14). Root overridable
+    * with SPARK_GRAFT_STORE_DIR, the `sources/` mirror convention. */
+  private[graft] def indexDir(sfDir: String, nlist: Int): String =
+    sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + s"/ivf_index_k${math.max(nlist, 0)}"
+
+  /** The index is usable only while its marker is no older than the
+    * embedding store — a regenerated corpus rebuilds, never silently
+    * serves a stale quantizer (the SeriesStore freshness rule). */
+  private def indexFresh(sfDir: String, dir: String): Boolean = {
+    val marker = new java.io.File(dir, "_SUCCESS")
+    marker.isFile && marker.lastModified >=
+      new java.io.File(s"$sfDir/embeddings.parquet").lastModified
+  }
+
+  /** Fit OR LOAD the coarse quantizer. An ANN index is built at ingest
+    * and served for months — refitting KMeans per session was the one
+    * per-corpus cost the session caches could not amortize across JVMs
+    * (measured as ann_ivf_topk's ~5.8 s first bench pass). The fitted
+    * index persists as two parquet tables under [[indexDir]]:
+    * `centroids` (cell, centroid) and `cells` — the (vec_id, v)
+    * vectors PARTITIONED BY cell, i.e. the inverted-list layout
+    * itself: at cluster scale a probe reads only its cells'
+    * directories (partition pruning). A later session loads instead of
+    * refitting; doubles round-trip parquet bit-exactly, so loaded and
+    * fitted quantizers produce identical candidates. Staleness follows
+    * the mirror rule ([[indexFresh]]); [[ensureIvfIndex]] is the
+    * explicit ingest-time entry (Bench runs it with the other layout
+    * steps). Empty corpora are never persisted (None each session). */
   private def coarseQuantizer(spark: SparkSession, sfDir: String, nlist: Int): Option[CoarseQuantizer] =
     quantizerCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir, math.max(nlist, 0)), _ => {
+      val dir = indexDir(sfDir, nlist)
+      if (indexFresh(sfDir, dir)) {
+        val cents = spark.read.parquet(s"$dir/centroids").collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).map(_._2)
+        val assigned = spark.read.parquet(s"$dir/cells")
+          .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Some(CoarseQuantizer(assigned.count(), cents, assigned))
+      } else {
       val e = emb(spark, sfDir)
         .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("v")))
       val n = e.count()
@@ -836,9 +876,37 @@ object Similarity {
         val model = km.fit(fitInput)
         val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // write-through: the index outlives the session. Centroids are
+        // cell-keyed rows; vectors land partitionBy(cell) after a
+        // cell-hash repartition so each inverted list is one file set
+        // (without it, every task writes a file per cell it touches —
+        // nlist × tasks files). The top-level marker is created only
+        // after BOTH tables commit.
+        import spark.implicits._
+        model.clusterCenters.map(_.toArray).zipWithIndex.toIndexedSeq
+          .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$dir/centroids")
+        assigned.repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+        // delete-then-create: createNewFile() on an existing marker is
+        // a no-op that keeps the OLD mtime, leaving a rebuilt index
+        // permanently "stale" under the freshness rule
+        val marker = new java.io.File(dir, "_SUCCESS")
+        marker.delete()
+        marker.createNewFile()
         Some(CoarseQuantizer(n, model.clusterCenters.map(_.toArray), assigned))
       }
+      }
     })
+
+  /** Explicit ingest-time index build (or freshness check) for the
+    * default auto-nlist index — the layout-step twin of
+    * `SeriesStore.ensurePartitioned`. */
+  def ensureIvfIndex(spark: SparkSession, sfDir: String): Unit = {
+    coarseQuantizer(spark, sfDir, 0)
+    ()
+  }
 
   /** IVF cell-occupancy balance — hot cells are the IVF tier's join
     * skew (the `join_skew_report` pattern applied to the quantizer): a

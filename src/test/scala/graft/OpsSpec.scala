@@ -148,6 +148,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree >= (exact.size * 0.5).toInt, s"partial-probe agreement $agree/${exact.size}")
   }
 
+  test("IVF index persists across sessions and rebuilds when the corpus changes") {
+    // round-14 index store: fit once → parquet (centroids +
+    // cell-partitioned inverted lists); a fresh cache must LOAD the
+    // identical quantizer; a regenerated corpus must force a refit
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
+    def writeCorpus(seedShift: Long): Unit = {
+      (0L until 300L).map { id =>
+        val r = new java.util.Random(id * 31L + 7L + seedShift)
+        (id, Array.fill(16)(r.nextGaussian().toFloat), (id % 5).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    writeCorpus(0L)
+    def topk() = Similarity.ivfTopK(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val fitted = topk()
+    val marker = new java.io.File(Similarity.indexDir(dir, 0), "_SUCCESS")
+    assert(marker.isFile, "index persisted at first fit")
+    val builtAt = marker.lastModified
+    // new cache generation → the LOAD path; results must be identical
+    Similarity.clearCaches()
+    val loaded = topk()
+    assert(loaded == fitted, "loaded index must reproduce the fitted ranking")
+    assert(marker.lastModified == builtAt, "second session loaded, not refit")
+    // regenerated corpus → stale marker → refit (and a DIFFERENT
+    // ranking, proving the old index was not silently served)
+    Thread.sleep(1100) // dir mtime granularity
+    writeCorpus(777L)
+    Similarity.clearCaches()
+    val refit = topk()
+    assert(marker.lastModified > builtAt, "stale index must rebuild")
+    assert(refit != fitted, "rebuilt index reflects the new corpus")
+  }
+
   test("nearest_cells kernel is bit-identical to the literal array_sort formulation") {
     // the codegen'd probe-selection expression replaced a literal
     // (dist, cell)-struct array_sort tree (round 14 — at nlist ≈ 1000
