@@ -36,6 +36,15 @@ import org.apache.spark.sql.functions._
   * a builder-side scale test, like the bench's warm-up pass. */
 object SoakSf1 {
 
+  /** One timing wrapper for every gate tier (was five identical local
+    * copies — review finding, round 14). */
+  private def timed[A](name: String)(f: => A): A = {
+    val s = System.nanoTime()
+    val r = f
+    println(f"[soak] $name%-32s ${(System.nanoTime() - s) / 1e9}%7.1f s")
+    r
+  }
+
   val Vocab: Array[String] = Array(
     "spark", "stream", "batch", "vector", "line", "data", "scan", "fast",
     "slow", "join", "merge", "window", "group", "hash", "key", "value",
@@ -195,12 +204,6 @@ object SoakSf1 {
       }.toDF("vec_id", "embedding", "label")
         .write.mode("overwrite").parquet(vecsPath)
     }
-    def timed[A](name: String)(f: => A): A = {
-      val s = System.nanoTime()
-      val r = f
-      println(f"[soak] $name%-32s ${(System.nanoTime() - s) / 1e9}%7.1f s")
-      r
-    }
     val sample = Some(col("vec_id") % 50 === 0)
     // ONE exact broadcast scan for the sampled anchors, persisted, and
     // BOTH exact references (unbanded top-5 for recall, banded top-5
@@ -299,12 +302,6 @@ object SoakSf1 {
         .repartition(32)
         .write.mode("overwrite").parquet(vecsPath)
       println(f"[soak] ann1m corpus built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
-    def timed[A](name: String)(f: => A): A = {
-      val s = System.nanoTime()
-      val r = f
-      println(f"[soak] $name%-32s ${(System.nanoTime() - s) / 1e9}%7.1f s")
-      r
     }
     val tierStart = System.nanoTime()
     val anchorMod = 1000L
@@ -535,12 +532,6 @@ object SoakSf1 {
   private def timedStream1mTier(spark: SparkSession, dir: String): Seq[(String, Boolean)] = {
     val prev = sys.props.get("graft.stream.stateStore")
     sys.props("graft.stream.stateStore") = "rocksdb"
-    def timed[A](name: String)(f: => A): A = {
-      val s = System.nanoTime()
-      val r = f
-      println(f"[soak] $name%-32s ${(System.nanoTime() - s) / 1e9}%7.1f s")
-      r
-    }
     try {
       val ev = spark.read.parquet(s"$dir/events.parquet")
       val maxMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
@@ -642,12 +633,6 @@ object SoakSf1 {
 
   private def timedSkewTier(spark: SparkSession, dir: String): Seq[(String, Boolean)] = {
     val skewDir = ensureSkewCorpus(spark, dir)
-    def timed[A](name: String)(f: => A): A = {
-      val s = System.nanoTime()
-      val r = f
-      println(f"[soak] $name%-32s ${(System.nanoTime() - s) / 1e9}%7.1f s")
-      r
-    }
     val probeOk = timed("skew_probe_flags_hot_key") {
       val p = graft.ops.Relational.keySkewProfile(
         graft.sources.Tables.events(spark, skewDir).select(col("user_id")), "user_id")
@@ -846,12 +831,6 @@ object SoakSf1 {
     ensureCorpus(spark, dir)
     println(f"[soak] corpus ready in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    def timed[A](name: String)(f: => A): A = {
-      val s = System.nanoTime()
-      val r = f
-      println(f"[soak] $name%-32s ${(System.nanoTime() - s) / 1e9}%7.1f s")
-      r
-    }
     val ann = timed("ann_recall_gates") {
       graft.ops.Similarity.recallGates(spark, dir).collect()
         .map(r => r.getString(0) -> r.getBoolean(2))

@@ -141,6 +141,13 @@ object Curation {
     // the fingerprint identity)
     val fp = xxhash64(regexp_replace(lower(trim(col("text"))), LineWs, " "))
     val cnt = docFrame
+      // a null text is NO content, not shared content: Spark's
+      // xxhash64(NULL) collapses to the seed, so without this filter
+      // every null-text doc would pair as a "duplicate" of every other
+      // — and the SQL oracle's norm-equality join drops NULLs, so the
+      // two engines would diverge on the first null-bearing corpus
+      // (review finding, round 14)
+      .filter(col("text").isNotNull)
       .select(col("source"), fp.as("fp"))
       .groupBy(col("fp"), col("source"))
       .agg(count(lit(1)).as("c"))

@@ -521,24 +521,29 @@ object Similarity {
   val IvfQualityFloor = 0.95
 
   private val ivfQualityCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[(String, Double, Boolean)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Array[(String, Double, Boolean)]]()
 
   def retrievalQualityIvf(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
     val rows = ivfQualityCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, sfDir), _ => {
-        def pooled(topk: DataFrame): (Double, Double, Double) = {
+      (spark.sparkContext.applicationId, sfDir, k), _ => {
+        // metric SUMS (query-weighted) plus the pool's query count; the
+        // ratio divides BOTH pools by the EXACT tier's query count — a
+        // query the index returns nothing for must score 0, not vanish
+        // from the denominator (the hardest queries are exactly the
+        // ones a skewed quantizer drops; review finding, round 14)
+        def pooled(topk: DataFrame): (Double, (Double, Double, Double)) = {
           val per = retrievalQualityOver(spark, sfDir, topk, k).collect()
           val n = per.map(_.getAs[Long]("n_queries")).sum.toDouble
-          def mean(c: String): Double =
-            if (n == 0) 0.0
-            else per.map(r => r.getAs[Long]("n_queries") * r.getAs[Double](c)).sum / n
-          (mean("mean_ndcg"), mean("mrr"), mean("p_at_k"))
+          def s(c: String): Double =
+            per.map(r => r.getAs[Long]("n_queries") * r.getAs[Double](c)).sum
+          (n, (s("mean_ndcg"), s("mrr"), s("p_at_k")))
         }
-        val (en, em, ep) = pooled(cosineTopK(spark, sfDir, k))
-        val (vn, vm, vp) = pooled(ivfTopK(spark, sfDir, k))
-        def gate(name: String, exact: Double, ivf: Double) =
-          (name, IvfQualityFloor, exact == 0.0 || ivf / exact >= IvfQualityFloor)
+        val (nExact, (en, em, ep)) = pooled(cosineTopK(spark, sfDir, k))
+        val (_, (vn, vm, vp)) = pooled(ivfTopK(spark, sfDir, k))
+        def gate(name: String, exactSum: Double, ivfSum: Double) =
+          (name, IvfQualityFloor,
+            nExact == 0.0 || exactSum == 0.0 || ivfSum / exactSum >= IvfQualityFloor)
         Array(
           gate("ivf_ndcg_ratio", en, vn),
           gate("ivf_mrr_ratio", em, vm),
@@ -813,13 +818,20 @@ object Similarity {
     sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + s"/ivf_index_k${math.max(nlist, 0)}"
 
-  /** The index is usable only while its marker is no older than the
-    * embedding store — a regenerated corpus rebuilds, never silently
-    * serves a stale quantizer (the SeriesStore freshness rule). */
+  /** The index is usable only while the embedding store still EXISTS
+    * and the marker is no older than it — a regenerated corpus
+    * rebuilds, never silently serves a stale quantizer (the
+    * SeriesStore freshness rule). The existence check matters: a
+    * deleted store has lastModified 0, which any marker would "beat" —
+    * consumers must fail loudly on the missing corpus (as the fit path
+    * does), not serve a ghost index (review finding, round 14). The
+    * `>=` comparison shares the mirrors' ms-granularity caveat: a
+    * rewrite landing in the marker's exact millisecond reads as fresh;
+    * the driver's between-round regeneration is always seconds away. */
   private def indexFresh(sfDir: String, dir: String): Boolean = {
     val marker = new java.io.File(dir, "_SUCCESS")
-    marker.isFile && marker.lastModified >=
-      new java.io.File(s"$sfDir/embeddings.parquet").lastModified
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    src.exists && marker.isFile && marker.lastModified >= src.lastModified
   }
 
   /** Fit OR LOAD the coarse quantizer. An ANN index is built at ingest
@@ -870,8 +882,20 @@ object Similarity {
             val keepOneIn = math.ceil(n.toDouble / ExactTierMaxRows).toLong
             e.filter(pmod(xxhash64(col("vec_id")), lit(keepOneIn)) === 0L)
           }
+        // an EXPLICIT nlist above the sample size would ask KMeans for
+        // more clusters than training rows (the auto path cannot: 4096
+        // ≪ 2¹⁶) — re-bound k by the actual sample cardinality, loudly
+        // (review finding, round 14)
+        val nlFit =
+          if (n <= ExactTierMaxRows) nl
+          else {
+            val sampleN = fitInput.count()
+            if (nl > sampleN) println(s"[similarity] nlist $nl exceeds the " +
+              s"quantizer fit sample ($sampleN rows) — clamping")
+            math.min(nl.toLong, sampleN).toInt
+          }
         val km = new org.apache.spark.ml.clustering.KMeans()
-          .setK(nl).setSeed(42L).setMaxIter(10)
+          .setK(nlFit).setSeed(42L).setMaxIter(10)
           .setFeaturesCol("features").setPredictionCol("cell")
         val model = km.fit(fitInput)
         val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
