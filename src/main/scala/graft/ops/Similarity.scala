@@ -643,10 +643,32 @@ object Similarity {
   private val lshBucketCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Double), Option[(Int, DataFrame)]]()
 
+  /** On-disk LSH bucket store for (corpus, tables, bucketLength) — the
+    * second ingest-time index artifact (round 14, the IVF store's
+    * twin): the bucket table is a pure function of the seeded
+    * projections and the corpus, so it persists once and reloads in
+    * any later session. `g` is recovered from the stored key arrays. */
+  private[graft] def lshIndexDir(sfDir: String, tables: Int, bucketLength: Double): String =
+    sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      s"/lsh_index_t${tables}_b${bucketLength.toString.replace('.', 'p').replace('-', 'm')}"
+
   private def lshBuckets(spark: SparkSession, sfDir: String, tables: Int,
       bucketLength: Double): Option[(Int, DataFrame)] =
     lshBucketCache.computeIfAbsent(
       (spark.sparkContext.applicationId, sfDir, tables, bucketLength), { _ =>
+        val dir = lshIndexDir(sfDir, tables, bucketLength)
+        if (indexFresh(sfDir, dir)) {
+          val loaded = spark.read.parquet(s"$dir/buckets")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          loaded.limit(1).select(size(col("bks"))).collect().headOption.map { r =>
+            (r.getInt(0), loaded)
+          } // an empty store is never persisted, so headOption always hits
+        } else lshBucketsBuild(spark, sfDir, tables, bucketLength, dir)
+      })
+
+  private def lshBucketsBuild(spark: SparkSession, sfDir: String, tables: Int,
+      bucketLength: Double, dir: String): Option[(Int, DataFrame)] = {
         val e = withNorm(emb(spark, sfDir))
           .withColumn("u", transform(col("v"), x => when(col("norm") > 0, x / col("norm")).otherwise(x)))
           .select(col("vec_id"), col("v"), col("u"))
@@ -680,15 +702,22 @@ object Similarity {
               col("tb.bks").as("bks"), col("tb.bdirs").as("bdirs"))
             .withColumn("kh", xxhash64(col("bks").cast("string")))
           val bw = Window.partitionBy(col("tbl"), col("kh"))
-          (g, tableRows
+          val bucketTable = tableRows
             .withColumn("nsplits",
               greatest(lit(1L), ceil(count(lit(1)).over(bw).cast("double") / LshMaxBucket).cast("long")))
             .select(col("tbl"), col("bks"), col("bdirs"), col("kh"), col("vec_id"), col("nsplits"),
               pmod(xxhash64(lit("salt"), col("tbl"), col("kh"), col("vec_id")), col("nsplits"))
                 .as("salt"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // write-through (the IVF store discipline): marker only after
+          // the table commits, delete-then-create to refresh its mtime
+          bucketTable.write.mode("overwrite").parquet(s"$dir/buckets")
+          val marker = new java.io.File(dir, "_SUCCESS")
+          marker.delete()
+          marker.createNewFile()
+          (g, bucketTable)
         }
-      })
+  }
 
   /** The multi-probe key set for a g-coordinate composite key: the key
     * itself plus g single-coordinate neighbors, each stepped toward
@@ -925,10 +954,11 @@ object Similarity {
     })
 
   /** Explicit ingest-time index build (or freshness check) for the
-    * default auto-nlist index — the layout-step twin of
-    * `SeriesStore.ensurePartitioned`. */
+    * default auto-nlist IVF index AND the default LSH bucket table —
+    * the layout-step twin of `SeriesStore.ensurePartitioned`. */
   def ensureIvfIndex(spark: SparkSession, sfDir: String): Unit = {
     coarseQuantizer(spark, sfDir, 0)
+    lshBuckets(spark, sfDir, tables = 8, bucketLength = 2.0)
     ()
   }
 
