@@ -962,6 +962,51 @@ object Similarity {
     ()
   }
 
+  /** Incremental IVF add — the production path for a GROWING embedding
+    * store (how an index reaches 10M vectors without re-clustering per
+    * batch): vectors not yet indexed are anti-joined out, assigned to
+    * the EXISTING centroids with one codegen'd [[graft.functions
+    * .NearestCells]] pass (argmin squared L2 — the same rule MLlib's
+    * transform applies at build time), and APPENDED to the persisted
+    * inverted lists; the freshness marker is then renewed so readers
+    * keep loading instead of refitting. Returns the number of vectors
+    * added. Centroid DRIFT is the documented trade of every IVF add
+    * path: centroids stay fixed until the next full rebuild, and
+    * [[cellBalanceReport]] is the drift monitor — a grown corpus that
+    * no longer fits its old cells surfaces as balance skew long before
+    * recall sags. Session caches are cleared (the store-mutation
+    * lifecycle rule: a corpus that changed must re-derive its cached
+    * counts, candidates, and signatures). Requires an existing fresh-
+    * or-stale index build; refuses an absent one loudly. */
+  def ivfIndexAppend(spark: SparkSession, sfDir: String, nlist: Int = 0): Long = {
+    val dir = indexDir(sfDir, nlist)
+    require(new java.io.File(dir, "_SUCCESS").isFile,
+      s"no persisted IVF index at $dir — build one (ensureIvfIndex) before appending")
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val indexedIds = spark.read.parquet(s"$dir/cells").select(col("vec_id"))
+    val fresh = emb(spark, sfDir)
+      .join(indexedIds, Seq("vec_id"), "left_anti")
+      .withColumn("cell", element_at(
+        graft.functions.VectorFunctions.nearest_cells(col("v"), cents, 1), 1))
+      .select(col("vec_id"), col("v"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val added = fresh.count()
+    if (added > 0) {
+      fresh.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    }
+    fresh.unpersist()
+    val marker = new java.io.File(dir, "_SUCCESS")
+    marker.delete()
+    marker.createNewFile()
+    // the store grew: every per-corpus session cache (counts, exact
+    // samples, candidates, signatures) is stale by definition
+    clearCaches()
+    added
+  }
+
   /** IVF cell-occupancy balance — hot cells are the IVF tier's join
     * skew (the `join_skew_report` pattern applied to the quantizer): a
     * degenerate coarse quantizer that piles the corpus into a few cells

@@ -183,6 +183,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(refit != fitted, "rebuilt index reflects the new corpus")
   }
 
+  test("IVF index append: new vectors join the inverted lists without a refit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    def rows(ids: Range, shift: Long) = ids.map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shift)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.ivfTopK(spark, dir, k = 3).collect() // builds + persists
+    val centsBefore = spark.read.parquet(s"${Similarity.indexDir(dir, 0)}/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    val assignedBefore = spark.read.parquet(s"${Similarity.indexDir(dir, 0)}/cells")
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // the store grows; append assigns ONLY the new ids, no refit
+    rows(300 until 360, 99L).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val added = Similarity.ivfIndexAppend(spark, dir)
+    assert(added == 60L, s"added $added")
+    assert(Similarity.ivfIndexAppend(spark, dir) == 0L, "idempotent re-append")
+
+    val cellsDir = s"${Similarity.indexDir(dir, 0)}/cells"
+    val after = spark.read.parquet(cellsDir)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(after.size == 360, s"${after.size} indexed")
+    // centroids untouched (no refit), existing assignments untouched
+    val centsAfter = spark.read.parquet(s"${Similarity.indexDir(dir, 0)}/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(centsAfter == centsBefore, "append must not refit centroids")
+    assignedBefore.foreach { case (id, c) =>
+      assert(after(id) == c, s"existing assignment moved for $id") }
+    // each appended vector sits in its argmin-L2 cell (exact contract)
+    val newVecs = rows(300 until 360, 99L).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cents = centsBefore.toSeq.sortBy(_._1).map(_._2.toArray)
+    newVecs.foreach { case (id, v) =>
+      val best = cents.zipWithIndex.minBy { case (c, _) =>
+        var s = 0.0; var j = 0
+        while (j < c.length) { val d = v(j) - c(j); s += d * d; j += 1 }
+        (s, 0) }._2
+      assert(after(id) == best, s"appended $id assigned ${after(id)}, argmin $best")
+    }
+    // and the query surface serves the grown corpus: appended ids appear
+    // as queries with exact-reranked neighbors
+    val topk = Similarity.ivfTopK(spark, dir, k = 3).collect()
+      .map(_.getLong(0)).toSet
+    assert((300L until 360L).forall(topk.contains), "appended ids queryable")
+  }
+
   test("nearest_cells kernel is bit-identical to the literal array_sort formulation") {
     // the codegen'd probe-selection expression replaced a literal
     // (dist, cell)-struct array_sort tree (round 14 — at nlist ≈ 1000
