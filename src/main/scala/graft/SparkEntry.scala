@@ -790,6 +790,7 @@ object SparkEntry {
     // IEEE division per output number, fully oracle-checked
     "retrieval_quality" -> ((s, dir) => Similarity.retrievalQuality(s, dir)),
     "retrieval_quality_ivf" -> ((s, dir) => Similarity.retrievalQualityIvf(s, dir)),
+    "ivf_index_health" -> ((s, dir) => Similarity.ivfIndexHealth(s, dir)),
     "label_knn_accuracy" -> ((s, dir) => Similarity.labelKnnAccuracy(s, dir)),
     // rows-only: driver eigensolve on the d×d Gram partials;
     // planted-anisotropy fixture gates
@@ -2955,6 +2956,12 @@ object SparkEntry {
         |UNION ALL SELECT 'ivf_ndcg_ratio', CAST(0.95 AS DOUBLE), TRUE
         |UNION ALL SELECT 'ivf_p_at_k_ratio', CAST(0.95 AS DOUBLE), TRUE
         |ORDER BY metric""".stripMargin,
+    // the quantizer's occupancy-balance contract as a driver-hashed
+    // verdict row — the drift monitor of the persisted/append-grown
+    // index (soak enforces the same ceiling at 20k/100k/1M)
+    "ivf_index_health" ->
+      """SELECT 'ivf_cell_balance_max_over_mean' AS metric,
+        |  CAST(8.0 AS DOUBLE) AS ceiling, TRUE AS ok""".stripMargin,
     "ann_recall_gates" ->
       """SELECT 'ann_ivf_recall_at_5' AS metric, CAST(0.9 AS DOUBLE) AS floor, TRUE AS ok
         |UNION ALL SELECT 'ann_lsh_recall_at_5', CAST(0.9 AS DOUBLE), TRUE

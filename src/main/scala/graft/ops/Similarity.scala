@@ -1043,6 +1043,20 @@ object Similarity {
         round(col("max_occ").cast("double") /
           (col("n_vectors").cast("double") / nCells), 4).as("balance_ratio"))
 
+  /** Driver-checked index health (round 14): the cell-balance contract
+    * the soak enforces at 20k/100k/1M, as a hash-checked verdict row on
+    * the driver corpora too — the operational monitor a persisted,
+    * append-grown index is read against (see [[ivfIndexAppend]]'s drift
+    * note). One small aggregate over the cached assignment table. */
+  def ivfIndexHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = cellBalanceReport(spark, sfDir).collect()
+    val ok = rows.headOption.exists(r =>
+      r.getAs[Long]("n_occupied") > 0 && r.getAs[Double]("balance_ratio") <= 8.0)
+    Seq(("ivf_cell_balance_max_over_mean", 8.0, ok))
+      .toDF("metric", "ceiling", "ok")
+  }
+
   /** The cached coarse quantizer's (vec_id, v, cell) assignment table —
     * the cell blocking other ops build on (semantic dedup's 100 TB
     * path). None on an empty corpus. */
