@@ -2901,6 +2901,7 @@ object SparkEntry {
           "local_supplier_all_equi_join", "market_share_all_equi_join",
           "minhash_candidates_equi_join", "nation_volume_all_equi_join",
           "not_exists_becomes_anti_join", "order_histogram_outer_equi_join",
+          "order_value_percentile_no_global_window",
           "pagerank_iterations_equi_join", "part_affinity_equi_join",
           "product_profit_all_equi_join",
           "promo_share_broadcasts_part", "q1_pricing_filter_pushed",

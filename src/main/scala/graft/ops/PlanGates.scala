@@ -181,6 +181,12 @@ object PlanGates {
     // content — and rejoin per-doc as hash equi-joins; a window over
     // the gram key (the viral-boilerplate trap) must never appear
     ("gopher_repetition_no_window", "gopher_repetition_flags",
+      p => !p.contains("Window") && hashJoinsNoCartesian(p)),
+    // round-15: the exact cume-dist over near-unique prices must never
+    // plan an unpartitioned running-sum window (the single-task funnel
+    // the round-14 verdict flagged) — the range-partitioned PrefixSum
+    // machinery plans as scans + hash joins, no Window node at all
+    ("order_value_percentile_no_global_window", "order_value_percentile",
       p => !p.contains("Window") && hashJoinsNoCartesian(p)))
 
   /** Gate-only plan builders for checks whose production query hides

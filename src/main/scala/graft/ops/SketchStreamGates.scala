@@ -268,7 +268,17 @@ object SketchStreamGates {
 
   /** Held-out Mann-Whitney AUC (tie-corrected) of the distilled
     * classifier against the rule screen on documents the fit never
-    * saw, gated at the OpsSpec floor 0.75. */
+    * saw, gated at the OpsSpec floor 0.75.
+    *
+    * No single-task rank window (the round-14 verdict's hygiene item —
+    * the old `row_number` over an unpartitioned order funneled the
+    * holdout through one task): scores aggregate per DISTINCT
+    * probability first, the cumulative row count below each score comes
+    * from [[PrefixSum.runningTotal]]'s range-partitioned two-pass
+    * machinery, and the tie-corrected rank sum is rebuilt exactly —
+    * every row tied at score g has average rank cumBelow_g +
+    * (n_g + 1)/2, so 2·rank_sum = Σ_g npos_g·(2·cumBelow_g + n_g + 1)
+    * stays in exact LONGs until the one final IEEE division. */
   private[graft] def qualityModelAuc(spark: SparkSession, sfDir: String): Boolean = {
     val heur = TextAnalysis.qualityScore(spark, sfDir)
       .select(col("doc_id"), (col("quality") >= 0.5d).as("pos"))
@@ -276,20 +286,21 @@ object SketchStreamGates {
       .filter(!col("in_train"))
       .select(col("doc_id"), col("quality_prob"))
       .join(heur, "doc_id")
-    val ranked = holdout
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("quality_prob"), col("doc_id"))))
-      .withColumn("ar", avg(col("rn")).over(Window.partitionBy(col("quality_prob"))))
-    val agg = ranked.agg(
-      sum(when(col("pos"), col("ar"))).as("rank_sum"),
-      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
-      count(lit(1)).as("n")).collect()(0)
+    val grouped = holdout.groupBy(col("quality_prob"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("npos_g"))
+    val cum = PrefixSum.runningTotal(grouped, "quality_prob", "n_g", "cum")
+    val agg = cum.agg(
+      sum(col("npos_g") *
+        (lit(2L) * (col("cum") - col("n_g")) + col("n_g") + lit(1L))).as("rs2"),
+      sum(col("npos_g")).as("n_pos"),
+      sum(col("n_g")).as("n")).collect()(0)
     val nPos = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-    val n = agg.getLong(2)
+    val n = if (agg.isNullAt(2)) 0L else agg.getLong(2)
     val nNeg = n - nPos
     if (nPos == 0L || nNeg == 0L) return false // degenerate screen = not ok
-    val rankSum = agg.getDouble(0)
-    val auc = (rankSum - nPos * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+    val rankSum2 = agg.getLong(0)
+    val auc = (rankSum2 / 2.0 - nPos * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
     auc >= 0.75
   }
 
