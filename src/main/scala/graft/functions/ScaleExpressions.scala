@@ -271,6 +271,86 @@ case class WinnowSketch(child: Expression, k: Int, sketchSize: Int)
     copy(child = newChild)
 }
 
+/** Fused token-trigram term-frequency kernel: tokens, trigram grouping
+  * and per-document tf counting in ONE pass over the (already
+  * lowercased/trimmed) string — replacing the corpus-scale
+  * `posexplode` + per-doc `lead` window + (doc, gram) groupBy lineage
+  * the weighted-cosine tier paid to build its tf frame (the suite's
+  * slowest query at sf0.1; the `PhrasePositions` lesson applied to
+  * n-grams — round-15 verdict ask #5). The in-row TreeMap collapses
+  * the per-doc aggregate too, so the frame build is explode-only.
+  *
+  * Parity contract (OpsSpec pins it against the legacy lineage):
+  * tokenization is EXACTLY `split(s, "\\s+")` — the same Java regex
+  * `Pattern.split(toString, -1)` Spark's `split` builtin runs — on a
+  * string the caller already passed through `lower(trim(coalesce(
+  * text, '')))`; grams are `concat_ws(" ", w[i], w[i+1], w[i+2])`;
+  * tf is the exact per-(doc, gram) count; dl is the token count. The
+  * gram list is emitted in ascending gram order (deterministic row
+  * set; consumers aggregate/join, never rely on order). */
+object TextTrigram {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def trigramTfRow(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val tokens = Ws.split(s.toString, -1)
+    val dl = tokens.length
+    val m = new java.util.TreeMap[String, Long]()
+    var i = 0
+    while (i + 2 < dl) {
+      val g = new java.lang.StringBuilder(
+        tokens(i).length + tokens(i + 1).length + tokens(i + 2).length + 2)
+        .append(tokens(i)).append(' ')
+        .append(tokens(i + 1)).append(' ')
+        .append(tokens(i + 2)).toString
+      m.merge(g, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val rows = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      dl, new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)))
+  }
+}
+
+/** trigram_tf(text): struct<dl: int, grams: array<struct<g: string,
+  * tf: long>>> — null-intolerant (callers coalesce). */
+case class TrigramTf(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "trigram_tf"
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("grams",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("tf", LongType, nullable = false))),
+        containsNull = false),
+      nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"trigram_tf requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextTrigram.trigramTfRow(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextTrigram.trigramTfRow($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ScaleFunctions {
   def codepoint_entropy(text: Column): Column =
     Bridge.column(CodepointEntropy(Bridge.expression(text)))
@@ -280,6 +360,9 @@ object ScaleFunctions {
 
   def phrase_positions(text: Column, w1: String, w2: String): Column =
     Bridge.column(PhrasePositions(Bridge.expression(text), w1, w2))
+
+  def trigram_tf(text: Column): Column =
+    Bridge.column(TrigramTf(Bridge.expression(text)))
 
   /** Build a key bloom over `keys` (LongType column values already
     * collected as a sketch by `DataFrameStatFunctions.bloomFilter` —

@@ -766,23 +766,21 @@ object NearDup {
   private val trigramTfCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
+  /** Round-15: the frame builds with the fused [[graft.functions
+    * .TrigramTf]] codegen kernel — tokenize, trigram, and per-doc tf
+    * count in one pass per row, explode-only after — deleting the
+    * corpus-scale posexplode + per-doc `lead` window exchange + (doc,
+    * gram) groupBy the old lineage paid (the suite's slowest query;
+    * the PhrasePositions precedent). OpsSpec pins kernel ≡ legacy
+    * lineage row-for-row; the tfidf_cosine_pairs oracle hash is
+    * unchanged. */
   private def trigramTf(spark: SparkSession, sfDir: String): DataFrame =
     trigramTfCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir), _ => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"),
-          split(lower(trim(coalesce(col("text"), lit("")))), "\\s+").as("ws"))
-        .select(col("doc_id"), col("ws"), size(col("ws")).as("dl"))
-        .filter(col("dl") >= 3)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val grams = toks
-        .select(col("doc_id"), col("dl"), posexplode(col("ws")).as(Seq("pos", "w0")))
-        .select(col("doc_id"), col("dl"), col("pos"), concat_ws(" ",
-          col("w0"), lead(col("w0"), 1).over(w), lead(col("w0"), 2).over(w)).as("g"),
-          lead(col("w0"), 2).over(w).isNotNull.as("full"))
-        .filter(col("full"))
-      grams.groupBy(col("doc_id"), col("dl"), col("g"))
-        .agg(count(lit(1)).as("tf"))
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), graft.functions.ScaleFunctions.trigram_tf(
+          lower(trim(coalesce(col("text"), lit(""))))).as("k"))
+        .select(col("doc_id"), col("k.dl").as("dl"), explode(col("k.grams")).as("gt"))
+        .select(col("doc_id"), col("dl"), col("gt.g").as("g"), col("gt.tf").as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 

@@ -4234,6 +4234,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got((1L, 2L)) == 1.0, s"identical docs must score 1.0: ${got((1L, 2L))}")
   }
 
+  test("trigram_tf kernel equals the legacy posexplode+lead lineage row-for-row") {
+    import spark.implicits._
+    // the fused kernel replaced a corpus-scale posexplode + per-doc
+    // lead window + (doc, gram) groupBy (round 15); parity must hold
+    // over BOTH a planted edge-case corpus and the real store
+    def kernelFrame(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), graft.functions.ScaleFunctions.trigram_tf(
+        lower(trim(coalesce(col("text"), lit(""))))).as("k"))
+      .select(col("doc_id"), col("k.dl").as("dl"), explode(col("k.grams")).as("gt"))
+      .select(col("doc_id"), col("dl"), col("gt.g").as("g"), col("gt.tf").as("tf"))
+    def legacyFrame(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val toks = df
+        .select(col("doc_id"),
+          split(lower(trim(coalesce(col("text"), lit("")))), "\\s+").as("ws"))
+        .select(col("doc_id"), col("ws"), size(col("ws")).as("dl"))
+        .filter(col("dl") >= 3)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      toks
+        .select(col("doc_id"), col("dl"), posexplode(col("ws")).as(Seq("pos", "w0")))
+        .select(col("doc_id"), col("dl"), col("pos"), concat_ws(" ",
+          col("w0"), lead(col("w0"), 1).over(w), lead(col("w0"), 2).over(w)).as("g"),
+          lead(col("w0"), 2).over(w).isNotNull.as("full"))
+        .filter(col("full"))
+        .groupBy(col("doc_id"), col("dl"), col("g"))
+        .agg(count(lit(1)).as("tf"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    val edge = Seq(
+      (1L, "a b c a b c a b"),              // repeated trigrams: tf > 1
+      (2L, "  Mixed   CASE\ttabs\nand  newlines here  "), // \s+ classes + trim
+      (3L, "two tokens"),                    // dl < 3: no rows
+      (4L, null.asInstanceOf[String]),       // null text
+      (5L, ""),                              // empty text
+      (6L, "Ünïcode ÜNÏCODE ünïcode Ünïcode")) // lowercase fold + dup grams
+      .toDF("doc_id", "text")
+    assert(rows(kernelFrame(edge)) == rows(legacyFrame(edge)),
+      "kernel must equal the legacy lineage on the edge-case corpus")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val k = rows(kernelFrame(docs))
+    val l = rows(legacyFrame(docs))
+    assert(k == l, s"kernel vs legacy on the store: ${(k -- l).take(3)} / ${(l -- k).take(3)}")
+  }
+
   test("BPE merges: hand-derived rules on a tiny corpus, overlap counting and run parity") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-test").toString
