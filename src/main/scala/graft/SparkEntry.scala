@@ -776,6 +776,15 @@ object SparkEntry {
     // its 100 TB path: pair scan blocked by the cached KMeans cell
     "semantic_dedup_ivf" -> ((s, dir) => Dedup.semanticDedupIvf(s, dir)),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    // predicate-constrained exact search: top-k among vectors WHERE
+    // label = 3 — the oracle-able reference the filtered IVF tier's
+    // recall gate measures against (round 15)
+    "cosine_topk_filtered" -> ((s, dir) => Similarity.cosineTopKFiltered(s, dir)),
+    // rows-only (seeded KMeans): filtered search over the persisted
+    // inverted lists — pool predicate pushed ahead of the list explode,
+    // selectivity-adaptive probe width keeps k filled; recall gated
+    // >= 0.9 vs the exact filtered tier in ann_recall_gates
+    "ann_ivf_topk_filtered" -> ((s, dir) => Similarity.ivfTopKFiltered(s, dir)),
     // contrastive-training consumer: per-anchor top-k SEMI-HARD
     // negatives — cosine in [0.15, 0.40): informative but below the
     // semantic near-dup threshold; ranked hardest-first
@@ -2964,7 +2973,8 @@ object SparkEntry {
       """SELECT 'ivf_cell_balance_max_over_mean' AS metric,
         |  CAST(8.0 AS DOUBLE) AS ceiling, TRUE AS ok""".stripMargin,
     "ann_recall_gates" ->
-      """SELECT 'ann_ivf_recall_at_5' AS metric, CAST(0.9 AS DOUBLE) AS floor, TRUE AS ok
+      """SELECT 'ann_ivf_filtered_recall_at_5' AS metric, CAST(0.9 AS DOUBLE) AS floor, TRUE AS ok
+        |UNION ALL SELECT 'ann_ivf_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT 'ann_lsh_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT 'ann_pq_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT 'minhash_component_recall', CAST(0.95 AS DOUBLE), TRUE
@@ -3080,6 +3090,25 @@ object SparkEntry {
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm) AS sim_raw
         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+        |SELECT vec_id, CAST(rank AS BIGINT) AS rank, other_id, round(sim_raw, 4) AS sim
+        |FROM (
+        |  SELECT vec_id, other_id, sim_raw,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim_raw DESC, other_id ASC) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // the filtered exact tier: identical arithmetic to cosine_topk with
+    // the pool predicate on the NEIGHBOR side of the pair join (the
+    // round-15 filtered-search reference tier)
+    "cosine_topk_filtered" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS other_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm) AS sim_raw
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND b.label = 3)
         |SELECT vec_id, CAST(rank AS BIGINT) AS rank, other_id, round(sim_raw, 4) AS sim
         |FROM (
         |  SELECT vec_id, other_id, sim_raw,

@@ -1100,9 +1100,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("recall-gate verdict rows are all ok (the partial oracle holds)") {
     val rows = Similarity.recallGates(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("ann_ivf_recall_at_5", "ann_lsh_recall_at_5", "ann_pq_recall_at_5",
+      Seq("ann_ivf_filtered_recall_at_5", "ann_ivf_recall_at_5",
+        "ann_lsh_recall_at_5", "ann_pq_recall_at_5",
         "minhash_component_recall"))
     rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} verdict false"))
+  }
+
+  test("filtered ANN search: k stays filled under a selective pool predicate") {
+    // the whole point of the filtered tier (round 15): post-filtering
+    // an unfiltered top-k under-fills k when the predicate is
+    // selective — the selectivity-adaptive probe schedule must not.
+    // label = 3 keeps ~10% of the corpus; the pool still has >= k+1
+    // members, so every query must return exactly k rows, every
+    // returned neighbor must satisfy the predicate, and no query may
+    // return itself.
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    val pool = labels.filter(_._2 == 3).keySet
+    assert(pool.size >= 6, s"fixture needs a pool of >= k+1: ${pool.size}")
+    val got = Similarity.ivfTopKFiltered(spark, sfDir, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perQuery = got.groupBy(_._1)
+    assert(perQuery.size == labels.size,
+      s"every vector queries: ${perQuery.size} of ${labels.size}")
+    perQuery.foreach { case (q, rows) =>
+      assert(rows.length == 5, s"query $q under-filled: ${rows.length} of 5")
+      rows.foreach { case (_, _, nb) =>
+        assert(pool.contains(nb), s"query $q returned out-of-pool neighbor $nb")
+        assert(nb != q, s"query $q returned itself")
+      }
+    }
+    // and the filtered results agree with the exact filtered tier at
+    // this scale (the adaptive schedule probes every cell here, so the
+    // candidate set IS the filtered pool — recall must be 1.0)
+    val exact = Similarity.cosineTopKFiltered(spark, sfDir, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gotPairs = got.map { case (q, _, nb) => (q, nb) }.toSet
+    assert(gotPairs == exact,
+      s"full-probe filtered IVF must equal the exact filtered tier: " +
+        s"${(exact -- gotPairs).take(3)} missing, ${(gotPairs -- exact).take(3)} extra")
   }
 
   test("semantic dedup IVF agreement holds at sf0.1 (more cells, tighter blocking)") {
