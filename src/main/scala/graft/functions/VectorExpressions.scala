@@ -139,9 +139,16 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], npro
       s"$prettyName requires array<double>, got ${other.simpleString}")
   }
 
-  private def np: Int = math.min(nprobe, centroids.length)
+  // np = 0 (empty centroid matrix, or nprobe <= 0) short-circuits to an
+  // empty array in BOTH eval paths: the insertion-buffer code indexes
+  // bd[np-1], which would throw AIOOBE at runtime — internal callers
+  // guard empty corpora, but the public facade must not crash (ADVICE
+  // r14)
+  private def np: Int = math.max(0, math.min(nprobe, centroids.length))
 
   override def nullSafeEval(v: Any): Any = {
+    if (np == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyIntArray)
     val xa = v.asInstanceOf[ArrayData]
     val m = np
     val bd = Array.fill(m)(Double.PositiveInfinity)
@@ -164,6 +171,13 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], npro
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (np == 0) {
+      // degenerate geometry is a compile-time constant: emit the empty
+      // array directly instead of a loop that would index bd[-1]
+      return nullSafeCodeGen(ctx, ev, _ =>
+        s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  new int[0]);""".stripMargin)
+    }
     val cenRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
     nullSafeCodeGen(ctx, ev, a => {
       val cen = ctx.freshName("cen")

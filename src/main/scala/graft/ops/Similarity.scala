@@ -675,14 +675,71 @@ object Similarity {
   private val lshBucketCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Double), Option[(Int, DataFrame)]]()
 
+  /** Injective corpus → store-directory mapping: the sanitized path is
+    * human-readable but LOSSY (`/a/b` and `/a_b` both sanitize to
+    * `_a_b` — ADVICE r14: two corpora colliding on one store directory
+    * would serve one corpus's persisted index for the other), so an
+    * xxhash64 of the RAW path is appended to make the mapping
+    * injective. */
+  private[graft] def corpusStoreRoot(sfDir: String): String = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(sfDir)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + f"_$h%016x"
+  }
+
+  /** Crash/concurrency-safe store (re)build (ADVICE r14: an in-place
+    * `mode("overwrite")` deletes the old tables while the old _SUCCESS
+    * marker still stands, so a reader racing a rebuild could load a
+    * half-deleted index): every table is written into `<dir>.building`,
+    * the marker is created THERE, and the finished directory is swapped
+    * into place by rename — a reader never observes a marker without
+    * fully committed tables. The tiny swap window (old renamed away,
+    * new not yet in place) reads as "no index" → rebuild/refit, never
+    * as corrupt data. */
+  private def atomicStoreSwap(dir: String)(write: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = dir + ".building"
+    deleteRecursively(tmp)
+    write(tmp)
+    new java.io.File(tmp, "_SUCCESS").createNewFile()
+    deleteRecursively(dir + ".old")
+    val dirP = Paths.get(dir)
+    if (Files.exists(dirP)) Files.move(dirP, Paths.get(dir + ".old"))
+    Files.move(Paths.get(tmp), dirP)
+    deleteRecursively(dir + ".old")
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+    }
+  }
+
+  /** Atomic freshness-marker renewal (round-14 verdict hygiene item:
+    * delete-then-create left a window where a concurrent reader saw no
+    * _SUCCESS and refused or refit): write a tmp marker and rename it
+    * into place — the marker is continuously present, with the new
+    * mtime after the move. */
+  private def renewMarker(dir: String): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, "_SUCCESS.tmp")
+    java.nio.file.Files.write(tmp, Array.emptyByteArray)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_SUCCESS"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** On-disk LSH bucket store for (corpus, tables, bucketLength) — the
     * second ingest-time index artifact (round 14, the IVF store's
     * twin): the bucket table is a pure function of the seeded
     * projections and the corpus, so it persists once and reloads in
     * any later session. `g` is recovered from the stored key arrays. */
   private[graft] def lshIndexDir(sfDir: String, tables: Int, bucketLength: Double): String =
-    sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+    corpusStoreRoot(sfDir) +
       s"/lsh_index_t${tables}_b${bucketLength.toString.replace('.', 'p').replace('-', 'm')}"
 
   private def lshBuckets(spark: SparkSession, sfDir: String, tables: Int,
@@ -741,12 +798,12 @@ object Similarity {
               pmod(xxhash64(lit("salt"), col("tbl"), col("kh"), col("vec_id")), col("nsplits"))
                 .as("salt"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // write-through (the IVF store discipline): marker only after
-          // the table commits, delete-then-create to refresh its mtime
-          bucketTable.write.mode("overwrite").parquet(s"$dir/buckets")
-          val marker = new java.io.File(dir, "_SUCCESS")
-          marker.delete()
-          marker.createNewFile()
+          // write-through (the IVF store discipline): build into a temp
+          // directory and swap atomically — marker and tables commit
+          // together (ADVICE r14)
+          atomicStoreSwap(dir) { tmp =>
+            bucketTable.write.mode("overwrite").parquet(s"$tmp/buckets")
+          }
           (g, bucketTable)
         }
   }
@@ -876,8 +933,7 @@ object Similarity {
     * key) — the ingest-time index store (round 14). Root overridable
     * with SPARK_GRAFT_STORE_DIR, the `sources/` mirror convention. */
   private[graft] def indexDir(sfDir: String, nlist: Int): String =
-    sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_store") + "/" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + s"/ivf_index_k${math.max(nlist, 0)}"
+    corpusStoreRoot(sfDir) + s"/ivf_index_k${math.max(nlist, 0)}"
 
   /** The index is usable only while the embedding store still EXISTS
     * and the marker is no older than it — a regenerated corpus
@@ -965,21 +1021,19 @@ object Similarity {
         // cell-keyed rows; vectors land partitionBy(cell) after a
         // cell-hash repartition so each inverted list is one file set
         // (without it, every task writes a file per cell it touches —
-        // nlist × tasks files). The top-level marker is created only
-        // after BOTH tables commit.
+        // nlist × tasks files). Both tables build into a temp directory
+        // and swap into place atomically WITH their marker (ADVICE r14:
+        // in-place overwrite left a reader window where the marker
+        // stood over half-deleted tables).
         import spark.implicits._
-        model.clusterCenters.map(_.toArray).zipWithIndex.toIndexedSeq
-          .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
-          .repartition(1)
-          .write.mode("overwrite").parquet(s"$dir/centroids")
-        assigned.repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-        // delete-then-create: createNewFile() on an existing marker is
-        // a no-op that keeps the OLD mtime, leaving a rebuilt index
-        // permanently "stale" under the freshness rule
-        val marker = new java.io.File(dir, "_SUCCESS")
-        marker.delete()
-        marker.createNewFile()
+        atomicStoreSwap(dir) { tmp =>
+          model.clusterCenters.map(_.toArray).zipWithIndex.toIndexedSeq
+            .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+            .repartition(1)
+            .write.mode("overwrite").parquet(s"$tmp/centroids")
+          assigned.repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/cells")
+        }
         Some(CoarseQuantizer(n, model.clusterCenters.map(_.toArray), assigned))
       }
       }
@@ -987,9 +1041,42 @@ object Similarity {
 
   /** Explicit ingest-time index build (or freshness check) for the
     * default auto-nlist IVF index AND the default LSH bucket table —
-    * the layout-step twin of `SeriesStore.ensurePartitioned`. */
-  def ensureIvfIndex(spark: SparkSession, sfDir: String): Unit = {
-    coarseQuantizer(spark, sfDir, 0)
+    * the layout-step twin of `SeriesStore.ensurePartitioned` — plus
+    * the DRIFT-TRIGGERED REBUILD POLICY (round-15 verdict ask #4):
+    * [[ivfIndexAppend]] grows the lists under FIXED centroids, and
+    * nothing acted on the drift its scaladoc documented. Now the
+    * ensure step measures both drift signals and refits when either
+    * crosses its ceiling:
+    *
+    *  - `maxBalanceRatio` — [[cellBalanceReport]]'s max/mean occupancy
+    *    over allocated cells (8 = the gated soak ceiling): an appended
+    *    region the old centroids can't represent piles into few cells
+    *    and turns probes into near-full scans;
+    *  - `maxAppendedFrac` — appended rows over corpus size: past 1/2,
+    *    the majority of the data never influenced the fit, regardless
+    *    of how the occupancy happens to look.
+    *
+    * A rebuild invalidates the marker, clears the session caches, and
+    * refits through the normal (atomic-swap) build path — which also
+    * resets the appended counter. Idempotent when healthy. */
+  def ensureIvfIndex(spark: SparkSession, sfDir: String,
+      maxBalanceRatio: Double = 8.0, maxAppendedFrac: Double = 0.5): Unit = {
+    coarseQuantizer(spark, sfDir, 0) match {
+      case Some(q) =>
+        val dir = indexDir(sfDir, 0)
+        val frac = if (q.n > 0) appendedCount(dir).toDouble / q.n else 0.0
+        val ratio = cellBalanceReport(spark, sfDir, 0).collect()
+          .headOption.map(_.getAs[Double]("balance_ratio")).getOrElse(0.0)
+        if (ratio > maxBalanceRatio || frac > maxAppendedFrac) {
+          println(f"[similarity] IVF index rebuild at $sfDir: balance_ratio " +
+            f"$ratio%.2f (ceiling $maxBalanceRatio), appended_frac $frac%.3f " +
+            f"(ceiling $maxAppendedFrac)")
+          new java.io.File(dir, "_SUCCESS").delete()
+          clearCaches()
+          coarseQuantizer(spark, sfDir, 0)
+        }
+      case None => ()
+    }
     lshBuckets(spark, sfDir, tables = 8, bucketLength = 2.0)
     ()
   }
@@ -998,26 +1085,45 @@ object Similarity {
     * store (how an index reaches 10M vectors without re-clustering per
     * batch): vectors not yet indexed are anti-joined out, assigned to
     * the EXISTING centroids with one codegen'd [[graft.functions
-    * .NearestCells]] pass (argmin squared L2 — the same rule MLlib's
-    * transform applies at build time), and APPENDED to the persisted
-    * inverted lists; the freshness marker is then renewed so readers
-    * keep loading instead of refitting. Returns the number of vectors
-    * added. Centroid DRIFT is the documented trade of every IVF add
-    * path: centroids stay fixed until the next full rebuild, and
-    * [[cellBalanceReport]] is the drift monitor — a grown corpus that
-    * no longer fits its old cells surfaces as balance skew long before
-    * recall sags. Session caches are cleared (the store-mutation
-    * lifecycle rule: a corpus that changed must re-derive its cached
-    * counts, candidates, and signatures). Requires an existing fresh-
-    * or-stale index build; refuses an absent one loudly. */
+    * .NearestCells]] pass (the same squared-L2 argmin RULE MLlib's
+    * transform applies at build time, up to floating-point formulation
+    * — MLlib's norm-trick fastSquaredDistance can place a near-exact
+    * tie boundary point differently than the direct accumulation; a
+    * tie that fine is geometry noise, not a contract), and APPENDED to
+    * the persisted inverted lists; the freshness marker is then
+    * renewed (atomically — [[renewMarker]]) so readers keep loading
+    * instead of refitting. Returns the number of vectors added.
+    *
+    * Append-vs-rewrite guard (ADVICE r14): appending only ever ADDS —
+    * it must never certify a REWRITTEN corpus as indexed. Two rules:
+    * (1) every already-indexed id must still exist in the corpus
+    * (reverse anti-join count == 0), else the call fails loudly and
+    * the caller rebuilds; (2) when nothing was added AND the store is
+    * newer than the marker (same id set, possibly changed vectors —
+    * undetectable by ids alone), the marker is NOT renewed, so the
+    * normal staleness rule forces the next reader to refit. Centroid
+    * DRIFT is the documented trade of every IVF add path: centroids
+    * stay fixed until the next rebuild, [[cellBalanceReport]] is the
+    * monitor, and [[ensureIvfIndex]]'s rebuild policy acts on it.
+    * Session caches are cleared (the store-mutation lifecycle rule).
+    * Requires an existing index build; refuses an absent one loudly. */
   def ivfIndexAppend(spark: SparkSession, sfDir: String, nlist: Int = 0): Long = {
     val dir = indexDir(sfDir, nlist)
-    require(new java.io.File(dir, "_SUCCESS").isFile,
+    val marker = new java.io.File(dir, "_SUCCESS")
+    require(marker.isFile,
       s"no persisted IVF index at $dir — build one (ensureIvfIndex) before appending")
+    val markerWasFresh = indexFresh(sfDir, dir)
     val cents = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
     val indexedIds = spark.read.parquet(s"$dir/cells").select(col("vec_id"))
+    val ghosts = indexedIds
+      .join(emb(spark, sfDir).select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .count()
+    require(ghosts == 0L,
+      s"$ghosts indexed vectors are no longer in the corpus at $sfDir — " +
+        "the embedding store was rewritten or shrank; appending would keep " +
+        "serving ghost neighbors. Rebuild the index (ensureIvfIndex) instead")
     val fresh = emb(spark, sfDir)
       .join(indexedIds, Seq("vec_id"), "left_anti")
       .withColumn("cell", element_at(
@@ -1028,15 +1134,34 @@ object Similarity {
     if (added > 0) {
       fresh.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+      appendMeta(dir, added)
     }
     fresh.unpersist()
-    val marker = new java.io.File(dir, "_SUCCESS")
-    marker.delete()
-    marker.createNewFile()
+    // renew only when this call actually extended coverage (or the
+    // index was already fresh): a no-op append over a rewritten store
+    // must leave the marker stale so the reader refits (ADVICE r14)
+    if (added > 0 || markerWasFresh) renewMarker(dir)
     // the store grew: every per-corpus session cache (counts, exact
     // samples, candidates, signatures) is stale by definition
     clearCaches()
     added
+  }
+
+  /** Cumulative appended-row count beside the store (one LONG in a
+    * text file): [[ensureIvfIndex]]'s rebuild policy compares it to
+    * the corpus size — a fit whose appended fraction dominates no
+    * longer represents the data it serves. */
+  private def appendMeta(dir: String, added: Long): Unit = {
+    val f = java.nio.file.Paths.get(dir, "_appended")
+    val prev = appendedCount(dir)
+    java.nio.file.Files.write(f, (prev + added).toString.getBytes("UTF-8"))
+  }
+
+  private[graft] def appendedCount(dir: String): Long = {
+    val f = java.nio.file.Paths.get(dir, "_appended")
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+    else 0L
   }
 
   /** IVF cell-occupancy balance — hot cells are the IVF tier's join

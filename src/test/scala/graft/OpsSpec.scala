@@ -231,6 +231,86 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((300L until 360L).forall(topk.contains), "appended ids queryable")
   }
 
+  test("IVF append guard: refuses a shrunk corpus; a no-op append leaves a stale marker stale") {
+    // ADVICE r14: ivfIndexAppend anti-joined on vec_id only and always
+    // renewed the marker — a rewritten store could read as fresh while
+    // the index served ghost/stale vectors
+    import spark.implicits._
+    def rows(ids: Range, shift: Long) = ids.map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shift)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    // case 1: the corpus SHRANK — indexed ids are no longer a subset
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivf-shrink").toString
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dirA/embeddings.parquet")
+    Similarity.ivfTopK(spark, dirA, k = 3).collect()
+    rows(0 until 200, 0L).write.mode("overwrite").parquet(s"$dirA/embeddings.parquet")
+    Similarity.clearCaches()
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(spark, dirA)
+    }
+    assert(ex.getMessage.contains("ghost") || ex.getMessage.contains("no longer"),
+      s"must name the rewrite: ${ex.getMessage}")
+    // case 2: same id set, REWRITTEN vectors — undetectable by ids, so
+    // the no-op append must NOT renew the marker: the staleness rule
+    // then forces the next reader to refit
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivf-rewrite").toString
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dirB/embeddings.parquet")
+    Similarity.ivfTopK(spark, dirB, k = 3).collect()
+    val marker = new java.io.File(Similarity.indexDir(dirB, 0), "_SUCCESS")
+    val builtAt = marker.lastModified
+    Thread.sleep(1100) // mtime granularity
+    rows(0 until 300, 555L).write.mode("overwrite").parquet(s"$dirB/embeddings.parquet")
+    Similarity.clearCaches()
+    assert(Similarity.ivfIndexAppend(spark, dirB) == 0L, "same ids: nothing to add")
+    assert(marker.lastModified == builtAt,
+      "a no-op append over a rewritten store must not certify freshness")
+    // and the normal read path now refits instead of loading the ghost
+    Similarity.ivfTopK(spark, dirB, k = 3).collect()
+    assert(marker.lastModified > builtAt, "stale index must refit on next read")
+  }
+
+  test("ensureIvfIndex: a skew-planted append flips a rebuild and balance returns under the ceiling") {
+    // round-15 drift policy: ivfIndexAppend grows the lists under
+    // FIXED centroids; when the appended mass dominates (or piles into
+    // few cells), the ensure step must refit rather than keep serving
+    // the drifted geometry
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
+    def blob(ids: Range, center: Double, spread: Double) = ids.map { i =>
+      val r = new java.util.Random(i * 131L + 11L)
+      (i.toLong, Array.fill(8)((center + spread * r.nextGaussian()).toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    blob(0 until 200, 0.0, 1.0).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    graft.ops.Similarity.ensureIvfIndex(spark, dir)
+    val idxDir = Similarity.indexDir(dir, 0)
+    val marker = new java.io.File(idxDir, "_SUCCESS")
+    val builtAt = marker.lastModified
+    // append a DOMINANT far-away blob: the old centroids can't
+    // represent it (occupancy piles up) and it outweighs the fit
+    Thread.sleep(1100)
+    blob(200 until 600, 8.0, 1.0).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.ivfIndexAppend(spark, dir) == 400L)
+    assert(Similarity.appendedCount(idxDir) == 400L, "append meta recorded")
+    val before = Similarity.cellBalanceReport(spark, dir).collect()(0)
+      .getAs[Double]("balance_ratio")
+    info(f"planted drift balance_ratio $before%.2f")
+    Thread.sleep(1100)
+    Similarity.ensureIvfIndex(spark, dir) // appended_frac 400/600 > 0.5 (and skewed)
+    assert(marker.lastModified > builtAt, "drift must trigger a rebuild")
+    assert(Similarity.appendedCount(idxDir) == 0L, "rebuild resets the append meta")
+    val after = Similarity.cellBalanceReport(spark, dir).collect()(0)
+      .getAs[Double]("balance_ratio")
+    info(f"post-rebuild balance_ratio $after%.2f")
+    assert(after <= 8.0, f"refit balance must return under the soak ceiling: $after%.2f")
+    assert(after < before || before <= 8.0,
+      f"rebuild must not worsen a skewed quantizer: $before%.2f -> $after%.2f")
+    // healthy index: a second ensure is a no-op (idempotent)
+    val rebuiltAt = marker.lastModified
+    Similarity.ensureIvfIndex(spark, dir)
+    assert(marker.lastModified == rebuiltAt, "healthy ensure must not rebuild")
+  }
+
   test("nearest_cells kernel is bit-identical to the literal array_sort formulation") {
     // the codegen'd probe-selection expression replaced a literal
     // (dist, cell)-struct array_sort tree (round 14 — at nlist ≈ 1000

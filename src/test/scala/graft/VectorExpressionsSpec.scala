@@ -49,6 +49,27 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nearest_cells with empty centroids or nprobe <= 0 returns an empty array") {
+    // ADVICE r14: the insertion buffer indexes bd[np-1]; np = 0 must
+    // short-circuit instead of AIOOBE — in BOTH eval paths
+    import spark.implicits._
+    val base = Seq(Tuple1(Seq(0.1, 0.2))).toDF("v")
+    def probe(cents: Array[Array[Double]], np: Int): Seq[Int] =
+      base.select(VectorFunctions.nearest_cells(col("v"), cents, np).as("c"))
+        .collect()(0).getSeq[Int](0)
+    assert(probe(Array.empty[Array[Double]], 3).isEmpty, "empty centroid matrix")
+    assert(probe(Array(Array(0.0, 0.0)), 0).isEmpty, "nprobe = 0")
+    assert(probe(Array(Array(0.0, 0.0)), -1).isEmpty, "negative nprobe")
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(probe(Array.empty[Array[Double]], 3).isEmpty, "interpreted path")
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("codegen and interpreted paths agree") {
     val withCodegen = df.select(VectorFunctions.cosine_sim(col("a"), col("b"))).collect().map(_.getDouble(0))
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
