@@ -785,6 +785,22 @@ object SparkEntry {
     // selectivity-adaptive probe width keeps k filled; recall gated
     // >= 0.9 vs the exact filtered tier in ann_recall_gates
     "ann_ivf_topk_filtered" -> ((s, dir) => Similarity.ivfTopKFiltered(s, dir)),
+    // rows-only: the online SERVING shape — one query vector (vec_id
+    // 0's embedding, the hybrid_search convention) against the
+    // persisted index, reading ONLY the probed cells' directories
+    // (PartitionFilters plan-gated); exact rerank, TakeOrdered top-k
+    "ann_query_search" -> ((s, dir) => {
+      val qv = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") === 0L && col("embedding").isNotNull)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().headOption.map(_.getSeq[Double](0).toArray)
+      qv match {
+        case Some(v) => Similarity.searchVector(s, dir, v)
+        case None =>
+          import s.implicits._
+          Seq.empty[(Long, Long, Double)].toDF("rank", "vec_id", "sim")
+      }
+    }),
     // contrastive-training consumer: per-anchor top-k SEMI-HARD
     // negatives — cosine in [0.15, 0.40): informative but below the
     // semantic near-dup threshold; ranked hardest-first
@@ -2911,6 +2927,8 @@ object SparkEntry {
           "minhash_candidates_equi_join", "nation_volume_all_equi_join",
           "not_exists_becomes_anti_join", "order_histogram_outer_equi_join",
           "order_value_percentile_no_global_window",
+          "ann_ivf_filtered_scoring_broadcast_attach",
+          "ann_query_search_partition_pruned",
           "pagerank_iterations_equi_join", "part_affinity_equi_join",
           "product_profit_all_equi_join",
           "promo_share_broadcasts_part", "q1_pricing_filter_pushed",

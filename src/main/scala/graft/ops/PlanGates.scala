@@ -187,7 +187,20 @@ object PlanGates {
     // the round-14 verdict flagged) — the range-partitioned PrefixSum
     // machinery plans as scans + hash joins, no Window node at all
     ("order_value_percentile_no_global_window", "order_value_percentile",
-      p => !p.contains("Window") && hashJoinsNoCartesian(p)))
+      p => !p.contains("Window") && hashJoinsNoCartesian(p)),
+    // round-15 filtered/serving ANN: the filtered tier's vector
+    // attaches stay broadcast (never the array-laden SMJ of the
+    // round-11 61× regression) and nothing loops; the single-query
+    // serving path must READ ONLY ITS PROBED CELLS — the isin on the
+    // partition column renders as a non-empty PartitionFilters INSET at
+    // the scan — and fuse its top-k (TakeOrderedAndProject, no global
+    // sort)
+    ("ann_ivf_filtered_scoring_broadcast_attach", "ann_ivf_topk_filtered",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+        && noLoops(p)),
+    ("ann_query_search_partition_pruned", "ann_query_search",
+      p => p.contains("PartitionFilters: [cell")
+        && p.contains("TakeOrderedAndProject")))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */

@@ -1509,6 +1509,78 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Single-query vector search over the PERSISTED index — the online
+    * SERVING shape (the all-KNN tiers are the batch shape): given one
+    * query vector that need not exist in the corpus,
+    *
+    *  1. probe selection runs ON THE DRIVER against the loaded
+    *     centroids (an O(nlist·d) scalar loop — the same strict
+    *     argmin-insertion rule as [[graft.functions.NearestCells]], so
+    *     driver and executor probe schedules can never disagree);
+    *  2. the inverted-list scan reads ONLY the probed cells'
+    *     directories — the probe list lands as an `isin` on the
+    *     PARTITION column of the cell-partitioned store, i.e.
+    *     PartitionFilters at the parquet scan (OpsSpec asserts it, the
+    *     `ann_query_search_partition_pruned` plan gate pins it): at
+    *     cluster scale a 10M-vector index serves a query by reading
+    *     nprobe/nlist of its files, which is the entire point of
+    *     persisting the inverted-list layout;
+    *  3. candidates exact-rerank with the fused cosine kernel and the
+    *     top k arrive via `orderBy().limit(k)` — Catalyst fuses that
+    *     to TakeOrderedAndProject (per-partition heaps + a k-row
+    *     merge), never a global sort.
+    *
+    * Returns (rank, vec_id, sim). An in-corpus query vector returns
+    * itself at rank 1 with sim 1.0 — correct semantics for an external
+    * query, which has no self to exclude. Rows-only registration
+    * (seeded KMeans); recall vs the brute-force scan is OpsSpec-gated. */
+  def searchVector(spark: SparkSession, sfDir: String, query: Array[Double],
+      k: Int = 5, nprobe: Int = 0): DataFrame = {
+    import spark.implicits._
+    val q = coarseQuantizer(spark, sfDir, 0) match {
+      case Some(cq) => cq
+      case None =>
+        return Seq.empty[(Long, Long, Double)].toDF("rank", "vec_id", "sim")
+    }
+    val nlist = q.centroids.length
+    val np = math.min(nlist, if (nprobe > 0) nprobe else autoNprobe(nlist))
+    // driver-side probe selection: strict-insertion argmin, ties keep
+    // the lower cell — bit-identical to the NearestCells kernel
+    val bd = Array.fill(np)(Double.PositiveInfinity)
+    val bc = new Array[Int](np)
+    var c = 0
+    while (c < nlist) {
+      val cen = q.centroids(c)
+      val n = math.min(query.length, cen.length)
+      var s = 0.0; var j = 0
+      while (j < n) { val d = query(j) - cen(j); s += d * d; j += 1 }
+      if (s < bd(np - 1)) {
+        var p = np - 1
+        while (p > 0 && s < bd(p - 1)) { bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1 }
+        bd(p) = s; bc(p) = c
+      }
+      c += 1
+    }
+    val probeCells = bc.take(math.min(np, nlist)).toSeq
+    // the probed-cell read: `cell` is the PARTITION column of the
+    // persisted store, so the isin prunes directories at planning time
+    val lists = spark.read.parquet(s"${indexDir(sfDir, 0)}/cells")
+      .where(col("cell").isin(probeCells.map(x => x: Any): _*))
+    val qv = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      query.map(lit(_))): _*)
+    val topk = lists
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosine_sim(col("v"), qv).as("sim_raw"))
+      .orderBy(col("sim_raw").desc, col("vec_id").asc)
+      .limit(k)
+    // rank over ≤ k rows (the limit already ran) — not a global window
+    topk
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim_raw").desc, col("vec_id").asc)).cast("long"))
+      .select(col("rank"), col("vec_id"), round(col("sim_raw"), 4).as("sim"))
+      .orderBy(col("rank"))
+  }
+
   /** Scalar int8 quantization of the embedding column — the 4×
     * storage-compression step of a 100 TB embedding store. Per vector:
     * scale = max|xᵢ|/127, qᵢ = round(xᵢ/scale) ∈ [−127, 127],

@@ -231,6 +231,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((300L until 360L).forall(topk.contains), "appended ids queryable")
   }
 
+  test("searchVector: full-probe equals brute force; default probes recall the top-5; self at rank 1") {
+    // the online serving shape — single query vector against the
+    // persisted index, partition-pruned cell reads, exact rerank
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb); if (d == 0.0) 0.0 else dot / d
+    }
+    def brute(q: Array[Double], k: Int): Seq[Long] =
+      vecs.toSeq.map { case (id, v) => (id, cos(q, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    // in-corpus query, every cell probed: must equal brute force
+    // exactly (including itself at rank 1, sim 1.0 — external-query
+    // semantics have no self to exclude)
+    val q0 = vecs(0L)
+    val full = Similarity.searchVector(spark, sfDir, q0, k = 5, nprobe = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.map(_._2).toSeq == brute(q0, 5), "full probe == brute force")
+    assert(full.head == ((1L, 0L, 1.0)), s"self at rank 1: ${full.head}")
+    // default probe schedule: k rows, descending sims, strong overlap
+    val part = Similarity.searchVector(spark, sfDir, q0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(part.length == 5, s"k rows: ${part.length}")
+    assert(part.map(_._3).sameElements(part.map(_._3).sorted(Ordering[Double].reverse)))
+    assert(part.map(_._2).toSet.intersect(brute(q0, 5).toSet).size >= 4,
+      s"default probes recall >= 4/5: ${part.map(_._2).toSeq} vs ${brute(q0, 5)}")
+    // an OUT-of-corpus query vector (perturbed q0) still serves k rows
+    val qx = q0.map(x => x * 0.9 + 0.01)
+    val ext = Similarity.searchVector(spark, sfDir, qx).collect()
+    assert(ext.length == 5, "external query serves k rows")
+  }
+
   test("PQ codes persist in the index store: fit and load are bit-identical, appends re-derive") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-store").toString
@@ -2924,7 +2961,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("plan gates: every plan-shape verdict holds") {
     val rows = graft.ops.PlanGates.planGates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
-    assert(rows.length == 52)
+    assert(rows.length == 54)
     val failed = rows.filterNot(_._2).map(_._1)
     assert(failed.isEmpty, s"plan-shape regressions: ${failed.mkString(", ")}")
   }
