@@ -1532,10 +1532,16 @@ object Similarity {
     *
     * Returns (rank, vec_id, sim). An in-corpus query vector returns
     * itself at rank 1 with sim 1.0 — correct semantics for an external
-    * query, which has no self to exclude. Rows-only registration
-    * (seeded KMeans); recall vs the brute-force scan is OpsSpec-gated. */
+    * query, which has no self to exclude. `poolPred` composes the
+    * filtered-search semantics onto the serving path: the probe
+    * schedule widens by 1/selectivity ([[ivfTopKFiltered]]'s rule) and
+    * the pruned cell scan semi-joins the broadcast filtered-id set —
+    * partition pruning AND the predicate, never post-filtering the
+    * top-k. Rows-only registration (seeded KMeans); recall vs the
+    * brute-force scan is OpsSpec-gated. */
   def searchVector(spark: SparkSession, sfDir: String, query: Array[Double],
-      k: Int = 5, nprobe: Int = 0): DataFrame = {
+      k: Int = 5, nprobe: Int = 0,
+      poolPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     val q = coarseQuantizer(spark, sfDir, 0) match {
       case Some(cq) => cq
@@ -1543,7 +1549,17 @@ object Similarity {
         return Seq.empty[(Long, Long, Double)].toDF("rank", "vec_id", "sim")
     }
     val nlist = q.centroids.length
-    val np = math.min(nlist, if (nprobe > 0) nprobe else autoNprobe(nlist))
+    val base = math.min(nlist, if (nprobe > 0) nprobe else autoNprobe(nlist))
+    val poolIds = poolPred.map(p => emb(spark, sfDir).filter(p).select(col("vec_id")))
+    val np = poolIds match {
+      case None => base
+      case Some(ids) =>
+        val poolN = ids.count()
+        if (poolN == 0L)
+          return Seq.empty[(Long, Long, Double)].toDF("rank", "vec_id", "sim")
+        val sel = poolN.toDouble / q.n
+        math.min(nlist.toDouble, math.ceil(base / sel)).toInt
+    }
     // driver-side probe selection: strict-insertion argmin, ties keep
     // the lower cell — bit-identical to the NearestCells kernel
     val bd = Array.fill(np)(Double.PositiveInfinity)
@@ -1563,9 +1579,15 @@ object Similarity {
     }
     val probeCells = bc.take(math.min(np, nlist)).toSeq
     // the probed-cell read: `cell` is the PARTITION column of the
-    // persisted store, so the isin prunes directories at planning time
-    val lists = spark.read.parquet(s"${indexDir(sfDir, 0)}/cells")
+    // persisted store, so the isin prunes directories at planning time;
+    // a pool predicate then semi-joins the broadcast filtered-id set
+    // WITHIN the pruned scan (pruning + predicate, not post-filtering)
+    val pruned = spark.read.parquet(s"${indexDir(sfDir, 0)}/cells")
       .where(col("cell").isin(probeCells.map(x => x: Any): _*))
+    val lists = poolIds match {
+      case None => pruned
+      case Some(ids) => pruned.join(broadcast(ids), Seq("vec_id"), "left_semi")
+    }
     val qv = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
       query.map(lit(_))): _*)
     val topk = lists

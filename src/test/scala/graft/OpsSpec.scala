@@ -266,6 +266,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val qx = q0.map(x => x * 0.9 + 0.01)
     val ext = Similarity.searchVector(spark, sfDir, qx).collect()
     assert(ext.length == 5, "external query serves k rows")
+    // filtered serving: the pool predicate composes — the adaptive
+    // schedule probes every cell at this selectivity, so the result
+    // must equal brute force restricted to the pool, all in-pool
+    val poolLabels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("label") === 3).select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    val filt = Similarity.searchVector(spark, sfDir, q0,
+        poolPred = Some(col("label") === 3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(filt.length == 5 && filt.forall(r => poolLabels.contains(r._2)),
+      s"filtered serving returns k in-pool rows: $filt")
+    val bruteF = vecs.toSeq.filter(kv => poolLabels.contains(kv._1))
+      .map { case (id, v) => (id, cos(q0, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(filt.map(_._2).toSeq == bruteF,
+      s"filtered serving == brute force over the pool: ${filt.map(_._2).toSeq} vs $bruteF")
   }
 
   test("PQ codes persist in the index store: fit and load are bit-identical, appends re-derive") {
