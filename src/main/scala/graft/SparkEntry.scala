@@ -827,6 +827,19 @@ object SparkEntry {
     "ann_ivf_pq_topk" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     // recall verdicts for the approximate paths, hash-checked vs TRUE
     "ann_recall_gates" -> ((s, dir) => Similarity.recallGates(s, dir)),
+    // the DELETE leg of the index lifecycle, driver-hashed (round 15):
+    // tombstone -> serve -> compact -> append on a DEDICATED index
+    // generation; literal-TRUE oracle on 5 verdict rows
+    "ann_index_lifecycle_gates" -> ((s, dir) => Similarity.indexLifecycleGates(s, dir)),
+    // radius query — every neighbor with cosine >= 0.2 for a 1-in-50
+    // query sample: the dedup-shaped search where the RESULT SIZE is
+    // radius-driven (top-k under-reports dense duplicate shells);
+    // exact tier, fully DuckDB-hashed (round 15)
+    "cosine_range_search" -> ((s, dir) => Similarity.cosineRangeSearch(s, dir)),
+    // rows-only (seeded KMeans): the cell-blocked radius scan — exact
+    // filter on multiprobe candidates (precision 1 by construction);
+    // shell recall vs the exact tier gated >= 0.9 in ann_recall_gates
+    "ann_ivf_range" -> ((s, dir) => Similarity.ivfRangeSearch(s, dir)),
     // verdict tripwires for the sketch/streaming/spectral/model-based
     // rows-only surface (HLL, MG, streaming PSI, S-H-ESD, AUC, IVF
     // agreement, whitening identities, perceptual media twins)
@@ -2990,8 +3003,19 @@ object SparkEntry {
     "ivf_index_health" ->
       """SELECT 'ivf_cell_balance_max_over_mean' AS metric,
         |  CAST(8.0 AS DOUBLE) AS ceiling, TRUE AS ok""".stripMargin,
+    // the delete-leg lifecycle verdicts: every row must be TRUE — a
+    // deleted vector serving, a compaction changing results, or an
+    // append resurrecting a tombstoned id hash-mismatches here
+    "ann_index_lifecycle_gates" ->
+      """SELECT 'append_cannot_resurrect' AS metric, TRUE AS ok
+        |UNION ALL SELECT 'compact_folds_tombstones', TRUE
+        |UNION ALL SELECT 'compact_preserves_results', TRUE
+        |UNION ALL SELECT 'deleted_never_served', TRUE
+        |UNION ALL SELECT 'k_stays_filled', TRUE
+        |ORDER BY metric""".stripMargin,
     "ann_recall_gates" ->
       """SELECT 'ann_ivf_filtered_recall_at_5' AS metric, CAST(0.9 AS DOUBLE) AS floor, TRUE AS ok
+        |UNION ALL SELECT 'ann_ivf_range_recall', CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT 'ann_ivf_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT 'ann_lsh_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT 'ann_pq_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
@@ -3114,6 +3138,23 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim_raw DESC, other_id ASC) AS rank
         |  FROM pairs)
         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // radius query: identical pair arithmetic to cosine_topk, the
+    // threshold on the UNROUNDED cosine (one IEEE expression both
+    // engines evaluate — the hard_negatives membership rule), no rank
+    // window at all (a range result is a set)
+    "cosine_range_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS other_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm) AS sim_raw
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.vec_id % 50 = 0)
+        |SELECT vec_id, other_id, round(sim_raw, 4) AS sim
+        |FROM pairs WHERE sim_raw >= CAST(0.2 AS DOUBLE)
+        |ORDER BY vec_id, other_id""".stripMargin,
     // the filtered exact tier: identical arithmetic to cosine_topk with
     // the pool predicate on the NEIGHBOR side of the pair join (the
     // round-15 filtered-search reference tier)

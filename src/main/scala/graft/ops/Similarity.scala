@@ -920,6 +920,40 @@ object Similarity {
     lshCandCache.clear()
     recallVerdictCache.clear()
     ivfQualityCache.clear()
+    lifecycleVerdictCache.clear()
+  }
+
+  /** Selective invalidation for an INDEX-generation mutation (delete /
+    * compact): the corpus itself did not change, so the exact tiers,
+    * LSH stores, and recall references for OTHER indexes stay valid —
+    * only the quantizer, candidate, and PQ entries of this (corpus,
+    * nlist) key are stale. A full [[clearCaches]] here would force
+    * every subsequent consumer to repay its reference scans (the exact
+    * top-k alone is ~4 s/corpus at sf0.1) for a mutation that never
+    * touched their inputs. */
+  private def clearIndexCaches(sfDir: String, nlist: Int): Unit = {
+    val k = math.max(nlist, 0)
+    quantizerCache.entrySet.removeIf { e =>
+      val hit = e.getKey._2 == sfDir && e.getKey._3 == k
+      if (hit) e.getValue.foreach(_.assigned.unpersist())
+      hit
+    }
+    pqCodeCache.entrySet.removeIf { e =>
+      val hit = e.getKey._2 == sfDir && e.getKey._3 == k
+      if (hit) e.getValue.foreach(_.unpersist())
+      hit
+    }
+    ivfCandCache.entrySet.removeIf { e =>
+      val hit = e.getKey._2 == sfDir && e.getKey._3 == k
+      if (hit) e.getValue.unpersist()
+      hit
+    }
+    // the recall / quality verdicts measure the DEFAULT index
+    if (k == 0) {
+      recallVerdictCache.entrySet.removeIf(_.getKey._2 == sfDir)
+      ivfQualityCache.entrySet.removeIf(_.getKey._2 == sfDir)
+    }
+    lifecycleVerdictCache.entrySet.removeIf(_.getKey._2 == sfDir)
   }
 
   /** Fit (or fetch) the seeded coarse quantizer. `nlist ≤ 0` auto-tunes
@@ -972,8 +1006,16 @@ object Similarity {
         val cents = spark.read.parquet(s"$dir/centroids").collect()
           .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
           .sortBy(_._1).map(_._2)
-        val assigned = spark.read.parquet(s"$dir/cells")
+        // tombstoned rows stay physical until compaction but must never
+        // serve: the anti-join here covers EVERY batch consumer (topk,
+        // candidates, PQ, health) in one place
+        val physical = spark.read.parquet(s"$dir/cells")
           .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+        val live = tombstones(spark, dir) match {
+          case Some(ts) => physical.join(broadcast(ts), Seq("vec_id"), "left_anti")
+          case None => physical
+        }
+        val assigned = live
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Some(CoarseQuantizer(assigned.count(), cents, assigned))
       } else {
@@ -1060,7 +1102,8 @@ object Similarity {
     * refits through the normal (atomic-swap) build path — which also
     * resets the appended counter. Idempotent when healthy. */
   def ensureIvfIndex(spark: SparkSession, sfDir: String,
-      maxBalanceRatio: Double = 8.0, maxAppendedFrac: Double = 0.5): Unit = {
+      maxBalanceRatio: Double = 8.0, maxAppendedFrac: Double = 0.5,
+      maxDeletedFrac: Double = 0.25): Unit = {
     coarseQuantizer(spark, sfDir, 0) match {
       case Some(q) =>
         val dir = indexDir(sfDir, 0)
@@ -1074,6 +1117,26 @@ object Similarity {
           new java.io.File(dir, "_SUCCESS").delete()
           clearCaches()
           coarseQuantizer(spark, sfDir, 0)
+        } else {
+          // tombstone pressure: deleted rows stay physical until a
+          // compaction folds them out — past the ceiling the probe
+          // scans waste >maxDeletedFrac of their reads on rows the
+          // anti-join immediately drops. Counted as tombstoned rows
+          // STILL PHYSICAL (not the tombstone set itself, which
+          // designedly survives compaction), so a compacted store
+          // reads as zero pressure and the step stays idempotent.
+          val dead = tombstones(spark, dir) match {
+            case Some(ts) => spark.read.parquet(s"$dir/cells")
+              .select(col("vec_id"))
+              .join(broadcast(ts), Seq("vec_id"), "left_semi").count()
+            case None => 0L
+          }
+          if (dead > 0 && dead.toDouble / (q.n + dead) > maxDeletedFrac) {
+            println(f"[similarity] IVF index compaction at $sfDir: $dead " +
+              f"tombstoned of ${q.n + dead} physical rows (ceiling " +
+              f"$maxDeletedFrac)")
+            compactIvfIndex(spark, sfDir, 0)
+          }
         }
       case None => ()
     }
@@ -1117,15 +1180,28 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
     val indexedIds = spark.read.parquet(s"$dir/cells").select(col("vec_id"))
-    val ghosts = indexedIds
+    val ts = tombstones(spark, dir)
+    // the ghost guard exempts tombstoned ids: a DELETED vector leaving
+    // the corpus upstream is the expected takedown sequence, not a
+    // rewrite — it was already not serving
+    val serving = ts match {
+      case Some(t) => indexedIds.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => indexedIds
+    }
+    val ghosts = serving
       .join(emb(spark, sfDir).select(col("vec_id")), Seq("vec_id"), "left_anti")
       .count()
     require(ghosts == 0L,
       s"$ghosts indexed vectors are no longer in the corpus at $sfDir — " +
         "the embedding store was rewritten or shrank; appending would keep " +
         "serving ghost neighbors. Rebuild the index (ensureIvfIndex) instead")
-    val fresh = emb(spark, sfDir)
+    // anti-join the tombstones too: once compaction removes a deleted
+    // row PHYSICALLY, its corpus vector would otherwise read as "not
+    // yet indexed" and the next append would RESURRECT it
+    val notIndexed = emb(spark, sfDir)
       .join(indexedIds, Seq("vec_id"), "left_anti")
+    val fresh = ts.foldLeft(notIndexed)(
+        (df, t) => df.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .withColumn("cell", element_at(
         graft.functions.VectorFunctions.nearest_cells(col("v"), cents, 1), 1))
       .select(col("vec_id"), col("v"), col("cell"))
@@ -1142,8 +1218,10 @@ object Similarity {
     // must leave the marker stale so the reader refits (ADVICE r14)
     if (added > 0 || markerWasFresh) renewMarker(dir)
     // the store grew: every per-corpus session cache (counts, exact
-    // samples, candidates, signatures) is stale by definition
-    clearCaches()
+    // samples, candidates, signatures) is stale by definition. A
+    // no-op append changed nothing — invalidating would force every
+    // consumer to repay its reference scans for free (round 15)
+    if (added > 0) clearCaches()
     added
   }
 
@@ -1162,6 +1240,80 @@ object Similarity {
     if (java.nio.file.Files.exists(f))
       new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
     else 0L
+  }
+
+  /** The persisted tombstone set of an index generation — `vec_id`s
+    * DELETED from serving ([[ivfIndexDelete]]). `None` when no delete
+    * ever ran (the overwhelmingly common case — readers skip the
+    * anti-join entirely rather than joining an empty frame). */
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val ts = new java.io.File(s"$dir/tombstones", "_SUCCESS")
+    if (ts.isFile) Some(spark.read.parquet(s"$dir/tombstones/ids"))
+    else None
+  }
+
+  private[graft] def tombstoneCount(spark: SparkSession, dir: String): Long =
+    tombstones(spark, dir).map(_.count()).getOrElse(0L)
+
+  /** DELETE vectors from a persisted index — the missing third verb of
+    * the index lifecycle (build / append / **delete** / compact /
+    * rebuild): a production vector store must drop documents from
+    * serving (takedowns, dedup removals, recalled training shards)
+    * without a full refit. Lucene/FAISS semantics — a TOMBSTONE set
+    * beside the inverted lists:
+    *
+    *  - every read path anti-joins it (the loaded assignment frame,
+    *    [[searchVector]]'s pruned cell scan), so a deleted vector can
+    *    neither be retrieved nor query;
+    *  - the rows stay PHYSICAL until [[compactIvfIndex]] folds them
+    *    out (deleting in place would rewrite whole cell files per
+    *    call); [[ensureIvfIndex]] auto-compacts past `maxDeletedFrac`;
+    *  - tombstones survive compaction on purpose — [[ivfIndexAppend]]
+    *    anti-joins them too, so a compacted-away id whose vector is
+    *    still in the corpus cannot RESURRECT through the next append;
+    *  - a REBUILD re-indexes the corpus as-is and drops the tombstone
+    *    set with the old generation: deletion is an index-generation
+    *    operation, permanent removal belongs upstream in the curation
+    *    keep-set (the standard Lucene/FAISS contract).
+    *
+    * The set is written atomically (temp + rename, its own marker);
+    * the index freshness marker is untouched — deletion neither adds
+    * coverage nor invalidates the fit. Returns the count of ids newly
+    * tombstoned (ids not physically indexed, or already deleted, don't
+    * count). Only this (corpus, nlist) key's session caches clear —
+    * the corpus itself did not change ([[clearIndexCaches]]). */
+  def ivfIndexDelete(spark: SparkSession, sfDir: String, ids: Seq[Long],
+      nlist: Int = 0): Long = {
+    import spark.implicits._
+    val dir = indexDir(sfDir, nlist)
+    require(new java.io.File(dir, "_SUCCESS").isFile,
+      s"no persisted IVF index at $dir — nothing to delete from")
+    val indexed = spark.read.parquet(s"$dir/cells").select(col("vec_id"))
+    val prior = tombstones(spark, dir)
+    val asked = ids.distinct.toDF("vec_id")
+    val hits = asked.join(indexed, Seq("vec_id"), "left_semi")
+    val fresh = prior match {
+      case Some(ts) => hits.join(ts, Seq("vec_id"), "left_anti")
+      case None => hits
+    }
+    // the tombstone set is metadata-scale by definition (a takedown
+    // list, not a corpus) — collect it like the centroids, so the
+    // rewrite below never lazily re-reads the directory it is
+    // replacing mid-swap
+    val freshIds = fresh.collect().map(_.getLong(0))
+    val added = freshIds.length.toLong
+    if (added > 0) {
+      val priorIds = prior.map(_.collect().map(_.getLong(0)))
+        .getOrElse(Array.empty[Long])
+      val all = (priorIds ++ freshIds).distinct.sorted.toIndexedSeq
+        .toDF("vec_id")
+      atomicStoreSwap(s"$dir/tombstones") { tmp =>
+        // one file: the anti-join build side stays a single broadcast
+        all.coalesce(1).write.mode("overwrite").parquet(s"$tmp/ids")
+      }
+      clearIndexCaches(sfDir, nlist)
+    }
+    added
   }
 
   /** Fold an append-grown inverted-list store back to one file set per
@@ -1185,15 +1337,87 @@ object Similarity {
     import java.nio.file.{Files, Paths}
     val tmp = s"$dir/cells.compacting"
     deleteRecursively(tmp)
-    spark.read.parquet(s"$dir/cells")
+    val physical = spark.read.parquet(s"$dir/cells")
       .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
-      .repartition(col("cell"))
+    // compaction is also the tombstone fold: deleted rows leave the
+    // files here (they stopped SERVING at delete time — this reclaims
+    // the read amplification). The tombstone set itself stays: it is
+    // what keeps the next append from resurrecting a compacted-away id
+    // whose vector is still in the corpus.
+    val kept = tombstones(spark, dir) match {
+      case Some(ts) => physical.join(broadcast(ts), Seq("vec_id"), "left_anti")
+      case None => physical
+    }
+    kept.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     deleteRecursively(s"$dir/cells.old")
     Files.move(Paths.get(s"$dir/cells"), Paths.get(s"$dir/cells.old"))
     Files.move(Paths.get(tmp), Paths.get(s"$dir/cells"))
     deleteRecursively(s"$dir/cells.old")
-    clearCaches()
+    clearIndexCaches(sfDir, nlist)
+  }
+
+  /** Driver-hashed verdict query for the DELETE leg of the index
+    * lifecycle ([[ivfIndexDelete]] / [[compactIvfIndex]] /
+    * [[ivfIndexAppend]] resurrection guard) — the `media_decode_gates`
+    * pattern: the mutations run against a DEDICATED index generation
+    * (its own fixed-nlist store directory), never the default index
+    * the other ANN queries serve, so the gate is order-independent in
+    * the driver's query sweep. Per corpus it tombstones the three
+    * lowest vec_ids, then asserts, each as a (metric, ok) row the
+    * oracle expects TRUE:
+    *
+    *  - `deleted_never_served`: no deleted id appears on either side
+    *    of the post-delete top-k;
+    *  - `k_stays_filled`: every surviving query still returns k rows;
+    *  - `compact_preserves_results`: the same search, re-run after the
+    *    tombstone fold, is row-identical;
+    *  - `compact_folds_tombstones`: the deleted rows are physically
+    *    gone from the inverted lists after compaction;
+    *  - `append_cannot_resurrect`: an append over the unchanged corpus
+    *    adds 0 — the tombstone set (which survives compaction) keeps
+    *    the still-in-corpus deleted vectors out.
+    *
+    * Queries run on the 1-in-5 sample (which includes vec_id 0, a
+    * victim — both roles observed); verdict rows session-cache. */
+  def indexLifecycleGates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    lifecycleVerdictCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir),
+      _ => computeLifecycleGates(spark, sfDir))
+      .toDF("metric", "ok").orderBy(col("metric"))
+  }
+
+  private val LifecycleNlist = 64
+
+  private def computeLifecycleGates(spark: SparkSession, sfDir: String): Seq[(String, Boolean)] = {
+    val metrics = Seq("append_cannot_resurrect", "compact_folds_tombstones",
+      "compact_preserves_results", "deleted_never_served", "k_stays_filled")
+    if (coarseQuantizer(spark, sfDir, LifecycleNlist).isEmpty)
+      return metrics.map((_, true)) // vacuously ok on an empty corpus
+    val dir = indexDir(sfDir, LifecycleNlist)
+    val victims = emb(spark, sfDir).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(3).collect().map(_.getLong(0)).toSeq
+    ivfIndexDelete(spark, sfDir, victims, LifecycleNlist)
+    val pred = pmod(col("vec_id"), lit(5)) === 0
+    def search(): Seq[(Long, Long, Long)] =
+      ivfTopK(spark, sfDir, k = 3, nlist = LifecycleNlist, queryPred = Some(pred))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val before = search()
+    val vSet = victims.toSet
+    val neverServed = before.forall(r => !vSet.contains(r._1) && !vSet.contains(r._3))
+    val kFilled = before.groupBy(_._1).forall(_._2.length == 3)
+    compactIvfIndex(spark, sfDir, LifecycleNlist)
+    val after = search()
+    val physicalVictims = spark.read.parquet(s"$dir/cells")
+      .filter(col("vec_id").isin(victims.map(x => x: Any): _*)).count()
+    val resurrected = ivfIndexAppend(spark, sfDir, LifecycleNlist)
+    Seq(
+      ("append_cannot_resurrect", resurrected == 0L),
+      ("compact_folds_tombstones", physicalVictims == 0L),
+      ("compact_preserves_results", after == before),
+      ("deleted_never_served", neverServed),
+      ("k_stays_filled", kFilled))
   }
 
   /** IVF cell-occupancy balance — hot cells are the IVF tier's join
@@ -1509,6 +1733,72 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Exact cosine RANGE search — "every neighbor within the radius",
+    * the third query shape of a vector store after batch all-KNN and
+    * single-query top-k: all (query, other) pairs with cosine ≥ `tau`,
+    * for a deterministic 1-in-`queryMod` query sample (vec_id %
+    * queryMod == 0 — the modulus convention the recall gates use, and
+    * one DuckDB reproduces verbatim). Unlike top-k, the result size is
+    * radius-driven, which is what dedup-style consumers need: "k
+    * nearest" under-reports a dense duplicate shell and over-reports
+    * around an isolated point, while a radius returns exactly the
+    * members of the shell. Same broadcast-scored plan as
+    * [[cosineTopK]]; the threshold compares the UNROUNDED cosine (one
+    * IEEE expression shared with the oracle — the [[hardNegatives]]
+    * band-membership rule), so membership cannot flip between engines.
+    * No rank window at all: a range result is a SET, ordered only for
+    * display — the plan is join → filter → sort, nothing else. Fully
+    * DuckDB-hashed (exact tier), [[ExactTierMaxRows]]-guarded. */
+  def cosineRangeSearch(spark: SparkSession, sfDir: String,
+      tau: Double = 0.2, queryMod: Int = 50,
+      queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    requireExactTier(corpusCount(spark, sfDir), "cosineRangeSearch")
+    val e = emb(spark, sfDir)
+    val pred = queryPred.getOrElse(pmod(col("vec_id"), lit(queryMod.toLong)) === 0L)
+    val a = e.filter(pred)
+      .repartition(col("vec_id")).select(col("vec_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("other_id"), col("v").as("vb"))
+    a.join(broadcast(b), col("vec_id") =!= col("other_id"))
+      .withColumn("sim_raw", graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
+      .filter(col("sim_raw") >= tau)
+      .select(col("vec_id"), col("other_id"), round(col("sim_raw"), 4).as("sim"))
+      .orderBy(col("vec_id"), col("other_id"))
+  }
+
+  /** The 100 TB path for [[cosineRangeSearch]]: the identical radius
+    * filter over [[ivfCandidatesFor]]'s cell-blocked multiprobe pairs
+    * instead of the all-pairs broadcast scan — same candidate cache,
+    * same broadcast vector attaches, same (id, id, double) shuffle
+    * shape as [[ivfTopK]], and NO rank window (a range result is a
+    * set). Precision is 1 by construction (the cosine filter is exact
+    * on candidates); what the index bounds is enumeration of the
+    * radius shell — the [[hardNegativesIvf]] contract — so the
+    * `ann_ivf_range_recall` row of [[recallGates]] gates shell recall
+    * vs the exact tier on the driver corpora. Seeded KMeans ⇒
+    * rows-only registration. */
+  def ivfRangeSearch(spark: SparkSession, sfDir: String,
+      tau: Double = 0.2, queryMod: Int = 50,
+      nlist: Int = 0, nprobe: Int = 0,
+      queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val q = coarseQuantizer(spark, sfDir, nlist) match {
+      case Some(cq) => cq
+      case None =>
+        import spark.implicits._
+        return Seq.empty[(Long, Long, Double)].toDF("vec_id", "other_id", "sim")
+    }
+    val pred = queryPred.getOrElse(pmod(col("vec_id"), lit(queryMod.toLong)) === 0L)
+    val cand = ivfCandidatesFor(spark, sfDir, nlist, nprobe, Some(pred))
+    val va = broadcast(q.assigned.select(col("vec_id"), col("v").as("va")))
+    val vb = broadcast(q.assigned.select(col("vec_id").as("other_id"), col("v").as("vb")))
+    cand
+      .join(va, "vec_id")
+      .join(vb, "other_id")
+      .withColumn("sim_raw", graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
+      .filter(col("sim_raw") >= tau)
+      .select(col("vec_id"), col("other_id"), round(col("sim_raw"), 4).as("sim"))
+      .orderBy(col("vec_id"), col("other_id"))
+  }
+
   /** Single-query vector search over the PERSISTED index — the online
     * SERVING shape (the all-KNN tiers are the batch shape): given one
     * query vector that need not exist in the corpus,
@@ -1582,8 +1872,14 @@ object Similarity {
     // persisted store, so the isin prunes directories at planning time;
     // a pool predicate then semi-joins the broadcast filtered-id set
     // WITHIN the pruned scan (pruning + predicate, not post-filtering)
-    val pruned = spark.read.parquet(s"${indexDir(sfDir, 0)}/cells")
+    val scanned = spark.read.parquet(s"${indexDir(sfDir, 0)}/cells")
       .where(col("cell").isin(probeCells.map(x => x: Any): _*))
+    // tombstoned rows are physical until compaction — deleted vectors
+    // must not serve (the same anti-join the batch load path applies)
+    val pruned = tombstones(spark, indexDir(sfDir, 0)) match {
+      case Some(ts) => scanned.join(broadcast(ts), Seq("vec_id"), "left_anti")
+      case None => scanned
+    }
     val lists = poolIds match {
       case None => pruned
       case Some(ids) => pruned.join(broadcast(ids), Seq("vec_id"), "left_semi")
@@ -1840,6 +2136,13 @@ object Similarity {
   private val recallVerdictCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(String, Double, Boolean)]]()
 
+  /** Session cache of the index-lifecycle verdict rows (see
+    * [[indexLifecycleGates]]) — the gate mutates and re-reads its own
+    * dedicated index generation, which is deterministic per corpus but
+    * not free; one run serves every invocation. */
+  private val lifecycleVerdictCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(String, Boolean)]]()
+
   def recallGates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     recallVerdictCache.computeIfAbsent(
@@ -1892,6 +2195,21 @@ object Similarity {
         coalesce(sum(col("in_ivff")), lit(0L)).as("h"))
       .select(lit("ann_ivf_filtered_recall_at_5").as("metric"),
         lit(0.9d).as("floor"), (col("h") >= col("tot") * 0.9d).as("ok"))
+    // range tier (round 15): shell recall of the IVF radius search vs
+    // the exact radius scan, on the SAME defaults the registered
+    // queries serve (tau = 0.2, 1-in-50 query sample) — precision is 1
+    // by construction, so recall of the shell is the whole contract;
+    // vacuously ok when the radius is empty at a small SF
+    val exactR = cosineRangeSearch(spark, sfDir)
+      .select(col("vec_id"), col("other_id"))
+    val ivfR = ivfRangeSearch(spark, sfDir)
+      .select(col("vec_id"), col("other_id"), lit(1L).as("in_rng"))
+    val rRow = exactR
+      .join(ivfR, Seq("vec_id", "other_id"), "left")
+      .agg(count(lit(1)).as("tot"),
+        coalesce(sum(col("in_rng")), lit(0L)).as("h"))
+      .select(lit("ann_ivf_range_recall").as("metric"),
+        lit(0.9d).as("floor"), (col("h") >= col("tot") * 0.9d).as("ok"))
     val exactPairs = NearDup.blockedJaccard(spark, sfDir, 0.95)
       .select(col("doc_a"), col("doc_b"))
     val cand = NearDup.minhashCandidates(spark, sfDir, 0.95)
@@ -1912,7 +2230,8 @@ object Similarity {
         coalesce(sum(when(col("covered"), 1L).otherwise(0L)), lit(0L)).as("hits"))
       .select(lit("minhash_component_recall").as("metric"), lit(0.95d).as("floor"),
         (col("hits") >= col("tot") * 0.95d).as("ok"))
-    annRows.unionByName(fRow).unionByName(mhRow).orderBy(col("metric"))
+    annRows.unionByName(fRow).unionByName(rRow).unionByName(mhRow)
+      .orderBy(col("metric"))
   }
 
   /** Centroid-distance outlier screen — the second embedding-hygiene

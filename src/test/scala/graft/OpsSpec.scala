@@ -353,6 +353,80 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "compaction must not reset the drift meta")
   }
 
+  test("ivfIndexDelete: tombstoned vectors never serve; compaction folds them; appends cannot resurrect") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-delete").toString
+    def rows(ids: Range, shift: Long) = ids.map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shift)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def topk() = Similarity.ivfTopK(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    topk() // build + persist the index
+    val idxDir = Similarity.indexDir(dir, 0)
+    val victims = Seq(0L, 1L, 2L)
+    assert(Similarity.ivfIndexDelete(spark, dir, victims) == 3L, "three newly tombstoned")
+    assert(Similarity.ivfIndexDelete(spark, dir, victims) == 0L, "delete is idempotent")
+    assert(Similarity.ivfIndexDelete(spark, dir, Seq(999999L)) == 0L,
+      "an id that was never indexed does not count")
+    // neither query nor neighbor role serves a deleted vector
+    val served = topk()
+    assert(served.forall(r => !victims.contains(r._1) && !victims.contains(r._3)),
+      "deleted ids must not appear on either side of the batch top-k")
+    assert(served.groupBy(_._1).size == 297, "every surviving vector still queries")
+    // the serving path excludes them too — and still fills k
+    val q5 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 5L).collect().head
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val sv = Similarity.searchVector(spark, dir, q5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sv.length == 5 && sv.forall(r => !victims.contains(r._2)),
+      s"single-query serving excludes tombstoned ids: ${sv.toSeq}")
+    // rows stay PHYSICAL until compaction, then fold out; results and
+    // the tombstone set itself must survive the fold
+    def physicalVictims(): Long = spark.read.parquet(s"$idxDir/cells")
+      .filter(col("vec_id").isin(0L, 1L, 2L)).count()
+    assert(physicalVictims() == 3L, "tombstoned rows stay physical before compaction")
+    Similarity.compactIvfIndex(spark, dir)
+    assert(physicalVictims() == 0L, "compaction folds tombstoned rows out")
+    assert(topk() == served, "queries identical across the tombstone fold")
+    assert(Similarity.tombstoneCount(spark, idxDir) == 3L,
+      "the tombstone set survives compaction")
+    // the corpus still holds the victims' vectors — an append must not
+    // bring them back
+    assert(Similarity.ivfIndexAppend(spark, dir) == 0L, "append cannot resurrect")
+    assert(topk() == served, "post-append results unchanged")
+    // a real append still works, and the victims stay excluded
+    rows(300 until 340, 99L).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.ivfIndexAppend(spark, dir) == 40L, "genuine growth still appends")
+    val grown = topk()
+    assert(grown.map(_._1).toSet.intersect((300L until 340L).toSet).size == 40,
+      "appended ids queryable")
+    assert(grown.forall(r => !victims.contains(r._1) && !victims.contains(r._3)),
+      "victims stay deleted through growth")
+    // ensure's tombstone-pressure policy: delete enough to cross the
+    // physical-dead ceiling and the ensure step compacts on its own
+    val bulk = (10L until 110L).toSeq
+    assert(Similarity.ivfIndexDelete(spark, dir, bulk) == 100L)
+    assert(spark.read.parquet(s"$idxDir/cells")
+      .filter(col("vec_id").isin(bulk.map(x => x: Any): _*)).count() == 100L,
+      "bulk tombstones physical before the ensure step")
+    Similarity.ensureIvfIndex(spark, dir)
+    assert(spark.read.parquet(s"$idxDir/cells")
+      .filter(col("vec_id").isin(bulk.map(x => x: Any): _*)).count() == 0L,
+      "ensureIvfIndex compacts past the dead-row ceiling")
+    assert(new java.io.File(idxDir, "_SUCCESS").isFile, "marker intact")
+  }
+
+  test("index lifecycle gates: all verdict rows ok on the test corpus") {
+    val rows = Similarity.indexLifecycleGates(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("append_cannot_resurrect", "compact_folds_tombstones",
+        "compact_preserves_results", "deleted_never_served", "k_stays_filled"))
+    rows.foreach(r => assert(r.getBoolean(1), s"${r.getString(0)} verdict false"))
+  }
+
   test("IVF append guard: refuses a shrunk corpus; a no-op append leaves a stale marker stale") {
     // ADVICE r14: ivfIndexAppend anti-joined on vec_id only and always
     // renewed the marker — a rewritten store could read as fresh while
@@ -1302,10 +1376,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("recall-gate verdict rows are all ok (the partial oracle holds)") {
     val rows = Similarity.recallGates(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("ann_ivf_filtered_recall_at_5", "ann_ivf_recall_at_5",
-        "ann_lsh_recall_at_5", "ann_pq_recall_at_5",
+      Seq("ann_ivf_filtered_recall_at_5", "ann_ivf_range_recall",
+        "ann_ivf_recall_at_5", "ann_lsh_recall_at_5", "ann_pq_recall_at_5",
         "minhash_component_recall"))
     rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} verdict false"))
+  }
+
+  test("range search: exact tier equals brute force; IVF tier is precise and full-probe complete") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb); if (d == 0.0) 0.0 else dot / d
+    }
+    val tau = 0.2
+    val brute = (for {
+      (q, qv) <- vecs.toSeq if q % 50 == 0
+      (o, ov) <- vecs.toSeq if o != q
+      s = cos(qv, ov) if s >= tau
+    } yield (q, o)).toSet
+    assert(brute.nonEmpty, "fixture must have in-radius pairs at tau = 0.2")
+    val exact = Similarity.cosineRangeSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == brute,
+      s"exact range == brute force: ${(brute -- exact).take(3)} missing, " +
+        s"${(exact -- brute).take(3)} extra")
+    // IVF tier: precision 1 by construction (exact filter on candidates)
+    val ivf = Similarity.ivfRangeSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(brute), s"IVF range must be precise: ${(ivf -- brute).take(3)}")
+    // default probe schedule covers the shell at this scale
+    assert(ivf.size >= math.ceil(brute.size * 0.9).toInt,
+      s"default-probe shell recall >= 0.9: ${ivf.size} of ${brute.size}")
+    // full probes enumerate the shell exactly (every pair meets in a cell)
+    val full = Similarity.ivfRangeSearch(spark, sfDir, nprobe = 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute,
+      s"full-probe IVF range == exact: ${(brute -- full).take(3)} missing")
   }
 
   test("filtered ANN search: k stays filled under a selective pool predicate") {
