@@ -801,6 +801,22 @@ object SparkEntry {
           Seq.empty[(Long, Long, Double)].toDF("rank", "vec_id", "sim")
       }
     }),
+    // rows-only: MMR diversity re-rank of the serving path — fetch 4k
+    // candidates from the index, greedily pick k maximizing relevance
+    // minus max-similarity-to-already-picked (lambda = 0.5); the
+    // retrieval-augmented consumer's answer to duplicate shells
+    "ann_query_search_mmr" -> ((s, dir) => {
+      val qv = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") === 0L && col("embedding").isNotNull)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().headOption.map(_.getSeq[Double](0).toArray)
+      qv match {
+        case Some(v) => Similarity.searchVectorMmr(s, dir, v)
+        case None =>
+          import s.implicits._
+          Seq.empty[(Long, Long, Double, Double)].toDF("rank", "vec_id", "sim", "mmr")
+      }
+    }),
     // contrastive-training consumer: per-anchor top-k SEMI-HARD
     // negatives — cosine in [0.15, 0.40): informative but below the
     // semantic near-dup threshold; ranked hardest-first

@@ -1899,6 +1899,70 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
+  /** Maximal-Marginal-Relevance re-rank of the serving path (Carbonell
+    * & Goldstein 1998) — the standard two-stage retrieve-then-rerank
+    * shape: [[searchVector]] fetches `fetch·k` candidates from the
+    * index (the distributed stage), then a greedy pass picks k of them
+    * maximizing `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — high
+    * relevance, penalized for redundancy with what is already picked.
+    * A plain top-k over a corpus with duplicate shells returns k copies
+    * of one document; MMR is how a retrieval-augmented consumer gets k
+    * DIFFERENT relevant documents.
+    *
+    * Scale shape: the greedy loop is inherently sequential and
+    * quadratic — but in the CANDIDATE LIST, whose size is the bounded
+    * `fetch·k` (≤ ~100 rows), not the corpus; it runs on the driver
+    * over collected candidates, the same metadata-scale exception as
+    * the centroid probe selection one step earlier. The candidate
+    * vectors are fetched by an `isin` id-lookup (pushed to the parquet
+    * scan; at cluster scale, a point-read against the id-bucketed
+    * store). Determinism: ties break (score desc, vec_id asc) with the
+    * UNROUNDED doubles; λ = 1 degenerates to exactly [[searchVector]]'s
+    * ranking (the redundancy term vanishes, and the first pick is
+    * always the top-1 for any λ > 0 since the penalty of an empty
+    * selected set is 0). Both invariants are OpsSpec-pinned. Returns
+    * (rank, vec_id, sim, mmr) — `sim` the query cosine, `mmr` the
+    * marginal score at selection time, both display-rounded. */
+  def searchVectorMmr(spark: SparkSession, sfDir: String, query: Array[Double],
+      k: Int = 5, lambda: Double = 0.5, fetch: Int = 4,
+      nprobe: Int = 0): DataFrame = {
+    import spark.implicits._
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    require(fetch >= 1, s"fetch must be >= 1: $fetch")
+    val cand = searchVector(spark, sfDir, query, k = k * fetch, nprobe = nprobe)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    if (cand.isEmpty)
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("rank", "vec_id", "sim", "mmr")
+    val vecs = emb(spark, sfDir)
+      .filter(col("vec_id").isin(cand.map(x => x: Any): _*))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb); if (d == 0.0) 0.0 else dot / d
+    }
+    val qSim = cand.map(id => id -> cos(query, vecs(id))).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashSet(cand.toIndexedSeq: _*)
+    while (selected.length < math.min(k, cand.length)) {
+      val pick = remaining.iterator.map { id =>
+        val redundancy =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => cos(vecs(id), vecs(s._1))).max
+        (id, lambda * qSim(id) - (1.0 - lambda) * redundancy)
+      }.minBy { case (id, score) => (-score, id) }
+      selected += pick
+      remaining -= pick._1
+    }
+    selected.iterator.zipWithIndex.map { case ((id, score), i) =>
+      ((i + 1).toLong, id,
+        math.rint(qSim(id) * 10000) / 10000, math.rint(score * 10000) / 10000)
+    }.toIndexedSeq.toDF("rank", "vec_id", "sim", "mmr")
+  }
+
   /** Scalar int8 quantization of the embedding column — the 4×
     * storage-compression step of a 100 TB embedding store. Per vector:
     * scale = max|xᵢ|/127, qᵢ = round(xᵢ/scale) ∈ [−127, 127],

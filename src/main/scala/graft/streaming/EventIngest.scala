@@ -291,6 +291,56 @@ object EventIngest {
     else spark.read.parquet(outDir).drop("batch")
   }
 
+  /** Streaming VECTOR ingest — how a 100 TB embedding store and its
+    * ANN index grow in production: embedding batches land in
+    * `landingDir` (the encoder fleet's output), stream in as files,
+    * and each micro-batch (1) appends to the corpus store and (2)
+    * extends the persisted IVF inverted lists through
+    * `Similarity.ivfIndexAppend` — assignment under the FIXED fitted
+    * centroids, no refit per batch; `ensureIvfIndex`'s drift policy
+    * decides separately when accumulated appends warrant one.
+    *
+    * foreachBatch is AT-LEAST-ONCE, and the two legs handle replay
+    * differently: the corpus append is guarded by a per-batchId stamp
+    * file (the replayed batch skips the write — same recipe as the
+    * line-clean sink's overwrite-per-batch, shaped for an append-only
+    * store), while the index append is idempotent BY CONSTRUCTION
+    * (already-indexed ids anti-join out). A crash between the corpus
+    * write and its stamp can replay one batch's rows into the corpus
+    * twice — the index stays duplicate-free regardless, and the
+    * corpus-side recovery is the standard exact-dedup pass. Runs under
+    * AvailableNow; returns the number of vectors the index gained.
+    * Requires an existing index build (the append contract). */
+  def vectorIngestAvailableNow(spark: SparkSession, landingDir: String,
+      corpusDir: String): Long = {
+    val ss = streamSession(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vecingest-ck").toString
+    val gained = new java.util.concurrent.atomic.AtomicLong(0L)
+    val src = ss.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1) // production cadence: one landed file per micro-batch
+      .parquet(landingDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stamp = new java.io.File(s"$corpusDir/_vec_ingest", batchId.toString)
+        if (!stamp.exists()) {
+          batch.write.mode("append").parquet(s"$corpusDir/embeddings.parquet")
+          stamp.getParentFile.mkdirs()
+          stamp.createNewFile()
+          ()
+        }
+        gained.addAndGet(graft.ops.Similarity.ivfIndexAppend(spark, corpusDir))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally deleteRecursively(new java.io.File(ckpt))
+    gained.get()
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()

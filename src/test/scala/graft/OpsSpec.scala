@@ -419,6 +419,87 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(idxDir, "_SUCCESS").isFile, "marker intact")
   }
 
+  test("streaming vector ingest: landed batches grow the corpus and index; replay cannot double-ingest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecingest").toString
+    def rows(ids: Range, shift: Long) = ids.map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shift)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.ivfTopK(spark, dir, k = 3).collect() // ingest-time index build
+    val idxDir = Similarity.indexDir(dir, 0)
+    val centsBefore = spark.read.parquet(s"$idxDir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    // two encoder-fleet files land; maxFilesPerTrigger=1 makes each its
+    // own micro-batch — the production one-file-one-batch cadence
+    val landing = s"$dir/landing"
+    rows(300 until 340, 99L).coalesce(1).write.mode("append").parquet(landing)
+    rows(340 until 380, 99L).coalesce(1).write.mode("append").parquet(landing)
+    val gained = EventIngest.vectorIngestAvailableNow(spark, landing, dir)
+    assert(gained == 80L, s"index gained $gained of 80 landed vectors")
+    val corpusN = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val indexedN = spark.read.parquet(s"$idxDir/cells").count()
+    assert(corpusN == 380L && indexedN == 380L, s"corpus $corpusN, indexed $indexedN")
+    // per-batch append under FIXED centroids — no refit happened
+    val centsAfter = spark.read.parquet(s"$idxDir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(centsAfter == centsBefore, "streaming ingest must not refit centroids")
+    // the grown index serves the landed ids
+    val topk = Similarity.ivfTopK(spark, dir, k = 3).collect().map(_.getLong(0)).toSet
+    assert((300L until 380L).forall(topk.contains), "landed ids queryable")
+    // a full replay of the same landing dir (fresh checkpoint = every
+    // batch replays) must be a no-op on both legs: stamps guard the
+    // corpus, the anti-join guards the index
+    val replayGained = EventIngest.vectorIngestAvailableNow(spark, landing, dir)
+    assert(replayGained == 0L, s"replay gained $replayGained")
+    assert(spark.read.parquet(s"$dir/embeddings.parquet").count() == 380L,
+      "replayed batches must not double-ingest the corpus")
+    assert(spark.read.parquet(s"$idxDir/cells").count() == 380L,
+      "replayed batches must not double-index")
+  }
+
+  test("searchVectorMmr: lambda=1 equals plain serving; diversity escapes a duplicate shell") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmr").toString
+    // planted geometry: 12 near-copies of one direction (the duplicate
+    // shell a plain top-k drowns in) + 48 spread documents
+    val rnd = new java.util.Random(7L)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val rows = (0 until 60).map { i =>
+      val v =
+        if (i < 12) base.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat)
+        else Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i.toLong, v, i % 5)
+    }.toDF("vec_id", "embedding", "label")
+    rows.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val q = base
+    val plain = Similarity.searchVector(spark, dir, q, k = 5).collect()
+      .map(_.getLong(1)).toSeq
+    assert(plain.forall(_ < 12L), s"fixture: plain top-5 is all shell: $plain")
+    // lambda = 1: the redundancy term vanishes — exactly the plain ranking
+    val mmr1 = Similarity.searchVectorMmr(spark, dir, q, k = 5, lambda = 1.0)
+      .collect().map(_.getLong(1)).toSeq
+    assert(mmr1 == plain, s"lambda=1 must equal plain serving: $mmr1 vs $plain")
+    // lambda = 0.5: k filled, ranks 1..k, first pick is the top-1, the
+    // selection draws from the fetched candidates, and at least one
+    // pick ESCAPES the shell (the operator's purpose)
+    val mmr = Similarity.searchVectorMmr(spark, dir, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mmr.length == 5 && mmr.map(_._1).toSeq == (1L to 5L),
+      s"k rows ranked 1..k: ${mmr.toSeq}")
+    assert(mmr.head._2 == plain.head, "first MMR pick is always the top-1")
+    val cand = Similarity.searchVector(spark, dir, q, k = 20).collect()
+      .map(_.getLong(1)).toSet
+    assert(mmr.map(_._2).forall(cand.contains), "picks come from the candidate fetch")
+    assert(mmr.exists(_._2 >= 12L),
+      s"diversity must escape the duplicate shell: ${mmr.map(_._2).toSeq}")
+    // scores are monotone non-increasing in selection order
+    val scores = Similarity.searchVectorMmr(spark, dir, q, k = 5).collect()
+      .map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse, s"greedy scores monotone: $scores")
+  }
+
   test("index lifecycle gates: all verdict rows ok on the test corpus") {
     val rows = Similarity.indexLifecycleGates(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
