@@ -2958,6 +2958,7 @@ object SparkEntry {
           "order_value_percentile_no_global_window",
           "ann_ivf_filtered_scoring_broadcast_attach",
           "ann_query_search_partition_pruned",
+          "ann_ivf_range_set_no_window",
           "pagerank_iterations_equi_join", "part_affinity_equi_join",
           "product_profit_all_equi_join",
           "promo_share_broadcasts_part", "q1_pricing_filter_pushed",

@@ -200,7 +200,13 @@ object PlanGates {
         && noLoops(p)),
     ("ann_query_search_partition_pruned", "ann_query_search",
       p => p.contains("PartitionFilters: [cell")
-        && p.contains("TakeOrderedAndProject")))
+        && p.contains("TakeOrderedAndProject")),
+    // round-15 radius search: a range result is a SET — no rank window
+    // anywhere in the plan — and the IVF tier keeps the house rules
+    // (broadcast vector attaches, equi-join candidates, never a loop)
+    ("ann_ivf_range_set_no_window", "ann_ivf_range",
+      p => !p.contains("Window") && p.contains("BroadcastHashJoin")
+        && noLoops(p)))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */
