@@ -263,10 +263,22 @@ object SoakSf1 {
     val balanceOk = timed("ann100k_cell_balance") {
       cellBalanceGate(spark, annDir, "ann100k cell balance")
     }
+    // delete-lifecycle at 10× the driver scale: the SAME gate the
+    // driver hashes (tombstone → serve → compact → append on the
+    // dedicated k64 generation — the default index the gates above use
+    // stays untouched, so soak re-runs stay order-independent)
+    val lifecycleOk = timed("ann100k_delete_lifecycle") {
+      val rows = graft.ops.Similarity.indexLifecycleGates(spark, annDir)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1))
+      rows.filterNot(_._2).foreach { case (m, _) =>
+        println(s"[soak] ann100k lifecycle verdict FALSE: $m") }
+      rows.nonEmpty && rows.forall(_._2)
+    }
     Seq(
       "ann100k_ivf_recall_at_5" -> recallOk,
       "ann100k_hard_negative_hardness" -> hardOk,
-      "ann100k_cell_balance" -> balanceOk)
+      "ann100k_cell_balance" -> balanceOk,
+      "ann100k_delete_lifecycle" -> lifecycleOk)
   }
 
   /** 1M-vector ANN tier (round-14, the round-13 verdict's #1 ask): the
