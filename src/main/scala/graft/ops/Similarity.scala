@@ -1382,10 +1382,18 @@ object Similarity {
     * victim — both roles observed); verdict rows session-cache. */
   def indexLifecycleGates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    lifecycleVerdictCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, sfDir),
-      _ => computeLifecycleGates(spark, sfDir))
-      .toDF("metric", "ok").orderBy(col("metric"))
+    // NOT computeIfAbsent: the compute path runs delete/compact, whose
+    // clearIndexCaches mutates THIS map — a recursive update inside
+    // computeIfAbsent violates its contract (ConcurrentHashMap may
+    // throw or corrupt the bin). get-then-put tolerates the recursion;
+    // a racing duplicate compute is deterministic and harmless.
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val rows = Option(lifecycleVerdictCache.get(key)).getOrElse {
+      val computed = computeLifecycleGates(spark, sfDir)
+      lifecycleVerdictCache.put(key, computed)
+      computed
+    }
+    rows.toDF("metric", "ok").orderBy(col("metric"))
   }
 
   private val LifecycleNlist = 64
