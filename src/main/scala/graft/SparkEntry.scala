@@ -3018,8 +3018,10 @@ object SparkEntry {
     // verdict row — the drift monitor of the persisted/append-grown
     // index (soak enforces the same ceiling at 20k/100k/1M)
     "ivf_index_health" ->
-      """SELECT 'ivf_cell_balance_max_over_mean' AS metric,
-        |  CAST(8.0 AS DOUBLE) AS ceiling, TRUE AS ok""".stripMargin,
+      """SELECT 'ivf_appended_frac_of_fit' AS metric, CAST(0.5 AS DOUBLE) AS ceiling, TRUE AS ok
+        |UNION ALL SELECT 'ivf_cell_balance_max_over_mean', CAST(8.0 AS DOUBLE), TRUE
+        |UNION ALL SELECT 'ivf_dead_rows_frac', CAST(0.25 AS DOUBLE), TRUE
+        |ORDER BY metric""".stripMargin,
     // the delete-leg lifecycle verdicts: every row must be TRUE — a
     // deleted vector serving, a compaction changing results, or an
     // append resurrecting a tombstoned id hash-mismatches here

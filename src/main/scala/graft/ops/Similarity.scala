@@ -1378,8 +1378,9 @@ object Similarity {
     *    adds 0 — the tombstone set (which survives compaction) keeps
     *    the still-in-corpus deleted vectors out.
     *
-    * Queries run on the 1-in-5 sample (which includes vec_id 0, a
-    * victim — both roles observed); verdict rows session-cache. */
+    * Queries run on a bounded ~1000-query sample (which always
+    * includes vec_id 0, a victim — both roles observed); verdict rows
+    * session-cache. */
   def indexLifecycleGates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // NOT computeIfAbsent: the compute path runs delete/compact, whose
@@ -1407,7 +1408,13 @@ object Similarity {
     val victims = emb(spark, sfDir).select(col("vec_id"))
       .orderBy(col("vec_id")).limit(3).collect().map(_.getLong(0)).toSeq
     ivfIndexDelete(spark, sfDir, victims, LifecycleNlist)
-    val pred = pmod(col("vec_id"), lit(5)) === 0
+    // query sample BOUNDED at ~1000 queries (vec_id 0 — a victim — is
+    // always in it): at the fixed k64 geometry each query's candidate
+    // list is n·2/64 rows, so a fixed-FRACTION sample would make this
+    // gate O(n²/320) — the 100k soak measured it in the e9-pair class
+    // the tier's other gates designedly sample away from
+    val mod = math.max(5L, corpusCount(spark, sfDir) / 1000L)
+    val pred = pmod(col("vec_id"), lit(mod)) === 0
     def search(): Seq[(Long, Long, Long)] =
       ivfTopK(spark, sfDir, k = 3, nlist = LifecycleNlist, queryPred = Some(pred))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
@@ -1472,10 +1479,27 @@ object Similarity {
   def ivfIndexHealth(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val rows = cellBalanceReport(spark, sfDir).collect()
-    val ok = rows.headOption.exists(r =>
+    val balanceOk = rows.headOption.exists(r =>
       r.getAs[Long]("n_occupied") > 0 && r.getAs[Double]("balance_ratio") <= 8.0)
-    Seq(("ivf_cell_balance_max_over_mean", 8.0, ok))
-      .toDF("metric", "ceiling", "ok")
+    // the other two drift signals [[ensureIvfIndex]] acts on, reported
+    // against the same ceilings it rebuilds/compacts at (round 15):
+    // appended mass that never influenced the fit, and tombstoned rows
+    // still physical in the lists
+    val dir = indexDir(sfDir, 0)
+    val live = coarseQuantizer(spark, sfDir, 0).map(_.n).getOrElse(0L)
+    val appendedOk = live == 0L || appendedCount(dir).toDouble / live <= 0.5
+    val deadOk = live == 0L || (tombstones(spark, dir) match {
+      case None => true
+      case Some(ts) =>
+        val dead = spark.read.parquet(s"$dir/cells").select(col("vec_id"))
+          .join(broadcast(ts), Seq("vec_id"), "left_semi").count()
+        dead.toDouble / (live + dead) <= 0.25
+    })
+    Seq(
+      ("ivf_appended_frac_of_fit", 0.5, appendedOk),
+      ("ivf_cell_balance_max_over_mean", 8.0, balanceOk),
+      ("ivf_dead_rows_frac", 0.25, deadOk))
+      .toDF("metric", "ceiling", "ok").orderBy(col("metric"))
   }
 
   /** The cached coarse quantizer's (vec_id, v, cell) assignment table —
