@@ -1100,14 +1100,28 @@ object SoakSf1 {
         "gopher_repetition_flags", "hard_negatives_ivf")
       // ---- scaling_gates (round-12): the ratios are ENFORCED, not
       // reported — a 10x corpus may cost at most ~1.2x-linear (ceiling
-      // 12), except LSH whose multiprobe schedule grows log n BY DESIGN
-      // (its recall gate is the other side of that contract; measured
-      // 9.2x in round 11, ceiling 16 leaves steal headroom without
-      // admitting a quadratic regression). Sub-second absolute time on
-      // the 10x corpus passes outright: ratios of two tiny numbers are
-      // steal noise, and a query that finishes in <= 1 s at sf1 cannot
-      // be a scale bottleneck.
-      val ceilings = Map("ann_lsh_topk" -> 16.0).withDefault(_ => 12.0)
+      // 12), except where a DOCUMENTED super-linear schedule is the
+      // operator's contract: LSH's multiprobe grows log n (measured
+      // 9.2x in round 11, ceiling 16), and the IVF candidate scan is
+      // O(n^{7/4}) BY DESIGN under nlist = √n, nprobe ∝ √nlist (the
+      // autoNprobe scaladoc — fixed-fraction coverage would make the
+      // tier O(n²), i.e. not an index; the recall gates are the other
+      // side of that trade). The IVF ratios sat under 12 only while
+      // the sf0.1 denominator carried the per-session KMeans fit; the
+      // round-14 persisted index removed it (5.8 s → 1.6 s) and
+      // exposed the candidate scan's true growth — measured 14.0/14.5
+      // in a clean window, ceiling 20 leaves steal headroom while
+      // still rejecting anything near the quadratic regime (a true n²
+      // scan would ratio ~100). Sub-second absolute time on the 10x
+      // corpus passes outright: ratios of two tiny numbers are steal
+      // noise, and a query that finishes in <= 1 s at sf1 cannot be a
+      // scale bottleneck.
+      val ceilings = Map(
+        "ann_lsh_topk" -> 16.0,
+        "ann_ivf_topk" -> 20.0,
+        "ann_ivf_pq_topk" -> 20.0,
+        "hard_negatives_ivf" -> 20.0,
+        "semantic_dedup_ivf" -> 20.0).withDefault(_ => 12.0)
       // COLD timing: every timed run starts from cleared session caches,
       // so the ratio measures the real computation's scaling and the
       // min-of-2 removes only steal. The first enforcement pass timed

@@ -785,6 +785,12 @@ object SparkEntry {
     // selectivity-adaptive probe width keeps k filled; recall gated
     // >= 0.9 vs the exact filtered tier in ann_recall_gates
     "ann_ivf_topk_filtered" -> ((s, dir) => Similarity.ivfTopKFiltered(s, dir)),
+    // rows-only: filtered search over the COMPRESSED store — the
+    // filtered candidate rules composed with the PQ two-pass scoring
+    // (first pass reads int8 reconstructions; only the per-query
+    // shortlist touches float vectors); recall gated >= 0.9 vs the
+    // exact filtered tier in ann_recall_gates
+    "ann_ivf_pq_topk_filtered" -> ((s, dir) => Similarity.ivfPqTopKFiltered(s, dir)),
     // rows-only: the online SERVING shape — one query vector (vec_id
     // 0's embedding, the hybrid_search convention) against the
     // persisted index, reading ONLY the probed cells' directories
@@ -3037,6 +3043,7 @@ object SparkEntry {
         |UNION ALL SELECT 'ann_ivf_range_recall', CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT 'ann_ivf_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT 'ann_lsh_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
+        |UNION ALL SELECT 'ann_pq_filtered_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT 'ann_pq_recall_at_5', CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT 'minhash_component_recall', CAST(0.95 AS DOUBLE), TRUE
         |ORDER BY metric""".stripMargin,

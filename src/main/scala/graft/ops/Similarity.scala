@@ -1729,31 +1729,97 @@ object Similarity {
       case Some(cq) => cq
       case None => return emptyTopK(emb(spark, sfDir))
     }
-    val poolIds = emb(spark, sfDir).filter(poolPred).select(col("vec_id"))
-    val poolN = poolIds.count()
-    if (poolN == 0L) return emptyTopK(emb(spark, sfDir))
-    val sel = poolN.toDouble / q.n
-    val base = if (nprobe > 0) nprobe else autoNprobe(q.centroids.length)
-    val np = math.min(q.centroids.length.toDouble, math.ceil(base / sel)).toInt
-    // pool filter BEFORE the multi-assignment explode (decision 1);
-    // database-side 2-nearest multi-assignment as in ivfTopK
-    val listNp = math.min(2, q.centroids.length)
-    val lists = q.assigned.join(poolIds, Seq("vec_id"), "left_semi")
-      .withColumn("cell", explode(
-        graft.functions.VectorFunctions.nearest_cells(col("v"), q.centroids, listNp)))
-      .select(col("vec_id").as("other_id"), col("cell"))
-    val probes = queryPred.foldLeft(q.assigned)(_.filter(_))
-      .withColumn("cell", explode(
-        graft.functions.VectorFunctions.nearest_cells(col("v"), q.centroids, np)))
-      .select(col("vec_id"), col("cell"))
-    val cand = probes.join(lists, Seq("cell"))
-      .filter(col("vec_id") =!= col("other_id"))
-      .select(col("vec_id"), col("other_id"))
-      .distinct()
+    val cand = filteredIvfCandidates(spark, sfDir, q, nprobe, poolPred, queryPred) match {
+      case Some(c) => c
+      case None => return emptyTopK(emb(spark, sfDir))
+    }
     val va = broadcast(q.assigned.select(col("vec_id"), col("v").as("va")))
     val vb = broadcast(q.assigned.select(col("vec_id").as("other_id"), col("v").as("vb")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
     cand
+      .join(va, "vec_id")
+      .join(vb, "other_id")
+      .withColumn("sim_raw", graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
+      .select(col("vec_id"), col("other_id"), col("sim_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("other_id"), round(col("sim_raw"), 4).as("sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** The filtered tier's candidate stage, shared by [[ivfTopKFiltered]]
+    * and [[ivfPqTopKFiltered]]: pool predicate semi-joined BEFORE the
+    * multi-assignment explode, selectivity-adaptive probe schedule
+    * (nprobe/sel capped at nlist), deduped bare-id pairs. None on an
+    * empty pool. */
+  private def filteredIvfCandidates(spark: SparkSession, sfDir: String,
+      q: CoarseQuantizer, nprobe: Int,
+      poolPred: org.apache.spark.sql.Column,
+      queryPred: Option[org.apache.spark.sql.Column]): Option[DataFrame] = {
+    val poolIds = emb(spark, sfDir).filter(poolPred).select(col("vec_id"))
+    val poolN = poolIds.count()
+    if (poolN == 0L) None
+    else {
+      val sel = poolN.toDouble / q.n
+      val base = if (nprobe > 0) nprobe else autoNprobe(q.centroids.length)
+      val np = math.min(q.centroids.length.toDouble, math.ceil(base / sel)).toInt
+      // pool filter BEFORE the multi-assignment explode (decision 1);
+      // database-side 2-nearest multi-assignment as in ivfTopK
+      val listNp = math.min(2, q.centroids.length)
+      val lists = q.assigned.join(poolIds, Seq("vec_id"), "left_semi")
+        .withColumn("cell", explode(
+          graft.functions.VectorFunctions.nearest_cells(col("v"), q.centroids, listNp)))
+        .select(col("vec_id").as("other_id"), col("cell"))
+      val probes = queryPred.foldLeft(q.assigned)(_.filter(_))
+        .withColumn("cell", explode(
+          graft.functions.VectorFunctions.nearest_cells(col("v"), q.centroids, np)))
+        .select(col("vec_id"), col("cell"))
+      Some(probes.join(lists, Seq("cell"))
+        .filter(col("vec_id") =!= col("other_id"))
+        .select(col("vec_id"), col("other_id"))
+        .distinct())
+    }
+  }
+
+  /** FILTERED search over the COMPRESSED store — [[ivfPqTopKFiltered]]
+    * composes the two scale paths: the filtered tier's candidate rules
+    * (pool predicate ahead of the list explode, selectivity-adaptive
+    * probes — [[ivfTopKFiltered]]) with the PQ tier's two-pass scoring
+    * (approximate ADC over the persisted int8 reconstructions, exact
+    * rerank only for the per-query shortlist — [[ivfPqTopK]]). This is
+    * the memory-tier production shape: at 100 TB the first pass of a
+    * filtered search reads the 4× compressed codes, and only
+    * O(queries·rerank) float vectors are ever touched. Seeded KMeans ⇒
+    * rows-only; `ann_pq_filtered_recall_at_5` gates it ≥ 0.9 vs the
+    * exact filtered tier in [[recallGates]]. */
+  def ivfPqTopKFiltered(spark: SparkSession, sfDir: String, k: Int = 5,
+      poolPred: org.apache.spark.sql.Column = col("label") === 3,
+      nlist: Int = 0, nprobe: Int = 0, rerank: Int = 30,
+      queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val q = coarseQuantizer(spark, sfDir, nlist) match {
+      case Some(cq) => cq
+      case None => return emptyTopK(emb(spark, sfDir))
+    }
+    val cand = filteredIvfCandidates(spark, sfDir, q, nprobe, poolPred, queryPred) match {
+      case Some(c) => c
+      case None => return emptyTopK(emb(spark, sfDir))
+    }
+    val decoded = pqDecoded(spark, sfDir, nlist).get
+    val va = broadcast(q.assigned.select(col("vec_id"), col("v").as("va")))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("approx_sim").desc, col("other_id").asc)
+    val shortlist = cand
+      .join(va, "vec_id")
+      .join(broadcast(decoded), "other_id")
+      .withColumn("approx_sim",
+        graft.functions.VectorFunctions.cosine_sim(col("va"), col("recon")))
+      .select(col("vec_id"), col("other_id"), col("approx_sim"))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= rerank)
+      .select(col("vec_id"), col("other_id"))
+    val vb = broadcast(q.assigned.select(col("vec_id").as("other_id"), col("v").as("vb")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim_raw").desc, col("other_id").asc)
+    shortlist
       .join(va, "vec_id")
       .join(vb, "other_id")
       .withColumn("sim_raw", graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")))
@@ -2291,6 +2357,16 @@ object Similarity {
         coalesce(sum(col("in_ivff")), lit(0L)).as("h"))
       .select(lit("ann_ivf_filtered_recall_at_5").as("metric"),
         lit(0.9d).as("floor"), (col("h") >= col("tot") * 0.9d).as("ok"))
+    // the compressed-store filtered tier against the same exact
+    // filtered reference (round 15)
+    val pqF = ivfPqTopKFiltered(spark, sfDir, 5, fPool, queryPred = Some(pred))
+      .select(col("vec_id"), col("other_id"), lit(1L).as("in_pqf"))
+    val pqfRow = exactF
+      .join(pqF, Seq("vec_id", "other_id"), "left")
+      .agg(count(lit(1)).as("tot"),
+        coalesce(sum(col("in_pqf")), lit(0L)).as("h"))
+      .select(lit("ann_pq_filtered_recall_at_5").as("metric"),
+        lit(0.9d).as("floor"), (col("h") >= col("tot") * 0.9d).as("ok"))
     // range tier (round 15): shell recall of the IVF radius search vs
     // the exact radius scan, on the SAME defaults the registered
     // queries serve (tau = 0.2, 1-in-50 query sample) — precision is 1
@@ -2326,8 +2402,8 @@ object Similarity {
         coalesce(sum(when(col("covered"), 1L).otherwise(0L)), lit(0L)).as("hits"))
       .select(lit("minhash_component_recall").as("metric"), lit(0.95d).as("floor"),
         (col("hits") >= col("tot") * 0.95d).as("ok"))
-    annRows.unionByName(fRow).unionByName(rRow).unionByName(mhRow)
-      .orderBy(col("metric"))
+    annRows.unionByName(fRow).unionByName(pqfRow).unionByName(rRow)
+      .unionByName(mhRow).orderBy(col("metric"))
   }
 
   /** Centroid-distance outlier screen — the second embedding-hygiene

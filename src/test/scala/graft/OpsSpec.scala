@@ -1458,9 +1458,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = Similarity.recallGates(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("ann_ivf_filtered_recall_at_5", "ann_ivf_range_recall",
-        "ann_ivf_recall_at_5", "ann_lsh_recall_at_5", "ann_pq_recall_at_5",
+        "ann_ivf_recall_at_5", "ann_lsh_recall_at_5",
+        "ann_pq_filtered_recall_at_5", "ann_pq_recall_at_5",
         "minhash_component_recall"))
     rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} verdict false"))
+  }
+
+  test("filtered PQ search: k filled, in-pool, and agreeing with the exact filtered tier at full probes") {
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    val pool = labels.filter(_._2 == 3).keySet
+    val got = Similarity.ivfPqTopKFiltered(spark, sfDir, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perQuery = got.groupBy(_._1)
+    assert(perQuery.size == labels.size,
+      s"every vector queries: ${perQuery.size} of ${labels.size}")
+    perQuery.foreach { case (q, rows) =>
+      assert(rows.length == 5, s"query $q under-filled: ${rows.length} of 5")
+      rows.foreach { case (_, _, nb) =>
+        assert(pool.contains(nb), s"query $q returned out-of-pool neighbor $nb")
+        assert(nb != q, s"query $q returned itself")
+      }
+    }
+    // at this scale the adaptive schedule probes every cell and the
+    // rerank margin absorbs the quantization: strong agreement with
+    // the exact filtered tier
+    val exact = Similarity.cosineTopKFiltered(spark, sfDir, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gotPairs = got.map { case (q, _, nb) => (q, nb) }.toSet
+    val agree = gotPairs.intersect(exact).size.toDouble / exact.size
+    assert(agree >= 0.9, f"filtered PQ agreement $agree%.4f >= 0.9")
   }
 
   test("range search: exact tier equals brute force; IVF tier is precise and full-probe complete") {
