@@ -3023,10 +3023,12 @@ object SparkEntry {
     // the quantizer's occupancy-balance contract as a driver-hashed
     // verdict row — the drift monitor of the persisted/append-grown
     // index (soak enforces the same ceiling at 20k/100k/1M)
+    // ceilings interpolated from the Similarity constants so the
+    // report, the acting policy, and this oracle cannot drift apart
     "ivf_index_health" ->
-      """SELECT 'ivf_appended_frac_of_fit' AS metric, CAST(0.5 AS DOUBLE) AS ceiling, TRUE AS ok
-        |UNION ALL SELECT 'ivf_cell_balance_max_over_mean', CAST(8.0 AS DOUBLE), TRUE
-        |UNION ALL SELECT 'ivf_dead_rows_frac', CAST(0.25 AS DOUBLE), TRUE
+      s"""SELECT 'ivf_appended_frac_of_fit' AS metric, CAST(${Similarity.MaxAppendedFrac} AS DOUBLE) AS ceiling, TRUE AS ok
+        |UNION ALL SELECT 'ivf_cell_balance_max_over_mean', CAST(${Similarity.MaxBalanceRatio} AS DOUBLE), TRUE
+        |UNION ALL SELECT 'ivf_dead_rows_frac', CAST(${Similarity.MaxDeletedFrac} AS DOUBLE), TRUE
         |ORDER BY metric""".stripMargin,
     // the delete-leg lifecycle verdicts: every row must be TRUE — a
     // deleted vector serving, a compaction changing results, or an

@@ -85,6 +85,15 @@ object Similarity {
     * and cheap (one cached count per (app, corpus)). */
   val ExactTierMaxRows: Long = 131072L
 
+  /** The index-maintenance ceilings, written ONCE: [[ensureIvfIndex]]
+    * acts on them, [[ivfIndexHealth]] reports against them, and the
+    * driver oracle interpolates them — three surfaces that previously
+    * each hardcoded the numbers and could silently disagree (review
+    * finding, round 15). */
+  val MaxBalanceRatio: Double = 8.0
+  val MaxAppendedFrac: Double = 0.5
+  val MaxDeletedFrac: Double = 0.25
+
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
@@ -1102,8 +1111,9 @@ object Similarity {
     * refits through the normal (atomic-swap) build path — which also
     * resets the appended counter. Idempotent when healthy. */
   def ensureIvfIndex(spark: SparkSession, sfDir: String,
-      maxBalanceRatio: Double = 8.0, maxAppendedFrac: Double = 0.5,
-      maxDeletedFrac: Double = 0.25): Unit = {
+      maxBalanceRatio: Double = MaxBalanceRatio,
+      maxAppendedFrac: Double = MaxAppendedFrac,
+      maxDeletedFrac: Double = MaxDeletedFrac): Unit = {
     coarseQuantizer(spark, sfDir, 0) match {
       case Some(q) =>
         val dir = indexDir(sfDir, 0)
@@ -1114,9 +1124,18 @@ object Similarity {
           println(f"[similarity] IVF index rebuild at $sfDir: balance_ratio " +
             f"$ratio%.2f (ceiling $maxBalanceRatio), appended_frac $frac%.3f " +
             f"(ceiling $maxAppendedFrac)")
+          // an AUTOMATIC drift rebuild must not undo takedowns: the
+          // refit swaps the whole index dir — including tombstones/ —
+          // so the deleted ids are collected first and re-applied to
+          // the new generation (review finding, round 15: only an
+          // explicit store wipe may drop deletions; a maintenance
+          // policy acting on its own must preserve them)
+          val deleted = tombstones(spark, dir)
+            .map(_.collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty)
           new java.io.File(dir, "_SUCCESS").delete()
           clearCaches()
           coarseQuantizer(spark, sfDir, 0)
+          if (deleted.nonEmpty) { ivfIndexDelete(spark, sfDir, deleted, 0); () }
         } else {
           // tombstone pressure: deleted rows stay physical until a
           // compaction folds them out — past the ceiling the probe
@@ -1230,16 +1249,32 @@ object Similarity {
     * the corpus size — a fit whose appended fraction dominates no
     * longer represents the data it serves. */
   private def appendMeta(dir: String, added: Long): Unit = {
-    val f = java.nio.file.Paths.get(dir, "_appended")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val prev = appendedCount(dir)
-    java.nio.file.Files.write(f, (prev + added).toString.getBytes("UTF-8"))
+    // tmp + atomic rename, the renewMarker rule: an in-place truncate-
+    // then-write left a crash window with an empty/partial counter that
+    // broke every later ensure/health/append (review finding, round 15)
+    val tmp = Paths.get(dir, "_appended.tmp")
+    Files.write(tmp, (prev + added).toString.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(dir, "_appended"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   private[graft] def appendedCount(dir: String): Long = {
     val f = java.nio.file.Paths.get(dir, "_appended")
-    if (java.nio.file.Files.exists(f))
-      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
-    else 0L
+    if (!java.nio.file.Files.exists(f)) 0L
+    else {
+      val raw = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+      // a corrupt counter (pre-atomic-write stores) must not wedge the
+      // maintenance path: warn and treat as unknown-zero — the worst
+      // case is one delayed drift rebuild, not a crash loop
+      try raw.toLong catch {
+        case _: NumberFormatException =>
+          println(s"[similarity] corrupt _appended counter at $dir " +
+            s"('$raw') — treating as 0")
+          0L
+      }
+    }
   }
 
   /** The persisted tombstone set of an index generation — `vec_id`s
@@ -1253,7 +1288,7 @@ object Similarity {
   }
 
   private[graft] def tombstoneCount(spark: SparkSession, dir: String): Long =
-    tombstones(spark, dir).map(_.count()).getOrElse(0L)
+    tombstones(spark, dir).map(_.distinct().count()).getOrElse(0L)
 
   /** DELETE vectors from a persisted index — the missing third verb of
     * the index lifecycle (build / append / **delete** / compact /
@@ -1297,20 +1332,33 @@ object Similarity {
       case None => hits
     }
     // the tombstone set is metadata-scale by definition (a takedown
-    // list, not a corpus) — collect it like the centroids, so the
-    // rewrite below never lazily re-reads the directory it is
-    // replacing mid-swap
+    // list, not a corpus) — collect the fresh ids like the centroids
     val freshIds = fresh.collect().map(_.getLong(0))
     val added = freshIds.length.toLong
     if (added > 0) {
-      val priorIds = prior.map(_.collect().map(_.getLong(0)))
-        .getOrElse(Array.empty[Long])
-      val all = (priorIds ++ freshIds).distinct.sorted.toIndexedSeq
-        .toDF("vec_id")
-      atomicStoreSwap(s"$dir/tombstones") { tmp =>
-        // one file: the anti-join build side stays a single broadcast
-        all.coalesce(1).write.mode("overwrite").parquet(s"$tmp/ids")
-      }
+      // APPEND-ONLY layout (review finding, round 15): the set only
+      // ever GROWS, so each delete lands as one new parquet file moved
+      // atomically into place — a whole-directory swap had a window
+      // where the set read as ABSENT, and for tombstones absence means
+      // "serve everything", the unsafe direction (unlike a missing
+      // index, which merely costs a refit). A racing reader here sees
+      // either the old set or the old set plus this file — never less.
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val idsDir = Paths.get(dir, "tombstones", "ids")
+      Files.createDirectories(idsDir)
+      val staging = Files.createTempDirectory(Paths.get(dir), "ts-staging")
+      freshIds.sorted.toIndexedSeq.toDF("vec_id")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).filter(_.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      Files.move(part,
+        idsDir.resolve(s"ts-${java.util.UUID.randomUUID()}.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(staging.toString)
+      // marker last: the set becomes visible only complete; later
+      // deletes just add files under an already-certified store
+      val marker = Paths.get(dir, "tombstones", "_SUCCESS")
+      if (!Files.exists(marker)) Files.createFile(marker)
       clearIndexCaches(sfDir, nlist)
     }
     added
@@ -1480,25 +1528,27 @@ object Similarity {
     import spark.implicits._
     val rows = cellBalanceReport(spark, sfDir).collect()
     val balanceOk = rows.headOption.exists(r =>
-      r.getAs[Long]("n_occupied") > 0 && r.getAs[Double]("balance_ratio") <= 8.0)
+      r.getAs[Long]("n_occupied") > 0 &&
+        r.getAs[Double]("balance_ratio") <= MaxBalanceRatio)
     // the other two drift signals [[ensureIvfIndex]] acts on, reported
     // against the same ceilings it rebuilds/compacts at (round 15):
     // appended mass that never influenced the fit, and tombstoned rows
     // still physical in the lists
     val dir = indexDir(sfDir, 0)
     val live = coarseQuantizer(spark, sfDir, 0).map(_.n).getOrElse(0L)
-    val appendedOk = live == 0L || appendedCount(dir).toDouble / live <= 0.5
+    val appendedOk = live == 0L ||
+      appendedCount(dir).toDouble / live <= MaxAppendedFrac
     val deadOk = live == 0L || (tombstones(spark, dir) match {
       case None => true
       case Some(ts) =>
         val dead = spark.read.parquet(s"$dir/cells").select(col("vec_id"))
           .join(broadcast(ts), Seq("vec_id"), "left_semi").count()
-        dead.toDouble / (live + dead) <= 0.25
+        dead.toDouble / (live + dead) <= MaxDeletedFrac
     })
     Seq(
-      ("ivf_appended_frac_of_fit", 0.5, appendedOk),
-      ("ivf_cell_balance_max_over_mean", 8.0, balanceOk),
-      ("ivf_dead_rows_frac", 0.25, deadOk))
+      ("ivf_appended_frac_of_fit", MaxAppendedFrac, appendedOk),
+      ("ivf_cell_balance_max_over_mean", MaxBalanceRatio, balanceOk),
+      ("ivf_dead_rows_frac", MaxDeletedFrac, deadOk))
       .toDF("metric", "ceiling", "ok").orderBy(col("metric"))
   }
 
@@ -1758,7 +1808,12 @@ object Similarity {
       poolPred: org.apache.spark.sql.Column,
       queryPred: Option[org.apache.spark.sql.Column]): Option[DataFrame] = {
     val poolIds = emb(spark, sfDir).filter(poolPred).select(col("vec_id"))
-    val poolN = poolIds.count()
+    // selectivity over the LIVE index, not the raw corpus: a corpus-side
+    // count includes tombstoned / not-yet-indexed rows, overstating the
+    // servable pool and under-widening the probe schedule (review
+    // finding, round 15) — both sides of sel now count index rows
+    val poolN = q.assigned.select(col("vec_id"))
+      .join(poolIds, Seq("vec_id"), "left_semi").count()
     if (poolN == 0L) None
     else {
       val sel = poolN.toDouble / q.n
@@ -1942,7 +1997,11 @@ object Similarity {
     val np = poolIds match {
       case None => base
       case Some(ids) =>
-        val poolN = ids.count()
+        // live-index pool count, the filteredIvfCandidates rule: the
+        // corpus-side count overstates the servable pool on an index
+        // carrying tombstones (review finding, round 15)
+        val poolN = q.assigned.select(col("vec_id"))
+          .join(ids, Seq("vec_id"), "left_semi").count()
         if (poolN == 0L)
           return Seq.empty[(Long, Long, Double)].toDF("rank", "vec_id", "sim")
         val sel = poolN.toDouble / q.n
@@ -2055,9 +2114,13 @@ object Similarity {
       selected += pick
       remaining -= pick._1
     }
+    // same HALF_UP display rounding as Spark's round() — the serving
+    // surfaces must show identical sim for identical documents (review
+    // finding, round 15: rint's half-even could differ at a .xxxx5)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     selected.iterator.zipWithIndex.map { case ((id, score), i) =>
-      ((i + 1).toLong, id,
-        math.rint(qSim(id) * 10000) / 10000, math.rint(score * 10000) / 10000)
+      ((i + 1).toLong, id, r4(qSim(id)), r4(score))
     }.toIndexedSeq.toDF("rank", "vec_id", "sim", "mmr")
   }
 
@@ -2317,11 +2380,24 @@ object Similarity {
 
   private def computeRecallGates(spark: SparkSession, sfDir: String): DataFrame = {
     val pred = pmod(col("vec_id"), lit(5)) === 0
-    val exact = exactSampleCache.computeIfAbsent(
+    // if the DEFAULT index carries deletions, the exact references must
+    // exclude the tombstoned ids in BOTH roles — the IVF/LSH sides
+    // anti-join them by construction, and measuring serving against
+    // unservable rows would flip the verdicts false spuriously (review
+    // finding, round 15). The common no-deletes path is unchanged.
+    val tsIds = tombstones(spark, indexDir(sfDir, 0))
+    def servable(df: DataFrame): DataFrame = tsIds match {
+      case None => df
+      case Some(t) =>
+        df.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+          .join(broadcast(t.select(col("vec_id").as("other_id"))),
+            Seq("other_id"), "left_anti")
+    }
+    val exact = servable(exactSampleCache.computeIfAbsent(
       (spark.sparkContext.applicationId, sfDir),
       _ => cosineTopK(spark, sfDir, 5, Some(pred))
         .select(col("vec_id"), col("other_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     val lsh = lshTopK(spark, sfDir, queryPred = Some(pred))
       .select(col("vec_id"), col("other_id"), lit(1L).as("in_lsh"))
     val ivf = ivfTopK(spark, sfDir, queryPred = Some(pred))
@@ -2347,8 +2423,8 @@ object Similarity {
     // post-filtering would under-fill k; vacuously ok on an unlabeled
     // or empty pool (recall over zero reference rows)
     val fPool = col("label") === 3
-    val exactF = cosineTopKFiltered(spark, sfDir, 5, fPool, Some(pred))
-      .select(col("vec_id"), col("other_id"))
+    val exactF = servable(cosineTopKFiltered(spark, sfDir, 5, fPool, Some(pred))
+      .select(col("vec_id"), col("other_id")))
     val ivfF = ivfTopKFiltered(spark, sfDir, 5, fPool, queryPred = Some(pred))
       .select(col("vec_id"), col("other_id"), lit(1L).as("in_ivff"))
     val fRow = exactF
@@ -2372,8 +2448,8 @@ object Similarity {
     // queries serve (tau = 0.2, 1-in-50 query sample) — precision is 1
     // by construction, so recall of the shell is the whole contract;
     // vacuously ok when the radius is empty at a small SF
-    val exactR = cosineRangeSearch(spark, sfDir)
-      .select(col("vec_id"), col("other_id"))
+    val exactR = servable(cosineRangeSearch(spark, sfDir)
+      .select(col("vec_id"), col("other_id")))
     val ivfR = ivfRangeSearch(spark, sfDir)
       .select(col("vec_id"), col("other_id"), lit(1L).as("in_rng"))
     val rRow = exactR

@@ -301,16 +301,21 @@ object EventIngest {
     * decides separately when accumulated appends warrant one.
     *
     * foreachBatch is AT-LEAST-ONCE, and the two legs handle replay
-    * differently: the corpus append is guarded by a per-batchId stamp
-    * file (the replayed batch skips the write — same recipe as the
-    * line-clean sink's overwrite-per-batch, shaped for an append-only
-    * store), while the index append is idempotent BY CONSTRUCTION
-    * (already-indexed ids anti-join out). A crash between the corpus
-    * write and its stamp can replay one batch's rows into the corpus
-    * twice — the index stays duplicate-free regardless, and the
-    * corpus-side recovery is the standard exact-dedup pass. Runs under
-    * AvailableNow; returns the number of vectors the index gained.
-    * Requires an existing index build (the append contract). */
+    * differently: the corpus append is guarded by a PER-LANDED-FILE
+    * stamp (content-addressed — distributed writers emit globally
+    * unique file names), while the index append is idempotent BY
+    * CONSTRUCTION (already-indexed ids anti-join out). The stamp must
+    * NOT key on Spark's batchId: a later run starts a fresh checkpoint
+    * and renumbers batches from 0, so a batchId stamp from file A
+    * could silently skip newly landed file C when it drew the same
+    * number (review finding, round 15 — silent data loss), and the
+    * same collision appears when two landing dirs feed one corpus. A
+    * crash between the corpus write and its stamps can replay one
+    * file's rows into the corpus twice — the index stays
+    * duplicate-free regardless, and the corpus-side recovery is the
+    * standard exact-dedup pass. Runs under AvailableNow; returns the
+    * number of vectors the index gained. Requires an existing index
+    * build (the append contract). */
   def vectorIngestAvailableNow(spark: SparkSession, landingDir: String,
       corpusDir: String): Long = {
     val ss = streamSession(spark)
@@ -322,13 +327,20 @@ object EventIngest {
       .option("maxFilesPerTrigger", 1) // production cadence: one landed file per micro-batch
       .parquet(landingDir)
     val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val stamp = new java.io.File(s"$corpusDir/_vec_ingest", batchId.toString)
-        if (!stamp.exists()) {
-          batch.write.mode("append").parquet(s"$corpusDir/embeddings.parquet")
-          stamp.getParentFile.mkdirs()
-          stamp.createNewFile()
-          ()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val stampDir = new java.io.File(s"$corpusDir/_vec_ingest")
+        def stampOf(path: String) = new java.io.File(stampDir,
+          java.net.URLEncoder.encode(
+            path.substring(path.lastIndexOf('/') + 1), "UTF-8"))
+        val files = batch.select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).filter(_.nonEmpty)
+        val freshFiles = files.filterNot(f => stampOf(f).exists())
+        if (freshFiles.nonEmpty) {
+          batch.filter(input_file_name()
+              .isin(freshFiles.map(x => x: Any): _*))
+            .write.mode("append").parquet(s"$corpusDir/embeddings.parquet")
+          stampDir.mkdirs()
+          freshFiles.foreach { f => stampOf(f).createNewFile(); () }
         }
         gained.addAndGet(graft.ops.Similarity.ivfIndexAppend(spark, corpusDir))
         ()

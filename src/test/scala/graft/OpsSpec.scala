@@ -417,6 +417,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("vec_id").isin(bulk.map(x => x: Any): _*)).count() == 0L,
       "ensureIvfIndex compacts past the dead-row ceiling")
     assert(new java.io.File(idxDir, "_SUCCESS").isFile, "marker intact")
+    // an AUTOMATIC drift rebuild must carry deletions into the new
+    // generation — the refit swaps the whole store dir away, and a
+    // maintenance policy acting on its own must not undo takedowns
+    Similarity.ensureIvfIndex(spark, dir, maxBalanceRatio = 0.5)
+    assert(Similarity.tombstoneCount(spark, idxDir) == 103L,
+      "auto-rebuild preserves the tombstone set")
+    val rebuilt = topk()
+    assert(rebuilt.forall(r => !victims.contains(r._1) && !victims.contains(r._3)),
+      "victims stay deleted through the auto-rebuild")
+    assert(rebuilt.forall(r => !bulk.contains(r._1) && !bulk.contains(r._3)),
+      "bulk deletions stay deleted through the auto-rebuild")
   }
 
   test("streaming vector ingest: landed batches grow the corpus and index; replay cannot double-ingest") {
@@ -457,6 +468,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replayed batches must not double-ingest the corpus")
     assert(spark.read.parquet(s"$idxDir/cells").count() == 380L,
       "replayed batches must not double-index")
+    // batch renumbering must not alias stamps: retention removes one
+    // landed file, a NEW file lands, and a fresh run (fresh checkpoint
+    // → batch numbering restarts at 0) must still ingest the new file
+    // — a batchId-keyed stamp silently dropped it (round-15 review)
+    val landed = new java.io.File(landing).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(landed.length >= 2, "fixture expects two landed files")
+    landed.head.delete()
+    rows(380 until 420, 99L).coalesce(1).write.mode("append").parquet(landing)
+    val lateGained = EventIngest.vectorIngestAvailableNow(spark, landing, dir)
+    assert(lateGained == 40L,
+      s"the newly landed file must ingest despite batch renumbering: $lateGained")
+    assert(spark.read.parquet(s"$dir/embeddings.parquet").count() == 420L,
+      "corpus holds exactly the union of landed files")
+    assert(spark.read.parquet(s"$idxDir/cells").count() == 420L, "index follows")
   }
 
   test("searchVectorMmr: lambda=1 equals plain serving; diversity escapes a duplicate shell") {
