@@ -851,7 +851,8 @@ object SparkEntry {
     "ann_recall_gates" -> ((s, dir) => Similarity.recallGates(s, dir)),
     // the DELETE leg of the index lifecycle, driver-hashed (round 15):
     // tombstone -> serve -> compact -> append on a DEDICATED index
-    // generation; literal-TRUE oracle on 5 verdict rows
+    // generation; literal-TRUE oracle on 6 verdict rows (round 16 adds
+    // the LSH-side deleted_never_served — every read path anti-joins)
     "ann_index_lifecycle_gates" -> ((s, dir) => Similarity.indexLifecycleGates(s, dir)),
     // radius query — every neighbor with cosine >= 0.2 for a 1-in-50
     // query sample: the dedup-shaped search where the RESULT SIZE is
@@ -3039,6 +3040,7 @@ object SparkEntry {
         |UNION ALL SELECT 'compact_preserves_results', TRUE
         |UNION ALL SELECT 'deleted_never_served', TRUE
         |UNION ALL SELECT 'k_stays_filled', TRUE
+        |UNION ALL SELECT 'lsh_deleted_never_served', TRUE
         |ORDER BY metric""".stripMargin,
     "ann_recall_gates" ->
       """SELECT 'ann_ivf_filtered_recall_at_5' AS metric, CAST(0.9 AS DOUBLE) AS floor, TRUE AS ok

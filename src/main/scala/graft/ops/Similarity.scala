@@ -857,9 +857,15 @@ object Similarity {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
 
+  /** `tombstoneDir` points at the index generation whose takedown
+    * registry applies — callers leave the default (the default IVF
+    * generation, i.e. the corpus-level takedown list); the lifecycle
+    * gate passes its dedicated generation so the driver sweep stays
+    * order-independent. */
   def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, tables: Int = 8,
       bucketLength: Double = 2.0,
-      queryPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      queryPred: Option[org.apache.spark.sql.Column] = None,
+      tombstoneDir: Option[String] = None): DataFrame = {
     val e = emb(spark, sfDir)
     val (g, bucketed) = lshBuckets(spark, sfDir, tables, bucketLength) match {
       case Some(gb) => gb
@@ -869,8 +875,22 @@ object Similarity {
     // that is a filter on the query id column (the candidate pool side
     // keeps every vector, so sampled recall is measured against the
     // same neighbor universe the full query sees)
-    val cand = queryPred.foldLeft(
+    val cand0 = queryPred.foldLeft(
       lshCandidates(spark, sfDir, tables, bucketLength, g, bucketed))(_.filter(_))
+    // takedowns serve through NO read path (round-16 verdict ask #1:
+    // every IVF path anti-joined the tombstone set, but a deleted id
+    // still served through LSH): the anti-join runs at READ time over
+    // the cached/persisted pair table — both roles, since a deleted
+    // vector can neither query nor be retrieved — so a delete takes
+    // effect without invalidating the bucket store or the pair cache
+    // (the rows stay physical, exactly the IVF-cells contract)
+    val cand = tombstones(spark, tombstoneDir.getOrElse(indexDir(sfDir, 0))) match {
+      case Some(ts) =>
+        cand0.join(broadcast(ts.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+          .join(broadcast(ts.select(col("vec_id").as("other_id"))),
+            Seq("other_id"), "left_anti")
+      case None => cand0
+    }
     // explicit broadcast vector attaches (see ivfTopK's rationale)
     val va = broadcast(e.select(col("vec_id"), col("v").as("va")))
     val vb = broadcast(e.select(col("vec_id").as("other_id"), col("v").as("vb")))
@@ -1449,7 +1469,8 @@ object Similarity {
 
   private def computeLifecycleGates(spark: SparkSession, sfDir: String): Seq[(String, Boolean)] = {
     val metrics = Seq("append_cannot_resurrect", "compact_folds_tombstones",
-      "compact_preserves_results", "deleted_never_served", "k_stays_filled")
+      "compact_preserves_results", "deleted_never_served", "k_stays_filled",
+      "lsh_deleted_never_served")
     if (coarseQuantizer(spark, sfDir, LifecycleNlist).isEmpty)
       return metrics.map((_, true)) // vacuously ok on an empty corpus
     val dir = indexDir(sfDir, LifecycleNlist)
@@ -1470,6 +1491,15 @@ object Similarity {
     val vSet = victims.toSet
     val neverServed = before.forall(r => !vSet.contains(r._1) && !vSet.contains(r._3))
     val kFilled = before.groupBy(_._1).forall(_._2.length == 3)
+    // the LSH read path honors the SAME takedown registry (round 16):
+    // pointed at this gate's dedicated generation so the default index
+    // stays untouched — no victim may appear in either role
+    val lshServed = lshTopK(spark, sfDir, k = 3, queryPred = Some(pred),
+        tombstoneDir = Some(dir))
+      .select(col("vec_id"), col("other_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lshNeverServed =
+      lshServed.forall(r => !vSet.contains(r._1) && !vSet.contains(r._2))
     compactIvfIndex(spark, sfDir, LifecycleNlist)
     val after = search()
     val physicalVictims = spark.read.parquet(s"$dir/cells")
@@ -1480,7 +1510,8 @@ object Similarity {
       ("compact_folds_tombstones", physicalVictims == 0L),
       ("compact_preserves_results", after == before),
       ("deleted_never_served", neverServed),
-      ("k_stays_filled", kFilled))
+      ("k_stays_filled", kFilled),
+      ("lsh_deleted_never_served", lshNeverServed))
   }
 
   /** IVF cell-occupancy balance — hot cells are the IVF tier's join
@@ -2381,10 +2412,11 @@ object Similarity {
   private def computeRecallGates(spark: SparkSession, sfDir: String): DataFrame = {
     val pred = pmod(col("vec_id"), lit(5)) === 0
     // if the DEFAULT index carries deletions, the exact references must
-    // exclude the tombstoned ids in BOTH roles — the IVF/LSH sides
-    // anti-join them by construction, and measuring serving against
-    // unservable rows would flip the verdicts false spuriously (review
-    // finding, round 15). The common no-deletes path is unchanged.
+    // exclude the tombstoned ids in BOTH roles — the IVF sides anti-join
+    // them via the loaded assignment frame and the LSH side anti-joins
+    // the same default-generation set at read time (since round 16), so
+    // measuring serving against unservable rows would flip the verdicts
+    // false spuriously. The common no-deletes path is unchanged.
     val tsIds = tombstones(spark, indexDir(sfDir, 0))
     def servable(df: DataFrame): DataFrame = tsIds match {
       case None => df

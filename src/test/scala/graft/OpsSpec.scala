@@ -383,6 +383,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(sv.length == 5 && sv.forall(r => !victims.contains(r._2)),
       s"single-query serving excludes tombstoned ids: ${sv.toSeq}")
+    // the LSH path honors the same takedown registry (round 16): a
+    // takedown applied to the default generation must not serve
+    // through lshTopK in either role
+    val lshServed = Similarity.lshTopK(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(lshServed.forall(r => !victims.contains(r._1) && !victims.contains(r._2)),
+      "deleted ids must not appear on either side of the LSH top-k")
     // rows stay PHYSICAL until compaction, then fold out; results and
     // the tombstone set itself must survive the fold
     def physicalVictims(): Long = spark.read.parquet(s"$idxDir/cells")
@@ -530,7 +537,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = Similarity.indexLifecycleGates(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("append_cannot_resurrect", "compact_folds_tombstones",
-        "compact_preserves_results", "deleted_never_served", "k_stays_filled"))
+        "compact_preserves_results", "deleted_never_served", "k_stays_filled",
+        "lsh_deleted_never_served"))
     rows.foreach(r => assert(r.getBoolean(1), s"${r.getString(0)} verdict false"))
   }
 
