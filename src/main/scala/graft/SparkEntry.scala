@@ -851,8 +851,9 @@ object SparkEntry {
     "ann_recall_gates" -> ((s, dir) => Similarity.recallGates(s, dir)),
     // the DELETE leg of the index lifecycle, driver-hashed (round 15):
     // tombstone -> serve -> compact -> append on a DEDICATED index
-    // generation; literal-TRUE oracle on 6 verdict rows (round 16 adds
-    // the LSH-side deleted_never_served — every read path anti-joins)
+    // generation; literal-TRUE oracle on 7 verdict rows (round 16 adds
+    // the LSH-side deleted_never_served — every read path anti-joins —
+    // and lsh_append_noop, the LSH twin of append_cannot_resurrect)
     "ann_index_lifecycle_gates" -> ((s, dir) => Similarity.indexLifecycleGates(s, dir)),
     // radius query — every neighbor with cosine >= 0.2 for a 1-in-50
     // query sample: the dedup-shaped search where the RESULT SIZE is
@@ -3040,6 +3041,7 @@ object SparkEntry {
         |UNION ALL SELECT 'compact_preserves_results', TRUE
         |UNION ALL SELECT 'deleted_never_served', TRUE
         |UNION ALL SELECT 'k_stays_filled', TRUE
+        |UNION ALL SELECT 'lsh_append_noop', TRUE
         |UNION ALL SELECT 'lsh_deleted_never_served', TRUE
         |ORDER BY metric""".stripMargin,
     "ann_recall_gates" ->

@@ -437,6 +437,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bulk deletions stay deleted through the auto-rebuild")
   }
 
+  test("lshIndexAppend: incremental growth matches a full rebuild; no-op and ghost guards hold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-append").toString
+    def rows(ids: Range, shift: Long) = ids.map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shift)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def topk() = Similarity.lshTopK(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    topk() // build + persist the bucket store
+    val idxDir = Similarity.lshIndexDir(dir, 8, 2.0)
+    assert(new java.io.File(idxDir, "_SUCCESS").isFile, "bucket store persisted")
+    // unchanged corpus: a no-op that keeps the marker fresh
+    assert(Similarity.lshIndexAppend(spark, dir) == 0L, "no-op on unchanged corpus")
+    // grow the corpus; the append buckets ONLY the new vectors
+    rows(300 until 340, 99L).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.lshIndexAppend(spark, dir) == 40L, "40 vectors bucketed")
+    val appended = topk()
+    assert(appended.map(_._1).toSet.intersect((300L until 340L).toSet).size == 40,
+      "appended ids queryable through LSH")
+    // append-vs-rebuild bit-identity at this geometry (g identical on
+    // both sides of the growth, every bucket under the salt cap): a
+    // from-scratch rebuild over the grown corpus serves the same top-k
+    Similarity.clearCaches()
+    val del = new scala.reflect.io.Directory(new java.io.File(idxDir))
+    del.deleteRecursively()
+    val rebuilt = topk()
+    assert(appended == rebuilt, "append-vs-rebuild top-k identical")
+    // ghost guard: a shrunk corpus refuses the append loudly
+    rows(0 until 100, 0L).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.clearCaches()
+    val ex = intercept[IllegalArgumentException](Similarity.lshIndexAppend(spark, dir))
+    assert(ex.getMessage.contains("rewritten or shrank"))
+  }
+
   test("streaming vector ingest: landed batches grow the corpus and index; replay cannot double-ingest") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vecingest").toString
@@ -538,7 +574,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("append_cannot_resurrect", "compact_folds_tombstones",
         "compact_preserves_results", "deleted_never_served", "k_stays_filled",
-        "lsh_deleted_never_served"))
+        "lsh_append_noop", "lsh_deleted_never_served"))
     rows.foreach(r => assert(r.getBoolean(1), s"${r.getString(0)} verdict false"))
   }
 
