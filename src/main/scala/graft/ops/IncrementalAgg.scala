@@ -66,10 +66,24 @@ object IncrementalAgg {
       .agg(count(lit(1)).cast("long").as("pn"),
         sum(col("value").cast("decimal(18,4)")).cast("decimal(30,4)").as("psum"))
 
+  /** Resolve the live partial-store generation: the `_gen` pointer
+    * names the current subdirectory (`g0` when absent — the initial
+    * build). [[compact]] writes a new generation and flips the pointer
+    * atomically, so readers never resolve an absent store (the
+    * `Similarity.cellsPath` discipline, round 16). */
+  private[graft] def genPath(store: String): String = {
+    val p = java.nio.file.Paths.get(store, "_gen")
+    val g =
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      else "g0"
+    s"$store/$g"
+  }
+
   /** Append one batch's partials to the store — the per-ingest
     * maintenance step. Never reads the store or history. */
   private def appendBatchPartials(store: String, batch: DataFrame): Unit =
-    partial(batch).write.mode(SaveMode.Append).parquet(store)
+    partial(batch).write.mode(SaveMode.Append).parquet(genPath(store))
 
   /** Build the maintained store once per (app, corpus): base build over
     * the first 80% of the calendar, then two maintenance appends. */
@@ -94,21 +108,37 @@ object IncrementalAgg {
   /** Fold an append-heavy partial store back to one partial set — the
     * same merge groupBy written back, preserving the pinned partial
     * schema exactly (count/sum are distributive, and every type is
-    * exact, so compaction cannot move a bit). Swap via rename so a
-    * reader never sees a half-written store. */
+    * exact, so compaction cannot move a bit). Generation-pointer swap
+    * (round-16 verdict ask #5: the old delete-then-move left a window
+    * where the store path did not exist — a concurrent reader found no
+    * store): the merged partials land as a NEW generation directory
+    * and the `_gen` pointer flips by atomic rename; the superseded
+    * generation is retained until the next compaction so an in-flight
+    * reader finishes against intact files. */
   private[graft] def compact(spark: SparkSession, store: String): Unit = {
-    val tmp = store + ".compacting"
-    spark.read.parquet(store)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val cur = genPath(store)
+    val curName = Paths.get(cur).getFileName.toString
+    val nextName = "g" + (curName.stripPrefix("g").toLong + 1L)
+    spark.read.parquet(cur)
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("pn")).cast("long").as("pn"),
         sum(col("psum")).cast("decimal(30,4)").as("psum"))
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    import java.nio.file.{Files, Path, Paths}
-    import java.util.Comparator
-    val storeP = Paths.get(store)
-    Files.walk(storeP).sorted(Comparator.reverseOrder[Path]())
-      .forEach(p => { Files.deleteIfExists(p); () })
-    Files.move(Paths.get(tmp), storeP)
+      .write.mode(SaveMode.Overwrite).parquet(s"$store/$nextName")
+    val tmp = Paths.get(store, "_gen.tmp")
+    Files.write(tmp, nextName.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(store, "_gen"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // retention: drop every generation except the one just superseded
+    // and the live one (the Similarity.compactIvfIndex rule)
+    Option(new java.io.File(store).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("g") &&
+        f.getName != curName && f.getName != nextName)
+      .foreach { f =>
+        Files.walk(f.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
   }
 
   /** The merged read: one groupBy over the aggregate-sized partial
@@ -116,7 +146,7 @@ object IncrementalAgg {
     * count/sum over exact types (the oracle enforces it). */
   def maintainedDailyAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val store = ensureMaintained(spark, sfDir)
-    spark.read.parquet(store)
+    spark.read.parquet(genPath(store))
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("pn")).cast("long").as("n"),
         round(sum(col("psum")).cast("double"), 6).as("total"))

@@ -1148,7 +1148,7 @@ object Similarity {
         // tombstoned rows stay physical until compaction but must never
         // serve: the anti-join here covers EVERY batch consumer (topk,
         // candidates, PQ, health) in one place
-        val physical = spark.read.parquet(s"$dir/cells")
+        val physical = spark.read.parquet(cellsPath(dir))
           .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
         val live = tombstones(spark, dir) match {
           case Some(ts) => physical.join(broadcast(ts), Seq("vec_id"), "left_anti")
@@ -1275,7 +1275,7 @@ object Similarity {
           // designedly survives compaction), so a compacted store
           // reads as zero pressure and the step stays idempotent.
           val dead = tombstones(spark, dir) match {
-            case Some(ts) => spark.read.parquet(s"$dir/cells")
+            case Some(ts) => spark.read.parquet(cellsPath(dir))
               .select(col("vec_id"))
               .join(broadcast(ts), Seq("vec_id"), "left_semi").count()
             case None => 0L
@@ -1328,7 +1328,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
-    val indexedIds = spark.read.parquet(s"$dir/cells").select(col("vec_id"))
+    val indexedIds = spark.read.parquet(cellsPath(dir)).select(col("vec_id"))
     val ts = tombstones(spark, dir)
     // the ghost guard exempts tombstoned ids: a DELETED vector leaving
     // the corpus upstream is the expected takedown sequence, not a
@@ -1358,7 +1358,7 @@ object Similarity {
     val added = fresh.count()
     if (added > 0) {
       fresh.repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+        .write.mode("append").partitionBy("cell").parquet(cellsPath(dir))
       appendMeta(dir, added)
     }
     fresh.unpersist()
@@ -1453,7 +1453,7 @@ object Similarity {
     val dir = indexDir(sfDir, nlist)
     require(new java.io.File(dir, "_SUCCESS").isFile,
       s"no persisted IVF index at $dir — nothing to delete from")
-    val indexed = spark.read.parquet(s"$dir/cells").select(col("vec_id"))
+    val indexed = spark.read.parquet(cellsPath(dir)).select(col("vec_id"))
     val prior = tombstones(spark, dir)
     val asked = ids.distinct.toDF("vec_id")
     val hits = asked.join(indexed, Seq("vec_id"), "left_semi")
@@ -1494,28 +1494,57 @@ object Similarity {
     added
   }
 
+  /** Resolve the CURRENT inverted-list generation of an index store:
+    * the `_cells_gen` pointer file names the live directory; absent
+    * means `cells`, the build default (a rebuild swaps the whole store
+    * dir in with no pointer, which resets the lineage). Every read and
+    * append goes through this resolver. */
+  private[graft] def cellsPath(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "_cells_gen")
+    val gen =
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      else "cells"
+    s"$dir/$gen"
+  }
+
   /** Fold an append-grown inverted-list store back to one file set per
     * cell (round-15 verdict ask #3): [[ivfIndexAppend]] writes one
     * parquet file set per batch per cell, so a long-lived index
     * accumulates small files — the classic read-amplification drag on
     * a partition-pruned probe. Content-preserving by construction (the
-    * rows are re-written, not re-derived), swapped in by rename (the
-    * `IncrementalAgg.compact` pattern) so a reader never sees a
-    * half-written list, and the freshness marker is NOT touched —
-    * compaction neither adds coverage nor certifies anything, so
-    * whatever staleness state the index was in survives it. The
-    * `_appended` drift meta survives too: compaction packs files, it
-    * does not make the appended rows retroactively influence the fit.
-    * Session caches clear at the end: the cached assignment frames'
-    * lineage points at the pre-compaction files. */
+    * rows are re-written, not re-derived), and the freshness marker is
+    * NOT touched — compaction neither adds coverage nor certifies
+    * anything, so whatever staleness state the index was in survives
+    * it. The `_appended` drift meta survives too: compaction packs
+    * files, it does not make the appended rows retroactively influence
+    * the fit. Session caches clear at the end: the cached assignment
+    * frames' lineage points at the pre-compaction files.
+    *
+    * Swap discipline (round-16 verdict ask #5: the old two-move rename
+    * had a window where `cells` did not exist — a concurrent reader
+    * found NO store, a fail-loud but reachable state): the folded rows
+    * land as a NEW generation directory and the `_cells_gen` pointer
+    * flips by atomic rename, so the live path is continuously
+    * resolvable — the tombstone-set polarity rule ("absence must not
+    * be a reachable state") applied to presence. The superseded
+    * generation is RETAINED until the next compaction removes it: a
+    * reader that resolved the pointer just before the flip finishes
+    * its scan against intact files (single-maintenance-writer model —
+    * a read spanning TWO compactions is out of contract, the standard
+    * snapshot-retention trade). */
   def compactIvfIndex(spark: SparkSession, sfDir: String, nlist: Int = 0): Unit = {
     val dir = indexDir(sfDir, nlist)
     require(new java.io.File(dir, "_SUCCESS").isFile,
       s"no persisted IVF index at $dir — nothing to compact")
-    import java.nio.file.{Files, Paths}
-    val tmp = s"$dir/cells.compacting"
-    deleteRecursively(tmp)
-    val physical = spark.read.parquet(s"$dir/cells")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val cur = cellsPath(dir)
+    val curName = Paths.get(cur).getFileName.toString
+    val nextName =
+      if (curName == "cells") "cells.g1"
+      else "cells.g" + (curName.stripPrefix("cells.g").toLong + 1L)
+    deleteRecursively(s"$dir/$nextName")
+    val physical = spark.read.parquet(cur)
       .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
     // compaction is also the tombstone fold: deleted rows leave the
     // files here (they stopped SERVING at delete time — this reclaims
@@ -1527,11 +1556,20 @@ object Similarity {
       case None => physical
     }
     kept.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    deleteRecursively(s"$dir/cells.old")
-    Files.move(Paths.get(s"$dir/cells"), Paths.get(s"$dir/cells.old"))
-    Files.move(Paths.get(tmp), Paths.get(s"$dir/cells"))
-    deleteRecursively(s"$dir/cells.old")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$nextName")
+    val tmp = Paths.get(dir, "_cells_gen.tmp")
+    Files.write(tmp, nextName.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(dir, "_cells_gen"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // retention: keep exactly the superseded generation; drop anything
+    // older (unreachable by any reader within one compaction of now)
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.isDirectory &&
+          (f.getName == "cells" || f.getName.startsWith("cells.g")) &&
+          f.getName != nextName && f.getName != curName
+      }
+      .foreach(f => deleteRecursively(f.getPath))
     clearIndexCaches(sfDir, nlist)
   }
 
@@ -1617,7 +1655,7 @@ object Similarity {
     val lshAppendNoop = lshIndexAppend(spark, sfDir) == 0L
     compactIvfIndex(spark, sfDir, LifecycleNlist)
     val after = search()
-    val physicalVictims = spark.read.parquet(s"$dir/cells")
+    val physicalVictims = spark.read.parquet(cellsPath(dir))
       .filter(col("vec_id").isin(victims.map(x => x: Any): _*)).count()
     val resurrected = ivfIndexAppend(spark, sfDir, LifecycleNlist)
     Seq(
@@ -1688,7 +1726,7 @@ object Similarity {
     val deadOk = live == 0L || (tombstones(spark, dir) match {
       case None => true
       case Some(ts) =>
-        val dead = spark.read.parquet(s"$dir/cells").select(col("vec_id"))
+        val dead = spark.read.parquet(cellsPath(dir)).select(col("vec_id"))
           .join(broadcast(ts), Seq("vec_id"), "left_semi").count()
         dead.toDouble / (live + dead) <= MaxDeletedFrac
     })
@@ -2176,7 +2214,7 @@ object Similarity {
     // persisted store, so the isin prunes directories at planning time;
     // a pool predicate then semi-joins the broadcast filtered-id set
     // WITHIN the pruned scan (pruning + predicate, not post-filtering)
-    val scanned = spark.read.parquet(s"${indexDir(sfDir, 0)}/cells")
+    val scanned = spark.read.parquet(cellsPath(indexDir(sfDir, 0)))
       .where(col("cell").isin(probeCells.map(x => x: Any): _*))
     // tombstoned rows are physical until compaction — deleted vectors
     // must not serve (the same anti-join the batch load path applies)

@@ -194,7 +194,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Similarity.ivfTopK(spark, dir, k = 3).collect() // builds + persists
     val centsBefore = spark.read.parquet(s"${Similarity.indexDir(dir, 0)}/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
-    val assignedBefore = spark.read.parquet(s"${Similarity.indexDir(dir, 0)}/cells")
+    val assignedBefore = spark.read.parquet(Similarity.cellsPath(Similarity.indexDir(dir, 0)))
       .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
 
     // the store grows; append assigns ONLY the new ids, no refit
@@ -203,7 +203,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(added == 60L, s"added $added")
     assert(Similarity.ivfIndexAppend(spark, dir) == 0L, "idempotent re-append")
 
-    val cellsDir = s"${Similarity.indexDir(dir, 0)}/cells"
+    val cellsDir = Similarity.cellsPath(Similarity.indexDir(dir, 0))
     val after = spark.read.parquet(cellsDir)
       .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(after.size == 360, s"${after.size} indexed")
@@ -329,7 +329,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .write.mode("append").parquet(s"$dir/embeddings.parquet")
       assert(Similarity.ivfIndexAppend(spark, dir) == 40L)
     }
-    val cellsDir = s"${Similarity.indexDir(dir, 0)}/cells"
+    def cellsDir = Similarity.cellsPath(Similarity.indexDir(dir, 0))
     def parquetFiles(): Long = java.nio.file.Files.walk(java.nio.file.Paths.get(cellsDir))
       .filter(p => p.toString.endsWith(".parquet")).count()
     def content() = spark.read.parquet(cellsDir)
@@ -351,6 +351,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "compaction must not touch the freshness marker")
     assert(Similarity.appendedCount(Similarity.indexDir(dir, 0)) == 120L,
       "compaction must not reset the drift meta")
+  }
+
+  test("compaction swap is generation-pointed: a concurrent reader never observes a missing store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-genswap").toString
+    val rows = (0 until 300).map { i =>
+      val r = new java.util.Random(i * 31L + 7L)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    rows.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.ivfTopK(spark, dir, k = 3).collect() // build + persist
+    val idxDir = Similarity.indexDir(dir, 0)
+    val n = spark.read.parquet(Similarity.cellsPath(idxDir)).count()
+    // the round-15 two-move swap had a window where the cells path did
+    // not exist; the generation pointer must keep the resolved store
+    // continuously readable through repeated compactions
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val c = spark.read.parquet(Similarity.cellsPath(idxDir)).count()
+          if (c != n) failures.add(s"read $c rows, expected $n")
+        } catch { case e: Throwable => failures.add(e.toString) }
+      }
+    })
+    reader.start()
+    try (0 until 3).foreach(_ => Similarity.compactIvfIndex(spark, dir))
+    finally { stop.set(true); reader.join(60000) }
+    assert(failures.isEmpty, s"concurrent reads failed: $failures")
+    // retention: live generation plus exactly the superseded one
+    val gens = new java.io.File(idxDir).listFiles().map(_.getName)
+      .filter(nm => nm == "cells" || (nm.startsWith("cells.g") && !nm.endsWith(".tmp")))
+    assert(gens.length == 2, s"retention keeps live + superseded: ${gens.toSeq}")
+    assert(Similarity.cellsPath(idxDir).endsWith("cells.g3"), "pointer advanced per fold")
+    assert(spark.read.parquet(Similarity.cellsPath(idxDir)).count() == n, "content preserved")
   }
 
   test("ivfIndexDelete: tombstoned vectors never serve; compaction folds them; appends cannot resurrect") {
@@ -392,7 +428,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "deleted ids must not appear on either side of the LSH top-k")
     // rows stay PHYSICAL until compaction, then fold out; results and
     // the tombstone set itself must survive the fold
-    def physicalVictims(): Long = spark.read.parquet(s"$idxDir/cells")
+    def physicalVictims(): Long = spark.read.parquet(Similarity.cellsPath(idxDir))
       .filter(col("vec_id").isin(0L, 1L, 2L)).count()
     assert(physicalVictims() == 3L, "tombstoned rows stay physical before compaction")
     Similarity.compactIvfIndex(spark, dir)
@@ -416,11 +452,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // physical-dead ceiling and the ensure step compacts on its own
     val bulk = (10L until 110L).toSeq
     assert(Similarity.ivfIndexDelete(spark, dir, bulk) == 100L)
-    assert(spark.read.parquet(s"$idxDir/cells")
+    assert(spark.read.parquet(Similarity.cellsPath(idxDir))
       .filter(col("vec_id").isin(bulk.map(x => x: Any): _*)).count() == 100L,
       "bulk tombstones physical before the ensure step")
     Similarity.ensureIvfIndex(spark, dir)
-    assert(spark.read.parquet(s"$idxDir/cells")
+    assert(spark.read.parquet(Similarity.cellsPath(idxDir))
       .filter(col("vec_id").isin(bulk.map(x => x: Any): _*)).count() == 0L,
       "ensureIvfIndex compacts past the dead-row ceiling")
     assert(new java.io.File(idxDir, "_SUCCESS").isFile, "marker intact")
@@ -493,7 +529,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gained = EventIngest.vectorIngestAvailableNow(spark, landing, dir)
     assert(gained == 80L, s"index gained $gained of 80 landed vectors")
     val corpusN = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    val indexedN = spark.read.parquet(s"$idxDir/cells").count()
+    val indexedN = spark.read.parquet(Similarity.cellsPath(idxDir)).count()
     assert(corpusN == 380L && indexedN == 380L, s"corpus $corpusN, indexed $indexedN")
     // per-batch append under FIXED centroids — no refit happened
     val centsAfter = spark.read.parquet(s"$idxDir/centroids")
@@ -509,7 +545,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replayGained == 0L, s"replay gained $replayGained")
     assert(spark.read.parquet(s"$dir/embeddings.parquet").count() == 380L,
       "replayed batches must not double-ingest the corpus")
-    assert(spark.read.parquet(s"$idxDir/cells").count() == 380L,
+    assert(spark.read.parquet(Similarity.cellsPath(idxDir)).count() == 380L,
       "replayed batches must not double-index")
     // batch renumbering must not alias stamps: retention removes one
     // landed file, a NEW file lands, and a fresh run (fresh checkpoint
@@ -525,7 +561,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the newly landed file must ingest despite batch renumbering: $lateGained")
     assert(spark.read.parquet(s"$dir/embeddings.parquet").count() == 420L,
       "corpus holds exactly the union of landed files")
-    assert(spark.read.parquet(s"$idxDir/cells").count() == 420L, "index follows")
+    assert(spark.read.parquet(Similarity.cellsPath(idxDir)).count() == 420L, "index follows")
   }
 
   test("searchVectorMmr: lambda=1 equals plain serving; diversity escapes a duplicate shell") {
@@ -3510,17 +3546,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).cast("long").as("pn"),
           sum(col("value").cast("decimal(18,4)")).cast("decimal(30,4)").as("psum"))
-        .write.mode("append").parquet(store)
+        .write.mode("append").parquet(graft.ops.IncrementalAgg.genPath(store))
     }
-    def readMerged() = spark.read.parquet(store)
+    def readMerged() = spark.read.parquet(graft.ops.IncrementalAgg.genPath(store))
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("pn")).cast("long").as("n"),
         round(sum(col("psum")).cast("double"), 6).as("total"))
       .orderBy("event_type", "day").collect().map(_.toSeq)
+    def partFiles() = new java.io.File(graft.ops.IncrementalAgg.genPath(store))
+      .listFiles().count(_.getName.endsWith(".parquet"))
     val before = readMerged()
-    val filesBefore = new java.io.File(store).listFiles().count(_.getName.endsWith(".parquet"))
+    val filesBefore = partFiles()
     graft.ops.IncrementalAgg.compact(spark, store)
-    val filesAfter = new java.io.File(store).listFiles().count(_.getName.endsWith(".parquet"))
+    val filesAfter = partFiles()
     assert(readMerged().sameElements(before), "compaction must not change the merged view")
     assert(filesAfter < filesBefore,
       s"compaction must shrink the partial store ($filesBefore → $filesAfter files)")
