@@ -1157,7 +1157,22 @@ object Similarity {
         val assigned = live
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Some(CoarseQuantizer(assigned.count(), cents, assigned))
-      } else {
+      } else fitQuantizer(spark, sfDir, nlist, Seq.empty)
+    })
+
+  /** Fit the quantizer from the corpus and publish the store in one
+    * atomic swap. `carryTombstones` is the DRIFT-REBUILD path (ADVICE
+    * r15): an automatic refit must preserve takedowns, and re-applying
+    * them with a separate delete call AFTER the swap left a crash
+    * window where the freshly published generation served deleted
+    * vectors — so the carried set is written INTO the building
+    * directory and becomes visible in the same rename that publishes
+    * the tables. An explicit rebuild passes empty and drops the set
+    * with the old generation (deletion is index-scoped — the
+    * Lucene/FAISS contract). */
+  private def fitQuantizer(spark: SparkSession, sfDir: String, nlist: Int,
+      carryTombstones: Seq[Long]): Option[CoarseQuantizer] = {
+      val dir = indexDir(sfDir, nlist)
       val e = emb(spark, sfDir)
         .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("v")))
       val n = e.count()
@@ -1214,11 +1229,27 @@ object Similarity {
             .write.mode("overwrite").parquet(s"$tmp/centroids")
           assigned.repartition(col("cell"))
             .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/cells")
+          // carried takedowns commit WITH the tables: no reader can
+          // observe the new generation without its tombstone set
+          if (carryTombstones.nonEmpty) {
+            carryTombstones.sorted.toIndexedSeq.toDF("vec_id").coalesce(1)
+              .write.mode("overwrite").parquet(s"$tmp/tombstones/ids")
+            new java.io.File(s"$tmp/tombstones", "_SUCCESS").createNewFile()
+            ()
+          }
         }
-        Some(CoarseQuantizer(n, model.clusterCenters.map(_.toArray), assigned))
+        if (carryTombstones.isEmpty)
+          Some(CoarseQuantizer(n, model.clusterCenters.map(_.toArray), assigned))
+        else {
+          val ts = carryTombstones.toIndexedSeq.toDF("vec_id")
+          val live = assigned.join(broadcast(ts), Seq("vec_id"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val liveN = live.count()
+          assigned.unpersist()
+          Some(CoarseQuantizer(liveN, model.clusterCenters.map(_.toArray), live))
+        }
       }
-      }
-    })
+    }
 
   /** Explicit ingest-time index build (or freshness check) for the
     * default auto-nlist IVF index AND the default LSH bucket table —
@@ -1256,16 +1287,17 @@ object Similarity {
             f"(ceiling $maxAppendedFrac)")
           // an AUTOMATIC drift rebuild must not undo takedowns: the
           // refit swaps the whole index dir — including tombstones/ —
-          // so the deleted ids are collected first and re-applied to
-          // the new generation (review finding, round 15: only an
-          // explicit store wipe may drop deletions; a maintenance
-          // policy acting on its own must preserve them)
+          // so the deleted ids are collected first and carried INTO
+          // the new generation inside the same atomic swap that
+          // publishes it (ADVICE r16: a post-swap re-apply left a
+          // crash window where takedowns were permanently lost and
+          // the already-visible generation served deleted vectors;
+          // only an explicit store wipe may drop deletions)
           val deleted = tombstones(spark, dir)
             .map(_.collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty)
-          new java.io.File(dir, "_SUCCESS").delete()
           clearCaches()
-          coarseQuantizer(spark, sfDir, 0)
-          if (deleted.nonEmpty) { ivfIndexDelete(spark, sfDir, deleted, 0); () }
+          quantizerCache.put((spark.sparkContext.applicationId, sfDir, 0),
+            fitQuantizer(spark, sfDir, 0, deleted))
         } else {
           // tombstone pressure: deleted rows stay physical until a
           // compaction folds them out — past the ceiling the probe
@@ -1368,9 +1400,14 @@ object Similarity {
     if (added > 0 || markerWasFresh) renewMarker(dir)
     // the store grew: every per-corpus session cache (counts, exact
     // samples, candidates, signatures) is stale by definition. A
-    // no-op append changed nothing — invalidating would force every
-    // consumer to repay its reference scans for free (round 15)
-    if (added > 0) clearCaches()
+    // no-op append over a FRESH store changed nothing — invalidating
+    // would force every consumer to repay its reference scans for free
+    // (round 15). But added == 0 over a stale marker means the CORPUS
+    // moved (a fully-tombstoned batch, or a same-id rewrite) — the
+    // cached counts and reference frames no longer describe it, so
+    // invalidate on corpus change, not only on index growth (ADVICE
+    // r16).
+    if (added > 0 || !markerWasFresh) clearCaches()
     added
   }
 
@@ -1444,9 +1481,12 @@ object Similarity {
     * The set is written atomically (temp + rename, its own marker);
     * the index freshness marker is untouched — deletion neither adds
     * coverage nor invalidates the fit. Returns the count of ids newly
-    * tombstoned (ids not physically indexed, or already deleted, don't
-    * count). Only this (corpus, nlist) key's session caches clear —
-    * the corpus itself did not change ([[clearIndexCaches]]). */
+    * tombstoned: any id known to the corpus binds — physically indexed
+    * or still awaiting an append (so an in-flight ingest cannot
+    * resurrect a takedown; ADVICE r16) — while never-seen or
+    * already-deleted ids don't count. Only this (corpus, nlist) key's
+    * session caches clear — the corpus itself did not change
+    * ([[clearIndexCaches]]). */
   def ivfIndexDelete(spark: SparkSession, sfDir: String, ids: Seq[Long],
       nlist: Int = 0): Long = {
     import spark.implicits._
@@ -1456,7 +1496,14 @@ object Similarity {
     val indexed = spark.read.parquet(cellsPath(dir)).select(col("vec_id"))
     val prior = tombstones(spark, dir)
     val asked = ids.distinct.toDF("vec_id")
-    val hits = asked.join(indexed, Seq("vec_id"), "left_semi")
+    // a takedown binds any id KNOWN to this corpus — physically indexed
+    // OR still in the embedding store awaiting an append (ADVICE r16: a
+    // delete issued while an ingest is in flight previously recorded no
+    // tombstone, and the next append indexed and SERVED the taken-down
+    // vector — the delete verb failing in the unsafe direction). Only
+    // never-seen ids are the no-count case.
+    val known = indexed.union(emb(spark, sfDir).select(col("vec_id")))
+    val hits = asked.join(known, Seq("vec_id"), "left_semi")
     val fresh = prior match {
       case Some(ts) => hits.join(ts, Seq("vec_id"), "left_anti")
       case None => hits
@@ -1479,8 +1526,10 @@ object Similarity {
       val staging = Files.createTempDirectory(Paths.get(dir), "ts-staging")
       freshIds.sorted.toIndexedSeq.toDF("vec_id")
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = Files.list(staging).filter(_.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow()
+      val listing = Files.list(staging)
+      val part =
+        try listing.filter(_.toString.endsWith(".parquet")).findFirst().orElseThrow()
+        finally listing.close() // Files.list leaks the dir stream unless closed (ADVICE r16)
       Files.move(part,
         idsDir.resolve(s"ts-${java.util.UUID.randomUUID()}.parquet"),
         StandardCopyOption.ATOMIC_MOVE)

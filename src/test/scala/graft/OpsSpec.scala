@@ -473,6 +473,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bulk deletions stay deleted through the auto-rebuild")
   }
 
+  test("ivfIndexDelete binds corpus ids awaiting an append: an in-flight ingest cannot resurrect a takedown") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-pending-del").toString
+    def rows(ids: Range, shift: Long) = ids.map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shift)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.ivfTopK(spark, dir, k = 3).collect() // build + persist
+    // the corpus grows but the index append has NOT run yet — the
+    // takedown arrives mid-ingest and must still record a tombstone
+    // (ADVICE r16: binding only physically-indexed ids let the next
+    // append index and serve the taken-down vector)
+    rows(300 until 340, 99L).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.ivfIndexDelete(spark, dir, Seq(300L)) == 1L,
+      "a takedown on a corpus-present, not-yet-indexed id records a tombstone")
+    assert(Similarity.ivfIndexDelete(spark, dir, Seq(999999L)) == 0L,
+      "a never-seen id still does not count")
+    assert(Similarity.ivfIndexAppend(spark, dir) == 39L,
+      "the append skips the taken-down id")
+    val served = Similarity.ivfTopK(spark, dir, k = 3).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(2))).toSet
+    assert(!served.contains(300L), "the taken-down id never serves")
+    assert((301L until 340L).forall(served.contains), "the rest of the batch serves")
+  }
+
   test("lshIndexAppend: incremental growth matches a full rebuild; no-op and ghost guards hold") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-append").toString
