@@ -302,14 +302,15 @@ object EventIngest {
     *
     * foreachBatch is AT-LEAST-ONCE, and the two legs handle replay
     * differently: the corpus append is guarded by a PER-LANDED-FILE
-    * stamp (content-addressed — distributed writers emit globally
-    * unique file names), while the index append is idempotent BY
+    * stamp keyed on a hash of the file's FULL PATH + length (round 16;
+    * a basename key assumed writers never reuse names — two landing
+    * dirs feeding one corpus, or a fixed-name encoder, collided and
+    * silently dropped data), while the index append is idempotent BY
     * CONSTRUCTION (already-indexed ids anti-join out). The stamp must
     * NOT key on Spark's batchId: a later run starts a fresh checkpoint
     * and renumbers batches from 0, so a batchId stamp from file A
     * could silently skip newly landed file C when it drew the same
-    * number (review finding, round 15 — silent data loss), and the
-    * same collision appears when two landing dirs feed one corpus. A
+    * number (review finding, round 15 — silent data loss). A
     * crash between the corpus write and its stamps can replay one
     * file's rows into the corpus twice — the index stays
     * duplicate-free regardless, and the corpus-side recovery is the
@@ -329,9 +330,23 @@ object EventIngest {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val stampDir = new java.io.File(s"$corpusDir/_vec_ingest")
-        def stampOf(path: String) = new java.io.File(stampDir,
-          java.net.URLEncoder.encode(
-            path.substring(path.lastIndexOf('/') + 1), "UTF-8"))
+        // stamp key = sha-256 of the FULL landed path plus its length:
+        // a basename key assumed writer-side uniqueness — two landing
+        // dirs feeding one corpus, or an encoder emitting fixed names
+        // (batch.parquet), collided and silently SKIPPED a new file,
+        // the same loss class the batchId fix closed (ADVICE r16). The
+        // path disambiguates the source; the length catches a
+        // same-path rewrite (re-ingested as new — at-least-once, the
+        // recoverable direction).
+        def stampOf(path: String) = {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val len = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(hp).getLen
+          val key = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(s"$path:$len".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          new java.io.File(stampDir, key)
+        }
         val files = batch.select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).filter(_.nonEmpty)
         val freshFiles = files.filterNot(f => stampOf(f).exists())

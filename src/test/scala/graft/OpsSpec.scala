@@ -588,6 +588,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$dir/embeddings.parquet").count() == 420L,
       "corpus holds exactly the union of landed files")
     assert(spark.read.parquet(Similarity.cellsPath(idxDir)).count() == 420L, "index follows")
+    // basename collisions across landing dirs must not drop data
+    // (ADVICE r16: a basename-keyed stamp silently skipped the second
+    // dir's file): two dirs each land a file literally named
+    // batch.parquet and both must ingest
+    def landFixed(landing: String, ids: Range): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-land").toString
+      rows(ids, 99L).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(landing).mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, "batch.parquet"))
+      ()
+    }
+    landFixed(s"$dir/landing2", 420 until 460)
+    landFixed(s"$dir/landing3", 460 until 500)
+    assert(EventIngest.vectorIngestAvailableNow(spark, s"$dir/landing2", dir) == 40L)
+    assert(EventIngest.vectorIngestAvailableNow(spark, s"$dir/landing3", dir) == 40L,
+      "a same-basename file from a second landing dir must still ingest")
+    assert(spark.read.parquet(s"$dir/embeddings.parquet").count() == 500L,
+      "both fixed-name files reached the corpus")
   }
 
   test("filtered serving reads pool cardinality from index metadata: no corpus job, stats maintained") {
