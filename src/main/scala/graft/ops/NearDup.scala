@@ -785,8 +785,15 @@ object NearDup {
     })
 
   def tfidfCosinePairs(spark: SparkSession, sfDir: String,
+      dfCap: Int = 50, minCos: Double = 0.5): DataFrame =
+    tfidfCosinePairsFrom(trigramTf(spark, sfDir), dfCap, minCos)
+
+  /** The weighting + postings-join stage over an arbitrary (doc_id, dl,
+    * g, tf) frame — split out so the round-16 kernel-vs-legacy bench
+    * (`graft.BenchTfidf`, test scope) can time the SAME downstream plan
+    * over both tf lineages. */
+  private[graft] def tfidfCosinePairsFrom(tf: DataFrame,
       dfCap: Int = 50, minCos: Double = 0.5): DataFrame = {
-    val tf = trigramTf(spark, sfDir)
     val nDocs = tf.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
     val df = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
