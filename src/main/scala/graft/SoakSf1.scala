@@ -184,6 +184,46 @@ object SoakSf1 {
     r.getAs[Long]("n_occupied") > 0 && ratio <= CellBalanceCeiling
   }
 
+  /** Serving-path single-query p50 ceiling (round-16 verdict ask #6:
+    * `searchVector`/`searchVectorMmr` were correctness-gated but never
+    * TIMED at scale — they are the online path; the bench only times
+    * corpus-wide queries). Warm steady state (the resident-service
+    * scenario: index loaded once, then per-request cost = driver probe
+    * selection + one pruned cell scan + TakeOrdered). Measured p50 at
+    * the 100k store: 160 ms warm (698 ms before the serving scan's
+    * file index was cached — per-request re-listing of ~316 partition
+    * directories dominated); local Spark job overhead dominates the
+    * remainder and the pruned scan grows sublinearly by construction.
+    * 500 ms leaves steal-burst headroom without re-admitting the
+    * per-request listing (or a full-scan regression). MMR re-rank =
+    * one fetch·k search + a bounded candidate lookup (measured 560 ms)
+    * — gated at 4× the ceiling. */
+  val ServingP50CeilingMs = 500.0
+
+  private def servingLatencyGate(spark: SparkSession, corpusDir: String,
+      label: String): Boolean = {
+    val qs = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull && col("vec_id") % 997 === 0)
+      .limit(24).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    if (qs.length < 2) return false
+    // warm once: quantizer load + code paths (the steady state under test)
+    graft.ops.Similarity.searchVector(spark, corpusDir, qs.head).collect()
+    val lat = qs.tail.map { q =>
+      val t0 = System.nanoTime()
+      val n = graft.ops.Similarity.searchVector(spark, corpusDir, q, k = 5).collect().length
+      require(n > 0, "serving returned no rows")
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    val p50 = lat(lat.length / 2)
+    val t0 = System.nanoTime()
+    graft.ops.Similarity.searchVectorMmr(spark, corpusDir, qs.head, k = 5).collect()
+    val mmrMs = (System.nanoTime() - t0) / 1e6
+    println(f"[soak] $label serving p50 $p50%.0f ms over ${lat.length} queries " +
+      f"(max ${lat.last}%.0f), mmr $mmrMs%.0f ms (ceiling $ServingP50CeilingMs%.0f)")
+    p50 <= ServingP50CeilingMs && mmrMs <= ServingP50CeilingMs * 4
+  }
+
   /** 100k-vector ANN tier (round-13): the auto-scaled probe schedule
     * under test where it matters — 316 cells, autoNprobe = 45 (14%
     * coverage; the FIXED nprobe = 12 this replaced would cover 3.8%).
@@ -274,11 +314,15 @@ object SoakSf1 {
         println(s"[soak] ann100k lifecycle verdict FALSE: $m") }
       rows.nonEmpty && rows.forall(_._2)
     }
+    val servingOk = timed("ann100k_serving_p50") {
+      servingLatencyGate(spark, annDir, "ann100k")
+    }
     Seq(
       "ann100k_ivf_recall_at_5" -> recallOk,
       "ann100k_hard_negative_hardness" -> hardOk,
       "ann100k_cell_balance" -> balanceOk,
-      "ann100k_delete_lifecycle" -> lifecycleOk)
+      "ann100k_delete_lifecycle" -> lifecycleOk,
+      "ann100k_serving_p50" -> servingOk)
   }
 
   /** 1M-vector ANN tier (round-14, the round-13 verdict's #1 ask): the
@@ -820,6 +864,12 @@ object SoakSf1 {
       spark.stop()
       sys.exit(if (ok) 0 else 1)
     }
+    if (args.length >= 2 && args(1) == "--serving100k-only") {
+      val ok = servingLatencyGate(spark, s"$dir/ann100k", "ann100k")
+      println(s"[soak] ${if (ok) "PASS" else "FAIL"} ann100k_serving_p50")
+      spark.stop()
+      sys.exit(if (ok) 0 else 1)
+    }
     if (args.length >= 2 && args(1) == "--ann100k-only") {
       val gates = timedAnn100kTier(spark, dir)
       gates.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
@@ -871,6 +921,13 @@ object SoakSf1 {
           if (exact.isEmpty) 0.0 else ivf.intersect(exact).size.toDouble / exact.size
         println(f"[soak] range dedup-radius recall: $recall%.4f over ${exact.size} exact pairs")
         exact.nonEmpty && ivf.subsetOf(exact) && recall >= 0.9
+      },
+      // the online serving path timed at the 20k store (round 16):
+      // warm single-query p50 under a latency ceiling — the bench only
+      // times corpus-wide queries, and the serving tier was
+      // correctness-gated but never timed
+      "serving_p50_latency" -> timed("serving_p50_latency") {
+        servingLatencyGate(spark, dir, "sf1")
       },
       // the band miner's scale tier at 20k vectors: IVF-blocked
       // semi-hard negatives vs the exact band on a 1/20 anchor sample
