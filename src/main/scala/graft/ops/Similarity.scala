@@ -2372,12 +2372,27 @@ object Similarity {
     * brute-force scan is OpsSpec-gated. */
   def searchVector(spark: SparkSession, sfDir: String, query: Array[Double],
       k: Int = 5, nprobe: Int = 0,
-      poolPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      poolPred: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchVectorCore(spark, sfDir, query, k, nprobe, poolPred, keepVectors = false)
+
+  /** The serving pipeline, optionally carrying each hit's VECTOR into
+    * the result (`keepVectors`): [[searchVectorMmr]]'s redundancy term
+    * needs the candidate vectors, and re-reading them from the corpus
+    * per request was a second corpus-file touch on the online path
+    * (round 16) — the pruned cell scan already had them in hand, and
+    * k·fetch rows through the TakeOrdered heaps is bounded. */
+  private def searchVectorCore(spark: SparkSession, sfDir: String,
+      query: Array[Double], k: Int, nprobe: Int,
+      poolPred: Option[org.apache.spark.sql.Column],
+      keepVectors: Boolean): DataFrame = {
     import spark.implicits._
+    def emptyResult() =
+      if (keepVectors) Seq.empty[(Long, Long, Double, Seq[Double])]
+        .toDF("rank", "vec_id", "sim", "v")
+      else Seq.empty[(Long, Long, Double)].toDF("rank", "vec_id", "sim")
     val q = coarseQuantizer(spark, sfDir, 0) match {
       case Some(cq) => cq
-      case None =>
-        return Seq.empty[(Long, Long, Double)].toDF("rank", "vec_id", "sim")
+      case None => return emptyResult()
     }
     val nlist = q.centroids.length
     val base = math.min(nlist, if (nprobe > 0) nprobe else autoNprobe(nlist))
@@ -2414,8 +2429,7 @@ object Similarity {
         val poolN = spark.createDataFrame(
             java.util.Arrays.asList(rows: _*), schema)
           .filter(p).agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
-        if (poolN == 0L)
-          return Seq.empty[(Long, Long, Double)].toDF("rank", "vec_id", "sim")
+        if (poolN == 0L) return emptyResult()
         val sel = poolN.toDouble / q.n
         math.min(nlist.toDouble, math.ceil(base / sel)).toInt
       case (Some(p), None) =>
@@ -2425,8 +2439,7 @@ object Similarity {
         val ids = emb(spark, sfDir).filter(p).select(col("vec_id"))
         val poolN = q.assigned.select(col("vec_id"))
           .join(ids, Seq("vec_id"), "left_semi").count()
-        if (poolN == 0L)
-          return Seq.empty[(Long, Long, Double)].toDF("rank", "vec_id", "sim")
+        if (poolN == 0L) return emptyResult()
         val sel = poolN.toDouble / q.n
         math.min(nlist.toDouble, math.ceil(base / sel)).toInt
     }
@@ -2478,16 +2491,19 @@ object Similarity {
     }
     val qv = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
       query.map(lit(_))): _*)
+    val keep =
+      if (keepVectors) Seq(col("vec_id"), col("v")) else Seq(col("vec_id"))
     val topk = lists
-      .select(col("vec_id"),
-        graft.functions.VectorFunctions.cosine_sim(col("v"), qv).as("sim_raw"))
+      .select(keep :+
+        graft.functions.VectorFunctions.cosine_sim(col("v"), qv).as("sim_raw"): _*)
       .orderBy(col("sim_raw").desc, col("vec_id").asc)
       .limit(k)
     // rank over ≤ k rows (the limit already ran) — not a global window
     topk
       .withColumn("rank", row_number().over(
         Window.orderBy(col("sim_raw").desc, col("vec_id").asc)).cast("long"))
-      .select(col("rank"), col("vec_id"), round(col("sim_raw"), 4).as("sim"))
+      .select(Seq(col("rank"), col("vec_id"), round(col("sim_raw"), 4).as("sim")) ++
+        (if (keepVectors) Seq(col("v")) else Seq.empty): _*)
       .orderBy(col("rank"))
   }
 
@@ -2506,9 +2522,10 @@ object Similarity {
     * `fetch·k` (≤ ~100 rows), not the corpus; it runs on the driver
     * over collected candidates, the same metadata-scale exception as
     * the centroid probe selection one step earlier. The candidate
-    * vectors are fetched by an `isin` id-lookup (pushed to the parquet
-    * scan; at cluster scale, a point-read against the id-bucketed
-    * store). Determinism: ties break (score desc, vec_id asc) with the
+    * vectors RIDE the search result itself (round 16 — the pruned cell
+    * scan already read them; a second per-request corpus lookup kept
+    * the online path from being fully index-resident).
+    * Determinism: ties break (score desc, vec_id asc) with the
     * UNROUNDED doubles; λ = 1 degenerates to exactly [[searchVector]]'s
     * ranking (the redundancy term vanishes, and the first pick is
     * always the top-1 for any λ > 0 since the penalty of an empty
@@ -2521,15 +2538,18 @@ object Similarity {
     import spark.implicits._
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
     require(fetch >= 1, s"fetch must be >= 1: $fetch")
-    val cand = searchVector(spark, sfDir, query, k = k * fetch, nprobe = nprobe)
-      .select(col("vec_id")).collect().map(_.getLong(0))
-    if (cand.isEmpty)
+    // candidates arrive WITH their vectors (keepVectors) — the greedy
+    // redundancy term needs them, and a second per-request corpus read
+    // to fetch them kept the online path from being fully
+    // index-resident (round 16)
+    val candRows = searchVectorCore(spark, sfDir, query, k = k * fetch,
+        nprobe = nprobe, poolPred = None, keepVectors = true)
+      .select(col("vec_id"), col("v")).collect()
+    if (candRows.isEmpty)
       return Seq.empty[(Long, Long, Double, Double)]
         .toDF("rank", "vec_id", "sim", "mmr")
-    val vecs = emb(spark, sfDir)
-      .filter(col("vec_id").isin(cand.map(x => x: Any): _*))
-      .select(col("vec_id"), col("v")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cand = candRows.map(_.getLong(0))
+    val vecs = candRows.map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val n = math.min(a.length, b.length)
