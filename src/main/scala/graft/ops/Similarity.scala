@@ -2534,16 +2534,20 @@ object Similarity {
     * marginal score at selection time, both display-rounded. */
   def searchVectorMmr(spark: SparkSession, sfDir: String, query: Array[Double],
       k: Int = 5, lambda: Double = 0.5, fetch: Int = 4,
-      nprobe: Int = 0): DataFrame = {
+      nprobe: Int = 0,
+      poolPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
     require(fetch >= 1, s"fetch must be >= 1: $fetch")
     // candidates arrive WITH their vectors (keepVectors) — the greedy
     // redundancy term needs them, and a second per-request corpus read
     // to fetch them kept the online path from being fully
-    // index-resident (round 16)
+    // index-resident (round 16). `poolPred` composes the filtered-
+    // serving semantics (stats-driven probe widening, predicate inside
+    // the pruned scan) with the diversity re-rank: the candidate fetch
+    // is already pool-only, so MMR picks are too.
     val candRows = searchVectorCore(spark, sfDir, query, k = k * fetch,
-        nprobe = nprobe, poolPred = None, keepVectors = true)
+        nprobe = nprobe, poolPred = poolPred, keepVectors = true)
       .select(col("vec_id"), col("v")).collect()
     if (candRows.isEmpty)
       return Seq.empty[(Long, Long, Double, Double)]

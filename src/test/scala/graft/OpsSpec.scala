@@ -696,6 +696,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scores = Similarity.searchVectorMmr(spark, dir, q, k = 5).collect()
       .map(_.getDouble(3)).toSeq
     assert(scores == scores.sorted.reverse, s"greedy scores monotone: $scores")
+    // a pool predicate composes: every pick is in-pool (round 16 — the
+    // candidate fetch itself is filtered, not the picks after the fact)
+    val mmrF = Similarity.searchVectorMmr(spark, dir, q, k = 3,
+      poolPred = Some(col("label") === 2)).collect().map(_.getLong(1))
+    assert(mmrF.nonEmpty && mmrF.forall(_ % 5 == 2),
+      s"filtered MMR picks stay in-pool: ${mmrF.toSeq}")
   }
 
   test("index lifecycle gates: all verdict rows ok on the test corpus") {
@@ -3397,7 +3403,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("plan gates: every plan-shape verdict holds") {
     val rows = graft.ops.PlanGates.planGates(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1))
-    assert(rows.length == 55)
+    assert(rows.length == 56)
     val failed = rows.filterNot(_._2).map(_._1)
     assert(failed.isEmpty, s"plan-shape regressions: ${failed.mkString(", ")}")
   }
