@@ -184,6 +184,12 @@ object SoakSf1 {
     r.getAs[Long]("n_occupied") > 0 && ratio <= CellBalanceCeiling
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
+
   /** Serving-path single-query p50 ceiling (round-16 verdict ask #6:
     * `searchVector`/`searchVectorMmr` were correctness-gated but never
     * TIMED at scale — they are the online path; the bench only times
@@ -317,12 +323,41 @@ object SoakSf1 {
     val servingOk = timed("ann100k_serving_p50") {
       servingLatencyGate(spark, annDir, "ann100k")
     }
+    // the LSH append path's cold-scaling entry (round-16 verdict ask
+    // #2): at 100k vectors an incremental append of a 500-vector batch
+    // must cost well under the full re-hash it replaces — measured on
+    // a THROWAWAY copy of the corpus so the gate is idempotent and
+    // order-free (appending to the shared ann100k corpus would stale
+    // every other gate's stores)
+    val lshAppendOk = timed("ann100k_lsh_append_vs_rebuild") {
+      import spark.implicits._
+      val work = s"$dir/lshappend100k"
+      deleteRecursively(new java.io.File(work))
+      graft.ops.Similarity.clearCaches()
+      spark.read.parquet(vecsPath)
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.ensureLshIndex(spark, work)
+      val rebuildS = (System.nanoTime() - t0) / 1e9
+      spark.range(100000L, 100500L).as[Long].map { id =>
+        (id, embedding(id), (id % 10).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("append").parquet(s"$work/embeddings.parquet")
+      graft.ops.Similarity.clearCaches()
+      val t1 = System.nanoTime()
+      val added = graft.ops.Similarity.lshIndexAppend(spark, work)
+      val appendS = (System.nanoTime() - t1) / 1e9
+      println(f"[soak] ann100k lsh append: $added%d vectors in $appendS%.1f s " +
+        f"vs full rebuild $rebuildS%.1f s (ceiling: append <= rebuild/2)")
+      added == 500L && appendS <= rebuildS / 2
+    }
     Seq(
       "ann100k_ivf_recall_at_5" -> recallOk,
       "ann100k_hard_negative_hardness" -> hardOk,
       "ann100k_cell_balance" -> balanceOk,
       "ann100k_delete_lifecycle" -> lifecycleOk,
-      "ann100k_serving_p50" -> servingOk)
+      "ann100k_serving_p50" -> servingOk,
+      "ann100k_lsh_append_vs_rebuild" -> lshAppendOk)
   }
 
   /** 1M-vector ANN tier (round-14, the round-13 verdict's #1 ask): the

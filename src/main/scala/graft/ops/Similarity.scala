@@ -1368,7 +1368,16 @@ object Similarity {
         }
       case None => ()
     }
-    lshBuckets(spark, sfDir, tables = 8, bucketLength = 2.0)
+    ensureLshIndex(spark, sfDir)
+  }
+
+  /** Explicit ingest-time build (or freshness check) of the LSH bucket
+    * store alone — the LSH half of [[ensureIvfIndex]], exposed so
+    * ingest pipelines (and the soak's append-vs-rebuild gate) can lay
+    * out the banded index without also paying the KMeans fit. */
+  def ensureLshIndex(spark: SparkSession, sfDir: String, tables: Int = 8,
+      bucketLength: Double = 2.0): Unit = {
+    lshBuckets(spark, sfDir, tables, bucketLength)
     ()
   }
 
