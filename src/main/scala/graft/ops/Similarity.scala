@@ -1548,6 +1548,38 @@ object Similarity {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** True when the predicate touches ONLY the label column — the case
+    * the persisted `_label_stats` can answer without a corpus job.
+    * Inspection needs the EAGER converter: the lazy Column wrapper
+    * hides the tree from `collect` (round-16 lesson). */
+  private def labelOnlyPred(p: org.apache.spark.sql.Column): Boolean = {
+    val refs = org.apache.spark.sql.graftbridge.Bridge.convertedExpression(p).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+    }
+    refs.nonEmpty && refs.forall(_.equalsIgnoreCase("label"))
+  }
+
+  /** Live pool cardinality for a label-only predicate, answered from
+    * the `_label_stats` metadata — the predicate is evaluated over a
+    * LocalRelation of ≤ #labels rows, no corpus read at all. None when
+    * the predicate touches other columns or the store has no stats
+    * (callers fall back to the live count job). */
+  private def statsPoolCount(spark: SparkSession, dir: String,
+      p: org.apache.spark.sql.Column): Option[Long] =
+    if (!labelOnlyPred(p)) None
+    else readLabelStats(dir).map { stats =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType, nullable = true),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = stats.toSeq.map { case (l, n) =>
+        org.apache.spark.sql.Row(l.map(Int.box).orNull, n) }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .filter(p).agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+    }
+
   /** Merge a per-label delta into the persisted stats (append adds,
     * delete subtracts). A missing stats file stays missing — old-layout
     * stores never get half-maintained numbers. */
@@ -1616,8 +1648,13 @@ object Similarity {
     // delete issued while an ingest is in flight previously recorded no
     // tombstone, and the next append indexed and SERVED the taken-down
     // vector — the delete verb failing in the unsafe direction). Only
-    // never-seen ids are the no-count case.
-    val known = indexed.union(emb(spark, sfDir).select(col("vec_id")))
+    // never-seen ids are the no-count case. A MISSING corpus store must
+    // not block the takedown (deletion is index-scoped; the index can
+    // outlive a decommissioned corpus) — fall back to indexed-only.
+    val known =
+      if (new java.io.File(s"$sfDir/embeddings.parquet").exists)
+        indexed.union(emb(spark, sfDir).select(col("vec_id")))
+      else indexed
     val hits = asked.join(known, Seq("vec_id"), "left_semi")
     val fresh = prior match {
       case Some(ts) => hits.join(ts, Seq("vec_id"), "left_anti")
@@ -2176,7 +2213,7 @@ object Similarity {
       case Some(cq) => cq
       case None => return emptyTopK(emb(spark, sfDir))
     }
-    val cand = filteredIvfCandidates(spark, sfDir, q, nprobe, poolPred, queryPred) match {
+    val cand = filteredIvfCandidates(spark, sfDir, q, nprobe, poolPred, queryPred, nlist) match {
       case Some(c) => c
       case None => return emptyTopK(emb(spark, sfDir))
     }
@@ -2203,14 +2240,19 @@ object Similarity {
   private def filteredIvfCandidates(spark: SparkSession, sfDir: String,
       q: CoarseQuantizer, nprobe: Int,
       poolPred: org.apache.spark.sql.Column,
-      queryPred: Option[org.apache.spark.sql.Column]): Option[DataFrame] = {
+      queryPred: Option[org.apache.spark.sql.Column],
+      nlist: Int = 0): Option[DataFrame] = {
     val poolIds = emb(spark, sfDir).filter(poolPred).select(col("vec_id"))
     // selectivity over the LIVE index, not the raw corpus: a corpus-side
     // count includes tombstoned / not-yet-indexed rows, overstating the
     // servable pool and under-widening the probe schedule (review
-    // finding, round 15) — both sides of sel now count index rows
-    val poolN = q.assigned.select(col("vec_id"))
-      .join(poolIds, Seq("vec_id"), "left_semi").count()
+    // finding, round 15) — both sides of sel now count index rows. A
+    // label-only predicate answers from the persisted `_label_stats`
+    // (identical number — live counts per label — without the count
+    // job; round 16, the serving path's rule applied to the batch tier)
+    val poolN = statsPoolCount(spark, indexDir(sfDir, nlist), poolPred)
+      .getOrElse(q.assigned.select(col("vec_id"))
+        .join(poolIds, Seq("vec_id"), "left_semi").count())
     if (poolN == 0L) None
     else {
       val sel = poolN.toDouble / q.n
@@ -2253,7 +2295,7 @@ object Similarity {
       case Some(cq) => cq
       case None => return emptyTopK(emb(spark, sfDir))
     }
-    val cand = filteredIvfCandidates(spark, sfDir, q, nprobe, poolPred, queryPred) match {
+    val cand = filteredIvfCandidates(spark, sfDir, q, nprobe, poolPred, queryPred, nlist) match {
       case Some(c) => c
       case None => return emptyTopK(emb(spark, sfDir))
     }
@@ -2414,30 +2456,11 @@ object Similarity {
     // inside the pruned cell scan below — the store carries the label
     // column, so a filtered single-query search launches no corpus-
     // scale job beyond the pruned scan itself.
-    val labelOnly = poolPred.exists { p =>
-      val refs = org.apache.spark.sql.graftbridge.Bridge.convertedExpression(p).collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
-        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
-      }
-      refs.nonEmpty && refs.forall(_.equalsIgnoreCase("label"))
-    }
-    val labelStats =
-      if (labelOnly) readLabelStats(indexDir(sfDir, 0)) else None
-    val np = (poolPred, labelStats) match {
+    val statsPool = poolPred.flatMap(p =>
+      statsPoolCount(spark, indexDir(sfDir, 0), p))
+    val np = (poolPred, statsPool) match {
       case (None, _) => base
-      case (Some(p), Some(stats)) =>
-        // evaluate the predicate over the label-cardinality table — a
-        // LocalRelation of ≤ #labels rows, no corpus read at all
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("label",
-            org.apache.spark.sql.types.IntegerType, nullable = true),
-          org.apache.spark.sql.types.StructField("n",
-            org.apache.spark.sql.types.LongType, nullable = false)))
-        val rows = stats.toSeq.map { case (l, n) =>
-          org.apache.spark.sql.Row(l.map(Int.box).orNull, n) }
-        val poolN = spark.createDataFrame(
-            java.util.Arrays.asList(rows: _*), schema)
-          .filter(p).agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+      case (Some(_), Some(poolN)) =>
         if (poolN == 0L) return emptyResult()
         val sel = poolN.toDouble / q.n
         math.min(nlist.toDouble, math.ceil(base / sel)).toInt
@@ -2489,7 +2512,7 @@ object Similarity {
       case Some(ts) => scanned.join(broadcast(ts), Seq("vec_id"), "left_anti")
       case None => scanned
     }
-    val lists = (poolPred, labelStats) match {
+    val lists = (poolPred, statsPool) match {
       case (None, _) => pruned
       // the predicate applies DIRECTLY to the pruned scan — the store
       // carries the label column, so no corpus-side id set is built
