@@ -742,8 +742,20 @@ object SparkEntry {
     // RAG/training chunking: 64-token windows, 16-token overlap
     "doc_chunks" -> ((s, dir) => TextAnalysis.docChunks(s, dir)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
-    // lexical retrieval tier next to the vector tier: BM25 top-k
+    // lexical retrieval tier next to the vector tier: BM25 top-k,
+    // served from the persisted postings index (round 17)
     "bm25_search" -> ((s, dir) => TextAnalysis.bm25Search(s, dir)),
+    // the index-native entry (a second term set exercises different
+    // postings buckets than bm25_search's default)
+    "text_search" -> ((s, dir) =>
+      graft.ops.Lexical.searchText(s, dir, Seq("data", "table", "hash"), 20)),
+    // one-row health card of the postings store (df/posting/stats
+    // cardinalities — hash-checked against a DuckDB corpus recompute)
+    "lex_index_stats" -> ((s, dir) => graft.ops.Lexical.lexIndexStats(s, dir)),
+    // lexical store lifecycle verdicts (append/rebuild identity,
+    // rewrite refusal, stats honesty) — literal-TRUE oracle
+    "lex_index_lifecycle_gates" -> ((s, dir) =>
+      graft.ops.Lexical.lexLifecycleGates(s, dir)),
     "pii_scan" -> ((s, dir) => TextAnalysis.piiScan(s, dir)),
     // -- near-dup / similarity / multimodal / as-of (north-star §2.3) ------
     "ngram_jaccard" -> ((s, dir) => NearDup.blockedJaccard(s, dir)),
@@ -2915,6 +2927,58 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (w) CROSS JOIN st)
         |SELECT doc_id, count(*) AS n_terms, round(CAST(sum(contrib) AS DOUBLE), 6) AS score
         |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    // the index-served twin: same BM25 closed form, different term set
+    // and k — the oracle recomputes from the corpus, so a hash match
+    // proves the postings/stats store preserves the live semantics
+    "text_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM t),
+        |st AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM b),
+        |tf AS (
+        |  SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ws) AS w FROM b)
+        |  WHERE w IN ('data', 'table', 'hash')
+        |  GROUP BY doc_id, dl, w),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |        / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / st.avgdl)), 8)
+        |      AS DECIMAL(18,8)) AS contrib
+        |  FROM tf JOIN dfq USING (w) CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_terms, round(CAST(sum(contrib) AS DOUBLE), 6) AS score
+        |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // postings-store health card vs a full corpus recompute: doc and
+    // token totals from doclens/_lex_stats, vocabulary and posting
+    // cardinalities from the partitioned postings table itself
+    "lex_index_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM t),
+        |p AS (
+        |  SELECT doc_id, w FROM (SELECT doc_id, unnest(ws) AS w FROM b)
+        |  GROUP BY doc_id, w)
+        |SELECT
+        |  (SELECT count(*) FROM b) AS n_docs,
+        |  (SELECT count(DISTINCT w) FROM (SELECT unnest(ws) AS w FROM t)) AS n_terms,
+        |  (SELECT count(*) FROM p) AS n_postings,
+        |  (SELECT coalesce(CAST(sum(dl) AS BIGINT), 0) FROM b) AS sum_dl,
+        |  round((SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) FROM b)
+        |    / greatest((SELECT count(*) FROM b), 1), 6) AS avgdl""".stripMargin,
+    "lex_index_lifecycle_gates" ->
+      ("SELECT * FROM (VALUES " +
+        Seq("lex_append_covers", "lex_append_equals_rebuild",
+          "lex_append_noop", "lex_live_identity", "lex_rewrite_refused",
+          "lex_stats_match_store")
+          .map(m => s"('$m', TRUE)").mkString(", ") +
+        ") AS t(metric, ok) ORDER BY metric"),
     "doc_perplexity" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
@@ -2973,6 +3037,7 @@ object SparkEntry {
           "ann_query_search_partition_pruned",
           "ann_query_search_filtered_no_corpus_scan",
           "ann_ivf_range_set_no_window",
+          "text_search_pruned_postings",
           "pagerank_iterations_equi_join", "part_affinity_equi_join",
           "product_profit_all_equi_join",
           "promo_share_broadcasts_part", "q1_pricing_filter_pushed",

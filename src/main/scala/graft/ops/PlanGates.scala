@@ -215,7 +215,15 @@ object PlanGates {
     // (broadcast vector attaches, equi-join candidates, never a loop)
     ("ann_ivf_range_set_no_window", "ann_ivf_range",
       p => !p.contains("Window") && p.contains("BroadcastHashJoin")
-        && noLoops(p)))
+        && noLoops(p)),
+    // round-17: lexical search serves FROM THE POSTINGS INDEX — the
+    // scan prunes to the query terms' bucket directories at planning
+    // time (tb is the partition column), no plan node touches
+    // documents.parquet, and the top-k is TakeOrderedAndProject
+    ("text_search_pruned_postings", "text_search",
+      p => p.contains("PartitionFilters: [tb")
+        && !p.contains("documents.parquet")
+        && p.contains("TakeOrderedAndProject") && noLoops(p)))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */

@@ -717,7 +717,7 @@ object Similarity {
     * fully committed tables. The tiny swap window (old renamed away,
     * new not yet in place) reads as "no index" → rebuild/refit, never
     * as corrupt data. */
-  private def atomicStoreSwap(dir: String)(write: String => Unit): Unit = {
+  private[ops] def atomicStoreSwap(dir: String)(write: String => Unit): Unit = {
     import java.nio.file.{Files, Paths}
     val tmp = dir + ".building"
     deleteRecursively(tmp)
@@ -730,7 +730,7 @@ object Similarity {
     deleteRecursively(dir + ".old")
   }
 
-  private def deleteRecursively(path: String): Unit = {
+  private[ops] def deleteRecursively(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
       java.nio.file.Files.walk(p)
@@ -744,7 +744,7 @@ object Similarity {
     * _SUCCESS and refused or refit): write a tmp marker and rename it
     * into place — the marker is continuously present, with the new
     * mtime after the move. */
-  private def renewMarker(dir: String): Unit = {
+  private[ops] def renewMarker(dir: String): Unit = {
     val tmp = java.nio.file.Paths.get(dir, "_SUCCESS.tmp")
     java.nio.file.Files.write(tmp, Array.emptyByteArray)
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_SUCCESS"),

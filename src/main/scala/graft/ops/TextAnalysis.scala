@@ -568,8 +568,24 @@ object TextAnalysis {
     * per-term contributions are quantized to DECIMAL(18,8) before the
     * per-doc sum (a double sum across terms would depend on aggregation
     * order); ln agrees across engines on this data (the doc_perplexity
-    * precedent), and ties at the cut break on doc_id in both. */
+    * precedent), and ties at the cut break on doc_id in both.
+    *
+    * Round 17: served from the PERSISTED lexical index
+    * ([[graft.ops.Lexical]]) — a pruned postings read instead of a
+    * corpus scan (the reference's own entry point is an indexed term
+    * search, R:23-28); [[bm25SearchLive]] keeps the corpus-scan
+    * definition as the gated bit-identity reference. */
   def bm25Search(spark: SparkSession, sfDir: String,
+      query: Seq[String] = Seq("spark", "join", "query"), k: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    Lexical.searchText(spark, sfDir, query, k, k1, b)
+
+  /** The LIVE corpus computation bm25Search historically ran — kept as
+    * the bit-identity reference the lexical store is gated against
+    * (`lex_live_identity`): index-served and corpus-computed results
+    * must agree row for row, which pins the index's tokenization,
+    * stats, and scoring tree to this definition. */
+  private[graft] def bm25SearchLive(spark: SparkSession, sfDir: String,
       query: Seq[String] = Seq("spark", "join", "query"), k: Int = 50,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val base = docs(spark, sfDir).select(col("doc_id"),
