@@ -348,8 +348,15 @@ object SoakSf1 {
       val added = graft.ops.Similarity.lshIndexAppend(spark, work)
       val appendS = (System.nanoTime() - t1) / 1e9
       println(f"[soak] ann100k lsh append: $added%d vectors in $appendS%.1f s " +
-        f"vs full rebuild $rebuildS%.1f s (ceiling: append <= rebuild/2)")
-      added == 500L && appendS <= rebuildS / 2
+        f"vs full rebuild $rebuildS%.1f s (ceiling: append <= 30 s absolute)")
+      // gate on the added count + a generous ABSOLUTE ceiling (ADVICE
+      // r16: the old appendS <= rebuildS/2 compared two single
+      // wall-clock timings — a GC pause or steal burst on the append
+      // leg flipped the verdict spuriously; measured 4.4 s vs 75.4 s
+      // in a clean window, so 30 s holds a ~7× steal margin while
+      // still failing a rebuild-scale regression outright). The
+      // rebuild timing stays printed as round evidence.
+      added == 500L && appendS <= 30.0
     }
     Seq(
       "ann100k_ivf_recall_at_5" -> recallOk,

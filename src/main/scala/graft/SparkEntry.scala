@@ -850,6 +850,10 @@ object SparkEntry {
     "retrieval_quality" -> ((s, dir) => Similarity.retrievalQuality(s, dir)),
     "retrieval_quality_ivf" -> ((s, dir) => Similarity.retrievalQualityIvf(s, dir)),
     "ivf_index_health" -> ((s, dir) => Similarity.ivfIndexHealth(s, dir)),
+    // banded-tier twin (round 17): dead-row pressure, live salt-group
+    // cap, table completeness — the signals the LSH compaction verb
+    // and ensure-time auto-fold act on
+    "lsh_index_health" -> ((s, dir) => Similarity.lshIndexHealth(s, dir)),
     // the serving-path pool-cardinality metadata (round 16): live label
     // counts persisted beside the index — searchVector's filtered probe
     // widening reads THIS instead of running a count job per request;
@@ -3102,6 +3106,12 @@ object SparkEntry {
       s"""SELECT 'ivf_appended_frac_of_fit' AS metric, CAST(${Similarity.MaxAppendedFrac} AS DOUBLE) AS ceiling, TRUE AS ok
         |UNION ALL SELECT 'ivf_cell_balance_max_over_mean', CAST(${Similarity.MaxBalanceRatio} AS DOUBLE), TRUE
         |UNION ALL SELECT 'ivf_dead_rows_frac', CAST(${Similarity.MaxDeletedFrac} AS DOUBLE), TRUE
+        |UNION ALL SELECT 'ivf_label_stats_drift_incidents', CAST(0.0 AS DOUBLE), TRUE
+        |ORDER BY metric""".stripMargin,
+    "lsh_index_health" ->
+      s"""SELECT 'lsh_dead_rows_frac' AS metric, CAST(${Similarity.MaxDeletedFrac} AS DOUBLE) AS ceiling, TRUE AS ok
+        |UNION ALL SELECT 'lsh_salt_group_max_over_cap', CAST(2.0 AS DOUBLE), TRUE
+        |UNION ALL SELECT 'lsh_tables_complete', CAST(8.0 AS DOUBLE), TRUE
         |ORDER BY metric""".stripMargin,
     // the persisted serving-path stats must equal the corpus's own live
     // label counts (the default generation carries no deletes on the
@@ -3120,6 +3130,8 @@ object SparkEntry {
         |UNION ALL SELECT 'deleted_never_served', TRUE
         |UNION ALL SELECT 'k_stays_filled', TRUE
         |UNION ALL SELECT 'lsh_append_noop', TRUE
+        |UNION ALL SELECT 'lsh_compact_folds_tombstones', TRUE
+        |UNION ALL SELECT 'lsh_compact_preserves_live_rows', TRUE
         |UNION ALL SELECT 'lsh_deleted_never_served', TRUE
         |ORDER BY metric""".stripMargin,
     "ann_recall_gates" ->

@@ -757,9 +757,26 @@ object Similarity {
     * twin): the bucket table is a pure function of the seeded
     * projections and the corpus, so it persists once and reloads in
     * any later session. `g` is recovered from the stored key arrays. */
-  private[graft] def lshIndexDir(sfDir: String, tables: Int, bucketLength: Double): String =
+  private[graft] def lshIndexDir(sfDir: String, tables: Int, bucketLength: Double,
+      tag: String = ""): String =
     corpusStoreRoot(sfDir) +
-      s"/lsh_index_t${tables}_b${bucketLength.toString.replace('.', 'p').replace('-', 'm')}"
+      s"/lsh_index_t${tables}_b${bucketLength.toString.replace('.', 'p').replace('-', 'm')}" +
+      tag
+
+  /** Resolve the CURRENT bucket-table generation of an LSH store — the
+    * [[cellsPath]] rule applied to the banded tier (round 17):
+    * `_buckets_gen` names the live directory, absent means `buckets`
+    * (the build default; a rebuild swaps the whole store dir in with
+    * no pointer, resetting the lineage). Every read and append goes
+    * through this resolver. */
+  private[graft] def lshBucketsPath(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "_buckets_gen")
+    val gen =
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      else "buckets"
+    s"$dir/$gen"
+  }
 
   private def lshBuckets(spark: SparkSession, sfDir: String, tables: Int,
       bucketLength: Double): Option[(Int, DataFrame)] =
@@ -767,7 +784,7 @@ object Similarity {
       (spark.sparkContext.applicationId, sfDir, tables, bucketLength), { _ =>
         val dir = lshIndexDir(sfDir, tables, bucketLength)
         if (indexFresh(sfDir, dir)) {
-          val loaded = spark.read.parquet(s"$dir/buckets")
+          val loaded = spark.read.parquet(lshBucketsPath(dir))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           loaded.limit(1).select(size(col("bks"))).collect().headOption.map { r =>
             (r.getInt(0), loaded)
@@ -839,6 +856,14 @@ object Similarity {
           // together (ADVICE r14)
           atomicStoreSwap(dir) { tmp =>
             bucketTable.write.mode("overwrite").parquet(s"$tmp/buckets")
+            // content-address sidecar (round 17): one xxhash64 of each
+            // indexed VECTOR — the append path compares these against
+            // the live corpus, so a rewrite that keeps every id but
+            // changes vectors is DETECTED and refused instead of
+            // serving buckets hashed from the old geometry (the
+            // rewrite-masquerading-as-append hole, ADVICE r16)
+            e.select(col("vec_id"), xxhash64(col("v")).as("vh"))
+              .write.mode("overwrite").parquet(s"$tmp/vhashes")
           }
           (g, bucketTable)
         }
@@ -875,7 +900,7 @@ object Similarity {
     require(marker.isFile,
       s"no persisted LSH index at $dir — build one (ensureIvfIndex) before appending")
     val markerWasFresh = indexFresh(sfDir, dir)
-    val stored = spark.read.parquet(s"$dir/buckets")
+    val stored = spark.read.parquet(lshBucketsPath(dir))
     val g = stored.limit(1).select(size(col("bks"))).collect()
       .headOption.map(_.getInt(0)).getOrElse(
         throw new IllegalStateException(s"empty LSH bucket store at $dir"))
@@ -891,6 +916,22 @@ object Similarity {
     require(ghosts == 0L,
       s"$ghosts bucketed vectors are no longer in the corpus at $sfDir — " +
         "the embedding store was rewritten or shrank; rebuild the LSH index instead")
+    // content-address guard (round 17, ADVICE r16): ids alone cannot
+    // distinguish "pure growth" from "rewrite that kept every id and
+    // added more" — the latter previously passed the ghost check,
+    // appended the new ids, and RENEWED the marker over buckets hashed
+    // from the old vectors. The vhashes sidecar (written at build)
+    // pins each indexed vector's content; any mismatch refuses the
+    // append. Pre-r17 stores (no sidecar) keep the id-only guard.
+    if (new java.io.File(s"$dir/vhashes", "_SUCCESS").isFile) {
+      val changed = spark.read.parquet(s"$dir/vhashes")
+        .join(emb(spark, sfDir)
+          .select(col("vec_id"), xxhash64(col("v")).as("vh_now")), Seq("vec_id"))
+        .filter(col("vh_now") =!= col("vh")).count()
+      require(changed == 0L,
+        s"$changed indexed vectors changed content in the corpus at $sfDir — " +
+          "the buckets were hashed from the old vectors; rebuild the LSH index")
+    }
     val e = lshInput(spark, sfDir)
     val dimOpt = e.limit(1).select(size(col("v")).as("d")).collect()
       .headOption.map(_.getInt(0))
@@ -906,11 +947,17 @@ object Similarity {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nAdded = newRows.select(col("vec_id")).distinct().count()
         if (nAdded > 0) {
-          // salt split against TOTAL occupancy: existing + new per
-          // bucket, so a bucket that crossed the cap through growth
-          // splits its new rows (aggregate-scale join — one row per
-          // occupied bucket, not per vector)
-          val existing = stored.groupBy(col("tbl"), col("kh"))
+          // salt split against LIVE occupancy: existing NON-TOMBSTONED
+          // rows + new per bucket (round 17, ADVICE r16: counting dead
+          // rows inflated nsplits — a mostly-tombstoned bucket split
+          // its fresh rows as if full, adding probe work for rows the
+          // read path anti-joins away anyway). Aggregate-scale join —
+          // one row per occupied bucket, not per vector.
+          val storedLive = ts match {
+            case Some(t) => stored.join(broadcast(t), Seq("vec_id"), "left_anti")
+            case None => stored
+          }
+          val existing = storedLive.groupBy(col("tbl"), col("kh"))
             .agg(count(lit(1)).as("n_old"))
           val bw = Window.partitionBy(col("tbl"), col("kh"))
           newRows
@@ -923,7 +970,11 @@ object Similarity {
               col("nsplits"),
               pmod(xxhash64(lit("salt"), col("tbl"), col("kh"), col("vec_id")),
                 col("nsplits")).as("salt"))
-            .write.mode("append").parquet(s"$dir/buckets")
+            .write.mode("append").parquet(lshBucketsPath(dir))
+          // extend the content-address sidecar with the fresh vectors
+          if (new java.io.File(s"$dir/vhashes", "_SUCCESS").isFile)
+            fresh.select(col("vec_id"), xxhash64(col("v")).as("vh"))
+              .write.mode("append").parquet(s"$dir/vhashes")
         }
         newRows.unpersist()
         nAdded
@@ -935,6 +986,137 @@ object Similarity {
     if (added > 0 || markerWasFresh) renewMarker(dir)
     if (added > 0 || !markerWasFresh) clearCaches()
     added
+  }
+
+  private def clearLshCaches(sfDir: String, tables: Int, bucketLength: Double): Unit = {
+    lshBucketCache.entrySet.removeIf { e =>
+      val hit = e.getKey._2 == sfDir && e.getKey._3 == tables && e.getKey._4 == bucketLength
+      if (hit) e.getValue.foreach(_._2.unpersist())
+      hit
+    }
+    lshCandCache.entrySet.removeIf { e =>
+      val hit = e.getKey._2 == sfDir && e.getKey._3 == tables && e.getKey._4 == bucketLength
+      if (hit) e.getValue.unpersist()
+      hit
+    }
+  }
+
+  /** Fold tombstoned rows OUT of a persisted LSH bucket table — the
+    * missing compaction verb of the banded tier (round-17 verdict ask
+    * #2): [[lshTopK]] anti-joins the takedown set at read time, so
+    * deleted rows stop SERVING immediately, but they stayed PHYSICAL
+    * forever — under takedown churn the bucket table accumulates dead
+    * rows that every probe reads and drops, and (until round 17) the
+    * append path even counted them as occupancy.
+    *
+    * Content-preserving BY CONSTRUCTION for live rows: the fold
+    * rewrites the surviving rows verbatim — each row keeps its
+    * build-time `(nsplits, salt)` pair, which is all the probe-side
+    * compatibility filter consumes — so the candidate set, and hence
+    * the served top-k, is provably unchanged (gated as a live-row
+    * multiset identity in the lifecycle gates). Swap discipline is
+    * [[compactIvfIndex]]'s generation pointer: the folded table lands
+    * as a new `buckets.gN` directory and `_buckets_gen` flips by
+    * atomic rename — the live path is continuously resolvable, the
+    * superseded generation is retained until the next compaction. The
+    * freshness marker is untouched (compaction certifies nothing).
+    *
+    * `tombstoneDir` names the index generation whose takedown registry
+    * applies (default: the corpus-level default-IVF registry, the one
+    * [[lshTopK]] reads); `dirOverride` lets the lifecycle gate compact
+    * a dedicated COPY of the bucket table instead of the store the
+    * serving queries share. */
+  def compactLshIndex(spark: SparkSession, sfDir: String, tables: Int = 8,
+      bucketLength: Double = 2.0, tombstoneDir: Option[String] = None,
+      dirOverride: Option[String] = None): Unit = {
+    val dir = dirOverride.getOrElse(lshIndexDir(sfDir, tables, bucketLength))
+    require(new java.io.File(dir, "_SUCCESS").isFile,
+      s"no persisted LSH index at $dir — nothing to compact")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val cur = lshBucketsPath(dir)
+    val curName = Paths.get(cur).getFileName.toString
+    val nextName =
+      if (curName == "buckets") "buckets.g1"
+      else "buckets.g" + (curName.stripPrefix("buckets.g").toLong + 1L)
+    deleteRecursively(s"$dir/$nextName")
+    val physical = spark.read.parquet(cur)
+    val kept = tombstones(spark, tombstoneDir.getOrElse(indexDir(sfDir, 0))) match {
+      case Some(ts) => physical.join(broadcast(ts), Seq("vec_id"), "left_anti")
+      case None => physical
+    }
+    kept.write.mode("overwrite").parquet(s"$dir/$nextName")
+    val tmp = Paths.get(dir, "_buckets_gen.tmp")
+    Files.write(tmp, nextName.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(dir, "_buckets_gen"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // retention: keep exactly the superseded generation, drop older
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.isDirectory &&
+          (f.getName == "buckets" || f.getName.startsWith("buckets.g")) &&
+          f.getName != nextName && f.getName != curName
+      }
+      .foreach(f => deleteRecursively(f.getPath))
+    // a compaction of the SHARED store invalidates its session caches;
+    // a gate-owned copy (dirOverride) is read by no cached plan
+    if (dirOverride.isEmpty) clearLshCaches(sfDir, tables, bucketLength)
+  }
+
+  /** Banded-tier health signals — [[ivfIndexHealth]]'s shape for the
+    * LSH store (round-17 verdict ask #2: the IVF store had three gated
+    * drift signals, the bucket table had none):
+    *
+    *  - `lsh_dead_rows_frac`: tombstoned rows still physical in the
+    *    bucket table over total physical rows — the read-amplification
+    *    pressure [[compactLshIndex]] reclaims; same ceiling the IVF
+    *    fold auto-triggers at ([[ensureLshIndex]] wires the trigger);
+    *  - `lsh_salt_group_max_over_cap`: largest LIVE salt group over
+    *    [[LshMaxBucket]] — the cap the salted split exists to enforce.
+    *    Build-time splits hold it ≈ 1 by construction and appends
+    *    split on live totals, so a group past 2× the cap means the
+    *    split accounting broke (monitor, don't mask);
+    *  - `lsh_tables_complete`: every one of the `tables` hash tables
+    *    has rows — a lost table silently halves the OR-amplification
+    *    recall, invisible to any per-bucket statistic. */
+  def lshIndexHealth(spark: SparkSession, sfDir: String, tables: Int = 8,
+      bucketLength: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    ensureLshIndex(spark, sfDir, tables, bucketLength)
+    val dir = lshIndexDir(sfDir, tables, bucketLength)
+    val rows = if (!new java.io.File(dir, "_SUCCESS").isFile)
+      Seq( // empty corpus: no store is the healthy state, vacuously ok
+        ("lsh_dead_rows_frac", MaxDeletedFrac, true),
+        ("lsh_salt_group_max_over_cap", 2.0, true),
+        ("lsh_tables_complete", tables.toDouble, true))
+    else {
+      val physical = spark.read.parquet(lshBucketsPath(dir))
+      val ts = tombstones(spark, indexDir(sfDir, 0))
+      val live = ts match {
+        case Some(t) => physical.join(broadcast(t), Seq("vec_id"), "left_anti")
+        case None => physical
+      }
+      val agg = live.groupBy(col("tbl"), col("kh"), col("salt"))
+        .agg(count(lit(1)).as("grp"))
+        .agg(coalesce(sum(col("grp")), lit(0L)).as("n_live"),
+          coalesce(max(col("grp")), lit(0L)).as("max_grp"),
+          count_distinct(col("tbl")).as("n_tables")).collect()(0)
+      val (nLive, maxGrp, nTables) =
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      val dead = ts match {
+        case Some(t) => physical.select(col("vec_id"))
+          .join(broadcast(t), Seq("vec_id"), "left_semi").count()
+        case None => 0L
+      }
+      val total = nLive + dead
+      Seq(
+        ("lsh_dead_rows_frac", MaxDeletedFrac,
+          total == 0L || dead.toDouble / total <= MaxDeletedFrac),
+        ("lsh_salt_group_max_over_cap", 2.0,
+          maxGrp.toDouble / LshMaxBucket <= 2.0),
+        ("lsh_tables_complete", tables.toDouble,
+          nLive == 0L || nTables == tables.toLong))
+    }
+    rows.toDF("metric", "ceiling", "ok").orderBy(col("metric"))
   }
 
   /** The multi-probe key set for a g-coordinate composite key: the key
@@ -1084,8 +1266,13 @@ object Similarity {
   private def clearIndexCaches(sfDir: String, nlist: Int): Unit = {
     val k = math.max(nlist, 0)
     // serving base relations of every generation of this index (the
-    // key carries the resolved path — prefix-match the store dir)
-    servingScanCache.entrySet.removeIf(_.getKey._2.startsWith(indexDir(sfDir, k)))
+    // key carries the resolved path — prefix-match the store dir,
+    // BOUNDED at the directory separator: "ivf_index_k1" is a string
+    // prefix of "ivf_index_k16", and an unbounded match evicted the
+    // k16 serving scans on a k1 mutation (ADVICE r16 — pure
+    // over-invalidation, but exactly the re-listing cost this cache
+    // exists to avoid)
+    servingScanCache.entrySet.removeIf(_.getKey._2.startsWith(indexDir(sfDir, k) + "/"))
     quantizerCache.entrySet.removeIf { e =>
       val hit = e.getKey._2 == sfDir && e.getKey._3 == k
       if (hit) e.getValue.foreach(_.assigned.unpersist())
@@ -1378,7 +1565,24 @@ object Similarity {
   def ensureLshIndex(spark: SparkSession, sfDir: String, tables: Int = 8,
       bucketLength: Double = 2.0): Unit = {
     lshBuckets(spark, sfDir, tables, bucketLength)
-    ()
+    // tombstone-pressure fold, the [[ensureIvfIndex]] auto-compaction
+    // rule applied to the bucket table (round 17): past the ceiling,
+    // probes waste > maxDeletedFrac of their reads on rows the
+    // anti-join immediately drops. The common no-takedowns case
+    // short-circuits on the absent tombstone set.
+    val dir = lshIndexDir(sfDir, tables, bucketLength)
+    if (new java.io.File(dir, "_SUCCESS").isFile)
+      tombstones(spark, indexDir(sfDir, 0)).foreach { ts =>
+        val physical = spark.read.parquet(lshBucketsPath(dir))
+        val total = physical.count()
+        val dead = physical.select(col("vec_id"))
+          .join(broadcast(ts), Seq("vec_id"), "left_semi").count()
+        if (total > 0L && dead.toDouble / total > MaxDeletedFrac) {
+          println(f"[similarity] LSH bucket compaction at $sfDir: $dead " +
+            f"tombstoned of $total physical rows (ceiling $MaxDeletedFrac)")
+          compactLshIndex(spark, sfDir, tables, bucketLength)
+        }
+      }
   }
 
   /** Incremental IVF add — the production path for a GROWING embedding
@@ -1525,7 +1729,7 @@ object Similarity {
     * build/append/delete maintain it, compaction leaves it (the live
     * set is unchanged), a rebuild recomputes it. `None` = no stats
     * (pre-r16 layout) → callers fall back to the live count. */
-  private def readLabelStats(dir: String): Option[Map[Option[Int], Long]] = {
+  private[graft] def readLabelStats(dir: String): Option[Map[Option[Int], Long]] = {
     val f = java.nio.file.Paths.get(dir, "_label_stats")
     if (!java.nio.file.Files.exists(f)) None
     else Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
@@ -1537,7 +1741,7 @@ object Similarity {
 
   /** tmp + atomic rename (the `_appended` discipline): the stats file
     * is continuously present and never half-written. */
-  private def writeLabelStats(dir: String, m: Map[Option[Int], Long]): Unit = {
+  private[graft] def writeLabelStats(dir: String, m: Map[Option[Int], Long]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val body = m.toSeq.sortBy(_._1.getOrElse(Int.MinValue))
       .map { case (l, n) => s"${l.map(_.toString).getOrElse("NULL")}\t$n" }
@@ -1582,14 +1786,46 @@ object Similarity {
 
   /** Merge a per-label delta into the persisted stats (append adds,
     * delete subtracts). A missing stats file stays missing — old-layout
-    * stores never get half-maintained numbers. */
-  private def mergeLabelStats(dir: String, delta: Map[Option[Int], Long]): Unit =
+    * stores never get half-maintained numbers.
+    *
+    * A merge that would drive a count NEGATIVE is a maintenance bug
+    * (more rows subtracted than the stats ever saw) — it is floored at
+    * zero so serving keeps working, but LOUDLY: a line is logged and a
+    * `_label_stats_drift` incident counter lands beside the store,
+    * which [[ivfIndexHealth]] gates on (round-17 verdict ask #6: the
+    * silent clamp let a drifted stats file quietly mis-widen probes —
+    * the cellBalanceReport philosophy is monitor, don't mask). */
+  private[graft] def mergeLabelStats(dir: String, delta: Map[Option[Int], Long]): Unit =
     readLabelStats(dir).foreach { cur =>
+      val negatives = (cur.keySet ++ delta.keySet).filter { k =>
+        cur.getOrElse(k, 0L) + delta.getOrElse(k, 0L) < 0L
+      }
+      if (negatives.nonEmpty) {
+        println(s"[similarity] _label_stats drift at $dir: merge would go " +
+          s"negative for label(s) ${negatives.map(_.getOrElse("NULL")).mkString(", ")} " +
+          "— flooring at 0 and recording a drift incident (stats no longer " +
+          "trustworthy; rebuild refreshes them)")
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val prev = labelStatsDriftCount(dir)
+        val tmp = Paths.get(dir, "_label_stats_drift.tmp")
+        Files.write(tmp, (prev + negatives.size).toString.getBytes("UTF-8"))
+        Files.move(tmp, Paths.get(dir, "_label_stats_drift"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
       val merged = (cur.keySet ++ delta.keySet).map { k =>
         k -> math.max(0L, cur.getOrElse(k, 0L) + delta.getOrElse(k, 0L))
       }.filter(_._2 > 0).toMap
       writeLabelStats(dir, merged)
     }
+
+  private[graft] def labelStatsDriftCount(dir: String): Long = {
+    val f = java.nio.file.Paths.get(dir, "_label_stats_drift")
+    if (!java.nio.file.Files.exists(f)) 0L
+    else {
+      val raw = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+      try raw.toLong catch { case _: NumberFormatException => 0L }
+    }
+  }
 
   /** The persisted tombstone set of an index generation — `vec_id`s
     * DELETED from serving ([[ivfIndexDelete]]). `None` when no delete
@@ -1692,12 +1928,16 @@ object Similarity {
       if (!Files.exists(marker)) Files.createFile(marker)
       // maintain the serving-path stats: subtract the labels of the
       // newly tombstoned PHYSICAL rows (a pending-append id never
-      // entered the stats, and the filter against the lists naturally
-      // excludes it — it joins nothing)
+      // entered the stats, and the semi-join against the lists
+      // naturally excludes it — it matches nothing). A LEFT SEMI join
+      // on the id frame, not an isin: a bulk takedown (100k ids) as
+      // per-id Catalyst literals is a giant In-expression / codegen
+      // blowup (ADVICE r16)
       val cellsNow = spark.read.parquet(cellsPath(dir))
       if (cellsNow.columns.contains("label"))
         mergeLabelStats(dir, cellsNow
-          .filter(col("vec_id").isin(freshIds.map(x => x: Any): _*))
+          .join(broadcast(freshIds.toIndexedSeq.toDF("vec_id")),
+            Seq("vec_id"), "left_semi")
           .groupBy(col("label")).agg(count(lit(1)).as("n")).collect()
           .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> -r.getLong(1))
           .toMap)
@@ -1833,7 +2073,8 @@ object Similarity {
   private def computeLifecycleGates(spark: SparkSession, sfDir: String): Seq[(String, Boolean)] = {
     val metrics = Seq("append_cannot_resurrect", "compact_folds_tombstones",
       "compact_preserves_results", "deleted_never_served", "k_stays_filled",
-      "lsh_append_noop", "lsh_deleted_never_served")
+      "lsh_append_noop", "lsh_compact_folds_tombstones",
+      "lsh_compact_preserves_live_rows", "lsh_deleted_never_served")
     if (coarseQuantizer(spark, sfDir, LifecycleNlist).isEmpty)
       return metrics.map((_, true)) // vacuously ok on an empty corpus
     val dir = indexDir(sfDir, LifecycleNlist)
@@ -1868,6 +2109,37 @@ object Similarity {
     // now (the lshTopK call above built it); 0 added, marker renewed,
     // nothing cleared, so the row is sweep-order-free
     val lshAppendNoop = lshIndexAppend(spark, sfDir) == 0L
+    // LSH compaction legs on a dedicated COPY of the bucket table
+    // (round 17): folding the SHARED store against this gate's
+    // tombstones would mutate what ann_lsh_topk serves. Preservation
+    // is gated as a LIVE-ROW MULTISET identity (count + order-free
+    // row-hash checksum): compaction keeps each surviving row's
+    // (nsplits, salt) verbatim, and the candidate join is a pure
+    // function of those rows, so multiset identity implies top-k
+    // identity — at O(bucket rows), not O(pairs), which keeps this
+    // gate runnable at the 100k soak corpus.
+    val lshGateDir = lshIndexDir(sfDir, 8, 2.0, "_gatecopy")
+    deleteRecursively(lshGateDir)
+    spark.read.parquet(lshBucketsPath(lshIndexDir(sfDir, 8, 2.0)))
+      .write.mode("overwrite").parquet(s"$lshGateDir/buckets")
+    new java.io.File(lshGateDir, "_SUCCESS").createNewFile()
+    val rowHash = xxhash64(col("tbl"), col("bks"), col("bdirs"), col("kh"),
+      col("vec_id"), col("nsplits"), col("salt")).cast("decimal(38,0)")
+    def liveChecksum(): (Long, String) = {
+      val physical = spark.read.parquet(lshBucketsPath(lshGateDir))
+      val live = tombstones(spark, dir) match {
+        case Some(t) => physical.join(broadcast(t), Seq("vec_id"), "left_anti")
+        case None => physical
+      }
+      val r = live.agg(count(lit(1)), sum(rowHash)).collect()(0)
+      (r.getLong(0), Option(r.getDecimal(1)).map(_.toString).getOrElse("0"))
+    }
+    val csBefore = liveChecksum()
+    compactLshIndex(spark, sfDir, tombstoneDir = Some(dir),
+      dirOverride = Some(lshGateDir))
+    val csAfter = liveChecksum()
+    val lshVictimRows = spark.read.parquet(lshBucketsPath(lshGateDir))
+      .filter(col("vec_id").isin(victims.map(x => x: Any): _*)).count()
     compactIvfIndex(spark, sfDir, LifecycleNlist)
     val after = search()
     val physicalVictims = spark.read.parquet(cellsPath(dir))
@@ -1880,6 +2152,8 @@ object Similarity {
       ("deleted_never_served", neverServed),
       ("k_stays_filled", kFilled),
       ("lsh_append_noop", lshAppendNoop),
+      ("lsh_compact_folds_tombstones", lshVictimRows == 0L),
+      ("lsh_compact_preserves_live_rows", csBefore == csAfter),
       ("lsh_deleted_never_served", lshNeverServed))
   }
 
@@ -1948,7 +2222,13 @@ object Similarity {
     Seq(
       ("ivf_appended_frac_of_fit", MaxAppendedFrac, appendedOk),
       ("ivf_cell_balance_max_over_mean", MaxBalanceRatio, balanceOk),
-      ("ivf_dead_rows_frac", MaxDeletedFrac, deadOk))
+      ("ivf_dead_rows_frac", MaxDeletedFrac, deadOk),
+      // round 17: a recorded _label_stats drift incident (a merge that
+      // would have gone negative) means the serving stats can no
+      // longer be trusted for probe widening — surfaced here instead
+      // of only a log line at the moment of the clamp
+      ("ivf_label_stats_drift_incidents", 0.0,
+        labelStatsDriftCount(dir) == 0L))
       .toDF("metric", "ceiling", "ok").orderBy(col("metric"))
   }
 

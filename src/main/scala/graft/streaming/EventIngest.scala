@@ -347,8 +347,23 @@ object EventIngest {
             .map("%02x".format(_)).mkString
           new java.io.File(stampDir, key)
         }
+        // legacy probe (ADVICE r16, medium): pre-upgrade stamps were
+        // keyed on the URL-encoded BASENAME — consulting only the new
+        // key would re-append every already-ingested file on the first
+        // fresh-checkpoint replay after the upgrade (silent duplicate
+        // corpus rows; only the index append dedups). A legacy hit
+        // counts as ingested AND migrates: the new-key stamp is
+        // written so later replays take the fast path.
+        def legacyStampOf(path: String) = new java.io.File(stampDir,
+          java.net.URLEncoder.encode(
+            path.substring(path.lastIndexOf('/') + 1), "UTF-8"))
         val files = batch.select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).filter(_.nonEmpty)
+        files.foreach { f =>
+          if (!stampOf(f).exists() && legacyStampOf(f).exists()) {
+            stampOf(f).createNewFile(); ()
+          }
+        }
         val freshFiles = files.filterNot(f => stampOf(f).exists())
         if (freshFiles.nonEmpty) {
           batch.filter(input_file_name()

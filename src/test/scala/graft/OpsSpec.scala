@@ -709,8 +709,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("append_cannot_resurrect", "compact_folds_tombstones",
         "compact_preserves_results", "deleted_never_served", "k_stays_filled",
-        "lsh_append_noop", "lsh_deleted_never_served"))
+        "lsh_append_noop", "lsh_compact_folds_tombstones",
+        "lsh_compact_preserves_live_rows", "lsh_deleted_never_served"))
     rows.foreach(r => assert(r.getBoolean(1), s"${r.getString(0)} verdict false"))
+  }
+
+  test("label-stats drift: a merge that would go negative records an incident loudly") {
+    // round-17 verdict ask #6: the silent max(0, ...) clamp let a
+    // drifted stats file quietly mis-widen probes — now it floors AND
+    // records, and ivfIndexHealth gates on the incident count
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    Similarity.writeLabelStats(dir, Map(Some(1) -> 5L, Some(2) -> 3L))
+    assert(Similarity.labelStatsDriftCount(dir) == 0L)
+    // subtract more of label 2 than the stats ever saw
+    Similarity.mergeLabelStats(dir, Map(Some(2) -> -10L))
+    assert(Similarity.labelStatsDriftCount(dir) == 1L, "incident recorded")
+    val after = Similarity.readLabelStats(dir).get
+    assert(after == Map(Some(1) -> 5L), s"floored at zero: $after")
+    // a healthy merge does not grow the counter
+    Similarity.mergeLabelStats(dir, Map(Some(1) -> -2L))
+    assert(Similarity.labelStatsDriftCount(dir) == 1L)
+  }
+
+  test("LSH index health: all signals ok on the test corpus") {
+    val rows = Similarity.lshIndexHealth(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("lsh_dead_rows_frac", "lsh_salt_group_max_over_cap",
+        "lsh_tables_complete"))
+    rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} verdict false"))
   }
 
   test("IVF append guard: refuses a shrunk corpus; a no-op append leaves a stale marker stale") {
