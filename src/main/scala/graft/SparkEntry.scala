@@ -859,6 +859,10 @@ object SparkEntry {
     // widening reads THIS instead of running a count job per request;
     // fully hashed (no deletes on the default generation)
     "ann_index_label_stats" -> ((s, dir) => Similarity.indexLabelStats(s, dir)),
+    // the SECOND stats-backed filter column (round 17): per-language
+    // live counts from _attr_stats_lang — proves the serving-stats
+    // mechanism is per-column, not label-shaped
+    "ann_index_lang_stats" -> ((s, dir) => Similarity.indexLangStats(s, dir)),
     "label_knn_accuracy" -> ((s, dir) => Similarity.labelKnnAccuracy(s, dir)),
     // rows-only: driver eigensolve on the d×d Gram partials;
     // planted-anisotropy fixture gates
@@ -3040,6 +3044,7 @@ object SparkEntry {
           "ann_ivf_filtered_scoring_broadcast_attach",
           "ann_query_search_partition_pruned",
           "ann_query_search_filtered_no_corpus_scan",
+          "ann_query_search_filtered_lang_no_corpus_scan",
           "ann_ivf_range_set_no_window",
           "text_search_pruned_postings",
           "pagerank_iterations_equi_join", "part_affinity_equi_join",
@@ -3120,6 +3125,13 @@ object SparkEntry {
       """SELECT label, count(*) AS n_live FROM embeddings
         |WHERE embedding IS NOT NULL AND label IS NOT NULL
         |GROUP BY label ORDER BY label""".stripMargin,
+    // the lang twin: the store attaches lang from documents at build
+    // time (vec_id = doc_id), so live counts equal the join's counts
+    "ann_index_lang_stats" ->
+      """SELECT d.lang AS lang, count(*) AS n_live
+        |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |WHERE e.embedding IS NOT NULL AND d.lang IS NOT NULL
+        |GROUP BY d.lang ORDER BY lang""".stripMargin,
     // the delete-leg lifecycle verdicts: every row must be TRUE — a
     // deleted vector serving, a compaction changing results, or an
     // append resurrecting a tombstoned id hash-mismatches here

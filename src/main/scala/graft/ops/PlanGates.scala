@@ -210,6 +210,16 @@ object PlanGates {
       p => p.contains("PartitionFilters: [cell")
         && !p.contains("embeddings.parquet")
         && p.contains("TakeOrderedAndProject")),
+    // round-17: the SECOND stats-backed filter column (lang, attached
+    // from the documents table at build time) serves the same way —
+    // probe widening from _attr_stats_lang, predicate inside the
+    // pruned cell scan, NO scan of embeddings OR documents
+    ("ann_query_search_filtered_lang_no_corpus_scan",
+      "__ann_query_search_filtered_lang",
+      p => p.contains("PartitionFilters: [cell")
+        && !p.contains("embeddings.parquet")
+        && !p.contains("documents.parquet")
+        && p.contains("TakeOrderedAndProject")),
     // round-15 radius search: a range result is a SET — no rank window
     // anywhere in the plan — and the IVF tier keeps the house rules
     // (broadcast vector attaches, equi-join candidates, never a loop)
@@ -236,7 +246,10 @@ object PlanGates {
     // plan shape, not the answer, is under test)
     "__ann_query_search_filtered" -> ((s, d) =>
       graft.ops.Similarity.searchVector(s, d, Array.fill(64)(0.1),
-        poolPred = Some(org.apache.spark.sql.functions.col("label") === 3))))
+        poolPred = Some(org.apache.spark.sql.functions.col("label") === 3))),
+    "__ann_query_search_filtered_lang" -> ((s, d) =>
+      graft.ops.Similarity.searchVector(s, d, Array.fill(64)(0.1),
+        poolPred = Some(org.apache.spark.sql.functions.col("lang") === "en"))))
 
   private def noLoops(p: String): Boolean =
     !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")

@@ -282,6 +282,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
     assert(filt.map(_._2).toSeq == bruteF,
       s"filtered serving == brute force over the pool: ${filt.map(_._2).toSeq} vs $bruteF")
+    // round 17: the SECOND stats-backed column — a lang predicate
+    // (attached from documents at build time) serves the same way
+    val poolLang = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("lang") === "en").select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val filtL = Similarity.searchVector(spark, sfDir, q0,
+        poolPred = Some(col("lang") === "en")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(filtL.length == 5 && filtL.forall(r => poolLang.contains(r._2)),
+      s"lang-filtered serving returns k in-pool rows: ${filtL.toSeq}")
+    val bruteL = vecs.toSeq.filter(kv => poolLang.contains(kv._1))
+      .map { case (id, v) => (id, cos(q0, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(filtL.map(_._2).toSeq == bruteL,
+      s"lang-filtered == brute force over the pool: ${filtL.map(_._2).toSeq} vs $bruteL")
   }
 
   test("PQ codes persist in the index store: fit and load are bit-identical, appends re-derive") {
