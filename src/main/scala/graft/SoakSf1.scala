@@ -215,19 +215,35 @@ object SoakSf1 {
     if (qs.length < 2) return false
     // warm once: quantizer load + code paths (the steady state under test)
     graft.ops.Similarity.searchVector(spark, corpusDir, qs.head).collect()
-    val lat = qs.tail.map { q =>
+    val loopRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val lat = qs.tail.zipWithIndex.map { case (q, qi) =>
       val t0 = System.nanoTime()
-      val n = graft.ops.Similarity.searchVector(spark, corpusDir, q, k = 5).collect().length
-      require(n > 0, "serving returned no rows")
+      val rows = graft.ops.Similarity.searchVector(spark, corpusDir, q, k = 5).collect()
+      require(rows.nonEmpty, "serving returned no rows")
+      loopRows ++= rows.map(r => (qi.toLong, r.getLong(0), r.getLong(1), r.getDouble(2)))
       (System.nanoTime() - t0) / 1e6
     }.sorted
     val p50 = lat(lat.length / 2)
     val t0 = System.nanoTime()
     graft.ops.Similarity.searchVectorMmr(spark, corpusDir, qs.head, k = 5).collect()
     val mmrMs = (System.nanoTime() - t0) / 1e6
+    // round 17: the BATCHED path — the same queries in ONE request
+    // (the nightly-rerank consumer): bit-parity with the loop above
+    // plus a per-query ceiling (the batch amortizes the scan, so the
+    // single-query ceiling is a generous bound for it)
+    val t1 = System.nanoTime()
+    val batchRows = graft.ops.Similarity
+      .searchVectors(spark, corpusDir, qs.tail.toSeq, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val batchMs = (System.nanoTime() - t1) / 1e6
+    val batchPerQ = batchMs / qs.tail.length
+    val batchParity = batchRows.toSeq == loopRows.toSeq
     println(f"[soak] $label serving p50 $p50%.0f ms over ${lat.length} queries " +
-      f"(max ${lat.last}%.0f), mmr $mmrMs%.0f ms (ceiling $ServingP50CeilingMs%.0f)")
-    p50 <= ServingP50CeilingMs && mmrMs <= ServingP50CeilingMs * 4
+      f"(max ${lat.last}%.0f), mmr $mmrMs%.0f ms, batch ${qs.tail.length} " +
+      f"queries $batchMs%.0f ms ($batchPerQ%.0f ms/q, parity $batchParity) " +
+      f"(ceiling $ServingP50CeilingMs%.0f)")
+    p50 <= ServingP50CeilingMs && mmrMs <= ServingP50CeilingMs * 4 &&
+      batchParity && batchPerQ <= ServingP50CeilingMs
   }
 
   /** 100k-vector ANN tier (round-13): the auto-scaled probe schedule

@@ -823,6 +823,20 @@ object SparkEntry {
     // candidates from the index, greedily pick k maximizing relevance
     // minus max-similarity-to-already-picked (lambda = 0.5); the
     // retrieval-augmented consumer's answer to duplicate shells
+    // BATCHED serving (round 17): the first three corpus vectors as
+    // one request — one pruned scan over the union of probed cells;
+    // rows-only (seeded KMeans), parity with the loop hash-gated by
+    // ann_serving_batch_gate
+    "ann_query_search_batch" -> ((s, dir) => {
+      val qs = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 3L && col("embedding").isNotNull)
+        .orderBy(col("vec_id"))
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      Similarity.searchVectors(s, dir, qs)
+    }),
+    // batched == looped, bit for bit, on a deterministic query sample
+    "ann_serving_batch_gate" -> ((s, dir) => Similarity.servingBatchGate(s, dir)),
     "ann_query_search_mmr" -> ((s, dir) => {
       val qv = s.read.parquet(s"$dir/embeddings.parquet")
         .filter(col("vec_id") === 0L && col("embedding").isNotNull)
@@ -3125,6 +3139,8 @@ object SparkEntry {
       """SELECT label, count(*) AS n_live FROM embeddings
         |WHERE embedding IS NOT NULL AND label IS NOT NULL
         |GROUP BY label ORDER BY label""".stripMargin,
+    "ann_serving_batch_gate" ->
+      "SELECT 'batch_equals_looped_serving' AS metric, TRUE AS ok",
     // the lang twin: the store attaches lang from documents at build
     // time (vec_id = doc_id), so live counts equal the join's counts
     "ann_index_lang_stats" ->

@@ -1253,6 +1253,8 @@ object Similarity {
     recallVerdictCache.clear()
     ivfQualityCache.clear()
     lifecycleVerdictCache.clear()
+    servingBatchGateCache.clear()
+    graft.ops.Lexical.clearAllLexCaches()
   }
 
   /** Selective invalidation for an INDEX-generation mutation (delete /
@@ -1292,6 +1294,7 @@ object Similarity {
     if (k == 0) {
       recallVerdictCache.entrySet.removeIf(_.getKey._2 == sfDir)
       ivfQualityCache.entrySet.removeIf(_.getKey._2 == sfDir)
+      servingBatchGateCache.entrySet.removeIf(_.getKey._2 == sfDir)
     }
     lifecycleVerdictCache.entrySet.removeIf(_.getKey._2 == sfDir)
   }
@@ -2856,6 +2859,33 @@ object Similarity {
       poolPred: Option[org.apache.spark.sql.Column] = None): DataFrame =
     searchVectorCore(spark, sfDir, query, k, nprobe, poolPred, keepVectors = false)
 
+  /** Driver-side probe selection: strict-insertion argmin over the
+    * centroid array, ties keep the lower cell — bit-identical to the
+    * NearestCells kernel. Shared by the single-query and batched
+    * serving paths (round 17) so both probe the same cells for the
+    * same query. */
+  private def probeCellsFor(query: Array[Double],
+      centroids: Array[Array[Double]], np0: Int): Seq[Int] = {
+    val nlist = centroids.length
+    val np = math.min(np0, nlist)
+    val bd = Array.fill(np)(Double.PositiveInfinity)
+    val bc = new Array[Int](np)
+    var c = 0
+    while (c < nlist) {
+      val cen = centroids(c)
+      val n = math.min(query.length, cen.length)
+      var s = 0.0; var j = 0
+      while (j < n) { val d = query(j) - cen(j); s += d * d; j += 1 }
+      if (s < bd(np - 1)) {
+        var p = np - 1
+        while (p > 0 && s < bd(p - 1)) { bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1 }
+        bd(p) = s; bc(p) = c
+      }
+      c += 1
+    }
+    bc.take(np).toSeq
+  }
+
   /** The serving pipeline, optionally carrying each hit's VECTOR into
     * the result (`keepVectors`): [[searchVectorMmr]]'s redundancy term
     * needs the candidate vectors, and re-reading them from the corpus
@@ -2905,24 +2935,7 @@ object Similarity {
         val sel = poolN.toDouble / q.n
         math.min(nlist.toDouble, math.ceil(base / sel)).toInt
     }
-    // driver-side probe selection: strict-insertion argmin, ties keep
-    // the lower cell — bit-identical to the NearestCells kernel
-    val bd = Array.fill(np)(Double.PositiveInfinity)
-    val bc = new Array[Int](np)
-    var c = 0
-    while (c < nlist) {
-      val cen = q.centroids(c)
-      val n = math.min(query.length, cen.length)
-      var s = 0.0; var j = 0
-      while (j < n) { val d = query(j) - cen(j); s += d * d; j += 1 }
-      if (s < bd(np - 1)) {
-        var p = np - 1
-        while (p > 0 && s < bd(p - 1)) { bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1 }
-        bd(p) = s; bc(p) = c
-      }
-      c += 1
-    }
-    val probeCells = bc.take(math.min(np, nlist)).toSeq
+    val probeCells = probeCellsFor(query, q.centroids, np)
     // the probed-cell read: `cell` is the PARTITION column of the
     // persisted store, so the isin prunes directories at planning time;
     // a pool predicate then applies WITHIN the pruned scan (pruning +
@@ -2967,6 +2980,125 @@ object Similarity {
       .select(Seq(col("rank"), col("vec_id"), round(col("sim_raw"), 4).as("sim")) ++
         (if (keepVectors) Seq(col("v")) else Seq.empty): _*)
       .orderBy(col("rank"))
+  }
+
+  /** BATCHED serving — the offline consumer's shape (round-17 verdict
+    * ask #4: re-ranking a million queries nightly would otherwise loop
+    * the driver through [[searchVector]] one request at a time): ALL
+    * queries share ONE partition-pruned scan over the UNION of their
+    * probed cells, the per-(query, candidate) pairing is an EQUI-JOIN
+    * on the cell id (the tiny exploded (query, probe-cell) table
+    * broadcasts), and the per-query top-k is a rank window over the
+    * query partition. Per query this touches exactly the cells
+    * [[searchVector]] would probe — the probe selection is the shared
+    * [[probeCellsFor]] argmin, the rerank the same fused cosine kernel,
+    * the tie-break the same (sim desc, vec_id asc) — so the result is
+    * bit-identical to the per-query loop (OpsSpec-pinned and
+    * soak-gated), while the scan, tombstone anti-join, and pool
+    * predicate are paid once instead of |queries| times.
+    *
+    * `poolPred` composes exactly as in [[searchVector]] (stats-driven
+    * probe widening shared across the batch — the selectivity is a
+    * per-corpus number, not per-query). Returns (query_id, rank,
+    * vec_id, sim), query_id = position in `queries`. */
+  def searchVectors(spark: SparkSession, sfDir: String,
+      queries: Seq[Array[Double]], k: Int = 5, nprobe: Int = 0,
+      poolPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import spark.implicits._
+    def emptyResult() = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("query_id", "rank", "vec_id", "sim")
+    if (queries.isEmpty) return emptyResult()
+    val q = coarseQuantizer(spark, sfDir, 0) match {
+      case Some(cq) => cq
+      case None => return emptyResult()
+    }
+    val nlist = q.centroids.length
+    val base = math.min(nlist, if (nprobe > 0) nprobe else autoNprobe(nlist))
+    val statsPool = poolPred.flatMap(p =>
+      statsPoolCount(spark, indexDir(sfDir, 0), p))
+    val np = (poolPred, statsPool) match {
+      case (None, _) => base
+      case (Some(_), Some(poolN)) =>
+        if (poolN == 0L) return emptyResult()
+        val sel = poolN.toDouble / q.n
+        math.min(nlist.toDouble, math.ceil(base / sel)).toInt
+      case (Some(p), None) =>
+        val ids = emb(spark, sfDir).filter(p).select(col("vec_id"))
+        val poolN = q.assigned.select(col("vec_id"))
+          .join(ids, Seq("vec_id"), "left_semi").count()
+        if (poolN == 0L) return emptyResult()
+        val sel = poolN.toDouble / q.n
+        math.min(nlist.toDouble, math.ceil(base / sel)).toInt
+    }
+    // per-query probe sets, driver-side (|queries| × nlist argmin —
+    // metadata-scale next to the scan they prune)
+    val probePairs = queries.iterator.zipWithIndex.flatMap {
+      case (qv, qi) => probeCellsFor(qv, q.centroids, np).map(c => (qi.toLong, c))
+    }.toIndexedSeq
+    val unionCells = probePairs.map(_._2).distinct
+    val scanned = servingScanCache.computeIfAbsent(
+        (spark.sparkContext.applicationId, cellsPath(indexDir(sfDir, 0))),
+        kk => spark.read.parquet(kk._2))
+      .where(col("cell").isin(unionCells.map(x => x: Any): _*))
+    val prunedScan = tombstones(spark, indexDir(sfDir, 0)) match {
+      case Some(ts) => scanned.join(broadcast(ts), Seq("vec_id"), "left_anti")
+      case None => scanned
+    }
+    val lists = (poolPred, statsPool) match {
+      case (None, _) => prunedScan
+      case (Some(p), Some(_)) => prunedScan.filter(p)
+      case (Some(p), None) =>
+        val ids = emb(spark, sfDir).filter(p).select(col("vec_id"))
+        prunedScan.join(broadcast(ids), Seq("vec_id"), "left_semi")
+    }
+    // (query_id, cell, qv) — the exploded probe table IS the join key
+    // set: a row pairs with a query iff its cell is one the query
+    // probes, which keeps the batch semantics exactly per-query
+    val qdf = broadcast(probePairs
+      .map { case (qi, c) => (qi, c, queries(qi.toInt).toSeq) }
+      .toDF("query_id", "cell", "qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_raw").desc, col("vec_id").asc)
+    lists
+      .join(qdf, "cell")
+      .withColumn("sim_raw",
+        graft.functions.VectorFunctions.cosine_sim(col("v"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("sim_raw"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("sim_raw"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val servingBatchGateCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
+
+  /** Driver-hashed verdict: the batched serving path returns EXACTLY
+    * what the per-query loop returns — same rows, same ranks, same
+    * display-rounded sims — for a deterministic query sample (the
+    * first 5 corpus vectors). Literal-TRUE oracle. */
+  def servingBatchGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val ok = Option(servingBatchGateCache.get(key)).getOrElse {
+      val qs = emb(spark, sfDir).orderBy(col("vec_id")).limit(5)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray).toSeq
+      val computed = if (qs.isEmpty) true
+      else {
+        val batch = searchVectors(spark, sfDir, qs).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+        val looped = qs.zipWithIndex.flatMap { case (qv, qi) =>
+          searchVector(spark, sfDir, qv).collect()
+            .map(r => (qi.toLong, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        batch == looped
+      }
+      servingBatchGateCache.put(key, computed)
+      computed
+    }
+    Seq(("batch_equals_looped_serving", ok)).toDF("metric", "ok")
   }
 
   /** Maximal-Marginal-Relevance re-rank of the serving path (Carbonell

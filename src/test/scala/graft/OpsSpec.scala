@@ -719,6 +719,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"filtered MMR picks stay in-pool: ${mmrF.toSeq}")
   }
 
+  test("batched serving is bit-identical to the per-query loop") {
+    import org.apache.spark.sql.functions.transform
+    val qs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 8L && col("embedding").isNotNull)
+      .orderBy(col("vec_id"))
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    assert(qs.length == 8)
+    val batch = Similarity.searchVectors(spark, sfDir, qs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val looped = qs.zipWithIndex.flatMap { case (q, i) =>
+      Similarity.searchVector(spark, sfDir, q, k = 5).collect()
+        .map(r => (i.toLong, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    assert(batch == looped, s"batch (${batch.take(3)}...) vs loop (${looped.take(3)}...)")
+    // the pool predicate composes identically (stats-driven widening
+    // shared across the batch)
+    val batchF = Similarity.searchVectors(spark, sfDir, qs.take(3), k = 5,
+        poolPred = Some(col("label") === 3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val loopedF = qs.take(3).zipWithIndex.flatMap { case (q, i) =>
+      Similarity.searchVector(spark, sfDir, q, k = 5,
+          poolPred = Some(col("label") === 3)).collect()
+        .map(r => (i.toLong, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    assert(batchF == loopedF)
+    // empty batch serves an empty frame with the right schema
+    val empty = Similarity.searchVectors(spark, sfDir, Seq.empty)
+    assert(empty.columns.toSeq == Seq("query_id", "rank", "vec_id", "sim"))
+    assert(empty.count() == 0L)
+    // the driver-hashed verdict row agrees
+    val gate = Similarity.servingBatchGate(spark, sfDir).collect()
+    assert(gate.length == 1 && gate(0).getBoolean(1), "serving batch gate true")
+  }
+
   test("index lifecycle gates: all verdict rows ok on the test corpus") {
     val rows = Similarity.indexLifecycleGates(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
