@@ -787,6 +787,15 @@ object SparkEntry {
     "semantic_dedup" -> ((s, dir) => Dedup.semanticDedup(s, dir)),
     // its 100 TB path: pair scan blocked by the cached KMeans cell
     "semantic_dedup_ivf" -> ((s, dir) => Dedup.semanticDedupIvf(s, dir)),
+    // INCREMENTAL semantic dedup (round 17): the incoming batch
+    // (vec_id % 7 == 0, dedup_increment's split) against the curated
+    // base — cross-split direct edges only, fully hashed
+    "semantic_dedup_increment" -> ((s, dir) => Dedup.semanticDedupIncrement(s, dir)),
+    // rows-only (seeded KMeans): the batch probes the existing cells —
+    // the append-time ingest decision at index-maintenance cost
+    "semantic_dedup_increment_ivf" -> ((s, dir) => Dedup.semanticDedupIncrementIvf(s, dir)),
+    // IVF-vs-exact keep-set agreement >= 0.9 on the incoming batch
+    "semantic_increment_gate" -> ((s, dir) => Dedup.semanticIncrementGate(s, dir)),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     // predicate-constrained exact search: top-k among vectors WHERE
     // label = 3 — the oracle-able reference the filtered IVF tier's
@@ -3193,6 +3202,27 @@ object SparkEntry {
         |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size,
         |  lab.vec_id = lab.cluster_id AS keep
         |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
+    // batch-vs-base increment: a DIRECT cosine edge into the base
+    // drops the incoming vector; same pair predicate as semantic_dedup
+    "semantic_dedup_increment" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |inc AS (SELECT * FROM e WHERE vec_id % 7 = 0),
+        |base AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+        |m AS (
+        |  SELECT i.vec_id AS vec_id, min(b.vec_id) AS base_vec_id
+        |  FROM inc i JOIN base b
+        |    ON round(list_sum(list_transform(list_zip(i.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (i.norm * b.norm), 4) >= 0.40
+        |  GROUP BY i.vec_id)
+        |SELECT inc.vec_id,
+        |  CASE WHEN m.base_vec_id IS NOT NULL THEN 'drop_semantic' ELSE 'kept' END AS verdict,
+        |  m.base_vec_id
+        |FROM inc LEFT JOIN m USING (vec_id) ORDER BY vec_id""".stripMargin,
+    "semantic_increment_gate" ->
+      "SELECT 'semantic_increment_agreement' AS metric, TRUE AS ok",
     // leave-one-out kNN vote over the exact top-5; null-labeled
     // neighbors consume slots but never vote (labels join after topk)
     "label_knn_accuracy" ->

@@ -207,6 +207,7 @@ object Dedup {
     labelCache.clear()
     semanticLabelCache.values.forEach(df => { df.unpersist(); () })
     semanticLabelCache.clear()
+    semanticIncrementGateCache.clear()
   }
 
   /** Near-duplicate CLUSTERS: connected components over the blocked-
@@ -554,5 +555,111 @@ object Dedup {
       .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
         (col("vec_id") === col("cluster_id")).as("keep"))
       .orderBy(col("vec_id"))
+  }
+
+  /** INCREMENTAL semantic dedup, exact tier (round-17 verdict ask #5:
+    * `dedupIncrement` maintained the exact+near TEXT keep-sets
+    * batch-vs-base, but the embedding tier recomputed its component
+    * labels over the whole corpus per batch): the corpus splits on
+    * [[dedupIncrement]]'s convention (vec_id % 7 == 0 = the incoming
+    * batch, the rest = the already-curated base), and each incoming
+    * vector is dropped iff some BASE vector sits within the cosine
+    * threshold — a DIRECT-edge verdict against the base, the batch
+    * ingest decision (transitive closure through other INCOMING
+    * vectors is the full recompute's business, not the increment's:
+    * an arrival order where the bridge came first would have dropped
+    * it against base too). Only CROSS-SPLIT pairs are scanned —
+    * O(|batch|·|base|) here, O(|batch|·cell) in the IVF twin — never
+    * base×base, which is the entire point of incremental maintenance.
+    * Deterministic ⇒ fully DuckDB-hashed. */
+  def semanticDedupIncrement(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.40): DataFrame = {
+    Similarity.requireExactTier(
+      Similarity.corpusCount(spark, sfDir), "semanticDedupIncrement")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val inc = e.filter(col("vec_id") % 7 === 0)
+    val base = e.filter(col("vec_id") % 7 =!= 0)
+    val matches = inc.select(col("vec_id"), col("v").as("vi"))
+      .join(broadcast(base.select(col("vec_id").as("b"), col("v").as("vb"))),
+        round(graft.functions.VectorFunctions.cosine_sim(col("vi"), col("vb")), 4)
+          >= threshold)
+      .groupBy(col("vec_id")).agg(min(col("b")).as("base_vec_id"))
+    inc.select(col("vec_id"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("base_vec_id").isNotNull, lit("drop_semantic"))
+          .otherwise(lit("kept")).as("verdict"),
+        col("base_vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The 100 TB path for [[semanticDedupIncrement]]: the incoming
+    * batch MULTI-PROBES the session-cached coarse-quantizer cells
+    * (nprobe nearest — [[semanticDedupIvf]]'s boundary-pair recovery)
+    * and meets only the BASE vectors assigned to those cells — an
+    * equi-join on the cell id, O(|batch|·nprobe·|cell|) candidate
+    * pairs against a base that never self-joins. On the persisted
+    * index this is exactly "new batch probes existing inverted lists":
+    * the append-time ingest decision at index-maintenance cost.
+    * Seeded KMeans ⇒ rows-only; keep-set agreement vs the exact tier
+    * is gated ≥ 0.9 by [[semanticIncrementGate]] (hashed). */
+  def semanticDedupIncrementIvf(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.40, nprobe: Int = 4, nlist: Int = 0): DataFrame = {
+    import spark.implicits._
+    val probed = Similarity.probedAssignments(spark, sfDir, nprobe, nlist) match {
+      case Some(p) => p
+      case None =>
+        return Seq.empty[(Long, String, Long)]
+          .toDF("vec_id", "verdict", "base_vec_id")
+    }
+    // BOTH sides multi-probe (the semanticDedupIvf boundary-recovery
+    // rule): probing only the incoming side measured agreement BELOW
+    // the 0.9 gate at sf0.1's 45-cell regime (the driver sweep caught
+    // it); with both sides probed a cross-split pair meets iff the
+    // probe sets intersect — still an equi-join on the cell id, still
+    // never base×base
+    val inc = probed.filter(col("vec_id") % 7 === 0)
+      .select(col("cell"), col("vec_id"), col("v").as("vi"))
+    val base = probed.filter(col("vec_id") % 7 =!= 0)
+      .select(col("cell"), col("vec_id").as("b"), col("v").as("vb"))
+    val matches = inc.join(base, Seq("cell"))
+      .filter(round(graft.functions.VectorFunctions.cosine_sim(col("vi"), col("vb")), 4)
+        >= threshold)
+      .groupBy(col("vec_id")).agg(min(col("b")).as("base_vec_id"))
+    probed.select(col("vec_id")).distinct().filter(col("vec_id") % 7 === 0)
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("base_vec_id").isNotNull, lit("drop_semantic"))
+          .otherwise(lit("kept")).as("verdict"),
+        col("base_vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semanticIncrementGateCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
+
+  /** Driver-hashed verdict: the IVF-blocked incremental keep-set
+    * agrees with the exact cross-split recompute on ≥ 0.9 of the
+    * incoming batch (the [[semanticDedupIvf]] agreement contract
+    * applied to the increment). Literal-TRUE oracle. */
+  def semanticIncrementGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val ok = Option(semanticIncrementGateCache.get(key)).getOrElse {
+      val exact = semanticDedupIncrement(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val computed = if (exact.isEmpty) true
+      else {
+        val ivf = semanticDedupIncrementIvf(spark, sfDir).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        val agree = exact.count { case (id, v) => ivf.get(id).contains(v) }
+        agree.toDouble / exact.size >= 0.9
+      }
+      semanticIncrementGateCache.put(key, computed)
+      computed
+    }
+    Seq(("semantic_increment_agreement", ok)).toDF("metric", "ok")
   }
 }
