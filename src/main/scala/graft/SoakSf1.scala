@@ -928,6 +928,30 @@ object SoakSf1 {
       spark.stop()
       sys.exit(if (ok) 0 else 1)
     }
+    if (args.length >= 2 && args(1) == "--lex-only") {
+      ensureCorpus(spark, dir)
+      graft.ops.Lexical.ensureLexIndex(spark, dir)
+      val q0 = Seq("spark", "join", "query")
+      val served = graft.ops.Lexical.searchText(spark, dir, q0, 100).collect().toSeq
+      val live = graft.ops.TextAnalysis.bm25SearchLive(spark, dir, q0, 100).collect().toSeq
+      val queries = (0 until 12).map(i =>
+        Seq(Vocab(i % Vocab.length), Vocab((i + 7) % Vocab.length),
+          Vocab((i + 13) % Vocab.length)))
+      queries.foreach(q =>
+        graft.ops.Lexical.searchText(spark, dir, q, 50).collect()) // warm df maps
+      val lat = queries.map { q =>
+        val t0 = System.nanoTime()
+        graft.ops.Lexical.searchText(spark, dir, q, 50).collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println("[soak] lex latencies ms: " + lat.map(_.round).mkString(", "))
+      val sortedLat = lat.sorted
+      val ok = served == live && sortedLat(lat.length / 2) <= ServingP50CeilingMs * 2
+      println(f"[soak] ${if (ok) "PASS" else "FAIL"} lex_search_p50 " +
+        f"(p50 ${sortedLat(lat.length / 2)}%.0f ms, identity ${served == live})")
+      spark.stop()
+      sys.exit(if (ok) 0 else 1)
+    }
     if (args.length >= 2 && args(1) == "--ann100k-only") {
       val gates = timedAnn100kTier(spark, dir)
       gates.foreach { case (m, ok) => println(s"[soak] ${if (ok) "PASS" else "FAIL"} $m") }
@@ -986,6 +1010,45 @@ object SoakSf1 {
       // correctness-gated but never timed
       "serving_p50_latency" -> timed("serving_p50_latency") {
         servingLatencyGate(spark, dir, "sf1")
+      },
+      // the LEXICAL serving path at the 50k-doc store (round 17): the
+      // postings index answers a term query as a pruned read; gate
+      // bit-identity vs the live corpus computation ONCE (the 50k
+      // tokenize+scan reference), then warm per-query p50 under the
+      // same ceiling as the vector tier. Queries rotate through the
+      // corpus vocabulary so different term buckets serve.
+      // ceiling 2× the vector tier's: a multi-term lexical query is
+      // inherently a TWO-stage scatter-gather (a doc's postings for
+      // different terms live in different term buckets, so the
+      // per-doc score sum must cross partitions — the distributed
+      // inverted-index contract), where the vector probe is one
+      // pruned-scan stage. Warm steady state (per-bucket df maps
+      // resident — the centroid analogue), same rule as the vector
+      // gate's warmed file index.
+      "lex_search_p50" -> timed("lex_search_p50") {
+        graft.ops.Lexical.ensureLexIndex(spark, dir)
+        val q0 = Seq("spark", "join", "query")
+        val served = graft.ops.Lexical.searchText(spark, dir, q0, 100)
+          .collect().toSeq
+        val live = graft.ops.TextAnalysis.bm25SearchLive(spark, dir, q0, 100)
+          .collect().toSeq
+        val identity = served == live
+        val queries = (0 until 12).map(i =>
+          Seq(Vocab(i % Vocab.length), Vocab((i + 7) % Vocab.length),
+            Vocab((i + 13) % Vocab.length)))
+        queries.foreach(q =>
+          graft.ops.Lexical.searchText(spark, dir, q, 50).collect()) // warm df maps
+        val lat = queries.map { q =>
+          val t0 = System.nanoTime()
+          val n = graft.ops.Lexical.searchText(spark, dir, q, 50).collect().length
+          require(n > 0, s"lex serving returned no rows for $q")
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        val p50 = lat(lat.length / 2)
+        println(f"[soak] lex serving p50 $p50%.0f ms over ${lat.length} queries " +
+          f"(max ${lat.last}%.0f), live-identity $identity " +
+          f"(ceiling ${ServingP50CeilingMs * 2}%.0f)")
+        identity && p50 <= ServingP50CeilingMs * 2
       },
       // the band miner's scale tier at 20k vectors: IVF-blocked
       // semi-hard negatives vs the exact band on a 1/20 anchor sample

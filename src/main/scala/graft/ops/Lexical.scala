@@ -117,6 +117,30 @@ object Lexical {
       .sortWithinPartitions(col("tb"), col("term"), col("doc_id"))
       .write.mode(mode).partitionBy("tb").parquet(path)
 
+  private val termsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tb",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Per-term document frequencies as an APPEND-ONLY delta table,
+    * bucket-partitioned like the postings: a real inverted index
+    * stores df beside the lists — recomputing it per query was a
+    * second full pass over the pruned postings (measured as the
+    * dominant fraction of the 400 ms soak p50). Serving sums the ≤
+    * #appends delta rows per query term from the pruned buckets; the
+    * sum equals the live count by construction (build writes the full
+    * counts, each append its batch's counts — postings for one doc
+    * never split across batches). */
+  private def writeTermDeltas(p: DataFrame, path: String, mode: String): Unit =
+    p.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"), col("tb"))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("tb"), col("term"))
+      .write.mode(mode).partitionBy("tb").parquet(path)
+
   // ---- corpus stats metadata (`_label_stats` discipline) ----
 
   private def readLexStats(dir: String): Option[(Long, Long)] = {
@@ -145,11 +169,20 @@ object Lexical {
   private val lexScanCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  private def clearLexCaches(dir: String): Unit =
+  /** Driver-resident (app, terms path, bucket) → (term → df) — the
+    * lexical tier's centroid analogue: vocabulary statistics live in
+    * service memory, loaded per bucket on first touch. */
+  private val termDfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), Map[String, Long]]()
+
+  private def clearLexCaches(dir: String): Unit = {
     lexScanCache.entrySet.removeIf(_.getKey._2.startsWith(dir + "/"))
+    termDfCache.entrySet.removeIf(_.getKey._2.startsWith(dir + "/"))
+  }
 
   private[graft] def clearAllLexCaches(): Unit = {
     lexScanCache.clear()
+    termDfCache.clear()
     lexGateCache.clear()
   }
 
@@ -171,7 +204,11 @@ object Lexical {
       val stats = tok.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
         .collect()(0)
       Similarity.atomicStoreSwap(dir) { tmp =>
-        writePostings(postingsOf(tok), s"$tmp/postings", "overwrite")
+        val posts = postingsOf(tok)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        writePostings(posts, s"$tmp/postings", "overwrite")
+        writeTermDeltas(posts, s"$tmp/terms", "overwrite")
+        posts.unpersist()
         tok.select(col("doc_id"), col("dl"), col("thash"))
           .write.mode("overwrite").parquet(s"$tmp/doclens")
         writeLexStats(tmp, stats.getLong(0), stats.getLong(1))
@@ -239,11 +276,47 @@ object Lexical {
         kk => spark.read.schema(postingsSchema).parquet(kk._2))
       .where(col("tb").isin(buckets.map(x => x: Any): _*))
       .filter(col("term").isin(query: _*))
-    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df per query term from the DRIVER-SIDE per-bucket df cache when
+    // the store carries a terms table: each requested bucket's
+    // (term → df) map loads once per session (one pruned-read job) and
+    // every later query against that bucket pays ZERO df jobs — a
+    // resident lexical service holds its vocabulary statistics in
+    // memory, exactly like the vector tier holds its centroids. The
+    // per-query broadcast-join (and then a per-query collect) each
+    // measured as a whole extra stage of serving latency at the 50k
+    // soak store. Pre-terms stores fall back to a per-query aggregate
+    // over the pruned postings.
+    val dfMap: Map[String, Long] =
+      if (new java.io.File(s"$dir/terms", "_SUCCESS").isFile) {
+        val byBucket = buckets.map { b =>
+          b -> termDfCache.computeIfAbsent(
+            (spark.sparkContext.applicationId, s"$dir/terms", b), { _ =>
+              // through the cached base relation: a fresh read per
+              // bucket re-listed all partition directories (the
+              // serving-scan lesson, round 16)
+              lexScanCache.computeIfAbsent(
+                  (spark.sparkContext.applicationId, s"$dir/terms"),
+                  kk => spark.read.schema(termsSchema).parquet(kk._2))
+                .where(col("tb") === b)
+                .groupBy(col("term")).agg(sum(col("df")).as("df"))
+                .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            })
+        }.toMap
+        query.flatMap(t => byBucket(termBucket(t)).get(t).map(t -> _)).toMap
+      } else {
+        postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    if (dfMap.isEmpty) return emptyResult()
+    val dfCol = dfMap.tail.foldLeft(
+        when(col("term") === dfMap.head._1, lit(dfMap.head._2))) {
+      case (acc, (t, n)) => acc.when(col("term") === t, lit(n))
+    }
     val nDocsD = nDocs.toDouble
     val avgdl = sumDl.toDouble / nDocsD
     postings
-      .join(broadcast(df), "term")
+      .filter(col("term").isin(dfMap.keys.toSeq: _*))
+      .withColumn("df", dfCol)
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocsD) - col("df").cast("double") + lit(0.5))
           / (col("df").cast("double") + lit(0.5))))
@@ -395,7 +468,15 @@ object Lexical {
         .collect()(0)
       val nAdded = stats.getLong(0)
       if (nAdded > 0) {
-        writePostings(postingsOf(fresh), s"$dir/postings", "append")
+        val posts = postingsOf(fresh)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        writePostings(posts, s"$dir/postings", "append")
+        // the df delta rows land beside the batch's postings; a
+        // pre-terms-table store (no terms dir) keeps serving from the
+        // postings recompute rather than getting half a table
+        if (new java.io.File(s"$dir/terms", "_SUCCESS").isFile)
+          writeTermDeltas(posts, s"$dir/terms", "append")
+        posts.unpersist()
         fresh.select(col("doc_id"), col("dl"), col("thash"))
           .write.mode("append").parquet(s"$dir/doclens")
         readLexStats(dir).foreach { case (n, s) =>
