@@ -756,6 +756,13 @@ object SparkEntry {
     // rewrite refusal, stats honesty) — literal-TRUE oracle
     "lex_index_lifecycle_gates" -> ((s, dir) =>
       graft.ops.Lexical.lexLifecycleGates(s, dir)),
+    // BATCHED lexical serving (round 17): three queries share one
+    // pruned postings scan — fully hashed (BM25 is deterministic)
+    "text_search_batch" -> ((s, dir) =>
+      graft.ops.Lexical.searchTextBatch(s, dir, Seq(
+        Seq("spark", "join", "query"),
+        Seq("data", "table", "hash"),
+        Seq("stream", "filter", "sort")), 10)),
     "pii_scan" -> ((s, dir) => TextAnalysis.piiScan(s, dir)),
     // -- near-dup / similarity / multimodal / as-of (north-star §2.3) ------
     "ngram_jaccard" -> ((s, dir) => NearDup.blockedJaccard(s, dir)),
@@ -3010,6 +3017,42 @@ object SparkEntry {
           "lex_stats_match_store")
           .map(m => s"('$m', TRUE)").mkString(", ") +
         ") AS t(metric, ok) ORDER BY metric"),
+    // the batched twin: a (query_id, term) VALUES table drives the
+    // same BM25 pipeline; per-query top-10 by (score desc, doc_id)
+    "text_search_batch" ->
+      """WITH q(query_id, w) AS (VALUES
+        |  (0, 'spark'), (0, 'join'), (0, 'query'),
+        |  (1, 'data'), (1, 'table'), (1, 'hash'),
+        |  (2, 'stream'), (2, 'filter'), (2, 'sort')),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM t),
+        |st AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM b),
+        |tf AS (
+        |  SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ws) AS w FROM b)
+        |  WHERE w IN (SELECT DISTINCT w FROM q)
+        |  GROUP BY doc_id, dl, w),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |c AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |        / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / st.avgdl)), 8)
+        |      AS DECIMAL(18,8)) AS contrib
+        |  FROM tf JOIN q USING (w) JOIN dfq USING (w) CROSS JOIN st),
+        |s AS (
+        |  SELECT query_id, doc_id, count(*) AS n_terms,
+        |    round(CAST(sum(contrib) AS DOUBLE), 6) AS score
+        |  FROM c GROUP BY query_id, doc_id),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk FROM s)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_terms, score
+        |FROM r WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin,
     "doc_perplexity" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted LEXICAL (inverted/postings) index — the text tier's twin
@@ -276,38 +277,56 @@ object Lexical {
         kk => spark.read.schema(postingsSchema).parquet(kk._2))
       .where(col("tb").isin(buckets.map(x => x: Any): _*))
       .filter(col("term").isin(query: _*))
-    // df per query term from the DRIVER-SIDE per-bucket df cache when
-    // the store carries a terms table: each requested bucket's
-    // (term → df) map loads once per session (one pruned-read job) and
-    // every later query against that bucket pays ZERO df jobs — a
-    // resident lexical service holds its vocabulary statistics in
-    // memory, exactly like the vector tier holds its centroids. The
-    // per-query broadcast-join (and then a per-query collect) each
-    // measured as a whole extra stage of serving latency at the 50k
-    // soak store. Pre-terms stores fall back to a per-query aggregate
-    // over the pruned postings.
-    val dfMap: Map[String, Long] =
-      if (new java.io.File(s"$dir/terms", "_SUCCESS").isFile) {
-        val byBucket = buckets.map { b =>
-          b -> termDfCache.computeIfAbsent(
-            (spark.sparkContext.applicationId, s"$dir/terms", b), { _ =>
-              // through the cached base relation: a fresh read per
-              // bucket re-listed all partition directories (the
-              // serving-scan lesson, round 16)
-              lexScanCache.computeIfAbsent(
-                  (spark.sparkContext.applicationId, s"$dir/terms"),
-                  kk => spark.read.schema(termsSchema).parquet(kk._2))
-                .where(col("tb") === b)
-                .groupBy(col("term")).agg(sum(col("df")).as("df"))
-                .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-            })
-        }.toMap
-        query.flatMap(t => byBucket(termBucket(t)).get(t).map(t -> _)).toMap
-      } else {
-        postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
+    val dfMap = dfLookup(spark, dir, buckets, query, postings)
     if (dfMap.isEmpty) return emptyResult()
+    scoredPostings(postings, dfMap, nDocs, sumDl, k1, b)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("sc"))
+      .select(col("doc_id"), col("n_terms"),
+        round(col("sc").cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** df per query term from the DRIVER-SIDE per-bucket df cache when
+    * the store carries a terms table: each requested bucket's
+    * (term → df) map loads once per session (one pruned-read job) and
+    * every later query against that bucket pays ZERO df jobs — a
+    * resident lexical service holds its vocabulary statistics in
+    * memory, exactly like the vector tier holds its centroids. The
+    * per-query broadcast-join (and then a per-query collect) each
+    * measured as a whole extra stage of serving latency at the 50k
+    * soak store. Pre-terms stores fall back to a per-call aggregate
+    * over the pruned postings. */
+  private def dfLookup(spark: SparkSession, dir: String, buckets: Seq[Long],
+      terms: Seq[String], postings: DataFrame): Map[String, Long] =
+    if (new java.io.File(s"$dir/terms", "_SUCCESS").isFile) {
+      val byBucket = buckets.map { b =>
+        b -> termDfCache.computeIfAbsent(
+          (spark.sparkContext.applicationId, s"$dir/terms", b), { _ =>
+            // through the cached base relation: a fresh read per
+            // bucket re-listed all partition directories (the
+            // serving-scan lesson, round 16)
+            lexScanCache.computeIfAbsent(
+                (spark.sparkContext.applicationId, s"$dir/terms"),
+                kk => spark.read.schema(termsSchema).parquet(kk._2))
+              .where(col("tb") === b)
+              .groupBy(col("term")).agg(sum(col("df")).as("df"))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          })
+      }.toMap
+      terms.flatMap(t => byBucket(termBucket(t)).get(t).map(t -> _)).toMap
+    } else {
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
+  /** Per-posting BM25 contributions for a resolved df map — the
+    * scoring tree shared verbatim by the single-query and batched
+    * paths (the [[Similarity.probeCellsFor]] sharing rule: one
+    * definition, bit-identical results). */
+  private def scoredPostings(postings: DataFrame, dfMap: Map[String, Long],
+      nDocs: Long, sumDl: Long, k1: Double, b: Double): DataFrame = {
     val dfCol = dfMap.tail.foldLeft(
         when(col("term") === dfMap.head._1, lit(dfMap.head._2))) {
       case (acc, (t, n)) => acc.when(col("term") === t, lit(n))
@@ -325,12 +344,54 @@ object Lexical {
           / (col("tf").cast("double") + lit(k1) * (lit(1.0 - b)
             + lit(b) * col("dl").cast("double") / lit(avgdl))), 8)
           .cast("decimal(18,8)"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("sc"))
-      .select(col("doc_id"), col("n_terms"),
-        round(col("sc").cast("double"), 6).as("score"))
+  }
+
+  /** BATCHED lexical serving — [[Similarity.searchVectors]]' shape on
+    * the postings store (round 17): every query in the batch shares
+    * ONE pruned scan over the union of the batch's term buckets, the
+    * (query, posting) pairing is a broadcast equi-join on the term,
+    * and the per-query top-k is a rank window over the query
+    * partition. df values come from the same driver-resident per-
+    * bucket maps the single-query path reads and the scoring tree is
+    * [[scoredPostings]] verbatim, so each query's rows are
+    * bit-identical to its own [[searchText]] call (spec-pinned, and
+    * fully DuckDB-hashed as `text_search_batch`). Returns (query_id,
+    * doc_id, n_terms, score), query_id = position in `queries`. */
+  def searchTextBatch(spark: SparkSession, sfDir: String,
+      queries: Seq[Seq[String]], k: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    def emptyResult() = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("query_id", "doc_id", "n_terms", "score")
+    if (queries.isEmpty) return emptyResult()
+    val dir = ensureLexIndex(spark, sfDir)
+    val (nDocs, sumDl) = readLexStats(dir).getOrElse((0L, 0L))
+    if (nDocs == 0L) return emptyResult()
+    val allTerms = queries.flatten.distinct
+    if (allTerms.isEmpty) return emptyResult()
+    val buckets = allTerms.map(termBucket).distinct
+    val postings = lexScanCache.computeIfAbsent(
+        (spark.sparkContext.applicationId, s"$dir/postings"),
+        kk => spark.read.schema(postingsSchema).parquet(kk._2))
+      .where(col("tb").isin(buckets.map(x => x: Any): _*))
+      .filter(col("term").isin(allTerms: _*))
+    val dfMap = dfLookup(spark, dir, buckets, allTerms, postings)
+    if (dfMap.isEmpty) return emptyResult()
+    val qdf = broadcast(queries.zipWithIndex.flatMap { case (q, qi) =>
+      q.distinct.filter(dfMap.contains).map(t => (qi.toLong, t))
+    }.toDF("query_id", "term"))
+    val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
+    scoredPostings(postings, dfMap, nDocs, sumDl, k1, b)
+      .join(qdf, "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("sc"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        round(col("sc").cast("double"), 6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+      .orderBy(col("query_id"), col("doc_id"))
   }
 
   /** One-row health card of the persisted store — n_docs/sum_dl from
