@@ -3013,8 +3013,10 @@ object SparkEntry {
     "lex_index_lifecycle_gates" ->
       ("SELECT * FROM (VALUES " +
         Seq("lex_append_covers", "lex_append_equals_rebuild",
-          "lex_append_noop", "lex_live_identity", "lex_rewrite_refused",
-          "lex_stats_match_store")
+          "lex_append_noop", "lex_compact_folds_tombstones",
+          "lex_compact_preserves_results", "lex_delete_equals_rebuild",
+          "lex_delete_never_served", "lex_live_identity",
+          "lex_rewrite_refused", "lex_stats_match_store")
           .map(m => s"('$m', TRUE)").mkString(", ") +
         ") AS t(metric, ok) ORDER BY metric"),
     // the batched twin: a (query_id, term) VALUES table drives the

@@ -63,6 +63,21 @@ object Lexical {
     ((h % LexBuckets) + LexBuckets) % LexBuckets
   }
 
+  /** Resolve the CURRENT generation of a lexical store table — the
+    * `cellsPath`/`lshBucketsPath` rule (round 17): `_lex_gen` holds a
+    * suffix like ".g1" naming the live generation of ALL THREE tables
+    * (postings/terms/doclens flip together — df deltas must describe
+    * the postings they sit beside); absent means the build default.
+    * Every read and append resolves through this. */
+  private[graft] def lexTablePath(dir: String, table: String): String = {
+    val p = java.nio.file.Paths.get(dir, "_lex_gen")
+    val gen =
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      else ""
+    s"$dir/$table$gen"
+  }
+
   /** Freshness follows the mirror rule (`Similarity.indexFresh`): the
     * source must EXIST and the marker must be no older than it. */
   private def lexFresh(sfDir: String, dir: String): Boolean = {
@@ -194,6 +209,22 @@ object Lexical {
   def ensureLexIndex(spark: SparkSession, sfDir: String): String = {
     val dir = lexIndexDir(sfDir)
     if (!lexFresh(sfDir, dir)) buildLexIndex(spark, sfDir, dir, None)
+    // tombstone-pressure fold (the ensureIvfIndex/ensureLshIndex rule):
+    // past the ceiling, every query's postings read wastes more than
+    // MaxDeletedFrac of its rows on docs the anti-join drops. The
+    // common no-takedowns case short-circuits on the absent set.
+    Similarity.tombstones(spark, dir).foreach { ts =>
+      val dl = spark.read.parquet(lexTablePath(dir, "doclens"))
+      val total = dl.count()
+      val dead = dl.select(col("doc_id"))
+        .join(broadcast(ts.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .count()
+      if (total > 0L && dead.toDouble / total > Similarity.MaxDeletedFrac) {
+        println(f"[lexical] postings compaction at $sfDir: $dead tombstoned " +
+          f"of $total indexed docs (ceiling ${Similarity.MaxDeletedFrac})")
+        compactLexIndexAt(spark, dir)
+      }
+    }
     dir
   }
 
@@ -272,11 +303,18 @@ object Lexical {
     val (nDocs, sumDl) = readLexStats(dir).getOrElse((0L, 0L))
     if (nDocs == 0L || query.isEmpty) return emptyResult()
     val buckets = query.map(termBucket).distinct
-    val postings = lexScanCache.computeIfAbsent(
-        (spark.sparkContext.applicationId, s"$dir/postings"),
+    val postings0 = lexScanCache.computeIfAbsent(
+        (spark.sparkContext.applicationId, lexTablePath(dir, "postings")),
         kk => spark.read.schema(postingsSchema).parquet(kk._2))
       .where(col("tb").isin(buckets.map(x => x: Any): _*))
       .filter(col("term").isin(query: _*))
+    // taken-down documents stay physical until compaction but must not
+    // serve (the IVF-cells contract applied to the postings)
+    val postings = Similarity.tombstones(spark, dir) match {
+      case Some(ts) => postings0.join(broadcast(ts.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      case None => postings0
+    }
     val dfMap = dfLookup(spark, dir, buckets, query, postings)
     if (dfMap.isEmpty) return emptyResult()
     scoredPostings(postings, dfMap, nDocs, sumDl, k1, b)
@@ -300,15 +338,15 @@ object Lexical {
     * over the pruned postings. */
   private def dfLookup(spark: SparkSession, dir: String, buckets: Seq[Long],
       terms: Seq[String], postings: DataFrame): Map[String, Long] =
-    if (new java.io.File(s"$dir/terms", "_SUCCESS").isFile) {
+    if (new java.io.File(lexTablePath(dir, "terms"), "_SUCCESS").isFile) {
       val byBucket = buckets.map { b =>
         b -> termDfCache.computeIfAbsent(
-          (spark.sparkContext.applicationId, s"$dir/terms", b), { _ =>
+          (spark.sparkContext.applicationId, lexTablePath(dir, "terms"), b), { _ =>
             // through the cached base relation: a fresh read per
             // bucket re-listed all partition directories (the
             // serving-scan lesson, round 16)
             lexScanCache.computeIfAbsent(
-                (spark.sparkContext.applicationId, s"$dir/terms"),
+                (spark.sparkContext.applicationId, lexTablePath(dir, "terms")),
                 kk => spark.read.schema(termsSchema).parquet(kk._2))
               .where(col("tb") === b)
               .groupBy(col("term")).agg(sum(col("df")).as("df"))
@@ -370,11 +408,16 @@ object Lexical {
     val allTerms = queries.flatten.distinct
     if (allTerms.isEmpty) return emptyResult()
     val buckets = allTerms.map(termBucket).distinct
-    val postings = lexScanCache.computeIfAbsent(
-        (spark.sparkContext.applicationId, s"$dir/postings"),
+    val postings0 = lexScanCache.computeIfAbsent(
+        (spark.sparkContext.applicationId, lexTablePath(dir, "postings")),
         kk => spark.read.schema(postingsSchema).parquet(kk._2))
       .where(col("tb").isin(buckets.map(x => x: Any): _*))
       .filter(col("term").isin(allTerms: _*))
+    val postings = Similarity.tombstones(spark, dir) match {
+      case Some(ts) => postings0.join(broadcast(ts.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      case None => postings0
+    }
     val dfMap = dfLookup(spark, dir, buckets, allTerms, postings)
     if (dfMap.isEmpty) return emptyResult()
     val qdf = broadcast(queries.zipWithIndex.flatMap { case (q, qi) =>
@@ -401,7 +444,15 @@ object Lexical {
   def lexIndexStats(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureLexIndex(spark, sfDir)
     val (nDocs, sumDl) = readLexStats(dir).getOrElse((0L, 0L))
-    val p = spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+    val p0 = spark.read.schema(postingsSchema)
+      .parquet(lexTablePath(dir, "postings"))
+    // LIVE cardinalities: tombstoned rows stay physical until the fold
+    // but are not part of the served index this card describes
+    val p = Similarity.tombstones(spark, dir) match {
+      case Some(ts) => p0.join(broadcast(ts.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      case None => p0
+    }
     p.agg(count(lit(1)).as("n_postings"),
         count_distinct(col("term")).as("n_terms"))
       .select(lit(nDocs).as("n_docs"), col("n_terms"), col("n_postings"),
@@ -447,7 +498,9 @@ object Lexical {
 
   private def computeLexGates(spark: SparkSession, sfDir: String): Seq[(String, Boolean)] = {
     val metrics = Seq("lex_append_covers", "lex_append_equals_rebuild",
-      "lex_append_noop", "lex_live_identity", "lex_rewrite_refused",
+      "lex_append_noop", "lex_compact_folds_tombstones",
+      "lex_compact_preserves_results", "lex_delete_equals_rebuild",
+      "lex_delete_never_served", "lex_live_identity", "lex_rewrite_refused",
       "lex_stats_match_store")
     if (!new java.io.File(s"$sfDir/documents.parquet").exists)
       return metrics.map((_, true)) // vacuously ok without a corpus
@@ -479,12 +532,45 @@ object Lexical {
     val equalsRebuild = appended == served
     val noop = lexIndexAppendAt(spark, sfDir, gdir) == 0L
 
+    // DELETE leg (round 17): tombstone the top result, then the served
+    // ranking must be BIT-IDENTICAL to a from-scratch build of the
+    // corpus without that doc — proves the anti-join AND the shrunken
+    // corpus statistics (n_docs/Σdl via _lex_stats, df via negative
+    // deltas) all track the takedown exactly
+    val victim =
+      if (appended.nonEmpty) appended.map(_.getLong(0)).min else -1L
+    val (neverServed, delEqualsRebuild) =
+      if (appended.isEmpty) (true, true) // nothing servable to take down
+      else if (lexIndexDeleteAt(spark, sfDir, gdir, Seq(victim)) != 1L) (false, false)
+      else {
+        val afterDel = searchTextFrom(spark, gdir, q, 100).collect().toSeq
+        val rdir = lexIndexDir(sfDir, "_gate_ref")
+        Similarity.deleteRecursively(rdir)
+        clearLexCaches(rdir)
+        buildLexIndex(spark, sfDir, rdir, Some(col("doc_id") =!= victim))
+        val rebuiltWithout = searchTextFrom(spark, rdir, q, 100).collect().toSeq
+        (!afterDel.exists(_.getLong(0) == victim), afterDel == rebuiltWithout)
+      }
+    // COMPACT leg: the generation fold preserves results and physically
+    // removes the tombstoned rows from all three tables
+    val beforeCompact = searchTextFrom(spark, gdir, q, 100).collect().toSeq
+    compactLexIndexAt(spark, gdir)
+    val afterCompact = searchTextFrom(spark, gdir, q, 100).collect().toSeq
+    val compactPreserves = afterCompact == beforeCompact
+    val physicalVictim =
+      spark.read.schema(postingsSchema).parquet(lexTablePath(gdir, "postings"))
+        .filter(col("doc_id") === victim).count() +
+      spark.read.parquet(lexTablePath(gdir, "doclens"))
+        .filter(col("doc_id") === victim).count()
+    val compactFolds = physicalVictim == 0L
+
     // tamper one stored text hash → the next append must refuse
     val refused = {
-      val rows = spark.read.parquet(s"$gdir/doclens").collect()
+      val dlPath = lexTablePath(gdir, "doclens")
+      val rows = spark.read.parquet(dlPath).collect()
       if (rows.isEmpty) true
       else {
-        val schema = spark.read.parquet(s"$gdir/doclens").schema
+        val schema = spark.read.parquet(dlPath).schema
         val tampered = rows.zipWithIndex.map { case (r, i) =>
           if (i == 0)
             org.apache.spark.sql.Row(r.get(0), r.get(1),
@@ -493,7 +579,8 @@ object Lexical {
         }
         spark.createDataFrame(
             java.util.Arrays.asList(tampered: _*), schema)
-          .write.mode("overwrite").parquet(s"$gdir/doclens")
+          .write.mode("overwrite").parquet(dlPath)
+        clearLexCaches(gdir)
         try { lexIndexAppendAt(spark, sfDir, gdir); false }
         catch { case _: IllegalArgumentException => true }
       }
@@ -501,6 +588,10 @@ object Lexical {
     Seq("lex_append_covers" -> covers,
       "lex_append_equals_rebuild" -> equalsRebuild,
       "lex_append_noop" -> noop,
+      "lex_compact_folds_tombstones" -> compactFolds,
+      "lex_compact_preserves_results" -> compactPreserves,
+      "lex_delete_equals_rebuild" -> delEqualsRebuild,
+      "lex_delete_never_served" -> neverServed,
       "lex_live_identity" -> identity,
       "lex_rewrite_refused" -> refused,
       "lex_stats_match_store" -> statsOk)
@@ -512,9 +603,18 @@ object Lexical {
       dir: String): Long = {
     require(new java.io.File(dir, "_SUCCESS").isFile,
       s"no persisted lexical index at $dir — build one (ensureLexIndex) first")
-    val dl = spark.read.parquet(s"$dir/doclens")
+    val dl = spark.read.parquet(lexTablePath(dir, "doclens"))
+    val ts = Similarity.tombstones(spark, dir)
     val live = docsTokenized(spark, sfDir, None)
-    val bad = dl.select(col("doc_id"), col("thash"))
+    // rewrite check over the SERVING doclens only: a taken-down doc
+    // being rewritten or removed upstream is the expected takedown
+    // sequence, not a corpus rewrite (the IVF ghost-check exemption)
+    val dlServing = ts match {
+      case Some(t) => dl.join(broadcast(t.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      case None => dl
+    }
+    val bad = dlServing.select(col("doc_id"), col("thash"))
       .join(live.select(col("doc_id"), col("thash").as("thash_now")),
         Seq("doc_id"), "left")
       .filter(col("thash_now").isNull || col("thash_now") =!= col("thash"))
@@ -522,7 +622,12 @@ object Lexical {
     require(bad == 0L,
       s"$bad indexed documents were rewritten or removed in $sfDir — " +
         "the postings no longer describe the corpus; rebuild the lexical index")
-    val fresh = live.join(dl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // fresh = in the corpus, not yet indexed, NOT taken down — the
+    // tombstone anti-join is the resurrection guard once compaction
+    // removed a deleted doc's doclens row (the ivfIndexAppend rule)
+    val fresh0 = live.join(dl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val fresh = ts.foldLeft(fresh0)((df, t) =>
+        df.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val stats = fresh.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
@@ -531,15 +636,15 @@ object Lexical {
       if (nAdded > 0) {
         val posts = postingsOf(fresh)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        writePostings(posts, s"$dir/postings", "append")
+        writePostings(posts, lexTablePath(dir, "postings"), "append")
         // the df delta rows land beside the batch's postings; a
         // pre-terms-table store (no terms dir) keeps serving from the
         // postings recompute rather than getting half a table
-        if (new java.io.File(s"$dir/terms", "_SUCCESS").isFile)
-          writeTermDeltas(posts, s"$dir/terms", "append")
+        if (new java.io.File(lexTablePath(dir, "terms"), "_SUCCESS").isFile)
+          writeTermDeltas(posts, lexTablePath(dir, "terms"), "append")
         posts.unpersist()
         fresh.select(col("doc_id"), col("dl"), col("thash"))
-          .write.mode("append").parquet(s"$dir/doclens")
+          .write.mode("append").parquet(lexTablePath(dir, "doclens"))
         readLexStats(dir).foreach { case (n, s) =>
           writeLexStats(dir, n + nAdded, s + stats.getLong(1)) }
         Similarity.renewMarker(dir)
@@ -547,5 +652,128 @@ object Lexical {
       }
       nAdded
     } finally fresh.unpersist()
+  }
+
+  /** DELETE documents from the lexical index — the takedown verb (the
+    * vector tier's [[Similarity.ivfIndexDelete]] semantics on the
+    * postings store): a tombstone set beside the tables, anti-joined
+    * by every read path, rows physical until [[compactLexIndex]] folds
+    * them. Beyond the anti-join, BM25's corpus statistics must shrink
+    * with the takedown or every surviving score drifts: `_lex_stats`
+    * subtracts the deleted docs' (count, Σdl) and the terms table gains
+    * NEGATIVE df delta rows for each term the deleted docs contained —
+    * the append-only delta design pays off here, a delete is just more
+    * deltas. Served results after a delete are BIT-IDENTICAL to a
+    * from-scratch rebuild of the corpus without those docs (gated:
+    * `lex_delete_equals_rebuild`). A takedown binds ids known to the
+    * index OR still in the corpus awaiting an append (the ADVICE-r16
+    * in-flight-ingest rule); never-seen / already-deleted ids don't
+    * count. Returns the number newly tombstoned. */
+  def lexIndexDelete(spark: SparkSession, sfDir: String, docIds: Seq[Long]): Long =
+    lexIndexDeleteAt(spark, sfDir, lexIndexDir(sfDir), docIds)
+
+  private[ops] def lexIndexDeleteAt(spark: SparkSession, sfDir: String,
+      dir: String, docIds: Seq[Long]): Long = {
+    import spark.implicits._
+    require(new java.io.File(dir, "_SUCCESS").isFile,
+      s"no persisted lexical index at $dir — nothing to delete from")
+    val dl = spark.read.parquet(lexTablePath(dir, "doclens"))
+    val prior = Similarity.tombstones(spark, dir)
+    val asked = docIds.distinct.toDF("doc_id")
+    val known =
+      if (new java.io.File(s"$sfDir/documents.parquet").exists)
+        dl.select(col("doc_id")).union(
+          spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id")))
+      else dl.select(col("doc_id"))
+    val hits = asked.join(known, Seq("doc_id"), "left_semi")
+    val fresh = prior match {
+      case Some(t) => hits.join(t.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => hits
+    }
+    val freshIds = fresh.collect().map(_.getLong(0))
+    val added = freshIds.length.toLong
+    if (added > 0) {
+      Similarity.appendTombstoneIds(spark, dir, freshIds.toIndexedSeq, "doc_id")
+      val idsDf = broadcast(freshIds.toIndexedSeq.toDF("doc_id"))
+      // corpus statistics shrink by the PHYSICAL rows (a pending-append
+      // takedown never entered them)
+      val phys = dl.join(idsDf, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+      readLexStats(dir).foreach { case (n, s) =>
+        writeLexStats(dir, math.max(0L, n - phys.getLong(0)),
+          math.max(0L, s - phys.getLong(1))) }
+      // negative df deltas from the deleted docs' own postings rows
+      if (new java.io.File(lexTablePath(dir, "terms"), "_SUCCESS").isFile)
+        spark.read.schema(postingsSchema).parquet(lexTablePath(dir, "postings"))
+          .join(idsDf, Seq("doc_id"), "left_semi")
+          .groupBy(col("term"), col("tb"))
+          .agg((count(lit(1)) * lit(-1L)).as("df"))
+          .select(col("term"), col("df"), col("tb"))
+          .write.mode("append").partitionBy("tb")
+          .parquet(lexTablePath(dir, "terms"))
+      clearLexCaches(dir)
+    }
+    added
+  }
+
+  /** Fold tombstoned rows and accumulated df deltas out of the store —
+    * [[Similarity.compactIvfIndex]]'s generation discipline on the
+    * lexical trio: postings minus deleted docs, terms deltas collapsed
+    * to one positive row per live term, doclens minus deleted docs
+    * (safe to drop — the tombstone set itself, which survives the
+    * fold, is the append-resurrection guard), all written as a new
+    * `.gN` generation and published by ONE atomic `_lex_gen` flip (the
+    * three tables must flip together: df deltas describe the postings
+    * they sit beside). The freshness marker is untouched; `_lex_stats`
+    * is untouched (the live set is unchanged); the superseded
+    * generation is retained until the next fold. */
+  def compactLexIndex(spark: SparkSession, sfDir: String): Unit =
+    compactLexIndexAt(spark, lexIndexDir(sfDir))
+
+  private[ops] def compactLexIndexAt(spark: SparkSession, dir: String): Unit = {
+    require(new java.io.File(dir, "_SUCCESS").isFile,
+      s"no persisted lexical index at $dir — nothing to compact")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val p = Paths.get(dir, "_lex_gen")
+    val cur =
+      if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim else ""
+    val next =
+      if (cur.isEmpty) ".g1" else ".g" + (cur.stripPrefix(".g").toLong + 1L)
+    Seq("postings", "terms", "doclens").foreach(t =>
+      Similarity.deleteRecursively(s"$dir/$t$next"))
+    val ts = Similarity.tombstones(spark, dir)
+    def minusDeleted(df: DataFrame): DataFrame = ts match {
+      case Some(t) => df.join(broadcast(t.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      case None => df
+    }
+    val livePosts = minusDeleted(
+      spark.read.schema(postingsSchema).parquet(s"$dir/postings$cur"))
+    writePostings(livePosts, s"$dir/postings$next", "overwrite")
+    if (new java.io.File(s"$dir/terms$cur", "_SUCCESS").isFile)
+      spark.read.schema(termsSchema).parquet(s"$dir/terms$cur")
+        .groupBy(col("term"), col("tb")).agg(sum(col("df")).as("df"))
+        .filter(col("df") > 0L)
+        .select(col("term"), col("df"), col("tb"))
+        .repartition(col("tb")).sortWithinPartitions(col("tb"), col("term"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/terms$next")
+    minusDeleted(spark.read.parquet(s"$dir/doclens$cur"))
+      .write.mode("overwrite").parquet(s"$dir/doclens$next")
+    val tmp = Paths.get(dir, "_lex_gen.tmp")
+    Files.write(tmp, next.getBytes("UTF-8"))
+    Files.move(tmp, p,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // retention: keep exactly the superseded generation, drop older
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        f.isDirectory &&
+          Seq("postings", "terms", "doclens").exists(t =>
+            n == t || (n.startsWith(t + ".g"))) &&
+          !n.endsWith(next) &&
+          Seq("postings", "terms", "doclens").forall(t => n != t + cur)
+      }
+      .foreach(f => Similarity.deleteRecursively(f.getPath))
+    clearLexCaches(dir)
   }
 }

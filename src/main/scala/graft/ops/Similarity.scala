@@ -1945,7 +1945,7 @@ object Similarity {
     * DELETED from serving ([[ivfIndexDelete]]). `None` when no delete
     * ever ran (the overwhelmingly common case — readers skip the
     * anti-join entirely rather than joining an empty frame). */
-  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+  private[ops] def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
     val ts = new java.io.File(s"$dir/tombstones", "_SUCCESS")
     if (ts.isFile) Some(spark.read.parquet(s"$dir/tombstones/ids"))
     else None
@@ -2015,31 +2015,7 @@ object Similarity {
     val freshIds = fresh.collect().map(_.getLong(0))
     val added = freshIds.length.toLong
     if (added > 0) {
-      // APPEND-ONLY layout (review finding, round 15): the set only
-      // ever GROWS, so each delete lands as one new parquet file moved
-      // atomically into place — a whole-directory swap had a window
-      // where the set read as ABSENT, and for tombstones absence means
-      // "serve everything", the unsafe direction (unlike a missing
-      // index, which merely costs a refit). A racing reader here sees
-      // either the old set or the old set plus this file — never less.
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val idsDir = Paths.get(dir, "tombstones", "ids")
-      Files.createDirectories(idsDir)
-      val staging = Files.createTempDirectory(Paths.get(dir), "ts-staging")
-      freshIds.sorted.toIndexedSeq.toDF("vec_id")
-        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val listing = Files.list(staging)
-      val part =
-        try listing.filter(_.toString.endsWith(".parquet")).findFirst().orElseThrow()
-        finally listing.close() // Files.list leaks the dir stream unless closed (ADVICE r16)
-      Files.move(part,
-        idsDir.resolve(s"ts-${java.util.UUID.randomUUID()}.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(staging.toString)
-      // marker last: the set becomes visible only complete; later
-      // deletes just add files under an already-certified store
-      val marker = Paths.get(dir, "tombstones", "_SUCCESS")
-      if (!Files.exists(marker)) Files.createFile(marker)
+      appendTombstoneIds(spark, dir, freshIds.toIndexedSeq, "vec_id")
       // maintain the serving-path stats: subtract the labels of the
       // newly tombstoned PHYSICAL rows (a pending-append id never
       // entered the stats, and the semi-join against the lists
@@ -2067,6 +2043,38 @@ object Similarity {
       clearIndexCaches(sfDir, nlist)
     }
     added
+  }
+
+  /** APPEND-ONLY tombstone write (review finding, round 15): the set
+    * only ever GROWS, so each delete lands as one new parquet file
+    * moved atomically into place — a whole-directory swap had a window
+    * where the set read as ABSENT, and for tombstones absence means
+    * "serve everything", the unsafe direction (unlike a missing index,
+    * which merely costs a refit). A racing reader sees either the old
+    * set or the old set plus this file — never less. Shared by the
+    * vector and lexical delete verbs (`colName` = vec_id / doc_id). */
+  private[ops] def appendTombstoneIds(spark: SparkSession, dir: String,
+      ids: Seq[Long], colName: String): Unit = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val idsDir = Paths.get(dir, "tombstones", "ids")
+    Files.createDirectories(idsDir)
+    val staging = Files.createTempDirectory(Paths.get(dir), "ts-staging")
+    ids.sorted.toIndexedSeq.toDF(colName)
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val listing = Files.list(staging)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().orElseThrow()
+      finally listing.close() // Files.list leaks the dir stream unless closed (ADVICE r16)
+    Files.move(part,
+      idsDir.resolve(s"ts-${java.util.UUID.randomUUID()}.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(staging.toString)
+    // marker last: the set becomes visible only complete; later
+    // deletes just add files under an already-certified store
+    val marker = Paths.get(dir, "tombstones", "_SUCCESS")
+    if (!Files.exists(marker)) Files.createFile(marker)
+    ()
   }
 
   /** Resolve the CURRENT inverted-list generation of an index store:
