@@ -756,6 +756,11 @@ object SparkEntry {
     // rewrite refusal, stats honesty) — literal-TRUE oracle
     "lex_index_lifecycle_gates" -> ((s, dir) =>
       graft.ops.Lexical.lexLifecycleGates(s, dir)),
+    // phrase search served from the PERSISTED positional postings —
+    // the standing-query tier beside phrase_search's ad-hoc scan;
+    // whitespace tokens (the index's tokenizer), fully hashed
+    "phrase_search_indexed" -> ((s, dir) =>
+      graft.ops.Lexical.searchPhrase(s, dir)),
     // BATCHED lexical serving (round 17): three queries share one
     // pruned postings scan — fully hashed (BM25 is deterministic)
     "text_search_batch" -> ((s, dir) =>
@@ -3019,6 +3024,19 @@ object SparkEntry {
           "lex_rewrite_refused", "lex_stats_match_store")
           .map(m => s"('$m', TRUE)").mkString(", ") +
         ") AS t(metric, ok) ORDER BY metric"),
+    // the index tokenizes on whitespace (regexp_split_to_array mirrors
+    // split), positions 0-based; adjacency = pos+1 containment
+    "phrase_search_indexed" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, i - 1 AS pos
+        |  FROM t, unnest(range(1, greatest(len(ws), 1))) AS u(i)
+        |  WHERE ws[i] = 'table' AND ws[i + 1] = 'hash')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the batched twin: a (query_id, term) VALUES table drives the
     // same BM25 pipeline; per-query top-10 by (score desc, doc_id)
     "text_search_batch" ->
@@ -3115,6 +3133,7 @@ object SparkEntry {
           "ann_query_search_filtered_lang_no_corpus_scan",
           "ann_ivf_range_set_no_window",
           "text_search_pruned_postings",
+          "phrase_indexed_pruned_postings",
           "pagerank_iterations_equi_join", "part_affinity_equi_join",
           "product_profit_all_equi_join",
           "promo_share_broadcasts_part", "q1_pricing_filter_pushed",

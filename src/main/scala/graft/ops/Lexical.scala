@@ -105,11 +105,16 @@ object Lexical {
   /** Postings rows for a tokenized slice — the (doc, term) aggregate
     * whose shuffle carries the postings table itself (tokens of one
     * document sit in one row, so the count partial-aggregates map-side
-    * before the (doc, term) exchange). */
+    * before the (doc, term) exchange). Round 17: rows also carry the
+    * sorted 0-based token POSITIONS — the positional-postings payload
+    * [[searchPhrase]] intersects, making the store a standing-query
+    * phrase index, not only a bag-of-words one. */
   private def postingsOf(tok: DataFrame): DataFrame =
-    tok.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+    tok.select(col("doc_id"), col("dl"),
+        posexplode(col("ws")).as(Seq("pos", "term")))
       .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(LexBuckets.toLong)))
 
   /** Explicit read schema: a zero-posting store (all-null texts) writes
@@ -125,8 +130,24 @@ object Lexical {
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("tf",
       org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("positions",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)),
     org.apache.spark.sql.types.StructField("tb",
       org.apache.spark.sql.types.LongType)))
+
+  /** Store layout version — bumped when the table schemas change (v2:
+    * positional postings). The freshness marker cannot see layout, so
+    * [[ensureLexIndex]] rebuilds a fresh-but-old-layout store through
+    * this check (the IVF label-column guard's mechanism, as a
+    * version file instead of a column probe). */
+  private val LexLayoutVersion = "2"
+
+  private def layoutOk(dir: String): Boolean = {
+    val f = java.nio.file.Paths.get(dir, "_lex_layout")
+    java.nio.file.Files.exists(f) &&
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim == LexLayoutVersion
+  }
 
   private def writePostings(p: DataFrame, path: String, mode: String): Unit =
     p.repartition(col("tb"))
@@ -208,7 +229,8 @@ object Lexical {
     * together); a fresh one is served as-is. Returns the store dir. */
   def ensureLexIndex(spark: SparkSession, sfDir: String): String = {
     val dir = lexIndexDir(sfDir)
-    if (!lexFresh(sfDir, dir)) buildLexIndex(spark, sfDir, dir, None)
+    if (!lexFresh(sfDir, dir) || !layoutOk(dir))
+      buildLexIndex(spark, sfDir, dir, None)
     // tombstone-pressure fold (the ensureIvfIndex/ensureLshIndex rule):
     // past the ceiling, every query's postings read wastes more than
     // MaxDeletedFrac of its rows on docs the anti-join drops. The
@@ -244,6 +266,10 @@ object Lexical {
         tok.select(col("doc_id"), col("dl"), col("thash"))
           .write.mode("overwrite").parquet(s"$tmp/doclens")
         writeLexStats(tmp, stats.getLong(0), stats.getLong(1))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "_lex_layout"),
+          LexLayoutVersion.getBytes("UTF-8"))
+        ()
       }
       clearLexCaches(dir)
     } finally tok.unpersist()
@@ -435,6 +461,55 @@ object Lexical {
       .filter(col("rk") <= k)
       .drop("rk")
       .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** PHRASE search from the PERSISTED positional postings — the
+    * standing-query tier [[TextAnalysis.phraseSearch]]'s scaladoc
+    * promises (that operator is the ad-hoc tier: a full corpus scan
+    * through a codegen kernel, the right shape for a one-off query;
+    * a standing phrase filter at 100 TB must intersect persisted
+    * postings instead). Two pruned single-term reads (bucket
+    * directories at planning time, term pushdown inside), an
+    * equi-join on doc_id — only documents containing BOTH terms
+    * survive to the adjacency check — and the position intersection
+    * `p1 ∩ (p2 − 1)` runs as an array filter over the joined rows
+    * (interpreted lambda, but over the both-terms doc set with
+    * tiny position arrays, not the corpus — the round-9 lambda rule
+    * bounds it to the cheap side). Tokenization is the index's
+    * whitespace tokenizer (documented difference from the ad-hoc
+    * tier's [a-z0-9]+ regex). Emits (doc_id, n_hits, first_pos),
+    * 0-based first-word positions; fully DuckDB-hashed. */
+  def searchPhrase(spark: SparkSession, sfDir: String,
+      w1: String = "table", w2: String = "hash"): DataFrame = {
+    import spark.implicits._
+    val dir = ensureLexIndex(spark, sfDir)
+    def emptyResult() =
+      Seq.empty[(Long, Long, Long)].toDF("doc_id", "n_hits", "first_pos")
+    val (nDocs, _) = readLexStats(dir).getOrElse((0L, 0L))
+    if (nDocs == 0L) return emptyResult()
+    val buckets = Seq(w1, w2).map(termBucket).distinct
+    val p0 = lexScanCache.computeIfAbsent(
+        (spark.sparkContext.applicationId, lexTablePath(dir, "postings")),
+        kk => spark.read.schema(postingsSchema).parquet(kk._2))
+      .where(col("tb").isin(buckets.map(x => x: Any): _*))
+      .filter(col("term").isin(Seq(w1, w2).distinct: _*))
+    val p = Similarity.tombstones(spark, dir) match {
+      case Some(ts) => p0.join(broadcast(ts.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      case None => p0
+    }
+    val a = p.filter(col("term") === w1)
+      .select(col("doc_id"), col("positions").as("p1"))
+    val b = p.filter(col("term") === w2)
+      .select(col("doc_id"), col("positions").as("p2"))
+    a.join(b, "doc_id")
+      .withColumn("hits",
+        expr("filter(p1, x -> array_contains(p2, x + 1))"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_hits"),
+        element_at(col("hits"), 1).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
   }
 
   /** One-row health card of the persisted store — n_docs/sum_dl from

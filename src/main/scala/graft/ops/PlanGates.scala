@@ -233,7 +233,13 @@ object PlanGates {
     ("text_search_pruned_postings", "text_search",
       p => p.contains("PartitionFilters: [tb")
         && !p.contains("documents.parquet")
-        && p.contains("TakeOrderedAndProject") && noLoops(p)))
+        && p.contains("TakeOrderedAndProject") && noLoops(p)),
+    // the standing-query phrase tier: positional-postings intersection
+    // is two pruned reads + an equi-join on doc_id — no corpus scan,
+    // no loop join (the ad-hoc phrase_search tier keeps its scan)
+    ("phrase_indexed_pruned_postings", "phrase_search_indexed",
+      p => p.contains("PartitionFilters: [tb")
+        && !p.contains("documents.parquet") && noLoops(p)))
 
   /** Gate-only plan builders for checks whose production query hides
     * the interesting stage behind a lineage cut. */
