@@ -589,7 +589,15 @@ object Lexical {
     val identity = served == liveRows
     val statsOk = {
       val (n, s) = readLexStats(dir).getOrElse((-1L, -1L))
-      val r = spark.read.parquet(s"$dir/doclens")
+      // stats describe the LIVE set: physical-until-fold deleted rows
+      // are excluded (on a store that ever saw a takedown)
+      val dl0 = spark.read.parquet(lexTablePath(dir, "doclens"))
+      val dlLive = Similarity.tombstones(spark, dir) match {
+        case Some(ts) => dl0.join(broadcast(ts.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+        case None => dl0
+      }
+      val r = dlLive
         .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
       n == r.getLong(0) && s == r.getLong(1)
     }
