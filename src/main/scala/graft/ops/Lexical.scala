@@ -475,7 +475,12 @@ object Lexical {
     * `p1 ∩ (p2 − 1)` runs as an array filter over the joined rows
     * (interpreted lambda, but over the both-terms doc set with
     * tiny position arrays, not the corpus — the round-9 lambda rule
-    * bounds it to the cheap side). Tokenization is the index's
+    * bounds it to the cheap side). The intersection is O(|p1|·|p2|)
+    * PER DOCUMENT — quadratic only in one doc's own term frequencies
+    * (bounded by its dl), the per-document cost every positional
+    * engine pays; a sorted-merge kernel is the upgrade path if a
+    * corpus of degenerate repeat-heavy documents ever makes it
+    * measurable. Tokenization is the index's
     * whitespace tokenizer (documented difference from the ad-hoc
     * tier's [a-z0-9]+ regex). Emits (doc_id, n_hits, first_pos),
     * 0-based first-word positions; fully DuckDB-hashed. */
@@ -773,6 +778,8 @@ object Lexical {
       case Some(t) => hits.join(t.select(col("doc_id")), Seq("doc_id"), "left_anti")
       case None => hits
     }
+    // a takedown list is metadata-scale by definition (the
+    // ivfIndexDelete rule) — collected like the centroids
     val freshIds = fresh.collect().map(_.getLong(0))
     val added = freshIds.length.toLong
     if (added > 0) {
