@@ -858,6 +858,24 @@ object SparkEntry {
     }),
     // batched == looped, bit for bit, on a deterministic query sample
     "ann_serving_batch_gate" -> ((s, dir) => Similarity.servingBatchGate(s, dir)),
+    // ONLINE hybrid serving (round 17): one request composing BOTH
+    // persisted indexes — lexical candidates from the postings store,
+    // vector candidates from the inverted lists, RRF-fused over the
+    // two bounded lists; rows-only (the vector leg is seeded KMeans)
+    "ann_query_search_hybrid" -> ((s, dir) => {
+      val qv = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") === 0L && col("embedding").isNotNull)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().headOption.map(_.getSeq[Double](0).toArray)
+      qv match {
+        case Some(v) =>
+          Similarity.searchHybrid(s, dir, Seq("spark", "join", "query"), v)
+        case None =>
+          import s.implicits._
+          Seq.empty[(Long, Option[Long], Option[Long], Double)]
+            .toDF("doc_id", "r_lex", "r_vec", "rrf")
+      }
+    }),
     "ann_query_search_mmr" -> ((s, dir) => {
       val qv = s.read.parquet(s"$dir/embeddings.parquet")
         .filter(col("vec_id") === 0L && col("embedding").isNotNull)

@@ -3109,6 +3109,49 @@ object Similarity {
     Seq(("batch_equals_looped_serving", ok)).toDF("metric", "ok")
   }
 
+  /** ONLINE hybrid serving — the single-request composition of BOTH
+    * persisted indexes (round 17): [[graft.ops.Lexical.searchText]]
+    * fetches the lexical candidates from the postings store,
+    * [[searchVector]] the vector candidates from the inverted lists,
+    * and reciprocal-rank fusion merges the two ≤`fetch`-row lists on
+    * the driver — the same metadata-scale exception as the MMR greedy
+    * pass and the probe selection. This is the serving twin of the
+    * corpus-wide `hybrid_search` query: one query (terms + embedding)
+    * in, k fused rows out, nothing corpus-sized computed anywhere.
+    * rrf = Σ 1/(rrfK + rank) over the lists the doc appears in; ties
+    * break on doc_id; ranks are display-emitted (null when the doc
+    * missed that list). */
+  def searchHybrid(spark: SparkSession, sfDir: String,
+      terms: Seq[String], query: Array[Double], k: Int = 10,
+      rrfK: Int = 60, fetch: Int = 50): DataFrame = {
+    val lex = graft.ops.Lexical.searchText(spark, sfDir, terms, fetch)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    val vec = searchVector(spark, sfDir, query, k = fetch)
+      .collect().map(_.getLong(1)).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fused = (lex.keySet ++ vec.keySet).toSeq.map { d =>
+      val rrf = lex.get(d).map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+        vec.get(d).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
+      (d, lex.get(d), vec.get(d), rrf)
+    }.sortBy { case (d, _, _, s) => (-s, d) }.take(k)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("r_lex",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("r_vec",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("rrf",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val rows = fused.map { case (d, rl, rv, s) =>
+      org.apache.spark.sql.Row(d, rl.map(Long.box).orNull,
+        rv.map(Long.box).orNull, r6(s)) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Maximal-Marginal-Relevance re-rank of the serving path (Carbonell
     * & Goldstein 1998) — the standard two-stage retrieve-then-rerank
     * shape: [[searchVector]] fetches `fetch·k` candidates from the

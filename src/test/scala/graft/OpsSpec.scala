@@ -754,6 +754,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gate.length == 1 && gate(0).getBoolean(1), "serving batch gate true")
   }
 
+  test("hybrid serving fuses the two index tiers by reciprocal rank") {
+    import org.apache.spark.sql.functions.transform
+    val qv = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 0L && col("embedding").isNotNull)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()(0).getSeq[Double](0).toArray
+    val terms = Seq("spark", "join", "query")
+    val got = Similarity.searchHybrid(spark, sfDir, terms, qv, k = 10)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3))).toSeq
+    assert(got.nonEmpty && got.length <= 10)
+    // expected fusion recomputed from the component verbs
+    val lex = graft.ops.Lexical.searchText(spark, sfDir, terms, 50)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    val vec = Similarity.searchVector(spark, sfDir, qv, k = 50)
+      .collect().map(_.getLong(1)).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (lex.keySet ++ vec.keySet).toSeq.map { d =>
+      (d, lex.get(d), vec.get(d),
+        r6(lex.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          vec.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)))
+    }.sortBy { case (d, _, _, s) => (-s, d) }.take(10)
+    assert(got == expected, s"got=$got expected=$expected")
+    // the rrf ordering is monotone non-increasing and the self doc
+    // (vec 0, rank 1 on the vector side) is present
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse)
+    assert(got.exists(_._1 == 0L), "vector self-hit fused in")
+  }
+
   test("index lifecycle gates: all verdict rows ok on the test corpus") {
     val rows = Similarity.indexLifecycleGates(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
