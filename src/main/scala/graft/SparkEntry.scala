@@ -3247,6 +3247,7 @@ object SparkEntry {
         |UNION ALL SELECT 'compact_folds_tombstones', TRUE
         |UNION ALL SELECT 'compact_preserves_results', TRUE
         |UNION ALL SELECT 'deleted_never_served', TRUE
+        |UNION ALL SELECT 'ivf_append_content_guard', TRUE
         |UNION ALL SELECT 'k_stays_filled', TRUE
         |UNION ALL SELECT 'lsh_append_noop', TRUE
         |UNION ALL SELECT 'lsh_compact_folds_tombstones', TRUE

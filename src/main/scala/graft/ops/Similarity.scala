@@ -924,7 +924,17 @@ object Similarity {
     // pins each indexed vector's content; any mismatch refuses the
     // append. Pre-r17 stores (no sidecar) keep the id-only guard.
     if (new java.io.File(s"$dir/vhashes", "_SUCCESS").isFile) {
-      val changed = spark.read.parquet(s"$dir/vhashes")
+      // the serving rows only: a taken-down vector later rewritten or
+      // removed upstream is the expected takedown-replace sequence,
+      // not a corpus rewrite (the ghost check's exemption, which this
+      // guard previously lacked — a stale hash row for a tombstoned id
+      // would have refused every append until a rebuild, ADVICE r17)
+      val vh0 = spark.read.parquet(s"$dir/vhashes")
+      val vhServing = ts match {
+        case Some(t) => vh0.join(broadcast(t), Seq("vec_id"), "left_anti")
+        case None => vh0
+      }
+      val changed = vhServing
         .join(emb(spark, sfDir)
           .select(col("vec_id"), xxhash64(col("v")).as("vh_now")), Seq("vec_id"))
         .filter(col("vh_now") =!= col("vh")).count()
@@ -947,6 +957,22 @@ object Similarity {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nAdded = newRows.select(col("vec_id")).distinct().count()
         if (nAdded > 0) {
+          // content-address sidecar written BEFORE the buckets append
+          // (ADVICE r17): `fresh`'s anti-join lineage reads the buckets
+          // path, and the append triggers CacheManager recache-by-path
+          // — even a persisted frame re-evaluates EMPTY afterwards,
+          // silently leaving the appended vectors out of the sidecar
+          // and reopening the rewrite hole for exactly them. This
+          // ordering is crash-safe in the benign direction: a failure
+          // between the two writes leaves sidecar rows for vectors not
+          // yet bucketed — their hashes still match the corpus (the
+          // guard passes), the next append re-buckets them and appends
+          // duplicate (vec_id, vh) rows, and duplicates join-match
+          // identically in the guard. The reverse order left appended
+          // vectors permanently unguarded.
+          if (new java.io.File(s"$dir/vhashes", "_SUCCESS").isFile)
+            fresh.select(col("vec_id"), xxhash64(col("v")).as("vh"))
+              .write.mode("append").parquet(s"$dir/vhashes")
           // salt split against LIVE occupancy: existing NON-TOMBSTONED
           // rows + new per bucket (round 17, ADVICE r16: counting dead
           // rows inflated nsplits — a mostly-tombstoned bucket split
@@ -971,10 +997,6 @@ object Similarity {
               pmod(xxhash64(lit("salt"), col("tbl"), col("kh"), col("vec_id")),
                 col("nsplits")).as("salt"))
             .write.mode("append").parquet(lshBucketsPath(dir))
-          // extend the content-address sidecar with the fresh vectors
-          if (new java.io.File(s"$dir/vhashes", "_SUCCESS").isFile)
-            fresh.select(col("vec_id"), xxhash64(col("v")).as("vh"))
-              .write.mode("append").parquet(s"$dir/vhashes")
         }
         newRows.unpersist()
         nAdded
@@ -1057,6 +1079,24 @@ object Similarity {
           f.getName != nextName && f.getName != curName
       }
       .foreach(f => deleteRecursively(f.getPath))
+    // fold the content-address sidecar too (ADVICE r17): vhashes rows
+    // for tombstoned ids otherwise persist forever — with the serving
+    // exemption in the append guard they no longer cause refusals, but
+    // they are dead weight every guard pass reads. Not generation-
+    // pointed (the sidecar is consulted only by the append verb, never
+    // a serving read): write-aside + rename; a crash between the
+    // delete and the rename leaves no sidecar, which downgrades the
+    // store to the pre-sidecar id-only guard — degraded, never wrong.
+    if (new java.io.File(s"$dir/vhashes", "_SUCCESS").isFile) {
+      tombstones(spark, tombstoneDir.getOrElse(indexDir(sfDir, 0))).foreach { ts =>
+        val folded = spark.read.parquet(s"$dir/vhashes")
+          .join(broadcast(ts), Seq("vec_id"), "left_anti")
+        folded.write.mode("overwrite").parquet(s"$dir/vhashes.next")
+        deleteRecursively(s"$dir/vhashes")
+        Files.move(Paths.get(dir, "vhashes.next"), Paths.get(dir, "vhashes"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
     // a compaction of the SHARED store invalidates its session caches;
     // a gate-owned copy (dirOverride) is read by no cached plan
     if (dirOverride.isEmpty) clearLshCaches(sfDir, tables, bucketLength)
@@ -1631,14 +1671,18 @@ object Similarity {
     * renewed (atomically — [[renewMarker]]) so readers keep loading
     * instead of refitting. Returns the number of vectors added.
     *
-    * Append-vs-rewrite guard (ADVICE r14): appending only ever ADDS —
-    * it must never certify a REWRITTEN corpus as indexed. Two rules:
-    * (1) every already-indexed id must still exist in the corpus
-    * (reverse anti-join count == 0), else the call fails loudly and
-    * the caller rebuilds; (2) when nothing was added AND the store is
-    * newer than the marker (same id set, possibly changed vectors —
-    * undetectable by ids alone), the marker is NOT renewed, so the
-    * normal staleness rule forces the next reader to refit. Centroid
+    * Append-vs-rewrite guard (ADVICE r14; content check round 18):
+    * appending only ever ADDS — it must never certify a REWRITTEN
+    * corpus as indexed. Three rules: (1) every already-indexed id must
+    * still exist in the corpus (reverse anti-join count == 0), else
+    * the call fails loudly and the caller rebuilds; (2) every serving
+    * indexed vector's STORED content must hash-match its corpus
+    * vector — a rewrite that keeps (or grows) the id set is refused,
+    * not appended over (verdict r17 ask #1; the stored `v` column is
+    * the content address, the LSH twin's vhashes sidecar made native);
+    * (3) when nothing was added AND the store is newer than the
+    * marker, the marker is NOT renewed, so the normal staleness rule
+    * forces the next reader to refit. Centroid
     * DRIFT is the documented trade of every IVF add path: centroids
     * stay fixed until the next rebuild, [[cellBalanceReport]] is the
     * monitor, and [[ensureIvfIndex]]'s rebuild policy acts on it.
@@ -1675,6 +1719,29 @@ object Similarity {
       s"$ghosts indexed vectors are no longer in the corpus at $sfDir — " +
         "the embedding store was rewritten or shrank; appending would keep " +
         "serving ghost neighbors. Rebuild the index (ensureIvfIndex) instead")
+    // content-address guard (round 18, verdict r17 ask #1): ids alone
+    // cannot distinguish pure growth from a rewrite that kept every id
+    // and added more — the latter passed the ghost check, appended the
+    // new ids, and RENEWED the marker over cells assigned from the OLD
+    // vectors. The LSH twin closed this with a vhashes sidecar (r17);
+    // here no sidecar is needed — the inverted lists persist each
+    // indexed vector verbatim, so the stored rows ARE the content
+    // address. Serving rows only (the ghost check's takedown-replace
+    // exemption): one hash-join pass at the scale of the ghost check
+    // itself, paid per maintenance append, never per query.
+    val rewritten = (ts match {
+        case Some(t) => cells0.join(broadcast(t), Seq("vec_id"), "left_anti")
+        case None => cells0
+      })
+      .select(col("vec_id"), xxhash64(col("v")).as("vh_idx"))
+      .join(emb(spark, sfDir)
+        .select(col("vec_id"), xxhash64(col("v")).as("vh_now")), Seq("vec_id"))
+      .filter(col("vh_idx") =!= col("vh_now")).count()
+    require(rewritten == 0L,
+      s"$rewritten indexed vectors changed content in the corpus at $sfDir — " +
+        "the inverted lists were assigned from the old vectors; appending " +
+        "would certify a rewritten corpus as indexed. Rebuild the index " +
+        "(ensureIvfIndex) instead")
     // anti-join the tombstones too: once compaction removes a deleted
     // row PHYSICALLY, its corpus vector would otherwise read as "not
     // yet indexed" and the next append would RESURRECT it
@@ -2178,7 +2245,11 @@ object Similarity {
     *    gone from the inverted lists after compaction;
     *  - `append_cannot_resurrect`: an append over the unchanged corpus
     *    adds 0 — the tombstone set (which survives compaction) keeps
-    *    the still-in-corpus deleted vectors out.
+    *    the still-in-corpus deleted vectors out;
+    *  - `ivf_append_content_guard` (round 18): with one stored cell
+    *    row's vector content tampered — the observable signature of a
+    *    corpus rewrite that kept the id — the append REFUSES instead
+    *    of renewing the marker over stale cell assignments.
     *
     * Queries run on a bounded ~1000-query sample (which always
     * includes vec_id 0, a victim — both roles observed); verdict rows
@@ -2203,7 +2274,8 @@ object Similarity {
 
   private def computeLifecycleGates(spark: SparkSession, sfDir: String): Seq[(String, Boolean)] = {
     val metrics = Seq("append_cannot_resurrect", "compact_folds_tombstones",
-      "compact_preserves_results", "deleted_never_served", "k_stays_filled",
+      "compact_preserves_results", "deleted_never_served",
+      "ivf_append_content_guard", "k_stays_filled",
       "lsh_append_noop", "lsh_compact_folds_tombstones",
       "lsh_compact_preserves_live_rows", "lsh_deleted_never_served")
     if (coarseQuantizer(spark, sfDir, LifecycleNlist).isEmpty)
@@ -2276,8 +2348,55 @@ object Similarity {
     val physicalVictims = spark.read.parquet(cellsPath(dir))
       .filter(col("vec_id").isin(victims.map(x => x: Any): _*)).count()
     val resurrected = ivfIndexAppend(spark, sfDir, LifecycleNlist)
+    // REWRITE-REFUSAL leg (round 18, verdict r17 ask #1): plant one
+    // content-tampered row in the inverted lists — a stand-in for a
+    // corpus rewrite that kept the id (the store and the corpus now
+    // disagree on that vector's content, which is exactly what the
+    // guard hashes) — and the next append must REFUSE rather than
+    // renew the marker. The tamper is surgical: the appended part
+    // files are diffed against a pre-tamper listing and deleted
+    // afterwards, so the shared k64 gate store leaves this leg
+    // byte-identical to how it entered (the lex gate tampers a
+    // dedicated `_gate` store instead; here the cells layout is the
+    // content address itself, so the real store must carry the plant).
+    val contentGuard = {
+      val cdir = cellsPath(dir)
+      def listing(): Set[String] = {
+        def walk(f: java.io.File): Seq[String] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+          else Seq(f.getPath)
+        walk(new java.io.File(cdir)).toSet
+      }
+      val before = listing()
+      val sample = spark.read.parquet(cdir).limit(1).collect()
+      if (sample.isEmpty) true // nothing indexed: vacuously guarded
+      else {
+        val schema = spark.read.parquet(cdir).schema
+        val r = sample(0)
+        val vi = schema.fieldIndex("v")
+        val tampered = org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(vi, r.getSeq[Double](vi).updated(
+            0, r.getSeq[Double](vi).head + 1.0)))
+        spark.createDataFrame(
+            java.util.Arrays.asList(tampered), schema)
+          .write.mode("append").partitionBy("cell").parquet(cdir)
+        val refused =
+          try { ivfIndexAppend(spark, sfDir, LifecycleNlist); false }
+          catch { case _: IllegalArgumentException => true }
+        (listing() -- before).foreach(p => new java.io.File(p).delete())
+        // drop any partition dir the plant created (now empty)
+        Option(new java.io.File(cdir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory &&
+            Option(f.listFiles()).getOrElse(Array.empty).isEmpty)
+          .foreach(_.delete())
+        clearIndexCaches(sfDir, LifecycleNlist)
+        refused
+      }
+    }
     Seq(
       ("append_cannot_resurrect", resurrected == 0L),
+      ("ivf_append_content_guard", contentGuard),
       ("compact_folds_tombstones", physicalVictims == 0L),
       ("compact_preserves_results", after == before),
       ("deleted_never_served", neverServed),

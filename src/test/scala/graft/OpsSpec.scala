@@ -550,6 +550,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("rewritten or shrank"))
   }
 
+  test("LSH content sidecar: covers appended vectors, exempts takedown-replace, folds at compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-sidecar").toString
+    def mixed(n: Int, shiftFor: Int => Long) = (0 until n).map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shiftFor(i))
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    def baseShift(i: Int): Long = if (i >= 300) 99L else 0L
+    mixed(300, baseShift).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.lshTopK(spark, dir, k = 3).collect() // build store + sidecar
+    val idxDir = Similarity.lshIndexDir(dir, 8, 2.0)
+    mixed(340, baseShift).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.clearCaches()
+    assert(Similarity.lshIndexAppend(spark, dir) == 40L)
+    // ADVICE r17 (medium): the sidecar rows must be MATERIALIZED before
+    // the buckets write — a lazily re-evaluated anti-join would see the
+    // appended ids as indexed and leave them out of the sidecar
+    assert(spark.read.parquet(s"$idxDir/vhashes").count() == 340L,
+      "sidecar must cover the appended vectors")
+    // ...which is what makes a later rewrite of an APPENDED vector
+    // refusable at all
+    mixed(340, i => if (i == 320) 555L else baseShift(i))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.clearCaches()
+    val ex = intercept[IllegalArgumentException](Similarity.lshIndexAppend(spark, dir))
+    assert(ex.getMessage.contains("changed content"), ex.getMessage)
+    // ADVICE r17 (low): takedown-replace — tombstoning the rewritten
+    // vector exempts its stale hash row; the append no longer refuses
+    // (previously it refused FOREVER, vhashes surviving compaction)
+    Similarity.ivfTopK(spark, dir, k = 3).collect() // registry's index generation
+    Similarity.ivfIndexDelete(spark, dir, Seq(320L))
+    Similarity.clearCaches()
+    assert(Similarity.lshIndexAppend(spark, dir) == 0L,
+      "takedown-replace must not refuse the append")
+    // compaction folds the tombstoned id out of the sidecar too
+    Similarity.compactLshIndex(spark, dir)
+    val vh = spark.read.parquet(s"$idxDir/vhashes")
+    assert(vh.filter(col("vec_id") === 320L).count() == 0L,
+      "compaction must fold the tombstoned hash row")
+    assert(vh.count() == 339L)
+  }
+
   test("streaming vector ingest: landed batches grow the corpus and index; replay cannot double-ingest") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vecingest").toString
@@ -792,7 +834,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = Similarity.indexLifecycleGates(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("append_cannot_resurrect", "compact_folds_tombstones",
-        "compact_preserves_results", "deleted_never_served", "k_stays_filled",
+        "compact_preserves_results", "deleted_never_served",
+        "ivf_append_content_guard", "k_stays_filled",
         "lsh_append_noop", "lsh_compact_folds_tombstones",
         "lsh_compact_preserves_live_rows", "lsh_deleted_never_served"))
     rows.foreach(r => assert(r.getBoolean(1), s"${r.getString(0)} verdict false"))
@@ -843,9 +886,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("ghost") || ex.getMessage.contains("no longer"),
       s"must name the rewrite: ${ex.getMessage}")
-    // case 2: same id set, REWRITTEN vectors — undetectable by ids, so
-    // the no-op append must NOT renew the marker: the staleness rule
-    // then forces the next reader to refit
+    // case 2: same id set, REWRITTEN vectors — ids alone cannot see it,
+    // but the stored cells ARE the content address (round 18, verdict
+    // r17 ask #1): the append must REFUSE loudly instead of silently
+    // no-op'ing, and the marker stays stale so the next reader refits
     val dirB = java.nio.file.Files.createTempDirectory("graft-ivf-rewrite").toString
     rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dirB/embeddings.parquet")
     Similarity.ivfTopK(spark, dirB, k = 3).collect()
@@ -854,12 +898,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Thread.sleep(1100) // mtime granularity
     rows(0 until 300, 555L).write.mode("overwrite").parquet(s"$dirB/embeddings.parquet")
     Similarity.clearCaches()
-    assert(Similarity.ivfIndexAppend(spark, dirB) == 0L, "same ids: nothing to add")
+    val exB = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(spark, dirB)
+    }
+    assert(exB.getMessage.contains("changed content"),
+      s"must name the content rewrite: ${exB.getMessage}")
     assert(marker.lastModified == builtAt,
-      "a no-op append over a rewritten store must not certify freshness")
+      "a refused append over a rewritten store must not certify freshness")
     // and the normal read path now refits instead of loading the ghost
     Similarity.ivfTopK(spark, dirB, k = 3).collect()
     assert(marker.lastModified > builtAt, "stale index must refit on next read")
+    // case 3: a rewrite that KEPT every id and ADDED more — the exact
+    // hole the content guard closes: the ghost check passes (ids are a
+    // superset) but the cells were assigned from the old vectors
+    val dirC = java.nio.file.Files.createTempDirectory("graft-ivf-growrewrite").toString
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dirC/embeddings.parquet")
+    Similarity.ivfTopK(spark, dirC, k = 3).collect()
+    rows(0 until 360, 555L).write.mode("overwrite").parquet(s"$dirC/embeddings.parquet")
+    Similarity.clearCaches()
+    val exC = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(spark, dirC)
+    }
+    assert(exC.getMessage.contains("changed content"),
+      s"growth-masked rewrite must refuse: ${exC.getMessage}")
   }
 
   test("ensureIvfIndex: a skew-planted append flips a rebuild and balance returns under the ceiling") {
