@@ -761,6 +761,11 @@ object SparkEntry {
     // whitespace tokens (the index's tokenizer), fully hashed
     "phrase_search_indexed" -> ((s, dir) =>
       graft.ops.Lexical.searchPhrase(s, dir)),
+    // k-term phrase from the same positional index (round 18): three
+    // pruned single-term reads chained on doc_id, ONE codegen'd
+    // sorted-merge positional intersection — fully hashed
+    "phrase_search_kterm" -> ((s, dir) =>
+      graft.ops.Lexical.searchPhraseK(s, dir, Seq("stream", "table", "hash"))),
     // BATCHED lexical serving (round 17): three queries share one
     // pruned postings scan — fully hashed (BM25 is deterministic)
     "text_search_batch" -> ((s, dir) =>
@@ -874,6 +879,27 @@ object SparkEntry {
           import s.implicits._
           Seq.empty[(Long, Option[Long], Option[Long], Double)]
             .toDF("doc_id", "r_lex", "r_vec", "rrf")
+      }
+    }),
+    // batched hybrid twin (round 18): the batch's lexical legs share
+    // one pruned postings scan, its vector legs one pruned cells scan;
+    // per-query rows bit-identical to the looped searchHybrid (spec-
+    // pinned); rows-only (the vector leg is seeded KMeans)
+    "ann_query_search_hybrid_batch" -> ((s, dir) => {
+      val qvs = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 3L && col("embedding").isNotNull)
+        .orderBy(col("vec_id"))
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      if (qvs.isEmpty) {
+        import s.implicits._
+        Seq.empty[(Long, Long, Option[Long], Option[Long], Double)]
+          .toDF("query_id", "doc_id", "r_lex", "r_vec", "rrf")
+      } else {
+        val terms = Seq(Seq("spark", "join", "query"),
+          Seq("data", "table", "hash"), Seq("stream", "filter", "sort"))
+        Similarity.searchHybridBatch(s, dir,
+          qvs.zipWithIndex.map { case (v, i) => (terms(i % 3), v) })
       }
     }),
     "ann_query_search_mmr" -> ((s, dir) => {
@@ -3052,6 +3078,17 @@ object SparkEntry {
         |  SELECT doc_id, i - 1 AS pos
         |  FROM t, unnest(range(1, greatest(len(ws), 1))) AS u(i)
         |  WHERE ws[i] = 'table' AND ws[i + 1] = 'hash')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "phrase_search_kterm" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, i - 1 AS pos
+        |  FROM t, unnest(range(1, greatest(len(ws) - 1, 1))) AS u(i)
+        |  WHERE ws[i] = 'stream' AND ws[i + 1] = 'table' AND ws[i + 2] = 'hash')
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
         |  CAST(min(pos) AS BIGINT) AS first_pos
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,

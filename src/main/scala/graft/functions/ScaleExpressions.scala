@@ -351,6 +351,78 @@ case class TrigramTf(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sorted-merge positional intersection for k-term phrase matching
+  * over a positional postings index (round 18, verdict r17 ask #4 —
+  * the upgrade path [[graft.ops.Lexical.searchPhrase]]'s scaladoc
+  * promised): given the k SORTED position arrays of a phrase's words
+  * within one document (slot i = positions of word i), return the
+  * start positions p with p+i present in slot i for every i. One
+  * monotone pointer per array — O(Σ|arr_i|) per document, never the
+  * O(|p1|·|p2|) of the old per-element `array_contains` lambda, and
+  * codegen'd instead of an interpreted higher-order function (the
+  * round-9 lambda rule). */
+object PhrasePosMerge {
+  def hits(arrs: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = arrs.numElements()
+    val a = new Array[Array[Int]](k)
+    var i = 0
+    while (i < k) { a(i) = arrs.getArray(i).toIntArray(); i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Int](4)
+    if (k > 0) {
+      val ptr = new Array[Int](k)
+      val first = a(0)
+      var j = 0
+      var exhausted = false
+      while (j < first.length && !exhausted) {
+        val p = first(j)
+        var ok = true
+        i = 1
+        while (i < k && ok && !exhausted) {
+          val target = p + i
+          // p grows monotonically with j, so each pointer only ever
+          // advances — the classic k-way merge invariant
+          while (ptr(i) < a(i).length && a(i)(ptr(i)) < target) ptr(i) += 1
+          if (ptr(i) >= a(i).length) exhausted = true
+          else if (a(i)(ptr(i)) != target) ok = false
+          i += 1
+        }
+        if (ok && !exhausted) out += p
+        j += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+}
+
+/** phrase_chain_hits(pos_arrays): array<int> of phrase start positions
+  * from an array of k per-word sorted position arrays — the codegen
+  * wrapper over [[PhrasePosMerge.hits]]. */
+case class PhraseChainHits(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "phrase_chain_hits"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, _), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"phrase_chain_hits requires array<array<int>>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PhrasePosMerge.hits(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PhrasePosMerge.hits($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ScaleFunctions {
   def codepoint_entropy(text: Column): Column =
     Bridge.column(CodepointEntropy(Bridge.expression(text)))
@@ -360,6 +432,9 @@ object ScaleFunctions {
 
   def phrase_positions(text: Column, w1: String, w2: String): Column =
     Bridge.column(PhrasePositions(Bridge.expression(text), w1, w2))
+
+  def phrase_chain_hits(posArrays: Column): Column =
+    Bridge.column(PhraseChainHits(Bridge.expression(posArrays)))
 
   def trigram_tf(text: Column): Column =
     Bridge.column(TrigramTf(Bridge.expression(text)))

@@ -796,6 +796,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gate.length == 1 && gate(0).getBoolean(1), "serving batch gate true")
   }
 
+  test("batched hybrid serving is bit-identical to the per-query loop") {
+    import org.apache.spark.sql.functions.transform
+    val qvs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 3L && col("embedding").isNotNull)
+      .orderBy(col("vec_id"))
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    assert(qvs.length == 3)
+    val termSets = Seq(Seq("spark", "join", "query"),
+      Seq("data", "table", "hash"), Seq("oovxyz", "filter")) // one lex-weak leg
+    val reqs = qvs.zipWithIndex.map { case (v, i) => (termSets(i), v) }
+    def key(r: org.apache.spark.sql.Row, off: Int) = (
+      r.getLong(off), if (r.isNullAt(off + 1)) -1L else r.getLong(off + 1),
+      if (r.isNullAt(off + 2)) -1L else r.getLong(off + 2), r.getDouble(off + 3))
+    val batch = Similarity.searchHybridBatch(spark, sfDir, reqs).collect()
+      .map(r => (r.getLong(0), key(r, 1))).toSeq
+    val looped = reqs.zipWithIndex.flatMap { case ((ts, v), i) =>
+      Similarity.searchHybrid(spark, sfDir, ts, v).collect()
+        .map(r => (i.toLong, key(r, 0)))
+    }
+    assert(batch == looped, s"batch=${batch.take(4)}... loop=${looped.take(4)}...")
+    val empty = Similarity.searchHybridBatch(spark, sfDir, Seq.empty)
+    assert(empty.columns.toSeq == Seq("query_id", "doc_id", "r_lex", "r_vec", "rrf"))
+    assert(empty.count() == 0L)
+  }
+
   test("hybrid serving fuses the two index tiers by reciprocal rank") {
     import org.apache.spark.sql.functions.transform
     val qv = spark.read.parquet(s"$sfDir/embeddings.parquet")
