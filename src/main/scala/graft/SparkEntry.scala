@@ -1417,6 +1417,13 @@ object SparkEntry {
     // rows-only — the cross-batch MemoryStream test is the gate
     "stream_heavy_hitters" -> ((s, dir) =>
       graft.streaming.EventIngest.heavyHitterStreamAvailableNow(s, dir)),
+    // streaming DOCUMENT ingest lifecycle (round 18): landed doc files
+    // grow the corpus behind per-file replay stamps and the postings
+    // index through the content-guarded append; covers/equals-rebuild/
+    // replay-noop verdicts on a dedicated gate corpus — literal-TRUE
+    // oracle
+    "doc_ingest_gates" -> ((s, dir) =>
+      graft.streaming.EventIngest.docIngestGates(s, dir)),
   )
 
   // ---------------------------------------------------------------------
@@ -3066,6 +3073,12 @@ object SparkEntry {
           "lex_compact_preserves_results", "lex_delete_equals_rebuild",
           "lex_delete_never_served", "lex_live_identity",
           "lex_rewrite_refused", "lex_stats_match_store")
+          .map(m => s"('$m', TRUE)").mkString(", ") +
+        ") AS t(metric, ok) ORDER BY metric"),
+    "doc_ingest_gates" ->
+      ("SELECT * FROM (VALUES " +
+        Seq("doc_ingest_covers", "doc_ingest_equals_rebuild",
+          "doc_ingest_replay_noop")
           .map(m => s"('$m', TRUE)").mkString(", ") +
         ") AS t(metric, ok) ORDER BY metric"),
     // the index tokenizes on whitespace (regexp_split_to_array mirrors

@@ -322,6 +322,21 @@ object EventIngest {
     val ss = streamSession(spark)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-vecingest-ck").toString
     val gained = new java.util.concurrent.atomic.AtomicLong(0L)
+    // BOUND the legacy-stamp probe to the pre-upgrade era (ADVICE r17):
+    // a legacy stamp can only describe a file that landed BEFORE the
+    // last legacy stamp was written, so the newest legacy-stamp mtime
+    // (snapshot once per run) is the era boundary — a post-upgrade
+    // file whose basename merely collides with a pre-upgrade stamp
+    // from another directory no longer matches and gets ingested
+    // instead of silently skipped forever. Legacy stamps are the
+    // non-sha-keyed names (the sha scheme is 64 hex chars).
+    val legacyEraEnd: Long = {
+      val sha = "^[0-9a-f]{64}$".r
+      Option(new java.io.File(s"$corpusDir/_vec_ingest").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => sha.findFirstIn(f.getName).isEmpty)
+        .map(_.lastModified).foldLeft(0L)(math.max)
+    }
     val src = ss.readStream
       .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
       .option("pathGlobFilter", "*.parquet")
@@ -353,14 +368,25 @@ object EventIngest {
         // fresh-checkpoint replay after the upgrade (silent duplicate
         // corpus rows; only the index append dedups). A legacy hit
         // counts as ingested AND migrates: the new-key stamp is
-        // written so later replays take the fast path.
+        // written so later replays take the fast path. The probe is
+        // BOUNDED to files that landed within the legacy era (mtime ≤
+        // newest legacy stamp — ADVICE r17): without the bound, a
+        // never-ingested post-upgrade file colliding on basename was
+        // stamped-and-skipped forever, extending the legacy scheme's
+        // collision loss indefinitely.
         def legacyStampOf(path: String) = new java.io.File(stampDir,
           java.net.URLEncoder.encode(
             path.substring(path.lastIndexOf('/') + 1), "UTF-8"))
+        def landedInLegacyEra(path: String): Boolean = legacyEraEnd > 0L && {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(hp).getModificationTime <= legacyEraEnd
+        }
         val files = batch.select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).filter(_.nonEmpty)
         files.foreach { f =>
-          if (!stampOf(f).exists() && legacyStampOf(f).exists()) {
+          if (!stampOf(f).exists() && landedInLegacyEra(f) &&
+              legacyStampOf(f).exists()) {
             stampOf(f).createNewFile(); ()
           }
         }
@@ -381,6 +407,134 @@ object EventIngest {
     try q.awaitTermination()
     finally deleteRecursively(new java.io.File(ckpt))
     gained.get()
+  }
+
+  /** Streaming DOCUMENT ingest — [[vectorIngestAvailableNow]]'s shape
+    * on the lexical store (round 18, verdict r17 ask #3: a
+    * continuously-fed corpus could keep its ANN index fresh but not
+    * its postings index; the reference's store is itself continuously
+    * fed, R:23-28 pulls live data per request): document batches land
+    * in `landingDir`, stream in one file per micro-batch, and each
+    * batch (1) appends to `documents.parquet` behind the same
+    * sha-256(path+length) per-file replay stamps (under
+    * `_doc_ingest/` — a NEW scheme, no legacy basename era to probe)
+    * and (2) extends the persisted postings/terms/doclens through
+    * `Lexical.lexIndexAppend`, which is idempotent by construction
+    * (doclens anti-join) and content-guarded (the thash check refuses
+    * a rewritten corpus rather than indexing over it). A crash
+    * between the corpus write and its stamps can replay one file's
+    * rows into the corpus twice — the index stays duplicate-free
+    * regardless (at-least-once, the recoverable direction). Runs
+    * under AvailableNow; returns the number of documents the index
+    * gained. Requires an existing lexical store (the append
+    * contract). */
+  def docIngestAvailableNow(spark: SparkSession, landingDir: String,
+      corpusDir: String): Long = {
+    require(new java.io.File(
+        graft.ops.Lexical.lexIndexDir(corpusDir), "_SUCCESS").isFile,
+      s"no persisted lexical index for $corpusDir — build one " +
+        "(ensureLexIndex) before streaming documents into it")
+    val ss = streamSession(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-docingest-ck").toString
+    val gained = new java.util.concurrent.atomic.AtomicLong(0L)
+    val src = ss.readStream
+      .schema("doc_id LONG, lang STRING, source STRING, text STRING, n_chars LONG")
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val stampDir = new java.io.File(s"$corpusDir/_doc_ingest")
+        def stampOf(path: String) = {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val len = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(hp).getLen
+          val key = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(s"$path:$len".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          new java.io.File(stampDir, key)
+        }
+        val files = batch.select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).filter(_.nonEmpty)
+        val freshFiles = files.filterNot(f => stampOf(f).exists())
+        if (freshFiles.nonEmpty) {
+          batch.filter(input_file_name()
+              .isin(freshFiles.map(x => x: Any): _*))
+            .write.mode("append").parquet(s"$corpusDir/documents.parquet")
+          stampDir.mkdirs()
+          freshFiles.foreach { f => stampOf(f).createNewFile(); () }
+        }
+        gained.addAndGet(graft.ops.Lexical.lexIndexAppend(spark, corpusDir))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally deleteRecursively(new java.io.File(ckpt))
+    gained.get()
+  }
+
+  private val docIngestGateCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(String, Boolean)]]()
+
+  /** Driver-hashed verdict rows for the streaming document ingest —
+    * the `lex_index_lifecycle_gates` pattern on [[docIngestAvailableNow]]:
+    * a DEDICATED gate corpus (a doc subset copied under the store
+    * root, never the shared corpus) is built, the held-out docs land
+    * as files, the stream ingests them, and the rows assert
+    *
+    *  - `doc_ingest_covers`: the index gained exactly the landed docs;
+    *  - `doc_ingest_equals_rebuild`: the ingested store serves results
+    *    bit-identical to the DEFAULT store over the same (now equal)
+    *    corpus — streaming append == from-scratch build;
+    *  - `doc_ingest_replay_noop`: a full replay (fresh checkpoint =
+    *    every batch replays) gains 0 and does not double-ingest the
+    *    corpus — the per-file stamps and the doclens anti-join hold. */
+  def docIngestGates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val rows = Option(docIngestGateCache.get(key)).getOrElse {
+      val computed = computeDocIngestGates(spark, sfDir)
+      docIngestGateCache.put(key, computed)
+      computed
+    }
+    rows.toDF("metric", "ok").orderBy(col("metric"))
+  }
+
+  private def computeDocIngestGates(spark: SparkSession,
+      sfDir: String): Seq[(String, Boolean)] = {
+    val metrics = Seq("doc_ingest_covers", "doc_ingest_equals_rebuild",
+      "doc_ingest_replay_noop")
+    if (!new java.io.File(s"$sfDir/documents.parquet").exists)
+      return metrics.map((_, true)) // vacuously ok without a corpus
+    val gc = graft.ops.Similarity.corpusStoreRoot(sfDir) + "/doc_ingest_gate"
+    deleteRecursively(new java.io.File(gc))
+    // the gate corpus has its OWN store root — reset it too, plus any
+    // session caches pointing at either
+    deleteRecursively(new java.io.File(graft.ops.Similarity.corpusStoreRoot(gc)))
+    graft.ops.Lexical.clearAllLexCaches()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L)
+      .write.mode("overwrite").parquet(s"$gc/documents.parquet")
+    graft.ops.Lexical.ensureLexIndex(spark, gc)
+    val heldOut = docs.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+    val nHeld = heldOut.count()
+    heldOut.repartition(2).write.mode("overwrite").parquet(s"$gc/landing")
+    val gained = docIngestAvailableNow(spark, s"$gc/landing", gc)
+    val covers = gained == nHeld
+    val q = Seq("spark", "table", "hash", "data")
+    val ingested = graft.ops.Lexical.searchText(spark, gc, q, 100)
+      .collect().toSeq
+    val reference = graft.ops.Lexical.searchText(spark, sfDir, q, 100)
+      .collect().toSeq
+    val equalsRebuild = ingested == reference
+    val replayGained = docIngestAvailableNow(spark, s"$gc/landing", gc)
+    val replayNoop = replayGained == 0L &&
+      spark.read.parquet(s"$gc/documents.parquet").count() == docs.count()
+    Seq("doc_ingest_covers" -> covers,
+      "doc_ingest_equals_rebuild" -> equalsRebuild,
+      "doc_ingest_replay_noop" -> replayNoop)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
