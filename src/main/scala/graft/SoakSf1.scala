@@ -242,8 +242,49 @@ object SoakSf1 {
       f"(max ${lat.last}%.0f), mmr $mmrMs%.0f ms, batch ${qs.tail.length} " +
       f"queries $batchMs%.0f ms ($batchPerQ%.0f ms/q, parity $batchParity) " +
       f"(ceiling $ServingP50CeilingMs%.0f)")
+    // round 18 (verdict r17 ask #5): the hybrid fusion verb gets the
+    // latency + batch-parity rows its two component tiers already had.
+    // Only where the corpus HAS a document side (the sf1 store; the
+    // ann100k/1m stores are vector-only): ceiling = the sum of the two
+    // component ceilings (vector p50 + the lexical tier's 2× bound) —
+    // the verb is a sequential compose of one call to each.
+    val hybridOk =
+      if (!new java.io.File(s"$corpusDir/documents.parquet").exists) true
+      else {
+        val termSets = Seq(Seq("spark", "join", "query"),
+          Seq("data", "table", "hash"), Seq("stream", "filter", "sort"))
+        val reqs = qs.tail.take(7).toSeq.zipWithIndex
+          .map { case (v, i) => (termSets(i % 3), v) }
+        graft.ops.Similarity.searchHybrid(
+          spark, corpusDir, reqs.head._1, reqs.head._2).collect() // warm lex tier
+        val hLoop = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Any, Any, Double)]
+        val hLat = reqs.zipWithIndex.map { case ((ts, v), qi) =>
+          val t0 = System.nanoTime()
+          val rows = graft.ops.Similarity.searchHybrid(spark, corpusDir, ts, v)
+            .collect()
+          require(rows.nonEmpty, "hybrid serving returned no rows")
+          hLoop ++= rows.map(r => (qi.toLong, r.getLong(0), r.get(1), r.get(2),
+            r.getDouble(3)))
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        val hp50 = hLat(hLat.length / 2)
+        val t2 = System.nanoTime()
+        val hBatch = graft.ops.Similarity.searchHybridBatch(spark, corpusDir, reqs)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3), r.getDouble(4)))
+        val hBatchMs = (System.nanoTime() - t2) / 1e6
+        val hBatchPerQ = hBatchMs / reqs.length
+        val hParity = hBatch.toSeq == hLoop.toSeq
+        val hCeiling = ServingP50CeilingMs * 3 // vector (1×) + lexical (2×)
+        println(f"[soak] $label hybrid p50 $hp50%.0f ms over ${hLat.length} " +
+          f"queries (max ${hLat.last}%.0f), batch ${reqs.length} queries " +
+          f"$hBatchMs%.0f ms ($hBatchPerQ%.0f ms/q, parity $hParity) " +
+          f"(ceiling $hCeiling%.0f)")
+        hp50 <= hCeiling && hParity && hBatchPerQ <= hCeiling
+      }
     p50 <= ServingP50CeilingMs && mmrMs <= ServingP50CeilingMs * 4 &&
-      batchParity && batchPerQ <= ServingP50CeilingMs
+      batchParity && batchPerQ <= ServingP50CeilingMs && hybridOk
   }
 
   /** 100k-vector ANN tier (round-13): the auto-scaled probe schedule
@@ -925,6 +966,13 @@ object SoakSf1 {
     if (args.length >= 2 && args(1) == "--serving100k-only") {
       val ok = servingLatencyGate(spark, s"$dir/ann100k", "ann100k")
       println(s"[soak] ${if (ok) "PASS" else "FAIL"} ann100k_serving_p50")
+      spark.stop()
+      sys.exit(if (ok) 0 else 1)
+    }
+    if (args.length >= 2 && args(1) == "--serving20k-only") {
+      ensureCorpus(spark, dir)
+      val ok = servingLatencyGate(spark, dir, "sf1")
+      println(s"[soak] ${if (ok) "PASS" else "FAIL"} serving_p50_latency")
       spark.stop()
       sys.exit(if (ok) 0 else 1)
     }

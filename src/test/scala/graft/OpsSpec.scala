@@ -818,6 +818,62 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gate.length == 1 && gate(0).getBoolean(1), "serving batch gate true")
   }
 
+  test("online hybrid serving agrees with the corpus-wide hybrid_search on the same query") {
+    // verdict r17 ask #5: the online verb (persisted-index serving,
+    // IVF vector leg) and the corpus-wide analytic (exact cosine leg)
+    // fuse by the same RRF rule over the same lexical ranking — pin
+    // the shared parts exactly, and the vector legs up to the online
+    // tier's self-hit offset
+    import org.apache.spark.sql.functions.transform
+    val qv = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 0L && col("embedding").isNotNull)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()(0).getSeq[Double](0).toArray
+    val terms = Seq("spark", "join", "query") // bm25Search's own query
+    def rowsOf(df: org.apache.spark.sql.DataFrame, hasQid: Boolean) =
+      df.collect().map { r =>
+        val o = if (hasQid) 1 else 0
+        (r.getLong(o), if (r.isNullAt(o + 1)) None else Some(r.getLong(o + 1)),
+          if (r.isNullAt(o + 2)) None else Some(r.getLong(o + 2)), r.getDouble(o + 3))
+      }.toSeq
+    val online = rowsOf(
+      Similarity.searchHybrid(spark, sfDir, terms, qv, k = 200, fetch = 50), false)
+    val wide = rowsOf(Similarity.hybridSearch(spark, sfDir, k = 200), false)
+    // the fusion rule itself: every row's rrf re-derives from its own
+    // component ranks, in both tiers
+    def rrfOk(rows: Seq[(Long, Option[Long], Option[Long], Double)]) =
+      rows.forall { case (_, rl, rv, s) =>
+        val expect = rl.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          rv.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        math.abs(BigDecimal(expect).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble - s) < 1e-9
+      }
+    assert(rrfOk(online) && rrfOk(wide), "rrf must re-derive from the rank columns")
+    // identical lexical ranking: both legs are the same deterministic
+    // BM25 top-50 over the same corpus
+    def lexMap(rows: Seq[(Long, Option[Long], Option[Long], Double)]) =
+      rows.flatMap { case (d, rl, _, _) => rl.map(d -> _) }.toMap
+    assert(lexMap(online) == lexMap(wide), "lexical ranks must agree exactly")
+    // vector legs: the online tier serves the query itself at rank 1
+    // (the corpus-wide analytic excludes self-pairs), so shared docs
+    // sit exactly one rank apart; require the overlap to be the
+    // recall-gate class, not a handful
+    def vecMap(rows: Seq[(Long, Option[Long], Option[Long], Double)]) =
+      rows.flatMap { case (d, _, rv, _) => rv.map(d -> _) }.toMap
+    val (vo, vw) = (vecMap(online), vecMap(wide))
+    val shared = vo.keySet intersect vw.keySet
+    assert(shared.size >= (vw.size * 9) / 10,
+      s"vector-leg overlap ${shared.size}/${vw.size} below the recall class")
+    // both tiers rank by exact cosine (the online tier reranks its
+    // candidates exactly), so the shared docs must appear in the SAME
+    // relative order — ranks can shift absolutely where one list holds
+    // a doc the other missed (IVF probes) or the self-hit
+    val sharedSeq = shared.toSeq
+    assert(sharedSeq.sortBy(vo) == sharedSeq.sortBy(vw),
+      "shared vector docs must keep their exact-cosine relative order")
+    assert(vo.get(0L).contains(1L), "online vector leg self-hit at rank 1")
+  }
+
   test("batched hybrid serving is bit-identical to the per-query loop") {
     import org.apache.spark.sql.functions.transform
     val qvs = spark.read.parquet(s"$sfDir/embeddings.parquet")
