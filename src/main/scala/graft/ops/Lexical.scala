@@ -69,14 +69,8 @@ object Lexical {
     * (postings/terms/doclens flip together — df deltas must describe
     * the postings they sit beside); absent means the build default.
     * Every read and append resolves through this. */
-  private[graft] def lexTablePath(dir: String, table: String): String = {
-    val p = java.nio.file.Paths.get(dir, "_lex_gen")
-    val gen =
-      if (java.nio.file.Files.exists(p))
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-      else ""
-    s"$dir/$table$gen"
-  }
+  private[graft] def lexTablePath(dir: String, table: String): String =
+    StoreLifecycle.genDir(dir, "_lex_gen", table)
 
   /** Freshness follows the mirror rule (`Similarity.indexFresh`): the
     * source must EXIST and the marker must be no older than it. */
@@ -190,13 +184,8 @@ object Lexical {
     }
   }
 
-  private def writeLexStats(dir: String, nDocs: Long, sumDl: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Paths.get(dir, "_lex_stats.tmp")
-    Files.write(tmp, s"$nDocs\t$sumDl".getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(dir, "_lex_stats"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeLexStats(dir: String, nDocs: Long, sumDl: Long): Unit =
+    StoreLifecycle.atomicWriteText(dir, "_lex_stats", s"$nDocs\t$sumDl")
 
   /** Serving base-relation cache per (app, store dir) — the
     * `servingScanCache` rule: a resident service lists its postings
@@ -889,12 +878,8 @@ object Lexical {
   private[ops] def compactLexIndexAt(spark: SparkSession, dir: String): Unit = {
     require(new java.io.File(dir, "_SUCCESS").isFile,
       s"no persisted lexical index at $dir — nothing to compact")
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val p = Paths.get(dir, "_lex_gen")
-    val cur =
-      if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim else ""
-    val next =
-      if (cur.isEmpty) ".g1" else ".g" + (cur.stripPrefix(".g").toLong + 1L)
+    val cur = StoreLifecycle.readPointer(dir, "_lex_gen").getOrElse("")
+    val next = StoreLifecycle.nextSuffix(cur)
     Seq("postings", "terms", "doclens").foreach(t =>
       Similarity.deleteRecursively(s"$dir/$t$next"))
     val ts = Similarity.tombstones(spark, dir)
@@ -915,21 +900,10 @@ object Lexical {
         .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/terms$next")
     minusDeleted(spark.read.parquet(s"$dir/doclens$cur"))
       .write.mode("overwrite").parquet(s"$dir/doclens$next")
-    val tmp = Paths.get(dir, "_lex_gen.tmp")
-    Files.write(tmp, next.getBytes("UTF-8"))
-    Files.move(tmp, p,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    StoreLifecycle.flipPointer(dir, "_lex_gen", next)
     // retention: keep exactly the superseded generation, drop older
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter { f =>
-        val n = f.getName
-        f.isDirectory &&
-          Seq("postings", "terms", "doclens").exists(t =>
-            n == t || (n.startsWith(t + ".g"))) &&
-          !n.endsWith(next) &&
-          Seq("postings", "terms", "doclens").forall(t => n != t + cur)
-      }
-      .foreach(f => Similarity.deleteRecursively(f.getPath))
+    StoreLifecycle.retainGenerations(dir,
+      Seq("postings", "terms", "doclens"), Set(cur, next))
     clearLexCaches(dir)
   }
 }

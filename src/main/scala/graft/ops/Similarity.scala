@@ -744,13 +744,8 @@ object Similarity {
     * _SUCCESS and refused or refit): write a tmp marker and rename it
     * into place — the marker is continuously present, with the new
     * mtime after the move. */
-  private[ops] def renewMarker(dir: String): Unit = {
-    val tmp = java.nio.file.Paths.get(dir, "_SUCCESS.tmp")
-    java.nio.file.Files.write(tmp, Array.emptyByteArray)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_SUCCESS"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private[ops] def renewMarker(dir: String): Unit =
+    StoreLifecycle.renewMarker(dir)
 
   /** On-disk LSH bucket store for (corpus, tables, bucketLength) — the
     * second ingest-time index artifact (round 14, the IVF store's
@@ -769,14 +764,8 @@ object Similarity {
     * (the build default; a rebuild swaps the whole store dir in with
     * no pointer, resetting the lineage). Every read and append goes
     * through this resolver. */
-  private[graft] def lshBucketsPath(dir: String): String = {
-    val p = java.nio.file.Paths.get(dir, "_buckets_gen")
-    val gen =
-      if (java.nio.file.Files.exists(p))
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-      else "buckets"
-    s"$dir/$gen"
-  }
+  private[graft] def lshBucketsPath(dir: String): String =
+    StoreLifecycle.genDir(dir, "_buckets_gen", "buckets")
 
   private def lshBuckets(spark: SparkSession, sfDir: String, tables: Int,
       bucketLength: Double): Option[(Int, DataFrame)] =
@@ -910,11 +899,9 @@ object Similarity {
       case Some(t) => indexedIds.join(broadcast(t), Seq("vec_id"), "left_anti")
       case None => indexedIds
     }
-    val ghosts = servingIdx
-      .join(emb(spark, sfDir).select(col("vec_id")), Seq("vec_id"), "left_anti")
-      .count()
-    require(ghosts == 0L,
-      s"$ghosts bucketed vectors are no longer in the corpus at $sfDir — " +
+    StoreLifecycle.ghostGuard(servingIdx,
+      emb(spark, sfDir).select(col("vec_id")), "vec_id",
+      n => s"$n bucketed vectors are no longer in the corpus at $sfDir — " +
         "the embedding store was rewritten or shrank; rebuild the LSH index instead")
     // content-address guard (round 17, ADVICE r16): ids alone cannot
     // distinguish "pure growth" from "rewrite that kept every id and
@@ -934,12 +921,10 @@ object Similarity {
         case Some(t) => vh0.join(broadcast(t), Seq("vec_id"), "left_anti")
         case None => vh0
       }
-      val changed = vhServing
-        .join(emb(spark, sfDir)
-          .select(col("vec_id"), xxhash64(col("v")).as("vh_now")), Seq("vec_id"))
-        .filter(col("vh_now") =!= col("vh")).count()
-      require(changed == 0L,
-        s"$changed indexed vectors changed content in the corpus at $sfDir — " +
+      StoreLifecycle.contentGuard(vhServing,
+        emb(spark, sfDir)
+          .select(col("vec_id"), xxhash64(col("v")).as("vh_now")), "vec_id",
+        n => s"$n indexed vectors changed content in the corpus at $sfDir — " +
           "the buckets were hashed from the old vectors; rebuild the LSH index")
     }
     val e = lshInput(spark, sfDir)
@@ -1057,9 +1042,9 @@ object Similarity {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val cur = lshBucketsPath(dir)
     val curName = Paths.get(cur).getFileName.toString
-    val nextName =
-      if (curName == "buckets") "buckets.g1"
-      else "buckets.g" + (curName.stripPrefix("buckets.g").toLong + 1L)
+    val curSfx = StoreLifecycle.suffixOf(curName, "buckets")
+    val nextSfx = StoreLifecycle.nextSuffix(curSfx)
+    val nextName = "buckets" + nextSfx
     deleteRecursively(s"$dir/$nextName")
     val physical = spark.read.parquet(cur)
     val kept = tombstones(spark, tombstoneDir.getOrElse(indexDir(sfDir, 0))) match {
@@ -1067,18 +1052,9 @@ object Similarity {
       case None => physical
     }
     kept.write.mode("overwrite").parquet(s"$dir/$nextName")
-    val tmp = Paths.get(dir, "_buckets_gen.tmp")
-    Files.write(tmp, nextName.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(dir, "_buckets_gen"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    StoreLifecycle.flipPointer(dir, "_buckets_gen", nextName)
     // retention: keep exactly the superseded generation, drop older
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter { f =>
-        f.isDirectory &&
-          (f.getName == "buckets" || f.getName.startsWith("buckets.g")) &&
-          f.getName != nextName && f.getName != curName
-      }
-      .foreach(f => deleteRecursively(f.getPath))
+    StoreLifecycle.retainGenerations(dir, Seq("buckets"), Set(curSfx, nextSfx))
     // fold the content-address sidecar too (ADVICE r17): vhashes rows
     // for tombstoned ids otherwise persist forever — with the serving
     // exemption in the append guard they no longer cause refusals, but
@@ -1712,11 +1688,9 @@ object Similarity {
       case Some(t) => indexedIds.join(broadcast(t), Seq("vec_id"), "left_anti")
       case None => indexedIds
     }
-    val ghosts = serving
-      .join(emb(spark, sfDir).select(col("vec_id")), Seq("vec_id"), "left_anti")
-      .count()
-    require(ghosts == 0L,
-      s"$ghosts indexed vectors are no longer in the corpus at $sfDir — " +
+    StoreLifecycle.ghostGuard(serving,
+      emb(spark, sfDir).select(col("vec_id")), "vec_id",
+      n => s"$n indexed vectors are no longer in the corpus at $sfDir — " +
         "the embedding store was rewritten or shrank; appending would keep " +
         "serving ghost neighbors. Rebuild the index (ensureIvfIndex) instead")
     // content-address guard (round 18, verdict r17 ask #1): ids alone
@@ -1729,16 +1703,14 @@ object Similarity {
     // address. Serving rows only (the ghost check's takedown-replace
     // exemption): one hash-join pass at the scale of the ghost check
     // itself, paid per maintenance append, never per query.
-    val rewritten = (ts match {
+    StoreLifecycle.contentGuard(
+      (ts match {
         case Some(t) => cells0.join(broadcast(t), Seq("vec_id"), "left_anti")
         case None => cells0
-      })
-      .select(col("vec_id"), xxhash64(col("v")).as("vh_idx"))
-      .join(emb(spark, sfDir)
-        .select(col("vec_id"), xxhash64(col("v")).as("vh_now")), Seq("vec_id"))
-      .filter(col("vh_idx") =!= col("vh_now")).count()
-    require(rewritten == 0L,
-      s"$rewritten indexed vectors changed content in the corpus at $sfDir — " +
+      }).select(col("vec_id"), xxhash64(col("v")).as("vh")),
+      emb(spark, sfDir)
+        .select(col("vec_id"), xxhash64(col("v")).as("vh_now")), "vec_id",
+      n => s"$n indexed vectors changed content in the corpus at $sfDir — " +
         "the inverted lists were assigned from the old vectors; appending " +
         "would certify a rewritten corpus as indexed. Rebuild the index " +
         "(ensureIvfIndex) instead")
@@ -1797,17 +1769,9 @@ object Similarity {
     * text file): [[ensureIvfIndex]]'s rebuild policy compares it to
     * the corpus size — a fit whose appended fraction dominates no
     * longer represents the data it serves. */
-  private def appendMeta(dir: String, added: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val prev = appendedCount(dir)
-    // tmp + atomic rename, the renewMarker rule: an in-place truncate-
-    // then-write left a crash window with an empty/partial counter that
-    // broke every later ensure/health/append (review finding, round 15)
-    val tmp = Paths.get(dir, "_appended.tmp")
-    Files.write(tmp, (prev + added).toString.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(dir, "_appended"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def appendMeta(dir: String, added: Long): Unit =
+    StoreLifecycle.atomicWriteText(dir, "_appended",
+      (appendedCount(dir) + added).toString)
 
   private[graft] def appendedCount(dir: String): Long = {
     val f = java.nio.file.Paths.get(dir, "_appended")
@@ -1846,16 +1810,11 @@ object Similarity {
 
   /** tmp + atomic rename (the `_appended` discipline): the stats file
     * is continuously present and never half-written. */
-  private[graft] def writeLabelStats(dir: String, m: Map[Option[Int], Long]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val body = m.toSeq.sortBy(_._1.getOrElse(Int.MinValue))
-      .map { case (l, n) => s"${l.map(_.toString).getOrElse("NULL")}\t$n" }
-      .mkString("\n")
-    val tmp = Paths.get(dir, "_label_stats.tmp")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(dir, "_label_stats"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private[graft] def writeLabelStats(dir: String, m: Map[Option[Int], Long]): Unit =
+    StoreLifecycle.atomicWriteText(dir, "_label_stats",
+      m.toSeq.sortBy(_._1.getOrElse(Int.MinValue))
+        .map { case (l, n) => s"${l.map(_.toString).getOrElse("NULL")}\t$n" }
+        .mkString("\n"))
 
   /** The stats-backed FILTER ATTRIBUTES of the cells store and their
     * types (round-17 verdict ask #3: round 16 hard-coded `label`; any
@@ -1934,16 +1893,10 @@ object Similarity {
   }
 
   private[graft] def writeAttrStats(dir: String, attr: String,
-      m: Map[Option[String], Long]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val body = m.toSeq.sortBy(_._1.getOrElse(""))
-      .map { case (l, n) => s"${l.getOrElse("NULL")}\t$n" }.mkString("\n")
-    val name = attrStatsFileName(attr)
-    val tmp = Paths.get(dir, name + ".tmp")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(dir, name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+      m: Map[Option[String], Long]): Unit =
+    StoreLifecycle.atomicWriteText(dir, attrStatsFileName(attr),
+      m.toSeq.sortBy(_._1.getOrElse(""))
+        .map { case (l, n) => s"${l.getOrElse("NULL")}\t$n" }.mkString("\n"))
 
   /** Generic-attr merge with the same floor-loudly contract as
     * [[mergeLabelStats]] (shared drift counter). */
@@ -2149,14 +2102,8 @@ object Similarity {
     * means `cells`, the build default (a rebuild swaps the whole store
     * dir in with no pointer, which resets the lineage). Every read and
     * append goes through this resolver. */
-  private[graft] def cellsPath(dir: String): String = {
-    val p = java.nio.file.Paths.get(dir, "_cells_gen")
-    val gen =
-      if (java.nio.file.Files.exists(p))
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-      else "cells"
-    s"$dir/$gen"
-  }
+  private[graft] def cellsPath(dir: String): String =
+    StoreLifecycle.genDir(dir, "_cells_gen", "cells")
 
   /** Fold an append-grown inverted-list store back to one file set per
     * cell (round-15 verdict ask #3): [[ivfIndexAppend]] writes one
@@ -2187,12 +2134,11 @@ object Similarity {
     val dir = indexDir(sfDir, nlist)
     require(new java.io.File(dir, "_SUCCESS").isFile,
       s"no persisted IVF index at $dir — nothing to compact")
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     val cur = cellsPath(dir)
-    val curName = Paths.get(cur).getFileName.toString
-    val nextName =
-      if (curName == "cells") "cells.g1"
-      else "cells.g" + (curName.stripPrefix("cells.g").toLong + 1L)
+    val curName = java.nio.file.Paths.get(cur).getFileName.toString
+    val curSfx = StoreLifecycle.suffixOf(curName, "cells")
+    val nextSfx = StoreLifecycle.nextSuffix(curSfx)
+    val nextName = "cells" + nextSfx
     deleteRecursively(s"$dir/$nextName")
     // ALL store columns survive the fold (vec_id, v, label, lang,
     // cell) — a compaction that narrowed the schema would trip the
@@ -2210,19 +2156,10 @@ object Similarity {
     }
     kept.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$nextName")
-    val tmp = Paths.get(dir, "_cells_gen.tmp")
-    Files.write(tmp, nextName.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(dir, "_cells_gen"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    StoreLifecycle.flipPointer(dir, "_cells_gen", nextName)
     // retention: keep exactly the superseded generation; drop anything
     // older (unreachable by any reader within one compaction of now)
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter { f =>
-        f.isDirectory &&
-          (f.getName == "cells" || f.getName.startsWith("cells.g")) &&
-          f.getName != nextName && f.getName != curName
-      }
-      .foreach(f => deleteRecursively(f.getPath))
+    StoreLifecycle.retainGenerations(dir, Seq("cells"), Set(curSfx, nextSfx))
     clearIndexCaches(sfDir, nlist)
   }
 

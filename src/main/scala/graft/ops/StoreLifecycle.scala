@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The ONE store-lifecycle contract behind the three persisted index
+  * tiers — IVF inverted lists, LSH bucket tables, and the lexical
+  * postings trio (round 18, verdict r17 ask #7: the three suites had
+  * grown near-identical build/append/delete/compact machinery in three
+  * places; the next store composes these primitives instead of copying
+  * a fourth set). The discipline is the reference store's own
+  * (qrapids-forecast R:42-82: never serve a stale artifact as fresh,
+  * never let a partial write be loadable), generalized to mutable
+  * distributed stores:
+  *
+  *  - **Generation pointer** — the live table directory resolves
+  *    through a one-line pointer file, flipped by atomic rename;
+  *    compaction writes a NEW generation and flips, so the live path
+  *    is continuously resolvable and the superseded generation is
+  *    retained until the next fold. Two on-disk token dialects predate
+  *    this object and both stay readable forever: the vector tiers
+  *    store the full directory name (`cells.g3`), the lexical tier
+  *    stores the shared suffix (`.g3`) applied to each of its three
+  *    tables. [[genDir]] accepts either.
+  *  - **Freshness marker** — `_SUCCESS` at the store root, renewed by
+  *    atomic rename only when coverage provably extends ([[renewMarker]]);
+  *    the staleness rule (marker mtime vs source mtime) then forces
+  *    refits exactly when the corpus moved.
+  *  - **Tombstones** — an append-only id file set read by every
+  *    serving path as an anti-join and carried across compactions as
+  *    the append-resurrection guard ([[Similarity.tombstones]] /
+  *    [[Similarity.appendTombstoneIds]] are the shared
+  *    implementation already).
+  *  - **Content address** — appends must distinguish pure growth from
+  *    a rewrite that kept (or grew) the id set: every serving indexed
+  *    row's stored content hash is compared to the live corpus and a
+  *    mismatch REFUSES the append ([[contentGuard]]); ids alone pass
+  *    exactly the rewrite the guard exists to catch ([[ghostGuard]]
+  *    is the id-subset half). Stores that persist the payload itself
+  *    (IVF cells) hash it directly; stores that persist only derived
+  *    keys carry a sidecar (LSH `vhashes`, lexical `thash`).
+  *  - **Atomic metadata** — every metadata file beside a store
+  *    (counters, stats, pointers) writes aside and renames
+  *    ([[atomicWriteText]]): an in-place truncate-then-write leaves a
+  *    crash window where a partial file wedges every later
+  *    ensure/health/append (round-15 review finding).
+  */
+private[graft] object StoreLifecycle {
+
+  /** The pointer file's token, if the store has flipped at least once. */
+  def readPointer(dir: String, ptrName: String): Option[String] = {
+    val p = java.nio.file.Paths.get(dir, ptrName)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  /** Resolve the live generation directory of `base` under `dir` —
+    * full-name tokens (`cells.g3`) and suffix tokens (`.g3`) both
+    * resolve; an unflipped store serves `base` itself. */
+  def genDir(dir: String, ptrName: String, base: String): String =
+    readPointer(dir, ptrName) match {
+      case None => s"$dir/$base"
+      case Some(t) if t.startsWith(base) => s"$dir/$t"
+      case Some(sfx) => s"$dir/$base$sfx"
+    }
+
+  /** The generation SUFFIX a token denotes ("" for the unflipped
+    * default) — the dialect-free currency [[nextSuffix]] and
+    * [[retainGenerations]] trade in. */
+  def suffixOf(token: String, base: String): String =
+    if (token.startsWith(base)) token.stripPrefix(base) else token
+
+  def nextSuffix(cur: String): String =
+    if (cur.isEmpty) ".g1" else ".g" + (cur.stripPrefix(".g").toLong + 1L)
+
+  /** Publish a new generation: write-aside + atomic rename of the
+    * pointer file. The caller writes the generation's tables BEFORE
+    * flipping — a crash before the flip leaves the old generation
+    * live and complete. */
+  def flipPointer(dir: String, ptrName: String, token: String): Unit =
+    atomicWriteText(dir, ptrName, token)
+
+  /** Retention after a flip: for each base, keep exactly the
+    * generations named by `keepSuffixes` (typically the superseded one
+    * and the new one — the superseded stays until the NEXT fold so any
+    * reader that resolved just before the flip finishes its scan). */
+  def retainGenerations(dir: String, bases: Seq[String],
+      keepSuffixes: Set[String]): Unit = {
+    val keep = bases.flatMap(b => keepSuffixes.map(s => b + s)).toSet
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.isDirectory &&
+          bases.exists(b => f.getName == b || f.getName.startsWith(b + ".g")) &&
+          !keep.contains(f.getName)
+      }
+      .foreach(f => Similarity.deleteRecursively(f.getPath))
+  }
+
+  /** Atomic one-file metadata write (pointer files, counters, stats). */
+  def atomicWriteText(dir: String, name: String, content: String): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, name + ".tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Renew the freshness marker by atomic rename (never touch-in-place:
+    * a reader must see either the old complete marker or the new one). */
+  def renewMarker(dir: String): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, "_SUCCESS.tmp")
+    java.nio.file.Files.write(tmp, Array.emptyByteArray)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_SUCCESS"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Append guard, id half: every SERVING indexed id must still exist
+    * in the corpus (tombstoned ids are the caller's exemption — a
+    * takedown-replace is the expected sequence, not a rewrite). */
+  def ghostGuard(serving: DataFrame, corpus: DataFrame, idCol: String,
+      message: Long => String): Unit = {
+    val ghosts = serving.join(corpus, Seq(idCol), "left_anti").count()
+    require(ghosts == 0L, message(ghosts))
+  }
+
+  /** Append guard, content half: every serving indexed row's stored
+    * hash must equal the live corpus hash for the same id — the check
+    * that catches a rewrite that KEPT (or grew) the id set, which the
+    * ghost guard alone cannot see. `stored` carries (idCol, vh),
+    * `live` carries (idCol, vh_now). */
+  def contentGuard(stored: DataFrame, live: DataFrame, idCol: String,
+      message: Long => String): Unit = {
+    val changed = stored.join(live, Seq(idCol))
+      .filter(col("vh_now") =!= col("vh")).count()
+    require(changed == 0L, message(changed))
+  }
+}
