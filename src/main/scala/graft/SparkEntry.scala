@@ -933,6 +933,9 @@ object SparkEntry {
     // cap, table completeness — the signals the LSH compaction verb
     // and ensure-time auto-fold act on
     "lsh_index_health" -> ((s, dir) => Similarity.lshIndexHealth(s, dir)),
+    // lexical-store drift monitor (round 18): dead-row pressure, layout
+    // version, stats honesty — the tier-parity twin of the two above
+    "lex_index_health" -> ((s, dir) => graft.ops.Lexical.lexIndexHealth(s, dir)),
     // the serving-path pool-cardinality metadata (round 16): live label
     // counts persisted beside the index — searchVector's filtered probe
     // widening reads THIS instead of running a count job per request;
@@ -3272,6 +3275,11 @@ object SparkEntry {
       s"""SELECT 'lsh_dead_rows_frac' AS metric, CAST(${Similarity.MaxDeletedFrac} AS DOUBLE) AS ceiling, TRUE AS ok
         |UNION ALL SELECT 'lsh_salt_group_max_over_cap', CAST(2.0 AS DOUBLE), TRUE
         |UNION ALL SELECT 'lsh_tables_complete', CAST(8.0 AS DOUBLE), TRUE
+        |ORDER BY metric""".stripMargin,
+    "lex_index_health" ->
+      s"""SELECT 'lex_dead_rows_frac' AS metric, CAST(${Similarity.MaxDeletedFrac} AS DOUBLE) AS ceiling, TRUE AS ok
+        |UNION ALL SELECT 'lex_layout_current', CAST(2.0 AS DOUBLE), TRUE
+        |UNION ALL SELECT 'lex_stats_consistent', CAST(1.0 AS DOUBLE), TRUE
         |ORDER BY metric""".stripMargin,
     // the persisted serving-path stats must equal the corpus's own live
     // label counts (the default generation carries no deletes on the

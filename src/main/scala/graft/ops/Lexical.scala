@@ -274,7 +274,21 @@ object Lexical {
 
   private def buildLexIndex(spark: SparkSession, sfDir: String, dir: String,
       pred: Option[Column]): Unit = {
-    val tok = docsTokenized(spark, sfDir, pred)
+    // a REBUILD must not undo takedowns (round 18, caught by the
+    // health-card spec): the atomic swap replaces the whole store dir
+    // — including tombstones/ — and the old build re-indexed
+    // still-in-corpus taken-down docs, serving them again. The
+    // registry is copied INTO the new generation inside the same swap
+    // that publishes it (the fitQuantizer carryTombstones rule), and
+    // the tokenized input EXCLUDES the taken-down docs — unlike the
+    // IVF refit (index-but-anti-join), the lexical exactness contract
+    // needs corpus statistics (n_docs, Σdl, df) over the LIVE set
+    // only, or every surviving BM25 score drifts from the
+    // rebuild-without-the-docs reference.
+    val priorTs = Similarity.tombstones(spark, dir)
+      .map(t => broadcast(t.select(col("doc_id"))))
+    val tok = priorTs.foldLeft(docsTokenized(spark, sfDir, pred))(
+        (df, t) => df.join(t, Seq("doc_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val stats = tok.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
@@ -291,6 +305,10 @@ object Lexical {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, "_lex_layout"),
           LexLayoutVersion.getBytes("UTF-8"))
+        // carried takedowns commit WITH the tables (byte-identical
+        // file copy — the registry is append-only id files)
+        if (priorTs.nonEmpty)
+          StoreLifecycle.copyDir(s"$dir/tombstones", s"$tmp/tombstones")
         ()
       }
       clearLexCaches(dir)
@@ -594,6 +612,58 @@ object Lexical {
         lit(sumDl).as("sum_dl"),
         round(lit(sumDl.toDouble) / lit(math.max(nDocs, 1L).toDouble), 6)
           .as("avgdl"))
+  }
+
+  /** Postings-store health signals — [[Similarity.ivfIndexHealth]] /
+    * [[Similarity.lshIndexHealth]]'s shape for the lexical tier (round
+    * 18: the two vector stores carried gated drift monitors, the
+    * postings trio had only its lifecycle gates — point-in-time
+    * proofs, not standing signals an operator reads):
+    *
+    *  - `lex_dead_rows_frac`: tombstoned docs still physical in
+    *    `doclens` over total physical — the read-amplification
+    *    pressure [[compactLexIndex]] reclaims, against the same
+    *    ceiling the ensure-path fold auto-triggers at;
+    *  - `lex_layout_current`: the `_lex_layout` version matches this
+    *    build — a mismatch means the next ensure pays a full rebuild
+    *    (signal it BEFORE a serving path stumbles into it);
+    *  - `lex_stats_consistent`: `_lex_stats` equals a live recompute
+    *    from `doclens` — BM25's corpus statistics drift to exactly the
+    *    degree this diverges. */
+  def lexIndexHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = if (!new java.io.File(s"$sfDir/documents.parquet").exists)
+      Seq( // no corpus: no store is the healthy state, vacuously ok
+        ("lex_dead_rows_frac", Similarity.MaxDeletedFrac, true),
+        ("lex_layout_current", LexLayoutVersion.toDouble, true),
+        ("lex_stats_consistent", 1.0, true))
+    else {
+      val dir = ensureLexIndex(spark, sfDir)
+      val dl = spark.read.parquet(lexTablePath(dir, "doclens"))
+      val total = dl.count()
+      val dead = Similarity.tombstones(spark, dir) match {
+        case Some(ts) => dl.select(col("doc_id"))
+          .join(broadcast(ts.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+          .count()
+        case None => 0L
+      }
+      val statsOk = readLexStats(dir).exists { case (n, s) =>
+        val live = Similarity.tombstones(spark, dir) match {
+          case Some(ts) => dl.join(broadcast(ts.select(col("doc_id"))),
+            Seq("doc_id"), "left_anti")
+          case None => dl
+        }
+        val r = live.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+          .collect()(0)
+        n == r.getLong(0) && s == r.getLong(1)
+      }
+      Seq(
+        ("lex_dead_rows_frac", Similarity.MaxDeletedFrac,
+          total == 0L || dead.toDouble / total <= Similarity.MaxDeletedFrac),
+        ("lex_layout_current", LexLayoutVersion.toDouble, layoutOk(dir)),
+        ("lex_stats_consistent", 1.0, statsOk))
+    }
+    rows.toDF("metric", "ceiling", "ok").orderBy(col("metric"))
   }
 
   // ---- lifecycle gates (driver-hashed verdict rows) ----

@@ -1390,7 +1390,17 @@ object Similarity {
           val assigned = live
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           Some(CoarseQuantizer(assigned.count(), cents, assigned))
-        case None => fitQuantizer(spark, sfDir, nlist, Seq.empty)
+        case None =>
+          // STALENESS refit (marker older than the corpus — e.g. files
+          // landed without an index append): same carry rule as the
+          // layout and drift rebuilds (round 18; this branch passed
+          // Seq.empty, so a refit after a takedown re-indexed and
+          // SERVED the still-in-corpus deleted vectors — the unsafe
+          // polarity). An absent store has no registry; collect is a
+          // no-op there.
+          val carry = tombstones(spark, dir)
+            .map(_.collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty)
+          fitQuantizer(spark, sfDir, nlist, carry)
       }
     })
 

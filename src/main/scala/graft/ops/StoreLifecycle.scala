@@ -106,6 +106,26 @@ private[graft] object StoreLifecycle {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Byte-identical recursive directory copy — carrying the takedown
+    * registry (or any sidecar) INTO a new store generation inside the
+    * atomic swap that publishes it: no reader may observe the new
+    * generation without its tombstone set (the fitQuantizer
+    * carryTombstones rule; a post-swap re-apply leaves a crash window
+    * where takedowns are permanently lost). */
+  def copyDir(src: String, dst: String): Unit = {
+    val s = new java.io.File(src)
+    if (!s.exists()) return
+    if (s.isDirectory) {
+      new java.io.File(dst).mkdirs()
+      Option(s.listFiles()).getOrElse(Array.empty)
+        .foreach(f => copyDir(f.getPath, s"$dst/${f.getName}"))
+    } else {
+      java.nio.file.Files.copy(s.toPath, java.nio.file.Paths.get(dst),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
   /** Renew the freshness marker by atomic rename (never touch-in-place:
     * a reader must see either the old complete marker or the new one). */
   def renewMarker(dir: String): Unit = {

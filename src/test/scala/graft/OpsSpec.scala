@@ -1027,6 +1027,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"growth-masked rewrite must refuse: ${exC.getMessage}")
   }
 
+  test("refits carry takedowns: a stale-marker rebuild must not resurrect deleted ids") {
+    // round 18 (found by the lexical health-card spec, then audited
+    // across tiers): the staleness-refit branch passed an empty carry
+    // set, so corpus growth WITHOUT an index append (files landing
+    // directly) followed by the automatic refit re-indexed and served
+    // still-in-corpus taken-down vectors
+    import spark.implicits._
+    def rows(ids: Range, shift: Long) = ids.map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shift)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-carry").toString
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.ivfTopK(spark, dir, k = 3).collect()
+    Similarity.ivfIndexDelete(spark, dir, Seq(5L))
+    Thread.sleep(1100) // mtime granularity: make the corpus visibly newer
+    rows(300 until 340, 99L).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    Similarity.clearCaches()
+    val topk = Similarity.ivfTopK(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(topk.nonEmpty && !topk.exists(p => p._1 == 5L || p._2 == 5L),
+      "stale-marker refit must not serve the taken-down vector")
+    assert(Similarity.tombstoneCount(spark, Similarity.indexDir(dir, 0)) == 1L,
+      "the registry must survive the refit swap")
+    // the lexical twin: rebuild after takedown (the health-card test
+    // pins serving identity; here pin the registry survival itself)
+    val ldir = java.nio.file.Files.createTempDirectory("graft-carrylex").toString
+    (1L to 9L).map(i => (i, "en", "s", s"alpha beta w$i", 3L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$ldir/documents.parquet")
+    graft.ops.Lexical.ensureLexIndex(spark, ldir)
+    assert(graft.ops.Lexical.lexIndexDelete(spark, ldir, Seq(4L)) == 1L)
+    Thread.sleep(1100)
+    (10L to 12L).map(i => (i, "en", "s", s"alpha beta w$i", 3L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$ldir/documents.parquet")
+    graft.ops.Lexical.clearAllLexCaches()
+    val served = graft.ops.Lexical.searchText(spark, ldir, Seq("alpha"), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(!served.contains(4L), "lexical rebuild must not resurrect the takedown")
+    assert((10L to 12L).forall(served.contains), "rebuild indexed the landed docs")
+  }
+
   test("ensureIvfIndex: a skew-planted append flips a rebuild and balance returns under the ceiling") {
     // round-15 drift policy: ivfIndexAppend grows the lists under
     // FIXED centroids; when the appended mass dominates (or piles into
