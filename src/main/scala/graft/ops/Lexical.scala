@@ -228,6 +228,18 @@ object Lexical {
     lexPressureChecked.entrySet.removeIf(_.getKey._2 == dir)
   }
 
+  /** Corpus-scoped invalidation: the caches of ONE corpus's lexical
+    * store (scan/df/pressure, keyed by store dir) plus its gate
+    * verdict rows (keyed by corpus dir). Harness code touching a
+    * dedicated gate corpus must use THIS, not the global clear —
+    * doc_ingest_gates wiping every corpus's caches made
+    * lex_index_lifecycle_gates recompute on both bench passes
+    * (0.05 s cached → 11.4 s, round-18 bench window). */
+  private[graft] def clearLexCachesForCorpus(sfDir: String): Unit = {
+    clearLexCaches(lexIndexDir(sfDir))
+    lexGateCache.entrySet.removeIf(_.getKey._2 == sfDir)
+  }
+
   private[graft] def clearAllLexCaches(): Unit = {
     lexScanCache.clear()
     termDfCache.clear()

@@ -510,10 +510,12 @@ object EventIngest {
       return metrics.map((_, true)) // vacuously ok without a corpus
     val gc = graft.ops.Similarity.corpusStoreRoot(sfDir) + "/doc_ingest_gate"
     deleteRecursively(new java.io.File(gc))
-    // the gate corpus has its OWN store root — reset it too, plus any
-    // session caches pointing at either
+    // the gate corpus has its OWN store root — reset it too, plus the
+    // session caches pointing at it (corpus-SCOPED: a global clear
+    // here wiped the shared corpus's gate/scan caches between the two
+    // bench passes and made lex_index_lifecycle_gates recompute twice)
     deleteRecursively(new java.io.File(graft.ops.Similarity.corpusStoreRoot(gc)))
-    graft.ops.Lexical.clearAllLexCaches()
+    graft.ops.Lexical.clearLexCachesForCorpus(gc)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L)
       .write.mode("overwrite").parquet(s"$gc/documents.parquet")
