@@ -806,6 +806,11 @@ object Lexical {
             java.util.Arrays.asList(tampered: _*), schema)
           .write.mode("overwrite").parquet(dlPath)
         clearLexCaches(gdir)
+        // a REAL rewrite replaces corpus files, breaking the manifest
+        // fast path; this tamper is store-side (the corpus is
+        // read-only), so break coverage explicitly to exercise the
+        // slow-path guard the rewrite would hit (the ann gate's rule)
+        new java.io.File(gdir, "_corpus_manifest").delete()
         try { lexIndexAppendAt(spark, sfDir, gdir); false }
         catch { case _: IllegalArgumentException => true }
       }
@@ -839,14 +844,21 @@ object Lexical {
         Seq("doc_id"), "left_anti")
       case None => dl
     }
-    val bad = dlServing.select(col("doc_id"), col("thash"))
-      .join(live.select(col("doc_id"), col("thash").as("thash_now")),
-        Seq("doc_id"), "left")
-      .filter(col("thash_now").isNull || col("thash_now") =!= col("thash"))
-      .count()
-    require(bad == 0L,
-      s"$bad indexed documents were rewritten or removed in $sfDir — " +
-        "the postings no longer describe the corpus; rebuild the lexical index")
+    // manifest fast path — the ivfIndexAppend rule: the thash LEFT
+    // join below (one combined ghost+content check) re-tokenizes and
+    // re-hashes the whole corpus per append; when the last certified
+    // corpus files are all still present verbatim, skip it
+    val corpusPath = s"$sfDir/documents.parquet"
+    if (!StoreLifecycle.manifestCovered(dir, corpusPath)) {
+      val bad = dlServing.select(col("doc_id"), col("thash"))
+        .join(live.select(col("doc_id"), col("thash").as("thash_now")),
+          Seq("doc_id"), "left")
+        .filter(col("thash_now").isNull || col("thash_now") =!= col("thash"))
+        .count()
+      require(bad == 0L,
+        s"$bad indexed documents were rewritten or removed in $sfDir — " +
+          "the postings no longer describe the corpus; rebuild the lexical index")
+    }
     // fresh = in the corpus, not yet indexed, NOT taken down — the
     // tombstone anti-join is the resurrection guard once compaction
     // removed a deleted doc's doclens row (the ivfIndexAppend rule)
@@ -875,6 +887,7 @@ object Lexical {
         Similarity.renewMarker(dir)
         clearLexCaches(dir)
       }
+      StoreLifecycle.writeManifest(dir, corpusPath)
       nAdded
     } finally fresh.unpersist()
   }

@@ -136,6 +136,57 @@ private[graft] object StoreLifecycle {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Corpus file manifest — the append guards' FAST PATH (round 18):
+    * the ghost/content checks are a full store+corpus hash join per
+    * append, which at streaming-ingest cadence (one append per landed
+    * file) turns the maintenance cost quadratic in the ingest stream.
+    * Data files are IMMUTABLE (parquet never rewrites in place — a
+    * corpus rewrite is new files, an append is added files), so "every
+    * (relpath, length, mtime) the last certified manifest recorded is
+    * still present, unchanged" proves the previously-certified content
+    * is intact and the heavy checks can be skipped; any deviation —
+    * removed, shorter, longer, or touched files — falls back to the
+    * authoritative content checks. The same (identifier, size,
+    * timestamp) triple is what object stores expose as cheap change
+    * detection (the ETag discipline); a hostile rewrite that forges
+    * all three is outside the threat model the guards serve
+    * (operational pipeline mistakes), and the content path remains
+    * the arbiter whenever coverage breaks. */
+  def manifestOf(corpusPath: String): Seq[String] = {
+    val root = new java.io.File(corpusPath)
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .filterNot(x => x.getName.startsWith("_") || x.getName.startsWith("."))
+          .flatMap(files)
+      else if (f.isFile) Seq(f)
+      else Seq.empty
+    files(root).map { f =>
+      val rel =
+        if (root.isFile) f.getName
+        else root.toPath.relativize(f.toPath).toString
+      s"$rel\t${f.length}\t${f.lastModified}"
+    }.sorted
+  }
+
+  /** True when the stored manifest exists and every entry it recorded
+    * is still present verbatim in the corpus (growth is fine; absence,
+    * resize, or touch is not). No manifest → false (pre-manifest
+    * stores and fresh builds pay one slow check, then certify). */
+  def manifestCovered(dir: String, corpusPath: String): Boolean = {
+    val p = java.nio.file.Paths.get(dir, "_corpus_manifest")
+    java.nio.file.Files.exists(p) && {
+      val stored = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split('\n').filter(_.nonEmpty).toSet
+      stored.subsetOf(manifestOf(corpusPath).toSet)
+    }
+  }
+
+  /** Certify the corpus state the guards just verified (or that the
+    * fast path just proved still-covered-plus-growth). */
+  def writeManifest(dir: String, corpusPath: String): Unit =
+    atomicWriteText(dir, "_corpus_manifest", manifestOf(corpusPath).mkString("\n"))
+
   /** Append guard, id half: every SERVING indexed id must still exist
     * in the corpus (tombstoned ids are the caller's exemption — a
     * takedown-replace is the expected sequence, not a rewrite). */

@@ -1025,6 +1025,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(exC.getMessage.contains("changed content"),
       s"growth-masked rewrite must refuse: ${exC.getMessage}")
+    // case 4: the manifest FAST PATH (round 18) must never mask a
+    // rewrite — a successful append certifies the corpus files, and a
+    // later rewrite (new files, coverage broken) must still fall
+    // through to the content guard and refuse
+    val dirD = java.nio.file.Files.createTempDirectory("graft-ivf-manifest").toString
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dirD/embeddings.parquet")
+    Similarity.ivfTopK(spark, dirD, k = 3).collect()
+    rows(300 until 340, 99L).write.mode("append").parquet(s"$dirD/embeddings.parquet")
+    assert(Similarity.ivfIndexAppend(spark, dirD) == 40L) // slow path, writes manifest
+    assert(new java.io.File(Similarity.indexDir(dirD, 0), "_corpus_manifest").isFile,
+      "a successful append must certify the corpus manifest")
+    // growth under an intact manifest: the fast path appends normally
+    rows(340 until 360, 99L).write.mode("append").parquet(s"$dirD/embeddings.parquet")
+    assert(Similarity.ivfIndexAppend(spark, dirD) == 20L, "fast-path growth appends")
+    // rewrite: old corpus files replaced — coverage broken, refusal
+    rows(0 until 400, 555L).write.mode("overwrite").parquet(s"$dirD/embeddings.parquet")
+    Similarity.clearCaches()
+    val exD = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(spark, dirD)
+    }
+    assert(exD.getMessage.contains("changed content"),
+      s"rewrite after a certified append must still refuse: ${exD.getMessage}")
   }
 
   test("refits carry takedowns: a stale-marker rebuild must not resurrect deleted ids") {
