@@ -404,8 +404,24 @@ object SoakSf1 {
       val t1 = System.nanoTime()
       val added = graft.ops.Similarity.lshIndexAppend(spark, work)
       val appendS = (System.nanoTime() - t1) / 1e9
+      // second batch (round 18): the first append paid the slow-path
+      // guards AND certified the corpus manifest, so this one rides
+      // the fast path — the steady-state ingest cadence (one append
+      // per landed file) this store actually serves. Gate it at the
+      // same absolute ceiling; the printed pair is the fast-path
+      // evidence.
+      spark.range(100500L, 101000L).as[Long].map { id =>
+        (id, embedding(id), (id % 10).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("append").parquet(s"$work/embeddings.parquet")
+      graft.ops.Similarity.clearCaches()
+      val t2 = System.nanoTime()
+      val added2 = graft.ops.Similarity.lshIndexAppend(spark, work)
+      val append2S = (System.nanoTime() - t2) / 1e9
       println(f"[soak] ann100k lsh append: $added%d vectors in $appendS%.1f s " +
-        f"vs full rebuild $rebuildS%.1f s (ceiling: append <= 30 s absolute)")
+        f"(slow-path guards) then $added2%d more in $append2S%.1f s " +
+        f"(manifest fast path) vs full rebuild $rebuildS%.1f s " +
+        f"(ceiling: append <= 30 s absolute)")
       // gate on the added count + a generous ABSOLUTE ceiling (ADVICE
       // r16: the old appendS <= rebuildS/2 compared two single
       // wall-clock timings — a GC pause or steal burst on the append
@@ -413,7 +429,7 @@ object SoakSf1 {
       // in a clean window, so 30 s holds a ~7× steal margin while
       // still failing a rebuild-scale regression outright). The
       // rebuild timing stays printed as round evidence.
-      added == 500L && appendS <= 30.0
+      added == 500L && appendS <= 30.0 && added2 == 500L && append2S <= 30.0
     }
     Seq(
       "ann100k_ivf_recall_at_5" -> recallOk,
