@@ -206,12 +206,32 @@ object Lexical {
     * deltas fully cancelled) caches as 0 so repeat queries with
     * unknown terms stay job-free. A crude loud ceiling bounds even a
     * pathological query log. */
-  private val termDfCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
-  // ~4M queried terms ≈ 300 MB, loud reset; var so the spec can force
-  // the ceiling without a 4M-term fixture
+  // ~4M queried terms ≈ 300 MB ceiling; var so the spec can force the
+  // ceiling without a 4M-term fixture. Access-order LRU (ADVICE r18 /
+  // verdict ask #6): the pre-r19 overflow policy was a global clear(),
+  // cold-starting EVERY store's warm working set on one pathological
+  // distinct-term query log — now only the least-recently-queried terms
+  // age out and a post-overflow repeat query for a recently-warm term
+  // stays job-free. synchronizedMap: accessOrder makes get() a
+  // structural modification, and the soak drives serving from parallel
+  // threads; entrySet().removeIf on the synchronized view locks the
+  // same mutex.
   private[graft] var TermDfCacheMax = 4L << 20
+  private val termDfCache: java.util.Map[(String, String, String), java.lang.Long] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String, String), java.lang.Long](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String, String), java.lang.Long]): Boolean =
+          size() > TermDfCacheMax
+      })
   private[graft] def termDfCacheSize: Int = termDfCache.size
+  private[graft] def termDfCacheHasTerm(term: String): Boolean =
+    termDfCache.synchronized {
+      var found = false
+      val it = termDfCache.keySet.iterator
+      while (!found && it.hasNext) found = it.next()._3 == term
+      found
+    }
 
   /** Session verdict of the tombstone-pressure check per (app, store
     * dir) — ADVICE r17: the check inline in [[ensureLexIndex]] made
@@ -393,7 +413,7 @@ object Lexical {
         Seq("doc_id"), "left_anti")
       case None => postings0
     }
-    val dfMap = dfLookup(spark, dir, buckets, query, postings)
+    val dfMap = dfLookup(spark, dir, query, postings)
     if (dfMap.isEmpty) return emptyResult()
     scoredPostings(postings, dfMap, nDocs, sumDl, k1, b)
       .groupBy(col("doc_id"))
@@ -418,7 +438,7 @@ object Lexical {
     * growth path at 100 TB vocabularies (verdict r17 "what's wrong"
     * #2). Pre-terms stores fall back to a per-call aggregate over the
     * pruned postings. */
-  private def dfLookup(spark: SparkSession, dir: String, buckets: Seq[Long],
+  private def dfLookup(spark: SparkSession, dir: String,
       terms: Seq[String], postings: DataFrame): Map[String, Long] =
     if (new java.io.File(lexTablePath(dir, "terms"), "_SUCCESS").isFile) {
       val tPath = lexTablePath(dir, "terms")
@@ -426,11 +446,6 @@ object Lexical {
       val missing = terms.distinct
         .filterNot(t => termDfCache.containsKey((app, tPath, t)))
       if (missing.nonEmpty) {
-        if (termDfCache.size > TermDfCacheMax) {
-          println(s"[lexical] term-df cache past $TermDfCacheMax entries — " +
-            "resetting (pathological distinct-term query log)")
-          termDfCache.clear()
-        }
         val mb = missing.map(termBucket).distinct
         val got = lexScanCache.computeIfAbsent((app, tPath),
             kk => spark.read.schema(termsSchema).parquet(kk._2))
@@ -511,7 +526,7 @@ object Lexical {
         Seq("doc_id"), "left_anti")
       case None => postings0
     }
-    val dfMap = dfLookup(spark, dir, buckets, allTerms, postings)
+    val dfMap = dfLookup(spark, dir, allTerms, postings)
     if (dfMap.isEmpty) return emptyResult()
     val qdf = broadcast(queries.zipWithIndex.flatMap { case (q, qi) =>
       q.distinct.filter(dfMap.contains).map(t => (qi.toLong, t))
@@ -858,6 +873,23 @@ object Lexical {
       require(bad == 0L,
         s"$bad indexed documents were rewritten or removed in $sfDir — " +
           "the postings no longer describe the corpus; rebuild the lexical index")
+    } else {
+      // fast path engaged — re-shipped-id guard (round 19, the
+      // ivfIndexAppend rule): a NEW file re-shipping an already-indexed
+      // doc_id with changed text is "growth" under the intact manifest;
+      // compare the increment ∩ serving overlap against the stored
+      // thash — O(increment), all-new-id appends stay store-scan-free.
+      val incrPaths = StoreLifecycle.manifestIncrementPaths(dir, corpusPath)
+      if (incrPaths.nonEmpty)
+        StoreLifecycle.incrementGuard(
+          dlServing.select(col("doc_id")),
+          spark.read.option("basePath", corpusPath).parquet(incrPaths: _*)
+            .select(col("doc_id"), xxhash64(col("text")).as("vh_now")),
+          dlServing.select(col("doc_id"), col("thash").as("vh")),
+          "doc_id",
+          n => s"$n re-shipped documents changed content in files landed at " +
+            s"$sfDir — the postings still index the old text; rebuild the " +
+            "lexical index")
     }
     // fresh = in the corpus, not yet indexed, NOT taken down — the
     // tombstone anti-join is the resurrection guard once compaction

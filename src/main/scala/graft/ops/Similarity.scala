@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    embFrom(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+
+  /** The corpus normalization shared by the full read and the
+    * manifest-increment read (round 19): hashes computed for the
+    * re-shipped-id guard must see byte-identical `v` derivation. */
+  private def embFrom(raw: DataFrame): DataFrame =
+    raw
       // a row with no embedding is not a point in the vector space: it
       // can neither query nor be retrieved, and the KMeans featurizer
       // NPEs on it — drop it at the shared source (real feeds ship
@@ -933,6 +939,30 @@ object Similarity {
         n => s"$n indexed vectors changed content in the corpus at $sfDir — " +
           "the buckets were hashed from the old vectors; rebuild the LSH index")
     }
+    // fast path engaged — re-shipped-id guard (round 19, the ivfIndexAppend
+    // rule): files landed since the certified manifest may re-ship an
+    // already-bucketed id with changed content; compare the increment ∩
+    // serving overlap against the vhashes sidecar (pre-r17 stores without
+    // the sidecar keep the id-only guard, as on the slow path).
+    if (lshGuardsFast && new java.io.File(s"$dir/vhashes", "_SUCCESS").isFile) {
+      val incrPaths = StoreLifecycle.manifestIncrementPaths(dir, lshCorpusPath)
+      if (incrPaths.nonEmpty) {
+        val vh0 = spark.read.parquet(s"$dir/vhashes")
+        StoreLifecycle.incrementGuard(
+          servingIdx,
+          embFrom(spark.read.option("basePath", lshCorpusPath)
+              .parquet(incrPaths: _*))
+            .select(col("vec_id"), xxhash64(col("v")).as("vh_now")),
+          ts match {
+            case Some(t) => vh0.join(broadcast(t), Seq("vec_id"), "left_anti")
+            case None => vh0
+          },
+          "vec_id",
+          n => s"$n re-shipped vectors changed content in files landed at " +
+            s"$sfDir — the buckets were hashed from the old vectors; " +
+            "rebuild the LSH index")
+      }
+    }
     val e = lshInput(spark, sfDir)
     val dimOpt = e.limit(1).select(size(col("v")).as("d")).collect()
       .headOption.map(_.getInt(0))
@@ -1740,6 +1770,30 @@ object Similarity {
           "the inverted lists were assigned from the old vectors; appending " +
           "would certify a rewritten corpus as indexed. Rebuild the index " +
           "(ensureIvfIndex) instead")
+    } else {
+      // fast path engaged — re-shipped-id guard (round 19, verdict r18
+      // ask #1): a NEW file re-shipping an already-indexed id with
+      // changed content is "growth" under the intact manifest, and the
+      // not-yet-indexed anti-join below would silently keep serving the
+      // OLD vector. Hash-compare exactly the increment ∩ serving
+      // overlap — O(increment): all-new-id appends never read the wide
+      // stored rows.
+      val incrPaths = StoreLifecycle.manifestIncrementPaths(dir, corpusPath)
+      if (incrPaths.nonEmpty)
+        StoreLifecycle.incrementGuard(
+          serving,
+          embFrom(spark.read.option("basePath", corpusPath)
+              .parquet(incrPaths: _*))
+            .select(col("vec_id"), xxhash64(col("v")).as("vh_now")),
+          (ts match {
+            case Some(t) => cells0.join(broadcast(t), Seq("vec_id"), "left_anti")
+            case None => cells0
+          }).select(col("vec_id"), xxhash64(col("v")).as("vh")),
+          "vec_id",
+          n => s"$n re-shipped vectors changed content in files landed at " +
+            s"$sfDir — the inverted lists still serve the old vectors; " +
+            "appending would certify the rewrite. Rebuild the index " +
+            "(ensureIvfIndex) instead")
     }
     // anti-join the tombstones too: once compaction removes a deleted
     // row PHYSICALLY, its corpus vector would otherwise read as "not
@@ -2354,17 +2408,23 @@ object Similarity {
         // tamper onto the store side, so break coverage explicitly to
         // exercise the slow-path guard the rewrite would hit
         new java.io.File(dir, "_corpus_manifest").delete()
-        val refused =
+        // cleanup in finally (ADVICE r18): if the probed append dies with
+        // anything OTHER than the guard's refusal (task failure, OOM,
+        // AnalysisException), the planted duplicate vec_id row must still
+        // come back out of the live serving store — otherwise later ANN
+        // results are silently corrupted by a gate leg's debris
+        try {
           try { ivfIndexAppend(spark, sfDir, LifecycleNlist); false }
           catch { case _: IllegalArgumentException => true }
-        (listing() -- before).foreach(p => new java.io.File(p).delete())
-        // drop any partition dir the plant created (now empty)
-        Option(new java.io.File(cdir).listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory &&
-            Option(f.listFiles()).getOrElse(Array.empty).isEmpty)
-          .foreach(_.delete())
-        clearIndexCaches(sfDir, LifecycleNlist)
-        refused
+        } finally {
+          (listing() -- before).foreach(p => new java.io.File(p).delete())
+          // drop any partition dir the plant created (now empty)
+          Option(new java.io.File(cdir).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory &&
+              Option(f.listFiles()).getOrElse(Array.empty).isEmpty)
+            .foreach(_.delete())
+          clearIndexCaches(sfDir, LifecycleNlist)
+        }
       }
     }
     Seq(

@@ -187,6 +187,50 @@ private[graft] object StoreLifecycle {
   def writeManifest(dir: String, corpusPath: String): Unit =
     atomicWriteText(dir, "_corpus_manifest", manifestOf(corpusPath).mkString("\n"))
 
+  /** Absolute paths of corpus files present now but absent from the
+    * certified manifest — the landed INCREMENT the fast path admits
+    * without content checks. Empty when no manifest exists (the slow
+    * path is authoritative there). */
+  def manifestIncrementPaths(dir: String, corpusPath: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, "_corpus_manifest")
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else {
+      val stored = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split('\n').filter(_.nonEmpty).toSet
+      val root = new java.io.File(corpusPath)
+      manifestOf(corpusPath).filterNot(stored).map { line =>
+        val rel = line.takeWhile(_ != '\t')
+        if (root.isFile) root.getPath else s"$corpusPath/$rel"
+      }.distinct
+    }
+  }
+
+  /** Fast-path re-shipped-id guard (round 19, closing the verdict-r18
+    * hole): "old files intact + growth" still admits a NEW file that
+    * re-ships an ALREADY-INDEXED id with changed content — under the
+    * manifest that is growth, and the append's not-yet-indexed
+    * anti-join then silently treats the changed row as indexed, serving
+    * stale content with a duplicate-id corpus and no refusal. This
+    * check hash-compares exactly the increment ∩ serving-ids overlap:
+    * the steady-state streaming append (all-new ids) pays one id-column
+    * probe and never evaluates `storedHashes` (by-name — the wide
+    * stored columns stay unread); a changed re-ship refuses with the
+    * same loud contract the slow path gives. An IDENTICAL re-ship
+    * (duplicate delivery of unchanged bytes) passes, as it does on the
+    * slow path, and the id anti-join then drops it as already indexed. */
+  def incrementGuard(servingIds: DataFrame, incrHashes: DataFrame,
+      storedHashes: => DataFrame, idCol: String,
+      message: Long => String): Unit = {
+    val overlapIds = incrHashes.select(col(idCol)).distinct()
+      .join(servingIds, Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (overlapIds.count() > 0L)
+        contentGuard(storedHashes.join(broadcast(overlapIds), Seq(idCol)),
+          incrHashes, idCol, message)
+    } finally { overlapIds.unpersist(); () }
+  }
+
   /** Append guard, id half: every SERVING indexed id must still exist
     * in the corpus (tombstoned ids are the caller's exemption — a
     * takedown-replace is the expected sequence, not a rewrite). */

@@ -592,6 +592,62 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vh.count() == 339L)
   }
 
+  test("manifest fast path refuses a NEW file re-shipping an indexed id with changed content (round 19)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-reship").toString
+    def rows(ids: Range, shift: Long) = ids.map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shift)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.ivfTopK(spark, dir, k = 3).collect() // builds + persists
+    // first append runs the slow-path guards and certifies the manifest
+    rows(300 until 320, 1L).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.ivfIndexAppend(spark, dir) == 20L)
+    // duplicate re-delivery of UNCHANGED bytes rides the fast path:
+    // passes, and only the genuinely-new id is appended
+    rows(7 until 8, 0L).union(rows(320 until 321, 2L))
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.ivfIndexAppend(spark, dir) == 1L,
+      "identical re-delivery must pass and add only the new id")
+    val cellsDir = Similarity.cellsPath(Similarity.indexDir(dir, 0))
+    val cellsBefore = spark.read.parquet(cellsDir)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    // a NEW file re-shipping id 5 with CHANGED content + one new id: old
+    // files all intact, so the manifest fast path engages — and the
+    // round-19 increment guard must refuse what the slow path would have
+    rows(5 until 6, 12345L).union(rows(321 until 322, 3L))
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](Similarity.ivfIndexAppend(spark, dir))
+    assert(e.getMessage.contains("re-shipped"), e.getMessage)
+    // the refusal happened before any write: the store is unchanged
+    Similarity.clearCaches()
+    val cellsAfter = spark.read.parquet(cellsDir)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(cellsAfter == cellsBefore, "refused append must leave the store untouched")
+  }
+
+  test("LSH manifest fast path refuses a re-shipped changed id (round 19)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-reship").toString
+    def rows(ids: Range, shift: Long) = ids.map { i =>
+      val r = new java.util.Random(i * 31L + 7L + shift)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), (i % 5))
+    }.toDF("vec_id", "embedding", "label")
+    rows(0 until 300, 0L).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.lshTopK(spark, dir, k = 3).collect() // build store + sidecar
+    // first append: slow path, certifies the manifest
+    rows(300 until 310, 1L).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.lshIndexAppend(spark, dir) == 10L)
+    // NEW file re-shipping id 9 with changed content, old files intact →
+    // fast path engages, increment guard must refuse via the sidecar
+    rows(9 until 10, 777L).union(rows(310 until 311, 2L))
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    Similarity.clearCaches()
+    val e = intercept[IllegalArgumentException](Similarity.lshIndexAppend(spark, dir))
+    assert(e.getMessage.contains("re-shipped"), e.getMessage)
+  }
+
   test("streaming vector ingest: landed batches grow the corpus and index; replay cannot double-ingest") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vecingest").toString
