@@ -722,8 +722,19 @@ object NearDup {
     val ranked = rdd.zipWithIndex()
       .map { case ((id, key), i) => (id, key, i + 1) }
       .toDF("doc_id", "key", "rnk")
+    // Pin the banded self-join's distribution by bucket at the session's
+    // shuffle parallelism (round 19, guide §2.4/§2.5): the join's shuffle
+    // is tiny in BYTES (~0.4 MB at bench SF) but compute-amplified — every
+    // surviving pair pays a 40×40 levenshtein — so AQE's byte-blind
+    // coalescing folded it to ONE task (profiled 1.5 s single-task on a
+    // 32-core session, the query's dominant stage). An explicit
+    // numPartitions repartition is exempt from AQE coalescing, and both
+    // self-join sides inherit it, so the join itself stays exchange-free.
+    // Buckets are rank-derived and dense, so hash(bucket) spreads evenly;
+    // pair SEMANTICS are partition-independent (equi-join + distinct).
     val reg = ranked.withColumn("bucket",
       explode(array(expr(s"rnk DIV $window"), expr(s"rnk DIV $window + 1"))))
+      .repartition(nPart, col("bucket"))
     reg.as("a")
       .join(reg.as("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -776,13 +787,50 @@ object NearDup {
     * unchanged. */
   private def trigramTf(spark: SparkSession, sfDir: String): DataFrame =
     trigramTfCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir), _ => {
-      spark.read.parquet(s"$sfDir/documents.parquet")
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), graft.functions.ScaleFunctions.trigram_tf(
           lower(trim(coalesce(col("text"), lit(""))))).as("k"))
         .select(col("doc_id"), col("k.dl").as("dl"), explode(col("k.grams")).as("gt"))
         .select(col("doc_id"), col("dl"), col("gt.g").as("g"), col("gt.tf").as("tf"))
+        // Persist HASH-PARTITIONED BY GRAM at the session's shuffle
+        // parallelism (round 19, guide §2.4/§2.5): the frame's expensive
+        // consumers are all g-keyed — the corpus-stat window below and
+        // BOTH sides of the postings self-join — so the cached
+        // partitioning is reused and those operators run exchange-free
+        // at full parallelism. Without this the cache inherited the
+        // file scan's split count (ONE partition at bench SF — a 5 MB
+        // corpus is one split), and because the cached scan has no
+        // Exchange, AQE could never re-split it: the C(df,2)
+        // pair-expansion stage, the tier's measured bulk, ran as a
+        // single task on a 32-core session (profiled 5.0 s of the
+        // query's 7.6 s warm pass). Grams are high-cardinality, so
+        // hash(g) spreads evenly; the df ≤ cap bound already caps any
+        // one gram's expansion at C(cap,2).
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("g"))
+      // Fold the corpus statistics INTO the cached frame (round 19,
+      // guide §2.2 — shuffle/scan less): df by an exchange-free window
+      // over the g-partitioned frame, n_docs by a 1-row broadcast. The
+      // old shape recomputed wgt = tf ⋈ df ⋈ n PER CONSUMER — profiled
+      // as 8 separate cache scans + 2 joins per query pass; with the
+      // stats resident, weighting is a pure map and the query reads
+      // the cache exactly 3× (norms + both join sides). df is stored
+      // UNCAPPED so the per-query dfCap filter semantics (and the
+      // bit-exact wgt doubles) are unchanged.
+      augmentTfStats(base)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Attach per-gram document frequency and the corpus document count to
+    * a (doc_id, dl, g, tf) frame — shared by the session cache above and
+    * the legacy-lineage path (BenchTfidf) so both run the same plan. */
+  private[graft] def augmentTfStats(base: DataFrame): DataFrame = {
+    val nDocs = base.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    base
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .crossJoin(broadcast(nDocs))
+  }
 
   def tfidfCosinePairs(spark: SparkSession, sfDir: String,
       dfCap: Int = 50, minCos: Double = 0.5): DataFrame =
@@ -792,19 +840,19 @@ object NearDup {
     * g, tf) frame — split out so the round-16 kernel-vs-legacy bench
     * (`graft.BenchTfidf`, test scope) can time the SAME downstream plan
     * over both tf lineages. */
-  private[graft] def tfidfCosinePairsFrom(tf: DataFrame,
+  private[graft] def tfidfCosinePairsFrom(tf0: DataFrame,
       dfCap: Int = 50, minCos: Double = 0.5): DataFrame = {
-    val nDocs = tf.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
-    val df = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
+    // accept both the stats-resident session-cached frame and a bare
+    // (doc_id, dl, g, tf) lineage (BenchTfidf's legacy tier)
+    val tf = if (tf0.columns.contains("df")) tf0 else augmentTfStats(tf0)
     // df = N terms carry zero information (idf = 0): they contribute
     // nothing to dot or norms, and a document made ENTIRELY of them
     // would have a zero norm — the 0/0 cosine the null-text sweep
     // caught. Excluding them by the integer predicate (df < N) keeps
     // every surviving pair's cosine bit-identical and removes the
     // degenerate division in both engines.
-    val wgt = tf.join(df, "g").crossJoin(broadcast(nDocs))
-      .filter(col("df") < col("n_docs"))
+    val wgt = tf
+      .filter(col("df") <= dfCap && col("df") < col("n_docs"))
       .select(col("doc_id"), col("g"),
         (col("tf").cast("double") / col("dl").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double"))).as("wgt"))
